@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import graft.etl.{RetailClean, Warehouse}
+object EtlDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(in, out) = args
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cleaned = RetailClean.clean(RetailClean.readStaging(spark, in))
+    RetailClean.writeClean(cleaned, s"$out/cleaned", singleFile = true)
+    val fact = Warehouse.factSales(cleaned,
+      Warehouse.dimProduct(cleaned), Warehouse.dimLocation(cleaned),
+      Warehouse.dimPayment(cleaned), Warehouse.dimShipping(cleaned))
+    fact.write.mode("overwrite").parquet(s"$out/fact_sales")
+    Warehouse.factMonthlySnapshot(cleaned).write.mode("overwrite").parquet(s"$out/snapshot")
+    println(s"cleaned=${cleaned.count()} fact=${spark.read.parquet(s"$out/fact_sales").count()} snap=${spark.read.parquet(s"$out/snapshot").count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,256 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Star-schema builders for the retail warehouse (reference:
+  * README.md:38-147 dimensional model). Dimensions are generated or
+  * distinct-projected from cleaned staging with deterministic
+  * xxhash64 surrogate keys (SURVEY §2.8 F10: hash keys, not
+  * monotonically_increasing_id, so re-loads and the oracle agree);
+  * facts join staging to dims on natural keys (README.md:171-173 J8)
+  * — all dim joins broadcast at any scale since dims are small
+  * relative to the fact.
+  */
+object Warehouse {
+
+  // ---------------------------------------------------------------
+  // Generated dimensions
+  // ---------------------------------------------------------------
+
+  /** DimDate at day grain, key "DDMMYYYY" string (README.md:50-52;
+    * key encoding per SURVEY §1.4 quirk 1). Generated from the domain
+    * with sequence+explode — never scanned from the fact. */
+  def dimDate(spark: SparkSession, from: String, to: String): DataFrame = {
+    spark.range(1).select(
+        explode(sequence(
+          lit(from).cast(DateType), lit(to).cast(DateType),
+          expr("interval 1 day"))).as("date"))
+      .select(
+        date_format(col("date"), "ddMMyyyy").as("date_key"),
+        col("date"),
+        date_format(col("date"), "MMyyyy").as("month_key"),
+        year(col("date")).as("year"),
+        quarter(col("date")).as("quarter"),
+        month(col("date")).as("month_num"),
+        date_format(col("date"), "MMMM").as("month_name"),
+        dayofmonth(col("date")).as("day_of_month"),
+        dayofweek(col("date")).as("day_of_week"),
+        date_format(col("date"), "EEEE").as("day_name"),
+        dayofweek(col("date")).isin(1, 7).as("is_weekend"))
+  }
+
+  /** DimTimeOfDay at second grain, 86,400 generated rows, key
+    * "SSMMHH" — SECONDS-FIRST (README.md:56; SURVEY §1.4 quirk 2).
+    * Buckets per README.md:57. */
+  def dimTimeOfDay(spark: SparkSession): DataFrame = {
+    val h = (col("id") / 3600).cast(IntegerType)
+    val m = ((col("id") % 3600) / 60).cast(IntegerType)
+    val s = (col("id") % 60).cast(IntegerType)
+    spark.range(86400).select(
+        format_string("%02d%02d%02d", s, m, h).as("time_key"),
+        h.as("hour_24"),
+        m.as("minute"),
+        s.as("second"),
+        when(h < 6, "night").when(h < 12, "morning")
+          .when(h < 18, "afternoon").otherwise("evening").as("time_bucket_period"))
+  }
+
+  // ---------------------------------------------------------------
+  // Staging-derived dimensions (surrogate key = xxhash64 of natural key)
+  // ---------------------------------------------------------------
+
+  private def surrogate(cols: Seq[String]): org.apache.spark.sql.Column =
+    xxhash64(cols.map(col): _*)
+
+  /** DimCustomer (README.md:62-67): surrogate + natural Customer_ID,
+    * demographics, and derived first/last order dates + activity
+    * status (README.md:64; SURVEY §2.5 W5/W6). */
+  def dimCustomer(cleaned: DataFrame, activeWithinDays: Int = 90): DataFrame = {
+    val attrs = cleaned
+      .groupBy(col("Customer_ID").as("customer_id"))
+      .agg(
+        first(col("Name"), ignoreNulls = true).as("name"),
+        first(col("Email"), ignoreNulls = true).as("email"),
+        first(col("Age"), ignoreNulls = true).as("age"),
+        first(col("Gender"), ignoreNulls = true).as("gender"),
+        first(col("Income"), ignoreNulls = true).as("income"),
+        first(col("Customer_Segment"), ignoreNulls = true).as("customer_segment"),
+        min(to_date(col("Date"), "M/d/yyyy")).as("first_order_date"),
+        max(to_date(col("Date"), "M/d/yyyy")).as("last_order_date"))
+    val maxd = attrs.agg(max(col("last_order_date")).as("maxd"))
+    attrs.crossJoin(broadcast(maxd))
+      .withColumn("status",
+        when(col("last_order_date") >= date_sub(col("maxd"), activeWithinDays), "active")
+          .otherwise("inactive"))
+      .drop("maxd")
+      .withColumn("customer_key", xxhash64(col("customer_id")))
+  }
+
+  /** DimProduct with the Category→Brand→Type→Name hierarchy
+    * (README.md:69-74). */
+  def dimProduct(cleaned: DataFrame): DataFrame =
+    cleaned.select(
+        col("product_name"), col("Product_Category").as("product_category"),
+        col("Product_Brand").as("product_brand"), col("Product_Type").as("product_type"))
+      .distinct()
+      .withColumn("product_key",
+        surrogate(Seq("product_name", "product_category", "product_brand", "product_type")))
+
+  /** DimLocation with Region→Country→State→City→Zipcode hierarchy
+    * (README.md:76-81; region omitted in source → derived 'Unknown'). */
+  def dimLocation(cleaned: DataFrame): DataFrame =
+    cleaned.select(
+        col("Country").as("country"), col("State").as("state"),
+        col("City").as("city"), col("Zipcode").as("zipcode"))
+      .distinct()
+      .withColumn("location_key", surrogate(Seq("country", "state", "city", "zipcode")))
+
+  /** DimPayment (README.md:83-85). */
+  def dimPayment(cleaned: DataFrame): DataFrame =
+    cleaned.select(col("Payment_Method").as("payment_method")).distinct()
+      .withColumn("payment_key", surrogate(Seq("payment_method")))
+
+  /** DimShipping with Service_Level→Speed_Tier→Method (README.md:87-91;
+    * tiers derived from method name as the reference leaves the
+    * mapping unspecified). */
+  def dimShipping(cleaned: DataFrame): DataFrame =
+    cleaned.select(col("Shipping_Method").as("shipping_method")).distinct()
+      .withColumn("speed_tier",
+        when(lower(col("shipping_method")).contains("express"), "fast")
+          .when(lower(col("shipping_method")).contains("same"), "fast")
+          .when(lower(col("shipping_method")).contains("standard"), "normal")
+          .otherwise("other"))
+      .withColumn("service_level",
+        when(col("speed_tier") === "fast", "premium").otherwise("basic"))
+      .withColumn("shipping_key", surrogate(Seq("shipping_method")))
+
+  // ---------------------------------------------------------------
+  // Facts
+  // ---------------------------------------------------------------
+
+  /** Fact_Sales_Transaction (README.md:95-106): one row per cleaned
+    * staging line; surrogate-key lookups are broadcast joins on
+    * natural keys (J8); degenerate transaction_id kept on the fact;
+    * is_returned derived from Order_Status (README.md:105, P10).
+    * Dim arguments are passed in (not rebuilt) so one set of dims
+    * serves repeated loads. */
+  def factSales(cleaned: DataFrame, product: DataFrame, location: DataFrame,
+                payment: DataFrame, shipping: DataFrame): DataFrame = {
+    cleaned
+      .join(broadcast(product.select(col("product_key"),
+          col("product_name").as("pn"), col("product_category").as("pc"),
+          col("product_brand").as("pb"), col("product_type").as("pt"))),
+        col("product_name") === col("pn") && col("Product_Category") === col("pc") &&
+        col("Product_Brand") === col("pb") && col("Product_Type") === col("pt"), "left")
+      .join(broadcast(location.select(col("location_key"),
+          col("country").as("lco"), col("state").as("lst"),
+          col("city").as("lci"), col("zipcode").as("lzi"))),
+        col("Country") <=> col("lco") && col("State") <=> col("lst") &&
+        col("City") <=> col("lci") && col("Zipcode") <=> col("lzi"), "left")
+      .join(broadcast(payment.select(col("payment_key"), col("payment_method").as("pm"))),
+        col("Payment_Method") === col("pm"), "left")
+      .join(broadcast(shipping.select(col("shipping_key"), col("shipping_method").as("sm"))),
+        col("Shipping_Method") === col("sm"), "left")
+      .select(
+        col("transaction_id"),
+        xxhash64(col("Customer_ID")).as("customer_key"),
+        col("date_key"), col("time_key"), col("month_key"),
+        col("product_key"), col("location_key"), col("payment_key"), col("shipping_key"),
+        col("quantity"),
+        col("unit_price"),
+        col("line_total_amount"),
+        col("Ratings").as("rating"),
+        (col("Order_Status") === "Returned").as("is_returned"))
+  }
+
+  /** Fact_Customer_MonthlySnapshot (README.md:110-117) in the
+    * incremental window form the reference endorses at README.md:199
+    * — NOT the cross-join scaffold (SURVEY §3.2): one agg shuffle on
+    * (customer, month), then a running-sum window that reuses the
+    * same partitioning. customer_lifetime_spent is semi-additive
+    * (summable across customers, never across months —
+    * README.md:115). */
+  def factMonthlySnapshot(cleaned: DataFrame): DataFrame = {
+    val monthly = cleaned
+      .withColumn("d", to_date(col("Date"), "M/d/yyyy"))
+      .groupBy(
+        xxhash64(col("Customer_ID")).as("customer_key"),
+        date_format(col("d"), "MMyyyy").as("month_key"),
+        date_trunc("month", col("d")).cast(DateType).as("month_start"))
+      .agg(
+        sum(col("line_total_amount")).as("month_total_spent"),
+        countDistinct(col("transaction_id")).as("month_total_orders"))
+    val w = Window.partitionBy(col("customer_key")).orderBy(col("month_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.withColumn("customer_lifetime_spent",
+      sum(col("month_total_spent")).over(w))
+  }
+
+  // ---------------------------------------------------------------
+  // SCD Type 2 (README.md:145-147)
+  // ---------------------------------------------------------------
+
+  /** SCD2 merge as a full-history rewrite (plain-parquet strategy,
+    * SURVEY §7 risks): `current` carries effective_date/end_date/
+    * is_current; `updates` is (naturalKey, attrs, as-of date). Rows
+    * whose tracked attributes changed get their old version closed
+    * (end_date = asOf) and a new open version appended; unchanged and
+    * untouched rows pass through. Deterministic, idempotent for a
+    * given asOf. */
+  def scd2Merge(current: DataFrame, updates: DataFrame, naturalKey: String,
+                trackedAttrs: Seq[String], asOf: String): DataFrame = {
+    val upd = updates.select((naturalKey +: trackedAttrs).map(col): _*)
+    val cur = current.filter(col("is_current"))
+    val curKeyed = cur.select((naturalKey +: trackedAttrs).map(col): _*)
+
+    // changed = open rows whose attrs differ from the incoming version
+    val changeCond = trackedAttrs
+      .map(a => !(col(s"c.$a") <=> col(s"u.$a")))
+      .reduce(_ || _)
+    val changedKeys = cur.as("c")
+      .join(upd.as("u"), col(s"c.$naturalKey") === col(s"u.$naturalKey"))
+      .filter(changeCond)
+      .select(col(s"c.$naturalKey").as(naturalKey)).distinct()
+
+    val closed = current.as("h")
+      .join(broadcast(changedKeys.as("k")),
+        col(s"h.$naturalKey") === col(s"k.$naturalKey"), "left_semi")
+      .filter(col("is_current"))
+      .withColumn("end_date", lit(asOf).cast(DateType))
+      .withColumn("is_current", lit(false))
+    val untouchedHistory = current.as("h")
+      .join(broadcast(changedKeys.as("k")),
+        col(s"h.$naturalKey") === col(s"k.$naturalKey"), "left_anti")
+      .union(current.filter(!col("is_current"))
+        .join(broadcast(changedKeys), Seq(naturalKey), "left_semi"))
+    val fresh = upd
+      .join(broadcast(changedKeys), Seq(naturalKey), "left_semi")
+      .withColumn("effective_date", lit(asOf).cast(DateType))
+      .withColumn("end_date", lit(null).cast(DateType))
+      .withColumn("is_current", lit(true))
+
+    // brand-new keys (not in current at all) also open a first version
+    val novel = upd
+      .join(current.select(col(naturalKey)).distinct(), Seq(naturalKey), "left_anti")
+      .withColumn("effective_date", lit(asOf).cast(DateType))
+      .withColumn("end_date", lit(null).cast(DateType))
+      .withColumn("is_current", lit(true))
+
+    val cols = current.columns.map(col).toSeq
+    untouchedHistory.select(cols: _*)
+      .union(closed.select(cols: _*))
+      .union(fresh.select(cols: _*))
+      .union(novel.select(cols: _*))
+  }
+
+  /** Seed an SCD2 table from an initial snapshot. */
+  def scd2Init(snapshot: DataFrame, naturalKey: String, trackedAttrs: Seq[String],
+               asOf: String): DataFrame =
+    snapshot.select((naturalKey +: trackedAttrs).map(col): _*)
+      .withColumn("effective_date", lit(asOf).cast(DateType))
+      .withColumn("end_date", lit(null).cast(DateType))
+      .withColumn("is_current", lit(true))
+}
