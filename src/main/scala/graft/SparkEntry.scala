@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 import graft.queries.{CoreQueries, InventoryQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ InventoryQueries.queries
+    CoreQueries.queries ++ InventoryQueries.queries ++
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ InventoryQueries.oracles
+    CoreQueries.oracles ++ InventoryQueries.oracles ++
+      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles
 }

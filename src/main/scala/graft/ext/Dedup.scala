@@ -1,0 +1,251 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.StableHash
+
+/** Deduplication operators for large-scale text pipelines — the
+  * training-data-pipeline extension surface (SURVEY.md §2.10).
+  *
+  * Scale design: every operator here is shuffle-bounded by the
+  * *duplicate-candidate* volume, never by |docs|²:
+  *  - exact / fingerprint dedup: one hash-groupBy (map-side combine).
+  *  - shingle-Jaccard: self-join on shingle VALUES — fan-out bounded
+  *    by shingle frequency, not document count. At 100 TB you cap
+  *    hot shingles (drop top-frequency shingles, standard practice)
+  *    or go through MinHash-LSH below.
+  *  - MinHash-LSH: candidate pairs only form inside an LSH band
+  *    bucket — the 100 TB path. Signature build is a single groupBy;
+  *    banding re-keys 4 small rows per doc.
+  *
+  * All hashing uses the engine-portable StableHash so every stage is
+  * DuckDB-oracle-checkable end to end.
+  */
+object Dedup {
+
+  /** Words of `text`, single-space tokenization (matches the corpus
+    * format; a regex split costs 3-4× in codegen for no benefit here). */
+  private def words(c: Column): Column = split(trim(c), " ")
+
+  /** 3-word shingles — the granularity that separates true near-dups
+    * from same-vocabulary noise on this corpus (word-set Jaccard
+    * saturates; 3-shingles give a bimodal 1.0-vs-0.0 split). */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val w = words(c)
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - lit(k)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*))
+    ).otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** Sorted-distinct-token-set fingerprint: order-insensitive, so
+    * word-shuffled copies collapse to one fingerprint. */
+  def tokenSetFingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(c))), " "))
+
+  /** D1 — exact dedup accounting per source: keep-first-by-min-id
+    * over identical raw text. */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("text")).as("n_unique_texts"),
+           (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dupes"))
+      .orderBy(col("source"))
+
+  /** D2 — near-dup accounting via the order-insensitive token-set
+    * fingerprint (catches shuffled copies exact dedup misses). */
+  def d2FingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokenSetFingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("fp")).as("n_fingerprints"),
+           (count(lit(1)) - countDistinct(col("fp"))).as("n_near_dupes"))
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .distinct()
+
+  /** D3 — exact n-gram-Jaccard near-dup pairs (threshold 0.8):
+    * shingle self-join → intersection counts → Jaccard. */
+  def d3JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 3))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val NumHashes = 16
+  val Bands = 4 // 4 rows per band; P(candidate) = 1-(1-j^4)^4 — ~0.97 at j=0.8
+
+  /** MinHash signature: per doc, min over shingles of 16 seeded
+    * stable hashes — one groupBy, 16 codegen'd min-aggregates. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(k =>
+      min(StableHash.hash64(k, col("s"))).as(s"mh$k"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** D4 — MinHash-LSH near-dup pairs, verified with exact Jaccard
+    * (threshold 0.5 on candidates). The 100 TB path: candidates only
+    * form within a band bucket, so cost tracks duplicate density, not
+    * corpus size². */
+  def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(spark, dir).cache()
+    val mh = minhashSignatures(sh)
+    val rowsPerBand = NumHashes / Bands
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("sig"))
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("a_id") === col("x.doc_id"))
+      .join(sh.as("y"), col("b_id") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 3))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val SimhashBits = 32
+
+  /** D5 — SimHash clusters: 32-bit signature from token hashes
+    * (per-bit +1/-1 vote), computed as 32 codegen'd conditional sums
+    * in ONE groupBy — no per-bit explode, no UDF. Word-shuffled
+    * copies share token multisets, hence identical signatures; the
+    * query reports multi-doc signature clusters. */
+  def d5SimhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("t"))
+      .withColumn("h", StableHash.hash64(99, col("t")))
+    val sums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val bitSums = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val sim = bitSums.withColumn("simhash",
+      (0 until SimhashBits).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column).reduce(_ + _))
+    sim.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("cluster_size") > 1)
+      .orderBy(col("simhash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact"       -> (d1ExactDedup _),
+    "d2_fingerprint_dedup" -> (d2FingerprintDedup _),
+    "d3_jaccard_pairs"     -> (d3JaccardPairs _),
+    "d4_minhash_lsh"       -> (d4MinhashLsh _),
+    "d5_simhash_clusters"  -> (d5SimhashClusters _))
+
+  private val H = StableHash // brevity in SQL builders below
+
+  private val shingleCte =
+    """words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END) AS s
+              FROM words) u)"""
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+         count(DISTINCT text) AS n_unique_texts,
+         count(*) - count(DISTINCT text) AS n_exact_dupes
+         FROM documents GROUP BY 1 ORDER BY source""",
+    "d2_fingerprint_dedup" ->
+      """WITH fp AS (
+           SELECT md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp
+           FROM documents)
+         SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_fingerprints,
+                count(*) - count(DISTINCT fp) AS n_near_dupes FROM fp""",
+    "d3_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = a_id
+         JOIN sz sb ON sb.doc_id = b_id
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.8
+         ORDER BY a_id, b_id""",
+    "d4_minhash_lsh" -> {
+      val mhCols = (0 until NumHashes)
+        .map(k => s"min(${H.duckdbHash64(k, "s")}) AS mh$k").mkString(",\n                ")
+      val rowsPerBand = NumHashes / Bands
+      val bandSelects = (0 until Bands).map { b =>
+        val sig = (0 until rowsPerBand).map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+          .mkString(" || ':' || ")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH $shingleCte,
+         mh AS (SELECT doc_id,
+                $mhCols
+                FROM sh GROUP BY doc_id),
+         bands AS (
+           $bandSelects),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a_id, b_id, count(*) AS i
+           FROM cand
+           JOIN sh x ON x.doc_id = a_id
+           JOIN sh y ON y.doc_id = b_id AND y.s = x.s
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = a_id
+         JOIN sz sb ON sb.doc_id = b_id
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5
+         ORDER BY a_id, b_id"""
+    },
+    "d5_simhash_clusters" -> {
+      val bitSums = (0 until SimhashBits).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(",\n                ")
+      val assemble = (0 until SimhashBits).map(b =>
+        s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+           SELECT doc_id, ${H.duckdbHash64(99, "t")} AS h
+           FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents)),
+         bits AS (SELECT doc_id,
+                $bitSums
+                FROM toks GROUP BY doc_id),
+         sim AS (SELECT doc_id, $assemble AS simhash FROM bits)
+         SELECT simhash, count(*) AS cluster_size, min(doc_id) AS keep_doc_id
+         FROM sim GROUP BY 1 HAVING count(*) > 1 ORDER BY simhash"""
+    })
+}

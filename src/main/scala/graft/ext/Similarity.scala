@@ -1,0 +1,189 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.StableHash
+
+/** Similarity search over embedding columns (Array[Float], 64-dim) —
+  * the ANN extension surface (SURVEY.md §2.10).
+  *
+  * Two paths:
+  *  - S1 brute-force exact top-k: broadcast the (small) query set
+  *    against the full vector table; cosine via codegen'd
+  *    higher-order functions (zip_with + aggregate), no UDFs. At
+  *    100 TB the vector table is the big side and stays put — only
+  *    queries move.
+  *  - S2 LSH-bucketed ANN (random hyperplanes, 4 bands × 4 bits):
+  *    candidates form only inside a shared band bucket, cutting the
+  *    scored pairs from |Q|×|V| to bucket-collision volume — the
+  *    scale path. Hyperplane signs come from the engine-portable
+  *    StableHash so DuckDB reproduces the exact same buckets.
+  *
+  * All arithmetic is double-precision with the same operation order
+  * in both engines; cosines are rounded to 6 decimals at the edge.
+  */
+object Similarity {
+
+  val QueryCount = 5  // query set = vec_id < 5
+  val TopK = 10
+  val Dims = 64
+  val Planes = 16
+  val BandBits = 4    // 4 bands × 4 bits
+
+  /** Sequential-fold dot product in double precision. */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def l2norm(a: Column): Column = sqrt(dotd(a, a))
+
+  /** Vectors with precomputed norms. */
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+
+  /** S1 — exact top-10 cosine neighbors for each query vector. */
+  def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val q = v.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hyperplane component signs: sgn(p, i) = ±1 from the portable
+    * hash of "p:i" — a deterministic stand-in for a Gaussian plane,
+    * reproducible in SQL. */
+  private def planeTable(spark: SparkSession): DataFrame =
+    spark.range(Planes).select(col("id").cast("int").as("p"))
+      .crossJoin(spark.range(Dims).select(col("id").cast("int").as("i")))
+      .withColumn("sgn",
+        when(StableHash.hash64(concat(col("p").cast("string"), lit(":"),
+          col("i").cast("string"))) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+
+  /** Per-vector band signatures: project onto each plane (posexplode
+    * + broadcast plane join + sum), threshold to a bit, pack 4 bits
+    * per band. */
+  def bandSignatures(spark: SparkSession, emb: DataFrame): DataFrame = {
+    val comps = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+    val proj = comps.join(broadcast(planeTable(spark)), Seq("i"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("x").cast("double") * col("sgn")).as("dp"))
+    proj.groupBy(col("vec_id"), (col("p") / BandBits).cast("int").as("band"))
+      .agg(sum(when(col("dp") > 0,
+        pow(lit(2.0), col("p") % BandBits).cast("long")).otherwise(0L)).as("sig"))
+  }
+
+  /** S2 — ANN via banded hyperplane LSH: candidates share ≥1 band
+    * bucket with the query; exact cosine reranks candidates; top-10
+    * (of possibly fewer candidates) per query. */
+  def s2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir).cache()
+    val sigs = bandSignatures(spark, Tables.embeddings(spark, dir)).cache()
+    val qsigs = sigs.join(broadcast(v.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"))),
+      col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("band"), col("sig"))
+    val cand = sigs.join(broadcast(qsigs), Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val q = v.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = cand
+      .join(v, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_brute" -> (s1KnnBrute _),
+    "s2_ann_lsh"   -> (s2AnnLsh _))
+
+  // ------------- DuckDB mirrors -------------
+  // DuckDB has no WITH ORDINALITY; lockstep unnest + generate_subscripts
+  // in the select list expands (value, index) pairs instead.
+
+  private val expandCtes =
+    """ux AS (
+         SELECT vec_id, unnest(embedding) AS x,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       nrm AS (
+         SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+         FROM ux GROUP BY 1),
+       uq AS (
+         SELECT u.vec_id AS query_id, n.nrm AS qn, u.x AS qx, u.i AS qi
+         FROM ux u JOIN nrm n USING (vec_id) WHERE u.vec_id < 5)"""
+
+  private val rankTail =
+    """ranked AS (
+         SELECT query_id, vec_id AS neighbor_id, cosine,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  val oracles: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      s"""WITH $expandCtes,
+         scored AS (
+           SELECT uq.query_id, u.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM uq
+           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
+           JOIN nrm n ON n.vec_id = u.vec_id
+           GROUP BY 1, 2),
+         $rankTail""",
+    "s2_ann_lsh" -> {
+      val h = StableHash.duckdbHash64("CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+      s"""WITH $expandCtes,
+         planes AS (
+           SELECT CAST(pp.range AS INTEGER) AS p, CAST(ii.range AS INTEGER) AS i,
+                  CASE WHEN ($h) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+           FROM range(16) pp CROSS JOIN range(64) ii),
+         proj AS (
+           SELECT u.vec_id, p.p, sum(CAST(u.x AS DOUBLE) * p.sgn) AS dp
+           FROM ux u JOIN planes p ON p.i = u.i - 1
+           GROUP BY 1, 2),
+         sigs AS (
+           SELECT vec_id, CAST(p // 4 AS INTEGER) AS band,
+                  CAST(sum(CASE WHEN dp > 0 THEN CAST(pow(2, p % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+           FROM proj GROUP BY 1, 2),
+         qsigs AS (
+           SELECT s.vec_id AS query_id, s.band, s.sig
+           FROM sigs s WHERE s.vec_id < 5),
+         cand AS (
+           SELECT DISTINCT qs.query_id, s.vec_id
+           FROM sigs s JOIN qsigs qs ON s.band = qs.band AND s.sig = qs.sig
+           WHERE s.vec_id <> qs.query_id),
+         scored AS (
+           SELECT c.query_id, c.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM cand c
+           JOIN uq ON uq.query_id = c.query_id
+           JOIN ux u ON u.vec_id = c.vec_id AND u.i = uq.qi
+           JOIN nrm n ON n.vec_id = c.vec_id
+           GROUP BY 1, 2),
+         $rankTail"""
+    })
+}
