@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{CoreQueries, InventoryQueries}
+import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ InventoryQueries.queries ++
-      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
+      Multimodal.queries ++ EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ InventoryQueries.oracles ++
-      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles
+      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
+      Multimodal.oracles ++ EventsStream.oracles
 }
