@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{CoreQueries, InventoryQueries}
+import graft.queries.{AdvancedQueries, CoreQueries, InventoryQueries}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,14 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ InventoryQueries.queries ++
+    CoreQueries.queries ++ InventoryQueries.queries ++ AdvancedQueries.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ InventoryQueries.oracles ++
+    CoreQueries.oracles ++ InventoryQueries.oracles ++ AdvancedQueries.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ EventsStream.oracles
 }

@@ -112,9 +112,108 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val IvfCentroidStride = 97 // centroid set = vec_id % 97 == 0 (deterministic, ~1% of corpus)
+  val IvfProbes = 2
+
+  /** Deterministic IVF centroid list: every 97th vector. A production
+    * build replaces this with k-means centroids; the *query plan* —
+    * assign, probe nprobe lists, rerank — is identical, and this
+    * choice keeps the whole index DuckDB-reproducible. */
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    normed(spark, dir).filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+
+  /** S3 — IVF-style ANN: every vector is assigned to its nearest
+    * centroid (the inverted list); each query probes its IvfProbes
+    * nearest lists and reranks only those candidates exactly.
+    * Scale shape: assignment is |V|×|C| with C broadcast (the
+    * standard IVF build cost, embarrassingly parallel, no shuffle of
+    * V); the probe join touches ~nprobe/|C| of the corpus instead of
+    * all of it. */
+  def s3IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir).cache()
+    val cen = centroids(spark, dir)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("cid"))
+    val assign = v.crossJoin(broadcast(cen))
+      .withColumn("ccos", dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cid"))
+    val qProbe = v.filter(col("vec_id") < QueryCount).crossJoin(broadcast(cen))
+      .withColumn("ccos", dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cand = assign.join(broadcast(qProbe), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val q = v.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = cand
+      .join(v, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** S4 — exact top-k with the custom codegen'd CosineSimilarity
+    * Catalyst expression (graft.functions.CosineSimilarity): one
+    * fused loop over both ArrayData buffers inside WholeStageCodegen,
+    * vs the 3-pass zip_with+aggregate in s1. Same results (identical
+    * IEEE op order → same oracle as s1); bench compares the two. */
+  def s4KnnCodegen(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = v.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(call_function("cosine_sim", col("qe"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
+
+  /** D6 — embedding-cosine near-dup detection (the dedup-side twin of
+    * S2): candidate pairs form only inside a shared LSH band bucket,
+    * exact cosine confirms, keep = lower vec_id. Bucket fan-out — not
+    * |V|² — bounds the shuffle, which is what makes embedding dedup
+    * feasible at 100 TB. */
+  def d6EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir).cache()
+    val sigs = bandSignatures(spark, Tables.embeddings(spark, dir))
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("keep_id"), col("embedding").as("ea"), col("nrm").as("na")), Seq("keep_id"))
+      .join(v.select(col("vec_id").as("dup_id"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("dup_id"))
+      .withColumn("cosine", round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= NearDupThreshold)
+      .select(col("keep_id"), col("dup_id"), col("cosine"))
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s1_knn_brute" -> (s1KnnBrute _),
-    "s2_ann_lsh"   -> (s2AnnLsh _))
+    "s1_knn_brute"         -> (s1KnnBrute _),
+    "s2_ann_lsh"           -> (s2AnnLsh _),
+    "s3_ivf_ann"           -> (s3IvfAnn _),
+    "s4_knn_codegen"       -> (s4KnnCodegen _),
+    "d6_embedding_neardup" -> (d6EmbeddingNearDup _))
 
   // ------------- DuckDB mirrors -------------
   // DuckDB has no WITH ORDINALITY; lockstep unnest + generate_subscripts
@@ -141,6 +240,24 @@ object Similarity {
        SELECT query_id, neighbor_id, cosine, rank FROM ranked
        WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** Random-hyperplane signature CTEs — the SQL twin of
+    * bandSignatures, shared by s2/d6. */
+  private def sigsCtes: String = {
+    val h = StableHash.duckdbHash64("CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    s"""planes AS (
+           SELECT CAST(pp.range AS INTEGER) AS p, CAST(ii.range AS INTEGER) AS i,
+                  CASE WHEN ($h) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+           FROM range(16) pp CROSS JOIN range(64) ii),
+         proj AS (
+           SELECT u.vec_id, p.p, sum(CAST(u.x AS DOUBLE) * p.sgn) AS dp
+           FROM ux u JOIN planes p ON p.i = u.i - 1
+           GROUP BY 1, 2),
+         sigs AS (
+           SELECT vec_id, CAST(p // 4 AS INTEGER) AS band,
+                  CAST(sum(CASE WHEN dp > 0 THEN CAST(pow(2, p % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+           FROM proj GROUP BY 1, 2)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" ->
       s"""WITH $expandCtes,
@@ -153,21 +270,22 @@ object Similarity {
            JOIN nrm n ON n.vec_id = u.vec_id
            GROUP BY 1, 2),
          $rankTail""",
-    "s2_ann_lsh" -> {
-      val h = StableHash.duckdbHash64("CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    // same semantics as s1 — the Spark side differs only in the fused
+    // codegen expression, which the oracle must not care about
+    "s4_knn_codegen" ->
       s"""WITH $expandCtes,
-         planes AS (
-           SELECT CAST(pp.range AS INTEGER) AS p, CAST(ii.range AS INTEGER) AS i,
-                  CASE WHEN ($h) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
-           FROM range(16) pp CROSS JOIN range(64) ii),
-         proj AS (
-           SELECT u.vec_id, p.p, sum(CAST(u.x AS DOUBLE) * p.sgn) AS dp
-           FROM ux u JOIN planes p ON p.i = u.i - 1
+         scored AS (
+           SELECT uq.query_id, u.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM uq
+           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
+           JOIN nrm n ON n.vec_id = u.vec_id
            GROUP BY 1, 2),
-         sigs AS (
-           SELECT vec_id, CAST(p // 4 AS INTEGER) AS band,
-                  CAST(sum(CASE WHEN dp > 0 THEN CAST(pow(2, p % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
-           FROM proj GROUP BY 1, 2),
+         $rankTail""",
+    "s2_ann_lsh" ->
+      s"""WITH $expandCtes,
+         $sigsCtes,
          qsigs AS (
            SELECT s.vec_id AS query_id, s.band, s.sig
            FROM sigs s WHERE s.vec_id < 5),
@@ -184,6 +302,62 @@ object Similarity {
            JOIN ux u ON u.vec_id = c.vec_id AND u.i = uq.qi
            JOIN nrm n ON n.vec_id = c.vec_id
            GROUP BY 1, 2),
-         $rankTail"""
-    })
+         $rankTail""",
+    "s3_ivf_ann" ->
+      s"""WITH $expandCtes,
+         cx AS (
+           SELECT u.vec_id AS cid, u.x AS cx, u.i AS ci, n.nrm AS cn
+           FROM ux u JOIN nrm n USING (vec_id)
+           WHERE u.vec_id % $IvfCentroidStride = 0),
+         ccos AS (
+           SELECT u.vec_id, c.cid,
+                  sum(CAST(u.x AS DOUBLE) * CAST(c.cx AS DOUBLE)) / (min(n.nrm) * min(c.cn)) AS ccos
+           FROM ux u
+           JOIN nrm n ON n.vec_id = u.vec_id
+           JOIN cx c ON c.ci = u.i
+           GROUP BY 1, 2),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+             FROM ccos) t WHERE r = 1),
+         qprobe AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+             FROM ccos WHERE vec_id < 5) t WHERE r <= $IvfProbes),
+         cand AS (
+           SELECT DISTINCT q.query_id, a.vec_id
+           FROM assign a JOIN qprobe q ON a.cid = q.cid
+           WHERE a.vec_id <> q.query_id),
+         scored AS (
+           SELECT c.query_id, c.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM cand c
+           JOIN uq ON uq.query_id = c.query_id
+           JOIN ux u ON u.vec_id = c.vec_id AND u.i = uq.qi
+           JOIN nrm n ON n.vec_id = c.vec_id
+           GROUP BY 1, 2),
+         $rankTail""",
+    "d6_embedding_neardup" ->
+      s"""WITH $expandCtes,
+         $sigsCtes,
+         cand AS (
+           SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+           FROM sigs a JOIN sigs b
+             ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         scored AS (
+           SELECT c.keep_id, c.dup_id,
+                  round(sum(CAST(xa.x AS DOUBLE) * CAST(xb.x AS DOUBLE))
+                        / (min(na.nrm) * min(nb.nrm)), 6) AS cosine
+           FROM cand c
+           JOIN ux xa ON xa.vec_id = c.keep_id
+           JOIN ux xb ON xb.vec_id = c.dup_id AND xb.i = xa.i
+           JOIN nrm na ON na.vec_id = c.keep_id
+           JOIN nrm nb ON nb.vec_id = c.dup_id
+           GROUP BY 1, 2)
+         SELECT keep_id, dup_id, cosine FROM scored
+         WHERE cosine >= $NearDupThreshold
+         ORDER BY keep_id, dup_id""")
 }

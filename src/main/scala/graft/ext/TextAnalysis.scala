@@ -85,10 +85,61 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("quality_bucket"))
 
+  val GramK = 4       // token k-gram width for the rolling hash
+  val WinnowWindow = 8 // winnowing window (MOSS-style document fingerprinting)
+  val FpSeed = 11
+
+  /** Winnowing fingerprint sets: hash every GramK-token gram (the
+    * rolling-hash sequence), then keep the minimum hash of each
+    * WinnowWindow-wide window — the classic MOSS document-fingerprint
+    * sketch. Guarantees any shared run of GramK+WinnowWindow-1 tokens
+    * yields a shared fingerprint.
+    *
+    * Each intermediate array is staged as its OWN projection column.
+    * This matters: inlined as one expression, the `hs` array would be
+    * re-evaluated inside every window lambda (Catalyst does not CSE
+    * across lambda boundaries), turning the per-doc cost from
+    * O(tokens·window) into O(tokens²) md5 calls — measured 370 s vs
+    * ~3 s on sf0.1. Staged columns are computed once per row;
+    * CollapseProject keeps multi-referenced non-cheap expressions
+    * un-inlined. */
+  def withWinnowFingerprints(df: DataFrame, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    df.withColumn("_grams",
+        when(size(w) >= GramK,
+          transform(sequence(lit(0), size(w) - GramK),
+            i => concat_ws(" ", (0 until GramK).map(j => element_at(w, i + lit(j + 1))): _*))
+        ).otherwise(array(concat_ws(" ", w))))
+      .withColumn("_hs",
+        transform(col("_grams"), g => graft.functions.StableHash.hash64(FpSeed, g)))
+      .withColumn("fps",
+        when(size(col("_hs")) >= WinnowWindow,
+          array_distinct(transform(sequence(lit(0), size(col("_hs")) - WinnowWindow),
+            j => array_min(slice(col("_hs"), j + 1, lit(WinnowWindow)))))
+        ).otherwise(array(array_min(col("_hs")))))
+      .drop("_grams", "_hs")
+  }
+
+  /** T4 — rolling-hash document fingerprinting: winnowing sketches,
+    * then shared-fingerprint clusters (docs with overlapping token
+    * runs). The sketch is ~|tokens|/WinnowWindow hashes per doc, so
+    * the exploded table — and the shuffle — is an order of magnitude
+    * smaller than the full shingle set d3/d4 work from. */
+  def t4WinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    withWinnowFingerprints(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_id"      -> (t2LangId _),
-    "t3_quality_hist" -> (t3QualityHist _))
+    "t3_quality_hist" -> (t3QualityHist _),
+    "t4_winnow_fingerprint" -> (t4WinnowFingerprint _))
 
   // ------------- DuckDB mirrors of the heuristics -------------
 
@@ -129,5 +180,26 @@ object TextAnalysis {
     "t3_quality_hist" ->
       s"""SELECT round(floor($sqlQuality * 10) / 10.0, 1) AS quality_bucket,
          count(*) AS n_docs
-         FROM documents GROUP BY 1 ORDER BY quality_bucket""")
+         FROM documents GROUP BY 1 ORDER BY quality_bucket""",
+    "t4_winnow_fingerprint" -> {
+      val h = graft.functions.StableHash.duckdbHash64(FpSeed, "x")
+      s"""WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         grams AS (SELECT doc_id,
+           CASE WHEN len(w) >= $GramK
+             THEN list_transform(range(1, len(w) - ${GramK - 2}),
+                    i -> ${(0 until GramK).map(j => s"w[i+$j]").mkString(" || ' ' || ")})
+             ELSE [array_to_string(w, ' ')] END AS g
+           FROM words),
+         hs AS (SELECT doc_id, list_transform(g, x -> $h) AS h FROM grams),
+         fps AS (SELECT doc_id,
+           CASE WHEN len(h) >= $WinnowWindow
+             THEN list_distinct(list_transform(range(1, len(h) - ${WinnowWindow - 2}),
+                    j -> list_min(h[j:j+${WinnowWindow - 1}])))
+             ELSE [list_min(h)] END AS f
+           FROM hs),
+         u AS (SELECT doc_id, unnest(f) AS fp FROM fps)
+         SELECT fp, count(DISTINCT doc_id) AS n_docs,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM u GROUP BY 1 HAVING count(DISTINCT doc_id) > 1 ORDER BY fp"""
+    })
 }

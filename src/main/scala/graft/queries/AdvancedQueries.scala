@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Third slice of the operator inventory: multi-level aggregation
+  * (ROLLUP/CUBE + grouping_id — SURVEY.md §2.4 notes these as Spark
+  * built-ins beyond the reference's surface), an as-of join (SURVEY
+  * §2.3 "not present in reference" list, implemented the scalable
+  * way), exact interpolated percentiles, and an HLL approx-distinct
+  * sketch.
+  *
+  * Scale notes per query inline; the as-of join is the one worth
+  * reading — it is O(n log n) with a single shuffle, no join
+  * explosion, the standard streaming-friendly form.
+  */
+object AdvancedQueries {
+
+  /** q20 — ROLLUP over the region→nation hierarchy (README.md:76-81
+    * location hierarchy generalized): per-nation, per-region subtotal,
+    * and grand total in one pass. Spark plans rollup as a single
+    * Expand + hash-agg — one shuffle regardless of level count.
+    * Rolled-up name columns are coalesced to 'ALL' so the oracle
+    * compare never depends on engine NULL-vs-NaN canon. */
+  def q20Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_lines"),
+           grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("revenue"), col("n_lines"), col("gid"))
+      .orderBy(col("gid"), col("region"), col("nation"))
+  }
+
+  /** q21 — CUBE over (order year, priority): all four grouping-set
+    * combinations in one Expand pass. */
+  def q21Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube(year(col("o_orderdate")).as("order_year"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spent"),
+           count(lit(1)).as("n_orders"),
+           grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("order_year"), lit(-1)).as("order_year"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("total_spent"), col("n_orders"), col("gid"))
+      .orderBy(col("gid"), col("order_year"), col("priority"))
+  }
+
+  /** q22 — AS-OF JOIN: for every non-error event, the user's most
+    * recent 'error' event at-or-before it, then per-type recovery
+    * stats. Implemented WITHOUT a join: tag error rows, one window
+    * pass with last(_, ignoreNulls) over (user, time) — a single
+    * shuffle on user_id and O(1) state per row, the form that
+    * survives 100 TB and maps 1:1 onto a streaming state store.
+    * (A range self-join would be |events|×|errors| per user.)
+    * Equal-timestamp ties order errors first, matching the oracle's
+    * ASOF `>=` semantics. */
+  def q22AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("is_err", col("event_type") === "error")
+      .withColumn("err_mark", when(col("is_err"), col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_err").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_err", last(col("err_mark"), ignoreNulls = true).over(w))
+      .filter(!col("is_err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           count(col("last_err")).as("n_with_prior_error"),
+           round(avg((unix_micros(col("ts")) - unix_micros(col("last_err"))) / lit(1000000.0)), 1)
+             .as("avg_secs_since_error"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q23 — exact interpolated percentiles (median/p90) per priority;
+    * Spark `percentile` and DuckDB `quantile_cont` both use linear
+    * interpolation, so values hash-match after rounding. */
+  def q23Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 2).as("median_price"),
+           round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q24 — HLL sketch distinct counts (approx_count_distinct) next to
+    * exact ones. Spark's and DuckDB's HLL implementations differ, so
+    * there is deliberately NO SQL oracle (driver records the weaker
+    * rows-only check); AdvancedQueriesSpec asserts <5% relative
+    * error against the exact counts instead. At 100 TB the sketch is
+    * the only viable distinct-count: fixed 16 KB state per group vs
+    * an unbounded exact-distinct hash table. */
+  def q24ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+           countDistinct(col("l_orderkey")).as("exact_orders"),
+           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_rollup"          -> (q20Rollup _),
+    "q21_cube"            -> (q21Cube _),
+    "q22_asof_join"       -> (q22AsofJoin _),
+    "q23_percentiles"     -> (q23Percentiles _),
+    "q24_approx_distinct" -> (q24ApproxDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+         coalesce(n_name, 'ALL') AS nation,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(*) AS n_lines,
+         CAST(grouping(r_name, n_name) AS INTEGER) AS gid
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY gid, region, nation""",
+    "q21_cube" ->
+      """SELECT coalesce(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), -1) AS order_year,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         round(sum(o_totalprice),2) AS total_spent,
+         count(*) AS n_orders,
+         CAST(grouping(EXTRACT(year FROM o_orderdate), o_orderpriority) AS INTEGER) AS gid
+         FROM orders
+         GROUP BY CUBE(EXTRACT(year FROM o_orderdate), o_orderpriority)
+         ORDER BY gid, order_year, priority""",
+    "q22_asof_join" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events WHERE event_type <> 'error'),
+         err AS (SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error'),
+         j AS (
+           SELECT ev.event_type, ev.ts, err.err_ts
+           FROM ev ASOF LEFT JOIN err
+             ON ev.user_id = err.user_id AND ev.ts >= err.err_ts)
+         SELECT event_type, count(*) AS n_events,
+                count(err_ts) AS n_with_prior_error,
+                round(avg(date_diff('microsecond', err_ts, ts)/1000000.0),1) AS avg_secs_since_error
+         FROM j GROUP BY 1 ORDER BY event_type""",
+    "q23_percentiles" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5),2) AS median_price,
+         round(quantile_cont(o_totalprice, 0.9),2) AS p90_price,
+         count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""")
+}

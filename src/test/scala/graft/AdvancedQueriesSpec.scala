@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Similarity, TextAnalysis}
+import graft.queries.AdvancedQueries
+
+/** Semantics checks for the advanced-operator slice (rollup/cube,
+  * as-of join, percentiles, HLL sketch, IVF ANN, embedding dedup,
+  * winnowing fingerprints) on sf0.001. The DuckDB hash-match runs
+  * per-round via Verify; these tests pin the invariants a hash can't
+  * express (sketch error bounds, ANN-vs-exact recall, as-of ordering).
+  */
+class AdvancedQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q20 rollup: grand total row equals sum of region subtotals") {
+    val rows = AdvancedQueries.q20Rollup(spark, dir).collect()
+    val grand = rows.filter(_.getAs[Int]("gid") == 3)
+    val regions = rows.filter(_.getAs[Int]("gid") == 1)
+    val nations = rows.filter(_.getAs[Int]("gid") == 0)
+    assert(grand.length === 1)
+    assert(math.abs(grand.head.getAs[Double]("revenue") -
+      regions.map(_.getAs[Double]("revenue")).sum) < 0.5)
+    assert(grand.head.getAs[Long]("n_lines") === nations.map(_.getAs[Long]("n_lines")).sum)
+  }
+
+  test("q21 cube: every grouping set present, counts consistent") {
+    val rows = AdvancedQueries.q21Cube(spark, dir).collect()
+    val gids = rows.map(_.getAs[Int]("gid")).toSet
+    assert(gids === Set(0, 1, 2, 3))
+    val total = rows.filter(_.getAs[Int]("gid") == 3).head.getAs[Long]("n_orders")
+    assert(rows.filter(_.getAs[Int]("gid") == 0).map(_.getAs[Long]("n_orders")).sum === total)
+  }
+
+  test("q22 as-of join: prior-error gaps are non-negative and only non-error types appear") {
+    val rows = AdvancedQueries.q22AsofJoin(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.map(_.getAs[String]("event_type")).contains("error"))
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_secs_since_error")
+      assert(r.getAs[Long]("n_with_prior_error") <= r.getAs[Long]("n_events"))
+      if (!r.isNullAt(r.fieldIndex("avg_secs_since_error"))) assert(avg >= 0.0)
+    }
+  }
+
+  test("q24 approx_count_distinct within 5% of exact") {
+    AdvancedQueries.q24ApproxDistinct(spark, dir).collect().foreach { r =>
+      val ao = r.getAs[Long]("approx_orders").toDouble
+      val eo = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(ao - eo) / eo < 0.05, s"orders sketch off: $ao vs $eo")
+      val ap = r.getAs[Long]("approx_parts").toDouble
+      val ep = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(ap - ep) / ep < 0.05, s"parts sketch off: $ap vs $ep")
+    }
+  }
+
+  test("s3 IVF ANN: results are a subset of brute-force scores, self excluded") {
+    val ivf = Similarity.s3IvfAnn(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.s1KnnBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(key._1 != key._2)
+      // every IVF hit that brute-force also ranked must agree on the score
+      brute.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
+  test("d6 embedding near-dup: pairs ordered, above threshold, no self-pairs") {
+    val rows = Similarity.d6EmbeddingNearDup(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_id") < r.getAs[Long]("dup_id"))
+      assert(r.getAs[Double]("cosine") >= Similarity.NearDupThreshold)
+    }
+  }
+
+  test("s4 codegen cosine_sim matches s1 zip_with form row-for-row") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+       r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSeq
+    assert(key(Similarity.s4KnnCodegen(spark, dir)) === key(Similarity.s1KnnBrute(spark, dir)))
+  }
+
+  test("cosine_sim: zero-norm input yields NULL; SQL-callable after register") {
+    graft.functions.CosineSimilarity.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                           array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS z,
+                cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                           array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS one""").collect().head
+    assert(r.isNullAt(0))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("t4 winnowing: shared token runs produce shared fingerprints") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"$shared unique tail one two three four five six seven eight nine"),
+      (2L, s"prefix words here then $shared and a different ending entirely now"),
+      (3L, "completely different text with no overlap at all in any window here today"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.withWinnowFingerprints(docs, "text")
+      .select($"doc_id", explode($"fps").as("fp"))
+    val byDoc = fps.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "12-token shared run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+  }
+}
