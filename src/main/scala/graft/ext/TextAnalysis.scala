@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -89,35 +90,43 @@ object TextAnalysis {
   val WinnowWindow = 8 // winnowing window (MOSS-style document fingerprinting)
   val FpSeed = 11
 
-  /** Winnowing fingerprint sets: hash every GramK-token gram (the
+  /** Distinct winnowing fingerprints per document — the classic MOSS
+    * document-fingerprint sketch: hash every GramK-token gram (the
     * rolling-hash sequence), then keep the minimum hash of each
-    * WinnowWindow-wide window — the classic MOSS document-fingerprint
-    * sketch. Guarantees any shared run of GramK+WinnowWindow-1 tokens
-    * yields a shared fingerprint.
+    * WinnowWindow-wide window. Guarantees any shared run of
+    * GramK+WinnowWindow-1 tokens yields a shared fingerprint.
     *
-    * Each intermediate array is staged as its OWN projection column.
-    * This matters: inlined as one expression, the `hs` array would be
-    * re-evaluated inside every window lambda (Catalyst does not CSE
-    * across lambda boundaries), turning the per-doc cost from
-    * O(tokens·window) into O(tokens²) md5 calls — measured 370 s vs
-    * ~3 s on sf0.1. Staged columns are computed once per row;
-    * CollapseProject keeps multi-referenced non-cheap expressions
-    * un-inlined. */
-  def withWinnowFingerprints(df: DataFrame, textCol: String): DataFrame = {
+    * Shape: rows-first, not nested arrays. Grams are exploded to
+    * (doc_id, pos, gram) rows, hashed with the codegen'd md5 path,
+    * and the window-min runs as a frame-bounded min() over positions.
+    * The earlier all-array formulation (slice+array_min inside a
+    * transform lambda) looked equivalent but ran 50× slower: once a
+    * Generate consumed the array, Catalyst inlined the gram-hash
+    * array into the per-window lambda — no CSE across lambda
+    * boundaries — re-hashing every gram once per window (O(tokens²)
+    * md5 calls, measured 320 s vs ~6 s on sf0.1). Row form keeps
+    * every expression inside WholeStageCodegen and costs one narrow
+    * shuffle on doc_id. */
+  def winnowFingerprintRows(df: DataFrame, textCol: String): DataFrame = {
     val w = words(col(textCol))
-    df.withColumn("_grams",
-        when(size(w) >= GramK,
-          transform(sequence(lit(0), size(w) - GramK),
-            i => concat_ws(" ", (0 until GramK).map(j => element_at(w, i + lit(j + 1))): _*))
-        ).otherwise(array(concat_ws(" ", w))))
-      .withColumn("_hs",
-        transform(col("_grams"), g => graft.functions.StableHash.hash64(FpSeed, g)))
-      .withColumn("fps",
-        when(size(col("_hs")) >= WinnowWindow,
-          array_distinct(transform(sequence(lit(0), size(col("_hs")) - WinnowWindow),
-            j => array_min(slice(col("_hs"), j + 1, lit(WinnowWindow)))))
-        ).otherwise(array(array_min(col("_hs")))))
-      .drop("_grams", "_hs")
+    val grams = when(size(w) >= GramK,
+      transform(sequence(lit(0), size(w) - GramK),
+        i => concat_ws(" ", (0 until GramK).map(j => element_at(w, i + lit(j + 1))): _*))
+    ).otherwise(array(concat_ws(" ", w)))
+    val hs = df
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+              graft.functions.StableHash.hash64(FpSeed, col("g")).as("h"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wRoll = wDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, WinnowWindow - 1)
+    hs.withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("wmin", min(col("h")).over(wRoll))
+      // window starts: pos ≤ n-W for full windows; a short doc (n<W)
+      // keeps only pos 0, whose truncated frame is the global min
+      .filter(col("pos") <= col("n") - WinnowWindow ||
+              (col("n") < WinnowWindow && col("pos") === 0))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
   }
 
   /** T4 — rolling-hash document fingerprinting: winnowing sketches,
@@ -126,8 +135,7 @@ object TextAnalysis {
     * the exploded table — and the shuffle — is an order of magnitude
     * smaller than the full shingle set d3/d4 work from. */
   def t4WinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
-    withWinnowFingerprints(Tables.documents(spark, dir), "text")
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    winnowFingerprintRows(Tables.documents(spark, dir), "text")
       .groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
            min(col("doc_id")).as("min_doc"),

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -80,12 +81,123 @@ object EventsStream {
               col("event_type"), col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  val SessionGap = "30 minutes"
+  val SessionGapMicros: Long = 30L * 60 * 1000000
+
+  /** Per-(user, session) stats via the built-in session_window —
+    * works identically over batch and streaming input (in streaming
+    * the state store merges windows as events arrive; pair with
+    * withWatermark to finalize). A new session starts when the gap
+    * since the previous event is ≥ SessionGap. */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), SessionGap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+
+  /** ST2 — batch sessionization rollup per user: session counts,
+    * event totals, mean active-session seconds. Session assignment is
+    * the state-store merge in streaming and a single Expand-free
+    * aggregation in batch; the DuckDB oracle derives the identical
+    * sessions from first principles (lag → gap flag → running sum),
+    * so the session semantics themselves are hash-checked. */
+  def st2Sessionization(spark: SparkSession, dir: String): DataFrame =
+    sessionStats(Tables.events(spark, dir))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(col("n_events")).as("total_events"),
+           round(avg((unix_micros(col("t1")) - unix_micros(col("t0"))) / lit(1000000.0)), 1)
+             .as("avg_session_secs"),
+           max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
+  /** ST3 — event-type transition matrix: consecutive (prev → curr)
+    * pairs per user. Batch form: one lag window over (user, time) —
+    * single shuffle on user_id. The streaming twin below keeps the
+    * last event per user in a GroupState. */
+  def st3Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  case class EventKeyed(user_id: Long, micros: Long, event_id: Long, event_type: String)
+  case class LastEvent(micros: Long, event_id: Long, event_type: String)
+  case class Transition(user_id: Long, prev_type: String, event_type: String)
+
+  /** Streaming twin of st3: per-user last-event state via
+    * flatMapGroupsWithState (custom state the built-in windows can't
+    * express). Events inside a micro-batch are sorted by event time
+    * before folding — correct whenever batch boundaries respect the
+    * watermark (the file source's per-file batches here; a production
+    * deployment adds a watermark-driven buffer for cross-batch
+    * reordering). State is O(1) per user. */
+  def transitionsStream(events: DataFrame): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("micros"),
+              col("event_id"), col("event_type"))
+      .as[EventKeyed]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[EventKeyed], state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.micros, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(p => out += Transition(uid, p.event_type, e.event_type))
+            last = Some(LastEvent(e.micros, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st1_event_windows" -> (st1EventWindows _))
+    "st1_event_windows"  -> (st1EventWindows _),
+    "st2_sessionization" -> (st2Sessionization _),
+    "st3_transitions"    -> (st3Transitions _))
 
   val oracles: Map[String, String] = Map(
     "st1_event_windows" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value),2) AS total_value
-         FROM events GROUP BY 1,2 ORDER BY window_start, event_type""")
+         FROM events GROUP BY 1,2 ORDER BY window_start, event_type""",
+    "st2_sessionization" ->
+      s"""WITH e AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+                  CASE WHEN prev_ts IS NULL
+                        OR date_diff('microsecond', prev_ts, ts) >= $SessionGapMicros
+                       THEN 1 ELSE 0 END AS ns
+           FROM e),
+         sid AS (
+           SELECT user_id, ts,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM s),
+         sess AS (
+           SELECT user_id, sid, count(*) AS n_events, min(ts) AS t0, max(ts) AS t1
+           FROM sid GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+                CAST(sum(n_events) AS BIGINT) AS total_events,
+                round(avg(date_diff('microsecond', t0, t1)/1000000.0),1) AS avg_session_secs,
+                CAST(max(n_events) AS BIGINT) AS max_session_events
+         FROM sess GROUP BY 1 ORDER BY user_id""",
+    "st3_transitions" ->
+      """WITH e AS (
+           SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events)
+         SELECT prev_type, event_type, count(*) AS n_transitions
+         FROM e WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY prev_type, event_type""")
 }

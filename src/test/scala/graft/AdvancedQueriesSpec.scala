@@ -113,8 +113,7 @@ class AdvancedQueriesSpec extends AnyFunSuite {
       (2L, s"prefix words here then $shared and a different ending entirely now"),
       (3L, "completely different text with no overlap at all in any window here today"))
       .toDF("doc_id", "text")
-    val fps = TextAnalysis.withWinnowFingerprints(docs, "text")
-      .select($"doc_id", explode($"fps").as("fp"))
+    val fps = TextAnalysis.winnowFingerprintRows(docs, "text")
     val byDoc = fps.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
     assert((byDoc(1L) & byDoc(2L)).nonEmpty, "12-token shared run must share a fingerprint")
     assert((byDoc(1L) & byDoc(3L)).isEmpty)

@@ -44,6 +44,22 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful transitionsStream == batch lag-window transitions") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.transitionsStream(stream).toDF(), "trans_stream", mode = "append")
+    try {
+      val streamed = spark.table("trans_stream")
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy(col("prev_type"), col("event_type"))
+        .collect()
+      val batch = EventsStream.st3Transitions(spark, dir).collect()
+      assert(streamed.length === batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
   test("watermarked dedup emits each event_id once") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(
