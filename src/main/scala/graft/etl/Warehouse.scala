@@ -190,6 +190,29 @@ object Warehouse {
   }
 
   // ---------------------------------------------------------------
+  // Physical layout (SURVEY §4: partition facts by month; bucket
+  // fact-fact join keys)
+  // ---------------------------------------------------------------
+
+  /** Month-partitioned fact layout: every month_key becomes a parquet
+    * partition directory, so snapshot builds and date-range queries
+    * read only the months they touch (PartitionFilters in the scan,
+    * verified in WarehouseSpec). At 100 TB this is the difference
+    * between scanning one month and scanning three years. */
+  def writeFactPartitioned(fact: DataFrame, path: String): Unit =
+    fact.write.partitionBy("month_key").mode("overwrite").parquet(path)
+
+  /** Bucketed layout for fact⋈fact joins (SURVEY §3.3: lineitem⋈orders
+    * is the one join where both sides are fact-sized). Both tables
+    * bucketed+sorted on the join key into the same bucket count join
+    * with NO Exchange and NO per-query Sort — the shuffle is paid once
+    * at write time, amortized over every subsequent join. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int = 32): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .option("path", path).mode("overwrite").saveAsTable(table)
+
+  // ---------------------------------------------------------------
   // SCD Type 2 (README.md:145-147)
   // ---------------------------------------------------------------
 

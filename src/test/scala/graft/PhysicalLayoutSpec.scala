@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Warehouse
+
+/** Proof-of-scale checks on the physical layout helpers: these assert
+  * on the PLAN, not just the rows — partition pruning must reach the
+  * scan, and a bucketed fact⋈fact join must plan with no shuffle
+  * exchange. On a cluster these properties are exactly what keeps the
+  * same code viable at 100 TB, and they are checkable at any scale
+  * because they are plan shapes, not timings.
+  */
+class PhysicalLayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val tmp: String = java.nio.file.Files.createTempDirectory("layout").toString
+
+  test("month-partitioned fact scan prunes partitions") {
+    val fact = Tables.orders(spark, dir)
+      .withColumn("month_key", date_format(col("o_orderdate"), "MMyyyy"))
+    Warehouse.writeFactPartitioned(fact, s"$tmp/fact_month")
+    val pruned = spark.read.parquet(s"$tmp/fact_month")
+      .filter(col("month_key") === "011998")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+           scan.contains("month_key"), s"no partition filter in plan:\n$scan")
+    // pruning is real: the partition predicate never shows up as a data filter
+    val full = spark.read.parquet(s"$tmp/fact_month")
+    assert(pruned.count() > 0 && pruned.count() < full.count())
+  }
+
+  test("bucketed fact-fact join plans with no Exchange and no Sort") {
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    Warehouse.writeBucketed(Tables.lineitem(spark, dir), "li_bucketed",
+      s"$tmp/li_bucketed", "l_orderkey", buckets = 8)
+    Warehouse.writeBucketed(
+      Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "l_orderkey"),
+      "o_bucketed", s"$tmp/o_bucketed", "l_orderkey", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), Seq("l_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      val joinSection = plan.split("HashAggregate").last // below the final agg
+      assert(joinSection.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!joinSection.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
