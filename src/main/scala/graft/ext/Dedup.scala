@@ -29,16 +29,22 @@ object Dedup {
     * format; a regex split costs 3-4× in codegen for no benefit here). */
   private def words(c: Column): Column = split(trim(c), " ")
 
-  /** 3-word shingles — the granularity that separates true near-dups
-    * from same-vocabulary noise on this corpus (word-set Jaccard
-    * saturates; 3-shingles give a bimodal 1.0-vs-0.0 split). */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val w = words(c)
+  /** 3-word shingles over an already-materialized token array — the
+    * granularity that separates true near-dups from same-vocabulary
+    * noise on this corpus (word-set Jaccard saturates; 3-shingles
+    * give a bimodal 1.0-vs-0.0 split).
+    *
+    * `w` must be a plain column attribute, not the split() expression
+    * itself: element_at inside the transform lambda re-evaluates its
+    * child per gram (no CSE across lambda boundaries), so an inlined
+    * split would re-tokenize the document ~3·|grams| times. */
+  def shinglesOf(w: Column, k: Int = 3): Column =
     when(size(w) >= k,
       transform(sequence(lit(0), size(w) - lit(k)),
         i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*))
     ).otherwise(array(concat_ws(" ", w)))
-  }
+
+  def shingles(c: Column, k: Int = 3): Column = shinglesOf(words(c), k)
 
   /** Sorted-distinct-token-set fingerprint: order-insensitive, so
     * word-shuffled copies collapse to one fingerprint. */
@@ -64,10 +70,13 @@ object Dedup {
            countDistinct(col("fp")).as("n_fingerprints"),
            (count(lit(1)) - countDistinct(col("fp"))).as("n_near_dupes"))
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs; the token array is staged as
+    * its own projection so the shingle lambda reads a buffer, not a
+    * re-evaluated split. */
   private def shingleSet(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), words(col("text")).as("_w"))
+      .select(col("doc_id"), explode(shinglesOf(col("_w"))).as("s"))
       .distinct()
 
   /** D3 — exact n-gram-Jaccard near-dup pairs (threshold 0.8):

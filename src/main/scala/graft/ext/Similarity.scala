@@ -192,7 +192,9 @@ object Similarity {
     * feasible at 100 TB. */
   def d6EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir).cache()
-    val sigs = bandSignatures(spark, Tables.embeddings(spark, dir))
+    // cached: the self-join below would otherwise evaluate the whole
+    // signature pipeline once per side
+    val sigs = bandSignatures(spark, Tables.embeddings(spark, dir)).cache()
     val cand = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -108,12 +108,13 @@ object TextAnalysis {
     * every expression inside WholeStageCodegen and costs one narrow
     * shuffle on doc_id. */
   def winnowFingerprintRows(df: DataFrame, textCol: String): DataFrame = {
-    val w = words(col(textCol))
+    val w = col("_w") // staged token array: lambda reads a buffer, not a re-split
     val grams = when(size(w) >= GramK,
       transform(sequence(lit(0), size(w) - GramK),
         i => concat_ws(" ", (0 until GramK).map(j => element_at(w, i + lit(j + 1))): _*))
     ).otherwise(array(concat_ws(" ", w)))
     val hs = df
+      .select(col("doc_id"), words(col(textCol)).as("_w"))
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"),
               graft.functions.StableHash.hash64(FpSeed, col("g")).as("h"))
