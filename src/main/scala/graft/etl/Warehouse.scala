@@ -168,14 +168,16 @@ object Warehouse {
 
   /** Fact_Customer_MonthlySnapshot (README.md:110-117) in the
     * incremental window form the reference endorses at README.md:199
-    * — NOT the cross-join scaffold (SURVEY §3.2): one agg shuffle on
-    * (customer, month), then a running-sum window that reuses the
-    * same partitioning. customer_lifetime_spent is semi-additive
-    * (summable across customers, never across months —
-    * README.md:115). */
+    * — NOT the cross-join scaffold (SURVEY §3.2). One hash shuffle
+    * total: repartitioning on the customer key satisfies both the
+    * (customer, month) aggregation and the running-sum window's
+    * partitionBy(customer), so neither adds an Exchange.
+    * customer_lifetime_spent is semi-additive (summable across
+    * customers, never across months — README.md:115). */
   def factMonthlySnapshot(cleaned: DataFrame): DataFrame = {
     val monthly = cleaned
       .withColumn("d", to_date(col("Date"), "M/d/yyyy"))
+      .repartition(xxhash64(col("Customer_ID")))
       .groupBy(
         xxhash64(col("Customer_ID")).as("customer_key"),
         date_format(col("d"), "MMyyyy").as("month_key"),

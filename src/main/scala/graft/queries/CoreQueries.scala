@@ -92,14 +92,21 @@ object CoreQueries {
   }
 
   /** Fact_Customer_MonthlySnapshot-analog (README.md:112-117,182-199)
-    * built the scalable way: groupBy(customer,month) then a running
-    * SUM window for the semi-additive lifetime_spent (SURVEY §2.5
-    * W1), NOT the cross-join scaffold — the reference itself endorses
-    * the incremental form at README.md:199. One shuffle for the agg;
-    * the window reuses the same hash partitioning on customer_id
-    * (no second exchange). */
+    * built the scalable way: aggregate to (customer, month) then a
+    * running SUM window for the semi-additive lifetime_spent (SURVEY
+    * §2.5 W1), NOT the cross-join scaffold — the reference itself
+    * endorses the incremental form at README.md:199.
+    *
+    * ONE hash shuffle total: the explicit repartition on customer_id
+    * satisfies both the aggregation's ClusteredDistribution(customer,
+    * month) — partitioning keys are a subset of the grouping keys —
+    * and the window's partitionBy(customer), so neither inserts its
+    * own Exchange (asserted in PlanShapeSpec). A plain groupBy would
+    * hash on (customer, month) and force a second shuffle for the
+    * window. */
   def q5MonthlySnapshot(spark: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.orders(spark, dir)
+      .repartition(col("o_custkey"))
       .groupBy(
         col("o_custkey").as("customer_id"),
         date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
