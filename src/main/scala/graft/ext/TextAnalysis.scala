@@ -144,11 +144,31 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
       .orderBy(col("fp"))
 
+  /** T5 — bottom-k (KMV) sketch per document via the custom typed
+    * Aggregator (graft.functions.BottomK, SURVEY §2.10 UDAF surface):
+    * the 4 smallest distinct token hashes fingerprint each doc with
+    * O(k) state. Output is the exploded sketch, rank included, so the
+    * DuckDB oracle (list_sort + slice) checks the aggregate's exact
+    * semantics — partial/merge paths included, since Spark runs them
+    * map-side. */
+  def t5BottomkSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BottomK.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("t"))
+      .select(col("doc_id"), graft.functions.StableHash.hash64(col("t")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(call_function("bottom_k", col("h")).getField("values").as("sk"))
+      .select(col("doc_id"), posexplode(col("sk")).as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).as("rank"), col("h"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_id"      -> (t2LangId _),
     "t3_quality_hist" -> (t3QualityHist _),
-    "t4_winnow_fingerprint" -> (t4WinnowFingerprint _))
+    "t4_winnow_fingerprint" -> (t4WinnowFingerprint _),
+    "t5_bottomk_sketch"     -> (t5BottomkSketch _))
 
   // ------------- DuckDB mirrors of the heuristics -------------
 
@@ -210,5 +230,17 @@ object TextAnalysis {
          SELECT fp, count(DISTINCT doc_id) AS n_docs,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM u GROUP BY 1 HAVING count(DISTINCT doc_id) > 1 ORDER BY fp"""
+    },
+    "t5_bottomk_sketch" -> {
+      val h = graft.functions.StableHash.duckdbHash64("t")
+      val k = graft.functions.BottomK.DefaultK
+      s"""WITH toks AS (
+           SELECT doc_id, $h AS h
+           FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents)),
+         sk AS (
+           SELECT doc_id, list_sort(list_distinct(list(h)))[1:$k] AS l
+           FROM toks GROUP BY 1)
+         SELECT doc_id, generate_subscripts(l, 1) AS rank, unnest(l) AS h
+         FROM sk ORDER BY doc_id, rank"""
     })
 }

@@ -105,6 +105,16 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("BottomK aggregator: reduce and merge keep the k smallest distinct values") {
+    import graft.functions.{BottomK, BottomKSketch}
+    val agg = new BottomK(3)
+    val b = Seq(5L, 1L, 9L, 1L, 7L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(b.values === Seq(1L, 2L, 5L))
+    val m = agg.merge(BottomKSketch(Vector(0L, 3L)), b)
+    assert(m.values === Seq(0L, 1L, 2L))
+    assert(agg.merge(agg.zero, agg.zero).values.isEmpty)
+  }
+
   test("t4 winnowing: shared token runs produce shared fingerprints") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
