@@ -63,25 +63,38 @@ object Similarity {
 
   /** Hyperplane component signs: sgn(p, i) = ±1 from the portable
     * hash of "p:i" — a deterministic stand-in for a Gaussian plane,
-    * reproducible in SQL. */
-  private def planeTable(spark: SparkSession): DataFrame =
-    spark.range(Planes).select(col("id").cast("int").as("p"))
-      .crossJoin(spark.range(Dims).select(col("id").cast("int").as("i")))
-      .withColumn("sgn",
-        when(StableHash.hash64(concat(col("p").cast("string"), lit(":"),
-          col("i").cast("string"))) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+    * reproducible in SQL. Evaluated at PLAN BUILD TIME on the driver
+    * (same md5-derived value the DuckDB oracle computes), so the
+    * planes become literal arrays in the plan and signature building
+    * needs no plane join. */
+  private def planeSign(p: Int, i: Int): Double = {
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(md5hex.take(15), 16) % 2 == 0) 1.0 else -1.0
+  }
 
-  /** Per-vector band signatures: project onto each plane (posexplode
-    * + broadcast plane join + sum), threshold to a bit, pack 4 bits
-    * per band. */
+  /** Per-vector band signatures, fully narrow: 16 plane projections
+    * as zip_with/aggregate against literal sign arrays, thresholded
+    * to bits and packed 4 per band — zero shuffles (the earlier
+    * posexplode + plane-join + two groupBys moved |V|·64·16 rows
+    * through two exchanges for the same numbers). */
   def bandSignatures(spark: SparkSession, emb: DataFrame): DataFrame = {
-    val comps = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-    val proj = comps.join(broadcast(planeTable(spark)), Seq("i"))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("x").cast("double") * col("sgn")).as("dp"))
-    proj.groupBy(col("vec_id"), (col("p") / BandBits).cast("int").as("band"))
-      .agg(sum(when(col("dp") > 0,
-        pow(lit(2.0), col("p") % BandBits).cast("long")).otherwise(0L)).as("sig"))
+    val dps = (0 until Planes).map { p =>
+      val plane = array((0 until Dims).map(i => lit(planeSign(p, i))): _*)
+      aggregate(zip_with(col("embedding"), plane, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v).as(s"dp$p")
+    }
+    val withDp = emb.select((col("vec_id") +: dps): _*)
+    val rowsPerBand = BandBits
+    val bandStructs = (0 until Planes / BandBits).map { b =>
+      val sig = (0 until rowsPerBand).map(r =>
+        when(col(s"dp${b * rowsPerBand + r}") > 0, lit(1L << r)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    withDp.select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   /** S2 — ANN via banded hyperplane LSH: candidates share ≥1 band

@@ -23,10 +23,12 @@ object InventoryQueries {
     * memory; SURVEY §2.4 A5). */
   def q9DedupCollisions(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // "disagrees" = min != max — same answer as countDistinct > 1 but
+    // without the distinct-aggregate Expand (one pass, map-side combine)
     val bad = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_returnflag")).as("nf"),
-           countDistinct(col("l_linestatus")).as("ns"))
-      .filter(col("nf") > 1 || col("ns") > 1)
+      .agg(min(col("l_returnflag")).as("f0"), max(col("l_returnflag")).as("f1"),
+           min(col("l_linestatus")).as("s0"), max(col("l_linestatus")).as("s1"))
+      .filter(col("f0") =!= col("f1") || col("s0") =!= col("s1"))
       .select(col("l_orderkey"))
     li.join(bad, Seq("l_orderkey"), "left_anti")
       .agg(count(lit(1)).as("kept_rows"),
