@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.etl.Warehouse
 
 /** Third slice of the operator inventory: multi-level aggregation
   * (ROLLUP/CUBE + grouping_id — SURVEY.md §2.4 notes these as Spark
@@ -115,7 +116,38 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q25 — SCD Type 2 under the correctness gate: two as-of snapshots
+    * of each customer's latest order priority (1997 / 1999) seeded
+    * and merged through Warehouse.scd2Init/scd2Merge; the oracle
+    * re-derives the full version history from first principles
+    * (changed keys → closed+reopened rows, novel keys → first
+    * versions, untouched keys → pass-through). This puts the merge's
+    * change detection, closing dates, and current flags — not just
+    * row counts — under the DuckDB hash-compare. */
+  def q25Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def latestPriorityAsOf(cutoff: String): DataFrame = {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      o.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("o_custkey").as("customer_id"), col("o_orderpriority").as("priority"))
+    }
+    val hist0 = Warehouse.scd2Init(latestPriorityAsOf("1997-01-01"),
+      "customer_id", Seq("priority"), "1997-01-01")
+    val hist1 = Warehouse.scd2Merge(hist0, latestPriorityAsOf("1999-01-01"),
+      "customer_id", Seq("priority"), "1999-01-01")
+    hist1.select(col("customer_id"), col("priority"), col("effective_date"),
+        // standard DW convention: open-ended versions carry a far-future
+        // end date (also sidesteps engine NULL-canon differences)
+        coalesce(col("end_date"), lit("9999-12-31").cast("date")).as("end_date"),
+        col("is_current"))
+      .orderBy(col("customer_id"), col("effective_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_scd2_history"    -> (q25Scd2History _),
     "q20_rollup"          -> (q20Rollup _),
     "q21_cube"            -> (q21Cube _),
     "q22_asof_join"       -> (q22AsofJoin _),
@@ -156,6 +188,39 @@ object AdvancedQueries {
                 count(err_ts) AS n_with_prior_error,
                 round(avg(date_diff('microsecond', err_ts, ts)/1000000.0),1) AS avg_secs_since_error
          FROM j GROUP BY 1 ORDER BY event_type""",
+    "q25_scd2_history" ->
+      """WITH v1 AS (
+           SELECT o_custkey AS customer_id, o_orderpriority AS priority FROM (
+             SELECT o_custkey, o_orderpriority,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS r
+             FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') t WHERE r = 1),
+         v2 AS (
+           SELECT o_custkey AS customer_id, o_orderpriority AS priority FROM (
+             SELECT o_custkey, o_orderpriority,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS r
+             FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01') t WHERE r = 1),
+         changed AS (
+           SELECT v2.customer_id FROM v2 JOIN v1 USING (customer_id)
+           WHERE v2.priority <> v1.priority),
+         novel AS (
+           SELECT customer_id FROM v2
+           WHERE customer_id NOT IN (SELECT customer_id FROM v1))
+         SELECT customer_id, priority,
+                DATE '1997-01-01' AS effective_date,
+                DATE '9999-12-31' AS end_date, true AS is_current
+         FROM v1 WHERE customer_id NOT IN (SELECT customer_id FROM changed)
+         UNION ALL
+         SELECT v1.customer_id, v1.priority, DATE '1997-01-01', DATE '1999-01-01', false
+         FROM v1 JOIN changed USING (customer_id)
+         UNION ALL
+         SELECT v2.customer_id, v2.priority, DATE '1999-01-01', DATE '9999-12-31', true
+         FROM v2 JOIN changed USING (customer_id)
+         UNION ALL
+         SELECT v2.customer_id, v2.priority, DATE '1999-01-01', DATE '9999-12-31', true
+         FROM v2 JOIN novel USING (customer_id)
+         ORDER BY customer_id, effective_date""",
     "q23_percentiles" ->
       """SELECT o_orderpriority,
          round(quantile_cont(o_totalprice, 0.5),2) AS median_price,
