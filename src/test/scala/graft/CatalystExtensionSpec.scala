@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+import graft.functions.DotProduct
+import graft.plans.FuseDotProduct
+
+/** The custom-Catalyst stack: the FuseDotProduct optimizer rule must
+  * rewrite the higher-order dot-product pattern into the codegen'd
+  * DotProduct expression without changing a single value, and the
+  * fused expression must replicate the HOF form's NULL semantics.
+  */
+class CatalystExtensionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("rule fuses the zip_with/aggregate pattern in a real query plan") {
+    val analyzed = Similarity.s1KnnBrute(spark, dir).queryExecution.analyzed
+    val before = analyzed.toString
+    assert(before.contains("aggregate(zip_with"), before.take(2000))
+    val fused = FuseDotProduct(analyzed)
+    val exprs = fused.collect { case p => p.expressions }.flatten
+    val nFused = exprs.map(_.collect { case d: DotProduct => d }.size).sum
+    assert(nFused > 0, s"rule did not fire:\n${fused.toString.take(2000)}")
+    assert(!fused.toString.contains("aggregate(zip_with"), "HOF pattern survived the rewrite")
+  }
+
+  test("dot_product matches the HOF fold bit-for-bit on real embeddings") {
+    DotProduct.register(spark)
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val pairs = Tables.embeddings(spark, dir).limit(50).select(col("embedding").as("a"))
+      .crossJoin(Tables.embeddings(spark, dir).limit(7).select(col("embedding").as("b")))
+    val diff = pairs
+      .select((hof - call_function("dot_product", col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d"))).as("m")).collect().head.getDouble(0)
+    assert(diff === 0.0) // identical op order -> bit-identical, not just close
+  }
+
+  test("dot_product NULL semantics: null array, unequal lengths, null element") {
+    DotProduct.register(spark)
+    val r = spark.sql(
+      """SELECT
+           dot_product(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS null_arr,
+           dot_product(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS uneq,
+           dot_product(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS null_elem,
+           dot_product(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS empty""").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) === 0.0)
+  }
+}
