@@ -158,6 +158,49 @@ object EventsStream {
       }
   }
 
+  /** foreachBatch upsert (SURVEY §2.9/§7 sketch): maintain a
+    * windowed-counts snapshot table incrementally from a stream.
+    * Update-mode batches carry re-emitted (window, event_type) rows;
+    * the merge keeps every target row whose key is NOT in the batch
+    * (left_anti) and appends the batch — MERGE semantics on plain
+    * parquet via swap-on-write. At scale the same function runs with
+    * dynamic partition overwrite (or an ACID table format) so only
+    * the partitions a batch touches rewrite; the swap here is the
+    * local-FS stand-in for that atomicity. */
+  def mergeIntoParquet(target: String, keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = new java.io.File(target)
+    val cols = batch.columns.map(col).toSeq
+    val merged =
+      if (!dir.exists()) batch.select(cols: _*)
+      else spark.read.parquet(target)
+        .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .select(cols: _*)
+        .union(batch.select(cols: _*))
+    val tmp = target + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    // swap: the read above is fully materialized by the write, so the
+    // target can be replaced atomically-enough for a local sink
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(delete)
+      f.delete(); ()
+    }
+    if (dir.exists()) delete(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"swap failed: $tmp -> $target")
+  }
+
+  /** Drive the windowed-counts stream into a parquet snapshot via the
+    * foreachBatch merge; update mode so refined windows re-emit. */
+  def runSnapshotUpsert(events: DataFrame, target: String): StreamingQuery = {
+    val q = windowedCounts(events).writeStream
+      .outputMode("update")
+      .foreachBatch(mergeIntoParquet(target, Seq("window_start", "event_type")) _)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_event_windows"  -> (st1EventWindows _),
     "st2_sessionization" -> (st2Sessionization _),

@@ -60,6 +60,44 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert converges to the batch snapshot across micro-batches") {
+    import org.apache.spark.sql.SaveMode
+    // split events into two time-ordered files so the upsert sees two
+    // micro-batches with re-emitted (refined) windows in between
+    val splitDir = java.nio.file.Files.createTempDirectory("events_split").toString
+    // split from the RAW nanos representation so the staged files match
+    // the stream's rawSchema (ts: bigint), not a re-encoded timestamp
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.parquet(s"$dir/events.parquet").orderBy("ts").cache()
+    val n = all.count()
+    val firstHalf = all.limit((n / 2).toInt)
+    val secondHalf = all.join(firstHalf.select("event_id"), Seq("event_id"), "left_anti")
+    firstHalf.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$splitDir/f1")
+    secondHalf.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$splitDir/f2")
+    val inDir = java.nio.file.Files.createTempDirectory("events_in")
+    def stage(src: String, dst: String, mtime: Long): Unit = {
+      val part = new java.io.File(src).listFiles().find(_.getName.endsWith(".parquet")).get
+      val to = inDir.resolve(dst)
+      java.nio.file.Files.copy(part.toPath, to)
+      to.toFile.setLastModified(mtime); ()
+    }
+    stage(s"$splitDir/f1", "a.parquet", 1000000L)
+    stage(s"$splitDir/f2", "b.parquet", 2000000L)
+
+    val target = java.nio.file.Files.createTempDirectory("snap").toString + "/snapshot"
+    val stream = EventsStream.readEventsStream(spark, inDir.toString, maxFilesPerTrigger = 1)
+    val q = EventsStream.runSnapshotUpsert(stream, target)
+    try {
+      val got = spark.read.parquet(target)
+        .select(col("window_start"), col("event_type"), col("n_events"),
+                round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("window_start"), col("event_type")).collect()
+      val want = EventsStream.st1EventWindows(spark, dir).collect()
+      assert(got.length === want.length)
+      got.zip(want).foreach { case (g, w) => assert(g === w) }
+    } finally q.stop()
+  }
+
   test("watermarked dedup emits each event_id once") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(
