@@ -92,8 +92,20 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** M2 — frame-sampling rollup: every 4th 64-byte chunk of each
+    * video payload becomes a frame row (slice/explode only — no UDF);
+    * per-media frame counts and mean frame sizes. Driver records the
+    * rows-only check (binary frame bytes aren't SQL-comparable). */
+  def m2FrameSampling(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocs(spark, dir))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           avg(length(col("frame_bytes"))).as("avg_frame_bytes"))
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_multimodal_features" -> (m1MultimodalFeatures _))
+    "m1_multimodal_features" -> (m1MultimodalFeatures _),
+    "m2_frame_sampling"      -> (m2FrameSampling _))
 
   /** No oracle entries: the decode stub is outside SQL's reach; the
     * driver records the weaker rows-only check for m1. */
