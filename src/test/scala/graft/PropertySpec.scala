@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{RetailClean, Warehouse}
+
+/** Property-based invariants (SURVEY.md §5.2): collision-dedup laws,
+  * key-format laws, and the semi-additivity law of the monthly
+  * snapshot, each checked over ScalaCheck-generated inputs with a
+  * fixed seed (deterministic across rounds).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def check(name: String, prop: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(Seed(42L)),
+      prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  // (transaction_id, customer_id, date) line items; small id domains
+  // force multi-line transactions and occasional collisions
+  private val lineGen: Gen[(Long, Long, String)] = for {
+    tid  <- Gen.chooseNum(1L, 12L)
+    cust <- Gen.chooseNum(1L, 5L)
+    day  <- Gen.chooseNum(1, 28)
+  } yield (tid, cust, f"1/$day%d/2024")
+
+  test("dedup laws: output is a subset; surviving transactions agree on customer and date") {
+    import spark.implicits._
+    check("dedup", Prop.forAll(Gen.listOfN(40, lineGen)) { rows =>
+      val df = rows.toDF("transaction_id", "Customer_ID", "Date")
+        .withColumn("Date_dt", to_date(col("Date"), "M/d/yyyy"))
+      val out = RetailClean.dedupCollisions(df).cache()
+      val outRows = out.select("transaction_id", "Customer_ID", "Date").as[(Long, Long, String)].collect()
+      val subset = outRows.forall(rows.contains)
+      val agree = out.groupBy("transaction_id")
+        .agg(countDistinct("Customer_ID").as("nc"), countDistinct("Date_dt").as("nd"))
+        .filter(col("nc") > 1 || col("nd") > 1).count() == 0L
+      // completeness: every input transaction whose lines agree survives in full
+      val inByTid = rows.groupBy(_._1)
+      val keptTids = outRows.map(_._1).toSet
+      val complete = inByTid.forall { case (tid, ls) =>
+        val collides = ls.map(_._2).distinct.size > 1 || ls.map(_._3).distinct.size > 1
+        if (collides) !keptTids.contains(tid)
+        else outRows.count(_._1 == tid) == ls.size
+      }
+      subset && agree && complete
+    }, n = 15)
+  }
+
+  test("key-format laws: date_key is 8 chars and round-trips; time_key is seconds-first") {
+    import spark.implicits._
+    val tsGen = for {
+      day <- Gen.chooseNum(1, 28); mon <- Gen.chooseNum(1, 12)
+      h <- Gen.chooseNum(0, 23); m <- Gen.chooseNum(0, 59); s <- Gen.chooseNum(0, 59)
+    } yield (f"$mon%d/$day%d/2024", f"$h%d:$m%d:$s%d", day, mon, h, m, s)
+    check("keys", Prop.forAll(Gen.listOfN(20, tsGen)) { rows =>
+      val df = rows.map(r => (r._1, r._2)).toDF("Date", "Time")
+      val keyed = RetailClean.synthesizeKeys(RetailClean.parseDateTime(df))
+        .select("date_key", "month_key", "time_key").as[(String, String, String)].collect()
+      keyed.zip(rows).forall { case ((dk, mk, tk), (_, _, day, mon, h, m, s)) =>
+        dk.length == 8 && mk.length == 6 && tk.length == 6 &&
+          dk == f"$day%02d$mon%02d2024" && mk == f"$mon%02d2024" &&
+          tk == f"$s%02d$m%02d$h%02d" // SECONDS-FIRST (SURVEY §1.4 quirk 2)
+      }
+    }, n = 15)
+  }
+
+  test("semi-additivity law: lifetime spend at each month equals the running sum of month totals") {
+    import spark.implicits._
+    val saleGen = for {
+      cust <- Gen.chooseNum(1L, 4L)
+      mon  <- Gen.chooseNum(1, 6)
+      tid  <- Gen.chooseNum(1L, 1000L)
+      amt  <- Gen.chooseNum(1, 500)
+    } yield (cust, f"$mon%d/15/2024", tid, amt.toDouble)
+    check("semiAdditive", Prop.forAll(Gen.listOfN(30, saleGen)) { rows =>
+      val cleaned = rows.toDF("Customer_ID", "Date", "transaction_id", "line_total_amount")
+      val snap = Warehouse.factMonthlySnapshot(cleaned)
+        .select("customer_key", "month_start", "month_total_spent", "customer_lifetime_spent")
+        .as[(Long, java.sql.Date, Double, Double)].collect()
+        .groupBy(_._1).values
+      snap.forall { months =>
+        val sorted = months.sortBy(_._2.getTime)
+        val running = sorted.scanLeft(0.0)(_ + _._3).drop(1)
+        sorted.map(_._4).zip(running).forall { case (lt, run) => math.abs(lt - run) < 1e-6 }
+      }
+    }, n = 15)
+  }
+}
