@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (SURVEY.md scale checklist:
+  * "skewed keys → salting or AQE skew-join").
+  *
+  * AQE's skew-join handling (on by default) splits oversized
+  * SortMergeJoin partitions at runtime and is the first line of
+  * defense. Salting is the explicit fallback for the cases AQE can't
+  * fix: a single key too hot for any split (every row identical on
+  * the join key) or a broadcast-ineligible build side. The big side
+  * gets a deterministic salt in [0, buckets) derived from its other
+  * columns; the small side is replicated `buckets` times; the join
+  * key becomes (key, salt), spreading each hot key over `buckets`
+  * partitions. Row multiplicity is unchanged: every big-side row
+  * matches exactly the one replica carrying its salt.
+  */
+object SkewJoin {
+
+  /** Equi-join `big ⋈ small` on `key`, spreading each big-side key
+    * over `buckets` partitions. `saltSource` must be deterministic per
+    * row (defaults to a hash of all big-side columns); the result is
+    * identical to `big.join(small, key)` up to row order. */
+  def salted(big: DataFrame, small: DataFrame, key: String, buckets: Int,
+             saltSource: Option[Column] = None): DataFrame = {
+    val src = saltSource.getOrElse(xxhash64(big.columns.map(col): _*))
+    val saltedBig = big.withColumn("_salt", pmod(src, lit(buckets)).cast("int"))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+}

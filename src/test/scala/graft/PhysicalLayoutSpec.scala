@@ -39,6 +39,24 @@ class PhysicalLayoutSpec extends AnyFunSuite {
     assert(pruned.count() > 0 && pruned.count() < full.count())
   }
 
+  test("salted skew join returns exactly the plain join's rows") {
+    import graft.operators.SkewJoin
+    val li = Tables.lineitem(spark, dir)
+    // simulate a hot key: route ~half the rows to one orderkey
+    val skewed = li.withColumn("l_orderkey",
+      when(col("l_linenumber") % 2 === 0, lit(7L)).otherwise(col("l_orderkey")))
+    val o = Tables.orders(spark, dir)
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .select(col("l_orderkey"), col("o_totalprice"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+        .orderBy(col("l_orderkey")).collect().toSeq
+    val plain = canon(skewed.join(o, Seq("l_orderkey")))
+    val saltedJ = canon(SkewJoin.salted(skewed, o, "l_orderkey", buckets = 8))
+    assert(saltedJ === plain)
+  }
+
   test("bucketed fact-fact join plans with no Exchange and no Sort") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
