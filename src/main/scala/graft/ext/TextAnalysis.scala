@@ -163,12 +163,87 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  val PmiMinCount = 5
+  val PmiTopN = 20
+
+  /** T6 — PMI collocations: corpus-wide bigram counts vs unigram
+    * marginals, top-20 by pointwise mutual information. Two narrow
+    * explodes + three hash aggs; the bigram table is the only
+    * shuffle that scales with corpus size (map-side combined). */
+  def t6PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), words(col("text")).as("_w"))
+    val toks = docs.select(explode(col("_w")).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt")).cache()
+    val nTokens = uni.agg(sum(col("cnt")).as("n"))
+    val bigrams = docs
+      .select(posexplode(slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0)))).as(Seq("pos", "x")),
+              col("_w"))
+      .select(col("x"), element_at(col("_w"), col("pos") + 2).as("y"))
+    val big = bigrams.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= PmiMinCount)
+    val nBigrams = bigrams.groupBy().agg(count(lit(1)).as("nb"))
+    big
+      .join(uni.select(col("t").as("x"), col("cnt").as("nx")), Seq("x"))
+      .join(uni.select(col("t").as("y"), col("cnt").as("ny")), Seq("y"))
+      .crossJoin(broadcast(nTokens)).crossJoin(broadcast(nBigrams))
+      .withColumn("pmi",
+        round(log((col("nxy") / col("nb")) / ((col("nx") / col("n")) * (col("ny") / col("n")))), 3))
+      .select(col("x"), col("y"), col("nxy"), col("pmi"))
+      .orderBy(desc("pmi"), col("x"), col("y"))
+      .limit(PmiTopN)
+  }
+
+  /** T7 — deterministic stratified sampling (the pretraining-mix
+    * primitive: down-weight over-represented sources). Keep rates per
+    * source come from a broadcast map; membership is a pure function
+    * of doc_id (portable hash mod 100 < rate), so the sample is
+    * reproducible on any engine and any cluster layout — no RNG, no
+    * seed coordination. */
+  val sampleRates: Seq[(String, Int)] =
+    Seq("web" -> 10, "wiki" -> 80, "books" -> 50, "code" -> 50, "news" -> 25)
+
+  def t7StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = sampleRates.foldRight(lit(100): Column) { case ((s, r), acc) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("keep",
+        graft.functions.StableHash.hash64(col("doc_id").cast("string")) % 100 < rate)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** T8 — percentile length filter (classic pretraining quality
+    * filter): drop docs outside the [p5, p95] token-length band of
+    * their language. Exact interpolated percentiles per language
+    * (tiny aggregate) broadcast back against the corpus. */
+  def t8LengthFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).cast("double").as("n_tok"))
+    val bounds = docs.groupBy(col("lang"))
+      .agg(percentile(col("n_tok"), lit(0.05)).as("p05"),
+           percentile(col("n_tok"), lit(0.95)).as("p95"))
+    docs.join(broadcast(bounds), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_tok") >= col("p05") && col("n_tok") <= col("p95"), 1L)
+             .otherwise(0L)).as("n_kept"),
+           round(min(col("p05")), 2).as("p05"),
+           round(min(col("p95")), 2).as("p95"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_id"      -> (t2LangId _),
     "t3_quality_hist" -> (t3QualityHist _),
     "t4_winnow_fingerprint" -> (t4WinnowFingerprint _),
-    "t5_bottomk_sketch"     -> (t5BottomkSketch _))
+    "t5_bottomk_sketch"     -> (t5BottomkSketch _),
+    "t6_pmi_collocations"   -> (t6PmiCollocations _),
+    "t7_stratified_sample"  -> (t7StratifiedSample _),
+    "t8_length_filter"      -> (t8LengthFilter _))
 
   // ------------- DuckDB mirrors of the heuristics -------------
 
@@ -242,5 +317,42 @@ object TextAnalysis {
            FROM toks GROUP BY 1)
          SELECT doc_id, generate_subscripts(l, 1) AS rank, unnest(l) AS h
          FROM sk ORDER BY doc_id, rank"""
-    })
+    },
+    "t6_pmi_collocations" ->
+      s"""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         toks AS (SELECT unnest(w) AS t FROM w),
+         uni AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+         bi AS (SELECT w[i] AS x, w[i+1] AS y
+                FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w) t),
+         big AS (SELECT x, y, count(*) AS nxy FROM bi GROUP BY 1, 2
+                 HAVING count(*) >= $PmiMinCount),
+         nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bi)
+         SELECT x, y, nxy,
+                round(ln((nxy / nb.nb) / ((ux.cnt / n.n) * (uy.cnt / n.n))), 3) AS pmi
+         FROM big
+         JOIN uni ux ON ux.t = big.x
+         JOIN uni uy ON uy.t = big.y, n, nb
+         ORDER BY pmi DESC, x, y LIMIT $PmiTopN""",
+    "t7_stratified_sample" -> {
+      val h = graft.functions.StableHash.duckdbHash64("CAST(doc_id AS VARCHAR)")
+      val rateCase = sampleRates
+        .map { case (s, r) => s"WHEN '$s' THEN $r" }
+        .mkString("CASE source ", " ", " ELSE 100 END")
+      s"""SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN ($h) % 100 < ($rateCase) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents GROUP BY 1 ORDER BY source"""
+    },
+    "t8_length_filter" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n_tok
+           FROM documents),
+         b AS (SELECT lang, quantile_cont(n_tok, 0.05) AS lo, quantile_cont(n_tok, 0.95) AS hi
+               FROM d GROUP BY 1)
+         SELECT d.lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN n_tok >= lo AND n_tok <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                round(min(lo), 2) AS p05, round(min(hi), 2) AS p95
+         FROM d JOIN b ON d.lang = b.lang
+         GROUP BY 1 ORDER BY d.lang""")
 }
