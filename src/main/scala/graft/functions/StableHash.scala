@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object StableHash {
 
-  /** Non-negative 60-bit hash of a string column; portable to DuckDB. */
+  /** Non-negative 60-bit hash of a string column; portable to DuckDB.
+    * Computed by the fused StableHash64 expression (one codegen'd
+    * node); `legacyHash64` keeps the built-in chain it replaces —
+    * StableHashSpec asserts they agree bit-for-bit, which is what
+    * ties the Scala fast path to the DuckDB SQL fragment below. */
   def hash64(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      StableHash64(org.apache.spark.sql.graftshim.ColumnShim.expression(c.cast("string"))))
+
+  /** The original built-in-composed form (reference for equivalence tests). */
+  def legacyHash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant: independent hash per seed. */

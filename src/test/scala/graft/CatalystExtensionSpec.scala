@@ -48,6 +48,26 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(diff === 0.0) // identical op order -> bit-identical, not just close
   }
 
+  test("fused StableHash64 is bit-identical to the conv(substring(md5)) chain") {
+    import graft.functions.StableHash
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val mism = toks.select(
+        StableHash.hash64(col("t")).as("fast"),
+        StableHash.legacyHash64(col("t")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mism === 0L)
+    // seeded + edge cases: empty string, unicode, long input
+    val edge = spark.range(1).select(
+      StableHash.hash64(lit("")).as("a"), StableHash.legacyHash64(lit("")).as("b"),
+      StableHash.hash64(lit("héllo wörld ☃")).as("c"), StableHash.legacyHash64(lit("héllo wörld ☃")).as("d"),
+      StableHash.hash64(lit("x" * 10000)).as("e"), StableHash.legacyHash64(lit("x" * 10000)).as("f"))
+      .collect().head
+    assert(edge.getLong(0) === edge.getLong(1))
+    assert(edge.getLong(2) === edge.getLong(3))
+    assert(edge.getLong(4) === edge.getLong(5))
+  }
+
   test("dot_product NULL semantics: null array, unequal lengths, null element") {
     DotProduct.register(spark)
     val r = spark.sql(
