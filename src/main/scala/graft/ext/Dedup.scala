@@ -72,12 +72,13 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs; the token array is staged as
     * its own projection so the shingle lambda reads a buffer, not a
-    * re-evaluated split. */
+    * re-evaluated split. Distinctness is per-document, so it's an
+    * array_distinct BEFORE the explode — a narrow per-row op instead
+    * of a corpus-wide dedup shuffle. */
   private def shingleSet(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("_w"))
-      .select(col("doc_id"), explode(shinglesOf(col("_w"))).as("s"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(shinglesOf(col("_w")))).as("s"))
 
   /** D3 — exact n-gram-Jaccard near-dup pairs (threshold 0.8):
     * shingle self-join → intersection counts → Jaccard. Shingles
