@@ -44,8 +44,6 @@ object Dedup {
         i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*))
     ).otherwise(array(concat_ws(" ", w)))
 
-  def shingles(c: Column, k: Int = 3): Column = shinglesOf(words(c), k)
-
   /** Sorted-distinct-token-set fingerprint: order-insensitive, so
     * word-shuffled copies collapse to one fingerprint. */
   def tokenSetFingerprint(c: Column): Column =
@@ -74,7 +72,9 @@ object Dedup {
     * its own projection so the shingle lambda reads a buffer, not a
     * re-evaluated split. Distinctness is per-document, so it's an
     * array_distinct BEFORE the explode — a narrow per-row op instead
-    * of a corpus-wide dedup shuffle. */
+    * of a corpus-wide dedup shuffle. Precondition: doc_id is the
+    * table's key (one row per doc) — duplicated doc_id rows would
+    * need the corpus-wide distinct back. */
   private def shingleSet(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("_w"))

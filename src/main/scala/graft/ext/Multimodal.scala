@@ -68,7 +68,9 @@ object Multimodal {
     * Pure DataFrame ops — slice/explode — no UDF. */
   def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
     val chunks = floor((col("n_bytes") + 63) / 64).cast("int")
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && col("n_bytes") > 0)
+      // chunks ≥ 1 here — sequence(0, -1) would count DOWN, emitting
+      // phantom frames for empty payloads
       .withColumn("frame_idx",
         explode(filter(sequence(lit(0), chunks - 1), i => i % stride === 0)))
       .select(col("media_id"), col("frame_idx"),

@@ -68,10 +68,9 @@ object Similarity {
     * planes become literal arrays in the plan and signature building
     * needs no plane join. */
   private def planeSign(p: Int, i: Int): Double = {
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$p:$i".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    if (java.lang.Long.parseLong(md5hex.take(15), 16) % 2 == 0) 1.0 else -1.0
+    val h = graft.functions.Md5Hash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$p:$i"))
+    if (h % 2 == 0) 1.0 else -1.0
   }
 
   /** Per-vector band signatures, fully narrow: 16 plane projections

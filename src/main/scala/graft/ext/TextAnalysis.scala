@@ -108,11 +108,8 @@ object TextAnalysis {
     * every expression inside WholeStageCodegen and costs one narrow
     * shuffle on doc_id. */
   def winnowFingerprintRows(df: DataFrame, textCol: String): DataFrame = {
-    val w = col("_w") // staged token array: lambda reads a buffer, not a re-split
-    val grams = when(size(w) >= GramK,
-      transform(sequence(lit(0), size(w) - GramK),
-        i => concat_ws(" ", (0 until GramK).map(j => element_at(w, i + lit(j + 1))): _*))
-    ).otherwise(array(concat_ws(" ", w)))
+    // staged token array: the gram lambda reads a buffer, not a re-split
+    val grams = Dedup.shinglesOf(col("_w"), GramK)
     val hs = df
       .select(col("doc_id"), words(col(textCol)).as("_w"))
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))

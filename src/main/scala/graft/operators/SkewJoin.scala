@@ -25,6 +25,8 @@ object SkewJoin {
     * identical to `big.join(small, key)` up to row order. */
   def salted(big: DataFrame, small: DataFrame, key: String, buckets: Int,
              saltSource: Option[Column] = None): DataFrame = {
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs already carry a _salt column; rename it before salting")
     val src = saltSource.getOrElse(xxhash64(big.columns.map(col): _*))
     val saltedBig = big.withColumn("_salt", pmod(src, lit(buckets)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",

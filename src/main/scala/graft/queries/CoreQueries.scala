@@ -56,17 +56,20 @@ object CoreQueries {
   /** Q5.1/5.3-analog — revenue rollup through the full location
     * hierarchy (README.md:229-237; DimLocation = nation→region,
     * SURVEY §1.1 hierarchies). lineitem⋈orders is the one real
-    * (fact⋈fact-sized) join — shuffle on orderkey; customer/nation/
-    * region are broadcast. At 100 TB: bucket both fact tables on
-    * orderkey to make this join shuffle-free. */
+    * (fact⋈fact-sized) join — shuffle on orderkey; nation/region are
+    * broadcast, customer is left to the planner (it is fact-scale at
+    * high SF). At 100 TB: bucket both fact tables on orderkey to make
+    * the big join shuffle-free. */
   def q3RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
     val c  = Tables.customer(spark, dir)
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
+    // customer is fact-scale at high SF — no broadcast hint (AQE
+    // broadcasts it only while it fits); nation/region are true dims
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

@@ -177,7 +177,7 @@ object InventoryQueries {
     val o = Tables.orders(spark, dir)
     val months = o.select(date_trunc("month", col("o_orderdate")).cast("date").as("month_start")).distinct()
     val act = o
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("am"),
