@@ -187,12 +187,52 @@ object Dedup {
       .orderBy(col("simhash"))
   }
 
+  /** Connected components by iterative min-label propagation: each
+    * node starts labeled with itself; every round takes the min of
+    * its neighbors' labels; fixpoint = component minimum. O(diameter)
+    * rounds, each one join + one aggregate — the standard large-scale
+    * formulation (components fit nothing in memory; GraphX's CC is
+    * this same loop). localCheckpoint truncates lineage per round so
+    * plans don't grow with iteration count. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newLabel"))
+        .localCheckpoint()
+      changed = updated.filter(col("newLabel") =!= col("label")).count()
+      labels = updated.select(col("node"), col("newLabel").as("label"))
+      rounds += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** D7 — near-dup clusters: the LSH pair list (d4) closed into
+    * connected components; cluster_id = min doc_id of the component
+    * (the canonical keep-one-per-cluster decision every dedup
+    * pipeline ends with). Oracle: recursive-CTE transitive closure
+    * over the same pairs. */
+  def d7DedupComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(d4MinhashLsh(spark, dir), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"       -> (d1ExactDedup _),
     "d2_fingerprint_dedup" -> (d2FingerprintDedup _),
     "d3_jaccard_pairs"     -> (d3JaccardPairs _),
     "d4_minhash_lsh"       -> (d4MinhashLsh _),
-    "d5_simhash_clusters"  -> (d5SimhashClusters _))
+    "d5_simhash_clusters"  -> (d5SimhashClusters _),
+    "d7_dedup_components"  -> (d7DedupComponents _))
 
   private val H = StableHash // brevity in SQL builders below
 
@@ -203,6 +243,44 @@ object Dedup {
                 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                 ELSE [array_to_string(w, ' ')] END) AS s
               FROM words) u)"""
+
+  /** Full d4 SELECT, shared verbatim by the d4 entry and as the
+    * `pairs` CTE body of d7's closure. */
+  private lazy val d4OracleSql: String = {
+    val mhCols = (0 until NumHashes)
+      .map(k => s"min((${minhashA(k)} * h0 + ${minhashB(k)}) % $MinhashP) AS mh$k")
+      .mkString(",\n                ")
+    val rowsPerBand = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { b =>
+      val sig = (0 until rowsPerBand).map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH $shingleCte,
+         sh0 AS (SELECT doc_id, ${H.duckdbHash64("s")} % $MinhashP AS h0 FROM sh),
+         mh AS (SELECT doc_id,
+                $mhCols
+                FROM sh0 GROUP BY doc_id),
+         bands AS (
+           $bandSelects),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a_id, b_id, count(*) AS i
+           FROM cand
+           JOIN sh x ON x.doc_id = a_id
+           JOIN sh y ON y.doc_id = b_id AND y.s = x.s
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = a_id
+         JOIN sz sb ON sb.doc_id = b_id
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5
+         ORDER BY a_id, b_id"""
+  }
 
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -229,41 +307,7 @@ object Dedup {
          JOIN sz sb ON sb.doc_id = b_id
          WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.8
          ORDER BY a_id, b_id""",
-    "d4_minhash_lsh" -> {
-      val mhCols = (0 until NumHashes)
-        .map(k => s"min((${minhashA(k)} * h0 + ${minhashB(k)}) % $MinhashP) AS mh$k")
-        .mkString(",\n                ")
-      val rowsPerBand = NumHashes / Bands
-      val bandSelects = (0 until Bands).map { b =>
-        val sig = (0 until rowsPerBand).map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
-          .mkString(" || ':' || ")
-        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
-      }.mkString("\n           UNION ALL ")
-      s"""WITH $shingleCte,
-         sh0 AS (SELECT doc_id, ${H.duckdbHash64("s")} % $MinhashP AS h0 FROM sh),
-         mh AS (SELECT doc_id,
-                $mhCols
-                FROM sh0 GROUP BY doc_id),
-         bands AS (
-           $bandSelects),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM bands a JOIN bands b
-             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a_id, b_id, count(*) AS i
-           FROM cand
-           JOIN sh x ON x.doc_id = a_id
-           JOIN sh y ON y.doc_id = b_id AND y.s = x.s
-           GROUP BY 1, 2)
-         SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
-         FROM inter
-         JOIN sz sa ON sa.doc_id = a_id
-         JOIN sz sb ON sb.doc_id = b_id
-         WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5
-         ORDER BY a_id, b_id"""
-    },
+    "d4_minhash_lsh" -> d4OracleSql,
     "d5_simhash_clusters" -> {
       val bitSums = (0 until SimhashBits).map(b =>
         s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
@@ -279,5 +323,21 @@ object Dedup {
          sim AS (SELECT doc_id, $assemble AS simhash FROM bits)
          SELECT simhash, count(*) AS cluster_size, min(doc_id) AS keep_doc_id
          FROM sim GROUP BY 1 HAVING count(*) > 1 ORDER BY simhash"""
-    })
+    },
+    // transitive closure over the SAME pair list d4 produces (its full
+    // SELECT nests as the `pairs` CTE body); component label = min
+    // reachable doc_id, mirroring the label-propagation fixpoint
+    "d7_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($d4OracleSql),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT s AS node, d AS other FROM edges
+           UNION
+           SELECT r.node, e.d FROM reach r JOIN edges e ON r.other = e.s),
+         members AS (SELECT DISTINCT s AS node FROM edges)
+         SELECT m.node AS doc_id, least(m.node, min(r.other)) AS cluster_id
+         FROM members m JOIN reach r ON r.node = m.node
+         GROUP BY m.node ORDER BY doc_id""")
 }

@@ -106,6 +106,16 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("connectedComponents: chains merge transitively, disjoint clusters stay apart") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // 1-2-3-4 is one chain (never directly 1-4); 7-8 is separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("BottomK aggregator: reduce and merge keep the k smallest distinct values") {
     import graft.functions.{BottomK, BottomKSketch}
     val agg = new BottomK(3)
