@@ -148,7 +148,32 @@ object AdvancedQueries {
       .orderBy(col("customer_id"), col("effective_date"))
   }
 
+  /** q26 — ranking-window family over customer lifetime spend:
+    * spending deciles (ntile), percent_rank, cume_dist. One shuffle
+    * for the per-customer aggregate; the global ranking window is a
+    * single-partition sort over the already-aggregated (small)
+    * customer rollup — fine at any fact size, since |customers| ≪
+    * |facts| (and a distributed rank would bucket by range if the
+    * customer dimension itself ever outgrew one partition). */
+  def q26SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spent"))
+    val w = Window.orderBy(desc("total_spent"), col("customer_id"))
+    spend
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .withColumn("cume", round(cume_dist().over(w), 4))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(col("total_spent")), 2).as("decile_spent"),
+           round(min(col("pct_rank")), 4).as("min_pct_rank"),
+           round(max(col("cume")), 4).as("max_cume"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_spend_deciles"   -> (q26SpendDeciles _),
     "q25_scd2_history"    -> (q25Scd2History _),
     "q20_rollup"          -> (q20Rollup _),
     "q21_cube"            -> (q21Cube _),
@@ -190,6 +215,22 @@ object AdvancedQueries {
                 count(err_ts) AS n_with_prior_error,
                 round(avg(date_diff('microsecond', err_ts, ts)/1000000.0),1) AS avg_secs_since_error
          FROM j GROUP BY 1 ORDER BY event_type""",
+    "q26_spend_deciles" ->
+      """WITH spend AS (
+           SELECT o_custkey AS customer_id, round(sum(o_totalprice),2) AS total_spent
+           FROM orders GROUP BY 1),
+         ranked AS (
+           SELECT total_spent,
+                  CAST(ntile(10) OVER w AS INTEGER) AS decile,
+                  round(percent_rank() OVER w, 4) AS pct_rank,
+                  round(cume_dist() OVER w, 4) AS cume
+           FROM spend
+           WINDOW w AS (ORDER BY total_spent DESC, customer_id))
+         SELECT decile, count(*) AS n_customers,
+                round(sum(total_spent),2) AS decile_spent,
+                round(min(pct_rank),4) AS min_pct_rank,
+                round(max(cume),4) AS max_cume
+         FROM ranked GROUP BY 1 ORDER BY decile""",
     "q25_scd2_history" ->
       """WITH v1 AS (
            SELECT o_custkey AS customer_id, o_orderpriority AS priority FROM (
