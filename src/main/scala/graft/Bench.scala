@@ -23,17 +23,26 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop write materializes every output row and column; count()
+      // would let Catalyst prune a scan-project query down to a
+      // metadata count and under-measure it. Failures are recorded
+      // per query, never swallowed into the total silently.
+      val status =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); "ok" }
+        catch { case e: Throwable => s"fail:${e.getClass.getSimpleName}" }
       val t = (System.nanoTime() - t0) / 1e9
       // queries cache intermediates for their own multi-use plans;
       // drop them so each timing is independent of the previous query
       spark.catalog.clearCache()
-      name -> t
+      (name, t, status)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val st = results.map { case (k, _, s) => s"\"" + k + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    val failures = results.count(_._3 != "ok")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

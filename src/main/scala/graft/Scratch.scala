@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway profiling harness for chasing individual bench outliers;
+  * not part of the library surface. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.all.foreach { t =>
+      try {
+        if (t == "events") Tables.events(spark, sfDir).count()
+        else Tables.load(spark, sfDir, t).count()
+      } catch { case _: Throwable => () }
+    }
+    val name = args.headOption.getOrElse("q24_approx_distinct")
+    val fn = SparkEntry.queries(name)
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(s"RUN$i ${(System.nanoTime() - t0) / 1e9}")
+      spark.catalog.clearCache()
+    }
+    fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

@@ -193,27 +193,61 @@ object Dedup {
     * rounds, each one join + one aggregate — the standard large-scale
     * formulation (components fit nothing in memory; GraphX's CC is
     * this same loop). localCheckpoint truncates lineage per round so
-    * plans don't grow with iteration count. */
+    * plans don't grow with iteration count; each superseded round's
+    * checkpoint blocks are freed as soon as the next round
+    * materializes, so peak storage is two rounds, not `rounds`.
+    *
+    * The iterative phase runs at shuffle parallelism sized to the
+    * edge count, not the session default: the candidate graph is
+    * pair-bounded (LSH only emits pairs inside band buckets), so at
+    * test scale it is tens of rows and default-width rounds are pure
+    * scheduler overhead, while at 100 TB the same rule yields one
+    * partition per ~2M edges. A graph whose diameter exceeds the
+    * round cap fails loudly instead of returning a non-fixpoint
+    * labeling; the production answer for such graphs is
+    * pointer-doubling / large-star-small-star (O(log d) rounds),
+    * not a bigger cap. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val neighborMin = edges.join(labels, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, col("node") === col("src"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newLabel"))
-        .localCheckpoint()
-      changed = updated.filter(col("newLabel") =!= col("label")).count()
-      labels = updated.select(col("node"), col("newLabel").as("label"))
-      rounds += 1
-    }
-    labels.select(col("node"), col("label").as("cluster_id"))
+    import org.apache.spark.sql.graftshim.CheckpointShim
+    // `pairs` is referenced twice by the src/dst union below;
+    // materialize it once so the upstream pipeline (for d7, the whole
+    // LSH build) does not execute twice.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    CheckpointShim.unpersist(p)
+    val spark = edges.sparkSession
+    val nEdges = edges.count()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, nEdges / 2000000L).toString)
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val neighborMin = edges.join(labels, col("dst") === col("node"))
+          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        val updated = labels.join(neighborMin, col("node") === col("src"), "left")
+          .select(col("node"), col("label"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("newLabel"))
+          .localCheckpoint()
+        changed = updated.filter(col("newLabel") =!= col("label")).count()
+        CheckpointShim.unpersist(labels)
+        labels = updated.select(col("node"), col("newLabel").as("label"))
+        rounds += 1
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge within $rounds rounds " +
+          s"($changed labels still changing); graph diameter exceeds the cap — " +
+          "switch to pointer-doubling rather than raising it")
+      CheckpointShim.unpersist(edges)
+      // the final round's checkpoint stays pinned until the caller
+      // consumes the result — one component-sized block, not one per round
+      labels.select(col("node"), col("label").as("cluster_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** D7 — near-dup clusters: the LSH pair list (d4) closed into

@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Equi-join `big ⋈ small` on `key`, spreading each big-side key
-    * over `buckets` partitions. `saltSource` must be deterministic per
-    * row (defaults to a hash of all big-side columns); the result is
-    * identical to `big.join(small, key)` up to row order. */
+    * over `buckets` partitions; the result is identical to
+    * `big.join(small, key)` up to row order (any salt value in range
+    * is correct — the small side carries every salt).
+    *
+    * The default salt mixes `monotonically_increasing_id()` into the
+    * row hash: a salt derived from column values alone would map
+    * fully-identical rows (the classic duplicate-heavy hot key) to
+    * ONE salt and not spread them at all. Pass `saltSource` to make
+    * the salt a deterministic function of row content where replayed
+    * determinism matters more than spreading identical rows. */
   def salted(big: DataFrame, small: DataFrame, key: String, buckets: Int,
              saltSource: Option[Column] = None): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
       "inputs already carry a _salt column; rename it before salting")
-    val src = saltSource.getOrElse(xxhash64(big.columns.map(col): _*))
+    val src = saltSource.getOrElse(
+      xxhash64(monotonically_increasing_id() +: big.columns.map(col): _*))
     val saltedBig = big.withColumn("_salt", pmod(src, lit(buckets)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -48,6 +48,11 @@ object FuseDotProduct extends Rule[LogicalPlan] {
         LambdaFunction(a: Add, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
         LambdaFunction(fin: NamedLambdaVariable, Seq(facc: NamedLambdaVariable), _))
       if floatArrays(l, r) &&
+        // double-multiply only: a bare float×float lambda would be
+        // rewritten into DotProduct's double-precision loop, changing
+        // low-order bits of any future HOF in that shape (the rule is
+        // installed session-wide)
+        m.dataType == DoubleType &&
         ((isVar(m.left, x) && isVar(m.right, y)) || (isVar(m.left, y) && isVar(m.right, x))) &&
         ((isVar(a.left, acc) && isVar(a.right, v)) || (isVar(a.left, v) && isVar(a.right, acc))) &&
         fin.exprId == facc.exprId =>

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,12 +109,23 @@ object AdvancedQueries {
     * the only viable distinct-count: fixed 16 KB state per group vs
     * an unbounded exact-distinct hash table. */
   def q24ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+    val li = Tables.lineitem(spark, dir)
+    // Sketches and exact distincts deliberately run as SEPARATE
+    // aggregations joined on the (tiny) group key: mixing them in one
+    // agg makes Spark route the HLL buffers through the multi-distinct
+    // Expand — every one of the ~|orderkey|+|partkey| partial groups
+    // allocates two multi-KB HLL buffers (gigabytes of aggregation
+    // state at sf0.1, unbounded at 100 TB). Split, the sketch plan
+    // keeps one buffer per flag and the exact plan carries plain keys.
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-           countDistinct(col("l_orderkey")).as("exact_orders"),
-           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
            countDistinct(col("l_partkey")).as("exact_parts"))
+    approx.join(broadcast(exact), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
+              col("approx_parts"), col("exact_parts"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -148,27 +159,46 @@ object AdvancedQueries {
       .orderBy(col("customer_id"), col("effective_date"))
   }
 
-  /** q26 — ranking-window family over customer lifetime spend:
-    * spending deciles (ntile), percent_rank, cume_dist. One shuffle
-    * for the per-customer aggregate; the global ranking window is a
-    * single-partition sort over the already-aggregated (small)
-    * customer rollup — fine at any fact size, since |customers| ≪
-    * |facts| (and a distributed rank would bucket by range if the
-    * customer dimension itself ever outgrew one partition). */
+  /** q26 — spending deciles without a global ranking window. The r1
+    * form (`ntile(10) OVER (ORDER BY …)`) funnels every customer
+    * through one WindowExec partition — a one-task sort at a 10⁹-
+    * customer scale. Scale-safe form: decile BOUNDARIES are a tiny
+    * exact-percentile aggregate broadcast back to the rollup, and
+    * assignment is a pure row-local range comparison — zero global
+    * sorts at any customer count. decile 1 = top spenders
+    * (spend ≥ p90), matching the old desc-ntile orientation; ties
+    * share a decile (the one semantic delta vs ntile's forced equal
+    * bucket sizes). percent_rank/cume_dist min/max per decile fall
+    * out of cumulative decile counts — computed with a 10×10
+    * broadcast self-join, so the whole query is window-free.
+    * (At 100 TB swap `percentile` for `percentile_approx`: exact
+    * percentile buffers values; the sketch is the scale path. Exact
+    * is kept here for bit-parity with the DuckDB oracle.) */
   def q26SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("customer_id"))
       .agg(round(sum(col("o_totalprice")), 2).as("total_spent"))
-    val w = Window.orderBy(desc("total_spent"), col("customer_id"))
-    spend
-      .withColumn("decile", ntile(10).over(w))
-      .withColumn("pct_rank", round(percent_rank().over(w), 4))
-      .withColumn("cume", round(cume_dist().over(w), 4))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_customers"),
-           round(sum(col("total_spent")), 2).as("decile_spent"),
-           round(min(col("pct_rank")), 4).as("min_pct_rank"),
-           round(max(col("cume")), 4).as("max_cume"))
+    val bounds = spend.agg(
+      percentile(col("total_spent"), lit(0.1)).as("b1"),
+      (2 to 9).map(k => percentile(col("total_spent"), lit(k / 10.0)).as(s"b$k")): _*)
+    val assigned = spend.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (1 to 9).map(k => when(col("total_spent") < col(s"b$k"), 1).otherwise(0): Column)
+          .reduce(_ + _) + lit(1))
+    val byDecile = assigned.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), round(sum(col("total_spent")), 2).as("decile_spent"))
+    val cum = byDecile.as("a")
+      .join(broadcast(byDecile.select(col("decile").as("d2"), col("n").as("n2"))),
+        col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n"), col("decile_spent"))
+      .agg(sum(col("n2")).as("cum_n"))
+    val total = byDecile.agg(sum(col("n")).as("n_total"))
+    cum.crossJoin(broadcast(total))
+      .select(col("decile"),
+        col("n").as("n_customers"),
+        col("decile_spent"),
+        round((col("cum_n") - col("n")) / (col("n_total") - 1), 4).as("min_pct_rank"),
+        round(col("cum_n") / col("n_total"), 4).as("max_cume"))
       .orderBy(col("decile"))
   }
 
@@ -215,22 +245,32 @@ object AdvancedQueries {
                 count(err_ts) AS n_with_prior_error,
                 round(avg(date_diff('microsecond', err_ts, ts)/1000000.0),1) AS avg_secs_since_error
          FROM j GROUP BY 1 ORDER BY event_type""",
-    "q26_spend_deciles" ->
-      """WITH spend AS (
+    "q26_spend_deciles" -> {
+      val caseSum = (1 to 9)
+        .map(k => s"(CASE WHEN total_spent < b$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH spend AS (
            SELECT o_custkey AS customer_id, round(sum(o_totalprice),2) AS total_spent
            FROM orders GROUP BY 1),
-         ranked AS (
-           SELECT total_spent,
-                  CAST(ntile(10) OVER w AS INTEGER) AS decile,
-                  round(percent_rank() OVER w, 4) AS pct_rank,
-                  round(cume_dist() OVER w, 4) AS cume
-           FROM spend
-           WINDOW w AS (ORDER BY total_spent DESC, customer_id))
-         SELECT decile, count(*) AS n_customers,
-                round(sum(total_spent),2) AS decile_spent,
-                round(min(pct_rank),4) AS min_pct_rank,
-                round(max(cume),4) AS max_cume
-         FROM ranked GROUP BY 1 ORDER BY decile""",
+         bounds AS (
+           SELECT ${(1 to 9).map(k => s"quantile_cont(total_spent, 0.$k) AS b$k").mkString(", ")}
+           FROM spend),
+         assigned AS (
+           SELECT total_spent, 1 + $caseSum AS decile
+           FROM spend, bounds),
+         by_decile AS (
+           SELECT decile, count(*) AS n, round(sum(total_spent),2) AS decile_spent
+           FROM assigned GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM by_decile),
+         cum AS (
+           SELECT a.decile, a.n, a.decile_spent, CAST(sum(b.n) AS BIGINT) AS cum_n
+           FROM by_decile a JOIN by_decile b ON b.decile <= a.decile
+           GROUP BY 1, 2, 3)
+         SELECT decile, n AS n_customers, decile_spent,
+                round((cum_n - n) * 1.0 / (n_total - 1), 4) AS min_pct_rank,
+                round(cum_n * 1.0 / n_total, 4) AS max_cume
+         FROM cum, tot ORDER BY decile"""
+    },
     "q25_scd2_history" ->
       """WITH v1 AS (
            SELECT o_custkey AS customer_id, o_orderpriority AS priority FROM (

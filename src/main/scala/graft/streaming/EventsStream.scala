@@ -179,15 +179,24 @@ object EventsStream {
         .union(batch.select(cols: _*))
     val tmp = target + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    // swap: the read above is fully materialized by the write, so the
-    // target can be replaced atomically-enough for a local sink
+    // swap order matters for crash-safety: rename the live snapshot
+    // ASIDE first, then promote tmp, then drop the old copy — a crash
+    // at any point leaves either the old or the new snapshot intact
+    // and recoverable (delete-then-rename would lose the snapshot if
+    // the rename failed or the process died between the two).
     def delete(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(delete)
       f.delete(); ()
     }
-    if (dir.exists()) delete(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
+    val old = new java.io.File(target + ".old")
+    if (old.exists()) delete(old)
+    if (dir.exists() && !dir.renameTo(old))
+      throw new java.io.IOException(s"swap failed: $target -> ${old.getPath}")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      old.renameTo(dir) // restore the previous snapshot before failing
       throw new java.io.IOException(s"swap failed: $tmp -> $target")
+    }
+    if (old.exists()) delete(old)
   }
 
   /** Drive the windowed-counts stream into a parquet snapshot via the

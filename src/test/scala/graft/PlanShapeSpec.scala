@@ -60,6 +60,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"agg+window must share the customer_id partitioning:\n$p")
   }
 
+  test("q26: decile assignment is window-free — no single-partition sort anywhere") {
+    val p = plan(graft.queries.AdvancedQueries.q26SpendDeciles(spark, dir))
+    // the r1 form planned ntile over Window(ORDER BY …) — a one-task
+    // sort of every customer. (The remaining Exchange SinglePartition
+    // is the percentile agg's final step over per-partition partials —
+    // one row per partition, not the dataset.)
+    assert(!p.contains("Window"), s"q26 must not plan a WindowExec:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"decile bounds should broadcast back:\n$p")
+  }
+
   private def countOf(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 }
