@@ -9,14 +9,17 @@ object EtlDemo {
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val cleaned = RetailClean.clean(RetailClean.readStaging(spark, in))
+    val raw = RetailClean.readStaging(spark, in)
+    val cleaned = RetailClean.clean(raw)
     RetailClean.writeClean(cleaned, s"$out/cleaned", singleFile = true)
     val fact = Warehouse.factSales(cleaned,
       Warehouse.dimProduct(cleaned), Warehouse.dimLocation(cleaned),
       Warehouse.dimPayment(cleaned), Warehouse.dimShipping(cleaned))
     fact.write.mode("overwrite").parquet(s"$out/fact_sales")
     Warehouse.factMonthlySnapshot(cleaned).write.mode("overwrite").parquet(s"$out/snapshot")
-    println(s"cleaned=${cleaned.count()} fact=${spark.read.parquet(s"$out/fact_sales").count()} snap=${spark.read.parquet(s"$out/snapshot").count()}")
+    // persisted audit table (README.md:177-178), not just a printout
+    RetailClean.audit(raw, cleaned, loadId = in).write.mode("overwrite").parquet(s"$out/audit")
+    println(s"cleaned=${cleaned.count()} fact=${spark.read.parquet(s"$out/fact_sales").count()} snap=${spark.read.parquet(s"$out/snapshot").count()} audit=${spark.read.parquet(s"$out/audit").count()}")
     spark.stop()
   }
 }

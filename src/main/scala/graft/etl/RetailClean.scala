@@ -174,6 +174,31 @@ object RetailClean {
     selectFinal(castNumerics(synthesizeKeys(dedupCollisions(
       parseDateTime(fillUnknown(dropCriticalNulls(rename(df))))))))
 
+  /** Persisted audit/data-quality table (README.md:177-178: "Record
+    * row counts, rejections, and data quality metrics" — A7). One row
+    * per metric so downstream monitoring can diff loads without
+    * schema changes. Every count is a bounded aggregate over staging
+    * (map-side combine, no wide state); the derivation re-runs the
+    * narrow pipeline stages, which Catalyst collapses into the same
+    * scan. */
+  def audit(raw: DataFrame, cleaned: DataFrame, loadId: String): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val staged = parseDateTime(fillUnknown(dropCriticalNulls(rename(raw))))
+    val nRaw = raw.count()
+    val nCriticalKept = dropCriticalNulls(rename(raw)).count()
+    val nParseFail = parseFailures(staged).count()
+    val nAfterDedup = dedupCollisions(staged).count()
+    val nClean = cleaned.count()
+    Seq(
+      ("rows_in",             nRaw),
+      ("rows_dropped_null",   nRaw - nCriticalKept),
+      ("rows_parse_failed",   nParseFail),
+      ("rows_dropped_collision", nCriticalKept - nAfterDedup),
+      ("rows_out",            nClean)
+    ).toDF("metric", "value").withColumn("load_id", lit(loadId))
+  }
+
   /** Comma-delimited cleaned CSV (clean_data.py:136). Spark writes a
     * directory of part files; singleFile coalesces for byte-parity
     * tests only — never at scale. */

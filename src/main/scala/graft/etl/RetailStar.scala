@@ -1,0 +1,143 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The reference's two signature dimensional queries (README.md
+  * §5.1/§5.3) run VERBATIM over the real star schema, end to end:
+  * staging → RetailClean.clean → Warehouse dims + Fact_Sales_
+  * Transaction → query — all under the DuckDB oracle gate.
+  *
+  * The driver testdata has no retail staging table, so staging is
+  * derived deterministically from lineitem⋈orders⋈part (every
+  * synthesized attribute is pure integer arithmetic both engines
+  * reproduce bit-identically). The derivation introduces no nulls and
+  * no key collisions, so the cleaning pipeline's drop stages are
+  * no-ops here by construction — what the gate checks is the star
+  * build itself: key synthesis, surrogate-key lookups, the generated
+  * DimTimeOfDay (86,400 rows, broadcast), and the DimShipping tier
+  * hierarchy.
+  *
+  * Scale: staging⋈part is an equi-join on partkey (shuffle or
+  * broadcast per AQE's sizing); every dim lookup in factSales
+  * broadcasts; the final rollups aggregate the fact once. Nothing
+  * here materializes outside the plan.
+  */
+object RetailStar {
+
+  /** Deterministic second-of-day per line — the reference's staging
+    * carries a wall-clock Time column; testdata has none, so derive
+    * one that both engines compute identically. */
+  private def secondOfDay = pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(86400L))
+
+  /** Retail-staging-shaped frame from the TPC-H-ish tables. Column
+    * names/types match RetailClean.stagingSchema (subset — the
+    * pipeline stages are column-presence-defensive, mirroring
+    * clean_data.py's `if col in df.columns`). */
+  def stagingFromTpch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val p = Tables.part(spark, dir)
+    val sod = secondOfDay
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_orderkey").as("Transaction_ID"),
+        col("o_custkey").as("Customer_ID"),
+        date_format(col("o_orderdate"), "M/d/yyyy").as("Date"),
+        format_string("%d:%d:%d",
+          (sod / 3600).cast(IntegerType),
+          ((sod % 3600) / 60).cast(IntegerType),
+          (sod % 60).cast(IntegerType)).as("Time"),
+        col("l_quantity").as("Total_Purchases"),
+        (col("l_extendedprice") / col("l_quantity")).as("Amount"),
+        col("l_extendedprice").as("Total_Amount"),
+        col("p_name").as("products"),
+        col("p_type").as("Product_Category"),
+        col("p_brand").as("Product_Brand"),
+        lit("General").as("Product_Type"),
+        // payment/shipping synthesized from stable keys so the dims
+        // get real cardinality (and DimShipping real tier variety)
+        element_at(array(lit("Card"), lit("Cash"), lit("Online")),
+          (pmod(col("o_custkey"), lit(3)) + 1).cast(IntegerType)).as("Payment_Method"),
+        element_at(array(lit("Express"), lit("Standard"), lit("Same-Day"), lit("Courier")),
+          (pmod(col("l_suppkey"), lit(4)) + 1).cast(IntegerType)).as("Shipping_Method"),
+        when(col("l_returnflag") === "R", "Returned").otherwise("Delivered").as("Order_Status"),
+        (pmod(col("l_orderkey"), lit(5)) + 1).cast(DoubleType).as("Ratings"),
+        lit("Porto").as("City"),
+        lit("Norte").as("State"),
+        pmod(col("o_custkey"), lit(100)).as("Zipcode"),
+        lit("Portugal").as("Country"))
+  }
+
+  /** Full star build: staging → clean → dims → Fact_Sales_Transaction. */
+  def buildFact(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir))
+    Warehouse.factSales(cleaned,
+      Warehouse.dimProduct(cleaned), Warehouse.dimLocation(cleaned),
+      Warehouse.dimPayment(cleaned), Warehouse.dimShipping(cleaned))
+  }
+
+  /** q27 — reference query 5.1 (README.md:208-214): total sales by
+    * hour of day through DimTimeOfDay, joined on the seconds-first
+    * time_key. The generated dim broadcasts (86,400 rows at any fact
+    * scale). */
+  def q27SalesByHour(spark: SparkSession, dir: String): DataFrame = {
+    val fact = buildFact(spark, dir)
+    val t = Warehouse.dimTimeOfDay(spark)
+    fact.join(broadcast(t), Seq("time_key"))
+      .groupBy(col("hour_24"), col("time_bucket_period"))
+      .agg(round(sum(col("line_total_amount")), 2).as("total_sales"))
+      .orderBy(col("hour_24"))
+  }
+
+  /** q28 — reference query 5.3 (README.md:229-237): sales rolled up
+    * the DimShipping speed-tier hierarchy. */
+  def q28SalesByShippingTier(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir))
+    val shipping = Warehouse.dimShipping(cleaned)
+    val fact = Warehouse.factSales(cleaned,
+      Warehouse.dimProduct(cleaned), Warehouse.dimLocation(cleaned),
+      Warehouse.dimPayment(cleaned), shipping)
+    fact.join(broadcast(shipping), Seq("shipping_key"))
+      .groupBy(col("speed_tier").as("shipping_speed_tier"))
+      .agg(round(sum(col("line_total_amount")), 2).as("total_sales"))
+      .orderBy(desc("total_sales"), col("shipping_speed_tier"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_sales_by_hour"          -> (q27SalesByHour _),
+    "q28_sales_by_shipping_tier" -> (q28SalesByShippingTier _))
+
+  /** Oracles re-derive the same results from first principles: the
+    * staging synthesis drops nothing (inner joins on guaranteed FKs,
+    * no nulls, no collisions), so the fact has exactly one row per
+    * lineitem line and every derived attribute is reproducible
+    * integer arithmetic. */
+  val oracles: Map[String, String] = Map(
+    "q27_sales_by_hour" ->
+      """WITH f AS (
+           SELECT (l_orderkey * 7 + l_linenumber) % 86400 AS sod, l_extendedprice
+           FROM lineitem)
+         SELECT CAST(sod // 3600 AS INTEGER) AS hour_24,
+                CASE WHEN sod // 3600 < 6 THEN 'night'
+                     WHEN sod // 3600 < 12 THEN 'morning'
+                     WHEN sod // 3600 < 18 THEN 'afternoon'
+                     ELSE 'evening' END AS time_bucket_period,
+                round(sum(l_extendedprice), 2) AS total_sales
+         FROM f GROUP BY 1, 2 ORDER BY hour_24""",
+    "q28_sales_by_shipping_tier" ->
+      """WITH f AS (
+           SELECT CASE l_suppkey % 4 WHEN 0 THEN 'Express' WHEN 1 THEN 'Standard'
+                       WHEN 2 THEN 'Same-Day' ELSE 'Courier' END AS sm,
+                  l_extendedprice
+           FROM lineitem)
+         SELECT CASE WHEN lower(sm) LIKE '%express%' OR lower(sm) LIKE '%same%' THEN 'fast'
+                     WHEN lower(sm) LIKE '%standard%' THEN 'normal'
+                     ELSE 'other' END AS shipping_speed_tier,
+                round(sum(l_extendedprice), 2) AS total_sales
+         FROM f GROUP BY 1 ORDER BY total_sales DESC, shipping_speed_tier""")
+}

@@ -58,6 +58,29 @@ object Warehouse {
           .when(h < 18, "afternoon").otherwise("evening").as("time_bucket_period"))
   }
 
+  /** DimMonth at month grain (README.md:190 `DimMonth m` — the
+    * snapshot build's scaffold dimension): month_key "MMyyyy" string
+    * (same encoding the fact carries), month_start/month_end, and
+    * calendar attributes. */
+  def dimMonth(spark: SparkSession, from: String, to: String): DataFrame =
+    dimMonthSpan(spark.range(1).select(
+      trunc(lit(from).cast(DateType), "month").as("m0"),
+      trunc(lit(to).cast(DateType), "month").as("m1")))
+
+  /** DimMonth spine from a one-row (m0, m1) bounds frame — the
+    * dynamic form scaffolding queries use (q17): bounds come from a
+    * tiny min/max aggregate, never a driver-side collect. */
+  def dimMonthSpan(bounds: DataFrame): DataFrame =
+    bounds.select(explode(sequence(col("m0"), col("m1"),
+        expr("interval 1 month"))).as("month_start"))
+      .select(
+        date_format(col("month_start"), "MMyyyy").as("month_key"),
+        col("month_start"),
+        last_day(col("month_start")).as("month_end"),
+        year(col("month_start")).as("year"),
+        month(col("month_start")).as("month_num"),
+        date_format(col("month_start"), "MMMM").as("month_name"))
+
   // ---------------------------------------------------------------
   // Staging-derived dimensions (surrogate key = xxhash64 of natural key)
   // ---------------------------------------------------------------
@@ -173,7 +196,14 @@ object Warehouse {
     * (customer, month) aggregation and the running-sum window's
     * partitionBy(customer), so neither adds an Exchange.
     * customer_lifetime_spent is semi-additive (summable across
-    * customers, never across months — README.md:115). */
+    * customers, never across months — README.md:115).
+    *
+    * Carries the snapshot grain's `location_key` (README.md:184
+    * `SELECT … l.location_key`): the reference assumes one location
+    * per customer ("Assuming Customer location"); min() picks a
+    * deterministic representative if staging ever disagrees, keeping
+    * the grain at (customer, month). The surrogate matches
+    * dimLocation's (same columns, same order, same hash). */
   def factMonthlySnapshot(cleaned: DataFrame): DataFrame = {
     val monthly = cleaned
       .withColumn("d", to_date(col("Date"), "M/d/yyyy"))
@@ -184,7 +214,9 @@ object Warehouse {
         date_trunc("month", col("d")).cast(DateType).as("month_start"))
       .agg(
         sum(col("line_total_amount")).as("month_total_spent"),
-        countDistinct(col("transaction_id")).as("month_total_orders"))
+        countDistinct(col("transaction_id")).as("month_total_orders"),
+        min(xxhash64(col("Country"), col("State"), col("City"), col("Zipcode")))
+          .as("location_key"))
     val w = Window.partitionBy(col("customer_key")).orderBy(col("month_start"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly.withColumn("customer_lifetime_spent",

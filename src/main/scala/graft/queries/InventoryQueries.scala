@@ -175,7 +175,13 @@ object InventoryQueries {
     * the raw fact; README.md:199). */
   def q17CrossScaffold(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val months = o.select(date_trunc("month", col("o_orderdate")).cast("date").as("month_start")).distinct()
+    // month spine = DimMonth over the data's span (README.md:190 `DimMonth m`),
+    // bounds from a tiny min/max aggregate — contiguous months, so gap
+    // months appear as zero rows (the scaffold's whole point)
+    val months = graft.etl.Warehouse.dimMonthSpan(o.agg(
+        min(date_trunc("month", col("o_orderdate")).cast("date")).as("m0"),
+        max(date_trunc("month", col("o_orderdate")).cast("date")).as("m1")))
+      .select(col("month_start"))
     val act = o
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -326,9 +332,14 @@ object InventoryQueries {
           AND m2.spent > m1.spent
          GROUP BY m1.customer_id ORDER BY m1.customer_id""",
     "q17_cross_scaffold" ->
-      """WITH months AS (
-           SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+      """WITH bounds AS (
+           SELECT min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS m0,
+                  max(CAST(date_trunc('month', o_orderdate) AS DATE)) AS m1
            FROM orders),
+         months AS (
+           SELECT CAST(unnest(generate_series(CAST(m0 AS TIMESTAMP),
+                  CAST(m1 AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month_start
+           FROM bounds),
          act AS (
            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS am,
                   r_regionkey AS ark,

@@ -90,6 +90,8 @@ class PropertySpec extends AnyFunSuite {
     } yield (cust, f"$mon%d/15/2024", tid, amt.toDouble)
     check("semiAdditive", Prop.forAll(Gen.listOfN(30, saleGen)) { rows =>
       val cleaned = rows.toDF("Customer_ID", "Date", "transaction_id", "line_total_amount")
+        .withColumn("Country", lit("PT")).withColumn("State", lit("N"))
+        .withColumn("City", lit("Porto")).withColumn("Zipcode", lit(4000))
       val snap = Warehouse.factMonthlySnapshot(cleaned)
         .select("customer_key", "month_start", "month_total_spent", "customer_lifetime_spent")
         .as[(Long, java.sql.Date, Double, Double)].collect()

@@ -84,6 +84,41 @@ class WarehouseSpec extends AnyFunSuite {
     assert(math.abs(monthlySum - total) < 1e-6)
   }
 
+  test("dimMonth: month grain, MMyyyy key, contiguous span") {
+    val m = Warehouse.dimMonth(spark, "2023-11-15", "2024-02-03")
+    assert(m.count() === 4) // Nov, Dec, Jan, Feb — bounds truncate to month
+    val rows = m.orderBy("month_start").collect()
+    assert(rows.head.getAs[String]("month_key") === "112023")
+    assert(rows.last.getAs[String]("month_key") === "022024")
+    assert(rows.head.getAs[java.sql.Date]("month_end").toString === "2023-11-30")
+    assert(rows.last.getAs[String]("month_name") === "February")
+  }
+
+  test("monthly snapshot: location_key resolves against DimLocation") {
+    val snap = Warehouse.factMonthlySnapshot(cleaned)
+    val loc = Warehouse.dimLocation(cleaned)
+    // every snapshot location_key is a real DimLocation surrogate
+    val unresolved = snap.join(loc, Seq("location_key"), "left_anti")
+    assert(unresolved.count() === 0)
+    assert(snap.filter(col("location_key").isNull).count() === 0)
+  }
+
+  test("audit table: counts reconcile with the pipeline stages") {
+    val raw = RetailClean.readStaging(
+      spark, getClass.getResource("/retail_fixture.csv").getPath)
+    val a = RetailClean.audit(raw, cleaned, loadId = "fixture")
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(a("rows_in") === raw.count())
+    assert(a("rows_out") === cleaned.count())
+    // in = out + every drop bucket (parse failures are dropped via the
+    // null Date_dt landing in no group — they are a subset of rows kept
+    // by the null filter, so the identity is in >= out + explicit drops)
+    assert(a("rows_in") >= a("rows_out"))
+    assert(a("rows_in") - a("rows_dropped_null") - a("rows_dropped_collision") === a("rows_out"))
+    assert(a.keySet === Set("rows_in", "rows_dropped_null", "rows_parse_failed",
+      "rows_dropped_collision", "rows_out"))
+  }
+
   test("SCD2: change closes old version and opens a new one") {
     import spark.implicits._
     val init = Seq((1L, "Low"), (2L, "High")).toDF("customer_id", "income")
