@@ -21,7 +21,12 @@ object Scratch {
       } catch { case _: Throwable => () }
     }
     val name = args.headOption.getOrElse("q24_approx_distinct")
-    val fn = SparkEntry.queries(name)
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
+      case "star_staging" => (s, d) => graft.etl.RetailStar.stagingFromTpch(s, d)
+      case "star_cleaned" => (s, d) => graft.etl.RetailClean.clean(graft.etl.RetailStar.stagingFromTpch(s, d))
+      case "star_fact"    => (s, d) => graft.etl.RetailStar.buildFact(s, d)
+      case n              => SparkEntry.queries(n)
+    }
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()

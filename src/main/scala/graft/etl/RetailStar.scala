@@ -73,13 +73,32 @@ object RetailStar {
         lit("Portugal").as("Country"))
   }
 
-  /** Full star build: staging → clean → dims → Fact_Sales_Transaction. */
-  def buildFact(spark: SparkSession, dir: String): DataFrame = {
-    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir))
-    Warehouse.factSales(cleaned,
-      Warehouse.dimProduct(cleaned), Warehouse.dimLocation(cleaned),
-      Warehouse.dimPayment(cleaned), Warehouse.dimShipping(cleaned))
+  /** The star pieces a rollup re-joins after the fact build. */
+  final case class Star(fact: DataFrame, product: DataFrame, shipping: DataFrame)
+
+  /** Full star build: staging → clean → dims → Fact_Sales_Transaction,
+    * plus the dims the §5 rollups re-join. The warehouse load persists
+    * cleaned staging once and derives every dim + the fact from that
+    * artifact (EtlDemo); this self-contained form mirrors that with an
+    * in-plan cache — without it the staging join + cleaning pipeline
+    * re-executes once per dim lookup (5×). */
+  def buildStar(spark: SparkSession, dir: String): Star = {
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir)).cache()
+    // materialize BEFORE the dims reference it: the four dim broadcasts
+    // execute as concurrent driver-side jobs, and a still-lazy cache
+    // makes each of them recompute the full cleaning pipeline (first
+    // writer wins, the rest is wasted work — the bench showed 4×)
+    cleaned.count()
+    val product = Warehouse.dimProduct(cleaned)
+    val shipping = Warehouse.dimShipping(cleaned)
+    val fact = Warehouse.factSales(cleaned,
+      product, Warehouse.dimLocation(cleaned),
+      Warehouse.dimPayment(cleaned), shipping)
+    Star(fact, product, shipping)
   }
+
+  def buildFact(spark: SparkSession, dir: String): DataFrame =
+    buildStar(spark, dir).fact
 
   /** q27 — reference query 5.1 (README.md:208-214): total sales by
     * hour of day through DimTimeOfDay, joined on the seconds-first
@@ -97,20 +116,31 @@ object RetailStar {
   /** q28 — reference query 5.3 (README.md:229-237): sales rolled up
     * the DimShipping speed-tier hierarchy. */
   def q28SalesByShippingTier(spark: SparkSession, dir: String): DataFrame = {
-    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir))
-    val shipping = Warehouse.dimShipping(cleaned)
-    val fact = Warehouse.factSales(cleaned,
-      Warehouse.dimProduct(cleaned), Warehouse.dimLocation(cleaned),
-      Warehouse.dimPayment(cleaned), shipping)
-    fact.join(broadcast(shipping), Seq("shipping_key"))
+    val star = buildStar(spark, dir)
+    star.fact.join(broadcast(star.shipping), Seq("shipping_key"))
       .groupBy(col("speed_tier").as("shipping_speed_tier"))
       .agg(round(sum(col("line_total_amount")), 2).as("total_sales"))
       .orderBy(desc("total_sales"), col("shipping_speed_tier"))
   }
 
+  /** q29 — reference query 5.2 (README.md:218-226): top-10 products
+    * by revenue through DimProduct on the surrogate product_key.
+    * The reference's ORDER BY revenue DESC LIMIT 10 is made
+    * deterministic with the (name, brand) tiebreak both engines
+    * apply identically. */
+  def q29TopProducts(spark: SparkSession, dir: String): DataFrame = {
+    val star = buildStar(spark, dir)
+    star.fact.join(broadcast(star.product), Seq("product_key"))
+      .groupBy(col("product_name"), col("product_brand"))
+      .agg(round(sum(col("line_total_amount")), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("product_name"), col("product_brand"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_sales_by_hour"          -> (q27SalesByHour _),
-    "q28_sales_by_shipping_tier" -> (q28SalesByShippingTier _))
+    "q28_sales_by_shipping_tier" -> (q28SalesByShippingTier _),
+    "q29_top_products_star"      -> (q29TopProducts _))
 
   /** Oracles re-derive the same results from first principles: the
     * staging synthesis drops nothing (inner joins on guaranteed FKs,
@@ -139,5 +169,12 @@ object RetailStar {
                      WHEN lower(sm) LIKE '%standard%' THEN 'normal'
                      ELSE 'other' END AS shipping_speed_tier,
                 round(sum(l_extendedprice), 2) AS total_sales
-         FROM f GROUP BY 1 ORDER BY total_sales DESC, shipping_speed_tier""")
+         FROM f GROUP BY 1 ORDER BY total_sales DESC, shipping_speed_tier""",
+    "q29_top_products_star" ->
+      """SELECT p.p_name AS product_name, p.p_brand AS product_brand,
+                round(sum(l.l_extendedprice), 2) AS revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, product_name, product_brand
+         LIMIT 10""")
 }
