@@ -11,15 +11,18 @@ import graft.Tables
   *
   * The DECODE step is a clearly-marked STUB — the container has no
   * image/audio codecs — standing in for e.g. a JPEG decode. It is
-  * deterministic (a 16-bin byte histogram), so the surrounding Spark
-  * plumbing (schema, partition-preserving mapPartitions, batch
-  * iterator shape, explode for frame sampling) is fully real and
-  * testable. In a Python deployment the same seam is a mapInPandas
-  * batch function with this exact row contract.
+  * deterministic (a 16-bin byte histogram) and exists in two forms:
+  * the columnar ByteHistogram codegen expression (the hot path m1
+  * uses — binary stays in the UnsafeRow buffer) and a row-at-a-time
+  * mapPartitions seam for decoders that need imperative codec calls
+  * (in a Python deployment that seam is mapInPandas with this exact
+  * row contract). A spec pins the two bit-identical, and the integer
+  * bin counts make the whole pipeline DuckDB-oracle-checkable.
   *
   * Scale: payloads stay columnar in parquet (binary column, never
-  * driver-collected); decode is a narrow per-partition pass; feature
-  * vectors are fixed-width Array[Float] ready for Similarity ops.
+  * driver-collected); decode is a narrow per-row/per-partition pass;
+  * feature vectors are fixed-width Array[Float] ready for Similarity
+  * ops.
   */
 object Multimodal {
 
@@ -45,22 +48,45 @@ object Multimodal {
   /** STUB decoder: a real deployment decodes pixels/samples here.
     * Deterministic 16-bin byte histogram, L1-normalized — shaped like
     * a feature extractor (fixed-width float vector per row), executed
-    * as a partition-batch pass exactly like a real decoder would be. */
+    * as a partition-batch pass exactly like a real decoder would be.
+    * This row-at-a-time seam exists for decoders that NEED imperative
+    * per-row code (codec calls); the histogram itself has a columnar
+    * twin (`featureColumns`, the hot path m1 uses) and a spec asserts
+    * the two agree bit-for-bit. Division is double-then-toFloat in
+    * both paths so they can't drift in the last ulp. */
   def decodeToFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val hist = new Array[Float](FeatureBins)
+        val hist = new Array[Long](FeatureBins)
         var i = 0
         val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
         while (i < bytes.length) {
-          hist((bytes(i) & 0xff) / (256 / FeatureBins)) += 1f
+          hist((bytes(i) & 0xff) / (256 / FeatureBins)) += 1L
           i += 1
         }
-        val total = math.max(1f, bytes.length.toFloat)
-        FeatureRow(r.media_id, r.kind, hist.map(_ / total))
+        val total = math.max(1L, bytes.length).toDouble
+        FeatureRow(r.media_id, r.kind, hist.map(c => (c / total).toFloat))
       }
     }
+  }
+
+  /** Columnar decode: the same 16-bin L1-normalized histogram as
+    * `decodeToFeatures`, but computed by the codegen'd ByteHistogram
+    * expression directly on the UnsafeRow's binary buffer — no
+    * Dataset-encoder round-trip (the encoder serde was ~the whole m1
+    * cost at bench scale). Counts are integers, so the result is
+    * exactly reproducible in DuckDB (ASCII corpus: byte = char code),
+    * which upgrades m1 to a full hash-checked oracle. */
+  def featureColumns(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val counts = ColumnShim.column(
+      graft.functions.ByteHistogram(ColumnShim.expression(col("payload")), FeatureBins))
+    media.select(col("media_id"), col("kind"), col("n_bytes"), counts.as("_counts"))
+      .select(col("media_id"), col("kind"),
+        transform(col("_counts"),
+          c => (c.cast("double") / greatest(lit(1L), col("n_bytes")).cast("double")).cast("float"))
+          .as("features"))
   }
 
   /** Frame sampling for video payloads: every `stride`-th 64-byte
@@ -77,14 +103,15 @@ object Multimodal {
               expr("substring(payload, frame_idx * 64 + 1, 64)").as("frame_bytes"))
   }
 
-  /** M1 — end-to-end multimodal pipeline rollup: encode → decode-stub
-    * → per-kind feature statistics. Driver checks rows>0 (no SQL
-    * oracle: binary feature plumbing is not DuckDB-expressible). */
-  def m1MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaFromDocs(spark, dir).as[MediaRow]
-    val feats = decodeToFeatures(media)
-    feats.toDF()
+  /** M1 — end-to-end multimodal pipeline rollup: encode → columnar
+    * decode (ByteHistogram codegen expression) → per-kind feature
+    * statistics. Integer bin counts make every per-doc value exactly
+    * reproducible in DuckDB (the corpus is ASCII, so byte value =
+    * char code), so this runs under the full hash-checked oracle —
+    * the cross-doc avg is rounded to 4 decimals to absorb
+    * sum-order float noise, same discipline as the money queries. */
+  def m1MultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    featureColumns(mediaFromDocs(spark, dir))
       .withColumn("feat_norm",
         sqrt(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))))
       .groupBy(col("kind"))
@@ -92,12 +119,12 @@ object Multimodal {
            round(avg(col("feat_norm")), 4).as("avg_feat_norm"),
            round(avg(element_at(col("features"), 7).cast("double")), 4).as("avg_bin6"))
       .orderBy(col("kind"))
-  }
 
   /** M2 — frame-sampling rollup: every 4th 64-byte chunk of each
     * video payload becomes a frame row (slice/explode only — no UDF);
-    * per-media frame counts and mean frame sizes. Driver records the
-    * rows-only check (binary frame bytes aren't SQL-comparable). */
+    * per-media frame counts and mean frame sizes. The frame-byte
+    * LENGTHS are pure integer arithmetic on payload size, so the
+    * rollup is oracle-checkable even though the bytes aren't. */
   def m2FrameSampling(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaFromDocs(spark, dir))
       .groupBy(col("media_id"))
@@ -109,7 +136,49 @@ object Multimodal {
     "m1_multimodal_features" -> (m1MultimodalFeatures _),
     "m2_frame_sampling"      -> (m2FrameSampling _))
 
-  /** No oracle entries: the decode stub is outside SQL's reach; the
-    * driver records the weaker rows-only check for m1. */
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB mirrors, possible because every per-doc quantity is
+    * integer-derived (bin counts; frame lengths) and the corpus is
+    * ASCII (verified: 0 non-ASCII rows at every SF), so DuckDB's
+    * per-char `unicode()` equals the payload byte. Kind cycles with
+    * doc_id % 3 exactly as mediaFromDocs assigns it. */
+  val oracles: Map[String, String] = Map(
+    "m1_multimodal_features" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  text, length(text) AS n
+           FROM documents),
+         ch AS (
+           SELECT doc_id,
+                  unicode(substr(text, CAST(i AS INTEGER) + 1, 1)) // ${256 / FeatureBins} AS bin
+           FROM (SELECT doc_id, text, unnest(range(n)) AS i FROM d)),
+         cnt AS (SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY 1, 2),
+         feat AS (
+           SELECT d.doc_id, d.kind, CAST(b.range AS INTEGER) AS bin,
+                  CAST(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                       / CAST(greatest(1, d.n) AS DOUBLE) AS REAL) AS f
+           FROM d CROSS JOIN range($FeatureBins) b
+           LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = b.range),
+         per_doc AS (
+           SELECT doc_id, kind,
+                  sqrt(sum(CAST(f AS DOUBLE) * CAST(f AS DOUBLE))) AS feat_norm,
+                  sum(CASE WHEN bin = 6 THEN CAST(f AS DOUBLE) END) AS bin6
+           FROM feat GROUP BY 1, 2)
+         SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+                round(avg(feat_norm), 4) AS avg_feat_norm,
+                round(avg(bin6), 4) AS avg_bin6
+         FROM per_doc GROUP BY 1 ORDER BY kind""",
+    "m2_frame_sampling" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id, length(text) AS n
+           FROM documents
+           WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND length(text) > 0),
+         fr AS (
+           SELECT media_id, CAST(i AS INTEGER) AS frame_idx, n
+           FROM (SELECT media_id, n, unnest(range((n + 63) // 64)) AS i FROM d)
+           WHERE CAST(i AS INTEGER) % 4 = 0)
+         SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+                avg(least(64, n - frame_idx * 64)) AS avg_frame_bytes
+         FROM fr GROUP BY 1 ORDER BY media_id""")
 }

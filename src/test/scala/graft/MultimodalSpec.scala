@@ -57,4 +57,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length === 3)
     assert(out.forall(_.getAs[Double]("avg_feat_norm") > 0))
   }
+
+  test("columnar ByteHistogram path is bit-identical to the mapPartitions seam") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocs(spark, dir).cache()
+    val columnar = Multimodal.featureColumns(media)
+      .select(col("media_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val seam = Multimodal.decodeToFeatures(media.as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(columnar.keySet === seam.keySet)
+    // exact float equality, not tolerance — both paths divide in
+    // double then round to float once, so any mismatch is a real bug
+    columnar.foreach { case (id, f) => assert(f === seam(id), s"media_id=$id") }
+    media.unpersist()
+  }
+
+  test("byte_histogram counts match a JVM-side histogram of the payload") {
+    val media = Multimodal.mediaFromDocs(spark, dir)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val counts = ColumnShim.column(graft.functions.ByteHistogram(
+      ColumnShim.expression(col("payload")), Multimodal.FeatureBins))
+    val got = media.select(col("media_id"), counts.as("c"), col("payload"))
+      .collect()
+    got.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      val want = new Array[Long](Multimodal.FeatureBins)
+      bytes.foreach(b => want((b & 0xff) / (256 / Multimodal.FeatureBins)) += 1L)
+      assert(r.getSeq[Long](1) === want.toSeq, s"media_id=${r.getLong(0)}")
+    }
+  }
 }
