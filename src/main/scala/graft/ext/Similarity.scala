@@ -195,6 +195,110 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // S5 — IVF with REAL k-means centroids (the production swap s3's
+  // scaladoc promises), kept fully DuckDB-oracle-checkable.
+  //
+  // The trick that makes Lloyd iterations bit-reproducible across
+  // engines: cosine is scale-invariant, so a centroid can be
+  // represented by the per-dimension INTEGER SUM of its member
+  // vectors (quantized to 1e-3) instead of their float mean —
+  // integer addition is associative, so Spark's partial aggregation
+  // and DuckDB's sequential sum produce the same centroid exactly,
+  // where float means would drift in the low bits and flip argmax
+  // assignments near ties. All cosines divide exact-integer-valued
+  // doubles (products ≤ ~1e14 ≪ 2^53), so both engines evaluate the
+  // identical IEEE expression.
+  //
+  // Scale: assignment is |V|×|C| with centroids broadcast (narrow,
+  // no shuffle of V); the re-sum is one groupBy per iteration with
+  // map-side combine; per-iteration centroid state (|C|×dims longs)
+  // is a driver-side tiny aggregate, the same pattern as the CC
+  // loop's convergence count. At 100 TB swap the int64 sums for
+  // (mean, count) pairs to keep per-dim sums under 2^63 — noted, not
+  // needed at any plausible |members|×1e3 scale below ~1e15.
+  // ---------------------------------------------------------------
+
+  val QuantScale = 1000
+  val KmeansIters = 3
+
+  /** Quantized integer vectors: qv_i = floor(x_i · 1000), plus the
+    * exact squared norm. floor (not round) — identical semantics in
+    * both engines with no half-up/half-even ambiguity. */
+  private def quantVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * QuantScale)).as("qv"))
+      .withColumn("nv", aggregate(col("qv"), lit(0L), (a, v) => a + v * v))
+
+  /** Rank centroids per vector by exact integer-sum cosine;
+    * tie-break on cid. `cen` columns: (cid, sarr: array<long>,
+    * nc: long = |sarr|²). */
+  private def rankCentroids(v: DataFrame, cen: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    v.crossJoin(broadcast(cen))
+      .withColumn("dot",
+        aggregate(zip_with(col("qv"), col("sarr"), (a, b) => a * b), lit(0L), (a, x) => a + x))
+      .withColumn("ccos",
+        col("dot").cast("double") / (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("r", row_number().over(w))
+  }
+
+  /** Run `KmeansIters` Lloyd rounds from the stride-seeded start and
+    * return the final centroid sums as a local-relation DataFrame.
+    * Each round's new sums are a |C|×dims aggregate collected to the
+    * driver (tiny — the same bounded-driver-state pattern as the CC
+    * convergence counter) and re-broadcast as literals, keeping every
+    * per-round plan flat. */
+  private def kmeansCentroids(spark: SparkSession, v: DataFrame): DataFrame = {
+    import spark.implicits._
+    var cen = v.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("qv").as("sarr"), col("nv").as("nc"))
+    for (_ <- 1 to KmeansIters) {
+      val sums = rankCentroids(v, cen).filter(col("r") === 1)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "q")))
+        .groupBy(col("cid"), col("i")).agg(sum(col("q")).as("s"))
+        .collect()
+      val next = sums.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        val sarr = rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        (cid, sarr, sarr.map(s => s * s).sum)
+      }.sortBy(_._1)
+      cen = next.toDF("cid", "sarr", "nc")
+    }
+    cen
+  }
+
+  /** S5 — IVF ANN over k-means centroids: identical probe/rerank plan
+    * to s3, but the inverted lists come from `KmeansIters` Lloyd
+    * rounds instead of the stride stand-in. Oracle: the same rounds
+    * unrolled as DuckDB CTEs over the same integer sums. */
+  def s5IvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir).cache()
+    val qv = quantVecs(spark, dir).cache()
+    val cen = kmeansCentroids(spark, qv)
+    val lists = rankCentroids(qv, cen).filter(col("r") === 1)
+      .select(col("vec_id"), col("cid"))
+    val qProbe = rankCentroids(qv.filter(col("vec_id") < QueryCount), cen)
+      .filter(col("r") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cand = lists.join(broadcast(qProbe), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val q = v.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = cand
+      .join(v, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
 
   /** D6 — embedding-cosine near-dup detection (the dedup-side twin of
@@ -227,6 +331,7 @@ object Similarity {
     "s2_ann_lsh"           -> (s2AnnLsh _),
     "s3_ivf_ann"           -> (s3IvfAnn _),
     "s4_knn_codegen"       -> (s4KnnCodegen _),
+    "s5_ivf_kmeans"        -> (s5IvfKmeans _),
     "d6_embedding_neardup" -> (d6EmbeddingNearDup _))
 
   // ------------- DuckDB mirrors -------------
@@ -272,7 +377,67 @@ object Similarity {
            FROM proj GROUP BY 1, 2)"""
   }
 
+  /** s5's oracle: the same Lloyd rounds UNROLLED as plain CTEs (one
+    * assignment + re-sum pair per round) over the same quantized
+    * integer sums — exact cross-engine equality needs no recursion,
+    * just KmeansIters copies of the round. DuckDB's sum(BIGINT) is
+    * HUGEINT; every sum is cast to DOUBLE only at the cosine, where
+    * values are ≪ 2^53 and the conversion is exact. */
+  private lazy val s5OracleSql: String = {
+    val rounds = (1 to KmeansIters + 1).map { t =>
+      val prev = t - 1
+      val rank =
+        s"""d$t AS (
+           SELECT q.vec_id, c.cid, sum(q.q * c.s) AS dot
+           FROM qv q JOIN c$prev c ON c.i = q.i GROUP BY 1, 2),
+         r$t AS (
+           SELECT d.vec_id, d.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    CAST(d.dot AS DOUBLE)
+                      / (sqrt(CAST(n.nv AS DOUBLE)) * sqrt(CAST(m.nc AS DOUBLE))) DESC,
+                    d.cid) AS r
+           FROM d$t d
+           JOIN nv n ON n.vec_id = d.vec_id
+           JOIN nc$prev m ON m.cid = d.cid)"""
+      if (t <= KmeansIters)
+        s"""$rank,
+         c$t AS (
+           SELECT a.cid, q.i, sum(q.q) AS s
+           FROM (SELECT vec_id, cid FROM r$t WHERE r = 1) a
+           JOIN qv q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+         nc$t AS (SELECT cid, sum(s * s) AS nc FROM c$t GROUP BY 1)"""
+      else rank
+    }.mkString(",\n         ")
+    val fin = KmeansIters + 1
+    s"""WITH $expandCtes,
+         qv AS (
+           SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) AS q
+           FROM ux),
+         nv AS (SELECT vec_id, sum(q * q) AS nv FROM qv GROUP BY 1),
+         c0 AS (SELECT vec_id AS cid, i, q AS s FROM qv WHERE vec_id % $IvfCentroidStride = 0),
+         nc0 AS (SELECT cid, sum(s * s) AS nc FROM c0 GROUP BY 1),
+         $rounds,
+         lists AS (SELECT vec_id, cid FROM r$fin WHERE r = 1),
+         qprobe AS (SELECT vec_id AS query_id, cid FROM r$fin
+                    WHERE r <= $IvfProbes AND vec_id < $QueryCount),
+         cand AS (
+           SELECT DISTINCT p.query_id, l.vec_id
+           FROM lists l JOIN qprobe p ON l.cid = p.cid
+           WHERE l.vec_id <> p.query_id),
+         scored AS (
+           SELECT c.query_id, c.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM cand c
+           JOIN uq ON uq.query_id = c.query_id
+           JOIN ux u ON u.vec_id = c.vec_id AND u.i = uq.qi
+           JOIN nrm n ON n.vec_id = c.vec_id
+           GROUP BY 1, 2),
+         $rankTail"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "s5_ivf_kmeans" -> s5OracleSql,
     "s1_knn_brute" ->
       s"""WITH $expandCtes,
          scored AS (

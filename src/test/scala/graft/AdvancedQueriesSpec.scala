@@ -79,6 +79,31 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s5 k-means IVF: deterministic across runs, scores agree with brute force") {
+    val a = Similarity.s5IvfKmeans(spark, dir).collect()
+    assert(a.nonEmpty)
+    // Lloyd rounds over integer centroid sums must be exactly
+    // reproducible — a second full build yields identical rows
+    val b = Similarity.s5IvfKmeans(spark, dir).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+       r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSeq
+    assert(key(a) === key(b))
+    val brute = Similarity.s1KnnBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    a.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(k._1 != k._2)
+      brute.get(k).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+    // recall@10 against exact kNN: probe-2 of the small centroid set
+    // must recover at least half the true neighbors on this corpus
+    val hits = a.count(r => brute.contains(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    assert(hits >= a.length / 2, s"recall too low: $hits/${a.length}")
+  }
+
   test("d6 embedding near-dup: pairs ordered, above threshold, no self-pairs") {
     val rows = Similarity.d6EmbeddingNearDup(spark, dir).collect()
     assert(rows.nonEmpty) // guard against vacuous pass if candidates break
