@@ -76,25 +76,21 @@ object RetailStar {
   /** The star pieces a rollup re-joins after the fact build. */
   final case class Star(fact: DataFrame, product: DataFrame, shipping: DataFrame)
 
-  /** Full star build: staging → clean → dims → Fact_Sales_Transaction,
-    * plus the dims the §5 rollups re-join. The warehouse load persists
-    * cleaned staging once and derives every dim + the fact from that
-    * artifact (EtlDemo); this self-contained form mirrors that with an
-    * in-plan cache — without it the staging join + cleaning pipeline
-    * re-executes once per dim lookup (5×). */
+  /** Full star build: staging → clean → Fact_Sales_Transaction via
+    * INLINE surrogate keys (Warehouse.factSalesInline — hash keys are
+    * pure functions of the natural keys, so the fact build is one
+    * narrow projection, no dim joins, no cache), plus lazily-derived
+    * dims for the rollups that re-join one. Keeping everything lazy
+    * lets Catalyst prune the 31-column cleaning pipeline down to the
+    * columns each query actually touches — an earlier cached form
+    * materialized all columns and cost 3× as much per query. A dim a
+    * query does join re-runs the (pruned) cleaning pipeline once more;
+    * that second pass reads 4-6 columns and is far cheaper than the
+    * full-width cache write was. */
   def buildStar(spark: SparkSession, dir: String): Star = {
-    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir)).cache()
-    // materialize BEFORE the dims reference it: the four dim broadcasts
-    // execute as concurrent driver-side jobs, and a still-lazy cache
-    // makes each of them recompute the full cleaning pipeline (first
-    // writer wins, the rest is wasted work — the bench showed 4×)
-    cleaned.count()
-    val product = Warehouse.dimProduct(cleaned)
-    val shipping = Warehouse.dimShipping(cleaned)
-    val fact = Warehouse.factSales(cleaned,
-      product, Warehouse.dimLocation(cleaned),
-      Warehouse.dimPayment(cleaned), shipping)
-    Star(fact, product, shipping)
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir))
+    Star(Warehouse.factSalesInline(cleaned),
+      Warehouse.dimProduct(cleaned), Warehouse.dimShipping(cleaned))
   }
 
   def buildFact(spark: SparkSession, dir: String): DataFrame =

@@ -189,6 +189,41 @@ object Warehouse {
         (col("Order_Status") === "Returned").as("is_returned"))
   }
 
+  /** Fact_Sales_Transaction via INLINE surrogate keys — the
+    * scale-path twin of `factSales`. Because every surrogate is a
+    * deterministic hash of natural-key columns already on the cleaned
+    * frame (F10: that's why hash keys beat monotonically_increasing_id),
+    * the dim lookups resolve without touching the dims at all: the
+    * fact build becomes a single narrow projection — zero joins, zero
+    * broadcast memory, and Catalyst can prune staging columns a query
+    * never reads (the join form must materialize every natural key).
+    *
+    * Null semantics mirror the join form exactly (spec-asserted):
+    * `===`-joined dims (product/payment/shipping) yield NULL keys when
+    * any natural-key column is null — inline, a `when(isNotNull)`
+    * guard; the null-safe `<=>` location join matches nulls, and
+    * xxhash64 skips null inputs identically on both the dim build and
+    * the inline hash, so location_key needs no guard. */
+  def factSalesInline(cleaned: DataFrame): DataFrame =
+    cleaned.select(
+      col("transaction_id"),
+      xxhash64(col("Customer_ID")).as("customer_key"),
+      col("date_key"), col("time_key"), col("month_key"),
+      when(col("product_name").isNotNull && col("Product_Category").isNotNull &&
+           col("Product_Brand").isNotNull && col("Product_Type").isNotNull,
+        xxhash64(col("product_name"), col("Product_Category"),
+                 col("Product_Brand"), col("Product_Type"))).as("product_key"),
+      xxhash64(col("Country"), col("State"), col("City"), col("Zipcode")).as("location_key"),
+      when(col("Payment_Method").isNotNull,
+        xxhash64(col("Payment_Method"))).as("payment_key"),
+      when(col("Shipping_Method").isNotNull,
+        xxhash64(col("Shipping_Method"))).as("shipping_key"),
+      col("quantity"),
+      col("unit_price"),
+      col("line_total_amount"),
+      col("Ratings").as("rating"),
+      (col("Order_Status") === "Returned").as("is_returned"))
+
   /** Fact_Customer_MonthlySnapshot (README.md:110-117) in the
     * incremental window form the reference endorses at README.md:199
     * — NOT the cross-join scaffold (SURVEY §3.2). One hash shuffle

@@ -233,14 +233,18 @@ object Similarity {
 
   /** Rank centroids per vector by exact integer-sum cosine;
     * tie-break on cid. `cen` columns: (cid, sarr: array<long>,
-    * nc: long = |sarr|²). */
+    * nc: long = |sarr|²). The dot runs through the codegen'd
+    * LongDotProduct (int64 accumulation is order-independent, so
+    * fusing it changes nothing) — the interpreted zip_with/aggregate
+    * fold was the dominant cost of every assignment pass. */
   private def rankCentroids(v: DataFrame, cen: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    val dot = ColumnShim.column(graft.functions.LongDotProduct(
+      ColumnShim.expression(col("qv")), ColumnShim.expression(col("sarr"))))
     v.crossJoin(broadcast(cen))
-      .withColumn("dot",
-        aggregate(zip_with(col("qv"), col("sarr"), (a, b) => a * b), lit(0L), (a, x) => a + x))
       .withColumn("ccos",
-        col("dot").cast("double") / (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
+        dot.cast("double") / (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
       .withColumn("r", row_number().over(w))
   }
 

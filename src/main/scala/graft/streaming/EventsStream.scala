@@ -158,6 +158,55 @@ object EventsStream {
       }
   }
 
+  val AttributionGap = "30 minutes"
+  val AttributionGapMicros: Long = 30L * 60 * 1000000
+
+  /** Stream-stream interval join (purchase attribution): each
+    * purchase joins the same user's views in the preceding
+    * 30 minutes. The time-bound join condition is what makes this
+    * feasible as a true stream-stream join — with both sides
+    * watermarked, Spark's state store can discard buffered rows once
+    * they fall outside the interval, so state is bounded by
+    * (watermark + gap) of traffic, not the stream's history. */
+  def attributionPairs(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"),
+      col("event_id").as("view_id"))
+    val b = purchases.select(col("user_id"), col("ts").as("buy_ts"),
+      col("event_id").as("buy_id"))
+    b.join(v, Seq("user_id"))
+      .filter(col("view_ts") <= col("buy_ts") &&
+              col("view_ts") >= col("buy_ts") - expr(s"interval $AttributionGap"))
+  }
+
+  /** Streaming form: filter the one event stream into two branches,
+    * watermark both, interval-join. Append mode emits a pair exactly
+    * once, when the watermark passes the join window. */
+  def attributionStream(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view").withWatermark("ts", "1 hour")
+    val b = events.filter(col("event_type") === "purchase").withWatermark("ts", "1 hour")
+    attributionPairs(v, b)
+  }
+
+  /** ST4 — the batch twin, per-user attribution rollup under the
+    * DuckDB oracle: pair counts, distinct attributed purchases /
+    * contributing views, and the mean view→purchase latency. The join
+    * shuffles both sides on user_id once; the interval predicate is a
+    * post-join filter on the co-partitioned rows (at scale the state
+    * bound comes from the watermark, in batch from partition
+    * pruning on ts if the source is time-partitioned). */
+  def st4StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    attributionPairs(e.filter(col("event_type") === "view"),
+                     e.filter(col("event_type") === "purchase"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("buy_id")).as("n_attributed_buys"),
+           countDistinct(col("view_id")).as("n_contributing_views"),
+           round(avg((unix_micros(col("buy_ts")) - unix_micros(col("view_ts")))
+             / lit(60000000.0)), 1).as("avg_view_to_buy_mins"))
+      .orderBy(col("user_id"))
+  }
+
   /** foreachBatch upsert (SURVEY §2.9/§7 sketch): maintain a
     * windowed-counts snapshot table incrementally from a stream.
     * Update-mode batches carry re-emitted (window, event_type) rows;
@@ -213,7 +262,8 @@ object EventsStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_event_windows"  -> (st1EventWindows _),
     "st2_sessionization" -> (st2Sessionization _),
-    "st3_transitions"    -> (st3Transitions _))
+    "st3_transitions"    -> (st3Transitions _),
+    "st4_stream_join"    -> (st4StreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "st1_event_windows" ->
@@ -251,5 +301,23 @@ object EventsStream {
            FROM events)
          SELECT prev_type, event_type, count(*) AS n_transitions
          FROM e WHERE prev_type IS NOT NULL
-         GROUP BY 1, 2 ORDER BY prev_type, event_type""")
+         GROUP BY 1, 2 ORDER BY prev_type, event_type""",
+    "st4_stream_join" ->
+      s"""WITH v AS (
+           SELECT user_id, ts AS view_ts, event_id AS view_id
+           FROM events WHERE event_type = 'view'),
+         b AS (
+           SELECT user_id, ts AS buy_ts, event_id AS buy_id
+           FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT b.user_id, b.buy_id, v.view_id, b.buy_ts, v.view_ts
+           FROM b JOIN v ON v.user_id = b.user_id
+           WHERE v.view_ts <= b.buy_ts
+             AND date_diff('microsecond', v.view_ts, b.buy_ts) <= $AttributionGapMicros)
+         SELECT user_id, count(*) AS n_pairs,
+                count(DISTINCT buy_id) AS n_attributed_buys,
+                count(DISTINCT view_id) AS n_contributing_views,
+                round(avg(date_diff('microsecond', view_ts, buy_ts) / 60000000.0), 1)
+                  AS avg_view_to_buy_mins
+         FROM pairs GROUP BY 1 ORDER BY user_id""")
 }

@@ -98,6 +98,27 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch attribution pairs") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.attributionStream(stream)
+        .select(col("user_id"), col("buy_id"), col("view_id")),
+      "attr_stream", mode = "append")
+    try {
+      val streamed = spark.table("attr_stream")
+        .orderBy(col("user_id"), col("buy_id"), col("view_id")).collect()
+      val e = Tables.events(spark, dir)
+      val batch = EventsStream.attributionPairs(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("buy_id"), col("view_id"))
+        .orderBy(col("user_id"), col("buy_id"), col("view_id")).collect()
+      assert(batch.nonEmpty)
+      assert(streamed.length === batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
   test("watermarked dedup emits each event_id once") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(

@@ -69,6 +69,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(fact.filter(col("transaction_id") === 1001).collect().head.getAs[Boolean]("is_returned") === false)
   }
 
+  test("factSalesInline: row-for-row identical to the dim-join form") {
+    val joined = Warehouse.factSales(cleaned,
+      Warehouse.dimProduct(cleaned), Warehouse.dimLocation(cleaned),
+      Warehouse.dimPayment(cleaned), Warehouse.dimShipping(cleaned))
+    val inline = Warehouse.factSalesInline(cleaned)
+    assert(inline.columns.toSeq === joined.columns.toSeq)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("transaction_id"), col("product_key"))
+        .collect().map(_.toSeq).toSeq
+    assert(key(inline) === key(joined))
+    // and the inline form adds ZERO joins over the cleaning pipeline
+    // itself (which keeps its one dedup anti-join) — the whole point.
+    // (The join form's plan can't be counted here: the factSales test
+    // above cached an identical plan, so cache substitution collapses
+    // it to an InMemoryRelation.)
+    def joins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(joins(inline) === joins(cleaned), "inline fact must not add joins")
+  }
+
   test("monthly snapshot: lifetime = running sum, semi-additive") {
     val snap = Warehouse.factMonthlySnapshot(cleaned).cache()
     // per customer, lifetime at the last month == total spend
