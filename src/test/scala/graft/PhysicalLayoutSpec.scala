@@ -57,6 +57,33 @@ class PhysicalLayoutSpec extends AnyFunSuite {
     assert(saltedJ === plain)
   }
 
+  test("bucketed range join equals the naive cross-filter plan, without a nested loop") {
+    import graft.operators.RangeJoin
+    // points: event timestamps as epoch seconds; intervals: per-user
+    // synthetic windows of varying span, including hi < lo (matches
+    // nothing) and boundary-inclusive ends
+    val pts = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("p"))
+    val iv = Tables.events(spark, dir)
+      .filter(col("event_id") % 17 === 0)
+      .select(col("event_id").as("iv_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + (col("event_id") % 5 - 1) * 3600000000L).as("hi"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("iv_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = canon(pts.crossJoin(iv)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi")))
+    val bucketed = canon(RangeJoin.pointInInterval(
+      pts, iv, "p", "lo", "hi", width = 3600000000L))
+    assert(bucketed.nonEmpty, "fixture produced no matches — widen the intervals")
+    assert(bucketed === naive)
+    // and the bucketed plan is a real equi-join, not a nested loop
+    val plan = RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", width = 3600000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"expected equi-join:\n$plan")
+  }
+
   test("bucketed fact-fact join plans with no Exchange and no Sort") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
