@@ -119,14 +119,21 @@ object RetailClean {
   /** Stage 5 — collision dedup (clean_data.py:78-88): drop ALL rows of
     * any transaction_id whose rows disagree on Customer_ID or Date.
     * Multi-line transactions that agree survive — that IS the fact
-    * grain (SURVEY §1.4 quirk 3). groupBy+countDistinct then
-    * left_anti: the collided-id set is tiny so the anti-join
-    * broadcasts; never a window/collect_set (O(group) memory). */
+    * grain (SURVEY §1.4 quirk 3). groupBy then left_anti: the
+    * collided-id set is tiny so the anti-join broadcasts; never a
+    * window/collect_set (O(group) memory).
+    *
+    * "disagree" is min≠max, not countDistinct>1: two countDistincts
+    * in one aggregate plan an Expand that doubles the shuffled rows,
+    * while min/max pairs stay a single complete HashAggregate — and
+    * min≠max ⟺ ≥2 distinct non-null values (both ignore nulls; the
+    * all-null group yields null≠null = null, which the filter drops,
+    * exactly as countDistinct=0 fails >1). Same trick as q9. */
   def dedupCollisions(df: DataFrame): DataFrame = {
     val collided = df.groupBy(col("transaction_id"))
-      .agg(countDistinct(col("Customer_ID")).as("n_cust"),
-           countDistinct(col("Date_dt")).as("n_date"))
-      .filter(col("n_cust") > 1 || col("n_date") > 1)
+      .agg(min(col("Customer_ID")).as("c0"), max(col("Customer_ID")).as("c1"),
+           min(col("Date_dt")).as("d0"), max(col("Date_dt")).as("d1"))
+      .filter(col("c0") =!= col("c1") || col("d0") =!= col("d1"))
       .select(col("transaction_id"))
     df.join(collided, Seq("transaction_id"), "left_anti")
   }
