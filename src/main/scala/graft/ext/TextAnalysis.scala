@@ -232,7 +232,88 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  val RepetitionThreshold = 0.2
+
+  /** T9 — Gopher-style repetition quality filter: the fraction of a
+    * document's 3-gram occurrences that are duplicates (1 −
+    * distinct/total). High values mean boilerplate/looped text —
+    * a standard pretraining drop rule. Entirely row-local (two
+    * array expressions per doc), then one per-source rollup. */
+  def t9RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val total = greatest(size(Dedup.shinglesOf(col("_w"))), lit(1))
+    val dupFrac = (total - size(array_distinct(Dedup.shinglesOf(col("_w")))))
+      .cast("double") / total.cast("double")
+    Tables.documents(spark, dir)
+      .select(col("source"), words(col("text")).as("_w"))
+      .select(col("source"), dupFrac.as("dup_frac"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("dup_frac") > RepetitionThreshold, 1L).otherwise(0L)).as("n_flagged"),
+           round(avg(col("dup_frac")), 4).as("avg_dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  val DecontaminationGramK = 8
+  // eval set = doc_id % 20 == 0: a deterministic stand-in wide enough
+  // that the corpus's planted near-dups actually cross the train/eval
+  // boundary at every SF (stride 100 found zero overlaps at sf0.01 —
+  // a vacuously-passing gate)
+  val EvalStride = 20
+
+  /** T10 — benchmark decontamination: flag training documents sharing
+    * any 8-gram with the held-out eval set (the doc_id-stride subset
+    * stands in for a real benchmark). The eval gram set is tiny at any
+    * corpus scale, so the semi-join BROADCASTS — the training corpus
+    * is never shuffled, which is what makes decontamination a narrow
+    * pass at 100 TB. */
+  def t10Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("_w"))
+    val grams = explode(array_distinct(Dedup.shinglesOf(col("_w"), DecontaminationGramK))).as("g")
+    val isEval = col("doc_id") % EvalStride === 0
+    val evalGrams = docs.filter(isEval).select(grams).distinct()
+    val contaminated = docs.filter(!isEval)
+      .select(col("doc_id"), grams)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(!isEval)
+      .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_docs"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val ChunkSize = 64
+  val ChunkOverlap = 16
+  val ChunkStride: Int = ChunkSize - ChunkOverlap
+
+  /** T11 — fixed-window document chunking (training/RAG context prep):
+    * 64-token windows at stride 48 (16-token overlap), last window
+    * clipped. One row per chunk with its token count and content
+    * digest, so the oracle hash-checks the chunk CONTENT, not just
+    * counts. Pure slice/explode — narrow, no shuffle until the
+    * output sort. */
+  def t11Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("_w"))
+    val nChunks = greatest(lit(1),
+      floor((n - lit(ChunkOverlap) + lit(ChunkStride - 1)) / lit(ChunkStride)).cast("int"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("_w"))
+      .select(col("doc_id"), col("_w"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("_w"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize)).as("_c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("_c")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("_c"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_repetition_filter" -> (t9RepetitionFilter _),
+    "t10_decontaminate"    -> (t10Decontaminate _),
+    "t11_chunking"         -> (t11Chunking _),
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_id"      -> (t2LangId _),
     "t3_quality_hist" -> (t3QualityHist _),
@@ -265,7 +346,58 @@ object TextAnalysis {
   private val sqlQuality =
     s"round(least($sqlTokens / 50.0, 1.0) * 0.5 + (${sqlHits("en")} / 4.0) * 0.5, 2)"
 
+  /** Non-distinct k-gram list over `w` (duplicates preserved) —
+    * mirrors Dedup.shinglesOf exactly, short-doc fallback included. */
+  private def sqlGrams(k: Int): String = {
+    val cat = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(w) >= $k
+         THEN list_transform(range(1, len(w) - ${k - 2}), i -> $cat)
+         ELSE [array_to_string(w, ' ')] END"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t9_repetition_filter" ->
+      s"""WITH w AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
+         g AS (SELECT source, ${sqlGrams(3)} AS g FROM w),
+         d AS (SELECT source,
+                 CAST(greatest(len(g), 1) - len(list_distinct(g)) AS DOUBLE)
+                   / CAST(greatest(len(g), 1) AS DOUBLE) AS dup_frac
+               FROM g)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN dup_frac > $RepetitionThreshold THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged,
+                round(avg(dup_frac), 4) AS avg_dup_frac
+         FROM d GROUP BY 1 ORDER BY source""",
+    "t10_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+         u AS (SELECT doc_id, source, unnest(list_distinct(${sqlGrams(DecontaminationGramK)})) AS g
+               FROM w),
+         ev AS (SELECT DISTINCT g FROM u WHERE doc_id % $EvalStride = 0),
+         hits AS (SELECT DISTINCT u.doc_id FROM u JOIN ev USING (g)
+                  WHERE u.doc_id % $EvalStride <> 0),
+         train AS (SELECT doc_id, source FROM documents WHERE doc_id % $EvalStride <> 0)
+         SELECT t.source, count(*) AS n_train_docs,
+                CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contaminated
+         FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+         GROUP BY 1 ORDER BY t.source""",
+    "t11_chunking" ->
+      s"""WITH w AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS w,
+                  len(string_split(trim(text), ' ')) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, w, CAST(i AS INTEGER) AS chunk_idx
+           FROM (SELECT doc_id, w,
+                   unnest(range(greatest(1, (n - $ChunkOverlap + ${ChunkStride - 1}) // $ChunkStride))) AS i
+                 FROM w)),
+         s AS (
+           SELECT doc_id, chunk_idx,
+                  w[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize] AS c
+           FROM c)
+         SELECT doc_id, chunk_idx, CAST(len(c) AS INTEGER) AS chunk_tokens,
+                md5(array_to_string(c, ' ')) AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_idx""",
     "t1_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          round(avg($sqlTokens), 2) AS avg_tokens,

@@ -60,6 +60,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"agg+window must share the customer_id partitioning:\n$p")
   }
 
+  test("q29: inline-key star fact prunes staging columns and joins only its one dim") {
+    val df = graft.etl.RetailStar.q29TopProducts(spark, dir)
+    val p = plan(df)
+    // the product dim broadcasts; the fact side carries NO dim-lookup
+    // joins (inline hash keys), so the only remaining joins are the
+    // staging synthesis (lineitem⋈orders⋈part), the cleaning
+    // pipeline's dedup anti-join, and the one rollup dim join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // column pruning must reach the orders scan: q29 never reads
+    // o_totalprice / o_orderstatus — only the join key + o_custkey
+    // + o_orderdate survive the cleaning pipeline's needs
+    val ordersScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("orders"))
+      .getOrElse("")
+    assert(ordersScan.nonEmpty && !ordersScan.contains("o_totalprice"),
+      s"orders scan reads unprojected columns: $ordersScan")
+  }
+
   test("q26: decile assignment is window-free — no single-partition sort anywhere") {
     val p = plan(graft.queries.AdvancedQueries.q26SpendDeciles(spark, dir))
     // the r1 form planned ntile over Window(ORDER BY …) — a one-task
