@@ -310,7 +310,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // flags the ~5% high-NLL tail at every SF (the planted repetitive /
+  // near-dup docs); the nearest document sits 4e-3 from the cut, so
+  // the count is safe against cross-engine float noise (~1e-13)
+  val PplThreshold = 3.43
+
+  /** T12 — unigram-LM perplexity quality filter (the CCNet/C4 pattern
+    * with a unigram stand-in for KenLM): score each document by the
+    * mean negative log-probability of its tokens under the corpus
+    * unigram distribution; flag docs above threshold. Two-pass shape:
+    * the vocab table is a corpus-wide aggregate joined back per token
+    * — broadcast here; at 100 TB the production form prunes to a
+    * top-K vocab with an OOV floor so the broadcast stays bounded.
+    * Every token's probability is an exact count ratio, so the score
+    * is reproducible cross-engine (rounded at the rollup edge). */
+  def t12UnigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(words(col("text"))).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val n = uni.agg(sum(col("cnt")).cast("double").as("n"))
+    val scored = toks
+      .join(broadcast(uni), Seq("t"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(avg(-log(col("cnt") / col("n"))).as("nll"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("nll")), 3).as("avg_nll"),
+           sum(when(col("nll") > PplThreshold, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_unigram_ppl"      -> (t12UnigramPerplexity _),
     "t9_repetition_filter" -> (t9RepetitionFilter _),
     "t10_decontaminate"    -> (t10Decontaminate _),
     "t11_chunking"         -> (t11Chunking _),
@@ -356,6 +388,18 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t12_unigram_ppl" ->
+      s"""WITH toks AS (
+           SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
+           FROM documents),
+         uni AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+         d AS (SELECT doc_id, source, avg(-ln(cnt / n.n)) AS nll
+               FROM toks JOIN uni USING (t), n GROUP BY 1, 2)
+         SELECT source, count(*) AS n_docs, round(avg(nll), 3) AS avg_nll,
+                CAST(sum(CASE WHEN nll > $PplThreshold THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged
+         FROM d GROUP BY 1 ORDER BY source""",
     "t9_repetition_filter" ->
       s"""WITH w AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
          g AS (SELECT source, ${sqlGrams(3)} AS g FROM w),
