@@ -202,8 +202,14 @@ object Dedup {
     * pair-bounded (LSH only emits pairs inside band buckets), so at
     * test scale it is tens of rows and default-width rounds are pure
     * scheduler overhead, while at 100 TB the same rule yields one
-    * partition per ~2M edges. A graph whose diameter exceeds the
-    * round cap fails loudly instead of returning a non-fixpoint
+    * partition per ~2M edges. The sizing goes through the session's
+    * shuffle-partitions conf (set on entry, restored in a finally):
+    * that is session-GLOBAL state, so other queries planned on the
+    * same SparkSession while the loop runs would inherit the reduced
+    * width — callers sharing a session concurrently (e.g. an active
+    * streaming query) should run CC on its own session. A graph whose
+    * diameter exceeds the round cap fails loudly instead of returning
+    * a non-fixpoint
     * labeling; the production answer for such graphs is
     * pointer-doubling / large-star-small-star (O(log d) rounds),
     * not a bigger cap. */
@@ -239,10 +245,16 @@ object Dedup {
         labels = updated.select(col("node"), col("newLabel").as("label"))
         rounds += 1
       }
-      require(changed == 0,
-        s"connectedComponents did not converge within $rounds rounds " +
-          s"($changed labels still changing); graph diameter exceeds the cap — " +
-          "switch to pointer-doubling rather than raising it")
+      if (changed != 0) {
+        // free BOTH pinned checkpoints before failing — the error path
+        // must not leak the blocks this function exists to manage
+        CheckpointShim.unpersist(edges)
+        CheckpointShim.unpersist(labels)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $rounds rounds " +
+            s"($changed labels still changing); graph diameter exceeds the cap — " +
+            "switch to pointer-doubling rather than raising it")
+      }
       CheckpointShim.unpersist(edges)
       // the final round's checkpoint stays pinned until the caller
       // consumes the result — one component-sized block, not one per round

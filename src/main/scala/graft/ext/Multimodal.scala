@@ -43,7 +43,10 @@ object Multimodal {
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
         (col("doc_id") % 3 + 1).cast("int")).as("mime"),
       encode(col("text"), "UTF-8").as("payload"),
-      length(col("text")).cast("long").as("n_bytes"))
+      // BYTE length of the payload, not the char count — the two
+      // differ on non-ASCII text, and every downstream normalization
+      // (featureColumns, decodeToFeatures) divides by bytes
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
   /** STUB decoder: a real deployment decodes pixels/samples here.
     * Deterministic 16-bin byte histogram, L1-normalized — shaped like
@@ -147,7 +150,7 @@ object Multimodal {
            SELECT doc_id,
                   CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                  text, length(text) AS n
+                  text, octet_length(encode(text)) AS n
            FROM documents),
          ch AS (
            SELECT doc_id,
@@ -171,9 +174,9 @@ object Multimodal {
          FROM per_doc GROUP BY 1 ORDER BY kind""",
     "m2_frame_sampling" ->
       """WITH d AS (
-           SELECT doc_id AS media_id, length(text) AS n
+           SELECT doc_id AS media_id, octet_length(encode(text)) AS n
            FROM documents
-           WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND length(text) > 0),
+           WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND octet_length(encode(text)) > 0),
          fr AS (
            SELECT media_id, CAST(i AS INTEGER) AS frame_idx, n
            FROM (SELECT media_id, n, unnest(range((n + 63) // 64)) AS i FROM d)

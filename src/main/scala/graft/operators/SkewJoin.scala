@@ -24,19 +24,28 @@ object SkewJoin {
     * `big.join(small, key)` up to row order (any salt value in range
     * is correct — the small side carries every salt).
     *
-    * The default salt mixes `monotonically_increasing_id()` into the
-    * row hash: a salt derived from column values alone would map
-    * fully-identical rows (the classic duplicate-heavy hot key) to
-    * ONE salt and not spread them at all. Pass `saltSource` to make
-    * the salt a deterministic function of row content where replayed
-    * determinism matters more than spreading identical rows. */
+    * The default salt is a deterministic hash of the big side's
+    * columns: a task retry recomputes the SAME salt for every row, so
+    * partial stage recomputation can never route a row to two
+    * reducers (duplicate) or zero (loss). The known limitation: rows
+    * that are FULLY identical all hash to one salt and are not
+    * spread. `spreadIdenticalRows = true` mixes a nondeterministic
+    * per-row id into the salt to spread even those — only safe when
+    * the big side's lineage is retry-stable (e.g. freshly read from
+    * immutable files, or checkpointed): under an upstream-shuffle
+    * retry the recomputed ids differ and rows can be double-counted
+    * or dropped mid-join. Pass `saltSource` for a custom salt. */
   def salted(big: DataFrame, small: DataFrame, key: String, buckets: Int,
-             saltSource: Option[Column] = None): DataFrame = {
+             saltSource: Option[Column] = None,
+             spreadIdenticalRows: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
       "inputs already carry a _salt column; rename it before salting")
-    val src = saltSource.getOrElse(
-      xxhash64(monotonically_increasing_id() +: big.columns.map(col): _*))
+    val src = saltSource.getOrElse {
+      val cols = big.columns.map(col)
+      if (spreadIdenticalRows) xxhash64(monotonically_increasing_id() +: cols: _*)
+      else xxhash64(cols: _*)
+    }
     val saltedBig = big.withColumn("_salt", pmod(src, lit(buckets)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -196,14 +196,26 @@ object EventsStream {
     * pruning on ts if the source is time-partitioned). */
   def st4StreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    attributionPairs(e.filter(col("event_type") === "view"),
-                     e.filter(col("event_type") === "purchase"))
-      .groupBy(col("user_id"))
+    val pairs = attributionPairs(e.filter(col("event_type") === "view"),
+                                 e.filter(col("event_type") === "purchase"))
+    // two countDistincts + plain aggs in ONE groupBy would plan a
+    // 3-way Expand of the pair set (the multi-distinct hotspot q24 and
+    // dedupCollisions were rewritten to avoid); split into per-user
+    // single-distinct aggs over a cached pair set and join the tiny
+    // per-user results — the join executes once, and each branch
+    // shuffles a narrow 2-column projection instead of 3× full rows.
+    val byUser = pairs.cache()
+    val base = byUser.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
-           countDistinct(col("buy_id")).as("n_attributed_buys"),
-           countDistinct(col("view_id")).as("n_contributing_views"),
            round(avg((unix_micros(col("buy_ts")) - unix_micros(col("view_ts")))
              / lit(60000000.0)), 1).as("avg_view_to_buy_mins"))
+    val buys = byUser.select(col("user_id"), col("buy_id")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_attributed_buys"))
+    val views = byUser.select(col("user_id"), col("view_id")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_contributing_views"))
+    base.join(buys, Seq("user_id")).join(views, Seq("user_id"))
+      .select(col("user_id"), col("n_pairs"), col("n_attributed_buys"),
+              col("n_contributing_views"), col("avg_view_to_buy_mins"))
       .orderBy(col("user_id"))
   }
 
@@ -219,6 +231,13 @@ object EventsStream {
   def mergeIntoParquet(target: String, keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val dir = new java.io.File(target)
+    // crash recovery: a death between "rename target aside" and
+    // "promote tmp" leaves only the .old copy — restore it BEFORE
+    // looking at dir, or this batch would rebuild from itself and the
+    // cleanup below would delete the sole surviving snapshot
+    val oldAside = new java.io.File(target + ".old")
+    if (!dir.exists() && oldAside.exists() && !oldAside.renameTo(dir))
+      throw new java.io.IOException(s"recovery failed: ${oldAside.getPath} -> $target")
     val cols = batch.columns.map(col).toSeq
     val merged =
       if (!dir.exists()) batch.select(cols: _*)
