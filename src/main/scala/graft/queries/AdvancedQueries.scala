@@ -202,7 +202,64 @@ object AdvancedQueries {
       .orderBy(col("decile"))
   }
 
+  /** q30 — FULL OUTER join (the one join type the inventory had not
+    * exercised): daily urgent-order counts vs daily returned-shipment
+    * counts. The two date domains genuinely differ in both directions
+    * (ship dates trail order dates), so left-only AND right-only rows
+    * exist at every SF — the outer semantics are tested, not vacuous.
+    * Scale: both sides are tiny date-grain aggregates of one pass
+    * each; the outer join shuffles only those aggregates. */
+  def q30FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("n_urgent_orders"))
+    val b = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_shipdate").as("d"))
+      .agg(count(lit(1)).as("n_returned_lines"))
+    a.join(b, Seq("d"), "full_outer")
+      .select(col("d"),
+        coalesce(col("n_urgent_orders"), lit(0L)).as("n_urgent_orders"),
+        coalesce(col("n_returned_lines"), lit(0L)).as("n_returned_lines"))
+      .orderBy(col("d"))
+  }
+
+  val PivotStatuses = Seq("F", "O", "P")
+
+  /** q31 — PIVOT with an explicit value list: order counts by
+    * priority × status, statuses as columns. Passing the values
+    * explicitly matters at scale: without them Spark first runs a
+    * driver-side distinct over the pivot column; with them the whole
+    * thing is one map-side-combined aggregate pass. Empty cells
+    * coalesce to 0 so the oracle compare never sees engine NULL
+    * canon. */
+  def q31Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", PivotStatuses)
+      .agg(count(lit(1)))
+      .select(col("priority") +:
+        PivotStatuses.map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+      .orderBy(col("priority"))
+
+  /** q32 — UNPIVOT (stack) back to long form: melt q31's wide frame
+    * to (priority, status, n) and drop the manufactured empty cells,
+    * which recovers exactly the plain groupBy — asserted by the
+    * oracle. stack() is a narrow per-row expand, no shuffle beyond
+    * q31's own aggregate. */
+  def q32Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val stackArgs = PivotStatuses.map(s => s"'$s', `$s`").mkString(", ")
+    q31Pivot(spark, dir)
+      .selectExpr("priority", s"stack(${PivotStatuses.size}, $stackArgs) AS (status, n)")
+      .filter(col("n") > 0)
+      .orderBy(col("priority"), col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_full_outer"      -> (q30FullOuter _),
+    "q31_pivot"           -> (q31Pivot _),
+    "q32_unpivot"         -> (q32Unpivot _),
     "q26_spend_deciles"   -> (q26SpendDeciles _),
     "q25_scd2_history"    -> (q25Scd2History _),
     "q20_rollup"          -> (q20Rollup _),
@@ -212,6 +269,30 @@ object AdvancedQueries {
     "q24_approx_distinct" -> (q24ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q30_full_outer" ->
+      """WITH a AS (
+           SELECT o_orderdate AS d, count(*) AS n_urgent_orders
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+         b AS (
+           SELECT l_shipdate AS d, count(*) AS n_returned_lines
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+         SELECT coalesce(a.d, b.d) AS d,
+                coalesce(n_urgent_orders, 0) AS n_urgent_orders,
+                coalesce(n_returned_lines, 0) AS n_returned_lines
+         FROM a FULL OUTER JOIN b ON a.d = b.d
+         ORDER BY d""",
+    "q31_pivot" ->
+      """SELECT o_orderpriority AS priority,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+                CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+                CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+         FROM orders GROUP BY 1 ORDER BY priority""",
+    "q32_unpivot" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                count(*) AS n
+         FROM orders
+         WHERE o_orderstatus IN ('F', 'O', 'P')
+         GROUP BY 1, 2 ORDER BY priority, status""",
     "q20_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region,
          coalesce(n_name, 'ALL') AS nation,
