@@ -119,6 +119,22 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot swap recovers from a crash between the two renames") {
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("swap").toString + "/snap"
+    val merge = EventsStream.mergeIntoParquet(target, Seq("k")) _
+    merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), 0L)
+    // simulate dying after "rename target aside" but before "promote
+    // tmp": only the .old copy exists
+    assert(new java.io.File(target).renameTo(new java.io.File(target + ".old")))
+    merge(Seq(("b", 20L), ("c", 3L)).toDF("k", "v"), 1L)
+    val got = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'a' survives only if the stranded .old snapshot was restored
+    // before merging; 'b' takes the newer batch's value
+    assert(got === Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
+  }
+
   test("watermarked dedup emits each event_id once") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(

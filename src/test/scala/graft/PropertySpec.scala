@@ -103,4 +103,48 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 15)
   }
+
+  test("chunking laws: full coverage, exact overlap, bounded size, content round-trip") {
+    import graft.ext.TextAnalysis.{ChunkOverlap, ChunkSize, ChunkStride}
+    // pure-Scala reimplementation of the chunk INDEX math; the law is
+    // checked against it, and t11's Spark form is oracle-checked to
+    // the same formula in DuckDB, closing the triangle
+    val docGen = Gen.chooseNum(1, 200)
+    check("chunking", Prop.forAll(docGen) { n =>
+      val nChunks = math.max(1, math.ceil((n - ChunkOverlap).toDouble / ChunkStride).toInt)
+      val spans = (0 until nChunks).map { i =>
+        val start = i * ChunkStride
+        (start, math.min(start + ChunkSize, n))
+      }
+      val covered = spans.foldLeft(Set.empty[Int]) { case (s, (a, b)) => s ++ (a until b) }
+      val sizesOk = spans.forall { case (a, b) => b - a >= 1 && b - a <= ChunkSize }
+      val overlapOk = spans.sliding(2).forall {
+        case Seq((a1, b1), (a2, _)) => a2 - a1 == ChunkStride && (b1 - a2 >= 0 || b1 == n)
+        case _ => true
+      }
+      covered == (0 until n).toSet && sizesOk && overlapOk
+    })
+  }
+
+  test("range join law: bucketed equals naive for random points and intervals") {
+    import spark.implicits._
+    val caseGen = for {
+      pts <- Gen.listOfN(40, Gen.chooseNum(-100L, 100L))
+      ivs <- Gen.listOfN(12, for {
+        lo <- Gen.chooseNum(-120L, 120L)
+        span <- Gen.chooseNum(-10L, 60L) // negative span → hi < lo → empty
+      } yield (lo, lo + span))
+      width <- Gen.oneOf(1L, 7L, 50L)
+    } yield (pts, ivs, width)
+    check("rangeJoin", Prop.forAll(caseGen) { case (pts, ivs, width) =>
+      val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val naive = canon(p.crossJoin(iv).filter(col("p") >= col("lo") && col("p") <= col("hi")))
+      val bucketed = canon(graft.operators.RangeJoin.pointInInterval(p, iv, "p", "lo", "hi", width))
+      bucketed == naive
+    }, n = 12)
+  }
 }
