@@ -256,7 +256,45 @@ object AdvancedQueries {
       .orderBy(col("priority"), col("status"))
   }
 
+  val FunnelSteps = Seq("signup", "view", "purchase")
+
+  val FunnelWindow = "1 hour"
+  val FunnelWindowMicros: Long = 3600000000L
+
+  /** q33 — ordered, time-bounded funnel: how far does each user get
+    * through signup → view → purchase, where each step must happen
+    * strictly after the previous one and WITHIN the conversion
+    * window (the classic product-analytics funnel — without the
+    * window every long-lived user trivially completes)? Computed as
+    * dependent per-user minima: t1 = first signup, t2 = first view in
+    * (t1, t1+window], t3 = first purchase in (t2, t2+window] — two
+    * conditional-min passes over per-user aggregates joined back
+    * (each join is on user_id against a per-user frame, so the event
+    * table shuffles once per step, never explodes). */
+  def q33Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val win = expr(s"interval $FunnelWindow")
+    val t1 = e.filter(col("event_type") === FunnelSteps(0))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === FunnelSteps(1))
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === FunnelSteps(2))
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val steps = t1.select(col("user_id")).withColumn("step", lit(1))
+      .union(t2.select(col("user_id")).withColumn("step", lit(2)))
+      .union(t3.select(col("user_id")).withColumn("step", lit(3)))
+    steps.groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users_reaching"))
+      .orderBy(col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_funnel"          -> (q33Funnel _),
     "q30_full_outer"      -> (q30FullOuter _),
     "q31_pivot"           -> (q31Pivot _),
     "q32_unpivot"         -> (q32Unpivot _),
@@ -269,6 +307,28 @@ object AdvancedQueries {
     "q24_approx_distinct" -> (q24ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q33_funnel" ->
+      s"""WITH t1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (
+           SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN t1 ON t1.user_id = e.user_id
+           WHERE e.event_type = 'view' AND e.ts > t1.t1
+             AND date_diff('microsecond', t1.t1, e.ts) <= $FunnelWindowMicros
+           GROUP BY 1),
+         t3 AS (
+           SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN t2 ON t2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+             AND date_diff('microsecond', t2.t2, e.ts) <= $FunnelWindowMicros
+           GROUP BY 1),
+         steps AS (
+           SELECT user_id, 1 AS step FROM t1
+           UNION ALL SELECT user_id, 2 FROM t2
+           UNION ALL SELECT user_id, 3 FROM t3)
+         SELECT step, count(*) AS n_users_reaching
+         FROM steps GROUP BY 1 ORDER BY step""",
     "q30_full_outer" ->
       """WITH a AS (
            SELECT o_orderdate AS d, count(*) AS n_urgent_orders
