@@ -293,7 +293,45 @@ object AdvancedQueries {
       .orderBy(col("step"))
   }
 
+  /** q34 — RANGE-frame window (the one frame family the inventory
+    * had not exercised; q5 uses ROWS): per-region daily revenue with
+    * a trailing-7-day rolling sum. RANGE over the day offset handles
+    * calendar GAPS correctly — a ROWS frame would silently span
+    * missing days. One shuffle on region serves both the daily
+    * aggregate and the window (partitioning-subset trick, same as
+    * q5). */
+  def q34TrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val daily = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .repartition(col("r_name"))
+      .groupBy(col("r_name").as("region"), col("o_orderdate").as("d"))
+      // round on the 4-DECIMAL grid, not to cents: price×(1−disc) is
+      // an exactly-4-decimal quantity, so its sums sit ON that grid
+      // (round(4) is noise-immune — the value is ≥5e-5 from any
+      // boundary) while round(2) hits exact half-cent TIES that the
+      // two engines' accumulation noise breaks in opposite directions
+      // (observed: 37/12.5k daily groups differed by a cent)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("rev"))
+      .withColumn("day_off", datediff(col("d"), lit("1992-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("region")).orderBy(col("day_off"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("trailing_7d", sum(col("rev")).over(w))
+      .select(col("region"), col("d"),
+        col("rev").as("daily_rev"),
+        round(col("trailing_7d"), 4).as("trailing_7d_rev"))
+      .orderBy(col("region"), col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_trailing_window" -> (q34TrailingWindow _),
     "q33_funnel"          -> (q33Funnel _),
     "q30_full_outer"      -> (q30FullOuter _),
     "q31_pivot"           -> (q31Pivot _),
@@ -307,6 +345,21 @@ object AdvancedQueries {
     "q24_approx_distinct" -> (q24ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q34_trailing_window" ->
+      """WITH daily AS (
+           SELECT r_name AS region, o_orderdate AS d,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev,
+                  date_diff('day', DATE '1992-01-01', o_orderdate) AS day_off
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT region, d, rev AS daily_rev,
+                round(sum(rev) OVER (PARTITION BY region ORDER BY day_off
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS trailing_7d_rev
+         FROM daily ORDER BY region, d""",
     "q33_funnel" ->
       s"""WITH t1 AS (
            SELECT user_id, min(ts) AS t1 FROM events
