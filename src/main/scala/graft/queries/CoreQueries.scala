@@ -32,7 +32,7 @@ object CoreQueries {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(revenue), 2).as("sum_disc_price"),
+        round(sum(revenue), 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -47,7 +47,7 @@ object CoreQueries {
     val part = Tables.part(spark, dir)
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_name"), col("p_brand"))
-      .agg(round(sum(revenue), 2).as("revenue"),
+      .agg(round(sum(revenue), 4).as("revenue"),
            sum(col("l_quantity")).cast("long").as("total_qty"))
       .orderBy(desc("revenue"), col("p_name"), col("p_brand"))
       .limit(10)
@@ -73,7 +73,7 @@ object CoreQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(revenue), 2).as("revenue"),
+      .agg(round(sum(revenue), 4).as("revenue"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -159,19 +159,19 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
          round(avg(l_quantity),2) AS avg_qty,
          count(*) AS count_order
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q2_top_parts" ->
       """SELECT p_name, p_brand,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
          CAST(sum(l_quantity) AS BIGINT) AS total_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1,2 ORDER BY revenue DESC, p_name, p_brand LIMIT 10""",
     "q3_region_revenue" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
          count(*) AS n_lines
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
