@@ -87,11 +87,25 @@ object Dedup {
     * per-shingle doc counts) — on a mostly-unique corpus this shrinks
     * the joined volume by an order of magnitude without changing a
     * single output row. */
-  def d3JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def d3JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    d3JaccardPairsCapped(spark, dir, maxShingleDocFreq = None)
+
+  /** The exact path with the 100 TB knob made executable: shingles
+    * appearing in more than `maxShingleDocFreq` documents are dropped
+    * from the self-join (standard hot-shingle capping — a shingle in
+    * k docs fans out k² pairs, and the hottest shingles are
+    * boilerplate that contributes intersection mass to pairs that
+    * were never near-dups). `None` = exact. Capping can only REMOVE
+    * pairs or lower Jaccard estimates, never invent a pair
+    * (spec-asserted); at threshold ∞ it IS d3. */
+  def d3JaccardPairsCapped(spark: SparkSession, dir: String,
+                           maxShingleDocFreq: Option[Long]): DataFrame = {
     val sh = shingleSet(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val repeated = sh.groupBy(col("s")).agg(count(lit(1)).as("ns"))
-      .filter(col("ns") > 1).select(col("s"))
+      .filter(col("ns") > 1 &&
+        maxShingleDocFreq.map(m => col("ns") <= m).getOrElse(lit(true)))
+      .select(col("s"))
     val shRep = sh.join(repeated, Seq("s"), "left_semi")
     val inter = shRep.as("a")
       .join(shRep.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

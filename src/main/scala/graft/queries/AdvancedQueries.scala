@@ -39,7 +39,7 @@ object AdvancedQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+      .agg(graft.queries.CoreQueries.revenueSumExact.as("revenue"),
            count(lit(1)).as("n_lines"),
            grouping_id().cast("int").as("gid"))
       .select(coalesce(col("r_name"), lit("ALL")).as("region"),
@@ -409,7 +409,7 @@ object AdvancedQueries {
     "q20_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region,
          coalesce(n_name, 'ALL') AS nation,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / 10000.0 AS revenue,
          count(*) AS n_lines,
          CAST(grouping(r_name, n_name) AS INTEGER) AS gid
          FROM lineitem

@@ -21,6 +21,24 @@ object CoreQueries {
 
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Exact fixed-point revenue sum: price×(1−disc) is an
+    * exactly-4-decimal quantity, so each row scales to an int64
+    * (float error ≤5e-7 ≪ 0.5 — the round recovers the true integer
+    * exactly), the int sum is order-independent in every engine, and
+    * ONE division at the edge yields the identical double. Plain
+    * double summation fails both ways at scale: round(2) lands on
+    * true half-cent ties, and at ~1e9 magnitudes accumulation noise
+    * (~1e-4) swamps round(4)'s grid. DuckDB mirror:
+    * `sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+    * / 10000.0`. Int64 headroom: ~9e14 rows of 1e4-scaled 1e5-sized
+    * values; beyond that (full 100 TB fact in ONE group) switch the
+    * accumulator to decimal(38,0). */
+  def revenueSumExact: Column =
+    (sum(round(revenue * 10000).cast("long")) / 10000.0)
+
+  val revenueSumExactSql: String =
+    "sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / 10000.0"
+
   /** Q5.1-analog / TPC-H Q1 shape — pricing summary by flag+status.
     * Ref: README.md:209-214 (grouped SUM over fact). Single shuffle
     * (partial+final hash agg); no join. Scales linearly: map-side
@@ -32,7 +50,7 @@ object CoreQueries {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(revenue), 4).as("sum_disc_price"),
+        revenueSumExact.as("sum_disc_price"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -47,7 +65,7 @@ object CoreQueries {
     val part = Tables.part(spark, dir)
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_name"), col("p_brand"))
-      .agg(round(sum(revenue), 4).as("revenue"),
+      .agg(revenueSumExact.as("revenue"),
            sum(col("l_quantity")).cast("long").as("total_qty"))
       .orderBy(desc("revenue"), col("p_name"), col("p_brand"))
       .limit(10)
@@ -73,7 +91,7 @@ object CoreQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(revenue), 4).as("revenue"),
+      .agg(revenueSumExact.as("revenue"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -159,19 +177,19 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
          round(avg(l_quantity),2) AS avg_qty,
          count(*) AS count_order
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q2_top_parts" ->
       """SELECT p_name, p_brand,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / 10000.0 AS revenue,
          CAST(sum(l_quantity) AS BIGINT) AS total_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1,2 ORDER BY revenue DESC, p_name, p_brand LIMIT 10""",
     "q3_region_revenue" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / 10000.0 AS revenue,
          count(*) AS n_lines
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey

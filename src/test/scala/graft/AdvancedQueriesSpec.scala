@@ -141,6 +141,19 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("d3 hot-shingle cap: huge cap is exact, cap=1 is empty, caps only remove pairs") {
+    import graft.ext.Dedup
+    def pairs(cap: Option[Long]) =
+      Dedup.d3JaccardPairsCapped(spark, dir, cap).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val exact = pairs(None)
+    assert(exact.nonEmpty)
+    assert(pairs(Some(Long.MaxValue)) === exact, "no-op cap must be exact")
+    assert(pairs(Some(1L)).isEmpty, "cap=1 keeps no repeated shingle")
+    // an intermediate cap can only drop pairs, never invent one
+    assert(pairs(Some(3L)).subsetOf(exact))
+  }
+
   test("BottomK aggregator: reduce and merge keep the k smallest distinct values") {
     import graft.functions.{BottomK, BottomKSketch}
     val agg = new BottomK(3)
