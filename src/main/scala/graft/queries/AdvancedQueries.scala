@@ -330,7 +330,27 @@ object AdvancedQueries {
       .orderBy(col("region"), col("d"))
   }
 
+  /** q35 — the SQL-text entry point (every other query drives the
+    * DataFrame API; a reference user also writes SQL): correlated
+    * EXISTS (planned as a left-semi join — no row explosion) plus an
+    * uncorrelated scalar subquery (planned as a one-row broadcast),
+    * over registered temp views. Above-average orders that shipped at
+    * least one returned line, counted per priority. */
+  def q35ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority AS priority, count(*) AS n_big_with_return
+         FROM v_orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders)
+           AND EXISTS (SELECT 1 FROM v_lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority
+         ORDER BY priority""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_exists_subquery" -> (q35ExistsSubquery _),
     "q34_trailing_window" -> (q34TrailingWindow _),
     "q33_funnel"          -> (q33Funnel _),
     "q30_full_outer"      -> (q30FullOuter _),
@@ -345,6 +365,14 @@ object AdvancedQueries {
     "q24_approx_distinct" -> (q24ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q35_exists_subquery" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n_big_with_return
+         FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority
+         ORDER BY priority""",
     "q34_trailing_window" ->
       """WITH daily AS (
            SELECT r_name AS region, o_orderdate AS d,
