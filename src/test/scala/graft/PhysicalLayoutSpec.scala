@@ -84,6 +84,30 @@ class PhysicalLayoutSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), s"expected equi-join:\n$plan")
   }
 
+  test("z-ordered layout localizes BOTH columns: secondary-column query touches fewer files") {
+    import graft.operators.ZOrder
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
+    val files = 16
+    val linear = s"$tmp/layout_linear"
+    val zed = s"$tmp/layout_zorder"
+    // layout A: classic single-column sort (perfect for orderkey,
+    // scatters partkey); layout B: z-order on both
+    li.repartitionByRange(files, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(linear)
+    ZOrder.writeZOrdered(li, zed, Seq("l_orderkey", "l_partkey"), numFiles = files)
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val pred = col("l_partkey").between(100, 120)
+    val a = filesTouched(linear, pred)
+    val b = filesTouched(zed, pred)
+    assert(a > 0 && b > 0, "predicate must match rows in both layouts")
+    assert(b < a, s"z-order should localize partkey: linear=$a files, zorder=$b files")
+    // and the z-ordered copy holds exactly the same rows
+    assert(spark.read.parquet(zed).count() === li.count())
+  }
+
   test("bucketed fact-fact join plans with no Exchange and no Sort") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
