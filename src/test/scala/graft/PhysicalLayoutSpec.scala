@@ -108,6 +108,26 @@ class PhysicalLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zed).count() === li.count())
   }
 
+  test("compaction collapses small files to the byte target, preserving rows exactly") {
+    import graft.operators.Compact
+    val cdir = s"$tmp/compact_me"
+    val li = Tables.lineitem(spark, dir)
+    li.repartition(64).write.mode("overwrite").parquet(cdir) // the small-files mess
+    val (bytes, before) = Compact.stats(spark, cdir)
+    assert(before === 64)
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus, so no
+    // column sort is total — compare canonical multisets instead
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val want = canon(li.collect())
+    // target a quarter of the data per file → expect 4 files
+    Compact.compact(spark, cdir, targetBytes = bytes / 4 + 1)
+    val (_, after) = Compact.stats(spark, cdir)
+    assert(after <= 5 && after >= 3, s"expected ~4 files, got $after")
+    val got = canon(spark.read.parquet(cdir).collect())
+    assert(got === want)
+  }
+
   test("bucketed fact-fact join plans with no Exchange and no Sort") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")

@@ -106,6 +106,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(math.abs(monthlySum - total) < 1e-6)
   }
 
+  test("incremental snapshot fold equals the full rebuild, month by month") {
+    val full = Warehouse.factMonthlySnapshot(cleaned)
+    val months = cleaned
+      .withColumn("_m", date_trunc("month", to_date(col("Date"), "M/d/yyyy")))
+      .select("_m").distinct().collect().map(_.getTimestamp(0)).sorted
+    assert(months.length > 1, "fixture must span multiple months")
+    var snapshot = full.filter(lit(false)) // empty frame, full schema
+    months.foreach { m =>
+      val stagingMonth = cleaned.filter(
+        date_trunc("month", to_date(col("Date"), "M/d/yyyy")) === lit(m))
+      val appended = Warehouse.factMonthlySnapshotIncrement(snapshot, stagingMonth)
+      snapshot = snapshot.select(appended.columns.map(col): _*).union(appended)
+        .localCheckpoint() // keep the fold's plan from nesting per month
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("customer_key"), col("month_key"), col("month_start"),
+          round(col("month_total_spent"), 2), col("month_total_orders"),
+          col("location_key"), round(col("customer_lifetime_spent"), 2))
+        .orderBy(col("customer_key"), col("month_start"))
+        .collect().map(_.toSeq).toSeq
+    assert(canon(snapshot) === canon(full))
+  }
+
   test("dimMonth: month grain, MMyyyy key, contiguous span") {
     val m = Warehouse.dimMonth(spark, "2023-11-15", "2024-02-03")
     assert(m.count() === 4) // Nov, Dec, Jan, Feb — bounds truncate to month
