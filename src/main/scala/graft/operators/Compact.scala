@@ -32,7 +32,13 @@ object Compact {
               targetBytes: Long = DefaultTargetBytes,
               shuffle: Boolean = false): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val (totalBytes, _) = stats(spark, dir)
+    val (totalBytes, nFiles) = stats(spark, dir)
+    // a partitioned table has its part files in key= subdirectories —
+    // compacting it flat would silently drop the partition layout;
+    // compact each partition directory instead
+    require(nFiles > 0,
+      s"no parquet part files directly under $dir — for a partitioned table, " +
+        "compact each partition directory")
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(dir)
     val out = if (shuffle) df.repartition(n) else df.coalesce(n)
