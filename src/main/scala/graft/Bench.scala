@@ -35,8 +35,13 @@ object Bench {
         spark.catalog.clearCache()
         (t, status)
       }
-      val bad = attempts.map(_._2).find(_ != "ok")
-      (name, attempts.map(_._1).min, bad.getOrElse("ok"))
+      // a query is ok if ANY attempt materialized (best-of-N exists to
+      // tolerate transient glitches); its time is the min over the OK
+      // attempts only — pairing a failed attempt's short duration with
+      // an ok status (or vice versa) would describe two different runs
+      val okTimes = attempts.collect { case (t, "ok") => t }
+      if (okTimes.nonEmpty) (name, okTimes.min, "ok")
+      else (name, attempts.map(_._1).min, attempts.head._2)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -275,6 +275,16 @@ object Warehouse {
     * (spec-asserted). */
   def factMonthlySnapshotIncrement(prevSnapshot: DataFrame,
                                    monthStaging: DataFrame): DataFrame = {
+    // the one-month precondition is load-bearing, not advisory: two
+    // months in one batch would each take prior-lifetime + OWN total,
+    // silently dropping the earlier month's spend from the later
+    // month's lifetime. A tiny distinct-count guard beats corruption.
+    val nMonths = monthStaging
+      .select(date_trunc("month", to_date(col("Date"), "M/d/yyyy")).as("_m"))
+      .distinct().count()
+    require(nMonths <= 1,
+      s"factMonthlySnapshotIncrement takes ONE month of staging, got $nMonths — " +
+        "split the batch by month and fold in order")
     val monthly = monthStaging
       .withColumn("d", to_date(col("Date"), "M/d/yyyy"))
       .groupBy(

@@ -32,6 +32,17 @@ object Compact {
               targetBytes: Long = DefaultTargetBytes,
               shuffle: Boolean = false): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    // crash recovery, same as the streaming snapshot merge: a death
+    // between the two swap renames leaves only the .compact_old copy —
+    // restore it before reading, or stats() fails unhelpfully and the
+    // stranded data is one cleanup away from deletion
+    locally {
+      val p = new Path(dir)
+      val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+      val old = new Path(dir + ".compact_old")
+      if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+        throw new java.io.IOException(s"recovery failed: $old -> $dir")
+    }
     val (totalBytes, nFiles) = stats(spark, dir)
     // a partitioned table has its part files in key= subdirectories —
     // compacting it flat would silently drop the partition layout;

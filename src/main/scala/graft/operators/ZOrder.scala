@@ -37,27 +37,30 @@ object ZOrder {
       }
     }.reduce(_ + _)
 
-  /** Rank-bucket `c` into [0, 2^bits) by its approximate quantile
-    * boundaries (broadcast join against one boundary-array row). */
-  private def withBucket(df: DataFrame, c: String, bits: Int): DataFrame = {
-    val n = 1 << bits
-    val qs = (1 until n).map(_.toDouble / n).toArray
-    val bounds = df.agg(percentile_approx(col(c).cast("double"), typedLit(qs), lit(10000))
-      .as(s"_bounds_$c"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn(s"_bucket_$c",
-        aggregate(col(s"_bounds_$c"),
-          lit(0L), (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L)))
-      .drop(s"_bounds_$c")
-  }
-
-  /** Z-value column for `cols` appended as `_z`. */
+  /** Z-value column for `cols` appended as `_z`. EVERY column's
+    * quantile boundaries come from ONE aggregate over the input (one
+    * scan, one one-row broadcast) — folding a per-column
+    * bounds-aggregate would nest each column's crossJoin inside the
+    * next column's aggregate plan, recomputing earlier boundaries
+    * once per later column. */
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = DefaultBits): DataFrame = {
     require(cols.size >= 2, "z-ordering one column is just a sort")
-    val bucketed = cols.foldLeft(df)((d, c) => withBucket(d, c, bits))
+    val n = 1 << bits
+    val qs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.agg(
+      percentile_approx(col(cols.head).cast("double"), typedLit(qs), lit(10000))
+        .as(s"_bounds_${cols.head}"),
+      cols.tail.map(c =>
+        percentile_approx(col(c).cast("double"), typedLit(qs), lit(10000))
+          .as(s"_bounds_$c")): _*)
+    val bucketed = cols.foldLeft(df.crossJoin(broadcast(bounds))) { (d, c) =>
+      d.withColumn(s"_bucket_$c",
+        aggregate(col(s"_bounds_$c"),
+          lit(0L), (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L)))
+    }
     bucketed
       .withColumn("_z", interleaveBits(cols.map(c => col(s"_bucket_$c")), bits))
-      .drop(cols.map(c => s"_bucket_$c"): _*)
+      .drop(cols.map(c => s"_bucket_$c") ++ cols.map(c => s"_bounds_$c"): _*)
   }
 
   /** Write `df` z-ordered on `cols` into `numFiles` parquet files:

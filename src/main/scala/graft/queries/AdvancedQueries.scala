@@ -306,8 +306,10 @@ object AdvancedQueries {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
+    // customer is fact-scale at high SF — no broadcast hint (same rule
+    // as q3/q20); nation/region are true dims
     val daily = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .repartition(col("r_name"))
