@@ -129,14 +129,17 @@ object RetailClean {
     * min≠max ⟺ ≥2 distinct non-null values (both ignore nulls; the
     * all-null group yields null≠null = null, which the filter drops,
     * exactly as countDistinct=0 fails >1). Same trick as q9. */
-  def dedupCollisions(df: DataFrame): DataFrame = {
-    val collided = df.groupBy(col("transaction_id"))
+  def dedupCollisions(df: DataFrame): DataFrame =
+    df.join(dedupCollisionIds(df), Seq("transaction_id"), "left_anti")
+
+  /** The collided-transaction id set over parsed staging (shared by
+    * the dedup stage and the quarantine view). */
+  def dedupCollisionIds(parsed: DataFrame): DataFrame =
+    parsed.groupBy(col("transaction_id"))
       .agg(min(col("Customer_ID")).as("c0"), max(col("Customer_ID")).as("c1"),
            min(col("Date_dt")).as("d0"), max(col("Date_dt")).as("d1"))
       .filter(col("c0") =!= col("c1") || col("d0") =!= col("d1"))
       .select(col("transaction_id"))
-    df.join(collided, Seq("transaction_id"), "left_anti")
-  }
 
   /** Stage 6 — key synthesis (clean_data.py:97-104): zero-padded
     * STRINGS, not ints (SURVEY §1.4 quirk 1), and time_key is
@@ -204,6 +207,40 @@ object RetailClean {
       ("rows_dropped_collision", nCriticalKept - nAfterDedup),
       ("rows_out",            nClean)
     ).toDF("metric", "value").withColumn("load_id", lit(loadId))
+  }
+
+  /** Quarantine view of the pipeline (README.md:160-162 data-quality
+    * checks, production form): every raw row tagged with its fate —
+    * `reject_reason` NULL for rows the pipeline keeps,
+    * 'null_critical' / 'id_collision' for the two drop rules (first
+    * match wins, mirroring stage order), plus an independent
+    * `parse_failed` flag for rows clean() keeps with null keys (the
+    * reference would have raised; we surface instead — SURVEY §1.4
+    * quirk 5). Rows with NULL reject_reason are exactly clean()'s
+    * output rows (spec-reconciled against the audit counts), so a
+    * load can write rejects to a quarantine table with reasons
+    * instead of silently shrinking.
+    *
+    * Scale: one pass plus the same collision aggregate clean()
+    * already pays; the reason column is row-local. */
+  def quarantine(raw: DataFrame): DataFrame = {
+    val renamed = rename(raw)
+    val criticalNull = criticalCols.filter(renamed.columns.contains)
+      .map(col(_).isNull).reduce(_ || _)
+    val staged = parseDateTime(renamed)
+    // collision ids computed over the same population clean() uses:
+    // parsed rows that survived the critical-null drop
+    val collidedIds = dedupCollisionIds(parseDateTime(dropCriticalNulls(rename(raw))))
+    staged
+      .join(broadcast(collidedIds.withColumn("_collided", lit(true))),
+        Seq("transaction_id"), "left")
+      .withColumn("reject_reason",
+        when(criticalNull, "null_critical")
+          .when(col("_collided"), "id_collision"))
+      .withColumn("parse_failed",
+        !criticalNull && (col("Date_dt").isNull || col("hour_i").isNull ||
+          col("minute_i").isNull || col("second_i").isNull))
+      .drop("_collided", "Date_dt", "hour_i", "minute_i", "second_i")
   }
 
   /** Comma-delimited cleaned CSV (clean_data.py:136). Spark writes a

@@ -164,6 +164,29 @@ class WarehouseSpec extends AnyFunSuite {
       "rows_dropped_collision", "rows_out"))
   }
 
+  test("quarantine view reconciles exactly with the audit counts and clean()'s output") {
+    val raw = RetailClean.readStaging(
+      spark, getClass.getResource("/retail_fixture.csv").getPath)
+    val q = RetailClean.quarantine(raw).cache()
+    val a = RetailClean.audit(raw, cleaned, loadId = "fixture")
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(q.count() === a("rows_in"), "quarantine keeps every raw row")
+    val byReason = q.groupBy(col("reject_reason")).count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("kept") -> r.getLong(1)).toMap
+    assert(byReason.getOrElse("null_critical", 0L) === a("rows_dropped_null"))
+    assert(byReason.getOrElse("id_collision", 0L) === a("rows_dropped_collision"))
+    assert(byReason.getOrElse("kept", 0L) === a("rows_out"))
+    assert(q.filter(col("parse_failed")).count() === a("rows_parse_failed"))
+    // kept rows are clean()'s rows, by transaction line identity
+    val keptIds = q.filter(col("reject_reason").isNull)
+      .groupBy(col("transaction_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cleanIds = cleaned.groupBy(col("transaction_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keptIds === cleanIds)
+    q.unpersist()
+  }
+
   test("SCD2: change closes old version and opens a new one") {
     import spark.implicits._
     val init = Seq((1L, "Low"), (2L, "High")).toDF("customer_id", "income")
