@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.etl.{RetailClean, Warehouse}
 object EtlDemo {
   def main(args: Array[String]): Unit = {
@@ -19,6 +20,9 @@ object EtlDemo {
     Warehouse.factMonthlySnapshot(cleaned).write.mode("overwrite").parquet(s"$out/snapshot")
     // persisted audit table (README.md:177-178), not just a printout
     RetailClean.audit(raw, cleaned, loadId = in).write.mode("overwrite").parquet(s"$out/audit")
+    // and the quarantine table: rejected rows WITH reason codes
+    RetailClean.quarantine(raw).filter(col("reject_reason").isNotNull)
+      .write.mode("overwrite").parquet(s"$out/quarantine")
     println(s"cleaned=${cleaned.count()} fact=${spark.read.parquet(s"$out/fact_sales").count()} snap=${spark.read.parquet(s"$out/snapshot").count()} audit=${spark.read.parquet(s"$out/audit").count()}")
     spark.stop()
   }
