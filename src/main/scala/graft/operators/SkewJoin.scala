@@ -42,7 +42,7 @@ object SkewJoin {
     require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
       "inputs already carry a _salt column; rename it before salting")
     val src = saltSource.getOrElse {
-      val cols = big.columns.map(col)
+      val cols = big.columns.toSeq.map(col)
       if (spreadIdenticalRows) xxhash64(monotonically_increasing_id() +: cols: _*)
       else xxhash64(cols: _*)
     }

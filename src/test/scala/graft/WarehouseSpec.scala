@@ -117,7 +117,7 @@ class WarehouseSpec extends AnyFunSuite {
       val stagingMonth = cleaned.filter(
         date_trunc("month", to_date(col("Date"), "M/d/yyyy")) === lit(m))
       val appended = Warehouse.factMonthlySnapshotIncrement(snapshot, stagingMonth)
-      snapshot = snapshot.select(appended.columns.map(col): _*).union(appended)
+      snapshot = snapshot.select(appended.columns.toSeq.map(col): _*).union(appended)
         .localCheckpoint() // keep the fold's plan from nesting per month
     }
     def canon(df: org.apache.spark.sql.DataFrame) =
