@@ -54,8 +54,10 @@ object Bench {
     // grows past the budget, drop to 1 decimal rather than overflow.
     println(s"""{"bench_status":$st,"failures":$failures}""")
     val sfNum = "[0-9.]+$".r.findFirstIn(new java.io.File(sfDir).getName).getOrElse("0")
-    def f(dec: Int, v: Double): String =
-      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    def f(dec: Int, v: Double): String = {
+      val s = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
     def line(dec: Int): String = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(dec, v) }
         .mkString("{", ",", "}")

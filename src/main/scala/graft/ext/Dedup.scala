@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -286,7 +287,37 @@ object Dedup {
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
 
+  val SnmJaccardThreshold = 0.5
+
+  /** D8 — sorted-neighborhood dedup (the third classic dedup family
+    * next to the value-join d3 and the banded d4): block by the
+    * 2-token prefix, sort each block, compare each document ONLY to
+    * its immediate successor, keep pairs with token-set Jaccard ≥
+    * 0.5. Cost is one partitioned sort + a lead() window — no
+    * self-join at all — which is what makes SNM the cheapest
+    * candidate generator at scale; the price is recall limited to
+    * neighbors under this one sort key (production runs multiple
+    * passes with rotated keys; prefix-blocked near-dups here are the
+    * common head-insertion/suffix-edit copies). Blocks are
+    * prefix-grain (≤ a few docs each), so the window never sees a
+    * skewed partition. */
+  def d8Snm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), array_distinct(words(col("text"))).as("ts"))
+      .withColumn("blk", array_join(slice(words(col("text")), 1, 2), " "))
+    val w = Window.partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
+    val j = size(array_intersect(col("ts"), col("nts"))).cast("double") /
+      size(array_union(col("ts"), col("nts")))
+    d.withColumn("nid", lead(col("doc_id"), 1).over(w))
+      .withColumn("nts", lead(col("ts"), 1).over(w))
+      .filter(col("nid").isNotNull)
+      .select(col("doc_id"), col("nid").as("dup_id"), round(j, 4).as("jaccard"))
+      .filter(col("jaccard") >= SnmJaccardThreshold)
+      .orderBy(col("doc_id"), col("dup_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_snm"               -> (d8Snm _),
     "d1_dedup_exact"       -> (d1ExactDedup _),
     "d2_fingerprint_dedup" -> (d2FingerprintDedup _),
     "d3_jaccard_pairs"     -> (d3JaccardPairs _),
@@ -343,6 +374,27 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d8_snm" ->
+      s"""WITH w AS (
+           SELECT doc_id, text, string_split(trim(text), ' ') AS wa FROM documents),
+         pre AS (
+           SELECT doc_id, text, list_distinct(wa) AS ts,
+                  array_to_string(wa[1:2], ' ') AS blk
+           FROM w),
+         nb AS (
+           SELECT doc_id, ts,
+                  lead(doc_id) OVER win AS nid,
+                  lead(ts) OVER win AS nts
+           FROM pre
+           WINDOW win AS (PARTITION BY blk ORDER BY text, doc_id)),
+         j AS (
+           SELECT doc_id, nid AS dup_id,
+                  round(len(list_intersect(ts, nts)) * 1.0
+                        / len(list_distinct(list_concat(ts, nts))), 4) AS jaccard
+           FROM nb WHERE nid IS NOT NULL)
+         SELECT doc_id, dup_id, jaccard FROM j
+         WHERE jaccard >= $SnmJaccardThreshold
+         ORDER BY doc_id, dup_id""",
     "d1_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
          count(DISTINCT text) AS n_unique_texts,

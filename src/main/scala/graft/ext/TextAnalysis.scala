@@ -341,7 +341,74 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  val PackCapacity = 2048
+  val PackShards = 32
+
+  /** T13 — sequence packing: lay documents end-to-end into
+    * fixed-capacity context windows (the step between a cleaned
+    * corpus and a training batch). Packing is inherently sequential,
+    * so it runs SHARD-LOCAL: docs hash to one of PackShards streams
+    * (doc_id mod — deterministic and balanced), and within a shard
+    * the token stream is laid out in doc_id order; a doc's bin is
+    * its start offset divided by capacity (docs may straddle a bin
+    * boundary — stream packing with document splitting, the
+    * GPT-style regime — so every bin except a shard's last is
+    * exactly full). One window per shard = the same plan at any
+    * corpus size; no global sort exists. Output: per-bin doc/token
+    * counts (docs counted at their start bin). */
+  def t13Packing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
+              tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("start_off") / PackCapacity))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopN = 15
+  val Bm25Terms: Seq[String] = Seq("spark", "table", "merge")
+
+  /** T14 — BM25 keyword retrieval (Lucene's formulation, including
+    * the +1 inside the idf log that keeps it non-negative): score
+    * every document against a fixed term set, return the top 15.
+    * Corpus statistics (N, avgdl, per-term df) are ONE tiny aggregate
+    * row broadcast back to the scan, so the whole query is two
+    * passes over the corpus with no shuffle wider than the final
+    * top-k — at 100 TB the stats row is still one row. tf comes from
+    * a filter() over the staged token array (short arrays; the
+    * interpreted-HOF cost is bounded by query-term count, not corpus
+    * vocabulary). */
+  def t14Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("dl", size(col("w")).cast("double"))
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("w"), t), 1.0).otherwise(0.0)).as(s"df$i")
+        }: _*)
+    val score = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      idf * (tf * (Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    d.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 3).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_packing"          -> (t13Packing _),
+    "t14_bm25"             -> (t14Bm25 _),
     "t12_unigram_ppl"      -> (t12UnigramPerplexity _),
     "t9_repetition_filter" -> (t9RepetitionFilter _),
     "t10_decontaminate"    -> (t10Decontaminate _),
@@ -388,6 +455,46 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t13_packing" ->
+      s"""WITH d AS (
+           SELECT doc_id, doc_id % $PackShards AS shard,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT shard, n_tok,
+                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+           FROM d)
+         SELECT shard, CAST(floor(start_off / $PackCapacity) AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1, 2 ORDER BY shard, bin""",
+    "t14_bm25" -> {
+      val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n                  ")
+      val dfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(w, '$t') THEN 1.0 ELSE 0.0 END) AS df$i"
+      }.mkString(",\n                  ")
+      val score = Bm25Terms.indices.map { i =>
+        s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ($Bm25K1 + 1.0))
+            / (tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))"""
+      }.mkString(" + ")
+      s"""WITH d AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS w,
+                  CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
+           FROM documents),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                  $dfs
+           FROM d),
+         tf AS (
+           SELECT doc_id, dl,
+                  $tfs
+           FROM d),
+         sc AS (SELECT doc_id, round($score, 3) AS bm25 FROM tf, s)
+         SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopN"""
+    },
     "t12_unigram_ppl" ->
       s"""WITH toks AS (
            SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t

@@ -351,7 +351,106 @@ object AdvancedQueries {
          ORDER BY priority""")
   }
 
+  /** q36 — GROUPING SETS with an explicit set list ((year, priority),
+    * (year), (priority)) — the mixed-granularity form neither ROLLUP
+    * (q20) nor CUBE (q21) expresses: both marginals but no grand
+    * total and no bare detail level. Spark plans it as the same
+    * single Expand + hash-agg as rollup/cube — one shuffle for all
+    * three granularities. */
+  def q36Gsets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("order_year"),
+              col("o_orderpriority").as("priority"), col("o_totalprice"))
+    o.groupingSets(
+        Seq(Seq(col("order_year"), col("priority")),
+            Seq(col("order_year")), Seq(col("priority"))),
+        col("order_year"), col("priority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spent"),
+           count(lit(1)).as("n_orders"),
+           grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("order_year"), lit(-1)).as("order_year"),
+              coalesce(col("priority"), lit("ALL")).as("priority"),
+              col("total_spent"), col("n_orders"), col("gid"))
+      .orderBy(col("gid"), col("order_year"), col("priority"))
+  }
+
+  /** q37 — LEFT ANTI join (the inventory's last unexercised join
+    * type): customers who never placed a 1-URGENT order, rolled up
+    * per nation. (Plain "no orders at all" would be vacuously empty
+    * on this data — every customer orders; the priority filter keeps
+    * survivors at every SF so the anti semantics are actually
+    * exercised.) The anti join shuffles only the two key
+    * projections; the filter is pushed into the orders scan; nation
+    * is a broadcast dim. */
+  def q37Anti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val n = Tables.nation(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_idle_customers"),
+           round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .orderBy(col("nation"))
+  }
+
+  /** q38 — relative-rank window family (percent_rank / cume_dist /
+    * ntile; the ranking forms q14's row_number and q26's decile
+    * rework don't cover): suppliers ranked within their nation by
+    * account balance. The window is PARTITIONED (per nation), so no
+    * q26-style global sort exists at any supplier count; the
+    * suppkey tie-break makes every rank deterministic. */
+  def q38Rank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    val n = Tables.nation(spark, dir)
+    Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .withColumn("cume", round(cume_dist().over(w), 4))
+      .withColumn("quartile", ntile(4).over(w))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("s_suppkey").as("suppkey"),
+              col("s_acctbal").as("acctbal"), col("pct_rank"), col("cume"),
+              col("quartile"))
+      .orderBy(col("nation"), col("suppkey"))
+  }
+
+  val ErrorWindow = "1 hour"
+  val ErrorWindowMicros: Long = 3600000000L
+
+  /** q39 — the bucketed range join as an end-to-end query (the
+    * operator itself is graft.operators.RangeJoin; until now it was
+    * only spec/property-tested): every non-error event that falls
+    * inside any same-user error window [error_ts, error_ts + 1 h],
+    * counted per event type. Without the manufactured bucket key
+    * Spark lowers the interval predicate to a nested-loop join; with
+    * it the shuffle is |events| + |errors|·⌈span/width⌉ and all
+    * comparisons are (user, bucket)-local. */
+  def q39Range(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val points = e.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              unix_micros(col("ts")).as("ev_us"))
+    val intervals = e.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("err_lo"),
+              (unix_micros(col("ts")) + lit(ErrorWindowMicros)).as("err_hi"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, intervals, "ev_us", "err_lo", "err_hi",
+        width = ErrorWindowMicros, alsoEqual = Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_gsets"           -> (q36Gsets _),
+    "q37_anti"            -> (q37Anti _),
+    "q38_rank"            -> (q38Rank _),
+    "q39_range"           -> (q39Range _),
     "q35_exists_subquery" -> (q35ExistsSubquery _),
     "q34_trailing_window" -> (q34TrailingWindow _),
     "q33_funnel"          -> (q33Funnel _),
@@ -367,6 +466,49 @@ object AdvancedQueries {
     "q24_approx_distinct" -> (q24ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q36_gsets" ->
+      """SELECT coalesce(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), -1) AS order_year,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         round(sum(o_totalprice),2) AS total_spent,
+         count(*) AS n_orders,
+         CAST(grouping(EXTRACT(year FROM o_orderdate), o_orderpriority) AS INTEGER) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS (
+           (EXTRACT(year FROM o_orderdate), o_orderpriority),
+           (EXTRACT(year FROM o_orderdate)),
+           (o_orderpriority))
+         ORDER BY gid, order_year, priority""",
+    "q37_anti" ->
+      """SELECT n_name AS nation, count(*) AS n_idle_customers,
+                round(avg(c_acctbal), 2) AS avg_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY nation""",
+    "q38_rank" ->
+      """WITH r AS (
+           SELECT s_suppkey, s_nationkey, s_acctbal,
+                  round(percent_rank() OVER w, 4) AS pct_rank,
+                  round(cume_dist() OVER w, 4) AS cume,
+                  ntile(4) OVER w AS quartile
+           FROM supplier
+           WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey))
+         SELECT n_name AS nation, s_suppkey AS suppkey, s_acctbal AS acctbal,
+                pct_rank, cume, quartile
+         FROM r JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY nation, suppkey""",
+    "q39_range" ->
+      s"""WITH err AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'error')
+         SELECT e.event_type, count(*) AS n_pairs,
+                count(DISTINCT e.event_id) AS n_events
+         FROM events e JOIN err r ON e.user_id = r.user_id
+           AND e.ts >= r.ts
+           AND date_diff('microsecond', r.ts, e.ts) <= $ErrorWindowMicros
+         WHERE e.event_type <> 'error'
+         GROUP BY 1 ORDER BY e.event_type""",
     "q35_exists_subquery" ->
       """SELECT o_orderpriority AS priority, count(*) AS n_big_with_return
          FROM orders

@@ -278,13 +278,50 @@ object EventsStream {
     q
   }
 
+  /** Semantic debounce key: one event per (user, type, event-hour).
+    * The hour bucket is derived from EVENT time, so batch and stream
+    * agree on which rows are duplicates. */
+  private def withHourKey(events: DataFrame): DataFrame =
+    events.withColumn("hour_bucket", date_trunc("hour", col("ts")))
+
+  /** Streaming debounce via dropDuplicatesWithinWatermark: state for
+    * a key is kept only until the watermark passes it, so memory is
+    * bounded by one delay-window of traffic — the 100 TB/day form,
+    * where plain dropDuplicates' state would grow with the stream's
+    * entire history. The within-watermark guarantee needs duplicate
+    * arrivals within the delay of each other: same-hour events are
+    * ≤ 60 min apart, so a 1-hour delay makes the dedup exact and the
+    * batch twin below is its oracle. */
+  def debounceStream(events: DataFrame): DataFrame =
+    withHourKey(events)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_bucket")
+
+  /** ST5 — the batch twin: raw vs debounced event counts per type.
+    * Only counts are exposed (which representative row survives a
+    * debounce is arrival-order-dependent in a stream; the SET of
+    * surviving keys is not), so the query is deterministic under
+    * both execution modes. countDistinct over the composite key is
+    * one Expand-free aggregate — map-side partials, no join. */
+  def st5Debounce(spark: SparkSession, dir: String): DataFrame =
+    withHourKey(Tables.events(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_raw"),
+           countDistinct(col("user_id"), col("hour_bucket")).as("n_debounced"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st5_debounce"       -> (st5Debounce _),
     "st1_event_windows"  -> (st1EventWindows _),
     "st2_sessionization" -> (st2Sessionization _),
     "st3_transitions"    -> (st3Transitions _),
     "st4_stream_join"    -> (st4StreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st5_debounce" ->
+      """SELECT event_type, count(*) AS n_raw,
+                count(DISTINCT (user_id, date_trunc('hour', ts))) AS n_debounced
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "st1_event_windows" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value),2) AS total_value

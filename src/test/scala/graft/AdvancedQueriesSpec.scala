@@ -164,6 +164,95 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     assert(agg.merge(agg.zero, agg.zero).values.isEmpty)
   }
 
+  test("q36 grouping sets: exactly the three requested granularities, no grand total") {
+    val rows = AdvancedQueries.q36Gsets(spark, dir).collect()
+    val gids = rows.map(_.getAs[Int]("gid")).toSet
+    assert(gids === Set(0, 1, 2), "detail, year-marginal, priority-marginal — nothing else")
+    val detailTotal = rows.filter(_.getAs[Int]("gid") == 0).map(_.getAs[Long]("n_orders")).sum
+    val yearTotal = rows.filter(_.getAs[Int]("gid") == 1).map(_.getAs[Long]("n_orders")).sum
+    val prioTotal = rows.filter(_.getAs[Int]("gid") == 2).map(_.getAs[Long]("n_orders")).sum
+    assert(detailTotal === yearTotal)
+    assert(detailTotal === prioTotal)
+  }
+
+  test("q37 anti join: survivors exist and are exactly the complement of urgent-order customers") {
+    val c = graft.Tables.customer(spark, dir)
+    val o = graft.Tables.orders(spark, dir)
+    val idle = AdvancedQueries.q37Anti(spark, dir).collect()
+    assert(idle.nonEmpty, "anti join must not be vacuous at sf0.001")
+    val nIdle = idle.map(_.getAs[Long]("n_idle_customers")).sum
+    val nUrgentCust = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    assert(nIdle === c.count() - nUrgentCust)
+  }
+
+  test("q38 rank windows: per-nation ranks span [0,1], quartiles in 1..4") {
+    val rows = AdvancedQueries.q38Rank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_.getAs[String]("nation"))
+    byNation.values.foreach { ns =>
+      val prs = ns.map(_.getAs[Double]("pct_rank"))
+      assert(prs.min === 0.0)
+      if (ns.length > 1) assert(prs.max === 1.0)
+      ns.foreach { r =>
+        val q = r.getAs[Int]("quartile")
+        assert(q >= 1 && q <= 4)
+        val cd = r.getAs[Double]("cume")
+        assert(cd > 0.0 && cd <= 1.0)
+      }
+    }
+  }
+
+  test("q39 range join: bucketed form equals the naive cross-join filter") {
+    val e = graft.Tables.events(spark, dir)
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("u2"), unix_micros(col("ts")).as("lo"))
+    val naive = e.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("p"))
+      .crossJoin(errs)
+      .filter(col("user_id") === col("u2") &&
+        col("p") >= col("lo") && col("p") <= col("lo") + AdvancedQueries.ErrorWindowMicros)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("event_type"))
+      .collect()
+    val bucketed = AdvancedQueries.q39Range(spark, dir).collect()
+    assert(bucketed.nonEmpty)
+    assert(bucketed.toSeq === naive.toSeq)
+  }
+
+  test("d8 SNM: pairs are distinct neighbors with Jaccard in [0.5, 1]") {
+    val rows = graft.ext.Dedup.d8Snm(spark, dir).collect()
+    assert(rows.nonEmpty, "SNM must find neighbor pairs at sf0.001")
+    val keys = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_id")))
+    assert(keys.distinct.length === keys.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") !== r.getAs[Long]("dup_id"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("t13 packing: bins are contiguous per shard and conserve tokens") {
+    val rows = TextAnalysis.t13Packing(spark, dir).collect()
+    val totalTokens = graft.Tables.documents(spark, dir)
+      .agg(sum(size(split(trim(col("text")), " ")))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { bins =>
+      val ids = bins.map(_.getAs[Long]("bin")).sorted.toSeq
+      assert(ids.head === 0L)
+      assert(ids === ids.indices.map(_.toLong), "bins contiguous from 0")
+    }
+  }
+
+  test("t14 BM25: top-k scores are positive and non-increasing") {
+    val rows = TextAnalysis.t14Bm25(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.Bm25TopN)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    scores.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => () }
+  }
+
   test("t4 winnowing: shared token runs produce shared fingerprints") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"

@@ -98,6 +98,29 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed dropDuplicatesWithinWatermark debounce == batch distinct counts") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.debounceStream(stream)
+        .select(col("user_id"), col("event_type"), col("hour_bucket")),
+      "debounce_stream", mode = "append")
+    try {
+      val streamed = spark.table("debounce_stream")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_debounced"))
+        .orderBy(col("event_type"))
+        .collect()
+      val batch = EventsStream.st5Debounce(spark, dir)
+        .select(col("event_type"), col("n_debounced")).collect()
+      assert(streamed.length === batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+      // the debounce is non-vacuous: at least one duplicate was dropped
+      val raw = EventsStream.st5Debounce(spark, dir)
+        .agg(sum(col("n_raw")), sum(col("n_debounced"))).collect().head
+      assert(raw.getLong(0) > raw.getLong(1), "debounce must drop something")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch attribution pairs") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(
