@@ -53,7 +53,12 @@ object Bench {
     // earlier line, nothing printed after. If the query inventory
     // grows past the budget, drop to 1 decimal rather than overflow.
     println(s"""{"bench_status":$st,"failures":$failures}""")
-    val sfNum = "[0-9.]+$".r.findFirstIn(new java.io.File(sfDir).getName).getOrElse("0")
+    // sf must stay valid JSON: accept only a well-formed trailing
+    // number ("sf1." or "sf.5" are not), else quote the raw dir name
+    // rather than fabricating sf:0
+    val dirName = new java.io.File(sfDir).getName
+    val sfNum = "[0-9]+(\\.[0-9]+)?$".r.findFirstIn(dirName)
+      .getOrElse("\"" + dirName.replace("\"", "") + "\"")
     def f(dec: Int, v: Double): String = {
       val s = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
@@ -64,8 +69,13 @@ object Bench {
       s"""{"metric":"total","value":${f(2, total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":$sfNum}"""
     }
     // budget: 2000-char tail minus sbt's "[info] " prefix and trailing
-    // "[success] Total time: …" line (~85 chars), with slack
-    val metricLine = Seq(2, 1, 0).map(line).find(_.length <= 1860).getOrElse(line(0))
+    // "[success] Total time: …" line (~85 chars), with slack. If even
+    // 0-decimal times overflow, drop the per-query map entirely — a
+    // short line missing detail beats a long one whose head (the
+    // metric/value fields) the 2KB tail collector would truncate.
+    val headerOnly =
+      s"""{"metric":"total","value":${f(2, total)},"unit":"sec","queries":{},"failures":$failures,"sf":$sfNum}"""
+    val metricLine = Seq(2, 1, 0).map(line).find(_.length <= 1860).getOrElse(headerOnly)
     spark.stop()
     println(metricLine)
   }

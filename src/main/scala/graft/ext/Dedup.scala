@@ -289,6 +289,12 @@ object Dedup {
 
   val SnmJaccardThreshold = 0.5
 
+  /** Blocks larger than this are hash-split before the sort window;
+    * on a real corpus a hot 2-token prefix (a common boilerplate
+    * opening — "the following", "copyright c") would otherwise put an
+    * entire block on one task. */
+  val SnmMaxBlockDocs = 512
+
   /** D8 — sorted-neighborhood dedup (the third classic dedup family
     * next to the value-join d3 and the banded d4): block by the
     * 2-token prefix, sort each block, compare each document ONLY to
@@ -298,17 +304,39 @@ object Dedup {
     * candidate generator at scale; the price is recall limited to
     * neighbors under this one sort key (production runs multiple
     * passes with rotated keys; prefix-blocked near-dups here are the
-    * common head-insertion/suffix-edit copies). Blocks are
-    * prefix-grain (≤ a few docs each), so the window never sees a
-    * skewed partition. */
-  def d8Snm(spark: SparkSession, dir: String): DataFrame = {
+    * common head-insertion/suffix-edit copies). */
+  def d8Snm(spark: SparkSession, dir: String): DataFrame =
+    d8SnmBounded(spark, dir, SnmMaxBlockDocs)
+
+  /** The block-size bound made executable: a block with cnt docs is
+    * split into ceil(cnt / maxBlockDocs) sub-blocks by a stable hash
+    * of doc_id, and the sort window partitions by (blk, sub) — so the
+    * expected partition size is ≤ maxBlockDocs no matter how hot a
+    * prefix gets, which is what lets the one-window claim survive a
+    * boilerplate-heavy 100 TB corpus. Splitting is the standard SNM
+    * recall trade (a doc's neighbor may land in another sub-block,
+    * exactly as it may land outside the prefix block itself); when
+    * every block fits, sub = 0 everywhere and the output is
+    * IDENTICAL to the unsplit form (spec-asserted). The per-block
+    * counts are a tiny prefix-grain aggregate broadcast back; at
+    * extreme prefix cardinality the same plan works as a blk-keyed
+    * shuffle join, whose partitioning the (blk, sub) window then
+    * reuses (subset-clustering). The hash is [[StableHash]], so the
+    * DuckDB oracle computes the same sub-block assignment — the
+    * equivalence is structural, not corpus-dependent. */
+  def d8SnmBounded(spark: SparkSession, dir: String, maxBlockDocs: Int): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), array_distinct(words(col("text"))).as("ts"))
       .withColumn("blk", array_join(slice(words(col("text")), 1, 2), " "))
-    val w = Window.partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
+    val cnts = d.groupBy(col("blk")).agg(count(lit(1)).as("cnt"))
+    val sub = pmod(StableHash.hash64(col("doc_id")),
+                   ceil(col("cnt") / lit(maxBlockDocs.toDouble)))
+    val w = Window.partitionBy(col("blk"), col("sub")).orderBy(col("text"), col("doc_id"))
     val j = size(array_intersect(col("ts"), col("nts"))).cast("double") /
       size(array_union(col("ts"), col("nts")))
-    d.withColumn("nid", lead(col("doc_id"), 1).over(w))
+    d.join(broadcast(cnts), Seq("blk"))
+      .withColumn("sub", sub)
+      .withColumn("nid", lead(col("doc_id"), 1).over(w))
       .withColumn("nts", lead(col("ts"), 1).over(w))
       .filter(col("nid").isNotNull)
       .select(col("doc_id"), col("nid").as("dup_id"), round(j, 4).as("jaccard"))
@@ -381,12 +409,18 @@ object Dedup {
            SELECT doc_id, text, list_distinct(wa) AS ts,
                   array_to_string(wa[1:2], ' ') AS blk
            FROM w),
+         cnts AS (SELECT blk, count(*) AS cnt FROM pre GROUP BY 1),
+         salted AS (
+           SELECT p.doc_id, p.text, p.ts, p.blk,
+                  ${H.duckdbHash64("CAST(p.doc_id AS VARCHAR)")}
+                    % CAST(ceil(c.cnt / $SnmMaxBlockDocs.0) AS BIGINT) AS sub
+           FROM pre p JOIN cnts c USING (blk)),
          nb AS (
            SELECT doc_id, ts,
                   lead(doc_id) OVER win AS nid,
                   lead(ts) OVER win AS nts
-           FROM pre
-           WINDOW win AS (PARTITION BY blk ORDER BY text, doc_id)),
+           FROM salted
+           WINDOW win AS (PARTITION BY blk, sub ORDER BY text, doc_id)),
          j AS (
            SELECT doc_id, nid AS dup_id,
                   round(len(list_intersect(ts, nts)) * 1.0

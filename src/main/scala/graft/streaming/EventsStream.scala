@@ -302,9 +302,18 @@ object EventsStream {
     * debounce is arrival-order-dependent in a stream; the SET of
     * surviving keys is not), so the query is deterministic under
     * both execution modes. countDistinct over the composite key is
-    * one Expand-free aggregate — map-side partials, no join. */
+    * one Expand-free aggregate — map-side partials, no join.
+    *
+    * Null-key rows are excluded EXPLICITLY in both this query and its
+    * oracle: Spark's countDistinct(a, b) skips rows where any key is
+    * NULL, while DuckDB's count(DISTINCT (a, b)) counts row-structs
+    * containing NULLs — without the shared filter, parity would
+    * silently depend on the events table never having a NULL
+    * user_id/ts. (A null-keyed event is also meaningless to debounce:
+    * dropDuplicatesWithinWatermark would treat NULL as a key value.) */
   def st5Debounce(spark: SparkSession, dir: String): DataFrame =
     withHourKey(Tables.events(spark, dir))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_raw"),
            countDistinct(col("user_id"), col("hour_bucket")).as("n_debounced"))
@@ -321,7 +330,9 @@ object EventsStream {
     "st5_debounce" ->
       """SELECT event_type, count(*) AS n_raw,
                 count(DISTINCT (user_id, date_trunc('hour', ts))) AS n_debounced
-         FROM events GROUP BY 1 ORDER BY event_type""",
+         FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         GROUP BY 1 ORDER BY event_type""",
     "st1_event_windows" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value),2) AS total_value

@@ -233,6 +233,28 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d8 SNM: block-size bound is an identity when blocks fit, splits when they don't") {
+    // When every block fits under the bound, sub = 0 everywhere and
+    // the salted form must be bit-identical to an effectively-unsplit
+    // run — the bound changes nothing until it has to.
+    val default = graft.ext.Dedup.d8Snm(spark, dir).collect().toSeq
+    val unsplit = graft.ext.Dedup.d8SnmBounded(spark, dir, Int.MaxValue).collect().toSeq
+    assert(default === unsplit, "bound must be inert while blocks fit")
+    // Force splitting: with the bound at 1 the expected sub-block size
+    // is one doc, so multi-doc blocks genuinely split — the output is
+    // a valid SNM pair set (neighbors under a finer blocking), not an
+    // error, and pairs can only come from the same original block.
+    // (No subset relation is asserted between the two pair sets:
+    // splitting removes adjacencies but can also create them — a doc
+    // salted away from between two similar docs makes them neighbors.)
+    val forced = graft.ext.Dedup.d8SnmBounded(spark, dir, 1).collect().toSeq
+    forced.foreach { r =>
+      assert(r.getAs[Long]("doc_id") !== r.getAs[Long]("dup_id"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
   test("t13 packing: bins are contiguous per shard and conserve tokens") {
     val rows = TextAnalysis.t13Packing(spark, dir).collect()
     val totalTokens = graft.Tables.documents(spark, dir)
