@@ -363,9 +363,10 @@ object Dedup {
                 ELSE [array_to_string(w, ' ')] END) AS s
               FROM words) u)"""
 
-  /** Full d4 SELECT, shared verbatim by the d4 entry and as the
-    * `pairs` CTE body of d7's closure. */
-  private lazy val d4OracleSql: String = {
+  /** Full d4 SELECT, shared verbatim by the d4 entry, as the `pairs`
+    * CTE body of d7's closure, and by Graph's PageRank oracle (the
+    * same candidate graph feeds every downstream graph operator). */
+  private[ext] lazy val d4OracleSql: String = {
     val mhCols = (0 until NumHashes)
       .map(k => s"min((${minhashA(k)} * h0 + ${minhashB(k)}) % $MinhashP) AS mh$k")
       .mkString(",\n                ")

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the near-dup candidate graph —
+  * the step after clustering (Dedup.connectedComponents) when a
+  * pipeline needs to RANK documents inside a duplicate neighborhood
+  * (e.g. pick the canonical copy by centrality rather than min-id).
+  *
+  * Everything here is exact int64 fixed-point arithmetic: ranks are
+  * integers scaled by 1e12 and every update is integer
+  * multiply/divide, so the result is bit-identical in ANY engine and
+  * ANY aggregation order — the same discipline that made s5's
+  * k-means centroids oracle-checkable (float PageRank sums drift
+  * with reduction order and cannot be hash-compared across engines).
+  */
+object Graph {
+
+  /** Fixed-point scale: ranks sum to ~Scale (minus integer-division
+    * truncation, < 1 per edge per round — bounded and spec-checked). */
+  val Scale = 1000000000000L
+
+  /** Damping 0.85 as the exact rational 17/20 (base 0.15 = 3/20). */
+  val Iterations = 10
+
+  /** PageRank with a FIXED iteration count (power iteration,
+    * unrolled): r_{k+1}(v) = 0.15/N + 0.85 * Σ_{u→v} r_k(u)/deg(u),
+    * all in scaled int64 with truncating division.
+    *
+    * Shape per round: one join of the edge list against the current
+    * rank vector + one sum-aggregate — identical to the connected-
+    * components round, and the standard massive-graph formulation
+    * (ranks and edges both stay distributed; nothing is ever
+    * collected). The candidate graph is pair-bounded, so the
+    * iterative phase runs at parallelism sized to the edge count
+    * exactly as Dedup.connectedComponents does; localCheckpoint
+    * truncates lineage each round and the superseded round's blocks
+    * are freed as soon as the next materializes.
+    *
+    * A fixed iteration count (not a convergence test) is what makes
+    * the operator oracle-checkable: the DuckDB mirror unrolls the
+    * same 10 updates as chained CTEs and must agree bit-for-bit.
+    * Nodes all have degree ≥ 1 by construction (they come from the
+    * edge list), so there is no dangling-mass term. */
+  def pagerank(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.CheckpointShim
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val edges = p.select(col("a").as("s"), col("b").as("d"))
+      .union(p.select(col("b").as("s"), col("a").as("d")))
+      .localCheckpoint()
+    CheckpointShim.unpersist(p)
+    val spark = edges.sparkSession
+    val nEdges = edges.count()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, nEdges / 2000000L).toString)
+    try {
+      val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint()
+      // 1-row node count, broadcast into every round — no driver-side
+      // value steers the computation, so the plan is scale-free
+      val nn = edges.select(col("s")).distinct()
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      var ranks = edges.select(col("s").as("node")).distinct()
+        .crossJoin(broadcast(nn))
+        .select(col("node"), expr(s"$Scale div n").as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to Iterations) {
+        val next = edges
+          .join(ranks, col("s") === col("node"))
+          .join(deg.withColumnRenamed("s", "ds"), col("s") === col("ds"))
+          .select(col("d"), expr("r div outdeg").as("c"))
+          .groupBy(col("d"))
+          .agg(sum(col("c")).as("sc"))
+          .crossJoin(broadcast(nn))
+          .select(col("d").as("node"),
+            expr(s"(3 * ($Scale div n)) div 20 + (17 * sc) div 20").as("r"))
+          .localCheckpoint()
+        CheckpointShim.unpersist(ranks)
+        ranks = next
+      }
+      CheckpointShim.unpersist(edges)
+      CheckpointShim.unpersist(deg)
+      CheckpointShim.unpersist(nn)
+      ranks
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** P1 — PageRank over the d4 MinHash-LSH near-dup graph: which
+    * documents sit at the CENTER of duplicate neighborhoods (a
+    * centrality-based canonical-copy choice; min-id d7 is the
+    * arbitrary one). rank_fp is the exact scaled-int64 rank. */
+  def p1Pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerank(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_pagerank" -> (p1Pagerank _))
+
+  /** The same 10 updates unrolled as chained CTEs, every arithmetic
+    * step mirrored in int64 (`//` is DuckDB's integer division; sums
+    * of BIGINT go HUGEINT and are cast back before the scalar ops so
+    * the types — not just the values — match Spark's). */
+  private def prRound(k: Int): String =
+    s"""r$k AS (
+       SELECT e.d AS node,
+              CAST((3 * ($Scale // (SELECT n FROM nn))) // 20
+                   + (17 * CAST(sum(p.r // g.outdeg) AS BIGINT)) // 20 AS BIGINT) AS r
+       FROM edges e
+       JOIN r${k - 1} p ON p.node = e.s
+       JOIN deg g ON g.s = e.s
+       GROUP BY e.d)"""
+
+  val oracles: Map[String, String] = Map(
+    "p1_pagerank" -> {
+      val rounds = (1 to Iterations).map(prRound).mkString(",\n         ")
+      s"""WITH pairs AS (${Dedup.d4OracleSql}),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         deg AS (SELECT s, count(*) AS outdeg FROM edges GROUP BY 1),
+         nn AS (SELECT count(DISTINCT s) AS n FROM edges),
+         r0 AS (
+           SELECT DISTINCT s AS node,
+                  CAST($Scale // (SELECT n FROM nn) AS BIGINT) AS r
+           FROM edges),
+         $rounds
+         SELECT node AS doc_id, r AS rank_fp FROM r$Iterations
+         ORDER BY rank_fp DESC, doc_id"""
+    })
+}

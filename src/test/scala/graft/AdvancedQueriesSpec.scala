@@ -255,6 +255,28 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("p1 pagerank: rank mass conserved up to truncation, nodes = graph, deterministic") {
+    import graft.ext.{Dedup, Graph}
+    val pairs = Dedup.d4MinhashLsh(spark, dir).select("a_id", "b_id").collect()
+    val nodes = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val ranks = Graph.p1Pagerank(spark, dir).collect()
+    assert(ranks.map(_.getAs[Long]("doc_id")).toSet === nodes,
+      "every endpoint of the candidate graph is ranked, nothing else")
+    ranks.foreach(r => assert(r.getAs[Long]("rank_fp") > 0L))
+    // Each int64 truncating division loses < 1 unit; per round that is
+    // < |edges| (contribs) + |nodes| (the div-20s), so after 10 rounds
+    // the total shortfall is far under 1% of Scale at this graph size.
+    val total = ranks.map(_.getAs[Long]("rank_fp")).sum
+    assert(total <= Graph.Scale)
+    assert(total > (Graph.Scale * 0.99).toLong,
+      s"rank mass $total lost more than truncation can explain")
+    // Exact determinism is the operator's contract (it is what makes
+    // the DuckDB oracle a hash-compare, not a tolerance-compare).
+    val again = Graph.p1Pagerank(spark, dir).collect()
+    assert(ranks.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("t13 packing: bins are contiguous per shard and conserve tokens") {
     val rows = TextAnalysis.t13Packing(spark, dir).collect()
     val totalTokens = graft.Tables.documents(spark, dir)
