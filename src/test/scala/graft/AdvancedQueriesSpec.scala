@@ -255,6 +255,45 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s6 PQ-ADC: deterministic, full top-10 per query, recall floor vs exact L2") {
+    val a = Similarity.s6PqAdc(spark, dir).collect()
+    val b = Similarity.s6PqAdc(spark, dir).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+       r.getAs[Long]("d2_fp"), r.getAs[Int]("rank"))).toSeq
+    // int64 ADC distances admit no float drift: two full builds
+    // (codebook training included) must be bit-identical
+    assert(key(a) === key(b))
+    assert(a.length === Similarity.QueryCount * Similarity.TopK,
+      "every query must fill its top-10 (corpus ≫ k)")
+    a.foreach { r =>
+      assert(r.getAs[Long]("query_id") !== r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Long]("d2_fp") >= 0L)
+    }
+    // exact L2 top-10 baseline, computed inline the brute-force way
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < Similarity.QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val d2 = aggregate(
+      zip_with(col("qe"), col("embedding"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Similarity.TopK)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = a.count(r =>
+      exact.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    // measured 0.46 on this structureless corpus (see PqCentroidStride
+    // scaladoc); 0.3 is the regression floor, not the quality claim
+    assert(hits * 10 >= a.length * 3, s"PQ recall collapsed: $hits/${a.length}")
+  }
+
   test("p1 pagerank: rank mass conserved up to truncation, nodes = graph, deterministic") {
     import graft.ext.{Dedup, Graph}
     val pairs = Dedup.d4MinhashLsh(spark, dir).select("a_id", "b_id").collect()
