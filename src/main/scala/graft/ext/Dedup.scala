@@ -121,6 +121,37 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  val ContainmentThreshold = 0.9
+
+  /** D9 — asymmetric containment pairs (quote / inclusion
+    * detection): containment = |A∩B| / min(|A|,|B|) over 3-gram
+    * shingle sets. Jaccard (d3) misses the doc-inside-doc case — a
+    * paragraph quoted verbatim inside a much longer document scores
+    * low Jaccard (union is huge) but containment ≈ 1 — and
+    * containment-heavy corpora are exactly what boilerplate/quote
+    * stripping targets. Same repeated-shingle semi-join pre-filter
+    * and shingle-value self-join as d3: the fan-out is bounded by
+    * shingle frequency, never |docs|², and the d3 hot-shingle cap
+    * applies unchanged at 100 TB. */
+  def d9Containment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val repeated = sh.groupBy(col("s")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1).select(col("s"))
+    val shRep = sh.join(repeated, Seq("s"), "left_semi")
+    val inter = shRep.as("a")
+      .join(shRep.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("containment", round(col("i") / least(col("na"), col("nb")), 3))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val NumHashes = 16
   val Bands = 4 // 4 rows per band; P(candidate) = 1-(1-j^4)^4 — ~0.97 at j=0.8
 
@@ -351,7 +382,8 @@ object Dedup {
     "d3_jaccard_pairs"     -> (d3JaccardPairs _),
     "d4_minhash_lsh"       -> (d4MinhashLsh _),
     "d5_simhash_clusters"  -> (d5SimhashClusters _),
-    "d7_dedup_components"  -> (d7DedupComponents _))
+    "d7_dedup_components"  -> (d7DedupComponents _),
+    "d9_containment"       -> (d9Containment _))
 
   private val H = StableHash // brevity in SQL builders below
 
@@ -441,6 +473,19 @@ object Dedup {
            FROM documents)
          SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_fingerprints,
                 count(*) - count(DISTINCT fp) AS n_near_dupes FROM fp""",
+    "d9_containment" ->
+      s"""WITH $shingleCte,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, round(i * 1.0 / least(sa.n, sb.n), 3) AS containment
+         FROM inter
+         JOIN sz sa ON sa.doc_id = a_id
+         JOIN sz sb ON sb.doc_id = b_id
+         WHERE round(i * 1.0 / least(sa.n, sb.n), 3) >= $ContainmentThreshold
+         ORDER BY a_id, b_id""",
     "d3_jaccard_pairs" ->
       s"""WITH $shingleCte,
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

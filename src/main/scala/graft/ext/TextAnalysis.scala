@@ -341,6 +341,50 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  val VocabK = 24
+  /** Flag when oov/total > OovNum/OovDen — compared cross-multiplied
+    * in integers, so the flag decision is EXACT in both engines (an
+    * nll threshold puts the cut inside a float continuum where the
+    * nearest doc sits ~1e-4 away — measured — and cross-engine avg()
+    * drift could flip it; gate-vacuity lesson applied). */
+  val OovNum = 1
+  val OovDen = 4
+
+  /** T15 — the production form of t12's perplexity filter, made
+    * executable: the unigram LM is PRUNED to the top-`VocabK` vocab
+    * (ties on count break by token), out-of-vocabulary tokens score
+    * at the 1/N floor (-ln(1/N) = ln N), and docs are flagged by
+    * exact-integer OOV share. This is the 100 TB shape t12's
+    * scaladoc promises: the broadcast is bounded by K no matter how
+    * large the corpus vocabulary grows, and the top-K itself is a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of K
+    * rows), not a global sort. avg_nll is reported per source
+    * (rounded at the edge, same discipline as t12); the flag never
+    * depends on a float compare. */
+  def t15VocabPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(words(col("text"))).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val vocab = uni.orderBy(col("cnt").desc, col("t")).limit(VocabK)
+    val n = uni.agg(sum(col("cnt")).cast("double").as("n"))
+    val perDoc = toks
+      .join(broadcast(vocab), Seq("t"), "left")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        avg(when(col("cnt").isNotNull, -log(col("cnt") / col("n")))
+          .otherwise(log(col("n")))).as("nll"),
+        count(lit(1)).as("tot"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("oov"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("nll")), 3).as("avg_nll"),
+           sum(when(col("oov") * OovDen > col("tot") * OovNum, 1L)
+             .otherwise(0L)).as("n_flagged"),
+           sum(col("oov")).as("oov_tokens"))
+      .orderBy(col("source"))
+  }
+
   val PackCapacity = 2048
   val PackShards = 32
 
@@ -410,6 +454,7 @@ object TextAnalysis {
     "t13_packing"          -> (t13Packing _),
     "t14_bm25"             -> (t14Bm25 _),
     "t12_unigram_ppl"      -> (t12UnigramPerplexity _),
+    "t15_vocab_ppl"        -> (t15VocabPerplexity _),
     "t9_repetition_filter" -> (t9RepetitionFilter _),
     "t10_decontaminate"    -> (t10Decontaminate _),
     "t11_chunking"         -> (t11Chunking _),
@@ -495,6 +540,24 @@ object TextAnalysis {
          SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
          ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopN"""
     },
+    "t15_vocab_ppl" ->
+      s"""WITH toks AS (
+           SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
+           FROM documents),
+         uni AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1),
+         vocab AS (SELECT t, cnt FROM uni ORDER BY cnt DESC, t LIMIT $VocabK),
+         n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+         d AS (SELECT doc_id, source,
+                 avg(CASE WHEN v.cnt IS NOT NULL THEN -ln(v.cnt / n.n)
+                     ELSE ln(n.n) END) AS nll,
+                 count(*) AS tot,
+                 CAST(sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+               FROM toks LEFT JOIN vocab v USING (t), n GROUP BY 1, 2)
+         SELECT source, count(*) AS n_docs, round(avg(nll), 3) AS avg_nll,
+                CAST(sum(CASE WHEN oov * $OovDen > tot * $OovNum THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flagged,
+                CAST(sum(oov) AS BIGINT) AS oov_tokens
+         FROM d GROUP BY 1 ORDER BY source""",
     "t12_unigram_ppl" ->
       s"""WITH toks AS (
            SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t

@@ -294,6 +294,49 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     assert(hits * 10 >= a.length * 3, s"PQ recall collapsed: $hits/${a.length}")
   }
 
+  test("t15 vocab-ppl: OOV floor engages, flags match exact integer criterion") {
+    val rows = TextAnalysis.t15VocabPerplexity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // non-vacuous: the corpus has 31 distinct tokens, vocab keeps 24,
+    // so OOV mass and flags must exist at every SF
+    assert(rows.map(_.getAs[Long]("oov_tokens")).sum > 0L, "OOV floor never engaged")
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum > 0L, "no docs flagged — vacuous gate")
+    // per-doc recount of the flag criterion, independently of the query
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(TextAnalysis.VocabK)
+      .collect().map(_.getString(0)).toSet
+    val perDoc = toks.collect().groupBy(_.getLong(0)).toSeq.map { case (_, ts) =>
+      val tot = ts.length
+      val oov = ts.count(r => !vocab.contains(r.getString(1)))
+      (tot, oov)
+    }
+    val expectFlagged = perDoc.count { case (tot, oov) =>
+      oov * TextAnalysis.OovDen > tot * TextAnalysis.OovNum }
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum === expectFlagged)
+  }
+
+  test("d9 containment: bounds, ordering, and containment >= jaccard on shared pairs") {
+    val cont = graft.ext.Dedup.d9Containment(spark, dir).collect()
+    assert(cont.nonEmpty)
+    cont.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.9 && c <= 1.0)
+    }
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always: any d3 pair both queries emit
+    // must score at least its Jaccard here
+    val jac = graft.ext.Dedup.d3JaccardPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    cont.foreach { r =>
+      val k = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      jac.get(k).foreach(j =>
+        assert(r.getAs[Double]("containment") >= j - 1e-9))
+    }
+  }
+
   test("p1 pagerank: rank mass conserved up to truncation, nodes = graph, deterministic") {
     import graft.ext.{Dedup, Graph}
     val pairs = Dedup.d4MinhashLsh(spark, dir).select("a_id", "b_id").collect()
