@@ -446,7 +446,40 @@ object AdvancedQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q40 — group-wise MODE with a deterministic tie-break (highest
+    * count, then lowest value) next to the exact median: the
+    * argmax-by-count aggregate the percentile family doesn't cover.
+    * Scale shape: the wide aggregate is the (group, value) count —
+    * map-side combined, cardinality |groups|×|domain| — and the mode
+    * pick is a second-level aggregate over THAT (tiny). min_by over
+    * a (-cnt, value) struct keeps the pick an aggregation, not a
+    * ranking; no window touches the fact table. */
+  def q40ModeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    val counts = joined.groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val mode = counts.groupBy(col("n_name"))
+      .agg(min_by(col("o_orderpriority"),
+             struct((-col("cnt")).as("nc"), col("o_orderpriority"))).as("mode_priority"),
+           sum(col("cnt")).as("n_orders"))
+    // Median over integer CENTS, not dollars: the even-count
+    // interpolation lands on half-cents, and Spark's (1-f)·lo + f·hi
+    // vs DuckDB's lo + (hi-lo)·f differ in the last ulp of a dollar
+    // double — observed flipping a round(2) by one cent. Over int64
+    // cents both expressions are exact multiples of 0.5 (halves are
+    // representable), so the engines agree bit-for-bit; one division
+    // at the edge converts back (revenueSumExact discipline).
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val med = joined.groupBy(col("n_name"))
+      .agg((percentile(cents, lit(0.5)) / 100.0).as("median_price"))
+    mode.join(med, Seq("n_name")).orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_mode_median"     -> (q40ModeMedian _),
     "q36_gsets"           -> (q36Gsets _),
     "q37_anti"            -> (q37Anti _),
     "q38_rank"            -> (q38Rank _),
@@ -466,6 +499,31 @@ object AdvancedQueries {
     "q24_approx_distinct" -> (q24ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q40_mode_median" ->
+      """WITH j AS (
+           SELECT n_name, o_orderpriority, o_totalprice
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         counts AS (
+           SELECT n_name, o_orderpriority, count(*) AS cnt
+           FROM j GROUP BY 1, 2),
+         md AS (
+           SELECT n_name, o_orderpriority AS mode_priority,
+                  row_number() OVER (PARTITION BY n_name
+                    ORDER BY cnt DESC, o_orderpriority) AS r
+           FROM counts),
+         tot AS (SELECT n_name, CAST(sum(cnt) AS BIGINT) AS n_orders
+                 FROM counts GROUP BY 1),
+         med AS (SELECT n_name,
+                        quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0
+                          AS median_price
+                 FROM j GROUP BY 1)
+         SELECT t.n_name, m.mode_priority, t.n_orders, med.median_price
+         FROM tot t
+         JOIN (SELECT n_name, mode_priority FROM md WHERE r = 1) m USING (n_name)
+         JOIN med USING (n_name)
+         ORDER BY n_name""",
     "q36_gsets" ->
       """SELECT coalesce(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), -1) AS order_year,
          coalesce(o_orderpriority, 'ALL') AS priority,

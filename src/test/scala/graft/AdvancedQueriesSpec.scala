@@ -294,6 +294,23 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     assert(hits * 10 >= a.length * 3, s"PQ recall collapsed: $hits/${a.length}")
   }
 
+  test("q40 mode: matches independent recount with (count desc, value asc) tie-break") {
+    val rows = AdvancedQueries.q40ModeMedian(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val joined = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderpriority")).collect()
+    val expect = joined.groupBy(_.getString(0)).map { case (nation, rs) =>
+      val byPrio = rs.groupBy(_.getString(1)).map { case (p, xs) => (p, xs.length) }
+      nation -> byPrio.toSeq.minBy { case (p, c) => (-c, p) }._1
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("mode_priority") === expect(r.getAs[String]("n_name")))
+      assert(r.getAs[Double]("median_price") > 0.0)
+    }
+  }
+
   test("t15 vocab-ppl: OOV floor engages, flags match exact integer criterion") {
     val rows = TextAnalysis.t15VocabPerplexity(spark, dir).collect()
     assert(rows.nonEmpty)
