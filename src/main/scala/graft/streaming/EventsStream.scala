@@ -319,7 +319,43 @@ object EventsStream {
            countDistinct(col("user_id"), col("hour_bucket")).as("n_debounced"))
       .orderBy(col("event_type"))
 
+  /** Static enrichment dimension: market segment of GOOD-STANDING
+    * customers (non-negative balance) — a realistic partial
+    * reference extract, and the partiality is load-bearing: ~9% of
+    * event users fall outside it at every SF, so the left join's
+    * unmatched path is genuinely exercised (an unfiltered dim
+    * matches every user and the UNKNOWN bucket would be a vacuous
+    * gate). */
+  def segmentDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_acctbal") >= 0)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+
+  /** Stream-static enrichment join — the canonical reference-data
+    * pattern: the static side is a bounded table broadcast into
+    * every micro-batch, the join is STATELESS (no watermark, no
+    * state store, nothing to age out), and unmatched events land in
+    * an explicit UNKNOWN bucket instead of silently dropping (left
+    * join — an inner join would make enrichment lossy). Identical
+    * semantics over batch and streaming input. At 100 TB/day the
+    * static side refreshes by restarting the query or via a Delta-
+    * style versioned read; the per-batch plan is unchanged. */
+  def enrichWithSegment(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+
+  /** ST6 — the batch twin: per-segment rollup of the enriched
+    * stream. */
+  def st6StaticEnrich(spark: SparkSession, dir: String): DataFrame =
+    enrichWithSegment(Tables.events(spark, dir), segmentDim(spark, dir))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("segment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st6_static_enrich"  -> (st6StaticEnrich _),
     "st5_debounce"       -> (st5Debounce _),
     "st1_event_windows"  -> (st1EventWindows _),
     "st2_sessionization" -> (st2Sessionization _),
@@ -327,6 +363,14 @@ object EventsStream {
     "st4_stream_join"    -> (st4StreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st6_static_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+                count(*) AS n_events,
+                count(DISTINCT e.user_id) AS n_users,
+                round(sum(e.value), 2) AS total_value
+         FROM events e LEFT JOIN customer c
+           ON e.user_id = c.c_custkey AND c.c_acctbal >= 0
+         GROUP BY 1 ORDER BY segment""",
     "st5_debounce" ->
       """SELECT event_type, count(*) AS n_raw,
                 count(DISTINCT (user_id, date_trunc('hour', ts))) AS n_debounced

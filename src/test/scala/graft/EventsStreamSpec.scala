@@ -44,6 +44,28 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment == batch left-join rollup") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val dim = EventsStream.segmentDim(spark, dir)
+    // append mode: the enrichment join is stateless, rows emit as-is
+    val q = EventsStream.runToMemory(
+      EventsStream.enrichWithSegment(stream, dim), "enrich_stream", mode = "append")
+    try {
+      val streamed = spark.table("enrich_stream")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"),
+             round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("segment"))
+        .collect()
+      val batch = EventsStream.st6StaticEnrich(spark, dir).collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.map(_.getAs[String]("segment")).contains("UNKNOWN"),
+        "unmatched-user bucket must be exercised")
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
   test("stateful transitionsStream == batch lag-window transitions") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(
