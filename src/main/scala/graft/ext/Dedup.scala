@@ -355,10 +355,31 @@ object Dedup {
     * reuses (subset-clustering). The hash is [[StableHash]], so the
     * DuckDB oracle computes the same sub-block assignment — the
     * equivalence is structural, not corpus-dependent. */
-  def d8SnmBounded(spark: SparkSession, dir: String, maxBlockDocs: Int): DataFrame = {
+  def d8SnmBounded(spark: SparkSession, dir: String, maxBlockDocs: Int): DataFrame =
+    snmPass(spark, dir, snmPrefixKey, maxBlockDocs)
+      .orderBy(col("doc_id"), col("dup_id"))
+
+  /** Prefix block key: first 2 tokens. */
+  private def snmPrefixKey: Column =
+    array_join(slice(words(col("text")), 1, 2), " ")
+
+  /** Suffix block key: LAST 2 tokens, the classic rotated key for a
+    * second SNM pass. Start index is computed as greatest(n-1, 1) —
+    * not a negative slice index — because Spark and DuckDB disagree
+    * on negative starts when the array is shorter than the slice;
+    * this form means "last two, or the whole array if shorter" in
+    * both engines. */
+  private def snmSuffixKey: Column = {
+    val w = words(col("text"))
+    array_join(slice(w, greatest(size(w) - 1, lit(1)), lit(2)), " ")
+  }
+
+  /** One SNM pass over an arbitrary block key (unordered pairs). */
+  private def snmPass(spark: SparkSession, dir: String, blk: Column,
+                      maxBlockDocs: Int): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), array_distinct(words(col("text"))).as("ts"))
-      .withColumn("blk", array_join(slice(words(col("text")), 1, 2), " "))
+      .withColumn("blk", blk)
     val cnts = d.groupBy(col("blk")).agg(count(lit(1)).as("cnt"))
     val sub = pmod(StableHash.hash64(col("doc_id")),
                    ceil(col("cnt") / lit(maxBlockDocs.toDouble)))
@@ -372,7 +393,26 @@ object Dedup {
       .filter(col("nid").isNotNull)
       .select(col("doc_id"), col("nid").as("dup_id"), round(j, 4).as("jaccard"))
       .filter(col("jaccard") >= SnmJaccardThreshold)
-      .orderBy(col("doc_id"), col("dup_id"))
+  }
+
+  /** D10 — multi-pass SNM, the production practice d8's scaladoc
+    * names: a second pass sorts under a ROTATED key (last-2-token
+    * blocks), recovering suffix-blocked near-dups the prefix pass
+    * structurally misses (head-edited copies). Pairs canonicalize to
+    * (min, max) and found_by counts the passes that produced each —
+    * the Jaccard is key-independent, so colliding pairs agree on it
+    * and the groupBy is exact. Cost is exactly 2× one pass; passes
+    * share nothing at runtime, so they parallelize trivially. */
+  def d10SnmMultipass(spark: SparkSession, dir: String): DataFrame = {
+    val pre = snmPass(spark, dir, snmPrefixKey, SnmMaxBlockDocs)
+    val suf = snmPass(spark, dir, snmSuffixKey, SnmMaxBlockDocs)
+    pre.union(suf)
+      .select(least(col("doc_id"), col("dup_id")).as("a_id"),
+              greatest(col("doc_id"), col("dup_id")).as("b_id"),
+              col("jaccard"))
+      .groupBy(col("a_id"), col("b_id"), col("jaccard"))
+      .agg(count(lit(1)).cast("int").as("found_by"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -383,7 +423,8 @@ object Dedup {
     "d4_minhash_lsh"       -> (d4MinhashLsh _),
     "d5_simhash_clusters"  -> (d5SimhashClusters _),
     "d7_dedup_components"  -> (d7DedupComponents _),
-    "d9_containment"       -> (d9Containment _))
+    "d9_containment"       -> (d9Containment _),
+    "d10_snm_multipass"    -> (d10SnmMultipass _))
 
   private val H = StableHash // brevity in SQL builders below
 
@@ -434,34 +475,55 @@ object Dedup {
          ORDER BY a_id, b_id"""
   }
 
-  val oracles: Map[String, String] = Map(
-    "d8_snm" ->
-      s"""WITH w AS (
-           SELECT doc_id, text, string_split(trim(text), ' ') AS wa FROM documents),
-         pre AS (
-           SELECT doc_id, text, list_distinct(wa) AS ts,
-                  array_to_string(wa[1:2], ' ') AS blk
+  /** One SNM pass as a CTE chain (names suffixed by `tag`), SQL twin
+    * of snmPass; yields `j$tag` = (doc_id, dup_id, jaccard). */
+  private def snmPassSql(tag: String, blkSql: String): String =
+    s"""pre$tag AS (
+           SELECT doc_id, text, list_distinct(wa) AS ts, $blkSql AS blk
            FROM w),
-         cnts AS (SELECT blk, count(*) AS cnt FROM pre GROUP BY 1),
-         salted AS (
+         cnts$tag AS (SELECT blk, count(*) AS cnt FROM pre$tag GROUP BY 1),
+         salted$tag AS (
            SELECT p.doc_id, p.text, p.ts, p.blk,
                   ${H.duckdbHash64("CAST(p.doc_id AS VARCHAR)")}
                     % CAST(ceil(c.cnt / $SnmMaxBlockDocs.0) AS BIGINT) AS sub
-           FROM pre p JOIN cnts c USING (blk)),
-         nb AS (
+           FROM pre$tag p JOIN cnts$tag c USING (blk)),
+         nb$tag AS (
            SELECT doc_id, ts,
                   lead(doc_id) OVER win AS nid,
                   lead(ts) OVER win AS nts
-           FROM salted
+           FROM salted$tag
            WINDOW win AS (PARTITION BY blk, sub ORDER BY text, doc_id)),
-         j AS (
+         j$tag AS (
            SELECT doc_id, nid AS dup_id,
                   round(len(list_intersect(ts, nts)) * 1.0
                         / len(list_distinct(list_concat(ts, nts))), 4) AS jaccard
-           FROM nb WHERE nid IS NOT NULL)
+           FROM nb$tag WHERE nid IS NOT NULL)"""
+
+  private val wordsCte =
+    "w AS (SELECT doc_id, text, string_split(trim(text), ' ') AS wa FROM documents)"
+  private val snmPrefixBlkSql = "array_to_string(wa[1:2], ' ')"
+  private val snmSuffixBlkSql = "array_to_string(wa[greatest(len(wa) - 1, 1):], ' ')"
+
+  val oracles: Map[String, String] = Map(
+    "d8_snm" ->
+      s"""WITH $wordsCte,
+         ${snmPassSql("", snmPrefixBlkSql)}
          SELECT doc_id, dup_id, jaccard FROM j
          WHERE jaccard >= $SnmJaccardThreshold
          ORDER BY doc_id, dup_id""",
+    "d10_snm_multipass" ->
+      s"""WITH $wordsCte,
+         ${snmPassSql("1", snmPrefixBlkSql)},
+         ${snmPassSql("2", snmSuffixBlkSql)},
+         u AS (
+           SELECT least(doc_id, dup_id) AS a_id, greatest(doc_id, dup_id) AS b_id, jaccard
+           FROM j1 WHERE jaccard >= $SnmJaccardThreshold
+           UNION ALL
+           SELECT least(doc_id, dup_id), greatest(doc_id, dup_id), jaccard
+           FROM j2 WHERE jaccard >= $SnmJaccardThreshold)
+         SELECT a_id, b_id, jaccard, CAST(count(*) AS INTEGER) AS found_by
+         FROM u GROUP BY 1, 2, 3
+         ORDER BY a_id, b_id""",
     "d1_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
          count(DISTINCT text) AS n_unique_texts,

@@ -354,6 +354,24 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 multipass SNM: superset of the prefix pass, suffix pass contributes") {
+    val multi = graft.ext.Dedup.d10SnmMultipass(spark, dir).collect()
+    val prefix = graft.ext.Dedup.d8Snm(spark, dir).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val multiKeys = multi.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(prefix.subsetOf(multiKeys), "every prefix-pass pair must survive the union")
+    assert(multiKeys.size > prefix.size, "suffix pass found nothing — rotated key vacuous")
+    multi.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      val f = r.getAs[Int]("found_by")
+      assert(f === 1 || f === 2)
+    }
+    // pairs confirmed by BOTH sort keys exist on this corpus (the
+    // high-confidence tier a multipass run is usually mined for)
+    assert(multi.exists(_.getAs[Int]("found_by") === 2))
+  }
+
   test("p1 pagerank: rank mass conserved up to truncation, nodes = graph, deterministic") {
     import graft.ext.{Dedup, Graph}
     val pairs = Dedup.d4MinhashLsh(spark, dir).select("a_id", "b_id").collect()
