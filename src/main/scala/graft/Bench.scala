@@ -53,12 +53,15 @@ object Bench {
     // earlier line, nothing printed after. If the query inventory
     // grows past the budget, drop to 1 decimal rather than overflow.
     println(s"""{"bench_status":$st,"failures":$failures}""")
-    // sf must stay valid JSON: accept only a well-formed trailing
-    // number ("sf1." or "sf.5" are not), else quote the raw dir name
-    // rather than fabricating sf:0
+    // sf must stay valid JSON: accept only a dir named exactly
+    // sf<well-formed number> ("sf1." and "sf.5" are not — an
+    // end-anchored-only regex would read "sf.5" as 5), else quote
+    // the dir name with everything JSON-unsafe stripped rather than
+    // fabricating sf:0
     val dirName = new java.io.File(sfDir).getName
-    val sfNum = "[0-9]+(\\.[0-9]+)?$".r.findFirstIn(dirName)
-      .getOrElse("\"" + dirName.replace("\"", "") + "\"")
+    val sfNum = "^sf([0-9]+(\\.[0-9]+)?)$".r.findFirstMatchIn(dirName)
+      .map(_.group(1))
+      .getOrElse("\"" + dirName.replaceAll("[^A-Za-z0-9._-]", "") + "\"")
     def f(dec: Int, v: Double): String = {
       val s = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s

@@ -100,7 +100,21 @@ object Dedup {
     * pairs or lower Jaccard estimates, never invent a pair
     * (spec-asserted); at threshold ∞ it IS d3. */
   def d3JaccardPairsCapped(spark: SparkSession, dir: String,
-                           maxShingleDocFreq: Option[Long]): DataFrame = {
+                           maxShingleDocFreq: Option[Long]): DataFrame =
+    shinglePairCounts(spark, dir, maxShingleDocFreq)
+      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 3))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Shared candidate machinery of the exact pair scorers (d3
+    * Jaccard, d9 containment): per-pair intersection counts `i` with
+    * both docs' shingle-set sizes (`na`, `nb`), restricted to
+    * repeated shingles (singletons can't intersect) and optionally
+    * hot-shingle-capped. The scorers differ only in the final
+    * normalization. */
+  private def shinglePairCounts(spark: SparkSession, dir: String,
+                                maxShingleDocFreq: Option[Long]): DataFrame = {
     val sh = shingleSet(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val repeated = sh.groupBy(col("s")).agg(count(lit(1)).as("ns"))
@@ -115,10 +129,6 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
       .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
-      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 3))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   val ContainmentThreshold = 0.9
@@ -133,24 +143,19 @@ object Dedup {
     * and shingle-value self-join as d3: the fan-out is bounded by
     * shingle frequency, never |docs|², and the d3 hot-shingle cap
     * applies unchanged at 100 TB. */
-  def d9Containment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(spark, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val repeated = sh.groupBy(col("s")).agg(count(lit(1)).as("ns"))
-      .filter(col("ns") > 1).select(col("s"))
-    val shRep = sh.join(repeated, Seq("s"), "left_semi")
-    val inter = shRep.as("a")
-      .join(shRep.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+  def d9Containment(spark: SparkSession, dir: String): DataFrame =
+    d9ContainmentCapped(spark, dir, maxShingleDocFreq = None)
+
+  /** The capped form, same knob and same monotonicity argument as
+    * d3JaccardPairsCapped: capping can only remove pairs or lower
+    * scores, never invent a pair; `None` = exact. */
+  def d9ContainmentCapped(spark: SparkSession, dir: String,
+                          maxShingleDocFreq: Option[Long]): DataFrame =
+    shinglePairCounts(spark, dir, maxShingleDocFreq)
       .withColumn("containment", round(col("i") / least(col("na"), col("nb")), 3))
       .filter(col("containment") >= ContainmentThreshold)
       .select(col("a_id"), col("b_id"), col("containment"))
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   val NumHashes = 16
   val Bands = 4 // 4 rows per band; P(candidate) = 1-(1-j^4)^4 — ~0.97 at j=0.8
@@ -243,17 +248,10 @@ object Dedup {
     * checkpoint blocks are freed as soon as the next round
     * materializes, so peak storage is two rounds, not `rounds`.
     *
-    * The iterative phase runs at shuffle parallelism sized to the
-    * edge count, not the session default: the candidate graph is
-    * pair-bounded (LSH only emits pairs inside band buckets), so at
-    * test scale it is tens of rows and default-width rounds are pure
-    * scheduler overhead, while at 100 TB the same rule yields one
-    * partition per ~2M edges. The sizing goes through the session's
-    * shuffle-partitions conf (set on entry, restored in a finally):
-    * that is session-GLOBAL state, so other queries planned on the
-    * same SparkSession while the loop runs would inherit the reduced
-    * width — callers sharing a session concurrently (e.g. an active
-    * streaming query) should run CC on its own session. A graph whose
+    * Edge symmetrization, checkpoint lifecycle, and edge-sized
+    * shuffle parallelism come from the shared [[IterativeGraph]]
+    * harness (PageRank runs the same rounds shape — see the harness
+    * scaladoc for the session-global-conf caveat). A graph whose
     * diameter exceeds the round cap fails loudly instead of returning
     * a non-fixpoint
     * labeling; the production answer for such graphs is
@@ -261,20 +259,7 @@ object Dedup {
     * not a bigger cap. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim.CheckpointShim
-    // `pairs` is referenced twice by the src/dst union below;
-    // materialize it once so the upstream pipeline (for d7, the whole
-    // LSH build) does not execute twice.
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .union(p.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint()
-    CheckpointShim.unpersist(p)
-    val spark = edges.sparkSession
-    val nEdges = edges.count()
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, nEdges / 2000000L).toString)
-    try {
+    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = true) { edges =>
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")).localCheckpoint()
       var changed = 1L
@@ -292,20 +277,18 @@ object Dedup {
         rounds += 1
       }
       if (changed != 0) {
-        // free BOTH pinned checkpoints before failing — the error path
-        // must not leak the blocks this function exists to manage
-        CheckpointShim.unpersist(edges)
+        // free the label checkpoint before failing (the harness frees
+        // the edge checkpoint on every exit path)
         CheckpointShim.unpersist(labels)
         throw new IllegalStateException(
           s"connectedComponents did not converge within $rounds rounds " +
             s"($changed labels still changing); graph diameter exceeds the cap — " +
             "switch to pointer-doubling rather than raising it")
       }
-      CheckpointShim.unpersist(edges)
       // the final round's checkpoint stays pinned until the caller
       // consumes the result — one component-sized block, not one per round
       labels.select(col("node"), col("label").as("cluster_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** D7 — near-dup clusters: the LSH pair list (d4) closed into

@@ -3,6 +3,49 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Shared harness for iterative operators over a pair-derived graph
+  * (connected components, PageRank): symmetrize and checkpoint the
+  * edge list once, and run the iteration body at shuffle parallelism
+  * sized to the EDGE count, not the session default — the candidate
+  * graph is pair-bounded (LSH only emits pairs inside band buckets),
+  * so at test scale it is tens of rows and default-width rounds are
+  * pure scheduler overhead, while at 100 TB the same rule yields one
+  * partition per ~2M edges. The sizing goes through the session's
+  * shuffle-partitions conf (set on entry, restored in a finally):
+  * that is session-GLOBAL state, so other queries planned on the
+  * same SparkSession while a loop runs would inherit the reduced
+  * width — callers sharing a session concurrently (e.g. an active
+  * streaming query) should run graph loops on their own session. */
+private[ext] object IterativeGraph {
+  import org.apache.spark.sql.graftshim.CheckpointShim
+
+  /** Build the symmetric checkpointed edge list (`src`, `dst`) from
+    * `pairs` and run `body` under edge-sized shuffle parallelism.
+    * The edge checkpoint is freed when body returns — on the error
+    * path too — so a result that outlives the call must be
+    * checkpointed by body itself. `pairs` is materialized first so
+    * the upstream pipeline (for d7/p1, the whole LSH build) does not
+    * execute once per direction. */
+  def withSymmetricEdges[T](pairs: DataFrame, aCol: String, bCol: String,
+                            distinctEdges: Boolean)(body: DataFrame => T): T = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val e0 = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+    val edges = (if (distinctEdges) e0.distinct() else e0).localCheckpoint()
+    CheckpointShim.unpersist(p)
+    val spark = edges.sparkSession
+    val nEdges = edges.count()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, nEdges / 2000000L).toString)
+    try body(edges)
+    finally {
+      CheckpointShim.unpersist(edges)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+}
+
 /** Iterative graph analytics over the near-dup candidate graph —
   * the step after clustering (Dedup.connectedComponents) when a
   * pipeline needs to RANK documents inside a duplicate neighborhood
@@ -16,6 +59,7 @@ import org.apache.spark.sql.functions._
   * with reduction order and cannot be hash-compared across engines).
   */
 object Graph {
+  import org.apache.spark.sql.graftshim.CheckpointShim
 
   /** Fixed-point scale: ranks sum to ~Scale (minus integer-division
     * truncation, < 1 per edge per round — bounded and spec-checked). */
@@ -30,62 +74,47 @@ object Graph {
     *
     * Shape per round: one join of the edge list against the current
     * rank vector + one sum-aggregate — identical to the connected-
-    * components round, and the standard massive-graph formulation
-    * (ranks and edges both stay distributed; nothing is ever
-    * collected). The candidate graph is pair-bounded, so the
-    * iterative phase runs at parallelism sized to the edge count
-    * exactly as Dedup.connectedComponents does; localCheckpoint
-    * truncates lineage each round and the superseded round's blocks
-    * are freed as soon as the next materializes.
+    * components round (both run under the shared IterativeGraph
+    * harness; ranks and edges both stay distributed, nothing is ever
+    * collected). localCheckpoint truncates lineage each round and
+    * the superseded round's blocks are freed as soon as the next
+    * materializes.
     *
     * A fixed iteration count (not a convergence test) is what makes
     * the operator oracle-checkable: the DuckDB mirror unrolls the
     * same 10 updates as chained CTEs and must agree bit-for-bit.
     * Nodes all have degree ≥ 1 by construction (they come from the
     * edge list), so there is no dangling-mass term. */
-  def pagerank(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    import org.apache.spark.sql.graftshim.CheckpointShim
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
-    val edges = p.select(col("a").as("s"), col("b").as("d"))
-      .union(p.select(col("b").as("s"), col("a").as("d")))
-      .localCheckpoint()
-    CheckpointShim.unpersist(p)
-    val spark = edges.sparkSession
-    val nEdges = edges.count()
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, nEdges / 2000000L).toString)
-    try {
-      val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("outdeg"))
+  def pagerank(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = false) { edges =>
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
         .localCheckpoint()
       // 1-row node count, broadcast into every round — no driver-side
       // value steers the computation, so the plan is scale-free
-      val nn = edges.select(col("s")).distinct()
+      val nn = edges.select(col("src")).distinct()
         .agg(count(lit(1)).as("n")).localCheckpoint()
-      var ranks = edges.select(col("s").as("node")).distinct()
+      var ranks = edges.select(col("src").as("node")).distinct()
         .crossJoin(broadcast(nn))
         .select(col("node"), expr(s"$Scale div n").as("r"))
         .localCheckpoint()
       for (_ <- 1 to Iterations) {
         val next = edges
-          .join(ranks, col("s") === col("node"))
-          .join(deg.withColumnRenamed("s", "ds"), col("s") === col("ds"))
-          .select(col("d"), expr("r div outdeg").as("c"))
-          .groupBy(col("d"))
+          .join(ranks, col("src") === col("node"))
+          .join(deg.withColumnRenamed("src", "dsrc"), col("src") === col("dsrc"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst"))
           .agg(sum(col("c")).as("sc"))
           .crossJoin(broadcast(nn))
-          .select(col("d").as("node"),
+          .select(col("dst").as("node"),
             expr(s"(3 * ($Scale div n)) div 20 + (17 * sc) div 20").as("r"))
           .localCheckpoint()
         CheckpointShim.unpersist(ranks)
         ranks = next
       }
-      CheckpointShim.unpersist(edges)
       CheckpointShim.unpersist(deg)
       CheckpointShim.unpersist(nn)
       ranks
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
+    }
 
   /** P1 — PageRank over the d4 MinHash-LSH near-dup graph: which
     * documents sit at the CENTER of duplicate neighborhoods (a

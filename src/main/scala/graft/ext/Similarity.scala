@@ -335,16 +335,18 @@ object Similarity {
   val PqSubDim: Int = Dims / PqSubspaces
   val PqIters = 2
 
-  /** PQ codebooks want far more centroids than IVF wants lists
-    * (production PQ uses K=256 per subspace; IVF quality is about
-    * list balance, PQ quality is quantization error). Measured
-    * recall@10 vs exact L2 at sf0.01: stride 97 (≈6 centroids per
-    * subspace) 0.16, stride 13 (≈39) 0.32, stride 7 (≈71) 0.46 —
-    * the structureless synthetic corpus caps what any coarse
-    * quantizer can recover; on clustered real embeddings the same
-    * K recovers far more. Same deterministic stride-seed discipline
-    * as IVF, denser. */
-  val PqCentroidStride = 7
+  /** Target codebook size per subspace. The seed STRIDE is derived
+    * from it as max(1, |V|/K), so the codebook stays ~K at any
+    * corpus size — a fixed stride would keep |V|/stride centroids
+    * and quietly turn training O(|V|²) and the \"tiny\" broadcast
+    * distance table O(|V|), breaking the operator exactly where it
+    * claims to scale. Production PQ uses K=256; 64 here keeps the
+    * oracle's unrolled SQL tractable. Measured recall@10 vs exact
+    * L2 at sf0.01 (|V|=500 → stride 7, ≈71 centroids): 0.46; ≈39
+    * centroids: 0.32; ≈6: 0.16 — the structureless synthetic corpus
+    * caps what any coarse quantizer can recover; on clustered real
+    * embeddings the same K recovers far more. */
+  val PqTargetK = 64
 
   /** Quantized subvectors: one row per (vec_id, subspace) with the
     * int64 subvector and its exact squared norm. */
@@ -399,9 +401,14 @@ object Similarity {
     * the same bounded-driver-state pattern as s5. New centroids are
     * floor(sum/count) integer means; floor of an exactly-
     * representable quotient is identical in Scala and DuckDB. */
-  private def pqCodebooks(spark: SparkSession, v: DataFrame): DataFrame = {
+  private def pqCodebooks(spark: SparkSession, dir: String, v: DataFrame): DataFrame = {
     import spark.implicits._
-    var cen = v.filter(col("vec_id") % PqCentroidStride === 0)
+    // stride as a 1-row plan-side aggregate (same scale-free pattern
+    // as PageRank's node count): no driver value steers the plan
+    val strideDf = Tables.embeddings(spark, dir)
+      .agg(greatest(lit(1L), expr(s"count(1) div $PqTargetK")).as("seed_stride"))
+    var cen = v.crossJoin(broadcast(strideDf))
+      .filter(pmod(col("vec_id"), col("seed_stride")) === 0)
       .select(col("sub"), col("vec_id").as("cid"), col("qa").as("ma"), col("na").as("nc"))
     for (_ <- 1 to PqIters) {
       val sums = pqCodes(v, cen).join(v, Seq("vec_id", "sub"))
@@ -426,7 +433,7 @@ object Similarity {
     * (quantized) neighbor — the ADC semantics; ties break on vec_id. */
   def s6PqAdc(spark: SparkSession, dir: String): DataFrame = {
     val v = pqSubVecs(spark, dir).cache()
-    val cen = pqCodebooks(spark, v)
+    val cen = pqCodebooks(spark, dir, v)
     val codes = pqCodes(v, cen)
     val dtab = pqDist(v.filter(col("vec_id") < QueryCount), cen)
       .select(col("vec_id").as("query_id"), col("sub"), col("cid"), col("d2"))
@@ -621,7 +628,8 @@ object Similarity {
            FROM ux),
          cb0 AS (
            SELECT sub, vec_id AS cid, j, q AS m FROM qs
-           WHERE vec_id % $PqCentroidStride = 0),
+           WHERE vec_id % (SELECT greatest(1, count(*) // $PqTargetK)
+                           FROM embeddings) = 0),
          $rounds,
          codes AS (SELECT vec_id, sub, cid FROM asg$fin WHERE r = 1),
          dtab AS (SELECT vec_id AS query_id, sub, cid, d2 FROM dist$fin

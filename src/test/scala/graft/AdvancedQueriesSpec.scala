@@ -289,7 +289,7 @@ class AdvancedQueriesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val hits = a.count(r =>
       exact.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
-    // measured 0.46 on this structureless corpus (see PqCentroidStride
+    // measured 0.46 on this structureless corpus (see PqTargetK
     // scaladoc); 0.3 is the regression floor, not the quality claim
     assert(hits * 10 >= a.length * 3, s"PQ recall collapsed: $hits/${a.length}")
   }
