@@ -385,6 +385,46 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  val MixSeed = 7
+  val MixPpm = 1000000L
+
+  /** T16 — temperature-flattened source mixing, the corpus-assembly
+    * step between cleaning and packing: over-represented sources are
+    * down-weighted so the mixture moves toward uniform without
+    * discarding small sources. Weights are TOKEN mass, not document
+    * count — training budgets are tokens, and doc counts can be
+    * uniform while token mass skews (exactly this corpus: 25 docs
+    * per source at every SF, token mass spread 1.4×; doc-count
+    * weighting would be a vacuous no-op). Keep rate per source ∝
+    * (tok_min/tok_s)^(1/2) (temperature τ=2), held as an integer
+    * parts-per-million rate; a document survives iff its seeded
+    * StableHash lands under its source's rate — the same
+    * deterministic hash-mod membership as t7, so the sample is
+    * reproducible row-for-row in any engine, needs no RNG state,
+    * and composes with retries. The per-source rate table is a tiny
+    * aggregate broadcast back; the corpus itself never shuffles
+    * (the keep decision is row-local). floor/sqrt/division all run
+    * on exactly-representable inputs, so the ppm rates are
+    * bit-identical cross-engine. */
+  def t16TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
+    val counts = d.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_src"))
+    val nmin = counts.agg(min(col("tok_src")).as("tok_min"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("rate_ppm",
+        floor(lit(MixPpm.toDouble) * sqrt(col("tok_min").cast("double") / col("tok_src"))))
+      .select(col("source"), col("rate_ppm"))
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("h", pmod(graft.functions.StableHash.hash64(MixSeed,
+        col("doc_id").cast("string")), lit(MixPpm)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("h") < col("rate_ppm"), 1L).otherwise(0L)).as("n_kept"),
+           min(col("rate_ppm")).as("rate_ppm"))
+      .orderBy(col("source"))
+  }
+
   val PackCapacity = 2048
   val PackShards = 32
 
@@ -455,6 +495,7 @@ object TextAnalysis {
     "t14_bm25"             -> (t14Bm25 _),
     "t12_unigram_ppl"      -> (t12UnigramPerplexity _),
     "t15_vocab_ppl"        -> (t15VocabPerplexity _),
+    "t16_temperature_mix"  -> (t16TemperatureMix _),
     "t9_repetition_filter" -> (t9RepetitionFilter _),
     "t10_decontaminate"    -> (t10Decontaminate _),
     "t11_chunking"         -> (t11Chunking _),
@@ -539,6 +580,24 @@ object TextAnalysis {
          sc AS (SELECT doc_id, round($score, 3) AS bm25 FROM tf, s)
          SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
          ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopN"""
+    },
+    "t16_temperature_mix" -> {
+      val h = graft.functions.StableHash.duckdbHash64(MixSeed, "CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+           SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n_tok
+           FROM documents),
+         c AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_src FROM d GROUP BY 1),
+         m AS (SELECT min(tok_src) AS tok_min FROM c),
+         r AS (SELECT source,
+                      CAST(floor($MixPpm.0 * sqrt(CAST(tok_min AS DOUBLE) / tok_src)) AS BIGINT)
+                        AS rate_ppm
+               FROM c, m),
+         k AS (SELECT d.source, r.rate_ppm,
+                      CASE WHEN ($h) % $MixPpm < r.rate_ppm THEN 1 ELSE 0 END AS kept
+               FROM d JOIN r USING (source))
+         SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+                min(rate_ppm) AS rate_ppm
+         FROM k GROUP BY 1 ORDER BY source"""
     },
     "t15_vocab_ppl" ->
       s"""WITH toks AS (

@@ -294,6 +294,25 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     assert(hits * 10 >= a.length * 3, s"PQ recall collapsed: $hits/${a.length}")
   }
 
+  test("t16 temperature mix: flattens toward uniform, smallest source kept whole") {
+    val rows = TextAnalysis.t16TemperatureMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val in = rows.map(_.getAs[Long]("n_docs"))
+    val kept = rows.map(_.getAs[Long]("n_kept"))
+    assert(kept.sum < in.sum, "sampling never engaged — vacuous")
+    rows.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
+    // the token-lightest source's rate is exactly MixPpm (sqrt(1)
+    // floor), so every hash lands under it — nothing small is lost
+    val whole = rows.filter(_.getAs[Long]("rate_ppm") === TextAnalysis.MixPpm)
+    assert(whole.nonEmpty, "no source at the full keep rate — weight base broken")
+    whole.foreach(r => assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_docs")))
+    // every rate is a genuine probability in (0, MixPpm]
+    rows.foreach { r =>
+      val p = r.getAs[Long]("rate_ppm")
+      assert(p > 0L && p <= TextAnalysis.MixPpm)
+    }
+  }
+
   test("q40 mode: matches independent recount with (count desc, value asc) tie-break") {
     val rows = AdvancedQueries.q40ModeMedian(spark, dir).collect()
     assert(rows.nonEmpty)
