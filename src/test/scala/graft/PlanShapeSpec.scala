@@ -88,6 +88,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"decile bounds should broadcast back:\n$p")
   }
 
+  test("s6: PQ argmin plans as hash aggregates — no sort-based aggregate, no window") {
+    val p = plan(graft.ext.Similarity.s6PqAdc(spark, dir))
+    // the packed-long min() must stay a HashAggregate; min_by over a
+    // (d2,cid) struct fell back to SortAggregate and tripled the cost
+    assert(!p.contains("SortAggregate"), s"PQ argmin fell out of hash agg:\n$p")
+    // the only WindowExec is the final per-query top-k over candidate
+    // scores — never over the corpus-sized assignment ("Window [" is
+    // the exec node; WindowGroupLimit is its pushed-down limit and
+    // shares the substring)
+    assert(countOf(p, "Window [") <= 1, s"unexpected windows in PQ plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"ADC lookup must broadcast:\n$p")
+  }
+
+  test("t15: top-K vocab is a TakeOrderedAndProject, not a global sort/window") {
+    val p = plan(graft.ext.TextAnalysis.t15VocabPerplexity(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-K should plan per-partition heaps + driver merge:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in t15:\n$p")
+  }
+
+  test("q40: mode/median touch no window; counts aggregate map-side first") {
+    val p = plan(graft.queries.AdvancedQueries.q40ModeMedian(spark, dir))
+    assert(!p.contains("Window"), s"mode must be an aggregation, not a ranking:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"wide count should map-side combine:\n$p")
+  }
+
+  test("t16: keep decision is row-local — rate table broadcasts, corpus never shuffles wide") {
+    val p = plan(graft.ext.TextAnalysis.t16TemperatureMix(spark, dir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$p")
+    // shuffles: the per-source aggregates (counts + final rollup);
+    // the documents scan itself must not hash-repartition by doc
+    assert(countOf(p, "Exchange hashpartitioning") <= 3,
+      s"too many shuffles for a row-local sampler:\n$p")
+  }
+
   private def countOf(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 }
