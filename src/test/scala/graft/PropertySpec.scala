@@ -147,4 +147,31 @@ class PropertySpec extends AnyFunSuite {
       bucketed == naive
     }, n = 12)
   }
+
+  test("pagerank: star center dominates; symmetric leaves tie EXACTLY (int64 law)") {
+    import spark.implicits._
+    // K4 star: center 0, leaves 1..4 — closed-form says the center
+    // outranks every leaf, and exact fixed-point arithmetic says all
+    // leaves tie to the last unit (float PageRank only ties within ε)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val r = graft.ext.Graph.pagerank(pairs, "a", "b").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(r(0L) > r(1L), s"center must outrank leaves: $r")
+    assert(Set(r(1L), r(2L), r(3L), r(4L)).size === 1,
+      s"symmetric leaves must tie exactly: $r")
+    assert(r.values.sum <= graft.ext.Graph.Scale &&
+      r.values.sum > (graft.ext.Graph.Scale * 0.99).toLong)
+  }
+
+  test("pagerank: path graph ranks middle above endpoints") {
+    import spark.implicits._
+    // P5 path 0-1-2-3-4: degree-2 interior beats degree-1 endpoints,
+    // and the symmetric positions (0,4) and (1,3) tie exactly
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = graft.ext.Graph.pagerank(pairs, "a", "b").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(0L) && r(2L) > r(4L), s"middle must dominate: $r")
+    assert(r(0L) === r(4L) && r(1L) === r(3L), s"mirror symmetry must be exact: $r")
+  }
 }
