@@ -301,6 +301,43 @@ object Dedup {
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** D11 — INCREMENTAL connected components, the arriving-data form
+    * of d7: yesterday's cluster assignment plus today's new pairs
+    * re-converge without re-clustering the world. The old labeling
+    * enters as (node → cluster_id) label edges — each old component
+    * collapses to a star around its representative — so rounds scale
+    * with the diameter of the NEW merge graph, not the historical
+    * one, and the historical PAIR LIST never needs to be kept, only
+    * the labeling (at 100 TB that is the difference between state
+    * linear in documents and state linear in candidate pairs).
+    *
+    * Here the d4 pair list splits deterministically into an "old"
+    * and a "new" half to stand in for two arrival days; the fixpoint
+    * must equal the full-rebuild d7 labeling EXACTLY — the fold ≡
+    * rebuild law the incremental snapshot already obeys — so d11
+    * shares d7's oracle verbatim. */
+  def d11IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.CheckpointShim
+    // one LSH build feeds both halves
+    val pairs = d4MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val old = pairs.filter((col("a_id") + col("b_id")) % 2 === 0)
+    val fresh = pairs.filter((col("a_id") + col("b_id")) % 2 === 1)
+    // label edges: includes the representatives' (x, x) self-edges,
+    // which is what keeps nodes whose component gains no new pair
+    // present in the merged graph
+    val equiv = connectedComponents(old, "a_id", "b_id")
+      .select(col("node").as("a_id"), col("cluster_id").as("b_id"))
+    val out = connectedComponents(equiv.union(fresh), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+    // both CC calls have materialized their own checkpoints by now;
+    // the first run's labels and the shared pair list can go
+    CheckpointShim.unpersist(equiv)
+    CheckpointShim.unpersist(pairs)
+    out
+  }
+
   val SnmJaccardThreshold = 0.5
 
   /** Blocks larger than this are hash-split before the sort window;
@@ -407,7 +444,8 @@ object Dedup {
     "d5_simhash_clusters"  -> (d5SimhashClusters _),
     "d7_dedup_components"  -> (d7DedupComponents _),
     "d9_containment"       -> (d9Containment _),
-    "d10_snm_multipass"    -> (d10SnmMultipass _))
+    "d10_snm_multipass"    -> (d10SnmMultipass _),
+    "d11_incremental_cc"   -> (d11IncrementalCc _))
 
   private val H = StableHash // brevity in SQL builders below
 
@@ -561,11 +599,16 @@ object Dedup {
          SELECT simhash, count(*) AS cluster_size, min(doc_id) AS keep_doc_id
          FROM sim GROUP BY 1 HAVING count(*) > 1 ORDER BY simhash"""
     },
+    // the incremental fold must land on the identical fixpoint as the
+    // full rebuild — d11 shares d7's oracle verbatim (fold ≡ rebuild)
+    "d11_incremental_cc" -> d7ComponentsOracleSql,
     // transitive closure over the SAME pair list d4 produces (its full
     // SELECT nests as the `pairs` CTE body); component label = min
     // reachable doc_id, mirroring the label-propagation fixpoint
-    "d7_dedup_components" ->
-      s"""WITH RECURSIVE pairs AS ($d4OracleSql),
+    "d7_dedup_components" -> d7ComponentsOracleSql)
+
+  private lazy val d7ComponentsOracleSql: String =
+    s"""WITH RECURSIVE pairs AS ($d4OracleSql),
          edges AS (
            SELECT a_id AS s, b_id AS d FROM pairs
            UNION SELECT b_id, a_id FROM pairs),
@@ -576,5 +619,5 @@ object Dedup {
          members AS (SELECT DISTINCT s AS node FROM edges)
          SELECT m.node AS doc_id, least(m.node, min(r.other)) AS cluster_id
          FROM members m JOIN reach r ON r.node = m.node
-         GROUP BY m.node ORDER BY doc_id""")
+         GROUP BY m.node ORDER BY doc_id"""
 }
