@@ -164,6 +164,22 @@ class PropertySpec extends AnyFunSuite {
       r.values.sum > (graft.ext.Graph.Scale * 0.99).toLong)
   }
 
+  test("connectedComponents: diameter past the round cap fails loudly and leaks no blocks") {
+    import spark.implicits._
+    // a 60-edge path needs ~59 min-label rounds; the cap is 50, so
+    // the call must throw (never return a non-fixpoint labeling) and
+    // every checkpoint it pinned — edges AND labels — must be freed
+    // on the error path
+    val pairs = (0L until 60L).sliding(2).map(s => (s.head, s(1))).toSeq.toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[IllegalStateException] {
+      graft.ext.Dedup.connectedComponents(pairs, "a", "b").collect()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"non-convergence path leaked checkpoint blocks: $before -> $after")
+  }
+
   test("pagerank: path graph ranks middle above endpoints") {
     import spark.implicits._
     // P5 path 0-1-2-3-4: degree-2 interior beats degree-1 endpoints,
