@@ -478,7 +478,27 @@ object AdvancedQueries {
     mode.join(med, Seq("n_name")).orderBy(col("n_name"))
   }
 
+  /** q41 — ordered set aggregate (LISTAGG/STRING_AGG): the sorted,
+    * delimited roster per group. Spark has no ordered listagg, so
+    * the deterministic form is collect_list → array_sort →
+    * concat_ws — sortedness is imposed INSIDE the row after
+    * collection, which makes the result independent of partial-
+    * aggregation order (a bare collect_list would be
+    * nondeterministic across runs and engines). Group state is the
+    * group's own member list — fine for dimension-sized groups
+    * (nations per region); an unbounded-group listagg at 100 TB is
+    * a design smell, not a missing operator. */
+  def q41Listagg(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+           concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy(col("r_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_listagg"         -> (q41Listagg _),
     "q40_mode_median"     -> (q40ModeMedian _),
     "q36_gsets"           -> (q36Gsets _),
     "q37_anti"            -> (q37Anti _),
@@ -499,6 +519,11 @@ object AdvancedQueries {
     "q24_approx_distinct" -> (q24ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q41_listagg" ->
+      """SELECT r_name, count(*) AS n_nations,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
     "q40_mode_median" ->
       """WITH j AS (
            SELECT n_name, o_orderpriority, o_totalprice
