@@ -409,7 +409,10 @@ object TextAnalysis {
   def t16TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
-    val counts = d.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_src"))
+    // cached: per-source rows (tiny), referenced by both nmin and the
+    // rate table — without it the corpus is scanned+tokenized once
+    // per reference (DataFrames get no cross-subtree CSE)
+    val counts = d.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_src")).cache()
     val nmin = counts.agg(min(col("tok_src")).as("tok_min"))
     val rates = counts.crossJoin(broadcast(nmin))
       .withColumn("rate_ppm",

@@ -375,15 +375,21 @@ class AdvancedQueriesSpec extends AnyFunSuite {
 
   test("d11 incremental CC: fold == rebuild exactly, both arrival halves non-empty") {
     import graft.ext.Dedup
-    val pairs = Dedup.d4MinhashLsh(spark, dir).collect()
-    val halves = pairs.partition(r => (r.getAs[Long]("a_id") + r.getAs[Long]("b_id")) % 2 == 0)
-    assert(halves._1.nonEmpty && halves._2.nonEmpty,
-      "the old/new split must genuinely exercise the incremental path")
-    val incremental = Dedup.d11IncrementalCc(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val rebuild = Dedup.d7DedupComponents(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(incremental === rebuild, "incremental labeling diverged from full rebuild")
+    // cache the LSH pair plan once: the cache manager matches d11's
+    // and d7's internal identical d4 subplans, so the expensive
+    // minhash build runs once for all three uses instead of three times
+    val pairsDf = Dedup.d4MinhashLsh(spark, dir).cache()
+    try {
+      val pairs = pairsDf.collect()
+      val halves = pairs.partition(r => (r.getAs[Long]("a_id") + r.getAs[Long]("b_id")) % 2 == 0)
+      assert(halves._1.nonEmpty && halves._2.nonEmpty,
+        "the old/new split must genuinely exercise the incremental path")
+      val incremental = Dedup.d11IncrementalCc(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val rebuild = Dedup.d7DedupComponents(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(incremental === rebuild, "incremental labeling diverged from full rebuild")
+    } finally pairsDf.unpersist()
   }
 
   test("d10 multipass SNM: superset of the prefix pass, suffix pass contributes") {
