@@ -4,7 +4,23 @@ import org.apache.spark.sql.functions.col
 import graft.etl.{RetailClean, Warehouse}
 object EtlDemo {
   def main(args: Array[String]): Unit = {
-    val Array(in, out) = args
+    // explicit (in, out), or the bundled fixture and a temp dir — a
+    // bare `runMain graft.EtlDemo` must demo the pipeline, not crash
+    // with a MatchError
+    val (in, out) = args match {
+      case Array(i, o) => (i, o)
+      case Array() =>
+        // the fixture ships on the TEST classpath; from the Compile
+        // runMain it is reachable by repo path (with the classpath
+        // lookup as a fallback for test-scope callers)
+        val fixture = Seq(new java.io.File("src/test/resources/retail_fixture.csv"))
+          .filter(_.exists).map(_.getPath).headOption
+          .orElse(Option(getClass.getResource("/retail_fixture.csv")).map(_.getPath))
+          .getOrElse(sys.error("usage: EtlDemo <staging-csv> <out-dir> (no bundled fixture found)"))
+        (fixture, java.nio.file.Files.createTempDirectory("etl_demo").toString)
+      case other =>
+        sys.error(s"usage: EtlDemo [<staging-csv> <out-dir>], got ${other.length} args")
+    }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.session.timeZone","UTC")
