@@ -131,7 +131,10 @@ object Graph {
   /** The same 10 updates unrolled as chained CTEs, every arithmetic
     * step mirrored in int64 (`//` is DuckDB's integer division; sums
     * of BIGINT go HUGEINT and are cast back before the scalar ops so
-    * the types — not just the values — match Spark's). */
+    * the types — not just the values — match Spark's). `pairs` and
+    * `edges` are hinted MATERIALIZED: every round references them,
+    * and DuckDB's default inlining re-ran the whole LSH build once
+    * per round (measured 90 s+ → 1.5 s at sf0.1). */
   private def prRound(k: Int): String =
     s"""r$k AS (
        SELECT e.d AS node,
@@ -145,8 +148,8 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "p1_pagerank" -> {
       val rounds = (1 to Iterations).map(prRound).mkString(",\n         ")
-      s"""WITH pairs AS (${Dedup.d4OracleSql}),
-         edges AS (
+      s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),
+         edges AS MATERIALIZED (
            SELECT a_id AS s, b_id AS d FROM pairs
            UNION ALL SELECT b_id, a_id FROM pairs),
          deg AS (SELECT s, count(*) AS outdeg FROM edges GROUP BY 1),
