@@ -319,21 +319,33 @@ object TextAnalysis {
     * with a unigram stand-in for KenLM): score each document by the
     * mean negative log-probability of its tokens under the corpus
     * unigram distribution; flag docs above threshold. Two-pass shape:
-    * the vocab table is a corpus-wide aggregate joined back per token
+    * the vocab table is a corpus-wide aggregate joined back per term
     * — broadcast here; at 100 TB the production form prunes to a
-    * top-K vocab with an OOV floor so the broadcast stays bounded.
-    * Every token's probability is an exact count ratio, so the score
-    * is reproducible cross-engine (rounded at the rollup edge). */
+    * top-K vocab with an OOV floor so the broadcast stays bounded
+    * (t15 is exactly that form). Every token's probability is an
+    * exact count ratio, so the score is reproducible cross-engine
+    * (rounded at the rollup edge).
+    *
+    * The corpus is tokenized ONCE into cached per-(doc, term) counts;
+    * the unigram table, the total, and the scoring join all read that
+    * compact frame. The earlier per-token-instance formulation
+    * re-exploded the corpus three times (once per consumer — no CSE
+    * across DataFrame subtrees) and joined at token-instance
+    * granularity; the (doc, term, k) grain carries the same
+    * information at a fraction of the join volume, and the per-doc
+    * mean becomes the k-weighted mean Σk·nll(t) / Σk. */
   def t12UnigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(words(col("text"))).as("t"))
-    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("source"), col("t"))
+      .agg(count(lit(1)).as("k")).cache()
+    val uni = tf.groupBy(col("t")).agg(sum(col("k")).as("cnt"))
     val n = uni.agg(sum(col("cnt")).cast("double").as("n"))
-    val scored = toks
+    val scored = tf
       .join(broadcast(uni), Seq("t"))
       .crossJoin(broadcast(n))
       .groupBy(col("doc_id"), col("source"))
-      .agg(avg(-log(col("cnt") / col("n"))).as("nll"))
+      .agg((sum(col("k") * -log(col("cnt") / col("n"))) / sum(col("k"))).as("nll"))
     scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            round(avg(col("nll")), 3).as("avg_nll"),
@@ -621,13 +633,15 @@ object TextAnalysis {
                 CAST(sum(oov) AS BIGINT) AS oov_tokens
          FROM d GROUP BY 1 ORDER BY source""",
     "t12_unigram_ppl" ->
-      s"""WITH toks AS (
-           SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
-           FROM documents),
-         uni AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1),
+      s"""WITH tf AS (
+           SELECT doc_id, source, t, count(*) AS k
+           FROM (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
+                 FROM documents) GROUP BY 1, 2, 3),
+         uni AS (SELECT t, sum(k) AS cnt FROM tf GROUP BY 1),
          n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
-         d AS (SELECT doc_id, source, avg(-ln(cnt / n.n)) AS nll
-               FROM toks JOIN uni USING (t), n GROUP BY 1, 2)
+         d AS (SELECT doc_id, source,
+                 sum(k * -ln(cnt / n.n)) / sum(k) AS nll
+               FROM tf JOIN uni USING (t), n GROUP BY 1, 2)
          SELECT source, count(*) AS n_docs, round(avg(nll), 3) AS avg_nll,
                 CAST(sum(CASE WHEN nll > $PplThreshold THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_flagged

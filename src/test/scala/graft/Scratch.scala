@@ -20,20 +20,22 @@ object Scratch {
         else Tables.load(spark, sfDir, t).count()
       } catch { case _: Throwable => () }
     }
-    val name = args.headOption.getOrElse("q24_approx_distinct")
-    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
-      case "star_staging" => (s, d) => graft.etl.RetailStar.stagingFromTpch(s, d)
-      case "star_cleaned" => (s, d) => graft.etl.RetailClean.clean(graft.etl.RetailStar.stagingFromTpch(s, d))
-      case "star_fact"    => (s, d) => graft.etl.RetailStar.buildFact(s, d)
-      case n              => SparkEntry.queries(n)
+    val names = if (args.isEmpty) Seq("q24_approx_distinct") else args.toSeq
+    names.foreach { name =>
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
+        case "star_staging" => (s, d) => graft.etl.RetailStar.stagingFromTpch(s, d)
+        case "star_cleaned" => (s, d) => graft.etl.RetailClean.clean(graft.etl.RetailStar.stagingFromTpch(s, d))
+        case "star_fact"    => (s, d) => graft.etl.RetailStar.buildFact(s, d)
+        case n              => SparkEntry.queries(n)
+      }
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(s"RUN $name $i ${(System.nanoTime() - t0) / 1e9}")
+        spark.catalog.clearCache()
+      }
+      if (names.size == 1) fn(spark, sfDir).explain("formatted")
     }
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(s"RUN$i ${(System.nanoTime() - t0) / 1e9}")
-      spark.catalog.clearCache()
-    }
-    fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }
