@@ -115,8 +115,22 @@ object Dedup {
     * normalization. */
   private def shinglePairCounts(spark: SparkSession, dir: String,
                                 maxShingleDocFreq: Option[Long]): DataFrame = {
-    val sh = shingleSet(spark, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Per-doc set size computed NARROWLY — size of the row's own
+    // distinct-shingle array — instead of a corpus-wide groupBy over
+    // the exploded rows. At 100 TB the exploded set cannot be cached,
+    // so a groupBy form would re-shuffle the whole corpus just to
+    // count; this is one more narrow pass over the scan.
+    val sizes = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("_w"))
+      .select(col("doc_id"), size(array_distinct(shinglesOf(col("_w")))).as("n"))
+    // Join identity = the 64-bit StableHash of the shingle string:
+    // 8-byte shuffle/compare keys instead of ~20-byte strings (the
+    // at-scale norm for shingle pipelines). The oracle hashes the
+    // same distinct-string rows with the same md5-based function, so
+    // parity is exact even under (astronomically rare) collisions —
+    // both engines would see the identical collision.
+    val sh = shingleSet(spark, dir)
+      .select(col("doc_id"), StableHash.hash64(col("s")).as("s")).cache()
     val repeated = sh.groupBy(col("s")).agg(count(lit(1)).as("ns"))
       .filter(col("ns") > 1 &&
         maxShingleDocFreq.map(m => col("ns") <= m).getOrElse(lit(true)))
@@ -558,10 +572,11 @@ object Dedup {
                 count(*) - count(DISTINCT fp) AS n_near_dupes FROM fp""",
     "d9_containment" ->
       s"""WITH $shingleCte,
+         shh AS (SELECT doc_id, ${H.duckdbHash64("s")} AS s FROM sh),
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          inter AS (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT a_id, b_id, round(i * 1.0 / least(sa.n, sb.n), 3) AS containment
          FROM inter
@@ -571,10 +586,11 @@ object Dedup {
          ORDER BY a_id, b_id""",
     "d3_jaccard_pairs" ->
       s"""WITH $shingleCte,
+         shh AS (SELECT doc_id, ${H.duckdbHash64("s")} AS s FROM sh),
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          inter AS (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
          FROM inter
