@@ -449,8 +449,47 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  val SpanK = 16
+
+  /** D12 — exact-substring duplicate-span accounting (the
+    * suffix-array dedup regime of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", re-expressed as a hash join:
+    * instead of a corpus-wide suffix array, every overlapping
+    * SpanK-token span is hashed and a span is "duplicated" when its
+    * hash occurs more than once in the corpus — within-doc repeats
+    * included, exactly as substring dedup treats them). Documents
+    * shorter than SpanK contribute their whole text as one span.
+    *
+    * Scale shape: three shuffles, all bounded by the corpus SPAN
+    * volume (≈ token volume) — explode+hash is narrow, the frequency
+    * table is one map-side-combined groupBy on the 8-byte hash, and
+    * the spans⋈freq join reuses that hash partitioning. Nothing is
+    * ever |docs|². A doc is flagged when ≥ half its spans are
+    * duplicated (compared in exact integers — no float gate). */
+  def d12SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("_w"))
+      .select(col("doc_id"), col("source"),
+        explode(shinglesOf(col("_w"), SpanK)).as("sp"))
+      .select(col("doc_id"), col("source"), StableHash.hash64(col("sp")).as("h"))
+      .cache()
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+    val perDoc = spans.join(freq, Seq("h"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("nh") > 1, 1L).otherwise(0L)).as("n_dup"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_spans")).as("n_spans"),
+           sum(col("n_dup")).as("n_dup_spans"),
+           sum(when(col("n_dup") * 2 >= col("n_spans"), 1L).otherwise(0L))
+             .as("n_flagged_docs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d8_snm"               -> (d8Snm _),
+    "d12_span_dedup"       -> (d12SpanDedup _),
     "d1_dedup_exact"       -> (d1ExactDedup _),
     "d2_fingerprint_dedup" -> (d2FingerprintDedup _),
     "d3_jaccard_pairs"     -> (d3JaccardPairs _),
@@ -570,6 +609,25 @@ object Dedup {
            FROM documents)
          SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_fingerprints,
                 count(*) - count(DISTINCT fp) AS n_near_dupes FROM fp""",
+    "d12_span_dedup" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+         sp AS (SELECT doc_id, source, ${H.duckdbHash64("s")} AS h FROM (
+           SELECT doc_id, source, unnest(CASE WHEN len(w) >= $SpanK
+             THEN list_transform(range(1, len(w) - ${SpanK - 2}),
+                                 i -> array_to_string(w[i:i + ${SpanK - 1}], ' '))
+             ELSE [array_to_string(w, ' ')] END) AS s
+           FROM w) u),
+         freq AS (SELECT h, count(*) AS nh FROM sp GROUP BY 1),
+         perdoc AS (
+           SELECT doc_id, source, count(*) AS n_spans,
+                  CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           FROM sp JOIN freq USING (h) GROUP BY 1, 2)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_spans) AS BIGINT) AS n_spans,
+                CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
+                CAST(sum(CASE WHEN n_dup * 2 >= n_spans THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged_docs
+         FROM perdoc GROUP BY 1 ORDER BY source""",
     "d9_containment" ->
       s"""WITH $shingleCte,
          shh AS (SELECT doc_id, ${H.duckdbHash64("s")} AS s FROM sh),

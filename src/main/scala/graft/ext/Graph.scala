@@ -127,8 +127,43 @@ object Graph {
       .select(col("node").as("doc_id"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("doc_id"))
 
+  /** P2 — triangle census of the near-dup candidate graph: a
+    * triangle means three documents that are all pairwise near-dups —
+    * the signature of a true duplicate CLUSTER rather than a chain of
+    * borderline pairs (chains are what make min-label components
+    * over-merge). One row: nodes, edges, triangles.
+    *
+    * d4 emits each undirected edge once, already oriented a_id <
+    * b_id, so the two-hop join e1(a,b)⋈e2(b,c) with closure check
+    * e3(a,c) counts every triangle exactly once — no /6 correction,
+    * no symmetrized blow-up. The edge list is checkpointed so the
+    * LSH build runs once, not three times. At a 100 TB graph the
+    * production refinement is degree-ordering (orient each edge
+    * toward the higher-degree endpoint, bounding the two-hop fan-out
+    * by √|E| per node); the candidate graph here is pair-bounded by
+    * LSH construction, so plain orientation by id suffices. */
+  def p2Triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+
+  /** Core census over any undirected edge list. Precondition: each
+    * edge appears exactly once, oriented aCol < bCol (what d4 emits);
+    * a symmetrized or duplicated list would overcount. */
+  def triangleCensus(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs
+      .select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val nV = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nV.crossJoin(nE).crossJoin(tri)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p1_pagerank" -> (p1Pagerank _))
+    "p1_pagerank" -> (p1Pagerank _),
+    "p2_triangles" -> (p2Triangles _))
 
   /** The same 10 updates unrolled as chained CTEs, every arithmetic
     * step mirrored in int64 (`//` is DuckDB's integer division; sums
@@ -148,6 +183,17 @@ object Graph {
        GROUP BY e.d)"""
 
   val oracles: Map[String, String] = Map(
+    "p2_triangles" ->
+      s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),
+         e AS (SELECT a_id AS a, b_id AS b FROM pairs),
+         nv AS (SELECT count(DISTINCT v) AS n_nodes FROM
+                 (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+         ne AS (SELECT count(*) AS n_edges FROM e),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM e e1
+                 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT n_nodes, n_edges, n_triangles FROM nv, ne, tri""",
     "p1_pagerank" -> {
       val rounds = (1 to Iterations).map(prRound).mkString(",\n         ")
       s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),

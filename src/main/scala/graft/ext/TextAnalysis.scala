@@ -505,7 +505,47 @@ object TextAnalysis {
       .limit(Bm25TopN)
   }
 
+  // flags the repetitive low-tail; the nearest document sits 7.6e-3
+  // from the cut at sf0.1 (2.8e-2 at sf0.01), so the count is safe
+  // against cross-engine ln() drift (~1e-13) — PplThreshold discipline
+  val EntropyThreshold = 2.0
+
+  /** T17 — token-entropy quality filter (the distribution-skew signal
+    * next to t9's adjacency signal: t9 catches REPEATED RUNS, entropy
+    * catches a skewed vocabulary even when no 3-gram repeats — e.g.
+    * keyword-stuffed spam). Per doc, Shannon entropy of the token
+    * frequency distribution, computed as H = ln n − (Σ k·ln k)/n over
+    * the per-(doc, term) counts — one pass over the same (doc, term,
+    * k) grain t12 scores from, no per-token probability join. Docs
+    * below EntropyThreshold are flagged; per-source rollup.
+    *
+    * Scale shape: explode → map-side-combined (doc, term) count →
+    * per-doc agg → per-source agg; every shuffle key is bounded by
+    * the corpus token volume and nothing is corpus-global except the
+    * tiny final rollup. */
+  def t17TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropyPerDoc(Tables.documents(spark, dir), "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("h")), 3).as("avg_entropy"),
+           sum(when(col("h") < EntropyThreshold, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+
+  /** Per-doc entropy core over any (doc_id, source, `textCol`) frame
+    * — split out so the closed-form laws (H=0 for a constant doc,
+    * H=ln n for all-distinct tokens) are testable on constructed
+    * input. */
+  def tokenEntropyPerDoc(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df
+      .select(col("doc_id"), col("source"), explode(words(col(textCol))).as("t"))
+      .groupBy(col("doc_id"), col("source"), col("t"))
+      .agg(count(lit(1)).as("k"))
+    tf.groupBy(col("doc_id"), col("source"))
+      .agg((log(sum(col("k"))) - sum(col("k") * log(col("k"))) / sum(col("k"))).as("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_token_entropy"    -> (t17TokenEntropy _),
     "t13_packing"          -> (t13Packing _),
     "t14_bm25"             -> (t14Bm25 _),
     "t12_unigram_ppl"      -> (t12UnigramPerplexity _),
@@ -556,6 +596,20 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t17_token_entropy" ->
+      s"""WITH toks AS (
+           SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, source, t, count(*) AS k FROM toks GROUP BY 1, 2, 3),
+         ent AS (
+           SELECT doc_id, source,
+                  ln(sum(k)) - sum(k * ln(k)) / sum(k) AS h
+           FROM tf GROUP BY 1, 2)
+         SELECT source, count(*) AS n_docs,
+                round(avg(h), 3) AS avg_entropy,
+                CAST(sum(CASE WHEN h < $EntropyThreshold THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged
+         FROM ent GROUP BY 1 ORDER BY source""",
     "t13_packing" ->
       s"""WITH d AS (
            SELECT doc_id, doc_id % $PackShards AS shard,

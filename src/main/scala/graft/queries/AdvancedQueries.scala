@@ -497,7 +497,70 @@ object AdvancedQueries {
            concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
       .orderBy(col("r_name"))
 
+  /** q42 — gaps and islands: per-customer runs of CONSECUTIVE active
+    * months (a month is active when it has ≥ 1 order), reported as a
+    * streak-length distribution. The classic island key is monthIndex
+    * − row_number(): constant within a consecutive run, distinct
+    * across runs. Scale shape: the window partitions by customer (a
+    * per-customer handful of month rows after the distinct), and
+    * both rollups are map-side-combined hash aggs — nothing global
+    * is ever sorted except the tiny final distribution. */
+  def q42Islands(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .distinct()
+    val w = Window.partitionBy(col("c")).orderBy(col("mi"))
+    val streaks = months
+      .withColumn("grp", col("mi") - row_number().over(w))
+      .groupBy(col("c"), col("grp"))
+      .agg(count(lit(1)).as("streak_months"))
+    streaks.groupBy(col("streak_months"))
+      .agg(count(lit(1)).as("n_streaks"), countDistinct(col("c")).as("n_customers"))
+      .orderBy(col("streak_months"))
+  }
+
+  /** q43 — month-spine gap fill with forward carry (the time-series
+    * primitive behind "last known balance" reports): every (customer,
+    * month) cell of a complete spine gets the customer's most recent
+    * monthly spend, carried forward through empty months with
+    * last_value(IGNORE NULLS). Reported per month: observed vs
+    * filled cell counts and the carried total.
+    *
+    * Scale shape: the month spine is a ~tens-of-rows derived dim
+    * (global min→max month, one 1-row agg) broadcast against the
+    * distinct-customer list; the fill window partitions by customer
+    * over |months| rows each. Carried sums run in integer CENTS and
+    * divide once at the edge, so cross-engine addition order can't
+    * move a cent (q40's median discipline). */
+  def q43GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val perMonth = o.groupBy(col("o_custkey").as("c"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val span = o.agg(
+      date_trunc("month", min(col("o_orderdate"))).cast("date").as("lo"),
+      date_trunc("month", max(col("o_orderdate"))).cast("date").as("hi"))
+    val spine = span.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 month"))).as("m"))
+    val custs = o.select(col("o_custkey").as("c")).distinct()
+    val w = Window.partitionBy(col("c")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    custs.crossJoin(broadcast(spine))
+      .join(perMonth, Seq("c", "m"), "left")
+      .withColumn("carried", last(col("cents"), ignoreNulls = true).over(w))
+      .groupBy(col("m").as("month_start"))
+      .agg(count(lit(1)).as("n_customers"),
+           count(col("cents")).as("n_observed"),
+           sum(when(col("cents").isNull && col("carried").isNotNull, 1L)
+             .otherwise(0L)).as("n_filled"),
+           (sum(col("carried")) / 100.0).as("carried_total"))
+      .orderBy(col("month_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_islands"         -> (q42Islands _),
+    "q43_gap_fill"        -> (q43GapFill _),
     "q41_listagg"         -> (q41Listagg _),
     "q40_mode_median"     -> (q40ModeMedian _),
     "q36_gsets"           -> (q36Gsets _),
@@ -519,6 +582,41 @@ object AdvancedQueries {
     "q24_approx_distinct" -> (q24ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q42_islands" ->
+      """WITH m AS (
+           SELECT DISTINCT o_custkey AS c,
+                  year(o_orderdate) * 12 + month(o_orderdate) AS mi
+           FROM orders),
+         s AS (SELECT c, mi - row_number() OVER (PARTITION BY c ORDER BY mi) AS grp
+               FROM m),
+         streaks AS (SELECT c, grp, count(*) AS streak_months FROM s GROUP BY 1, 2)
+         SELECT streak_months, count(*) AS n_streaks,
+                count(DISTINCT c) AS n_customers
+         FROM streaks GROUP BY 1 ORDER BY streak_months""",
+    "q43_gap_fill" ->
+      """WITH pm AS (
+           SELECT o_custkey AS c, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1, 2),
+         span AS (SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+                  FROM orders),
+         spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS m
+                   FROM span),
+         custs AS (SELECT DISTINCT o_custkey AS c FROM orders),
+         filled AS (
+           SELECT g.c, g.m, pm.cents,
+                  last_value(pm.cents IGNORE NULLS) OVER (
+                    PARTITION BY g.c ORDER BY g.m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+           FROM (SELECT c, m FROM custs CROSS JOIN spine) g
+           LEFT JOIN pm ON pm.c = g.c AND pm.m = g.m)
+         SELECT m AS month_start, count(*) AS n_customers,
+                count(cents) AS n_observed,
+                CAST(sum(CASE WHEN cents IS NULL AND carried IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+                CAST(sum(carried) AS BIGINT) / 100.0 AS carried_total
+         FROM filled GROUP BY 1 ORDER BY month_start""",
     "q41_listagg" ->
       """SELECT r_name, count(*) AS n_nations,
                 string_agg(n_name, ',' ORDER BY n_name) AS nations

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Graph, TextAnalysis}
+import graft.queries.AdvancedQueries
+
+/** Laws and corpus invariants for the round-4 surface: triangle
+  * census (closed-form counts on constructed graphs), token entropy
+  * (H=0 / H=ln n laws), span dedup (span-count conservation vs an
+  * independent per-row computation), gaps-and-islands (mass
+  * conservation), and gap fill (coverage monotonicity — a carried
+  * value never un-fills). The DuckDB hash-match runs per-round via
+  * Verify; these pin what a hash can't express.
+  */
+class Round4Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("triangle census: K4 has 4 triangles, a path has 0, K3 has 1") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val r4 = Graph.triangleCensus(k4, "a", "b").collect().head
+    assert(r4.getAs[Long]("n_nodes") === 4L)
+    assert(r4.getAs[Long]("n_edges") === 6L)
+    assert(r4.getAs[Long]("n_triangles") === 4L)
+
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCensus(path, "a", "b")
+      .collect().head.getAs[Long]("n_triangles") === 0L)
+
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.triangleCensus(k3, "a", "b")
+      .collect().head.getAs[Long]("n_triangles") === 1L)
+  }
+
+  test("token entropy laws: constant doc → 0; all-distinct doc → ln n") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "x x x x x x x x"),             // constant: H = 0
+      (2L, "s", "a b c d e f g h"),             // uniform distinct: H = ln 8
+      (3L, "s", "a a b b")                      // two pairs: H = ln 2
+    ).toDF("doc_id", "source", "text")
+    val h = TextAnalysis.tokenEntropyPerDoc(docs, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("h")).toMap
+    assert(math.abs(h(1L)) < 1e-12)
+    assert(math.abs(h(2L) - math.log(8)) < 1e-12)
+    assert(math.abs(h(3L) - math.log(2)) < 1e-12)
+  }
+
+  test("d12 span dedup: span counts conserve against an independent per-row formula") {
+    // independent count: each doc contributes max(1, n_tokens - SpanK + 1)
+    val expected = Tables.documents(spark, dir)
+      .select(greatest(lit(1L),
+        (size(split(trim(col("text")), " ")) - lit(Dedup.SpanK - 1)).cast("long")).as("k"))
+      .agg(sum(col("k"))).collect().head.getLong(0)
+    val out = Dedup.d12SpanDedup(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_spans")).sum === expected)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup_spans") <= r.getAs[Long]("n_spans"))
+      assert(r.getAs[Long]("n_flagged_docs") <= r.getAs[Long]("n_docs"))
+    }
+    // the corpus plants exact duplicates, which share every span
+    assert(out.map(_.getAs[Long]("n_dup_spans")).sum > 0)
+  }
+
+  test("q42 islands: total streak mass equals the distinct (customer, month) count") {
+    val rows = AdvancedQueries.q42Islands(spark, dir).collect()
+    val mass = rows.map(r =>
+      r.getAs[Long]("streak_months") * r.getAs[Long]("n_streaks")).sum
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
+      .distinct().count()
+    assert(mass === cells)
+    rows.foreach(r => assert(r.getAs[Long]("n_customers") <= r.getAs[Long]("n_streaks")))
+  }
+
+  test("q43 gap fill: coverage is monotone non-decreasing — carry-forward never un-fills") {
+    val rows = AdvancedQueries.q43GapFill(spark, dir)
+      .orderBy(col("month_start")).collect()
+    assert(rows.nonEmpty)
+    val nCust = rows.head.getAs[Long]("n_customers")
+    assert(rows.forall(_.getAs[Long]("n_customers") === nCust))
+    val coverage = rows.map(r => r.getAs[Long]("n_observed") + r.getAs[Long]("n_filled"))
+    assert(coverage.zip(coverage.tail).forall { case (a, b) => b >= a })
+    // a filled cell requires some earlier observation, so month 1 has none
+    assert(rows.head.getAs[Long]("n_filled") === 0L)
+  }
+}
