@@ -475,7 +475,30 @@ object Similarity {
       .orderBy(col("keep_id"), col("dup_id"))
   }
 
+  /** S7 — ANN quality gate: recall@k of the LSH index (s2) against
+    * exact brute force (s1), per query and as the exact hit count.
+    * This is the evaluation harness an ANN index ships with — an
+    * index nobody measures is an index nobody can trust; labs run
+    * exactly this join after every re-index. Both sides rank with
+    * the same deterministic tie-break (cosine desc, vec_id), so the
+    * hit count is integer-exact cross-engine; recall is the rounded
+    * quotient of two small ints. Scale shape: both inputs are
+    * |Q|·k rows — the join is trivially broadcastable no matter how
+    * big the corpus behind them. */
+  def s7RecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ann = s2AnnLsh(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") * 1.0 / col("k"), 4))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_recall_eval"       -> (s7RecallEval _),
     "s1_knn_brute"         -> (s1KnnBrute _),
     "s2_ann_lsh"           -> (s2AnnLsh _),
     "s3_ivf_ann"           -> (s3IvfAnn _),
@@ -649,6 +672,53 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "s7_recall_eval" ->
+      s"""WITH $expandCtes,
+         $sigsCtes,
+         ex_scored AS (
+           SELECT uq.query_id, u.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM uq
+           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
+           JOIN nrm n ON n.vec_id = u.vec_id
+           GROUP BY 1, 2),
+         ex_k AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS r
+             FROM ex_scored) t WHERE r <= $TopK),
+         qsigs AS (
+           SELECT s.vec_id AS query_id, s.band, s.sig
+           FROM sigs s WHERE s.vec_id < $QueryCount),
+         cand AS (
+           SELECT DISTINCT qs.query_id, s.vec_id
+           FROM sigs s JOIN qsigs qs ON s.band = qs.band AND s.sig = qs.sig
+           WHERE s.vec_id <> qs.query_id),
+         ann_scored AS (
+           SELECT c.query_id, c.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM cand c
+           JOIN uq ON uq.query_id = c.query_id
+           JOIN ux u ON u.vec_id = c.vec_id AND u.i = uq.qi
+           JOIN nrm n ON n.vec_id = c.vec_id
+           GROUP BY 1, 2),
+         ann_k AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS r
+             FROM ann_scored) t WHERE r <= $TopK)
+         SELECT e.query_id, count(*) AS k,
+                CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit,
+                round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1.0 / count(*), 4) AS recall
+         FROM ex_k e
+         LEFT JOIN ann_k a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY 1 ORDER BY e.query_id""",
     "s5_ivf_kmeans" -> s5OracleSql,
     "s6_pq_adc" -> s6OracleSql,
     "s1_knn_brute" ->

@@ -86,6 +86,19 @@ class Round4Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_customers") <= r.getAs[Long]("n_streaks")))
   }
 
+  test("s7 recall eval: one row per query, k = TopK, recall is the exact quotient") {
+    val rows = graft.ext.Similarity.s7RecallEval(spark, dir).collect()
+    assert(rows.length === graft.ext.Similarity.QueryCount)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val hit = r.getAs[Long]("n_hit")
+      assert(k === graft.ext.Similarity.TopK.toLong)
+      assert(hit >= 0L && hit <= k)
+      assert(math.abs(r.getAs[Double]("recall") -
+        math.rint(hit.toDouble / k * 10000) / 10000) < 1e-12)
+    }
+  }
+
   test("q43 gap fill: coverage is monotone non-decreasing — carry-forward never un-fills") {
     val rows = AdvancedQueries.q43GapFill(spark, dir)
       .orderBy(col("month_start")).collect()
