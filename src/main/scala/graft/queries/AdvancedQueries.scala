@@ -558,7 +558,58 @@ object AdvancedQueries {
       .orderBy(col("month_start"))
   }
 
+  /** Column spec for q44: name → (kind used to pick an engine-exact
+    * min/max text format). Shared by the Spark query and the oracle
+    * builder so the two can't drift. */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "long", "l_partkey" -> "long", "l_suppkey" -> "long",
+    "l_linenumber" -> "long", "l_quantity" -> "double",
+    "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+    "l_returnflag" -> "string", "l_linestatus" -> "string", "l_shipdate" -> "date")
+
+  private def profileFmt(kind: String, c: Column): Column = kind match {
+    case "long"   => format_string("%d", c)
+    case "double" => format_string("%.2f", c)
+    case "date"   => date_format(c, "yyyy-MM-dd")
+    case _        => c
+  }
+
+  /** q44 — ANALYZE-style table profile (the stats pass every
+    * warehouse runs before it trusts a new load): per column, null
+    * count, exact distinct count, and min/max rendered through an
+    * explicitly pinned format (raw double→string casts differ between
+    * engines — Java flips to E-notation at 1e7, DuckDB never does —
+    * so min/max go through printf-style formatting both engines
+    * define identically).
+    *
+    * Shape: ONE aggregate row over the table (Spark plans the 11
+    * distinct-counts as a single Expand — one pass, 11× replication,
+    * map-side partials), exploded to a row per column. At 100 TB the
+    * production swap is approx_count_distinct (HLL, no Expand);
+    * exact counts are kept here because the oracle hash-checks them. */
+  def q44Profile(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(spark, dir)
+    val aggs = ProfileCols.flatMap { case (name, kind) => Seq(
+      count(col(name)).as(s"${name}__cnt"),
+      countDistinct(col(name)).as(s"${name}__ndv"),
+      profileFmt(kind, min(col(name))).as(s"${name}__min"),
+      profileFmt(kind, max(col(name))).as(s"${name}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("_total"), aggs: _*)
+    val rows = ProfileCols.map { case (name, _) =>
+      struct(lit(name).as("column_name"),
+        col("_total").as("n_rows"),
+        (col("_total") - col(s"${name}__cnt")).as("n_nulls"),
+        col(s"${name}__ndv").as("n_distinct"),
+        col(s"${name}__min").as("min_value"),
+        col(s"${name}__max").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_profile"         -> (q44Profile _),
     "q42_islands"         -> (q42Islands _),
     "q43_gap_fill"        -> (q43GapFill _),
     "q41_listagg"         -> (q41Listagg _),
@@ -581,7 +632,22 @@ object AdvancedQueries {
     "q23_percentiles"     -> (q23Percentiles _),
     "q24_approx_distinct" -> (q24ApproxDistinct _))
 
+  private def profileFmtSql(kind: String, expr: String): String = kind match {
+    case "long"   => s"printf('%d', $expr)"
+    case "double" => s"printf('%.2f', $expr)"
+    case "date"   => s"strftime($expr, '%Y-%m-%d')"
+    case _        => expr
+  }
+
   val oracles: Map[String, String] = Map(
+    "q44_profile" -> ProfileCols.map { case (name, kind) =>
+      s"""SELECT '$name' AS column_name, count(*) AS n_rows,
+          count(*) - count($name) AS n_nulls,
+          count(DISTINCT $name) AS n_distinct,
+          ${profileFmtSql(kind, s"min($name)")} AS min_value,
+          ${profileFmtSql(kind, s"max($name)")} AS max_value
+          FROM lineitem"""
+    }.mkString("", "\n         UNION ALL ", "\n         ORDER BY column_name"),
     "q42_islands" ->
       """WITH m AS (
            SELECT DISTINCT o_custkey AS c,

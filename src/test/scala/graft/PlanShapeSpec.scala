@@ -54,6 +54,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange rangepartitioning") === 1, p)
   }
 
+  test("q44: the 11 distinct-counts plan as ONE Expand — a single pass over the table") {
+    val p = plan(graft.queries.AdvancedQueries.q44Profile(spark, dir))
+    assert(countOf(p, "Expand") === 1, s"profile must not re-scan per column:\n$p")
+    assert(countOf(p, "FileScan parquet") === 1, p)
+  }
+
   test("q5: one hash shuffle serves both the aggregation and the lifetime window") {
     val p = plan(CoreQueries.q5MonthlySnapshot(spark, dir))
     assert(countOf(p, "Exchange hashpartitioning") === 1,
