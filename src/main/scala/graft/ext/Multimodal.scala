@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -135,7 +135,48 @@ object Multimodal {
            avg(length(col("frame_bytes"))).as("avg_frame_bytes"))
       .orderBy(col("media_id"))
 
+  /** Media payloads with a 4-byte container header prepended:
+    * byte 1 = format version ('1'..'3'), byte 2 = width code,
+    * byte 3 = height code, byte 4 = '|' delimiter. All header bytes
+    * are printable ASCII (33..126) so byte value ≡ char code in both
+    * engines — the same property m1's histogram oracle leans on. */
+  def mediaWithHeader(spark: SparkSession, dir: String): DataFrame =
+    mediaFromDocs(spark, dir)
+      .withColumn("payload",
+        concat(encode(concat(
+          expr("char(49 + media_id % 2)"),
+          expr("char(33 + media_id % 64)"),
+          expr("char(33 + (media_id div 7) % 48)"),
+          lit("|")), "UTF-8"), col("payload")))
+      .withColumn("n_bytes", col("n_bytes") + 4)
+
+  /** M3 — typed metadata decode from binary container headers (the
+    * step before any real decode: EXIF/ISOBMFF-style header fields →
+    * typed columns). Fields are parsed from the payload's LEADING
+    * BYTES with substring + decode + ascii — codegen'd builtins on
+    * the UnsafeRow binary buffer, no UDF, row-local. Per (kind,
+    * version): media count, mean decoded dimensions, total pixel
+    * budget (the number a preprocessing cluster is actually sized
+    * by). At 100 TB this is a pure map pass reading 4 bytes per
+    * payload — headers never require decoding the media body. */
+  def m3MediaMetadata(spark: SparkSession, dir: String): DataFrame = {
+    def hdrByte(i: Int): Column =
+      ascii(decode(expr(s"substring(payload, $i, 1)"), "UTF-8"))
+    mediaWithHeader(spark, dir)
+      .select(col("kind"),
+        (hdrByte(1) - 48).as("format_version"),
+        ((hdrByte(2) - 33) * 8 + 64).as("width"),
+        ((hdrByte(3) - 33) * 12 + 36).as("height"))
+      .groupBy(col("kind"), col("format_version"))
+      .agg(count(lit(1)).as("n_media"),
+           round(avg(col("width")), 2).as("avg_width"),
+           round(avg(col("height")), 2).as("avg_height"),
+           sum(col("width").cast("long") * col("height")).as("total_pixels"))
+      .orderBy(col("kind"), col("format_version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m3_media_metadata"      -> (m3MediaMetadata _),
     "m1_multimodal_features" -> (m1MultimodalFeatures _),
     "m2_frame_sampling"      -> (m2FrameSampling _))
 
@@ -172,6 +213,23 @@ object Multimodal {
                 round(avg(feat_norm), 4) AS avg_feat_norm,
                 round(avg(bin6), 4) AS avg_bin6
          FROM per_doc GROUP BY 1 ORDER BY kind""",
+    // m3's oracle re-derives the header fields from the same doc_id
+    // arithmetic the header was built from — the Spark side genuinely
+    // round-trips them through payload bytes, so the hash-match
+    // validates the binary parse path end to end
+    "m3_media_metadata" ->
+      """WITH d AS (
+           SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  CAST(1 + doc_id % 2 AS INTEGER) AS format_version,
+                  CAST((doc_id % 64) * 8 + 64 AS INTEGER) AS width,
+                  CAST(((doc_id // 7) % 48) * 12 + 36 AS INTEGER) AS height
+           FROM documents)
+         SELECT kind, format_version, count(*) AS n_media,
+                round(avg(width), 2) AS avg_width,
+                round(avg(height), 2) AS avg_height,
+                CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels
+         FROM d GROUP BY 1, 2 ORDER BY kind, format_version""",
     "m2_frame_sampling" ->
       """WITH d AS (
            SELECT doc_id AS media_id, octet_length(encode(text)) AS n

@@ -497,7 +497,51 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  val SemDedupTau = NearDupThreshold // corpus-calibrated like d6; real corpora use ~0.95
+
+  /** D13 — semantic dedup, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space, compare pairs
+    * ONLY within a cluster, drop every vector that has a
+    * lower-id near-duplicate (cosine ≥ τ) in its cluster. The
+    * clustering is what makes semantic dedup tractable — the
+    * quadratic is bounded by cluster size, never the corpus, and the
+    * centroid count is the 100 TB knob (K ∝ N/target-cluster-size
+    * keeps per-cluster work constant as the corpus grows).
+    *
+    * Shares s5's integer-sum k-means (exact cross-engine centroids)
+    * and scores pairs with the codegen'd LongDotProduct over the
+    * quantized vectors, so every cosine is an exact-integer-derived
+    * double and the oracle hash-checks the whole decision, not just
+    * counts. Output: per-cluster members / removed / kept. */
+  def d13SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val qv = quantVecs(spark, dir).cache()
+    val cen = kmeansCentroids(spark, qv)
+    // cached: the pair self-join below reads the assignment twice
+    val asg = rankCentroids(qv, cen).filter(col("r") === 1)
+      .select(col("vec_id"), col("cid"), col("qv"), col("nv")).cache()
+    val dot = ColumnShim.column(graft.functions.LongDotProduct(
+      ColumnShim.expression(col("qa")), ColumnShim.expression(col("qb"))))
+    val pairs = asg
+      .select(col("cid"), col("vec_id").as("a"), col("qv").as("qa"), col("nv").as("na"))
+      .join(asg.select(col("cid"), col("vec_id").as("b"),
+        col("qv").as("qb"), col("nv").as("nb")), Seq("cid"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", dot.cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= SemDedupTau)
+    val removed = pairs.select(col("cid"), col("b")).distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_removed"))
+    asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(removed, Seq("cid"), "left")
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_members") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_semdedup"         -> (d13SemDedup _),
     "s7_recall_eval"       -> (s7RecallEval _),
     "s1_knn_brute"         -> (s1KnnBrute _),
     "s2_ann_lsh"           -> (s2AnnLsh _),
@@ -556,8 +600,14 @@ object Similarity {
     * just KmeansIters copies of the round. DuckDB's sum(BIGINT) is
     * HUGEINT; every sum is cast to DOUBLE only at the cosine, where
     * values are ≪ 2^53 and the conversion is exact. */
-  private lazy val s5OracleSql: String = {
-    val rounds = (1 to KmeansIters + 1).map { t =>
+  private val KmeansFin = KmeansIters + 1
+
+  /** Everything through the final k-means assignment (`lists` =
+    * (vec_id, cid)), shared by the s5 and d13 oracles: quantized
+    * long-format vectors, integer norms, stride seeds, and
+    * `KmeansIters` unrolled Lloyd rounds. */
+  private lazy val kmeansListsCtes: String = {
+    val rounds = (1 to KmeansFin).map { t =>
       val prev = t - 1
       val rank =
         s"""d$t AS (
@@ -581,8 +631,7 @@ object Similarity {
          nc$t AS (SELECT cid, sum(s * s) AS nc FROM c$t GROUP BY 1)"""
       else rank
     }.mkString(",\n         ")
-    val fin = KmeansIters + 1
-    s"""WITH $expandCtes,
+    s"""$expandCtes,
          qv AS (
            SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) AS q
            FROM ux),
@@ -590,7 +639,12 @@ object Similarity {
          c0 AS (SELECT vec_id AS cid, i, q AS s FROM qv WHERE vec_id % $IvfCentroidStride = 0),
          nc0 AS (SELECT cid, sum(s * s) AS nc FROM c0 GROUP BY 1),
          $rounds,
-         lists AS (SELECT vec_id, cid FROM r$fin WHERE r = 1),
+         lists AS (SELECT vec_id, cid FROM r$KmeansFin WHERE r = 1)"""
+  }
+
+  private lazy val s5OracleSql: String = {
+    val fin = KmeansFin
+    s"""WITH $kmeansListsCtes,
          qprobe AS (SELECT vec_id AS query_id, cid FROM r$fin
                     WHERE r <= $IvfProbes AND vec_id < $QueryCount),
          cand AS (
@@ -672,6 +726,28 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "d13_semdedup" ->
+      s"""WITH $kmeansListsCtes,
+         pr AS (
+           SELECT l.cid, x.vec_id AS a, y.vec_id AS b, sum(x.q * y.q) AS dot
+           FROM lists l
+           JOIN qv x ON x.vec_id = l.vec_id
+           JOIN lists l2 ON l2.cid = l.cid AND l2.vec_id > l.vec_id
+           JOIN qv y ON y.vec_id = l2.vec_id AND y.i = x.i
+           GROUP BY 1, 2, 3),
+         sim AS (
+           SELECT p.cid, p.b FROM pr p
+           JOIN nv na ON na.vec_id = p.a
+           JOIN nv nb ON nb.vec_id = p.b
+           WHERE CAST(p.dot AS DOUBLE)
+                   / (sqrt(CAST(na.nv AS DOUBLE)) * sqrt(CAST(nb.nv AS DOUBLE)))
+                 >= $SemDedupTau),
+         rem AS (SELECT cid, count(DISTINCT b) AS n_removed FROM sim GROUP BY 1),
+         mem AS (SELECT cid, count(*) AS n_members FROM lists GROUP BY 1)
+         SELECT m.cid AS cluster_id, m.n_members,
+                CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+                CAST(m.n_members - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+         FROM mem m LEFT JOIN rem r USING (cid) ORDER BY cluster_id""",
     "s7_recall_eval" ->
       s"""WITH $expandCtes,
          $sigsCtes,

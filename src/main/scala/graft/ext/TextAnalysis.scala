@@ -544,7 +544,52 @@ object TextAnalysis {
       .agg((log(sum(col("k"))) - sum(col("k") * log(col("k"))) / sum(col("k"))).as("h"))
   }
 
+  // RE2-safe (no lookarounds) so DuckDB computes the identical match
+  // set; the corpus is lowercase-tokenized so [a-z0-9] covers it
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** Deterministic PII planting: every doc_id ≡ 0 (mod 3) gets one
+    * email and one phone appended — pure string arithmetic both
+    * engines reproduce, same discipline as m1's payload synthesis.
+    * The corpus itself has no PII, so without planting the operator
+    * would be vacuously green. */
+  private def plantedPii: Column =
+    when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+
+  /** T18 — PII redaction accounting (the scrub every training corpus
+    * runs before release): regex-detect emails and phone numbers,
+    * replace with typed placeholder tags, report per-source match and
+    * size-delta counts. Detection and replacement are codegen'd
+    * regexp builtins — row-local, no UDF, no shuffle except the tiny
+    * per-source rollup; at 100 TB this is a pure map pass over the
+    * corpus, which is exactly why redaction is cheap and skipping it
+    * is inexcusable. */
+  def t18PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("pii"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .withColumn("pii", plantedPii)
+      .select(col("source"),
+        size(regexp_extract_all(col("pii"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("pii"), lit(PhoneRe), lit(0))).as("n_phone"),
+        (length(col("pii")) - length(redacted)).as("delta"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_email") + col("n_phone") > 0, 1L).otherwise(0L))
+             .as("docs_with_pii"),
+           sum(col("n_email")).cast("long").as("emails_redacted"),
+           sum(col("n_phone")).cast("long").as("phones_redacted"),
+           sum(col("delta")).cast("long").as("chars_removed"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_pii_redact"       -> (t18PiiRedact _),
     "t17_token_entropy"    -> (t17TokenEntropy _),
     "t13_packing"          -> (t13Packing _),
     "t14_bm25"             -> (t14Bm25 _),
@@ -596,6 +641,30 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t18_pii_redact" ->
+      s"""WITH p AS (
+           SELECT source,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE text END AS pii
+           FROM documents),
+         x AS (
+           SELECT source,
+                  len(regexp_extract_all(pii, '$EmailRe')) AS n_email,
+                  len(regexp_extract_all(pii, '$PhoneRe')) AS n_phone,
+                  length(pii) - length(regexp_replace(regexp_replace(
+                    pii, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'))
+                    AS delta
+           FROM p)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_with_pii,
+                CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+                CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+                CAST(sum(delta) AS BIGINT) AS chars_removed
+         FROM x GROUP BY 1 ORDER BY source""",
     "t17_token_entropy" ->
       s"""WITH toks AS (
            SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t

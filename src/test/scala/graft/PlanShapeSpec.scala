@@ -54,10 +54,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange rangepartitioning") === 1, p)
   }
 
-  test("q44: the 11 distinct-counts plan as ONE Expand — a single pass over the table") {
+  test("q44: column-parallel profile — one pruned scan per column, no Expand") {
     val p = plan(graft.queries.AdvancedQueries.q44Profile(spark, dir))
-    assert(countOf(p, "Expand") === 1, s"profile must not re-scan per column:\n$p")
-    assert(countOf(p, "FileScan parquet") === 1, p)
+    // the multi-distinct Expand form replicated every row 12× and
+    // shuffled an 11-value-column key (23 s at sf0.1 vs ~2 s for
+    // this shape); per-column branches each scan ONE pruned column —
+    // same total bytes off a columnar store — and shuffle only their
+    // own NDV via two-phase distinct aggs
+    assert(countOf(p, "Expand") === 0, s"profile must not plan an Expand:\n$p")
+    assert(countOf(p, "FileScan parquet") === graft.queries.AdvancedQueries.profileColCount, p)
+    // every branch's scan is pruned to a single column
+    p.linesIterator.filter(_.contains("ReadSchema: struct<")).foreach { l =>
+      val cols = l.substring(l.indexOf("ReadSchema: struct<"))
+        .count(_ == ':') - 1 // "ReadSchema:" itself contributes one
+      assert(cols === 1, s"scan must read exactly one column: $l")
+    }
   }
 
   test("q5: one hash shuffle serves both the aggregation and the lifetime window") {

@@ -99,6 +99,75 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("q45 retention: offset-0 diagonal is exactly the cohort at 100%") {
+    val rows = AdvancedQueries.q45Retention(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val offset0 = rows.filter(_.getAs[Int]("month_offset") == 0)
+    // every cohort has its month-0 cell, fully retained by definition
+    offset0.foreach { r =>
+      assert(r.getAs[Long]("active_customers") === r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention_pct") === 100.0)
+    }
+    // month-0 cells cover every customer exactly once
+    val totalCust = Tables.orders(spark, dir)
+      .select(col("o_custkey")).distinct().count()
+    assert(offset0.map(_.getAs[Long]("cohort_size")).sum === totalCust)
+    // retention never exceeds the cohort
+    rows.foreach(r =>
+      assert(r.getAs[Long]("active_customers") <= r.getAs[Long]("cohort_size")))
+  }
+
+  test("t18 pii redact: planted counts reconcile — one email and one phone per planted doc") {
+    val rows = TextAnalysis.t18PiiRedact(spark, dir).collect()
+    val planted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(rows.map(_.getAs[Long]("emails_redacted")).sum === planted)
+    assert(rows.map(_.getAs[Long]("phones_redacted")).sum === planted)
+    assert(rows.map(_.getAs[Long]("docs_with_pii")).sum === planted)
+    // redaction strictly shrinks every planted doc (tags are shorter
+    // than the planted strings), and untouched docs contribute zero
+    rows.foreach { r =>
+      val withPii = r.getAs[Long]("docs_with_pii")
+      val removed = r.getAs[Long]("chars_removed")
+      assert(if (withPii > 0) removed > 0 else removed === 0L)
+    }
+  }
+
+  test("m3 media metadata: header round-trip matches direct arithmetic on doc_id") {
+    import graft.ext.Multimodal
+    val viaBytes = Multimodal.m3MediaMetadata(spark, dir).collect()
+    // independent derivation, never touching payload bytes
+    val direct = Tables.documents(spark, dir)
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (col("doc_id") % 2 + 1).cast("int").as("format_version"),
+        ((col("doc_id") % 64) * 8 + 64).cast("int").as("width"),
+        ((col("doc_id") / 7).cast("long") % 48 * 12 + 36).cast("int").as("height"))
+      .groupBy(col("kind"), col("format_version"))
+      .agg(count(lit(1)).as("n_media"),
+           round(avg(col("width")), 2).as("avg_width"),
+           round(avg(col("height")), 2).as("avg_height"),
+           sum(col("width").cast("long") * col("height")).as("total_pixels"))
+      .orderBy(col("kind"), col("format_version"))
+      .collect()
+    assert(viaBytes.map(_.toString).toSeq === direct.map(_.toString).toSeq)
+    assert(viaBytes.map(_.getAs[Long]("n_media")).sum ===
+      Tables.documents(spark, dir).count())
+  }
+
+  test("d13 semdedup: members conserve and kept + removed = members per cluster") {
+    import graft.ext.Similarity
+    val rows = Similarity.d13SemDedup(spark, dir).collect()
+    val nVec = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === nVec)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") ===
+        r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("n_kept") >= 1L) // the min-id member always survives
+    }
+  }
+
   test("q43 gap fill: coverage is monotone non-decreasing — carry-forward never un-fills") {
     val rows = AdvancedQueries.q43GapFill(spark, dir)
       .orderBy(col("month_start")).collect()
