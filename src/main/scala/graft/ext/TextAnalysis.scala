@@ -588,7 +588,81 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  val BloomBits = 1 << 20 // 1M bits ≈ 1e-3 FP at ~35k grams, k=3
+  val BloomHashes = 3
+  val BloomSeed = 101
+  val BloomWordBits = 32 // 32-bit words in int64 → no sign-bit hazards in either engine
+
+  /** T19 — bloom-filter decontamination: t10's exact-semi-join scan
+    * with a BLOOM PRE-PRUNE in front of it — the form that survives
+    * when the eval-gram set outgrows an exact broadcast (t10
+    * broadcasts every eval gram; a 1M-bit bloom is ~128 KB no matter
+    * how many grams went in). Eval 8-grams set k=3 md5-derived bits;
+    * training grams probe the packed bitset (pure codegen: element_at
+    * + bitwiseAND on a broadcast array of 32-bit words) and only
+    * bloom-passing grams reach the exact verify join. Reported per
+    * source: gram volume, bloom passes, exact confirmations — the
+    * pass−confirm margin IS the measured false-positive cost, which
+    * is the number that justifies (or indicts) the bloom's sizing.
+    *
+    * Scale shape: the bloom build is one groupBy over set bit
+    * positions; the probe is row-local against a broadcast array; the
+    * exact join's input shrinks from every training gram to the
+    * bloom-pass set (~FP-rate of the corpus when contamination is
+    * rare). The bitset stays exact cross-engine because every bit
+    * index is StableHash-derived and the packing is lossless. */
+  def t19BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("_w"))
+    val gramsCol = explode(array_distinct(
+      Dedup.shinglesOf(col("_w"), DecontaminationGramK))).as("g")
+    val isEval = col("doc_id") % EvalStride === 0
+    val evalGrams = docs.filter(isEval).select(gramsCol).distinct().cache()
+    def bitPos(j: Int, g: Column): Column =
+      pmod(graft.functions.StableHash.hash64(BloomSeed + j, g), lit(BloomBits.toLong))
+    // packed bitset: position → (word, 2^bit), bit_or per word, dense
+    // word spine (missing words = 0), one sorted array row
+    val setBits = evalGrams
+      .select(explode(array((0 until BloomHashes).map(j => bitPos(j, col("g"))): _*)).as("p"))
+      .select((col("p") / BloomWordBits).cast("int").as("w"),
+        pow(lit(2.0), (col("p") % BloomWordBits).cast("double")).cast("long").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+    val spine = spark.range(BloomBits / BloomWordBits)
+      .select(col("id").cast("int").as("w"))
+    val bloom = spine.join(setBits, Seq("w"), "left")
+      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .agg(transform(array_sort(collect_list(struct(col("w"), col("bits")))),
+        s => s.getField("bits")).as("bloom"))
+    def probe(j: Int): Column = {
+      val pos = bitPos(j, col("g"))
+      val bit = pow(lit(2.0), (pos % BloomWordBits).cast("double")).cast("long")
+      (element_at(col("bloom"), (pos / BloomWordBits).cast("int") + 1)
+        .bitwiseAND(bit)) =!= 0L
+    }
+    val train = docs.filter(!isEval).select(col("doc_id"), col("source"), gramsCol)
+      .crossJoin(broadcast(bloom))
+      .withColumn("pass", (0 until BloomHashes).map(probe).reduce(_ && _))
+      .drop("bloom")
+    val confirmed = train.filter(col("pass"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("source"), lit(1L).as("c"))
+    val perDoc = train.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    val confDoc = confirmed.groupBy(col("doc_id")).agg(sum(col("c")).as("n_conf"))
+    perDoc.join(confDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_docs"),
+           sum(col("n_grams")).as("n_grams"),
+           sum(col("n_pass")).as("n_bloom_pass"),
+           sum(coalesce(col("n_conf"), lit(0L))).as("n_confirmed"),
+           sum(when(coalesce(col("n_conf"), lit(0L)) > 0, 1L).otherwise(0L))
+             .as("n_contaminated_docs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
     "t18_pii_redact"       -> (t18PiiRedact _),
     "t17_token_entropy"    -> (t17TokenEntropy _),
     "t13_packing"          -> (t13Packing _),
@@ -781,6 +855,49 @@ object TextAnalysis {
                   AS n_flagged,
                 round(avg(dup_frac), 4) AS avg_dup_frac
          FROM d GROUP BY 1 ORDER BY source""",
+    // the bloom's packed-bitset probe is mirrored as plain set
+    // membership over the same bit positions — lossless-equivalent
+    // (a bit is set iff its position is in the distinct set), so the
+    // FP accounting hash-checks without replaying the packing
+    "t19_bloom_decontaminate" -> {
+      val hashes = (0 until BloomHashes).map(j =>
+        s"(${graft.functions.StableHash.duckdbHash64(BloomSeed + j, "u.g")}) % $BloomBits")
+      val evBits = hashes.map(h =>
+        s"SELECT DISTINCT (${h.replace("u.g", "g")}) AS p FROM ev")
+        .mkString("\n           UNION\n           ")
+      // membership via LEFT JOIN on a computed key, not IN(subquery):
+      // DuckDB 1.0's binder rejects repeated IN-subqueries here, and
+      // bloombits is distinct so the joins can't fan out
+      val joins = hashes.zipWithIndex.map { case (h, j) =>
+        s"LEFT JOIN bloombits b$j ON b$j.p = ($h)" }.mkString("\n           ")
+      val passPred = (0 until BloomHashes).map(j => s"b$j.p IS NOT NULL")
+        .mkString(" AND ")
+      s"""WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+         u AS (SELECT doc_id, source, unnest(list_distinct(${sqlGrams(DecontaminationGramK)})) AS g
+               FROM w),
+         ev AS (SELECT DISTINCT g FROM u WHERE doc_id % $EvalStride = 0),
+         bloombits AS (
+           $evBits),
+         probe AS (
+           SELECT u.doc_id, u.source, u.g,
+                  ($passPred) AS pass
+           FROM u
+           $joins
+           WHERE u.doc_id % $EvalStride <> 0),
+         conf AS (SELECT p.doc_id, count(*) AS n_conf
+                  FROM probe p JOIN ev USING (g) WHERE p.pass GROUP BY 1),
+         perdoc AS (SELECT doc_id, source, count(*) AS n_grams,
+                           sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass
+                    FROM probe GROUP BY 1, 2)
+         SELECT d.source, count(*) AS n_train_docs,
+                CAST(sum(d.n_grams) AS BIGINT) AS n_grams,
+                CAST(sum(d.n_pass) AS BIGINT) AS n_bloom_pass,
+                CAST(sum(COALESCE(c.n_conf, 0)) AS BIGINT) AS n_confirmed,
+                CAST(sum(CASE WHEN COALESCE(c.n_conf, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contaminated_docs
+         FROM perdoc d LEFT JOIN conf c USING (doc_id)
+         GROUP BY 1 ORDER BY d.source"""
+    },
     "t10_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
          u AS (SELECT doc_id, source, unnest(list_distinct(${sqlGrams(DecontaminationGramK)})) AS g

@@ -156,6 +156,22 @@ class Round4Spec extends AnyFunSuite {
       Tables.documents(spark, dir).count())
   }
 
+  test("t19 bloom decontaminate: verify stage cancels FPs — flags exactly t10's doc set") {
+    val bloom = TextAnalysis.t19BloomDecontaminate(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_bloom_pass"),
+         r.getAs[Long]("n_confirmed"), r.getAs[Long]("n_contaminated_docs"))).toMap
+    // bloom guarantee: no false negatives, so pass ⊇ confirmed ⊆ grams
+    bloom.values.foreach { case (grams, pass, conf, _) =>
+      assert(conf <= pass && pass <= grams)
+    }
+    // the exact-verify stage must reproduce t10's exact answer per source
+    val exact = TextAnalysis.t10Decontaminate(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_contaminated")).toMap
+    assert(bloom.keySet === exact.keySet)
+    bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
+  }
+
   test("d13 semdedup: members conserve and kept + removed = members per cluster") {
     import graft.ext.Similarity
     val rows = Similarity.d13SemDedup(spark, dir).collect()
