@@ -449,6 +449,41 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  val EditPrefixChars = 48
+  val EditMaxDist = 12
+
+  /** D14 — edit-distance near-dup pairs (record-linkage's classic
+    * character-level matcher, the signal token-set Jaccard can't see:
+    * in-word typos and punctuation edits barely move Jaccard but sit
+    * a few edits apart). Candidates come from the same SNM machinery
+    * as d8 (prefix blocks, bounded block size, successor-only
+    * compare), scored with codegen'd levenshtein over a FIXED-LENGTH
+    * prefix — O(EditPrefixChars²) per pair regardless of document
+    * length, which is what keeps edit distance affordable at all:
+    * unbounded levenshtein over full documents is quadratic in doc
+    * length and never runs at corpus scale. Distances are exact
+    * integers (both engines implement plain unit-cost Levenshtein),
+    * so pairs hash-match bit-for-bit. */
+  def d14EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, EditPrefixChars).as("px"))
+      .withColumn("blk", snmPrefixKey)
+    val cnts = d.groupBy(col("blk")).agg(count(lit(1)).as("cnt"))
+    val sub = pmod(StableHash.hash64(col("doc_id")),
+                   ceil(col("cnt") / lit(SnmMaxBlockDocs.toDouble)))
+    val w = Window.partitionBy(col("blk"), col("sub")).orderBy(col("text"), col("doc_id"))
+    d.join(broadcast(cnts), Seq("blk"))
+      .withColumn("sub", sub)
+      .withColumn("nid", lead(col("doc_id"), 1).over(w))
+      .withColumn("npx", lead(col("px"), 1).over(w))
+      .filter(col("nid").isNotNull)
+      .select(col("doc_id"), col("nid").as("dup_id"),
+        levenshtein(col("px"), col("npx")).as("edit_dist"))
+      .filter(col("edit_dist") <= EditMaxDist)
+      .orderBy(col("doc_id"), col("dup_id"))
+  }
+
   val SpanK = 16
 
   /** D12 — exact-substring duplicate-span accounting (the
@@ -488,6 +523,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_edit_distance"    -> (d14EditDistance _),
     "d8_snm"               -> (d8Snm _),
     "d12_span_dedup"       -> (d12SpanDedup _),
     "d1_dedup_exact"       -> (d1ExactDedup _),
@@ -579,6 +615,29 @@ object Dedup {
   private val snmSuffixBlkSql = "array_to_string(wa[greatest(len(wa) - 1, 1):], ' ')"
 
   val oracles: Map[String, String] = Map(
+    "d14_edit_distance" ->
+      s"""WITH $wordsCte,
+         pre AS (
+           SELECT doc_id, text, substr(text, 1, $EditPrefixChars) AS px,
+                  $snmPrefixBlkSql AS blk
+           FROM w),
+         cnts AS (SELECT blk, count(*) AS cnt FROM pre GROUP BY 1),
+         salted AS (
+           SELECT p.doc_id, p.text, p.px, p.blk,
+                  ${H.duckdbHash64("CAST(p.doc_id AS VARCHAR)")}
+                    % CAST(ceil(c.cnt / $SnmMaxBlockDocs.0) AS BIGINT) AS sub
+           FROM pre p JOIN cnts c USING (blk)),
+         nb AS (
+           SELECT doc_id, px,
+                  lead(doc_id) OVER win AS nid,
+                  lead(px) OVER win AS npx
+           FROM salted
+           WINDOW win AS (PARTITION BY blk, sub ORDER BY text, doc_id))
+         SELECT doc_id, nid AS dup_id,
+                CAST(levenshtein(px, npx) AS INTEGER) AS edit_dist
+         FROM nb
+         WHERE nid IS NOT NULL AND levenshtein(px, npx) <= $EditMaxDist
+         ORDER BY doc_id, dup_id""",
     "d8_snm" ->
       s"""WITH $wordsCte,
          ${snmPassSql("", snmPrefixBlkSql)}

@@ -172,6 +172,21 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("d14 edit distance: bounds hold, pairs unique, exact dupes surface at distance 0") {
+    val rows = Dedup.d14EditDistance(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Int]("edit_dist")
+      assert(e >= 0 && e <= Dedup.EditMaxDist)
+      assert(r.getAs[Long]("doc_id") !== r.getAs[Long]("dup_id"))
+    }
+    val pairs = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_id")))
+    assert(pairs.distinct.length === pairs.length)
+    // the corpus plants exact duplicates; identical texts sort adjacent
+    // inside their block, so distance-0 pairs must exist
+    assert(rows.exists(_.getAs[Int]("edit_dist") === 0))
+  }
+
   test("d13 semdedup: members conserve and kept + removed = members per cluster") {
     import graft.ext.Similarity
     val rows = Similarity.d13SemDedup(spark, dir).collect()
