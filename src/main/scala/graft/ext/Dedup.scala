@@ -449,6 +449,36 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** D15 — deduplicated-corpus materialization: the production OUTPUT
+    * step the pair-finding family (d3/d4/d7) exists to feed. d7's
+    * component labeling picks the canonical copy (min doc_id = the
+    * cluster label itself); every other member is dropped, and the
+    * kept corpus is reported per source with its surviving token
+    * volume — the number a training run actually budgets against.
+    * Docs outside every component are keepers by construction (they
+    * never enter the labeling, so the left join leaves them null).
+    *
+    * Scale shape: one left join of the corpus against the
+    * component-member list (candidate-pair-sized, ≪ corpus) plus the
+    * per-source rollup; the emit step adds nothing beyond d7 itself.
+    * The real deployment writes the kept rows straight back out with
+    * the same join — this query IS that plan with a count instead of
+    * a sink. */
+  def d15DedupMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val drops = connectedComponents(d4MinhashLsh(spark, dir), "a_id", "b_id")
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"), lit(1L).as("dr"))
+    Tables.documents(spark, dir)
+      .join(drops, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("dr"), lit(0L))).as("n_removed"),
+           (count(lit(1)) - sum(coalesce(col("dr"), lit(0L)))).as("n_kept"),
+           sum(when(col("dr").isNull, size(words(col("text"))).cast("long"))
+             .otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val EditPrefixChars = 48
   val EditMaxDist = 12
 
@@ -523,6 +553,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_dedup_materialize" -> (d15DedupMaterialize _),
     "d14_edit_distance"    -> (d14EditDistance _),
     "d8_snm"               -> (d8Snm _),
     "d12_span_dedup"       -> (d12SpanDedup _),
@@ -735,13 +766,28 @@ object Dedup {
     // the incremental fold must land on the identical fixpoint as the
     // full rebuild — d11 shares d7's oracle verbatim (fold ≡ rebuild)
     "d11_incremental_cc" -> d7ComponentsOracleSql,
+    "d15_dedup_materialize" ->
+      s"""WITH RECURSIVE $d7LabelCtes,
+         drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+         SELECT d.source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed,
+                CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(sum(CASE WHEN dr.doc_id IS NULL
+                              THEN len(string_split(trim(d.text), ' '))
+                              ELSE 0 END) AS BIGINT) AS kept_tokens
+         FROM documents d LEFT JOIN drops dr USING (doc_id)
+         GROUP BY 1 ORDER BY d.source""",
     // transitive closure over the SAME pair list d4 produces (its full
     // SELECT nests as the `pairs` CTE body); component label = min
     // reachable doc_id, mirroring the label-propagation fixpoint
     "d7_dedup_components" -> d7ComponentsOracleSql)
 
-  private lazy val d7ComponentsOracleSql: String =
-    s"""WITH RECURSIVE pairs AS ($d4OracleSql),
+  /** Transitive-closure labeling CTEs (ends with `labels` =
+    * (doc_id, cluster_id)), shared by the d7/d11 and d15 oracles. */
+  private lazy val d7LabelCtes: String =
+    s"""pairs AS ($d4OracleSql),
          edges AS (
            SELECT a_id AS s, b_id AS d FROM pairs
            UNION SELECT b_id, a_id FROM pairs),
@@ -749,8 +795,13 @@ object Dedup {
            SELECT s AS node, d AS other FROM edges
            UNION
            SELECT r.node, e.d FROM reach r JOIN edges e ON r.other = e.s),
-         members AS (SELECT DISTINCT s AS node FROM edges)
-         SELECT m.node AS doc_id, least(m.node, min(r.other)) AS cluster_id
-         FROM members m JOIN reach r ON r.node = m.node
-         GROUP BY m.node ORDER BY doc_id"""
+         members AS (SELECT DISTINCT s AS node FROM edges),
+         labels AS (
+           SELECT m.node AS doc_id, least(m.node, min(r.other)) AS cluster_id
+           FROM members m JOIN reach r ON r.node = m.node
+           GROUP BY m.node)"""
+
+  private lazy val d7ComponentsOracleSql: String =
+    s"""WITH RECURSIVE $d7LabelCtes
+         SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
 }

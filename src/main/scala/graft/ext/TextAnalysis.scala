@@ -661,7 +661,32 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  val DistinctNMax = 3
+
+  /** T20 — distinct-n diversity metrics (the distinct-1/2/3 family
+    * used to quantify corpus diversity and catch mode-collapsed or
+    * templated text — low distinct-2 at healthy distinct-1 is the
+    * signature of recombined boilerplate): per (source, n), unique
+    * n-grams over total n-grams. One exploded pass per n, each a
+    * map-side-combined count + a distinct count keyed by the gram —
+    * shuffle bounded by corpus token volume. At 100 TB swap the exact
+    * distinct for approx_count_distinct exactly as q44's NDV notes. */
+  def t20DistinctNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), words(col("text")).as("_w"))
+    (1 to DistinctNMax).map { n =>
+      d.select(col("source"), explode(Dedup.shinglesOf(col("_w"), n)).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_grams"),
+             countDistinct(col("g")).as("distinct_grams"))
+        .select(col("source"), lit(n).as("n"), col("total_grams"),
+          col("distinct_grams"),
+          round(col("distinct_grams") / col("total_grams"), 4).as("distinct_ratio"))
+    }.reduce(_ unionAll _).orderBy(col("source"), col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_distinct_ngrams"  -> (t20DistinctNgrams _),
     "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
     "t18_pii_redact"       -> (t18PiiRedact _),
     "t17_token_entropy"    -> (t17TokenEntropy _),
@@ -855,6 +880,20 @@ object TextAnalysis {
                   AS n_flagged,
                 round(avg(dup_frac), 4) AS avg_dup_frac
          FROM d GROUP BY 1 ORDER BY source""",
+    "t20_distinct_ngrams" -> {
+      val branches = (1 to DistinctNMax).map { n =>
+        s"""SELECT source, $n AS n, count(*) AS total_grams,
+               count(DISTINCT g) AS distinct_grams
+           FROM (SELECT source, unnest(${sqlGrams(n)}) AS g FROM w) g$n
+           GROUP BY source"""
+      }.mkString("\n           UNION ALL\n           ")
+      s"""WITH w AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
+         u AS (
+           $branches)
+         SELECT source, CAST(n AS INTEGER) AS n, total_grams, distinct_grams,
+                round(distinct_grams * 1.0 / total_grams, 4) AS distinct_ratio
+         FROM u ORDER BY source, n"""
+    },
     // the bloom's packed-bitset probe is mirrored as plain set
     // membership over the same bit positions — lossless-equivalent
     // (a bit is set iff its position is in the distinct set), so the

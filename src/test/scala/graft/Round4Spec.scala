@@ -172,6 +172,41 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("d15 dedup materialize: kept + removed = docs, and removals match d7's non-canonical members") {
+    val rows = Dedup.d15DedupMaterialize(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach(r => assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")
+      === r.getAs[Long]("n_docs")))
+    val nonCanonical = Dedup.d7DedupComponents(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(rows.map(_.getAs[Long]("n_removed")).sum === nonCanonical)
+    assert(nonCanonical > 0) // the corpus plants near-dups
+  }
+
+  test("t20 distinct-n: gram totals follow the max(1, tokens-n+1) formula per source") {
+    val rows = TextAnalysis.t20DistinctNgrams(spark, dir).collect()
+    val tokens = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(trim(col("text")), " ")).cast("long")).as("t"),
+           count(lit(1)).as("d"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("t"), r.getAs[Long]("d"))).toMap
+    // formula check needs per-doc clamping, so verify n=1 exactly and
+    // bounds for higher n
+    rows.foreach { r =>
+      val (tok, docs) = tokens(r.getAs[String]("source"))
+      val n = r.getAs[Int]("n")
+      val total = r.getAs[Long]("total_grams")
+      val uniq = r.getAs[Long]("distinct_grams")
+      if (n == 1) assert(total === tok)
+      else assert(total >= docs && total <= tok) // ≥1 gram/doc, ≤1 gram/token
+      assert(uniq >= 1L && uniq <= total)
+      val ratio = r.getAs[Double]("distinct_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+
   test("d14 edit distance: bounds hold, pairs unique, exact dupes surface at distance 0") {
     val rows = Dedup.d14EditDistance(spark, dir).collect()
     assert(rows.nonEmpty)
