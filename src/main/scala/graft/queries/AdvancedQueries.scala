@@ -647,7 +647,57 @@ object AdvancedQueries {
       .orderBy(col("cohort_month"), col("month_offset"))
   }
 
+  val ConcurrencyGraceMicros: Long = 60L * 1000000 // sessions linger 60 s past their last event
+
+  /** q46 — peak concurrency per day (the capacity-planning question
+    * behind every "max concurrent users" dashboard): gap-based
+    * sessions (st2's 30-minute rule, plus a 60 s grace so single-event
+    * sessions occupy real time) become [start, end] intervals; each
+    * day's peak is the max of the +1/−1 sweep over its clamped
+    * intervals. Sessions spanning midnight are split across the days
+    * they touch (explode of the day span — bounded by session length,
+    * ≤ 2 rows in practice).
+    *
+    * Scale shape: the sweep — the part that's a global sort in the
+    * naive form — partitions by DAY, so each window sees one day's
+    * session endpoints, and the day key refines to (day, hour) at
+    * higher volume without changing the plan. Everything upstream is
+    * the user-keyed session window st2 already pays. All arithmetic
+    * is integer epoch-micros, so the oracle hash-matches exactly. */
+  def q46Concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val gapMicros = graft.streaming.EventsStream.SessionGapMicros
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(wU))
+      .withColumn("ns", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) >= gapMicros, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wU))
+    val sess = e.groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_micros(col("ts"))).as("m0"),
+           (max(unix_micros(col("ts"))) + ConcurrencyGraceMicros).as("m1"))
+    val spanned = sess
+      .withColumn("day", explode(sequence(
+        to_date(timestamp_micros(col("m0"))),
+        to_date(timestamp_micros(col("m1"))))))
+      .withColumn("d0", unix_micros(col("day").cast("timestamp")))
+      .withColumn("s", greatest(col("m0"), col("d0")))
+      .withColumn("t", least(col("m1"), col("d0") + lit(86400000000L) - 1))
+    val deltas = spanned.select(col("day"), col("s").as("m"), lit(1L).as("delta"))
+      .unionAll(spanned.select(col("day"), col("t").as("m"), lit(-1L).as("delta")))
+    val wD = Window.partitionBy(col("day")).orderBy(col("m"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("c", sum(col("delta")).over(wD))
+      .groupBy(col("day"))
+      .agg(max(col("c")).as("max_concurrent"))
+      .join(spanned.groupBy(col("day")).agg(count(lit(1)).as("n_sessions")), Seq("day"))
+      .select(col("day"), col("n_sessions"), col("max_concurrent"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_concurrency"     -> (q46Concurrency _),
     "q45_retention"       -> (q45Retention _),
     "q44_profile"         -> (q44Profile _),
     "q42_islands"         -> (q42Islands _),
@@ -680,6 +730,53 @@ object AdvancedQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q46_concurrency" -> {
+      val gap = graft.streaming.EventsStream.SessionGapMicros
+      s"""WITH e AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         sflag AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN prev IS NULL
+                        OR date_diff('microsecond', prev, ts) >= $gap
+                       THEN 1 ELSE 0 END AS ns
+           FROM e),
+         sid AS (
+           SELECT user_id, ts,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM sflag),
+         sess AS (
+           SELECT user_id, sid, min(epoch_us(ts)) AS m0,
+                  max(epoch_us(ts)) + $ConcurrencyGraceMicros AS m1
+           FROM sid GROUP BY 1, 2),
+         spanned AS (
+           SELECT s.user_id, s.sid, s.m0, s.m1,
+                  CAST(d.day AS DATE) AS day,
+                  epoch_us(CAST(CAST(d.day AS DATE) AS TIMESTAMP)) AS d0
+           FROM sess s,
+                LATERAL (SELECT unnest(generate_series(
+                  CAST(make_timestamp(s.m0) AS DATE),
+                  CAST(make_timestamp(s.m1) AS DATE),
+                  INTERVAL 1 DAY)) AS day) d),
+         clamped AS (
+           SELECT day, greatest(m0, d0) AS s, least(m1, d0 + 86400000000 - 1) AS t
+           FROM spanned),
+         deltas AS (
+           SELECT day, s AS m, 1 AS delta FROM clamped
+           UNION ALL
+           SELECT day, t AS m, -1 AS delta FROM clamped),
+         sweep AS (
+           SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY m, delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM deltas),
+         peaks AS (SELECT day, CAST(max(c) AS BIGINT) AS max_concurrent
+                   FROM sweep GROUP BY 1),
+         ns AS (SELECT day, count(*) AS n_sessions FROM clamped GROUP BY 1)
+         SELECT p.day, ns.n_sessions, p.max_concurrent
+         FROM peaks p JOIN ns USING (day) ORDER BY p.day"""
+    },
     "q45_retention" ->
       """WITH act AS (
            SELECT DISTINCT o_custkey AS c,

@@ -172,6 +172,19 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("q46 concurrency: peaks bounded by sessions and by the user population") {
+    val rows = AdvancedQueries.q46Concurrency(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, dir).select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      val peak = r.getAs[Long]("max_concurrent")
+      assert(peak >= 1L && peak <= r.getAs[Long]("n_sessions"))
+      // a user contributes ≤ 1 concurrent session per instant (30-min
+      // gap sessions per user cannot overlap when the grace < gap)
+      assert(peak <= nUsers)
+    }
+  }
+
   test("d15 dedup materialize: kept + removed = docs, and removals match d7's non-canonical members") {
     val rows = Dedup.d15DedupMaterialize(spark, dir).collect()
     val nDocs = Tables.documents(spark, dir).count()
