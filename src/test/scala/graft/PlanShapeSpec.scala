@@ -71,6 +71,30 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q45: retention matrix plans no Expand and broadcasts the cohort sizes") {
+    val p = plan(graft.queries.AdvancedQueries.q45Retention(spark, dir))
+    // cells count a pre-distincted grid — a countDistinct here would
+    // mean the grid dedup was lost
+    assert(countOf(p, "Expand") === 0, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q46: the endpoint sweep windows by day — no single-partition global sort") {
+    val p = plan(graft.queries.AdvancedQueries.q46Concurrency(spark, dir))
+    // every Window operator carries a partition spec (day or user_id)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { l =>
+      assert(l.contains("windowspecdefinition(day") ||
+        l.contains("windowspecdefinition(user_id"), s"unpartitioned window: $l")
+    }
+  }
+
+  test("t19: the bloom bitset reaches the probe as a broadcast, not a shuffle join") {
+    val p = plan(graft.ext.TextAnalysis.t19BloomDecontaminate(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q5: one hash shuffle serves both the aggregation and the lifetime window") {
     val p = plan(CoreQueries.q5MonthlySnapshot(spark, dir))
     assert(countOf(p, "Exchange hashpartitioning") === 1,
