@@ -493,8 +493,30 @@ object Dedup {
     * unbounded levenshtein over full documents is quadratic in doc
     * length and never runs at corpus scale. Distances are exact
     * integers (both engines implement plain unit-cost Levenshtein),
-    * so pairs hash-match bit-for-bit. */
-  def d14EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    * so pairs hash-match bit-for-bit.
+    *
+    * The distance itself runs through the codegen'd
+    * [[graft.functions.BoundedLevenshtein]] — banded O(k·n) DP with
+    * early exit at bound EditMaxDist, rather than the builtin's full
+    * O(n·m) table. The bound contract (min(true, k+1)) makes the
+    * swap invisible to the ≤ EditMaxDist filter; a property test
+    * pins the kernel to a full-DP reference and a spec pins this
+    * query to the builtin form row for row. */
+  def d14EditDistance(spark: SparkSession, dir: String): DataFrame =
+    d14WithDistance(spark, dir, bandedDistance)
+
+  /** The codegen'd banded distance (production form). */
+  private def bandedDistance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.BoundedLevenshtein(
+      ColumnShim.expression(a), ColumnShim.expression(b), EditMaxDist))
+  }
+
+  /** d14 parameterized by the distance implementation, so the spec
+    * can run the identical plan over the builtin levenshtein and
+    * assert row-for-row equality with the banded kernel. */
+  def d14WithDistance(spark: SparkSession, dir: String,
+                      dist: (Column, Column) => Column): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         substring(col("text"), 1, EditPrefixChars).as("px"))
@@ -509,7 +531,7 @@ object Dedup {
       .withColumn("npx", lead(col("px"), 1).over(w))
       .filter(col("nid").isNotNull)
       .select(col("doc_id"), col("nid").as("dup_id"),
-        levenshtein(col("px"), col("npx")).as("edit_dist"))
+        dist(col("px"), col("npx")).as("edit_dist"))
       .filter(col("edit_dist") <= EditMaxDist)
       .orderBy(col("doc_id"), col("dup_id"))
   }

@@ -180,6 +180,26 @@ class PropertySpec extends AnyFunSuite {
       s"non-convergence path leaked checkpoint blocks: $before -> $after")
   }
 
+  test("bounded levenshtein: equals min(full DP, bound+1) over random strings and bounds") {
+    import graft.functions.EditDistance
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen = for {
+      n <- Gen.chooseNum(0, 24)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' '))
+    } yield cs.mkString
+    val caseGen = for {
+      a <- strGen; b <- strGen; k <- Gen.chooseNum(0, 8)
+    } yield (a, b, k)
+    check("bounded-lev", Prop.forAll(Gen.listOfN(60, caseGen)) { cases =>
+      cases.forall { case (a, b, k) =>
+        val got = EditDistance.bounded(
+          UTF8String.fromString(a), UTF8String.fromString(b), k)
+        val want = math.min(EditDistance.plain(a, b), k + 1)
+        got == want
+      }
+    }, n = 60)
+  }
+
   test("pagerank: path graph ranks middle above endpoints") {
     import spark.implicits._
     // P5 path 0-1-2-3-4: degree-2 interior beats degree-1 endpoints,

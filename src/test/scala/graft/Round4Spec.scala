@@ -220,6 +220,14 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("d14: the banded codegen kernel matches the builtin levenshtein row for row") {
+    val banded = Dedup.d14EditDistance(spark, dir).collect().map(_.toString).toSeq
+    val builtin = Dedup.d14WithDistance(spark, dir,
+      (a, b) => levenshtein(a, b)).collect().map(_.toString).toSeq
+    assert(banded === builtin)
+    assert(banded.nonEmpty)
+  }
+
   test("d14 edit distance: bounds hold, pairs unique, exact dupes surface at distance 0") {
     val rows = Dedup.d14EditDistance(spark, dir).collect()
     assert(rows.nonEmpty)
