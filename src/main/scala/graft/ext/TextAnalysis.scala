@@ -685,7 +685,74 @@ object TextAnalysis {
     }.reduce(_ unionAll _).orderBy(col("source"), col("n"))
   }
 
+  val DsirBuckets = 4096
+  val DsirSeed = 7
+  val DsirTarget = "src0"
+  /** Selection keeps the pool above this exact interpolated
+    * log-weight percentile. An absolute cut (the paper's form) is
+    * calibrated per corpus; on this synthetic pool every doc scores
+    * below 0 because the target slice isn't distributionally
+    * distinct, so a fixed constant is either vacuous or
+    * SF-dependent — the quantile form selects a real set at every
+    * SF. The cut-to-nearest-doc margin is measured ≥ 4.4e-3 at
+    * sf0.1 (1.7e-2 at sf0.01), ≫ cross-engine ln()/sum drift
+    * ~1e-12 — t12's threshold discipline. */
+  val DsirSelectQuantile = 0.9
+
+  /** T21 — DSIR-style importance-weighted data selection (Xie et al.
+    * 2023, arXiv:2302.03169): score every candidate document by how
+    * much more likely its tokens are under a TARGET domain's hashed
+    * n-gram distribution than under the raw pool's, and select docs
+    * with positive log weight. Here the target is the `src0` slice
+    * standing in for a curated domain; features are unigrams hashed
+    * into `DsirBuckets` buckets with add-one smoothing — hashing is
+    * what bounds the model: the bucket table is B rows no matter how
+    * large the corpus vocabulary grows, which is the whole reason
+    * DSIR runs at pretraining scale.
+    *
+    * Shape: one tokenize+bucket pass, two B-row count aggregates
+    * broadcast back, per-doc weighted sum, per-source rollup. The
+    * log-weight sums are doubles; the report rounds at the edge and
+    * the selection margin is spec-measured, matching t12. */
+  def t21DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(words(col("text"))).as("t"))
+      .withColumn("b", pmod(graft.functions.StableHash.hash64(DsirSeed, col("t")),
+        lit(DsirBuckets.toLong)))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("k")).cache()
+    def bucketCounts(cond: Column, name: String): DataFrame =
+      tf.filter(cond).groupBy(col("b")).agg(sum(col("k")).as(name))
+    val ct = bucketCounts(col("source") === DsirTarget, "ct")
+    val cr = bucketCounts(col("source") =!= DsirTarget, "cr")
+    val spine = spark.range(DsirBuckets).select(col("id").as("b"))
+      .join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = spine.agg(
+      (sum(col("ct")) + DsirBuckets).cast("double").as("nt"),
+      (sum(col("cr")) + DsirBuckets).cast("double").as("nr"))
+    val perDoc = tf.filter(col("source") =!= DsirTarget)
+      .join(broadcast(spine), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("k") * (log((col("ct") + 1) / col("nt"))
+        - log((col("cr") + 1) / col("nr")))).as("logw"))
+    // pool-wide selection cut: a 1-row exact-percentile aggregate
+    // broadcast back (t8's pattern) — never a global sort/rank
+    val cut = perDoc.agg(
+      percentile(col("logw"), lit(DsirSelectQuantile)).as("cut"))
+    perDoc.crossJoin(broadcast(cut))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("logw")), 3).as("avg_logw"),
+           sum(when(col("logw") > col("cut"), 1L).otherwise(0L)).as("n_selected"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_dsir_select"      -> (t21DsirSelect _),
     "t20_distinct_ngrams"  -> (t20DistinctNgrams _),
     "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
     "t18_pii_redact"       -> (t18PiiRedact _),
@@ -880,6 +947,37 @@ object TextAnalysis {
                   AS n_flagged,
                 round(avg(dup_frac), 4) AS avg_dup_frac
          FROM d GROUP BY 1 ORDER BY source""",
+    "t21_dsir_select" ->
+      s"""WITH toks AS (
+           SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
+           FROM documents),
+         tf AS (
+           SELECT doc_id, source,
+                  (${graft.functions.StableHash.duckdbHash64(DsirSeed, "t")}) % $DsirBuckets AS b,
+                  count(*) AS k
+           FROM toks GROUP BY 1, 2, 3),
+         ctc AS (SELECT b, sum(k) AS ct FROM tf WHERE source = '$DsirTarget' GROUP BY 1),
+         crc AS (SELECT b, sum(k) AS cr FROM tf WHERE source <> '$DsirTarget' GROUP BY 1),
+         spine AS (
+           SELECT CAST(r.range AS BIGINT) AS b,
+                  COALESCE(ctc.ct, 0) AS ct, COALESCE(crc.cr, 0) AS cr
+           FROM range($DsirBuckets) r
+           LEFT JOIN ctc ON ctc.b = r.range
+           LEFT JOIN crc ON crc.b = r.range),
+         tot AS (SELECT CAST(sum(ct) + $DsirBuckets AS DOUBLE) AS nt,
+                        CAST(sum(cr) + $DsirBuckets AS DOUBLE) AS nr
+                 FROM spine),
+         perdoc AS (
+           SELECT f.doc_id, f.source,
+                  sum(f.k * (ln((s.ct + 1) / t.nt) - ln((s.cr + 1) / t.nr))) AS logw
+           FROM tf f JOIN spine s USING (b) CROSS JOIN tot t
+           WHERE f.source <> '$DsirTarget'
+           GROUP BY 1, 2),
+         cut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut FROM perdoc)
+         SELECT source, count(*) AS n_docs, round(avg(logw), 3) AS avg_logw,
+                CAST(sum(CASE WHEN logw > c.cut THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_selected
+         FROM perdoc CROSS JOIN cut c GROUP BY 1 ORDER BY source""",
     "t20_distinct_ngrams" -> {
       val branches = (1 to DistinctNMax).map { n =>
         s"""SELECT source, $n AS n, count(*) AS total_grams,

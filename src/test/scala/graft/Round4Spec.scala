@@ -172,6 +172,17 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("t21 dsir: target excluded, selection is the strict-above-p90 tenth of the pool") {
+    val rows = TextAnalysis.t21DsirSelect(spark, dir).collect()
+    assert(!rows.exists(_.getAs[String]("source") == TextAnalysis.DsirTarget))
+    val pool = rows.map(_.getAs[Long]("n_docs")).sum
+    val sel = rows.map(_.getAs[Long]("n_selected")).sum
+    assert(sel > 0L, "selection must not be vacuous")
+    // strictly-above-an-exact-p90 count is within interpolation slack
+    // of 10% of the pool
+    assert(math.abs(sel - pool / 10.0) <= 2.0, s"sel=$sel pool=$pool")
+  }
+
   test("q46 concurrency: peaks bounded by sessions and by the user population") {
     val rows = AdvancedQueries.q46Concurrency(spark, dir).collect()
     assert(rows.nonEmpty)
