@@ -161,9 +161,55 @@ object Graph {
     nV.crossJoin(nE).crossJoin(tri)
   }
 
+  val LpaRounds = 4
+
+  /** Synchronous label propagation over any pair list: every node
+    * starts as its own label; each round, a node adopts the most
+    * frequent label among its NEIGHBORS (ties → smallest label).
+    * A fixed round count with fully synchronous updates is the form
+    * both engines can replay exactly — the classic async/random-order
+    * LPA converges better but is irreproducible by construction.
+    * Synchronous LPA can oscillate on bipartite-ish structures
+    * (spec-pinned on K2); what the operator is FOR here is splitting
+    * the chain-merged components d7 produces into denser cores, the
+    * same over-merge p2's triangle census diagnoses.
+    *
+    * Shape per round: one edge⋈label join + two grouped aggregates,
+    * at edge-sized parallelism under the shared IterativeGraph
+    * harness — the same per-round cost envelope as d7/p1. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = true) { edges =>
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      for (_ <- 1 to LpaRounds) {
+        val next = edges.join(labels, col("dst") === col("node"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          // argmax with min-label tie-break as one max(struct): highest
+          // count wins, then the highest negated label = smallest label
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
+          .localCheckpoint()
+        CheckpointShim.unpersist(labels)
+        labels = next
+      }
+      labels
+    }
+
+  /** P3 — label-propagation communities of the near-dup graph,
+    * reported as community sizes. Communities refine d7's components:
+    * a chain of borderline pairs that min-label CC merges into one
+    * cluster splits here unless the middle is genuinely dense. */
+  def p3Communities(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+      .groupBy(col("lbl").as("community_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_doc_id"))
+      .orderBy(col("community_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pagerank" -> (p1Pagerank _),
-    "p2_triangles" -> (p2Triangles _))
+    "p2_triangles" -> (p2Triangles _),
+    "p3_communities" -> (p3Communities _))
 
   /** The same 10 updates unrolled as chained CTEs, every arithmetic
     * step mirrored in int64 (`//` is DuckDB's integer division; sums
@@ -182,7 +228,31 @@ object Graph {
        JOIN deg g ON g.s = e.s
        GROUP BY e.d)"""
 
+  /** One synchronous LPA round as SQL: per node, rank neighbor labels
+    * by (count DESC, label ASC) and keep the winner. */
+  private def lpaRound(k: Int): String =
+    s"""c$k AS (
+       SELECT e.s AS node, l.lbl,
+              row_number() OVER (PARTITION BY e.s
+                ORDER BY count(*) DESC, l.lbl) AS rn
+       FROM edges e JOIN l${k - 1} l ON l.node = e.d
+       GROUP BY e.s, l.lbl),
+     l$k AS (SELECT node, lbl FROM c$k WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
+    "p3_communities" -> {
+      val rounds = (1 to LpaRounds).map(lpaRound).mkString(",\n         ")
+      s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT s, d FROM (
+             SELECT a_id AS s, b_id AS d FROM pairs
+             UNION ALL SELECT b_id, a_id FROM pairs)),
+         l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges),
+         $rounds
+         SELECT lbl AS community_id, count(*) AS n_members,
+                min(node) AS min_doc_id
+         FROM l$LpaRounds GROUP BY 1 ORDER BY community_id"""
+    },
     "p2_triangles" ->
       s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),
          e AS (SELECT a_id AS a, b_id AS b FROM pairs),

@@ -172,6 +172,21 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("lpa laws: K3 converges to one community; K2 oscillates back to singletons") {
+    import spark.implicits._
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val c3 = Graph.labelPropagation(k3, "a", "b").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    assert(c3.values.toSet === Set(1L), s"K3 must converge to min label: $c3")
+    // synchronous LPA has period 2 on K2; LpaRounds is even, so the
+    // labels land back on the start — the documented oscillation case
+    val k2 = Seq((7L, 9L)).toDF("a", "b")
+    val c2 = Graph.labelPropagation(k2, "a", "b").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    assert(Graph.LpaRounds % 2 === 0)
+    assert(c2 === Map(7L -> 7L, 9L -> 9L), s"K2 period-2 oscillation: $c2")
+  }
+
   test("t21 dsir: target excluded, selection is the strict-above-p90 tenth of the pool") {
     val rows = TextAnalysis.t21DsirSelect(spark, dir).collect()
     assert(!rows.exists(_.getAs[String]("source") == TextAnalysis.DsirTarget))
