@@ -696,7 +696,37 @@ object AdvancedQueries {
       .orderBy(col("day"))
   }
 
+  /** q47 — SCD2 point-in-time (as-of) resolution: every fact row
+    * joins to the dimension VERSION that was valid on its date — the
+    * query SCD2 history exists to serve (q25 builds the history;
+    * this consumes it). Versions are non-overlapping per customer,
+    * so the range join matches ≤ 1 version per order and row counts
+    * are preserved; orders before the first version land in an
+    * explicit '(pre-history)' bucket rather than vanishing (st6's
+    * non-vacuous UNKNOWN discipline).
+    *
+    * Scale shape: the history is dimension-sized and broadcasts; the
+    * range predicate rides the customer-key equi-join as a cheap
+    * residual filter — never a non-equi join on its own. */
+  def q47Scd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val h = q25Scd2History(spark, dir)
+      .select(col("customer_id").as("h_cust"), col("priority"),
+        col("effective_date"), col("end_date"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("customer_id"),
+        col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
+      .join(broadcast(h),
+        col("customer_id") === col("h_cust") &&
+          col("od") >= col("effective_date") && col("od") < col("end_date"),
+        "left")
+      .groupBy(coalesce(col("priority"), lit("(pre-history)")).as("priority_at_order"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("priority_at_order"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_scd2_asof"       -> (q47Scd2Asof _),
     "q46_concurrency"     -> (q46Concurrency _),
     "q45_retention"       -> (q45Retention _),
     "q44_profile"         -> (q44Profile _),
@@ -728,6 +758,43 @@ object AdvancedQueries {
     case "date"   => s"strftime($expr, '%Y-%m-%d')"
     case _        => expr
   }
+
+  /** SCD2 history CTEs (ends with `hist` = customer_id, priority,
+    * effective_date, end_date, is_current), shared by the q25 and
+    * q47 oracles. */
+  private val scd2HistCtes: String =
+    """v1 AS (
+           SELECT o_custkey AS customer_id, o_orderpriority AS priority FROM (
+             SELECT o_custkey, o_orderpriority,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS r
+             FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') t WHERE r = 1),
+         v2 AS (
+           SELECT o_custkey AS customer_id, o_orderpriority AS priority FROM (
+             SELECT o_custkey, o_orderpriority,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS r
+             FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01') t WHERE r = 1),
+         changed AS (
+           SELECT v2.customer_id FROM v2 JOIN v1 USING (customer_id)
+           WHERE v2.priority <> v1.priority),
+         novel AS (
+           SELECT customer_id FROM v2
+           WHERE customer_id NOT IN (SELECT customer_id FROM v1)),
+         hist AS (
+           SELECT customer_id, priority,
+                  DATE '1997-01-01' AS effective_date,
+                  DATE '9999-12-31' AS end_date, true AS is_current
+           FROM v1 WHERE customer_id NOT IN (SELECT customer_id FROM changed)
+           UNION ALL
+           SELECT v1.customer_id, v1.priority, DATE '1997-01-01', DATE '1999-01-01', false
+           FROM v1 JOIN changed USING (customer_id)
+           UNION ALL
+           SELECT v2.customer_id, v2.priority, DATE '1999-01-01', DATE '9999-12-31', true
+           FROM v2 JOIN changed USING (customer_id)
+           UNION ALL
+           SELECT v2.customer_id, v2.priority, DATE '1999-01-01', DATE '9999-12-31', true
+           FROM v2 JOIN novel USING (customer_id))"""
 
   val oracles: Map[String, String] = Map(
     "q46_concurrency" -> {
@@ -1041,38 +1108,19 @@ object AdvancedQueries {
          FROM cum, tot ORDER BY decile"""
     },
     "q25_scd2_history" ->
-      """WITH v1 AS (
-           SELECT o_custkey AS customer_id, o_orderpriority AS priority FROM (
-             SELECT o_custkey, o_orderpriority,
-                    row_number() OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS r
-             FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') t WHERE r = 1),
-         v2 AS (
-           SELECT o_custkey AS customer_id, o_orderpriority AS priority FROM (
-             SELECT o_custkey, o_orderpriority,
-                    row_number() OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS r
-             FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01') t WHERE r = 1),
-         changed AS (
-           SELECT v2.customer_id FROM v2 JOIN v1 USING (customer_id)
-           WHERE v2.priority <> v1.priority),
-         novel AS (
-           SELECT customer_id FROM v2
-           WHERE customer_id NOT IN (SELECT customer_id FROM v1))
-         SELECT customer_id, priority,
-                DATE '1997-01-01' AS effective_date,
-                DATE '9999-12-31' AS end_date, true AS is_current
-         FROM v1 WHERE customer_id NOT IN (SELECT customer_id FROM changed)
-         UNION ALL
-         SELECT v1.customer_id, v1.priority, DATE '1997-01-01', DATE '1999-01-01', false
-         FROM v1 JOIN changed USING (customer_id)
-         UNION ALL
-         SELECT v2.customer_id, v2.priority, DATE '1999-01-01', DATE '9999-12-31', true
-         FROM v2 JOIN changed USING (customer_id)
-         UNION ALL
-         SELECT v2.customer_id, v2.priority, DATE '1999-01-01', DATE '9999-12-31', true
-         FROM v2 JOIN novel USING (customer_id)
-         ORDER BY customer_id, effective_date""",
+      s"""WITH $scd2HistCtes
+         SELECT customer_id, priority, effective_date, end_date, is_current
+         FROM hist ORDER BY customer_id, effective_date""",
+    "q47_scd2_asof" ->
+      s"""WITH $scd2HistCtes,
+         o AS (SELECT o_custkey AS customer_id, CAST(o_orderdate AS DATE) AS od,
+                      o_totalprice
+               FROM orders)
+         SELECT COALESCE(h.priority, '(pre-history)') AS priority_at_order,
+                count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+         FROM o LEFT JOIN hist h ON h.customer_id = o.customer_id
+           AND o.od >= h.effective_date AND o.od < h.end_date
+         GROUP BY 1 ORDER BY priority_at_order""",
     "q23_percentiles" ->
       """SELECT o_orderpriority,
          round(quantile_cont(o_totalprice, 0.5),2) AS median_price,

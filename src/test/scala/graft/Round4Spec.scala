@@ -172,6 +172,17 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("q47 scd2 as-of: row counts conserve and pre-history orders surface explicitly") {
+    val rows = AdvancedQueries.q47Scd2Asof(spark, dir).collect()
+    val nOrders = Tables.orders(spark, dir).count()
+    // non-overlapping versions ⇒ the as-of join preserves row counts
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === nOrders)
+    // orders before the first SCD2 version must land in the explicit
+    // bucket, not vanish
+    val pre = rows.find(_.getAs[String]("priority_at_order") == "(pre-history)")
+    assert(pre.nonEmpty && pre.get.getAs[Long]("n_orders") > 0L)
+  }
+
   test("lpa laws: K3 converges to one community; K2 oscillates back to singletons") {
     import spark.implicits._
     val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
