@@ -175,7 +175,40 @@ object Multimodal {
       .orderBy(col("kind"), col("format_version"))
   }
 
+  val SigPermille = 1000L
+
+  /** M4 — perceptual-signature media dedup (the pHash pattern with
+    * the byte histogram standing in for a real perceptual hash):
+    * quantize each payload's 16-bin histogram to integer permille of
+    * its byte count — size-invariant, so a payload and its
+    * concatenated double are NOT merged but exact re-encodes are —
+    * and group identical signatures into duplicate clusters,
+    * keep-lowest-id (d5's cluster shape in the media domain).
+    *
+    * All integer arithmetic (count·1000 div bytes), so the signature
+    * is bit-exact cross-engine. One narrow map pass + one hash
+    * groupBy; no pairwise compare exists at any scale. */
+  def m4SignatureDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val counts = ColumnShim.column(
+      graft.functions.ByteHistogram(ColumnShim.expression(col("payload")), FeatureBins))
+    mediaFromDocs(spark, dir)
+      .select(col("media_id"), col("kind"), col("n_bytes"), counts.as("_c"))
+      // floor(double-div) is exact here: numerators ≤ bytes·1000 keep
+      // the quotient's distance-to-integer ≥ 1/bytes ≫ 1 ulp, and
+      // the long cast before array<string> renders "2", not "2.0"
+      .withColumn("sig", md5(concat_ws(",",
+        transform(col("_c"), c => floor((c * SigPermille)
+          / greatest(lit(1L), col("n_bytes"))).cast("long"))
+          .cast("array<string>"))))
+      .groupBy(col("kind"), col("sig"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("media_id")).as("keep_media_id"))
+      .filter(col("cluster_size") > 1)
+      .orderBy(col("kind"), col("sig"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4_signature_dedup"     -> (m4SignatureDedup _),
     "m3_media_metadata"      -> (m3MediaMetadata _),
     "m1_multimodal_features" -> (m1MultimodalFeatures _),
     "m2_frame_sampling"      -> (m2FrameSampling _))
@@ -213,6 +246,33 @@ object Multimodal {
                 round(avg(feat_norm), 4) AS avg_feat_norm,
                 round(avg(bin6), 4) AS avg_bin6
          FROM per_doc GROUP BY 1 ORDER BY kind""",
+    // same per-char bin counts as m1's oracle, densified over the
+    // 16-bin spine, quantized to integer permille, and fingerprinted
+    // with the identical "v0,v1,…" text md5 the Spark side computes
+    "m4_signature_dedup" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  text, octet_length(encode(text)) AS n
+           FROM documents),
+         ch AS (
+           SELECT doc_id,
+                  unicode(substr(text, CAST(i AS INTEGER) + 1, 1)) // ${256 / FeatureBins} AS bin
+           FROM (SELECT doc_id, text, unnest(range(n)) AS i FROM d)),
+         cnt AS (SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY 1, 2),
+         perm AS (
+           SELECT d.doc_id, d.kind, CAST(b.range AS INTEGER) AS bin,
+                  (COALESCE(c.c, 0) * $SigPermille) // greatest(1, d.n) AS p
+           FROM d CROSS JOIN range($FeatureBins) b
+           LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = b.range),
+         sigs AS (
+           SELECT doc_id, kind,
+                  md5(array_to_string(list(CAST(p AS VARCHAR) ORDER BY bin), ',')) AS sig
+           FROM perm GROUP BY 1, 2)
+         SELECT kind, sig, count(*) AS cluster_size, min(doc_id) AS keep_media_id
+         FROM sigs GROUP BY 1, 2 HAVING count(*) > 1
+         ORDER BY kind, sig""",
     // m3's oracle re-derives the header fields from the same doc_id
     // arithmetic the header was built from — the Spark side genuinely
     // round-trips them through payload bytes, so the hash-match

@@ -172,6 +172,22 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("m4 signature dedup: exact text dupes share a signature; clusters within one kind") {
+    import graft.ext.Multimodal
+    val rows = Multimodal.m4SignatureDedup(spark, dir).collect()
+    // the corpus plants exact duplicate texts; same bytes → same
+    // histogram → same signature, and doc_id % 3 may split a pair
+    // across kinds, so compare against the per-kind duplicate count
+    val expectMin = Tables.documents(spark, dir)
+      .groupBy((col("doc_id") % 3).as("kind"), col("text"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(rows.length >= expectMin.toInt, s"${rows.length} < $expectMin")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2L)
+      assert(Set("image", "audio", "video")(r.getAs[String]("kind")))
+    }
+  }
+
   test("q47 scd2 as-of: row counts conserve and pre-history orders surface explicitly") {
     val rows = AdvancedQueries.q47Scd2Asof(spark, dir).collect()
     val nOrders = Tables.orders(spark, dir).count()
