@@ -808,7 +808,7 @@ object Dedup {
 
   /** Transitive-closure labeling CTEs (ends with `labels` =
     * (doc_id, cluster_id)), shared by the d7/d11 and d15 oracles. */
-  private lazy val d7LabelCtes: String =
+  private[ext] lazy val d7LabelCtes: String =
     s"""pairs AS ($d4OracleSql),
          edges AS (
            SELECT a_id AS s, b_id AS d FROM pairs

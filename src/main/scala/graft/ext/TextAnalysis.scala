@@ -799,7 +799,7 @@ object TextAnalysis {
 
   /** Non-distinct k-gram list over `w` (duplicates preserved) —
     * mirrors Dedup.shinglesOf exactly, short-doc fallback included. */
-  private def sqlGrams(k: Int): String = {
+  private[ext] def sqlGrams(k: Int): String = {
     val cat = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
     s"""CASE WHEN len(w) >= $k
          THEN list_transform(range(1, len(w) - ${k - 2}), i -> $cat)

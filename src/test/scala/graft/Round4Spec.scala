@@ -172,6 +172,29 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("e1 funnel: stages are monotone and reconcile with the standalone operators") {
+    import graft.ext.Pipeline
+    val rows = Pipeline.e1CorpusFunnel(spark, dir).collect()
+    rows.foreach { r =>
+      val (p, d, q, c) = (r.getAs[Long]("n_pool"), r.getAs[Long]("n_after_dedup"),
+        r.getAs[Long]("n_after_quality"), r.getAs[Long]("n_clean"))
+      assert(p >= d && d >= q && q >= c, r.toString)
+    }
+    // pool = t10's training split, exactly
+    val t10 = TextAnalysis.t10Decontaminate(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_pool")).sum ===
+      t10.map(_.getAs[Long]("n_train_docs")).sum)
+    // dedup drops = d7's non-canonical members restricted to the pool
+    val nonCanonPool = Dedup.d7DedupComponents(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id") &&
+        col("doc_id") % TextAnalysis.EvalStride =!= 0).count()
+    assert(rows.map(r => r.getAs[Long]("n_pool") - r.getAs[Long]("n_after_dedup")).sum
+      === nonCanonPool)
+    // contaminated survivors cannot exceed t10's contaminated count
+    assert(rows.map(r => r.getAs[Long]("n_after_quality") - r.getAs[Long]("n_clean")).sum
+      <= t10.map(_.getAs[Long]("n_contaminated")).sum)
+  }
+
   test("m4 signature dedup: exact text dupes share a signature; clusters within one kind") {
     import graft.ext.Multimodal
     val rows = Multimodal.m4SignatureDedup(spark, dir).collect()
