@@ -751,7 +751,41 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  val HeavyK = 64 // heavy = tokens with count·K > corpus total (freq > 1/K)
+
+  /** T22 — exact heavy hitters by sketch-then-verify: a Misra–Gries
+    * pass (width = HeavyK, so any token with frequency > n/(K+1) is
+    * guaranteed into the candidate set in ANY aggregation order)
+    * bounds the candidates to ≤ K tokens; an exact re-count of just
+    * those keys emits the true heavy hitters with exact counts. The
+    * output is fully deterministic even though MG's internal counts
+    * aren't — the sketch only prunes, the verify decides (t19's
+    * bloom discipline applied to frequency). The flag is the
+    * integer cross-product count·K > n, never a float share.
+    *
+    * Scale shape: pass 1 reduces every partition to one O(K) summary
+    * before a single-row merge; pass 2 is an exact count filtered to
+    * ≤ K literal keys. A direct groupBy-all-tokens + HAVING computes
+    * the same answer but shuffles the full vocabulary; the sketch
+    * pass shuffles O(K·partitions). */
+  def t22HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    graft.functions.MisraGries.register(spark, HeavyK)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("t"))
+    val cand: Seq[String] = toks.agg(expr("misra_gries(t)").as("mg"))
+      .select(col("mg.keys")).head().getSeq[String](0)
+    val n = toks.agg(count(lit(1)).as("n"))
+    toks.filter(col("t").isin(cand: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(n))
+      .filter(col("n_occurrences") * HeavyK > col("n"))
+      .select(col("t").as("token"), col("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_heavy_hitters"    -> (t22HeavyHitters _),
     "t21_dsir_select"      -> (t21DsirSelect _),
     "t20_distinct_ngrams"  -> (t20DistinctNgrams _),
     "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
@@ -947,6 +981,18 @@ object TextAnalysis {
                   AS n_flagged,
                 round(avg(dup_frac), 4) AS avg_dup_frac
          FROM d GROUP BY 1 ORDER BY source""",
+    // the MG sketch only PRUNES candidates — the exact verify decides
+    // membership — so the oracle is the direct exact heavy-hitter
+    // query; a sketch bug that dropped a true heavy hitter would
+    // surface here as a missing row
+    "t22_heavy_hitters" ->
+      s"""WITH toks AS (
+           SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents),
+         n AS (SELECT count(*) AS n FROM toks),
+         c AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1)
+         SELECT c.t AS token, c.cnt AS n_occurrences
+         FROM c, n WHERE c.cnt * $HeavyK > n.n
+         ORDER BY n_occurrences DESC, token""",
     "t21_dsir_select" ->
       s"""WITH toks AS (
            SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t

@@ -172,6 +172,33 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("misra-gries law: an item over the n/(w+1) guarantee survives any split order") {
+    import graft.functions.{MGSummary, MisraGries}
+    val mg = new MisraGries(3)
+    // 'a' appears 10/22 > 22/4: guaranteed into the summary
+    val stream = Seq.fill(10)("a") ++ (1 to 12).map(i => s"x$i")
+    def runSplit(at: Int): MGSummary = {
+      val (l, r) = stream.splitAt(at)
+      mg.merge(l.foldLeft(mg.zero)(mg.reduce), r.foldLeft(mg.zero)(mg.reduce))
+    }
+    (0 to stream.length by 2).foreach { at =>
+      assert(runSplit(at).keys.contains("a"), s"split at $at lost the heavy item")
+    }
+    // the reversed stream too — order independence of the guarantee
+    val rev = stream.reverse.foldLeft(mg.zero)(mg.reduce)
+    assert(rev.keys.contains("a"))
+  }
+
+  test("t22 heavy hitters: every output token really exceeds the 1/K share, exactly") {
+    val rows = TextAnalysis.t22HeavyHitters(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), " ")).as("t")).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_occurrences") * TextAnalysis.HeavyK > n, r.toString)
+    }
+  }
+
   test("e1 funnel: stages are monotone and reconcile with the standalone operators") {
     import graft.ext.Pipeline
     val rows = Pipeline.e1CorpusFunnel(spark, dir).collect()
