@@ -465,9 +465,7 @@ object Dedup {
     * the same join — this query IS that plan with a count instead of
     * a sink. */
   def d15DedupMaterialize(spark: SparkSession, dir: String): DataFrame = {
-    val drops = connectedComponents(d4MinhashLsh(spark, dir), "a_id", "b_id")
-      .filter(col("node") =!= col("cluster_id"))
-      .select(col("node").as("doc_id"), lit(1L).as("dr"))
+    val drops = nonCanonicalDocs(spark, dir).withColumn("dr", lit(1L))
     Tables.documents(spark, dir)
       .join(drops, Seq("doc_id"), "left")
       .groupBy(col("source"))
@@ -478,6 +476,13 @@ object Dedup {
              .otherwise(0L)).as("kept_tokens"))
       .orderBy(col("source"))
   }
+
+  /** doc_ids the d7 labeling drops (non-canonical members) — ONE
+    * definition for d15 and the e1 funnel. */
+  private[ext] def nonCanonicalDocs(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(d4MinhashLsh(spark, dir), "a_id", "b_id")
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
 
   val EditPrefixChars = 48
   val EditMaxDist = 12

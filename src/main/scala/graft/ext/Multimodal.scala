@@ -180,10 +180,14 @@ object Multimodal {
   /** M4 — perceptual-signature media dedup (the pHash pattern with
     * the byte histogram standing in for a real perceptual hash):
     * quantize each payload's 16-bin histogram to integer permille of
-    * its byte count — size-invariant, so a payload and its
-    * concatenated double are NOT merged but exact re-encodes are —
-    * and group identical signatures into duplicate clusters,
-    * keep-lowest-id (d5's cluster shape in the media domain).
+    * its byte count and group identical signatures into duplicate
+    * clusters, keep-lowest-id (d5's cluster shape in the media
+    * domain). Size-invariance is the point AND the blind spot: a
+    * re-encode at a different size clusters with its original, but
+    * so do a payload and its concatenated double, or two byte-level
+    * anagrams — exactly the recall/precision trade every
+    * content-signature dedup makes (a real pHash narrows it with
+    * spatial structure the histogram doesn't see).
     *
     * All integer arithmetic (count·1000 div bytes), so the signature
     * is bit-exact cross-engine. One narrow map pass + one hash

@@ -32,29 +32,22 @@ object Pipeline {
   def e1CorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("_w"))
-    val isEval = col("doc_id") % TextAnalysis.EvalStride === 0
+    val isEval = TextAnalysis.isEvalDoc
 
     // stage 1 — global near-dup labeling over the WHOLE corpus (the
     // labeling must see eval docs too: a train doc that duplicates an
-    // eval doc is exactly what the canonical-copy rule must catch)
-    val drops = Dedup.connectedComponents(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
-      .filter(col("node") =!= col("cluster_id"))
-      .select(col("node").as("doc_id"), lit(1L).as("dup"))
+    // eval doc is exactly what the canonical-copy rule must catch).
+    // Shared helper with d15 — structurally the same drop set.
+    val drops = Dedup.nonCanonicalDocs(spark, dir).withColumn("dup", lit(1L))
 
     // stage 2 — t9's duplicate-3-gram fraction, row-local
     val total = greatest(size(Dedup.shinglesOf(col("_w"))), lit(1))
     val dupFrac = (total - size(array_distinct(Dedup.shinglesOf(col("_w")))))
       .cast("double") / total.cast("double")
 
-    // stage 3 — t10's shared-8-gram contamination against the eval split
-    val gramsCol = explode(array_distinct(
-      Dedup.shinglesOf(col("_w"), TextAnalysis.DecontaminationGramK))).as("g")
-    val evalGrams = docs.filter(isEval).select(gramsCol).distinct()
-    val contaminated = docs.filter(!isEval)
-      .select(col("doc_id"), gramsCol)
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
-      .withColumn("contam", lit(1L))
+    // stage 3 — t10's shared-8-gram contamination, via t10's own
+    // helper (one definition of the split and the gram rule)
+    val contaminated = TextAnalysis.contaminatedOf(docs).withColumn("contam", lit(1L))
 
     docs.filter(!isEval)
       .join(drops, Seq("doc_id"), "left")

@@ -260,6 +260,25 @@ object TextAnalysis {
   // a vacuously-passing gate)
   val EvalStride = 20
 
+  /** The eval/train split predicate — ONE definition for t10, t19,
+    * and e1, so the stride can never desynchronize between them. */
+  private[ext] def isEvalDoc: Column = col("doc_id") % EvalStride === 0
+
+  /** Per-row distinct decontamination grams of a `_w` token array. */
+  private[ext] def decontamGrams: Column =
+    explode(array_distinct(Dedup.shinglesOf(col("_w"), DecontaminationGramK))).as("g")
+
+  /** Distinct eval-split 8-gram set over (doc_id, `_w`) rows. */
+  private[ext] def evalGramsOf(docs: DataFrame): DataFrame =
+    docs.filter(isEvalDoc).select(decontamGrams).distinct()
+
+  /** Distinct training doc_ids sharing ≥ 1 gram with the eval set. */
+  private[ext] def contaminatedOf(docs: DataFrame): DataFrame =
+    docs.filter(!isEvalDoc)
+      .select(col("doc_id"), decontamGrams)
+      .join(broadcast(evalGramsOf(docs)), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+
   /** T10 — benchmark decontamination: flag training documents sharing
     * any 8-gram with the held-out eval set (the doc_id-stride subset
     * stands in for a real benchmark). The eval gram set is tiny at any
@@ -269,15 +288,8 @@ object TextAnalysis {
   def t10Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), words(col("text")).as("_w"))
-    val grams = explode(array_distinct(Dedup.shinglesOf(col("_w"), DecontaminationGramK))).as("g")
-    val isEval = col("doc_id") % EvalStride === 0
-    val evalGrams = docs.filter(isEval).select(grams).distinct()
-    val contaminated = docs.filter(!isEval)
-      .select(col("doc_id"), grams)
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
-    docs.filter(!isEval)
-      .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+    docs.filter(!isEvalDoc)
+      .join(contaminatedOf(docs).withColumn("hit", lit(1L)), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_train_docs"),
            sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
@@ -614,10 +626,8 @@ object TextAnalysis {
   def t19BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), words(col("text")).as("_w"))
-    val gramsCol = explode(array_distinct(
-      Dedup.shinglesOf(col("_w"), DecontaminationGramK))).as("g")
-    val isEval = col("doc_id") % EvalStride === 0
-    val evalGrams = docs.filter(isEval).select(gramsCol).distinct().cache()
+    // cached: read by both the bloom build and the exact verify join
+    val evalGrams = evalGramsOf(docs).cache()
     def bitPos(j: Int, g: Column): Column =
       pmod(graft.functions.StableHash.hash64(BloomSeed + j, g), lit(BloomBits.toLong))
     // packed bitset: position → (word, 2^bit), bit_or per word, dense
@@ -639,7 +649,7 @@ object TextAnalysis {
       (element_at(col("bloom"), (pos / BloomWordBits).cast("int") + 1)
         .bitwiseAND(bit)) =!= 0L
     }
-    val train = docs.filter(!isEval).select(col("doc_id"), col("source"), gramsCol)
+    val train = docs.filter(!isEvalDoc).select(col("doc_id"), col("source"), decontamGrams)
       .crossJoin(broadcast(bloom))
       .withColumn("pass", (0 until BloomHashes).map(probe).reduce(_ && _))
       .drop("bloom")
@@ -771,8 +781,10 @@ object TextAnalysis {
   def t22HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     graft.functions.MisraGries.register(spark, HeavyK)
+    // cached: the sketch pass, the corpus count, and the exact
+    // re-count all read this — uncached it would tokenize three times
     val toks = Tables.documents(spark, dir)
-      .select(explode(words(col("text"))).as("t"))
+      .select(explode(words(col("text"))).as("t")).cache()
     val cand: Seq[String] = toks.agg(expr("misra_gries(t)").as("mg"))
       .select(col("mg.keys")).head().getSeq[String](0)
     val n = toks.agg(count(lit(1)).as("n"))

@@ -114,12 +114,23 @@ case class BoundedLevenshtein(left: Expression, right: Expression, bound: Int)
 }
 
 object BoundedLevenshtein {
-  /** Register `bounded_levenshtein(a, b, k)` (k a foldable int
-    * literal) for SQL use. Idempotent. */
+  /** Register `bounded_levenshtein(a, b, k)` (k a foldable
+    * non-negative int literal) for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_levenshtein",
-      exprs => BoundedLevenshtein(exprs.head, exprs(1),
-        exprs(2).eval(null).asInstanceOf[Int]),
+      { exprs =>
+        val k = exprs(2) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int => i
+            case l: Long if l >= 0 && l <= Int.MaxValue => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"bounded_levenshtein bound must be an int literal, got $other")
+          }
+          case e => throw new IllegalArgumentException(
+            s"bounded_levenshtein bound must be foldable, got $e")
+        }
+        BoundedLevenshtein(exprs.head, exprs(1), k)
+      },
       "built-in")
 }

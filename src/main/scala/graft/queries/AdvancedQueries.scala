@@ -686,7 +686,11 @@ object AdvancedQueries {
       .withColumn("t", least(col("m1"), col("d0") + lit(86400000000L) - 1))
     val deltas = spanned.select(col("day"), col("s").as("m"), lit(1L).as("delta"))
       .unionAll(spanned.select(col("day"), col("t").as("m"), lit(-1L).as("delta")))
-    val wD = Window.partitionBy(col("day")).orderBy(col("m"), col("delta"))
+    // +1 sorts BEFORE −1 at an equal instant: intervals are CLOSED
+    // ([s, t] via the d0+86400000000−1 clamp), so a session ending at
+    // X and one starting at X are both active at X — and a day whose
+    // clamped interval collapses to [d0, d0] still peaks at ≥ 1
+    val wD = Window.partitionBy(col("day")).orderBy(col("m"), col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas.withColumn("c", sum(col("delta")).over(wD))
       .groupBy(col("day"))
@@ -835,7 +839,7 @@ object AdvancedQueries {
            UNION ALL
            SELECT day, t AS m, -1 AS delta FROM clamped),
          sweep AS (
-           SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY m, delta
+           SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY m, delta DESC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
            FROM deltas),
          peaks AS (SELECT day, CAST(max(c) AS BIGINT) AS max_concurrent
