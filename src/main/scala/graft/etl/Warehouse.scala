@@ -329,6 +329,25 @@ object Warehouse {
     df.write.bucketBy(buckets, key).sortBy(key)
       .option("path", path).mode("overwrite").saveAsTable(table)
 
+  /** Schema-evolution-tolerant fact read: merge the schemas of every
+    * file generation (`mergeSchema` — columns added by later loads
+    * appear as nulls in earlier files' rows) and then apply EXPLICIT
+    * defaults for the evolved columns, so downstream aggregates never
+    * see surprise nulls. The default map is the load's documented
+    * evolution contract — relying on implicit nulls is how evolved
+    * warehouses silently drop rows from filtered rollups (NULL
+    * comparisons are never true). Scale note: mergeSchema reads every
+    * file FOOTER at planning time; at very large file counts pin the
+    * merged schema explicitly instead — same read path, no footer
+    * sweep. */
+  def readFactEvolved(spark: SparkSession, path: String,
+                      defaults: Map[String, Any]): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    defaults.foldLeft(df) { case (d, (c, v)) =>
+      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), lit(v))) else d
+    }
+  }
+
   // ---------------------------------------------------------------
   // SCD Type 2 (README.md:145-147)
   // ---------------------------------------------------------------

@@ -128,6 +128,23 @@ class PhysicalLayoutSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("schema evolution: merged read defaults the evolved column for pre-evolution files") {
+    import graft.etl.Warehouse
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    import spark.implicits._
+    // generation 1: no `channel` column; generation 2 adds it
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
+      .write.mode("overwrite").parquet(s"$dir/load=1")
+    Seq((3L, 30.0, "web")).toDF("id", "amount", "channel")
+      .write.mode("overwrite").parquet(s"$dir/load=2")
+    val df = Warehouse.readFactEvolved(spark, dir, Map("channel" -> "unknown"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[String]("channel")).toSeq === Seq("unknown", "unknown", "web"))
+    // the defaulted column participates in filters — no NULL-dropped rows
+    assert(df.filter(col("channel") =!= "web").count() === 2)
+  }
+
   test("bucketed fact-fact join plans with no Exchange and no Sort") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
