@@ -354,7 +354,38 @@ object EventsStream {
            round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("segment"))
 
+  val TrendWindowMicros: Long = 6L * 3600 * 1000000
+  val TrendK = 3
+
+  /** Shared 6-hour tumbling counts — the streaming aggregation (the
+    * stream≡batch spec runs this exact transform over the file
+    * stream). Epoch-aligned windows, same as Spark's `window()`. */
+  def trendWindowCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("timestamp").as("window_start"),
+              col("event_type"), col("n_events"))
+
+  /** Downstream rank over finalized windows. Rank is not a streaming
+    * aggregate — the production shape is exactly this split: the
+    * stream maintains windowed counts, the top-k runs downstream
+    * (foreachBatch or a reader) over completed windows. The window
+    * partition bounds the sort at k·|event types| rows per window. */
+  def rankTrending(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(desc("n_events"), col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TrendK)
+      .orderBy(col("window_start"), col("rank"))
+  }
+
+  /** ST7 — trending top-k: the K most frequent event types per
+    * 6-hour tumbling window. */
+  def st7Trending(spark: SparkSession, dir: String): DataFrame =
+    rankTrending(trendWindowCounts(Tables.events(spark, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st7_trending"       -> (st7Trending _),
     "st6_static_enrich"  -> (st6StaticEnrich _),
     "st5_debounce"       -> (st5Debounce _),
     "st1_event_windows"  -> (st1EventWindows _),
@@ -363,6 +394,23 @@ object EventsStream {
     "st4_stream_join"    -> (st4StreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    // explicit epoch-floor window start (Spark's window() is
+    // epoch-aligned; DuckDB's time_bucket has a 2000-01-03 origin, so
+    // the arithmetic form is used instead of trusting alignment)
+    "st7_trending" ->
+      s"""WITH c AS (
+           SELECT make_timestamp((epoch_us(ts) // $TrendWindowMicros)
+                    * $TrendWindowMicros) AS window_start,
+                  event_type, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT window_start, event_type, n_events,
+                  CAST(row_number() OVER (PARTITION BY window_start
+                    ORDER BY n_events DESC, event_type) AS INTEGER) AS rank
+           FROM c)
+         SELECT window_start, event_type, n_events, rank
+         FROM r WHERE rank <= $TrendK
+         ORDER BY window_start, rank""",
     "st6_static_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
                 count(*) AS n_events,

@@ -44,6 +44,20 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed trending counts + downstream rank == batch st7 top-k") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.trendWindowCounts(stream), "trend_stream")
+    try {
+      // the rank runs DOWNSTREAM of the stream, over completed
+      // windows — the same split st7's scaladoc documents
+      val streamed = EventsStream.rankTrending(spark.table("trend_stream")).collect()
+      val batch = EventsStream.st7Trending(spark, dir).collect()
+      assert(streamed.length === batch.length && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
   test("stream-static enrichment == batch left-join rollup") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val dim = EventsStream.segmentDim(spark, dir)
