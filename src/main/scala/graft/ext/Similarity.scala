@@ -497,6 +497,55 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  val SqLevels = 255 // int8 code range
+
+  /** S8 — scalar-quantization (SQ8) compressed scan, the fourth ANN
+    * family next to LSH (s2), IVF (s3/s5), and PQ (s6): every
+    * dimension is independently affine-mapped to an 8-bit code using
+    * per-dim corpus min/max, and queries scan the CODES with exact
+    * int64 squared-L2 — a 4× smaller scan than float32 with no
+    * index structure at all, which is why vector stores use SQ8 as
+    * the default compression tier (rescoring survivors against the
+    * float vectors is the production refinement; s1 is that exact
+    * scorer here).
+    *
+    * Exactness discipline: the min/max frame is a 1-row aggregate
+    * broadcast back; code = floor((x−mn)·255/(mx−mn)) evaluates the
+    * identical IEEE expression in both engines (quantVecs' floor
+    * precedent), and every distance is an int64 sum — bit-exact
+    * cross-engine, ranked with the (d2, vec_id) tie-break. */
+  def s8Sq8Scan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val mm = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(collect_list(struct(col("i"), col("mn"), col("mx"))).as("s"))
+      .select(transform(array_sort(col("s")), e => e.getField("mn")).as("mns"),
+              transform(array_sort(col("s")), e => e.getField("mx")).as("mxs"))
+    val codes = Tables.embeddings(spark, dir).crossJoin(broadcast(mm))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), zip_with(col("mns"), col("mxs"),
+            (a, b) => struct(a.as("mn"), b.as("mx"))),
+          (x, b) => floor((x.cast("double") - b.getField("mn")) * SqLevels
+            / greatest(b.getField("mx") - b.getField("mn"), lit(1e-12)))
+            .cast("long")).as("qc"))
+      .cache()
+    val q = codes.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("qc").as("qq"))
+    // d2 = |a|² + |b|² − 2·a·b over int64 codes — three LongDotProducts
+    def ldot(a: Column, b: Column): Column = ColumnShim.column(
+      graft.functions.LongDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("d2", ldot(col("qc"), col("qc")) + ldot(col("qq"), col("qq"))
+        - lit(2L) * ldot(col("qc"), col("qq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val SemDedupTau = NearDupThreshold // corpus-calibrated like d6; real corpora use ~0.95
 
   /** D13 — semantic dedup, SemDeDup-style (Abbas et al. 2023,
@@ -541,6 +590,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_sq8_scan"          -> (s8Sq8Scan _),
     "d13_semdedup"         -> (d13SemDedup _),
     "s7_recall_eval"       -> (s7RecallEval _),
     "s1_knn_brute"         -> (s1KnnBrute _),
@@ -726,6 +776,32 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // Σ(a−q)² in code space equals Spark's |a|²+|q|²−2aq exactly —
+    // both are int64 sums over identical codes
+    "s8_sq8_scan" ->
+      s"""WITH ux AS (
+           SELECT vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         mm AS (SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+                FROM ux GROUP BY 1),
+         qc AS (
+           SELECT u.vec_id, u.i,
+                  CAST(floor((CAST(u.x AS DOUBLE) - m.mn) * $SqLevels
+                    / greatest(m.mx - m.mn, 1e-12)) AS BIGINT) AS c
+           FROM ux u JOIN mm m USING (i)),
+         qs AS (SELECT vec_id AS query_id, i, c FROM qc WHERE vec_id < $QueryCount),
+         d AS (
+           SELECT q.query_id, v.vec_id,
+                  CAST(sum((v.c - q.c) * (v.c - q.c)) AS BIGINT) AS d2
+           FROM qc v JOIN qs q ON q.i = v.i AND v.vec_id <> q.query_id
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, vec_id AS neighbor_id, d2,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY d2, vec_id) AS INTEGER) AS rank
+               FROM d)
+         SELECT query_id, neighbor_id, d2, rank FROM r
+         WHERE rank <= $TopK ORDER BY query_id, rank""",
     "d13_semdedup" ->
       s"""WITH $kmeansListsCtes,
          pr AS (

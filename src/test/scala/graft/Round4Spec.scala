@@ -172,6 +172,27 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("s8 sq8: full rank lists per query, non-negative distances, self excluded") {
+    import graft.ext.Similarity
+    val rows = Similarity.s8Sq8Scan(spark, dir).collect()
+    assert(rows.length === Similarity.QueryCount * Similarity.TopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d2") >= 0L)
+      assert(r.getAs[Long]("neighbor_id") !== r.getAs[Long]("query_id"))
+      val rk = r.getAs[Int]("rank")
+      assert(rk >= 1 && rk <= Similarity.TopK)
+    }
+    // compressed-scan quality sanity: SQ8 top-10 overlaps the exact
+    // cosine top-10 somewhere (the corpus's near-dups are unmissable
+    // at 8-bit resolution)
+    val exact = Similarity.s1KnnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.count(r =>
+      exact((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    assert(hits > 0, "SQ8 scan should recover at least one exact neighbor")
+  }
+
   test("misra-gries law: an item over the n/(w+1) guarantee survives any split order") {
     import graft.functions.{MGSummary, MisraGries}
     val mg = new MisraGries(3)
