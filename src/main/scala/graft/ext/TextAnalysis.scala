@@ -796,7 +796,52 @@ object TextAnalysis {
       .orderBy(desc("n_occurrences"), col("token"))
   }
 
+  /** T23 — SPAN-level decontamination: instead of t10's whole-doc
+    * flag, count the exact tokens covered by eval-overlapping 8-gram
+    * spans (the surgical excision Lee et al.-style pipelines apply —
+    * a doc with one leaked quote loses a sentence, not itself).
+    * Hit positions per doc merge into runs (two hits ≤ K apart
+    * overlap), each run covers [p0, min(p1+K, n)) tokens; per-source
+    * rollup reports docs touched and token mass excised vs kept.
+    *
+    * Scale shape: the hit set is the training-gram stream semi-joined
+    * against the broadcast eval set (t10's join, positions kept);
+    * run-merging is a per-doc window over HIT rows only — bounded by
+    * contamination volume, not corpus size. */
+  def t23DecontamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = DecontaminationGramK
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("_w"))
+    val hits = docs.filter(!isEvalDoc)
+      .select(col("doc_id"), col("source"), size(col("_w")).as("n_tok"),
+        posexplode(Dedup.shinglesOf(col("_w"), k)).as(Seq("pos", "g")))
+      .join(broadcast(evalGramsOf(docs)), Seq("g"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = hits
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("run", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("source"), col("n_tok"), col("run"))
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+      .withColumn("covered",
+        least(col("p1") + k, col("n_tok")).cast("long") - col("p0"))
+    val perDoc = runs.groupBy(col("doc_id"), col("source"), col("n_tok"))
+      .agg(sum(col("covered")).as("excised"))
+    docs.filter(!isEvalDoc)
+      .select(col("doc_id"), col("source"), size(col("_w")).cast("long").as("n_tok"))
+      .join(perDoc.select(col("doc_id"), col("excised")), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("excised").isNotNull, 1L).otherwise(0L)).as("affected_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           sum(coalesce(col("excised"), lit(0L))).as("excised_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_decontam_spans"   -> (t23DecontamSpans _),
     "t22_heavy_hitters"    -> (t22HeavyHitters _),
     "t21_dsir_select"      -> (t21DsirSelect _),
     "t20_distinct_ngrams"  -> (t20DistinctNgrams _),
@@ -993,6 +1038,42 @@ object TextAnalysis {
                   AS n_flagged,
                 round(avg(dup_frac), 4) AS avg_dup_frac
          FROM d GROUP BY 1 ORDER BY source""",
+    "t23_decontam_spans" -> {
+      val k = DecontaminationGramK
+      s"""WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+         gr AS (
+           SELECT doc_id, source, len(w) AS n_tok,
+                  unnest(gl) AS g, generate_subscripts(gl, 1) - 1 AS pos
+           FROM (SELECT doc_id, source, w, ${sqlGrams(k)} AS gl FROM w) t
+           WHERE doc_id % $EvalStride <> 0),
+         ev AS (SELECT DISTINCT unnest(list_distinct(${sqlGrams(k)})) AS g
+                FROM w WHERE doc_id % $EvalStride = 0),
+         h AS (SELECT gr.doc_id, gr.source, gr.n_tok, gr.pos
+               FROM gr JOIN ev USING (g)),
+         r AS (
+           SELECT doc_id, source, n_tok, pos,
+                  CASE WHEN lag(pos) OVER win IS NULL
+                        OR pos - lag(pos) OVER win > $k THEN 1 ELSE 0 END AS brk
+           FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         rr AS (
+           SELECT doc_id, source, n_tok, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM r),
+         runs AS (SELECT doc_id, n_tok, run, min(pos) AS p0, max(pos) AS p1
+                  FROM rr GROUP BY 1, 2, 3),
+         pd AS (SELECT doc_id, sum(least(p1 + $k, n_tok) - p0) AS excised
+                FROM runs GROUP BY 1),
+         tr AS (SELECT doc_id, source, len(w) AS n_tok FROM w
+                WHERE doc_id % $EvalStride <> 0)
+         SELECT tr.source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN pd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS affected_docs,
+                CAST(sum(tr.n_tok) AS BIGINT) AS total_tokens,
+                CAST(sum(COALESCE(pd.excised, 0)) AS BIGINT) AS excised_tokens
+         FROM tr LEFT JOIN pd USING (doc_id)
+         GROUP BY 1 ORDER BY tr.source"""
+    },
     // the MG sketch only PRUNES candidates — the exact verify decides
     // membership — so the oracle is the direct exact heavy-hitter
     // query; a sketch bug that dropped a true heavy hitter would

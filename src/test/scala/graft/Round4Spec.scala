@@ -172,6 +172,25 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("t23 spans: affected docs equal t10's contaminated set; excision bounded by doc size") {
+    val spans = TextAnalysis.t23DecontamSpans(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("affected_docs"),
+         r.getAs[Long]("total_tokens"), r.getAs[Long]("excised_tokens"))).toMap
+    val t10 = TextAnalysis.t10Decontaminate(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_contaminated"))).toMap
+    assert(spans.keySet === t10.keySet)
+    spans.foreach { case (src, (docs, affected, total, excised)) =>
+      // a doc has ≥1 hit span iff it shares ≥1 gram — identical sets
+      assert((docs, affected) === t10(src), src)
+      assert(excised <= total)
+      // every affected doc excises ≥ 1 token and spans never overlap
+      if (affected > 0) assert(excised >= affected)
+      else assert(excised === 0L)
+    }
+  }
+
   test("s8 sq8: full rank lists per query, non-negative distances, self excluded") {
     import graft.ext.Similarity
     val rows = Similarity.s8Sq8Scan(spark, dir).collect()
