@@ -344,7 +344,13 @@ object Warehouse {
                       defaults: Map[String, Any]): DataFrame = {
     val df = spark.read.option("mergeSchema", "true").parquet(path)
     defaults.foldLeft(df) { case (d, (c, v)) =>
-      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), lit(v))) else d
+      // case-insensitive match (Spark resolution is); a column absent
+      // from EVERY file generation still materializes as its default —
+      // the contract holds for fully pre-evolution directories too
+      d.columns.find(_.equalsIgnoreCase(c)) match {
+        case Some(actual) => d.withColumn(actual, coalesce(col(actual), lit(v)))
+        case None         => d.withColumn(c, lit(v))
+      }
     }
   }
 

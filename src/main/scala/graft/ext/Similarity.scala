@@ -501,13 +501,15 @@ object Similarity {
 
   /** S8 — scalar-quantization (SQ8) compressed scan, the fourth ANN
     * family next to LSH (s2), IVF (s3/s5), and PQ (s6): every
-    * dimension is independently affine-mapped to an 8-bit code using
-    * per-dim corpus min/max, and queries scan the CODES with exact
-    * int64 squared-L2 — a 4× smaller scan than float32 with no
-    * index structure at all, which is why vector stores use SQ8 as
-    * the default compression tier (rescoring survivors against the
-    * float vectors is the production refinement; s1 is that exact
-    * scorer here).
+    * dimension is independently affine-mapped to a 256-level code
+    * (0..255) using per-dim corpus min/max, and queries scan the
+    * CODES with exact int64 squared-L2. The codes here ride as
+    * array<long> — the exact-arithmetic representation LongDotProduct
+    * consumes — so THIS demo shows the quantized-scan plan, not the
+    * storage win; the production layout packs the same codes into
+    * uint8 (binary column), which is where SQ8's 4× scan shrink
+    * comes from, with rescoring of survivors against the float
+    * vectors as the refinement (s1 is that exact scorer here).
     *
     * Exactness discipline: the min/max frame is a 1-row aggregate
     * broadcast back; code = floor((x−mn)·255/(mx−mn)) evaluates the

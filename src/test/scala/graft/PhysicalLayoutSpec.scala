@@ -143,6 +143,13 @@ class PhysicalLayoutSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("channel")).toSeq === Seq("unknown", "unknown", "web"))
     // the defaulted column participates in filters — no NULL-dropped rows
     assert(df.filter(col("channel") =!= "web").count() === 2)
+    // a column no file generation has yet still materializes as its
+    // default (fully pre-evolution directory), and matching is
+    // case-insensitive like Spark's own resolution
+    val pre = Warehouse.readFactEvolved(spark, s"$dir/load=1",
+      Map("channel" -> "unknown", "AMOUNT" -> 0.0))
+    assert(pre.filter(col("channel") === "unknown").count() === 2)
+    assert(pre.filter(col("amount") > 0).count() === 2)
   }
 
   test("bucketed fact-fact join plans with no Exchange and no Sort") {
