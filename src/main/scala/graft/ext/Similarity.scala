@@ -497,6 +497,34 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** S9 — FILTERED exact kNN (the "hybrid search" every vector store
+    * ships: a metadata predicate composed with the similarity rank):
+    * each query's neighbors are restricted to the corpus rows sharing
+    * its `label`. The filter composes BEFORE the rank — post-filtering
+    * a global top-k under-fills when the predicate is selective, the
+    * classic filtered-ANN bug — and rides the scan as a plain column
+    * predicate, so Catalyst pushes it to parquet and the scored set
+    * shrinks by the label's selectivity at any scale. */
+  def s9FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val q = v.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = v.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val SqLevels = 255 // int8 code range
 
   /** S8 — scalar-quantization (SQ8) compressed scan, the fourth ANN
@@ -592,6 +620,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_filtered_knn"      -> (s9FilteredKnn _),
     "s8_sq8_scan"          -> (s8Sq8Scan _),
     "d13_semdedup"         -> (d13SemDedup _),
     "s7_recall_eval"       -> (s7RecallEval _),
@@ -778,6 +807,27 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "s9_filtered_knn" ->
+      s"""WITH $expandCtes,
+         lbl AS (SELECT vec_id, label FROM embeddings),
+         scored AS (
+           SELECT uq.query_id, ql.label, u.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM uq
+           JOIN lbl ql ON ql.vec_id = uq.query_id
+           JOIN lbl vl ON vl.label = ql.label
+           JOIN ux u ON u.vec_id = vl.vec_id AND u.i = uq.qi
+                    AND u.vec_id <> uq.query_id
+           JOIN nrm n ON n.vec_id = u.vec_id
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT query_id, label, vec_id AS neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, label, neighbor_id, cosine, rank FROM ranked
+         WHERE rank <= $TopK ORDER BY query_id, rank""",
     // Σ(a−q)² in code space equals Spark's |a|²+|q|²−2aq exactly —
     // both are int64 sums over identical codes
     "s8_sq8_scan" ->

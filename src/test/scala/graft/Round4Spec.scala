@@ -172,6 +172,22 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("s9 filtered knn: every neighbor satisfies the predicate (no post-filter under-fill)") {
+    import graft.ext.Similarity
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.s9FilteredKnn(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label") === labels(r.getAs[Long]("query_id")))
+      assert(r.getAs[Int]("label") === labels(r.getAs[Long]("neighbor_id")))
+    }
+    // the filter composes BEFORE the rank: lists stay full as long as
+    // the label has ≥ TopK members
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    perQuery.foreach { case (q, n) => assert(n === Similarity.TopK, s"query $q") }
+  }
+
   test("t23 spans: affected docs equal t10's contaminated set; excision bounded by doc size") {
     val spans = TextAnalysis.t23DecontamSpans(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->
