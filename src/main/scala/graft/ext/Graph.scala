@@ -206,10 +206,53 @@ object Graph {
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_doc_id"))
       .orderBy(col("community_id"))
 
+  val BfsRounds = 6
+
+  /** P4 — BFS hop depth from each component's canonical copy (the
+    * provenance question after dedup picks canonicals: how far is a
+    * dropped doc from the copy that replaced it? depth 1 = direct
+    * near-dup of the keeper, depth ≥ 2 = kept only transitively —
+    * exactly the chain-merge distance p2/p3 diagnose). Unrolled
+    * synchronous frontier expansion with min-depth merge, the same
+    * fixed-round discipline as PageRank/LPA; rounds exceed the
+    * candidate graph's diameter (spec asserts nothing is left
+    * unreached). All-integer, exact unrolled-recursive oracle. */
+  def p4BfsDepth(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.d4MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val labels = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val canon = labels.filter(col("node") === col("cluster_id"))
+      .select(col("node"), lit(0).as("depth"))
+    val out = IterativeGraph.withSymmetricEdges(pairs, "a_id", "b_id",
+        distinctEdges = true) { edges =>
+      var depths = canon.localCheckpoint()
+      for (t <- 1 to BfsRounds) {
+        val next = edges.join(depths, col("src") === col("node"))
+          .select(col("dst").as("node"), lit(t).as("depth"))
+          .unionAll(depths)
+          .groupBy(col("node")).agg(min(col("depth")).as("depth"))
+          .localCheckpoint()
+        CheckpointShim.unpersist(depths)
+        depths = next
+      }
+      // checkpointed so the result survives the harness's edge unpersist
+      val res = labels.join(depths, Seq("node"), "left")
+        .select(col("node").as("doc_id"), col("cluster_id"),
+          coalesce(col("depth"), lit(-1)).as("depth"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      CheckpointShim.unpersist(depths)
+      res
+    }
+    CheckpointShim.unpersist(pairs)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pagerank" -> (p1Pagerank _),
     "p2_triangles" -> (p2Triangles _),
-    "p3_communities" -> (p3Communities _))
+    "p3_communities" -> (p3Communities _),
+    "p4_bfs_depth" -> (p4BfsDepth _))
 
   /** The same 10 updates unrolled as chained CTEs, every arithmetic
     * step mirrored in int64 (`//` is DuckDB's integer division; sums
@@ -240,6 +283,23 @@ object Graph {
      l$k AS (SELECT node, lbl FROM c$k WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    // bounded-depth recursive BFS; min(dp) per node is the true hop
+    // distance when BfsRounds ≥ the component diameter
+    "p4_bfs_depth" ->
+      s"""WITH RECURSIVE ${Dedup.d7LabelCtes},
+         canon AS (SELECT doc_id AS node, 0 AS dp FROM labels
+                   WHERE doc_id = cluster_id),
+         bfs AS (
+           SELECT node, dp FROM canon
+           UNION ALL
+           SELECT e.d AS node, b.dp + 1 AS dp
+           FROM bfs b JOIN edges e ON e.s = b.node
+           WHERE b.dp < $BfsRounds),
+         md AS (SELECT node, min(dp) AS depth FROM bfs GROUP BY 1)
+         SELECT l.doc_id, l.cluster_id,
+                CAST(COALESCE(md.depth, -1) AS INTEGER) AS depth
+         FROM labels l LEFT JOIN md ON md.node = l.doc_id
+         ORDER BY doc_id""",
     "p3_communities" -> {
       val rounds = (1 to LpaRounds).map(lpaRound).mkString(",\n         ")
       s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),

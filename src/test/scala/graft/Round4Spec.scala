@@ -172,6 +172,21 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("p4 bfs depth: canonical at 0, everything reached within the round budget") {
+    val rows = Graph.p4BfsDepth(spark, dir).collect()
+    val labels = Dedup.d7DedupComponents(spark, dir).collect()
+    assert(rows.length === labels.length)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("depth")
+      assert(d >= 0 && d <= Graph.BfsRounds,
+        s"unreached or over-budget node: $r")
+      assert((d == 0) === (r.getAs[Long]("doc_id") === r.getAs[Long]("cluster_id")))
+    }
+    // near-dup components have a canonical-adjacent member by
+    // construction — depth 1 must occur
+    assert(rows.exists(_.getAs[Int]("depth") == 1))
+  }
+
   test("s9 filtered knn: every neighbor satisfies the predicate (no post-filter under-fill)") {
     import graft.ext.Similarity
     val labels = Tables.embeddings(spark, dir)
