@@ -477,6 +477,34 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** D16 — source-overlap matrix: pairwise vocabulary Jaccard between
+    * SOURCES (the corpus-level redundancy audit that decides which
+    * feeds to deduplicate against each other first — two sources with
+    * high vocabulary overlap are where cross-source near-dups live).
+    * Token sets are per-source distinct vocabularies; the pair
+    * intersection is a self-join on the token, bounded by per-token
+    * source frequency (≤ |sources| per token — the d3 fan-out
+    * argument at source grain, where it is trivially small). At
+    * 100 TB the vocabulary swap is bottom-k sketches per source (t5)
+    * with the same matrix shape. */
+  def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(col("source"), explode(array_distinct(words(col("text")))).as("t"))
+      .distinct().cache()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 4).as("vocab_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** doc_ids the d7 labeling drops (non-canonical members) — ONE
     * definition for d15 and the e1 funnel. */
   private[ext] def nonCanonicalDocs(spark: SparkSession, dir: String): DataFrame =
@@ -580,6 +608,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_source_overlap"    -> (d16SourceOverlap _),
     "d15_dedup_materialize" -> (d15DedupMaterialize _),
     "d14_edit_distance"    -> (d14EditDistance _),
     "d8_snm"               -> (d8Snm _),
@@ -673,6 +702,21 @@ object Dedup {
   private val snmSuffixBlkSql = "array_to_string(wa[greatest(len(wa) - 1, 1):], ' ')"
 
   val oracles: Map[String, String] = Map(
+    "d16_source_overlap" ->
+      """WITH v AS (
+           SELECT DISTINCT source, unnest(list_distinct(string_split(trim(text), ' '))) AS t
+           FROM documents),
+         sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+         i AS (
+           SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+           FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT i.src_a, i.src_b,
+                round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS vocab_jaccard
+         FROM i
+         JOIN sz sa ON sa.source = i.src_a
+         JOIN sz sb ON sb.source = i.src_b
+         ORDER BY src_a, src_b""",
     "d14_edit_distance" ->
       s"""WITH $wordsCte,
          pre AS (

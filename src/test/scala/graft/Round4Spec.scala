@@ -172,6 +172,17 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("d16 source overlap: full upper triangle, jaccard in (0,1]") {
+    val rows = Dedup.d16SourceOverlap(spark, dir).collect()
+    val nSrc = Tables.documents(spark, dir).select(col("source")).distinct().count()
+    assert(rows.length === (nSrc * (nSrc - 1) / 2).toInt) // shared corpus vocab ⇒ no zero pairs
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val j = r.getAs[Double]("vocab_jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("p4 bfs depth: canonical at 0, everything reached within the round budget") {
     val rows = Graph.p4BfsDepth(spark, dir).collect()
     val labels = Dedup.d7DedupComponents(spark, dir).collect()
