@@ -354,6 +354,60 @@ object EventsStream {
            round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("segment"))
 
+  case class CentRow(user_id: Long, cents: Long)
+  case class MomentState(n: Long, s: Long, q: Long)
+  case class UserMoments(user_id: Long, n: Long, s: Long, q: Long)
+
+  /** Streaming per-user moment accumulation (count, Σcents, Σcents²)
+    * in mapGroupsWithState: int64 sums are order- and batching-
+    * independent, so the state after the stream drains equals the
+    * batch aggregate EXACTLY (spec-pinned) — the foundation of st8's
+    * anomaly rule, maintained incrementally instead of rescanned. */
+  def momentsStream(events: DataFrame): Dataset[UserMoments] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[CentRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[MomentState, UserMoments](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[CentRow], state: GroupState[MomentState]) =>
+          val st0 = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val st = rows.foldLeft(st0) { (acc, r) =>
+            MomentState(acc.n + 1, acc.s + r.cents, acc.q + r.cents * r.cents)
+          }
+          state.update(st)
+          UserMoments(uid, st.n, st.s, st.q)
+      }
+  }
+
+  /** ST8 — exact-integer anomaly accounting per user: an event is
+    * anomalous when its value sits more than 2σ above the user's own
+    * mean. The z-test is evaluated ENTIRELY in int64 — value in
+    * cents c, moments (n, Σc, Σc²); c > μ + 2σ ⟺ (c·n − s) > 0 ∧
+    * (c·n − s)² > 4·(n·q − s²) — so the flag never touches a float
+    * and both engines agree bit-for-bit (the same cross-multiplied
+    * discipline as t15's OOV rule). Two passes: the moment aggregate
+    * (or st8's streaming state) broadcast back onto the event scan.
+    * Magnitudes: cents ≤ ~10⁴, n ≤ 10⁵ per user keeps every product
+    * ≪ 2⁶³; at larger per-user volumes swap to (mean, M2) pairs. */
+  def st8Anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("c"))
+    val st = c.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+           sum(col("c") * col("c")).as("q"))
+    val lhs = col("c") * col("n") - col("s")
+    c.join(broadcast(st), Seq("user_id"))
+      .withColumn("a",
+        when(lhs > 0 && lhs * lhs > lit(4L) * (col("n") * col("q") - col("s") * col("s")),
+          1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("a")).as("n_anomalies"),
+           round((max(col("s")) / 100.0) / max(col("n")), 2).as("mean_value"))
+      .orderBy(col("user_id"))
+  }
+
   val TrendWindowMicros: Long = 6L * 3600 * 1000000
   val TrendK = 3
 
@@ -385,6 +439,7 @@ object EventsStream {
     rankTrending(trendWindowCounts(Tables.events(spark, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_anomalies"      -> (st8Anomalies _),
     "st7_trending"       -> (st7Trending _),
     "st6_static_enrich"  -> (st6StaticEnrich _),
     "st5_debounce"       -> (st5Debounce _),
@@ -394,6 +449,28 @@ object EventsStream {
     "st4_stream_join"    -> (st4StreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the z-test cross-multiplied into pure int64, identical to the
+    // Spark side; DuckDB's HUGEINT sums cast back before the products
+    "st8_anomalies" ->
+      """WITH c AS (
+           SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         st AS (
+           SELECT user_id, count(*) AS n,
+                  CAST(sum(c) AS BIGINT) AS s,
+                  CAST(sum(c * c) AS BIGINT) AS q
+           FROM c GROUP BY 1),
+         fl AS (
+           SELECT c.user_id,
+                  CASE WHEN (c.c * st.n - st.s) > 0
+                        AND (c.c * st.n - st.s) * (c.c * st.n - st.s)
+                            > 4 * (st.n * st.q - st.s * st.s)
+                       THEN 1 ELSE 0 END AS a
+           FROM c JOIN st USING (user_id))
+         SELECT f.user_id, count(*) AS n_events,
+                CAST(sum(f.a) AS BIGINT) AS n_anomalies,
+                round((min(st.s) / 100.0) / min(st.n), 2) AS mean_value
+         FROM fl f JOIN st USING (user_id)
+         GROUP BY 1 ORDER BY f.user_id""",
     // explicit epoch-floor window start (Spark's window() is
     // epoch-aligned; DuckDB's time_bucket has a 2000-01-03 origin, so
     // the arithmetic form is used instead of trusting alignment)

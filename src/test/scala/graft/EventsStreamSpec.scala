@@ -44,6 +44,32 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming moment state drains to the batch aggregate exactly (int64 sums)") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.momentsStream(stream).toDF(), "moments_stream", mode = "update")
+    try {
+      // update mode emits per-batch snapshots; the final state per
+      // user is the row with the largest n
+      val streamed = spark.table("moments_stream").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n")) }
+      val batch = Tables.events(spark, dir)
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+             sum(col("c") * col("c")).as("q"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (u, s) =>
+        val b = batch(u)
+        assert(s.getAs[Long]("n") === b.getAs[Long]("n"), s"user $u n")
+        assert(s.getAs[Long]("s") === b.getAs[Long]("s"), s"user $u s")
+        assert(s.getAs[Long]("q") === b.getAs[Long]("q"), s"user $u q")
+      }
+    } finally q.stop()
+  }
+
   test("streamed trending counts + downstream rank == batch st7 top-k") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(
