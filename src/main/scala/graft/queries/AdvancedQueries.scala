@@ -729,7 +729,77 @@ object AdvancedQueries {
       .orderBy(col("priority_at_order"))
   }
 
+  /** q48 — year-over-year with CALENDAR alignment: month m compares
+    * to the same calendar month one year back via add_months(m, −12)
+    * (the reference's own q5.4 tried this with string-key arithmetic
+    * and bought the month+1 year bug — SURVEY §1.4 quirk 4; a real
+    * date type is the fix). Revenue in integer cents (q40's money
+    * discipline) so the self-join compare is exact; months with no
+    * prior-year twin report a null pct, kept explicit. One monthly
+    * aggregate, self-joined month→month−12 — dimension-sized both
+    * sides, broadcastable at any fact scale. */
+  def q48Yoy(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val prev = monthly.select(col("m").as("pm"), col("cents").as("prev_cents"))
+    monthly.join(prev, add_months(col("m"), -12) === col("pm"), "left")
+      .select(col("m").as("month_start"),
+        (col("cents") / 100.0).as("revenue"),
+        (col("prev_cents") / 100.0).as("revenue_prior_year"),
+        round((col("cents") - col("prev_cents")) * 100.0 / col("prev_cents"), 2)
+          .as("yoy_pct"))
+      .orderBy(col("month_start"))
+  }
+
+  /** q49 — Pareto / ABC classification (the inventory-management
+    * classic: class A = products covering the first 80% of revenue,
+    * B to 95%, C the tail). The global cumulative — a single-
+    * partition window in the naive form, q26's scale-killer — runs
+    * as a TWO-LEVEL scan instead: decile boundaries (tiny exact-
+    * percentile agg, broadcast) assign each product a value-disjoint
+    * bucket; bucket totals (10 rows) self-join into per-bucket
+    * offsets; the running sum windows WITHIN each bucket and adds
+    * its offset. Because buckets are value-disjoint and the
+    * intra-bucket order matches the global (cents desc, key) order,
+    * the two-level cumulative equals the global one exactly — and
+    * every class decision is an integer cross-multiply
+    * (cum·100 ≤ 80·total), never a float share. */
+  def q49Pareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
+    val bounds = rev.agg(expr(
+      "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+    val bucketed = rev.crossJoin(broadcast(bounds))
+      .withColumn("bucket", size(filter(col("bs"), b => b < col("cents")))).drop("bs")
+    val totals = bucketed.groupBy(col("bucket")).agg(sum(col("cents")).as("bc"))
+    val offsets = totals.as("x")
+      .join(totals.select(col("bucket").as("yb"), col("bc").as("ybc")).as("y"),
+        col("yb") > col("bucket"), "left")
+      .groupBy(col("bucket")).agg(coalesce(sum(col("ybc")), lit(0L)).as("off"))
+    val tot = rev.agg(sum(col("cents")).as("t"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(desc("cents"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("off") + sum(col("cents")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("pareto_class",
+        when(col("cum") * 100 <= col("t") * 80, "A")
+          .when(col("cum") * 100 <= col("t") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("pareto_class"))
+      .agg(count(lit(1)).as("n_products"),
+           (sum(col("cents")) / 100.0).as("class_revenue"),
+           round(sum(col("cents")) * 100.0 / max(col("t")), 2).as("share_pct"))
+      .orderBy(col("pareto_class"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_pareto"          -> (q49Pareto _),
+    "q48_yoy"             -> (q48Yoy _),
     "q47_scd2_asof"       -> (q47Scd2Asof _),
     "q46_concurrency"     -> (q46Concurrency _),
     "q45_retention"       -> (q45Retention _),
@@ -801,6 +871,41 @@ object AdvancedQueries {
            FROM v2 JOIN novel USING (customer_id))"""
 
   val oracles: Map[String, String] = Map(
+    // the oracle uses the plain global cumulative — the two-level
+    // Spark form must equal it exactly (value-disjoint buckets +
+    // matching intra-bucket order), which is the point of the check
+    "q49_pareto" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+         c AS (
+           SELECT cents,
+                  CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM rev),
+         cl AS (
+           SELECT CASE WHEN cum * 100 <= 80 * t THEN 'A'
+                       WHEN cum * 100 <= 95 * t THEN 'B'
+                       ELSE 'C' END AS pareto_class,
+                  cents, t
+           FROM c, tot)
+         SELECT pareto_class, count(*) AS n_products,
+                CAST(sum(cents) AS BIGINT) / 100.0 AS class_revenue,
+                round(CAST(sum(cents) AS BIGINT) * 100.0 / min(t), 2) AS share_pct
+         FROM cl GROUP BY 1 ORDER BY pareto_class""",
+    "q48_yoy" ->
+      """WITH m AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1)
+         SELECT a.m AS month_start,
+                a.cents / 100.0 AS revenue,
+                b.cents / 100.0 AS revenue_prior_year,
+                round((a.cents - b.cents) * 100.0 / b.cents, 2) AS yoy_pct
+         FROM m a LEFT JOIN m b ON b.m = a.m - INTERVAL 12 MONTH
+         ORDER BY month_start""",
     "q46_concurrency" -> {
       val gap = graft.streaming.EventsStream.SessionGapMicros
       s"""WITH e AS (

@@ -90,6 +90,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q49: the global cumulative runs bucket-partitioned — no single-partition window") {
+    val p = plan(graft.queries.AdvancedQueries.q49Pareto(spark, dir))
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { l =>
+      assert(l.contains("windowspecdefinition(bucket"), s"unpartitioned window: $l")
+    }
+  }
+
   test("t19: the bloom bitset reaches the probe as a broadcast, not a shuffle join") {
     val p = plan(graft.ext.TextAnalysis.t19BloomDecontaminate(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

@@ -172,6 +172,30 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("q48 yoy: first calendar year reports null prior, later months align to m-12") {
+    val rows = AdvancedQueries.q48Yoy(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byMonth = rows.map(r => r.getAs[java.sql.Date]("month_start").toString -> r).toMap
+    rows.foreach { r =>
+      val m = r.getAs[java.sql.Date]("month_start").toLocalDate
+      val prior = byMonth.get(m.minusMonths(12).toString)
+      if (prior.isDefined)
+        assert(r.getAs[Double]("revenue_prior_year") === prior.get.getAs[Double]("revenue"))
+      else assert(r.isNullAt(r.fieldIndex("revenue_prior_year")))
+    }
+  }
+
+  test("q49 pareto: classes partition the catalog, shares sum to 100, A-heavy") {
+    val rows = AdvancedQueries.q49Pareto(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("pareto_class")).toSeq === Seq("A", "B", "C"))
+    val nParts = Tables.lineitem(spark, dir).select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_products")).sum === nParts)
+    val shares = rows.map(_.getAs[Double]("share_pct"))
+    assert(math.abs(shares.sum - 100.0) < 0.05)
+    // Pareto structure: A covers ~80% of revenue with a minority of products
+    assert(shares.head >= 75.0 && shares.head <= 81.0)
+  }
+
   test("d16 source overlap: full upper triangle, jaccard in (0,1]") {
     val rows = Dedup.d16SourceOverlap(spark, dir).collect()
     val nSrc = Tables.documents(spark, dir).select(col("source")).distinct().count()
