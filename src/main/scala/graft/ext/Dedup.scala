@@ -505,6 +505,27 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** D17 — cross-source near-dup provenance: d4's verified candidate
+    * pairs annotated with their documents' SOURCES and rolled up per
+    * source pair — the evidence view that tells a pipeline where its
+    * duplication actually comes from (d16's vocabulary overlap is
+    * the leading indicator; this is the ground truth). within_source
+    * marks intra-feed duplication vs cross-feed contamination. Two
+    * dimension-key lookups on the pair list (pair-bounded, ≪ corpus)
+    * plus a tiny rollup. */
+  def d17CrossSourcePairs(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    d4MinhashLsh(spark, dir)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+              greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_source", col("src_a") === col("src_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** doc_ids the d7 labeling drops (non-canonical members) — ONE
     * definition for d15 and the e1 funnel. */
   private[ext] def nonCanonicalDocs(spark: SparkSession, dir: String): DataFrame =
@@ -608,6 +629,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_cross_source"      -> (d17CrossSourcePairs _),
     "d16_source_overlap"    -> (d16SourceOverlap _),
     "d15_dedup_materialize" -> (d15DedupMaterialize _),
     "d14_edit_distance"    -> (d14EditDistance _),
@@ -702,6 +724,18 @@ object Dedup {
   private val snmSuffixBlkSql = "array_to_string(wa[greatest(len(wa) - 1, 1):], ' ')"
 
   val oracles: Map[String, String] = Map(
+    "d17_cross_source" ->
+      s"""WITH pairs AS MATERIALIZED ($d4OracleSql),
+         src AS (SELECT doc_id, source FROM documents),
+         ann AS (
+           SELECT least(a.source, b.source) AS src_a,
+                  greatest(a.source, b.source) AS src_b
+           FROM pairs p
+           JOIN src a ON a.doc_id = p.a_id
+           JOIN src b ON b.doc_id = p.b_id)
+         SELECT src_a, src_b, count(*) AS n_pairs,
+                src_a = src_b AS within_source
+         FROM ann GROUP BY 1, 2 ORDER BY src_a, src_b""",
     "d16_source_overlap" ->
       """WITH v AS (
            SELECT DISTINCT source, unnest(list_distinct(string_split(trim(text), ' '))) AS t

@@ -172,6 +172,16 @@ class Round4Spec extends AnyFunSuite {
     bloom.foreach { case (src, (_, _, _, docs)) => assert(docs === exact(src), src) }
   }
 
+  test("d17 cross-source: pair mass conserves against d4 and the flag matches the keys") {
+    val rows = Dedup.d17CrossSourcePairs(spark, dir).collect()
+    val d4Pairs = Dedup.d4MinhashLsh(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === d4Pairs)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_source") ===
+        (r.getAs[String]("src_a") == r.getAs[String]("src_b")))
+    }
+  }
+
   test("q48 yoy: first calendar year reports null prior, later months align to m-12") {
     val rows = AdvancedQueries.q48Yoy(spark, dir).collect()
     assert(rows.nonEmpty)
