@@ -271,38 +271,43 @@ object Dedup {
     * labeling; the production answer for such graphs is
     * pointer-doubling / large-star-small-star (O(log d) rounds),
     * not a bigger cap. */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = true)(
+      ccLabelsOnEdges)
+
+  /** The label loop over a PREBUILT symmetric edge list — factored so
+    * callers already inside a withSymmetricEdges body (p4's BFS) can
+    * label without symmetrizing and checkpointing the edges twice. */
+  private[ext] def ccLabelsOnEdges(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftshim.CheckpointShim
-    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = true) { edges =>
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 50) {
-        val neighborMin = edges.join(labels, col("dst") === col("node"))
-          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        val updated = labels.join(neighborMin, col("node") === col("src"), "left")
-          .select(col("node"), col("label"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("newLabel"))
-          .localCheckpoint()
-        changed = updated.filter(col("newLabel") =!= col("label")).count()
-        CheckpointShim.unpersist(labels)
-        labels = updated.select(col("node"), col("newLabel").as("label"))
-        rounds += 1
-      }
-      if (changed != 0) {
-        // free the label checkpoint before failing (the harness frees
-        // the edge checkpoint on every exit path)
-        CheckpointShim.unpersist(labels)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge within $rounds rounds " +
-            s"($changed labels still changing); graph diameter exceeds the cap — " +
-            "switch to pointer-doubling rather than raising it")
-      }
-      // the final round's checkpoint stays pinned until the caller
-      // consumes the result — one component-sized block, not one per round
-      labels.select(col("node"), col("label").as("cluster_id"))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newLabel"))
+        .localCheckpoint()
+      changed = updated.filter(col("newLabel") =!= col("label")).count()
+      CheckpointShim.unpersist(labels)
+      labels = updated.select(col("node"), col("newLabel").as("label"))
+      rounds += 1
     }
+    if (changed != 0) {
+      // free the label checkpoint before failing (the harness frees
+      // the edge checkpoint on every exit path)
+      CheckpointShim.unpersist(labels)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $rounds rounds " +
+          s"($changed labels still changing); graph diameter exceeds the cap — " +
+          "switch to pointer-doubling rather than raising it")
+    }
+    // the final round's checkpoint stays pinned until the caller
+    // consumes the result — one component-sized block, not one per round
+    labels.select(col("node"), col("label").as("cluster_id"))
   }
 
   /** D7 — near-dup clusters: the LSH pair list (d4) closed into

@@ -220,11 +220,12 @@ object Graph {
   def p4BfsDepth(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.d4MinhashLsh(spark, dir)
       .select(col("a_id"), col("b_id")).localCheckpoint()
-    val labels = Dedup.connectedComponents(pairs, "a_id", "b_id")
-    val canon = labels.filter(col("node") === col("cluster_id"))
-      .select(col("node"), lit(0).as("depth"))
+    // ONE symmetrize/checkpoint serves both the labeling and the BFS
     val out = IterativeGraph.withSymmetricEdges(pairs, "a_id", "b_id",
         distinctEdges = true) { edges =>
+      val labels = Dedup.ccLabelsOnEdges(edges)
+      val canon = labels.filter(col("node") === col("cluster_id"))
+        .select(col("node"), lit(0).as("depth"))
       var depths = canon.localCheckpoint()
       for (t <- 1 to BfsRounds) {
         val next = edges.join(depths, col("src") === col("node"))

@@ -769,8 +769,13 @@ object AdvancedQueries {
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
+    // approx_percentile, not exact: boundaries only need to be SOME
+    // value-disjoint cut set (the cumulative is exact for any), and
+    // the sketch is mergeable/bounded-memory where exact percentile
+    // buffers the whole catalog in one final aggregation buffer
     val bounds = rev.agg(expr(
-      "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+      "approx_percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 1000)")
+      .as("bs"))
     val bucketed = rev.crossJoin(broadcast(bounds))
       .withColumn("bucket", size(filter(col("bs"), b => b < col("cents")))).drop("bs")
     val totals = bucketed.groupBy(col("bucket")).agg(sum(col("cents")).as("bc"))
@@ -786,9 +791,12 @@ object AdvancedQueries {
       .join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum", col("off") + sum(col("cents")).over(w))
       .crossJoin(broadcast(tot))
+      // reduced-fraction cross-multiplies (×5/×4 and ×20/×19, not
+      // ×100/×80): overflow headroom to ~4.6e17 cents of total
+      // revenue ($4.6 quadrillion) — st8's documented-magnitude rule
       .withColumn("pareto_class",
-        when(col("cum") * 100 <= col("t") * 80, "A")
-          .when(col("cum") * 100 <= col("t") * 95, "B")
+        when(col("cum") * 5 <= col("t") * 4, "A")
+          .when(col("cum") * 20 <= col("t") * 19, "B")
           .otherwise("C"))
       .groupBy(col("pareto_class"))
       .agg(count(lit(1)).as("n_products"),
@@ -886,8 +894,8 @@ object AdvancedQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
            FROM rev),
          cl AS (
-           SELECT CASE WHEN cum * 100 <= 80 * t THEN 'A'
-                       WHEN cum * 100 <= 95 * t THEN 'B'
+           SELECT CASE WHEN cum * 5 <= 4 * t THEN 'A'
+                       WHEN cum * 20 <= 19 * t THEN 'B'
                        ELSE 'C' END AS pareto_class,
                   cents, t
            FROM c, tot)
