@@ -805,7 +805,40 @@ object AdvancedQueries {
       .orderBy(col("pareto_class"))
   }
 
+  /** q50 — revenue bridge (the period-over-period decomposition every
+    * revenue review runs): the 1996→1997 change split by customer
+    * class — NEW (no prior spend), CHURNED (no current), EXPANDED,
+    * CONTRACTED, FLAT — with each class's customer count and exact
+    * delta. Full-outer join of two customer-period aggregates in
+    * integer cents; class sums reconcile to the total change by
+    * construction (spec-pinned). Both sides are customer-grain
+    * aggregates co-partitioned on the join key — one shuffle each,
+    * then a 5-row rollup. */
+  def q50RevenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    def period(yr: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val a = period(1996).select(col("c"), col("cents").as("ca"))
+    val b = period(1997).select(col("c"), col("cents").as("cb"))
+    a.join(b, Seq("c"), "full_outer")
+      .select(col("c"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("bridge_class",
+        when(col("ca") === 0, "1_new")
+          .when(col("cb") === 0, "2_churned")
+          .when(col("cb") > col("ca"), "3_expanded")
+          .when(col("cb") < col("ca"), "4_contracted")
+          .otherwise("5_flat"))
+      .groupBy(col("bridge_class"))
+      .agg(count(lit(1)).as("n_customers"),
+           (sum(col("cb") - col("ca")) / 100.0).as("revenue_delta"))
+      .orderBy(col("bridge_class"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_revenue_bridge"  -> (q50RevenueBridge _),
     "q49_pareto"          -> (q49Pareto _),
     "q48_yoy"             -> (q48Yoy _),
     "q47_scd2_asof"       -> (q47Scd2Asof _),
@@ -879,6 +912,30 @@ object AdvancedQueries {
            FROM v2 JOIN novel USING (customer_id))"""
 
   val oracles: Map[String, String] = Map(
+    "q50_revenue_bridge" ->
+      """WITH pa AS (
+           SELECT o_custkey AS c,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS ca
+           FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+         pb AS (
+           SELECT o_custkey AS c,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cb
+           FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+         j AS (
+           SELECT COALESCE(pa.c, pb.c) AS c,
+                  COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+           FROM pa FULL OUTER JOIN pb ON pa.c = pb.c),
+         cl AS (
+           SELECT CASE WHEN ca = 0 THEN '1_new'
+                       WHEN cb = 0 THEN '2_churned'
+                       WHEN cb > ca THEN '3_expanded'
+                       WHEN cb < ca THEN '4_contracted'
+                       ELSE '5_flat' END AS bridge_class,
+                  ca, cb
+           FROM j)
+         SELECT bridge_class, count(*) AS n_customers,
+                CAST(sum(cb - ca) AS BIGINT) / 100.0 AS revenue_delta
+         FROM cl GROUP BY 1 ORDER BY bridge_class""",
     // the oracle uses the plain global cumulative — the two-level
     // Spark form must equal it exactly (value-disjoint buckets +
     // matching intra-bucket order), which is the point of the check

@@ -182,6 +182,18 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("q50 revenue bridge: class deltas reconcile to the total period change exactly") {
+    val rows = AdvancedQueries.q50RevenueBridge(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def totalCents(yr: Int): Long = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head().getLong(0)
+    val bridged = rows.map(r => math.round(r.getAs[Double]("revenue_delta") * 100)).sum
+    assert(bridged === totalCents(1997) - totalCents(1996))
+    // every class present is non-degenerate
+    rows.foreach(r => assert(r.getAs[Long]("n_customers") > 0L))
+  }
+
   test("q48 yoy: first calendar year reports null prior, later months align to m-12") {
     val rows = AdvancedQueries.q48Yoy(spark, dir).collect()
     assert(rows.nonEmpty)
