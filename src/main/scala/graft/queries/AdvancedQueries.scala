@@ -837,7 +837,45 @@ object AdvancedQueries {
       .orderBy(col("bridge_class"))
   }
 
+  /** q51 — customer lifetime-value curve (q45's revenue companion):
+    * average CUMULATIVE spend at k months since first order, averaged
+    * over every customer whose tenure has reached k — including
+    * customers silent in month k (their last cumulative carries
+    * forward through a per-customer offset spine, q43's gap-fill
+    * machinery at cohort grain). All money in integer cents; the
+    * average divides two exact integers at the edge, so the curve
+    * hash-matches.
+    *
+    * Scale shape: the spine is |customers| × tenure rows (bounded by
+    * the calendar, not the fact table); the carry window partitions
+    * by customer; the rollup is one offset-keyed agg. */
+  def q51LtvCurve(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val monthly = o.groupBy(col("c"), col("mi")).agg(sum(col("cents")).as("cents"))
+    val maxMi = o.agg(max(col("mi")).as("maxmi"))
+    val spine = monthly.groupBy(col("c")).agg(min(col("mi")).as("m0"))
+      .crossJoin(broadcast(maxMi))
+      .select(col("c"), col("m0"),
+        explode(sequence(lit(0), col("maxmi") - col("m0"))).as("month_offset"))
+    val w = Window.partitionBy(col("c")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mRen = monthly.select(col("c").as("ac"), col("mi").as("ami"), col("cents"))
+    spine
+      .join(mRen,
+        col("c") === col("ac") && col("m0") + col("month_offset") === col("ami"),
+        "left")
+      .withColumn("cum", sum(coalesce(col("cents"), lit(0L))).over(w))
+      .groupBy(col("month_offset"))
+      .agg(count(lit(1)).as("n_customers"),
+           round((sum(col("cum")) / 100.0) / count(lit(1)), 2).as("avg_cum_spend"))
+      .orderBy(col("month_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_ltv_curve"       -> (q51LtvCurve _),
     "q50_revenue_bridge"  -> (q50RevenueBridge _),
     "q49_pareto"          -> (q49Pareto _),
     "q48_yoy"             -> (q48Yoy _),
@@ -912,6 +950,32 @@ object AdvancedQueries {
            FROM v2 JOIN novel USING (customer_id))"""
 
   val oracles: Map[String, String] = Map(
+    "q51_ltv_curve" ->
+      """WITH o AS (
+           SELECT o_custkey AS c,
+                  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         monthly AS (SELECT c, mi, CAST(sum(cents) AS BIGINT) AS cents
+                     FROM o GROUP BY 1, 2),
+         mx AS (SELECT max(mi) AS maxmi FROM o),
+         f AS (SELECT c, min(mi) AS m0 FROM monthly GROUP BY 1),
+         spine AS (
+           SELECT f.c, f.m0, CAST(g.o AS BIGINT) AS month_offset
+           FROM f, mx, LATERAL (SELECT unnest(range(mx.maxmi - f.m0 + 1)) AS o) g),
+         joined AS (
+           SELECT s.c, s.month_offset, COALESCE(m.cents, 0) AS cents
+           FROM spine s
+           LEFT JOIN monthly m ON m.c = s.c AND m.mi = s.m0 + s.month_offset),
+         cum AS (
+           SELECT c, month_offset,
+                  sum(cents) OVER (PARTITION BY c ORDER BY month_offset
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM joined)
+         SELECT CAST(month_offset AS INTEGER) AS month_offset,
+                count(*) AS n_customers,
+                round((CAST(sum(cum) AS BIGINT) / 100.0) / count(*), 2) AS avg_cum_spend
+         FROM cum GROUP BY 1 ORDER BY month_offset""",
     "q50_revenue_bridge" ->
       """WITH pa AS (
            SELECT o_custkey AS c,

@@ -182,6 +182,25 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("q51 ltv curve: average cumulative spend is non-decreasing in tenure") {
+    val rows = AdvancedQueries.q51LtvCurve(spark, dir)
+      .orderBy(col("month_offset")).collect()
+    assert(rows.nonEmpty)
+    // cumulative spend only grows, and longer tenures belong to fewer
+    // (earlier-cohort) customers
+    val curve = rows.map(_.getAs[Double]("avg_cum_spend"))
+    val counts = rows.map(_.getAs[Long]("n_customers"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    // per-customer cum is monotone; the AVERAGE can only dip when the
+    // population shrinks, so assert monotonicity on fixed-population
+    // prefixes (consecutive offsets with the same customer count)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      if (a.getAs[Long]("n_customers") == b.getAs[Long]("n_customers"))
+        assert(b.getAs[Double]("avg_cum_spend") >= a.getAs[Double]("avg_cum_spend"))
+    }
+    assert(curve.head >= 0.0)
+  }
+
   test("q50 revenue bridge: class deltas reconcile to the total period change exactly") {
     val rows = AdvancedQueries.q50RevenueBridge(spark, dir).collect()
     assert(rows.nonEmpty)
