@@ -807,24 +807,21 @@ object AdvancedQueries {
 
   /** q50 — revenue bridge (the period-over-period decomposition every
     * revenue review runs): the 1996→1997 change split by customer
-    * class — NEW (no prior spend), CHURNED (no current), EXPANDED,
-    * CONTRACTED, FLAT — with each class's customer count and exact
-    * delta. Full-outer join of two customer-period aggregates in
+    * class — NEW (no 1996 spend; a two-period bridge can't see
+    * earlier history), CHURNED (no 1997 spend), EXPANDED, CONTRACTED,
+    * FLAT — with each class's customer count and exact delta in
     * integer cents; class sums reconcile to the total change by
-    * construction (spec-pinned). Both sides are customer-grain
-    * aggregates co-partitioned on the join key — one shuffle each,
-    * then a 5-row rollup. */
+    * construction (spec-pinned). ONE scan: both periods come from a
+    * single conditional aggregation over the year-filtered fact —
+    * no self-join, no second fact read. */
   def q50RevenueBridge(spark: SparkSession, dir: String): DataFrame = {
-    def period(yr: Int): DataFrame =
-      Tables.orders(spark, dir)
-        .filter(year(col("o_orderdate")) === yr)
-        .groupBy(col("o_custkey").as("c"))
-        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-    val a = period(1996).select(col("c"), col("cents").as("ca"))
-    val b = period(1997).select(col("c"), col("cents").as("cb"))
-    a.join(b, Seq("c"), "full_outer")
-      .select(col("c"), coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"))
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val yr = year(col("o_orderdate"))
+    Tables.orders(spark, dir)
+      .filter(yr.isin(1996, 1997))
+      .groupBy(col("o_custkey").as("c"))
+      .agg(sum(when(yr === 1996, cents).otherwise(0L)).as("ca"),
+           sum(when(yr === 1997, cents).otherwise(0L)).as("cb"))
       .withColumn("bridge_class",
         when(col("ca") === 0, "1_new")
           .when(col("cb") === 0, "2_churned")
@@ -855,7 +852,10 @@ object AdvancedQueries {
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
     val monthly = o.groupBy(col("c"), col("mi")).agg(sum(col("cents")).as("cents"))
-    val maxMi = o.agg(max(col("mi")).as("maxmi"))
+    // derived from `monthly`, not the raw scan — spine and the join
+    // both read monthly, so ReuseExchange shares one aggregation and
+    // the raw fact is scanned once for the whole query
+    val maxMi = monthly.agg(max(col("mi")).as("maxmi"))
     val spine = monthly.groupBy(col("c")).agg(min(col("mi")).as("m0"))
       .crossJoin(broadcast(maxMi))
       .select(col("c"), col("m0"),
