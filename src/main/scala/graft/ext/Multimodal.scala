@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -211,7 +212,71 @@ object Multimodal {
       .orderBy(col("kind"), col("sig"))
   }
 
+  val CdcWindow = 8
+  val CdcMask = 64L // boundary when hash % 64 == 0 → ~64-byte expected chunks
+  val CdcSeed = 31
+
+  /** M5 — content-defined chunking (CDC): chunk boundaries fall where
+    * a rolling hash of the trailing byte window hits a mask — the
+    * storage-grade dedup chunking (FastCDC/restic/borg family) whose
+    * point is SHIFT RESISTANCE: insert a byte and only the chunks
+    * around the edit change, where m2's fixed-stride chunks all
+    * shift. Chunks are then content-addressed (md5) and the corpus
+    * rollup reports the distinct-chunk dedup ratio — the number a
+    * content-addressed store actually saves.
+    *
+    * The byte stream is the ASCII payload's character stream (byte ≡
+    * char, m1's oracle property), so every stage — window hash,
+    * boundary test, chunk extraction, digest — is exactly mirrored in
+    * DuckDB. Shape: one posexplode to (media, pos) rows, codegen'd
+    * md5 per window (t4's winnowing volume), a per-media running
+    * boundary count, and one groupBy per chunk; nothing is
+    * corpus-global except the final rollup. */
+  def m5CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text")))
+    chunks.agg(
+        countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("distinct_chunks"),
+        round(countDistinct(col("h")) / count(lit(1)).cast("double"), 4)
+          .as("dedup_ratio"),
+        round(avg(col("bytes")), 2).as("avg_chunk_bytes"))
+  }
+
+  /** CDC core over any (media_id, text) frame → one row per chunk
+    * (media_id, bytes, h) — split out so the shift-resistance law is
+    * testable on constructed strings. */
+  def cdcChunks(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("media_id"), col("text"),
+      length(col("text")).as("n"))
+    // boundary flag per position: hash of the WINDOW ENDING at pos
+    // (positions < CdcWindow-1 can't host a full window → no boundary)
+    val pos = docs
+      .select(col("media_id"), col("text"), col("n"),
+        explode(sequence(lit(0), col("n") - 1)).as("p"))
+      .withColumn("b",
+        when(col("p") >= CdcWindow - 1,
+          (pmod(graft.functions.StableHash.hash64(CdcSeed,
+            col("text").substr((col("p") - (CdcWindow - 1) + 1).cast("int"),
+              lit(CdcWindow))),
+            lit(CdcMask)) === 0).cast("int"))
+          .otherwise(0))
+    // chunk id = boundaries strictly BEFORE this position (a boundary
+    // byte ends its chunk); cumulative sum per media
+    val w = Window.partitionBy(col("media_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pos
+      .withColumn("cid", sum(col("b")).over(w) - col("b"))
+      .groupBy(col("media_id"), col("text"), col("cid"))
+      .agg(min(col("p")).as("p0"), max(col("p")).as("p1"))
+      .select(col("media_id"),
+        (col("p1") - col("p0") + 1).as("bytes"),
+        md5(expr("substring(text, p0 + 1, p1 - p0 + 1)")).as("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_cdc_chunks"          -> (m5CdcChunks _),
     "m4_signature_dedup"     -> (m4SignatureDedup _),
     "m3_media_metadata"      -> (m3MediaMetadata _),
     "m1_multimodal_features" -> (m1MultimodalFeatures _),
@@ -250,6 +315,36 @@ object Multimodal {
                 round(avg(feat_norm), 4) AS avg_feat_norm,
                 round(avg(bin6), 4) AS avg_bin6
          FROM per_doc GROUP BY 1 ORDER BY kind""",
+    "m5_cdc_chunks" -> {
+      val h = graft.functions.StableHash.duckdbHash64(CdcSeed,
+        s"substr(text, CAST(p AS INTEGER) - ${CdcWindow - 1} + 1, $CdcWindow)")
+      s"""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+         pos AS (
+           SELECT media_id, text, CAST(i AS BIGINT) AS p,
+                  CASE WHEN CAST(i AS BIGINT) >= ${CdcWindow - 1}
+                        AND ($h) % $CdcMask = 0
+                       THEN 1 ELSE 0 END AS b
+           FROM (SELECT media_id, text, unnest(range(n)) AS i FROM d) t),
+         cid AS (
+           SELECT media_id, text, p, b,
+                  sum(b) OVER (PARTITION BY media_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS cid
+           FROM pos),
+         ch AS (
+           SELECT media_id, cid, min(p) AS p0, max(p) AS p1
+           FROM cid GROUP BY 1, 2),
+         hashes AS (
+           SELECT c.media_id, c.p1 - c.p0 + 1 AS bytes,
+                  md5(substr(d.text, CAST(c.p0 + 1 AS INTEGER),
+                             CAST(c.p1 - c.p0 + 1 AS INTEGER))) AS h
+           FROM ch c JOIN d ON d.media_id = c.media_id)
+         SELECT count(DISTINCT media_id) AS n_media,
+                count(*) AS n_chunks,
+                count(DISTINCT h) AS distinct_chunks,
+                round(count(DISTINCT h) * 1.0 / count(*), 4) AS dedup_ratio,
+                round(avg(bytes), 2) AS avg_chunk_bytes
+         FROM hashes"""
+    },
     // same per-char bin counts as m1's oracle, densified over the
     // 16-bin spine, quantized to integer permille, and fingerprinted
     // with the identical "v0,v1,…" text md5 the Spark side computes

@@ -369,6 +369,25 @@ class Round4Spec extends AnyFunSuite {
       <= t10.map(_.getAs[Long]("n_contaminated")).sum)
   }
 
+  test("m5 cdc: shift resistance — a 1-char prefix edit changes only the first chunk") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val base = Tables.documents(spark, dir)
+      .orderBy(col("doc_id")).limit(1).collect().head.getAs[String]("text")
+    val docs = Seq((1L, base), (2L, "X " + base)).toDF("media_id", "text")
+    val chunks = Multimodal.cdcChunks(docs).collect()
+    val h1 = chunks.filter(_.getAs[Long]("media_id") == 1L).map(_.getAs[String]("h")).toSet
+    val h2 = chunks.filter(_.getAs[Long]("media_id") == 2L).map(_.getAs[String]("h")).toSet
+    // every boundary of the original recurs shifted in the edited
+    // copy, so all chunks except the (changed) first one are shared
+    assert(h1.size >= 2, s"need multiple chunks to test (got ${h1.size})")
+    assert((h1 -- h2).size <= 1, s"shift broke ${(h1 -- h2).size} chunks")
+    // byte mass conserves per doc
+    val bytes1 = chunks.filter(_.getAs[Long]("media_id") == 1L)
+      .map(_.getAs[Int]("bytes").toLong).sum
+    assert(bytes1 === base.length.toLong)
+  }
+
   test("m4 signature dedup: exact text dupes share a signature; clusters within one kind") {
     import graft.ext.Multimodal
     val rows = Multimodal.m4SignatureDedup(spark, dir).collect()
