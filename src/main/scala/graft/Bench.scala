@@ -12,15 +12,24 @@ object Bench {
       try {
         if (t == "events") Tables.events(spark, sfDir).count()
         else Tables.load(spark, sfDir, t).count()
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        // named, not silent: a missing table would otherwise surface
+        // only as a mysteriously slow first query over that table
+        System.err.println(s"warmup failed for table $t: ${e.getClass.getSimpleName}")
+      }
     }
-    // best-of-N per query (default 2): this VM shows transient external
-    // CPU contention that can inflate a single cold run 3×; the min of
-    // two runs reports the machine's actual capability while still
-    // timing full materialization each time
+    // best-of-N per query (default 2), INTERLEAVED: this VM shows
+    // transient external CPU contention that can stall the machine for
+    // minutes at a time. Back-to-back repeats of the same query share
+    // any such window (both attempts inflate together — r4 recorded
+    // 3.4× above measured capability that way), so instead run the
+    // WHOLE suite once per pass and take the per-query min ACROSS
+    // passes: the two timings of a query are now separated by ~a full
+    // suite duration, decorrelating them from any single stall.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val attempts = (1 to runs).map { _ =>
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes: Seq[Seq[(String, Double, String)]] = (1 to runs).map { _ =>
+      qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop write materializes every output row and column; count()
         // would let Catalyst prune a scan-project query down to a
@@ -33,12 +42,15 @@ object Bench {
         // queries cache intermediates for their own multi-use plans;
         // drop them so each timing is independent of the previous run
         spark.catalog.clearCache()
-        (t, status)
+        (name, t, status)
       }
-      // a query is ok if ANY attempt materialized (best-of-N exists to
-      // tolerate transient glitches); its time is the min over the OK
-      // attempts only — pairing a failed attempt's short duration with
-      // an ok status (or vice versa) would describe two different runs
+    }
+    // a query is ok if ANY pass materialized (best-of-N exists to
+    // tolerate transient glitches); its time is the min over the OK
+    // passes only — pairing a failed pass's short duration with an ok
+    // status (or vice versa) would describe two different runs
+    val results = qs.map { case (name, _) =>
+      val attempts = passes.map(p => p.find(_._1 == name).get).map { case (_, t, s) => (t, s) }
       val okTimes = attempts.collect { case (t, "ok") => t }
       if (okTimes.nonEmpty) (name, okTimes.min, "ok")
       else (name, attempts.map(_._1).min, attempts.head._2)

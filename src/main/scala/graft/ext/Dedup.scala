@@ -262,10 +262,11 @@ object Dedup {
     * checkpoint blocks are freed as soon as the next round
     * materializes, so peak storage is two rounds, not `rounds`.
     *
-    * Edge symmetrization, checkpoint lifecycle, and edge-sized
-    * shuffle parallelism come from the shared [[IterativeGraph]]
-    * harness (PageRank runs the same rounds shape — see the harness
-    * scaladoc for the session-global-conf caveat). A graph whose
+    * Edge symmetrization, checkpoint lifecycle, and the edge-sized
+    * shuffle width come from the shared [[IterativeGraph]] harness
+    * (PageRank runs the same rounds shape; the width is applied as an
+    * explicit per-round `repartition`, never via the session-global
+    * shuffle-partitions conf). A graph whose
     * diameter exceeds the round cap fails loudly instead of returning
     * a non-fixpoint
     * labeling; the production answer for such graphs is
@@ -278,14 +279,18 @@ object Dedup {
   /** The label loop over a PREBUILT symmetric edge list — factored so
     * callers already inside a withSymmetricEdges body (p4's BFS) can
     * label without symmetrizing and checkpointing the edges twice. */
-  private[ext] def ccLabelsOnEdges(edges: DataFrame): DataFrame = {
+  private[ext] def ccLabelsOnEdges(edges: DataFrame, width: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.CheckpointShim
-    var labels = edges.select(col("src").as("node")).distinct()
+    // pin the edge-sized width on the round join's edge-side key once;
+    // each round's (node-sized) label side repartitions to match, so
+    // the join is co-partitioned at `width` with no fresh edge shuffle
+    val e = edges.repartition(width, col("dst")).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val neighborMin = edges.join(labels, col("dst") === col("node"))
+      val neighborMin = e.join(labels.repartition(width, col("node")), col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       val updated = labels.join(neighborMin, col("node") === col("src"), "left")
         .select(col("node"), col("label"),
@@ -296,6 +301,7 @@ object Dedup {
       labels = updated.select(col("node"), col("newLabel").as("label"))
       rounds += 1
     }
+    CheckpointShim.unpersist(e)
     if (changed != 0) {
       // free the label checkpoint before failing (the harness frees
       // the edge checkpoint on every exit path)

@@ -5,44 +5,45 @@ import org.apache.spark.sql.functions._
 
 /** Shared harness for iterative operators over a pair-derived graph
   * (connected components, PageRank): symmetrize and checkpoint the
-  * edge list once, and run the iteration body at shuffle parallelism
-  * sized to the EDGE count, not the session default — the candidate
-  * graph is pair-bounded (LSH only emits pairs inside band buckets),
-  * so at test scale it is tens of rows and default-width rounds are
-  * pure scheduler overhead, while at 100 TB the same rule yields one
-  * partition per ~2M edges. The sizing goes through the session's
-  * shuffle-partitions conf (set on entry, restored in a finally):
-  * that is session-GLOBAL state, so other queries planned on the
-  * same SparkSession while a loop runs would inherit the reduced
-  * width — callers sharing a session concurrently (e.g. an active
-  * streaming query) should run graph loops on their own session. */
+  * edge list once, and hand the body a shuffle WIDTH sized to the
+  * EDGE count, not the session default — the candidate graph is
+  * pair-bounded (LSH only emits pairs inside band buckets), so at
+  * test scale it is tens of rows and default-width rounds are pure
+  * scheduler overhead, while at 100 TB the same rule yields one
+  * partition per ~2M edges. The width is applied by each body as an
+  * explicit `repartition(width, joinKey)` on ONE side of its
+  * per-round join — Catalyst's EnsureRequirements then co-partitions
+  * the other side at the same width, so the round's big (edge-sized)
+  * exchanges run at `width` without touching the session-global
+  * `spark.sql.shuffle.partitions` conf (a previous version set that
+  * conf around the loop; a concurrently-planned query on the same
+  * session would have inherited the reduced width). The small
+  * node-sized aggregate after the join keeps the session default —
+  * at scale that knob is the cluster-tuned one, and the aggregate's
+  * input has already been map-side combined. */
 private[ext] object IterativeGraph {
   import org.apache.spark.sql.graftshim.CheckpointShim
 
+  /** One shuffle partition per ~2M edges. */
+  def widthFor(nEdges: Long): Int = math.max(1L, nEdges / 2000000L).toInt
+
   /** Build the symmetric checkpointed edge list (`src`, `dst`) from
-    * `pairs` and run `body` under edge-sized shuffle parallelism.
-    * The edge checkpoint is freed when body returns — on the error
-    * path too — so a result that outlives the call must be
-    * checkpointed by body itself. `pairs` is materialized first so
-    * the upstream pipeline (for d7/p1, the whole LSH build) does not
-    * execute once per direction. */
+    * `pairs` and run `body(edges, width)` — width as above. The edge
+    * checkpoint is freed when body returns — on the error path too —
+    * so a result that outlives the call must be checkpointed by body
+    * itself. `pairs` is materialized first so the upstream pipeline
+    * (for d7/p1, the whole LSH build) does not execute once per
+    * direction. */
   def withSymmetricEdges[T](pairs: DataFrame, aCol: String, bCol: String,
-                            distinctEdges: Boolean)(body: DataFrame => T): T = {
+                            distinctEdges: Boolean)(body: (DataFrame, Int) => T): T = {
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
     val e0 = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
     val edges = (if (distinctEdges) e0.distinct() else e0).localCheckpoint()
     CheckpointShim.unpersist(p)
-    val spark = edges.sparkSession
     val nEdges = edges.count()
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, nEdges / 2000000L).toString)
-    try body(edges)
-    finally {
-      CheckpointShim.unpersist(edges)
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    }
+    try body(edges, widthFor(nEdges))
+    finally CheckpointShim.unpersist(edges)
   }
 }
 
@@ -86,12 +87,16 @@ object Graph {
     * Nodes all have degree ≥ 1 by construction (they come from the
     * edge list), so there is no dangling-mass term. */
   def pagerank(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = false) { edges =>
+    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = false) { (edges, width) =>
       // degree is a per-edge constant across rounds — join it into the
-      // edge list ONCE and checkpoint, so each round is one join + one
-      // aggregate instead of two joins (10 rounds save 10 join stages)
+      // edge list ONCE, repartitioned by the round-join key at the
+      // edge-sized width, and checkpoint: each round is one join + one
+      // aggregate (10 rounds save 10 join stages), and the checkpoint
+      // preserves the partitioning so every round's join reuses it
+      // (the rank side co-partitions to match — no session-conf games)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val degEdges = edges.join(deg, Seq("src")).localCheckpoint()
+      val degEdges = edges.join(deg, Seq("src"))
+        .repartition(width, col("src")).localCheckpoint()
       // 1-row node count, broadcast into every round — no driver-side
       // value steers the computation, so the plan is scale-free
       val nn = degEdges.select(col("src")).distinct()
@@ -101,8 +106,12 @@ object Graph {
         .select(col("node"), expr(s"$Scale div n").as("r"))
         .localCheckpoint()
       for (_ <- 1 to Iterations) {
+        // rank side pinned to the same width on the join key →
+        // co-partitioned with the checkpointed degEdges, so the round
+        // join needs NO fresh edge-sized exchange (node-sized ranks
+        // move; edge-sized degEdges stay put)
         val next = degEdges
-          .join(ranks, col("src") === col("node"))
+          .join(ranks.repartition(width, col("node")), col("src") === col("node"))
           .select(col("dst"), expr("r div outdeg").as("c"))
           .groupBy(col("dst"))
           .agg(sum(col("c")).as("sc"))
@@ -178,11 +187,14 @@ object Graph {
     * at edge-sized parallelism under the shared IterativeGraph
     * harness — the same per-round cost envelope as d7/p1. */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = true) { edges =>
-      var labels = edges.select(col("src").as("node")).distinct()
+    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = true) { (edges, width) =>
+      // the round join hits edges on `dst`: pin the edge-sized width
+      // there once; each round's label side co-partitions to match
+      val e = edges.repartition(width, col("dst")).localCheckpoint()
+      var labels = e.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")).localCheckpoint()
       for (_ <- 1 to LpaRounds) {
-        val next = edges.join(labels, col("dst") === col("node"))
+        val next = e.join(labels.repartition(width, col("node")), col("dst") === col("node"))
           .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
           // argmax with min-label tie-break as one max(struct): highest
           // count wins, then the highest negated label = smallest label
@@ -193,6 +205,7 @@ object Graph {
         CheckpointShim.unpersist(labels)
         labels = next
       }
+      CheckpointShim.unpersist(e)
       labels
     }
 
@@ -222,13 +235,16 @@ object Graph {
       .select(col("a_id"), col("b_id")).localCheckpoint()
     // ONE symmetrize/checkpoint serves both the labeling and the BFS
     val out = IterativeGraph.withSymmetricEdges(pairs, "a_id", "b_id",
-        distinctEdges = true) { edges =>
-      val labels = Dedup.ccLabelsOnEdges(edges)
+        distinctEdges = true) { (edges, width) =>
+      val labels = Dedup.ccLabelsOnEdges(edges, width)
       val canon = labels.filter(col("node") === col("cluster_id"))
         .select(col("node"), lit(0).as("depth"))
       var depths = canon.localCheckpoint()
       for (t <- 1 to BfsRounds) {
-        val next = edges.join(depths, col("src") === col("node"))
+        // frontier side pinned to the edge-sized width on the join
+        // key; the edge list co-partitions to match (see harness doc)
+        val next = edges.join(depths.repartition(width, col("node")),
+            col("src") === col("node"))
           .select(col("dst").as("node"), lit(t).as("depth"))
           .unionAll(depths)
           .groupBy(col("node")).agg(min(col("depth")).as("depth"))
@@ -243,6 +259,10 @@ object Graph {
         .orderBy(col("doc_id"))
         .localCheckpoint()
       CheckpointShim.unpersist(depths)
+      // `labels` is ccLabelsOnEdges' pinned final-round checkpoint;
+      // unlike d7 (where it IS the returned result) it is intermediate
+      // here — free it or one component-sized block leaks per call
+      CheckpointShim.unpersist(labels)
       res
     }
     CheckpointShim.unpersist(pairs)

@@ -653,8 +653,12 @@ object TextAnalysis {
       .crossJoin(broadcast(bloom))
       .withColumn("pass", (0 until BloomHashes).map(probe).reduce(_ && _))
       .drop("bloom")
+    // the verify is a SHUFFLE semi-join, not a broadcast: its probe
+    // side is already shrunk to the bloom-pass set, and broadcasting
+    // evalGrams here would re-impose exactly the t10 bound the bloom
+    // exists to escape
     val confirmed = train.filter(col("pass"))
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .join(evalGrams, Seq("g"), "left_semi")
       .select(col("doc_id"), col("source"), lit(1L).as("c"))
     val perDoc = train.groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_grams"),

@@ -120,6 +120,8 @@ object BoundedLevenshtein {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_levenshtein",
       { exprs =>
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"bounded_levenshtein expects 3 arguments (a, b, k), got ${exprs.length}")
         val k = exprs(2) match {
           case e if e.foldable => e.eval(null) match {
             case i: Int => i

@@ -103,12 +103,17 @@ object AdvancedQueries {
 
   /** q24 — HLL sketch distinct counts (approx_count_distinct) next to
     * exact ones. Spark's and DuckDB's HLL implementations differ, so
-    * there is deliberately NO SQL oracle (driver records the weaker
-    * rows-only check); AdvancedQueriesSpec asserts <5% relative
-    * error against the exact counts instead. At 100 TB the sketch is
-    * the only viable distinct-count: fixed 16 KB state per group vs
-    * an unbounded exact-distinct hash table. */
-  def q24ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    * the raw sketch values cannot hash-match an oracle; instead the
+    * gated entry [[q24ApproxDistinct]] emits the exact counts plus
+    * integer-cross-multiply accuracy booleans
+    * (`|approx−exact|·20 ≤ exact`, i.e. within 5%) that the oracle
+    * reproduces as literals — putting the sketch under the driver's
+    * rows+schema+hash gate with an exact-integer compare (no float
+    * thresholds). AdvancedQueriesSpec asserts the <5% relative error
+    * on this raw form. At 100 TB the sketch is the only viable
+    * distinct-count: fixed 16 KB state per group vs an unbounded
+    * exact-distinct hash table. */
+  def q24Raw(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     // Sketches and exact distincts deliberately run as SEPARATE
     // aggregations joined on the (tiny) group key: mixing them in one
@@ -126,6 +131,23 @@ object AdvancedQueries {
     approx.join(broadcast(exact), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
               col("approx_parts"), col("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Driver-gated q24 form: exact counts + 5%-accuracy booleans (see
+    * [[q24Raw]]). `|approx−exact|·20 ≤ exact` is pure int64 arithmetic
+    * (counts ≤ ~4.6e17 before the ×20 could overflow — far above any
+    * per-group distinct count), so the compare is bit-exact across
+    * engines; the oracle emits TRUE literals, which match because the
+    * sketch error on the fixed testdata is measured ≪ 5% (spec-pinned
+    * at <5% on the raw form). */
+  def q24ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    q24Raw(spark, dir)
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+              (abs(col("approx_orders") - col("exact_orders")) * lit(20L) <= col("exact_orders"))
+                .as("orders_within_5pct"),
+              (abs(col("approx_parts") - col("exact_parts")) * lit(20L) <= col("exact_parts"))
+                .as("parts_within_5pct"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1364,5 +1386,16 @@ object AdvancedQueries {
          round(quantile_cont(o_totalprice, 0.5),2) AS median_price,
          round(quantile_cont(o_totalprice, 0.9),2) AS p90_price,
          count(*) AS n_orders
-         FROM orders GROUP BY 1 ORDER BY o_orderpriority""")
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    // q24: the raw HLL values differ across engines, so the gated form
+    // emits exact counts + within-5% booleans; the oracle's booleans
+    // are literals, valid because the sketch error is spec-pinned <5%
+    // (exact-integer cross-multiply on the Spark side, no float eps).
+    "q24_approx_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS exact_orders,
+         count(DISTINCT l_partkey) AS exact_parts,
+         TRUE AS orders_within_5pct,
+         TRUE AS parts_within_5pct
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")
 }

@@ -388,7 +388,12 @@ object EventsStream {
     * (c·n − s)² > 4·(n·q − s²) — so the flag never touches a float
     * and both engines agree bit-for-bit (the same cross-multiplied
     * discipline as t15's OOV rule). Two passes: the moment aggregate
-    * (or st8's streaming state) broadcast back onto the event scan.
+    * (or st8's streaming state) joined back onto the event scan. The
+    * moments table is one row PER USER — it grows with the user
+    * population, so it is deliberately NOT broadcast-hinted: both
+    * sides shuffle on user_id (AQE may still broadcast at runtime
+    * when the measured size allows — a bounded runtime decision, not
+    * an unbounded plan-time one).
     * Magnitudes: cents ≤ ~10⁴, n ≤ 10⁵ per user keeps every product
     * ≪ 2⁶³; at larger per-user volumes swap to (mean, M2) pairs. */
   def st8Anomalies(spark: SparkSession, dir: String): DataFrame = {
@@ -398,7 +403,7 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
            sum(col("c") * col("c")).as("q"))
     val lhs = col("c") * col("n") - col("s")
-    c.join(broadcast(st), Seq("user_id"))
+    c.join(st, Seq("user_id"))
       .withColumn("a",
         when(lhs > 0 && lhs * lhs > lit(4L) * (col("n") * col("q") - col("s") * col("s")),
           1L).otherwise(0L))

@@ -55,7 +55,7 @@ class AdvancedQueriesSpec extends AnyFunSuite {
   }
 
   test("q24 approx_count_distinct within 5% of exact") {
-    AdvancedQueries.q24ApproxDistinct(spark, dir).collect().foreach { r =>
+    AdvancedQueries.q24Raw(spark, dir).collect().foreach { r =>
       val ao = r.getAs[Long]("approx_orders").toDouble
       val eo = r.getAs[Long]("exact_orders").toDouble
       assert(math.abs(ao - eo) / eo < 0.05, s"orders sketch off: $ao vs $eo")

@@ -18,7 +18,9 @@ object Scratch {
       try {
         if (t == "events") Tables.events(spark, sfDir).count()
         else Tables.load(spark, sfDir, t).count()
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        System.err.println(s"warmup failed for table $t: ${e.getClass.getSimpleName}")
+      }
     }
     val names = if (args.isEmpty) Seq("q24_approx_distinct") else args.toSeq
     names.foreach { name =>
