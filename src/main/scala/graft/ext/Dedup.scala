@@ -101,7 +101,15 @@ object Dedup {
     * (spec-asserted); at threshold ∞ it IS d3. */
   def d3JaccardPairsCapped(spark: SparkSession, dir: String,
                            maxShingleDocFreq: Option[Long]): DataFrame =
-    shinglePairCounts(spark, dir, maxShingleDocFreq)
+    d3JaccardOf(Tables.documents(spark, dir), maxShingleDocFreq)
+
+  /** d3 over an arbitrary (doc_id, text) frame — the seam Round5Spec
+    * uses to plant a boilerplate shingle past the cap and pin the
+    * knob's measured semantics (capped pairs ⊆ exact pairs, per-pair
+    * jaccard never raised). */
+  private[graft] def d3JaccardOf(docs: DataFrame,
+                                 maxShingleDocFreq: Option[Long]): DataFrame =
+    shinglePairCountsOf(docs, maxShingleDocFreq)
       .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 3))
       .filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id"), col("jaccard"))
@@ -113,14 +121,14 @@ object Dedup {
     * repeated shingles (singletons can't intersect) and optionally
     * hot-shingle-capped. The scorers differ only in the final
     * normalization. */
-  private def shinglePairCounts(spark: SparkSession, dir: String,
-                                maxShingleDocFreq: Option[Long]): DataFrame = {
+  private def shinglePairCountsOf(docs: DataFrame,
+                                  maxShingleDocFreq: Option[Long]): DataFrame = {
     // Per-doc set size computed NARROWLY — size of the row's own
     // distinct-shingle array — instead of a corpus-wide groupBy over
     // the exploded rows. At 100 TB the exploded set cannot be cached,
     // so a groupBy form would re-shuffle the whole corpus just to
     // count; this is one more narrow pass over the scan.
-    val sizes = Tables.documents(spark, dir)
+    val sizes = docs
       .select(col("doc_id"), words(col("text")).as("_w"))
       .select(col("doc_id"), size(array_distinct(shinglesOf(col("_w")))).as("n"))
     // Join identity = the 64-bit StableHash of the shingle string:
@@ -129,7 +137,9 @@ object Dedup {
     // same distinct-string rows with the same md5-based function, so
     // parity is exact even under (astronomically rare) collisions —
     // both engines would see the identical collision.
-    val sh = shingleSet(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), words(col("text")).as("_w"))
+      .select(col("doc_id"), explode(array_distinct(shinglesOf(col("_w")))).as("s"))
       .select(col("doc_id"), StableHash.hash64(col("s")).as("s")).cache()
     val repeated = sh.groupBy(col("s")).agg(count(lit(1)).as("ns"))
       .filter(col("ns") > 1 &&
@@ -165,7 +175,7 @@ object Dedup {
     * scores, never invent a pair; `None` = exact. */
   def d9ContainmentCapped(spark: SparkSession, dir: String,
                           maxShingleDocFreq: Option[Long]): DataFrame =
-    shinglePairCounts(spark, dir, maxShingleDocFreq)
+    shinglePairCountsOf(Tables.documents(spark, dir), maxShingleDocFreq)
       .withColumn("containment", round(col("i") / least(col("na"), col("nb")), 3))
       .filter(col("containment") >= ContainmentThreshold)
       .select(col("a_id"), col("b_id"), col("containment"))

@@ -533,11 +533,10 @@ object Similarity {
     * (0..255) using per-dim corpus min/max, and queries scan the
     * CODES with exact int64 squared-L2. The codes here ride as
     * array<long> — the exact-arithmetic representation LongDotProduct
-    * consumes — so THIS demo shows the quantized-scan plan, not the
-    * storage win; the production layout packs the same codes into
-    * uint8 (binary column), which is where SQ8's 4× scan shrink
-    * comes from, with rescoring of survivors against the float
-    * vectors as the refinement (s1 is that exact scorer here).
+    * consumes — so THIS demo shows the quantized-scan plan; the
+    * production layout that realizes the 4–8× storage/scan shrink is
+    * [[s10Sq8Packed]]: the same codes packed uint8 into a binary
+    * column, scanned with ByteSqL2, survivors float-rescored.
     *
     * Exactness discipline: the min/max frame is a 1-row aggregate
     * broadcast back; code = floor((x−mn)·255/(mx−mn)) evaluates the
@@ -546,21 +545,7 @@ object Similarity {
     * cross-engine, ranked with the (d2, vec_id) tie-break. */
   def s8Sq8Scan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
-    val mm = Tables.embeddings(spark, dir)
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
-      .agg(collect_list(struct(col("i"), col("mn"), col("mx"))).as("s"))
-      .select(transform(array_sort(col("s")), e => e.getField("mn")).as("mns"),
-              transform(array_sort(col("s")), e => e.getField("mx")).as("mxs"))
-    val codes = Tables.embeddings(spark, dir).crossJoin(broadcast(mm))
-      .select(col("vec_id"),
-        zip_with(col("embedding"), zip_with(col("mns"), col("mxs"),
-            (a, b) => struct(a.as("mn"), b.as("mx"))),
-          (x, b) => floor((x.cast("double") - b.getField("mn")) * SqLevels
-            / greatest(b.getField("mx") - b.getField("mn"), lit(1e-12)))
-            .cast("long")).as("qc"))
-      .cache()
+    val codes = sq8Codes(spark, dir).cache()
     val q = codes.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("qc").as("qq"))
     // d2 = |a|² + |b|² − 2·a·b over int64 codes — three LongDotProducts
@@ -573,6 +558,89 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Shared SQ8 quantizer (vec_id, qc: array<long> of 0..255 codes):
+    * per-dim corpus min/max (1-row broadcast) + the affine floor map —
+    * the identical IEEE expression the DuckDB mirror evaluates. */
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
+    val mm = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(collect_list(struct(col("i"), col("mn"), col("mx"))).as("s"))
+      .select(transform(array_sort(col("s")), e => e.getField("mn")).as("mns"),
+              transform(array_sort(col("s")), e => e.getField("mx")).as("mxs"))
+    Tables.embeddings(spark, dir).crossJoin(broadcast(mm))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), zip_with(col("mns"), col("mxs"),
+            (a, b) => struct(a.as("mn"), b.as("mx"))),
+          (x, b) => floor((x.cast("double") - b.getField("mn")) * SqLevels
+            / greatest(b.getField("mx") - b.getField("mn"), lit(1e-12)))
+            .cast("long")).as("qc"))
+  }
+
+  /** Candidates per query ranked by packed-code distance — s10's
+    * first stage, factored so the spec can pin its top-k ≡ s8 (the
+    * packing is lossless, so byte_sq_l2 over packed buffers equals
+    * the array<long> form bit-for-bit). */
+  private[graft] def s10Candidates(spark: SparkSession, dir: String, depth: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    def packE(c: Column): Column = ColumnShim.column(
+      graft.functions.PackUint8(ColumnShim.expression(c)))
+    def bl2(a: Column, b: Column): Column = ColumnShim.column(
+      graft.functions.ByteSqL2(ColumnShim.expression(a), ColumnShim.expression(b)))
+    val packed = sq8Codes(spark, dir)
+      .select(col("vec_id"), packE(col("qc")).as("pc")).cache()
+    val q = packed.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("pc").as("qpc"))
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    packed.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("d2", bl2(col("pc"), col("qpc")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= depth)
+      .select(col("query_id"), col("vec_id"), col("d2"), col("crank"))
+  }
+
+  /** Candidate depth for s10's rescoring stage: 2k survivors enter
+    * the float rescore per query. The gap between k and the depth is
+    * the recall insurance the compressed scan buys back — SQ8 code
+    * distance is a lossy rank, so refining only the top-k would lock
+    * in its inversions. */
+  val RescoreDepth = 2 * TopK
+
+  /** S10 — the PACKED SQ8 scan + float-rescore pipeline that s8's doc
+    * names as the production layout: codes ride as a 64-byte binary
+    * column (one uint8 per dim via the codegen'd [[graft.functions.PackUint8]]),
+    * the scan kernel is [[graft.functions.ByteSqL2]] over two byte
+    * buffers — a 4–8× smaller scan than the array<long> form (64 B vs
+    * 64×8 B + offsets per vector) and zero per-element null/offset
+    * bookkeeping — and the top-2k survivors per query are RESCORED
+    * against the full float embeddings (s1's exact cosine) for the
+    * final top-k. Two-stage shape at 100 TB: the compressed scan
+    * touches every vector but reads 64 B each; the exact stage reads
+    * float vectors for only |Q|·2k rows moved by a broadcast-probe
+    * join — the corpus never shuffles in either stage.
+    *
+    * Output carries BOTH distances (code-space d2, rescored cosine);
+    * final rank is by cosine — the packed scan prunes, the floats
+    * decide. Spec pins stage-1 top-k ≡ s8's answer exactly. */
+  def s10Sq8Packed(spark: SparkSession, dir: String): DataFrame = {
+    val cand = s10Candidates(spark, dir, RescoreDepth)
+      .select(col("query_id"), col("vec_id"), col("d2"))
+    val v = normed(spark, dir)
+    val qf = v.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val rw = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
+    v.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .withColumn("cosine",
+        round(dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2"),
+        col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -622,6 +690,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_filtered_knn"      -> (s9FilteredKnn _),
     "s8_sq8_scan"          -> (s8Sq8Scan _),
+    "s10_sq8_packed"       -> (s10Sq8Packed _),
     "d13_semdedup"         -> (d13SemDedup _),
     "s7_recall_eval"       -> (s7RecallEval _),
     "s1_knn_brute"         -> (s1KnnBrute _),
@@ -853,6 +922,47 @@ object Similarity {
                    ORDER BY d2, vec_id) AS INTEGER) AS rank
                FROM d)
          SELECT query_id, neighbor_id, d2, rank FROM r
+         WHERE rank <= $TopK ORDER BY query_id, rank""",
+    // s10: the packing is lossless, so the mirror stays in integer
+    // code space (same qc CTEs as s8) for stage 1, then rescored
+    // exact cosine (same float discipline as s1: round 6 at the edge)
+    // decides the final rank over the top-RescoreDepth survivors
+    "s10_sq8_packed" ->
+      s"""WITH $expandCtes,
+         mm AS (SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+                FROM ux GROUP BY 1),
+         qcod AS (
+           SELECT u.vec_id, u.i,
+                  CAST(floor((CAST(u.x AS DOUBLE) - m.mn) * $SqLevels
+                    / greatest(m.mx - m.mn, 1e-12)) AS BIGINT) AS c
+           FROM ux u JOIN mm m USING (i)),
+         qsel AS (SELECT vec_id AS query_id, i, c FROM qcod WHERE vec_id < $QueryCount),
+         dist AS (
+           SELECT q.query_id, v.vec_id,
+                  CAST(sum((v.c - q.c) * (v.c - q.c)) AS BIGINT) AS d2
+           FROM qcod v JOIN qsel q ON q.i = v.i AND v.vec_id <> q.query_id
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT query_id, vec_id, d2 FROM (
+             SELECT query_id, vec_id, d2,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY d2, vec_id) AS crank
+             FROM dist) t WHERE crank <= $RescoreDepth),
+         resc AS (
+           SELECT c.query_id, c.vec_id, min(c.d2) AS d2,
+                  round(sum(CAST(q.qx AS DOUBLE) * CAST(v.x AS DOUBLE))
+                        / (min(q.qn) * min(n.nrm)), 6) AS cosine
+           FROM cand c
+           JOIN uq q ON q.query_id = c.query_id
+           JOIN ux v ON v.vec_id = c.vec_id AND v.i = q.qi
+           JOIN nrm n ON n.vec_id = c.vec_id
+           GROUP BY 1, 2),
+         rnk AS (
+           SELECT query_id, vec_id AS neighbor_id, d2, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+           FROM resc)
+         SELECT query_id, neighbor_id, d2, cosine, rank FROM rnk
          WHERE rank <= $TopK ORDER BY query_id, rank""",
     "d13_semdedup" ->
       s"""WITH $kmeansListsCtes,

@@ -896,7 +896,37 @@ object AdvancedQueries {
       .orderBy(col("month_offset"))
   }
 
+  val SkewBuckets = 8
+
+  /** q52 — the skew-join machinery under the correctness gate: orders
+    * joined to a tiny priority dimension on `o_orderpriority` — five
+    * distinct keys, each ~20% of the fact table, the textbook
+    * hot-key shape AQE's partition-splitting can't always save (a
+    * SINGLE key's rows all hash to one reducer; splitting helps only
+    * after the fact). The join runs through
+    * [[graft.operators.SkewJoin.salted]]: the fact side gets a
+    * deterministic salt in [0, 8), the dim side is replicated 8×, and
+    * the join key becomes (key, salt) — each hot key spreads over 8
+    * partitions. Salting never changes multiplicity, so the rollup
+    * hash-matches a plain-join oracle exactly (and Round5Spec pins
+    * salted ≡ unsalted row-for-row plus the salt expansion in the
+    * plan). Money in integer cents, divided once at the edge. */
+  def q52SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_orderpriority")).distinct()
+      .withColumn("priority_class", substring(col("o_orderpriority"), 1, 1).cast("int"))
+    graft.operators.SkewJoin.salted(o, dim, "o_orderpriority", SkewBuckets)
+      .groupBy(col("o_orderpriority"), col("priority_class"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("cents")) / 100.0, 2).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_skew_join"       -> (q52SkewJoin _),
     "q51_ltv_curve"       -> (q51LtvCurve _),
     "q50_revenue_bridge"  -> (q50RevenueBridge _),
     "q49_pareto"          -> (q49Pareto _),
@@ -972,6 +1002,19 @@ object AdvancedQueries {
            FROM v2 JOIN novel USING (customer_id))"""
 
   val oracles: Map[String, String] = Map(
+    // q52's salting is an execution-layout detail — multiplicity is
+    // untouched, so the oracle is the PLAIN join
+    "q52_skew_join" ->
+      """WITH dim AS (
+           SELECT DISTINCT o_orderpriority,
+                  CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_class
+           FROM orders)
+         SELECT o.o_orderpriority, d.priority_class,
+                count(*) AS n_orders,
+                round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                      / 100.0, 2) AS total_price
+         FROM orders o JOIN dim d USING (o_orderpriority)
+         GROUP BY 1, 2 ORDER BY o_orderpriority""",
     "q51_ltv_curve" ->
       """WITH o AS (
            SELECT o_custkey AS c,
