@@ -925,7 +925,48 @@ object AdvancedQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  val ZProfileFiles = 16
+
+  /** q53 — the physical-layout claim made driver-visible: rewrite
+    * lineitem twice under the same file budget — a classic
+    * single-column range sort (perfect for orderkey, scatters
+    * partkey) and [[graft.operators.ZOrder]] on (orderkey, partkey) —
+    * then probe both with a secondary-column predicate and report
+    * whether the Morton layout touched FEWER files. File-touch counts
+    * are engine-physical (no SQL mirror exists), so the gated row
+    * carries what IS oracle-checkable: total/predicate row counts
+    * (data integrity of the rewrite — the z-ordered copy holds
+    * exactly the source's rows) plus the skip claim as a measured
+    * boolean the oracle emits as a literal (q24's pattern; the margin
+    * is wide — PhysicalLayoutSpec measures 4-of-16 vs 16-of-16).
+    * The four driver-side scalars here are bounded profile
+    * aggregates, not corpus data. */
+  def q53ZorderProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q53/${new java.io.File(dir).getName}"
+    val linear = s"$base/linear"
+    val zed = s"$base/zorder"
+    li.repartitionByRange(ZProfileFiles, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(linear)
+    // 4 bits = 16 rank buckets per column: granularity only needs to
+    // resolve the 16-file budget; the default 8 bits costs a
+    // 255-quantile sketch per column for no extra skipping here
+    graft.operators.ZOrder.writeZOrdered(li, zed,
+      Seq("l_orderkey", "l_partkey"), numFiles = ZProfileFiles, bits = 4)
+    val pred = col("l_partkey").between(100, 120)
+    def touched(p: String): Long =
+      spark.read.parquet(p).filter(pred).select(input_file_name()).distinct().count()
+    val zeroed = spark.read.parquet(zed)
+    Seq((zeroed.count(), zeroed.filter(pred).count(), ZProfileFiles.toLong,
+      touched(zed) < touched(linear)))
+      .toDF("n_rows", "n_pred_rows", "n_files", "zorder_localizes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_zorder_profile"  -> (q53ZorderProfile _),
     "q52_skew_join"       -> (q52SkewJoin _),
     "q51_ltv_curve"       -> (q51LtvCurve _),
     "q50_revenue_bridge"  -> (q50RevenueBridge _),
@@ -1002,6 +1043,15 @@ object AdvancedQueries {
            FROM v2 JOIN novel USING (customer_id))"""
 
   val oracles: Map[String, String] = Map(
+    // q53: row counts mirror the source table (the rewrite must hold
+    // exactly the source's rows); the skip claim is a measured
+    // boolean the oracle emits as a literal (q24's pattern)
+    "q53_zorder_profile" ->
+      """SELECT count(*) AS n_rows,
+         count(*) FILTER (WHERE l_partkey BETWEEN 100 AND 120) AS n_pred_rows,
+         CAST(16 AS BIGINT) AS n_files,
+         TRUE AS zorder_localizes
+         FROM lineitem""",
     // q52's salting is an execution-layout detail — multiplicity is
     // untouched, so the oracle is the PLAIN join
     "q52_skew_join" ->
