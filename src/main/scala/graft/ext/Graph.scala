@@ -142,17 +142,17 @@ object Graph {
     * borderline pairs (chains are what make min-label components
     * over-merge). One row: nodes, edges, triangles.
     *
-    * d4 emits each undirected edge once, already oriented a_id <
-    * b_id, so the two-hop join e1(a,b)⋈e2(b,c) with closure check
-    * e3(a,c) counts every triangle exactly once — no /6 correction,
-    * no symmetrized blow-up. The edge list is checkpointed so the
-    * LSH build runs once, not three times. At a 100 TB graph the
-    * production refinement is degree-ordering (orient each edge
-    * toward the higher-degree endpoint, bounding the two-hop fan-out
-    * by √|E| per node); the candidate graph here is pair-bounded by
-    * LSH construction, so plain orientation by id suffices. */
+    * Runs the DEGREE-ORDERED census ([[triangleCensusOriented]]) —
+    * the production form whose two-hop fan-out is bounded by each
+    * node's OUT-degree under the (degree, id) orientation, O(√|E|)
+    * per node, instead of a hub's full degree under plain id order
+    * (one celebrity node with d neighbors would otherwise fan out
+    * d²/2 two-hop rows). The census count is orientation-invariant —
+    * Round5Spec pins oriented ≡ plain on constructed graphs AND on
+    * this exact LSH graph — so the DuckDB oracle keeps the simple
+    * id-oriented form. */
   def p2Triangles(spark: SparkSession, dir: String): DataFrame =
-    triangleCensus(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+    triangleCensusOriented(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
 
   /** Core census over any undirected edge list. Precondition: each
     * edge appears exactly once, oriented aCol < bCol (what d4 emits);
@@ -160,6 +160,43 @@ object Graph {
   def triangleCensus(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = pairs
       .select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    censusOverOriented(e)
+  }
+
+  /** The degree-ordered census (Schank–Wagner / forward counting):
+    * re-orient every edge toward the higher (degree, id) endpoint
+    * first, THEN run the same two-hop + closure join. Under that
+    * total order each triangle {x,y,z} with rank x<y<z appears
+    * exactly once as x→y ⋈ y→z closed by x→z, and every node's
+    * two-hop fan-out is bounded by its OUT-degree, which the
+    * orientation caps at O(√|E|) — the bound that survives hub nodes
+    * at 100 TB. Two extra degree joins (edge-sized, broadcastable
+    * degree table at candidate-graph scale) buy the fan-out cap;
+    * the count is identical to [[triangleCensus]] (spec-pinned). */
+  def triangleCensusOriented(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val deg = p.select(col("a").as("v")).union(p.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val e = p
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("a"),
+              when(aFirst, col("b")).otherwise(col("a")).as("b"))
+      .localCheckpoint()
+    import org.apache.spark.sql.graftshim.CheckpointShim
+    CheckpointShim.unpersist(p)
+    censusOverOriented(e)
+  }
+
+  /** nodes/edges/triangles over an edge list in which each triangle's
+    * three edges agree with ONE total order (id or (degree, id)) —
+    * the two-hop join e1(a,b)⋈e2(b,c) closed by e3(a,c) then counts
+    * each triangle exactly once, no /6 correction, no symmetrized
+    * blow-up. `e` is checkpointed by the caller so the upstream build
+    * (for p2, the whole LSH pipeline) runs once, not three times. */
+  private def censusOverOriented(e: DataFrame): DataFrame = {
     val nV = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .distinct().agg(count(lit(1)).as("n_nodes"))
     val nE = e.agg(count(lit(1)).as("n_edges"))

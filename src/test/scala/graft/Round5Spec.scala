@@ -85,6 +85,28 @@ class Round5Spec extends AnyFunSuite {
     assert(q52.toSeq === twin.toSeq)
   }
 
+  test("degree-ordered triangle census ≡ id-ordered, on constructed graphs and the LSH graph") {
+    import spark.implicits._
+    import graft.ext.Graph
+    def censusOf(df: org.apache.spark.sql.DataFrame) = {
+      val plain = Graph.triangleCensus(df, "a", "b").collect().head
+      val orient = Graph.triangleCensusOriented(df, "a", "b").collect().head
+      assert(orient.getAs[Long]("n_nodes") === plain.getAs[Long]("n_nodes"))
+      assert(orient.getAs[Long]("n_edges") === plain.getAs[Long]("n_edges"))
+      assert(orient.getAs[Long]("n_triangles") === plain.getAs[Long]("n_triangles"))
+      plain.getAs[Long]("n_triangles")
+    }
+    // K4 (4 triangles), and a hub graph — the shape the orientation
+    // exists for: hub 0 touches everyone, triangles only via the rim
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    assert(censusOf(k4) === 4L)
+    val hub = ((1L to 8L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L))).toDF("a", "b")
+    assert(censusOf(hub) === 2L)
+    // and on the exact graph p2 runs over
+    censusOf(ext.Dedup.d4MinhashLsh(spark, dir)
+      .select(col("a_id").as("a"), col("b_id").as("b")))
+  }
+
   test("d3 hot-shingle cap: planted boilerplate past the cap removes/downgrades, never invents") {
     import spark.implicits._
     // docs 1,2: identical private content (pair survives any cap).
