@@ -62,8 +62,11 @@ object Bench {
     // tolerate transient glitches); its time is the min over the OK
     // passes only — pairing a failed pass's short duration with an ok
     // status (or vice versa) would describe two different runs
-    val results = qs.map { case (name, _) =>
-      val attempts = passes.map(p => p.find(_._1 == name).get).map { case (_, t, s) => (t, s) }
+    // positional pairing: every pass iterates the same fixed-order qs,
+    // so index i in any pass IS query i — total, and linear instead of
+    // the quadratic name-scan
+    val results = qs.zipWithIndex.map { case ((name, _), i) =>
+      val attempts = passes.map(_(i)).map { case (_, t, s) => (t, s) }
       val okTimes = attempts.collect { case (t, "ok") => t }
       if (okTimes.nonEmpty) (name, okTimes.min, "ok")
       else (name, attempts.map(_._1).min, attempts.head._2)

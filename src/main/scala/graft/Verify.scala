@@ -19,6 +19,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries cache intermediates for their own multi-use plans
+      // (LSH signatures, SQ8 code sets, k-means assignments); drop
+      // them once the result is on disk so a 120-query session never
+      // accumulates pinned corpus-sized blocks (Bench does the same)
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -625,7 +625,12 @@ object Similarity {
     *
     * Output carries BOTH distances (code-space d2, rescored cosine);
     * final rank is by cosine — the packed scan prunes, the floats
-    * decide. Spec pins stage-1 top-k ≡ s8's answer exactly. */
+    * decide. Spec pins stage-1 top-k ≡ s8's answer exactly. Float
+    * edge: rank orders by round(cosine, 6), and Round6Spec MEASURES
+    * every rescored candidate's distance from the nearest rounding
+    * boundary (min ≥ 1e-12 in cosine space at both spec and gate SFs,
+    * ~1000× above cross-engine 1-ulp dot-order noise) — the repo's
+    * measured-margin rule for threshold compares. */
   def s10Sq8Packed(spark: SparkSession, dir: String): DataFrame = {
     val cand = s10Candidates(spark, dir, RescoreDepth)
       .select(col("query_id"), col("vec_id"), col("d2"))

@@ -937,32 +937,45 @@ object AdvancedQueries {
     * carries what IS oracle-checkable: total/predicate row counts
     * (data integrity of the rewrite — the z-ordered copy holds
     * exactly the source's rows) plus the skip claim as a measured
-    * boolean the oracle emits as a literal (q24's pattern; the margin
-    * is wide — PhysicalLayoutSpec measures 4-of-16 vs 16-of-16).
-    * The four driver-side scalars here are bounded profile
-    * aggregates, not corpus data. */
+    * boolean the oracle emits as a literal (q24's pattern). The
+    * boolean is MARGIN-pinned — 2·touched(zorder) ≤ touched(linear),
+    * not a bare `<` — because repartitionByRange boundaries come from
+    * seed-varying sampling: the measured gap is 4-of-16 vs 16-of-16
+    * (PhysicalLayoutSpec), so a 2× margin cannot flip on boundary
+    * jitter while a one-file wobble under `<` could. Scratch files go
+    * under a per-invocation unique dir, deleted before returning —
+    * repeated or concurrent runs never clobber each other or leave
+    * 2× lineitem in /tmp. The four driver-side scalars here are
+    * bounded profile aggregates, not corpus data. */
   def q53ZorderProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q53/${new java.io.File(dir).getName}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q53/${java.util.UUID.randomUUID()}"
     val linear = s"$base/linear"
     val zed = s"$base/zorder"
-    li.repartitionByRange(ZProfileFiles, col("l_orderkey"))
-      .sortWithinPartitions(col("l_orderkey"))
-      .write.mode("overwrite").parquet(linear)
-    // 4 bits = 16 rank buckets per column: granularity only needs to
-    // resolve the 16-file budget; the default 8 bits costs a
-    // 255-quantile sketch per column for no extra skipping here
-    graft.operators.ZOrder.writeZOrdered(li, zed,
-      Seq("l_orderkey", "l_partkey"), numFiles = ZProfileFiles, bits = 4)
-    val pred = col("l_partkey").between(100, 120)
-    def touched(p: String): Long =
-      spark.read.parquet(p).filter(pred).select(input_file_name()).distinct().count()
-    val zeroed = spark.read.parquet(zed)
-    Seq((zeroed.count(), zeroed.filter(pred).count(), ZProfileFiles.toLong,
-      touched(zed) < touched(linear)))
-      .toDF("n_rows", "n_pred_rows", "n_files", "zorder_localizes")
+    try {
+      li.repartitionByRange(ZProfileFiles, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(linear)
+      // 4 bits = 16 rank buckets per column: granularity only needs to
+      // resolve the 16-file budget; the default 8 bits costs a
+      // 255-quantile sketch per column for no extra skipping here
+      graft.operators.ZOrder.writeZOrdered(li, zed,
+        Seq("l_orderkey", "l_partkey"), numFiles = ZProfileFiles, bits = 4)
+      val pred = col("l_partkey").between(100, 120)
+      def touched(p: String): Long =
+        spark.read.parquet(p).filter(pred).select(input_file_name()).distinct().count()
+      val zeroed = spark.read.parquet(zed)
+      // all scalars are materialized HERE (count() is eager), so the
+      // finally-delete below never races the returned DataFrame
+      Seq((zeroed.count(), zeroed.filter(pred).count(), ZProfileFiles.toLong,
+        touched(zed) * 2 <= touched(linear)))
+        .toDF("n_rows", "n_pred_rows", "n_files", "zorder_localizes")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1045,7 +1058,8 @@ object AdvancedQueries {
   val oracles: Map[String, String] = Map(
     // q53: row counts mirror the source table (the rewrite must hold
     // exactly the source's rows); the skip claim is a measured
-    // boolean the oracle emits as a literal (q24's pattern)
+    // boolean the oracle emits as a literal (q24's pattern), pinned
+    // with a 2× file-count margin so range-sampling jitter can't flip it
     "q53_zorder_profile" ->
       """SELECT count(*) AS n_rows,
          count(*) FILTER (WHERE l_partkey BETWEEN 100 AND 120) AS n_pred_rows,
