@@ -547,6 +547,74 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** d18's sketch width. Sized BELOW this corpus's ~31-token
+    * per-source vocabularies on purpose: the estimator must actually
+    * estimate (k ≥ |vocab| would silently degenerate to d16's exact
+    * path and the error spec would test nothing). At 100 TB the same
+    * k rides against billion-token vocabularies — state per source is
+    * k hashes regardless. */
+  val SketchK = 16
+
+  /** D18 — d16's named production swap landed as code: the
+    * source-overlap matrix from bottom-k (KMV) vocabulary SKETCHES
+    * instead of exact vocabularies. d16's exact intersection
+    * self-joins the full per-source vocabularies — fine while
+    * vocabularies are small, but its shuffle grows with vocabulary
+    * size; here each source first reduces to its k smallest distinct
+    * token hashes (the [[graft.functions.BottomK]] typed Aggregator —
+    * O(k) buffer, map-side partials, so the corpus-sized pass emits
+    * constant state per source), and every later stage touches only
+    * |sources|·k rows. Estimator: merge two sketches, keep the k
+    * smallest of the union, and count how many of those sit in BOTH —
+    * est_J = n_both / n_union_k (Beyer et al., SIGMOD'07). Membership
+    * inside the union-top-k is exact: a hash among the k smallest of
+    * A∪B that belongs to A is necessarily among the k smallest of A,
+    * so A's sketch contains it.
+    *
+    * Exactness discipline: hashes are StableHash (DuckDB replays the
+    * identical sketch), the estimate is emitted as integer PERMILLE
+    * via integer division — no float ratio near a rounding boundary
+    * (n_union_k can be a power of two, where round-half behavior
+    * diverges across engines). Round6Spec measures the estimate
+    * against d16's exact matrix. */
+  def d18SketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fn = graft.functions.BottomK.registerWidth(spark, SketchK)
+    val vh = Tables.documents(spark, dir)
+      .select(col("source"), explode(array_distinct(words(col("text")))).as("t"))
+      .distinct()
+      .select(col("source"), StableHash.hash64(col("t")).as("h"))
+    // the ONLY corpus-bounded stage; output is k hashes per source
+    val sk = vh.groupBy(col("source"))
+      .agg(call_function(fn, col("h")).getField("values").as("hs"))
+    // |sources|·k rows from here on — cached because both sides of
+    // the pair construction read it (Verify/Bench clear per query)
+    val ex = sk.select(col("source"), explode(col("hs")).as("h")).cache()
+    val srcs = ex.select(col("source")).distinct()
+    val pr = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+    val ua = pr.join(ex.withColumnRenamed("source", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val ub = pr.join(ex.withColumnRenamed("source", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val merged = ua.unionByName(ub)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    // union-top-k per pair: the window partition holds ≤ 2k rows by
+    // construction — partitioned, never a global sort
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SketchK)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_union_k"),
+           sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("src_a"), col("src_b"), lit(SketchK.toLong).as("sketch_k"),
+        col("n_both"), col("n_union_k"),
+        expr("n_both * 1000 div n_union_k").as("est_jaccard_permille"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** doc_ids the d7 labeling drops (non-canonical members) — ONE
     * definition for d15 and the e1 funnel. */
   private[ext] def nonCanonicalDocs(spark: SparkSession, dir: String): DataFrame =
@@ -650,6 +718,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_sketch_overlap"    -> (d18SketchOverlap _),
     "d17_cross_source"      -> (d17CrossSourcePairs _),
     "d16_source_overlap"    -> (d16SourceOverlap _),
     "d15_dedup_materialize" -> (d15DedupMaterialize _),
@@ -757,6 +826,37 @@ object Dedup {
          SELECT src_a, src_b, count(*) AS n_pairs,
                 src_a = src_b AS within_source
          FROM ann GROUP BY 1, 2 ORDER BY src_a, src_b""",
+    // d18: DuckDB replays the identical KMV pipeline — same StableHash
+    // values, same bottom-k per source (row_number over hash order ≡
+    // the Aggregator's sorted ≤k buffer on distinct hashes), same
+    // union-top-k membership counts; the estimate is integer permille
+    // (// is DuckDB integer division) so no float edge exists
+    "d18_sketch_overlap" ->
+      s"""WITH v AS (
+           SELECT DISTINCT source, unnest(list_distinct(string_split(trim(text), ' '))) AS t
+           FROM documents),
+         vh AS (SELECT DISTINCT source, ${H.duckdbHash64("t")} AS h FROM v),
+         sk AS (SELECT source, h FROM (
+                  SELECT source, h,
+                         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                  FROM vh) WHERE rn <= $SketchK),
+         srcs AS (SELECT DISTINCT source FROM sk),
+         pr AS (SELECT a.source AS src_a, b.source AS src_b
+                FROM srcs a JOIN srcs b ON a.source < b.source),
+         m AS (
+           SELECT pr.src_a, pr.src_b, s.h,
+                  max(CASE WHEN s.source = pr.src_a THEN 1 ELSE 0 END) AS in_a,
+                  max(CASE WHEN s.source = pr.src_b THEN 1 ELSE 0 END) AS in_b
+           FROM pr JOIN sk s ON s.source = pr.src_a OR s.source = pr.src_b
+           GROUP BY 1, 2, 3),
+         tu AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+                FROM m)
+         SELECT src_a, src_b, CAST($SketchK AS BIGINT) AS sketch_k,
+                CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+                count(*) AS n_union_k,
+                (CAST(sum(in_a * in_b) AS BIGINT) * 1000) // count(*) AS est_jaccard_permille
+         FROM tu WHERE rn <= $SketchK
+         GROUP BY 1, 2 ORDER BY src_a, src_b""",
     "d16_source_overlap" ->
       """WITH v AS (
            SELECT DISTINCT source, unnest(list_distinct(string_split(trim(text), ' '))) AS t

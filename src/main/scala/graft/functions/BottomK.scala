@@ -55,4 +55,16 @@ object BottomK {
     * same public seam as cosine_sim. Idempotent. */
   def register(spark: SparkSession, k: Int = DefaultK): Unit =
     spark.udf.register("bottom_k", udaf(new BottomK(k)))
+
+  /** Register under a k-suffixed name (`bottom_k_<k>`) and return it.
+    * Different operators need different sketch widths (t5 uses k=4 as
+    * a per-doc fingerprint, d18 k=16 as a per-source vocabulary
+    * sketch); giving each width its own function name means two such
+    * queries built on one session can never race a re-registration.
+    * Idempotent like register. */
+  def registerWidth(spark: SparkSession, k: Int): String = {
+    val name = s"bottom_k_$k"
+    spark.udf.register(name, udaf(new BottomK(k)))
+    name
+  }
 }

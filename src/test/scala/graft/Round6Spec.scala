@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity}
+
+/** Round-6 pins: the float edges the round-5 advice flagged, measured
+  * rather than asserted-by-hope. s10's final rank orders by
+  * round(cosine, 6); Spark computes the dot as a sequential fold while
+  * the DuckDB mirror sums in its own order, so the two engines can
+  * differ by ~1 ulp (≈1e-16 relative, ≈1e-9 after the ×1e6 scaling of
+  * the rounding grid). A rank flips only if a true cosine sits within
+  * that noise of a .5 rounding boundary. This spec MEASURES the
+  * distance of every rescored candidate's cosine from its nearest
+  * boundary and asserts the minimum is ≥ 1e-6 grid units (1e-12 in
+  * cosine space) — three orders of magnitude above cross-engine float
+  * noise, the repo's measured-margin discipline for threshold
+  * compares (CLAUDE.md). Runs at both spec SF and the driver's gate
+  * SF so the margin is measured on the exact data the gate hashes.
+  */
+class Round6Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("s10 rescore cosines sit ≫ float-noise from the round(·,6) boundary (measured margin)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val cand = Similarity.s10Candidates(spark, dir, Similarity.RescoreDepth)
+        .select(col("query_id"), col("vec_id"))
+      val v = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
+      val q = v.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+      // the UNROUNDED cosine of every candidate the rescore stage ranks
+      val scaled = cand.join(v, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
+        .select((dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm")) * 1e6).as("b"))
+      val rows = scaled.select(
+          min(abs(col("b") - floor(col("b")) - lit(0.5))).as("min_dist"),
+          count(lit(1)).as("n"))
+        .collect().head
+      assert(rows.getAs[Long]("n") > 0)
+      val minDist = rows.getAs[Double]("min_dist")
+      assert(minDist > 1e-6,
+        s"$dir: a rescored cosine sits ${minDist}e-6 grid units from a rounding " +
+          "boundary — within cross-engine float noise; tighten the edge")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("d18 KMV sketch overlap estimates d16's exact matrix within the k=16 error envelope") {
+    val dir = "/root/testdata/sf0.01"
+    val est = Dedup.d18SketchOverlap(spark, dir).collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        (r.getAs[Long]("est_jaccard_permille"), r.getAs[Long]("n_union_k")))).toMap
+    val exact = Dedup.d16SourceOverlap(spark, dir).collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        r.getAs[Double]("vocab_jaccard"))).toMap
+    // same pair matrix: a sketch can only miss a pair if a source had
+    // an empty vocabulary, which the corpus never has
+    assert(est.keySet === exact.keySet)
+    assert(est.nonEmpty)
+    // the sketch must actually be estimating on this corpus (union
+    // truncated to k), not degenerating to the exact path
+    assert(est.values.count(_._2 == Dedup.SketchK) > est.size / 2,
+      "sketch k is not below the corpus vocabulary size — the spec tests nothing")
+    val errs = est.map { case (k, (pm, _)) => math.abs(pm / 1000.0 - exact(k)) }
+    val mean = errs.sum / errs.size
+    // KMV stderr at k=16 is ~sqrt(J(1-J)/16) ≈ 0.12; measured on this
+    // corpus: mean ~0.05, max ~0.25. Bounds carry ~2x margin.
+    assert(mean < 0.12, s"mean |est-exact| = $mean")
+    assert(errs.max < 0.45, s"max |est-exact| = ${errs.max}")
+    spark.catalog.clearCache()
+  }
+}
