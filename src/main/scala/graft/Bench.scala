@@ -33,15 +33,15 @@ object Bench {
     // ratcheted round-over-round like queries. No oracle row — the
     // star's correctness is covered by q27-q29 + the ETL specs; this
     // row exists for its timing.
-    val qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+    val qs: IndexedSeq[(String, (org.apache.spark.sql.SparkSession, String) =>
         Seq[org.apache.spark.sql.DataFrame])] =
       (SparkEntry.queries.view.mapValues { fn =>
         (s: org.apache.spark.sql.SparkSession, d: String) => Seq(fn(s, d))
       }.toSeq :+ ("star_build" -> { (s: org.apache.spark.sql.SparkSession, d: String) =>
         val st = graft.etl.RetailStar.buildStar(s, d)
         Seq(st.fact, st.product, st.shipping)
-      })).sortBy(_._1)
-    val passes: Seq[Seq[(String, Double, String)]] = (1 to runs).map { _ =>
+      })).sortBy(_._1).toIndexedSeq
+    val passes: IndexedSeq[IndexedSeq[(String, Double, String)]] = (1 to runs).map { _ =>
       qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop write materializes every output row and column; count()
@@ -63,8 +63,9 @@ object Bench {
     // passes only — pairing a failed pass's short duration with an ok
     // status (or vice versa) would describe two different runs
     // positional pairing: every pass iterates the same fixed-order qs,
-    // so index i in any pass IS query i — total, and linear instead of
-    // the quadratic name-scan
+    // so index i in any pass IS query i — total, and (qs and passes
+    // are IndexedSeq-backed, so the indexed reads are O(1)) linear
+    // overall instead of a per-query name-scan
     val results = qs.zipWithIndex.map { case ((name, _), i) =>
       val attempts = passes.map(_(i)).map { case (_, t, s) => (t, s) }
       val okTimes = attempts.collect { case (t, "ok") => t }
@@ -94,11 +95,68 @@ object Bench {
       val s = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
+    // ---- cross-round floor file -------------------------------------
+    // Sustained whole-run contention can defeat interleaved best-of-N:
+    // r6 recorded d12 at 60.6s vs 1.6s measured because the machine
+    // was oversubscribed for the ENTIRE run, so both passes saw the
+    // same stall. And the stdout metric line cannot carry all ~123
+    // per-query times (full map is ~2.6KB even at 0 decimals vs the
+    // collector's ~1.9KB tail budget). So the contention-proof record
+    // lives in BENCH_FLOOR.json at the repo root, committed with each
+    // round snapshot: per-query floor = min(this run's ok time, the
+    // prior committed floor), plus this run's FULL per-query map — a
+    // contention window can inflate one run's map but can never move
+    // a floor upward, and every query stays comparable round-over-
+    // round from the repo alone. Floors are only meaningful within
+    // one scale factor: the canonical file tracks the driver's sf0.1;
+    // any other sf dir gets its own suffixed file so dev runs at
+    // sf0.01 never pollute the driver's record.
+    val floorFile = new java.io.File(
+      if (sfNum == "0.1") "BENCH_FLOOR.json"
+      else "BENCH_FLOOR_sf" + sfNum.replaceAll("[^0-9.]", "") + ".json")
+    val priorFloor: Map[String, Double] =
+      if (!floorFile.exists) Map.empty
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(floorFile.toPath))
+        val fl = root.path("floor")
+        val it = fl.fieldNames()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val k = it.next(); b += k -> fl.path(k).asDouble() }
+        b.result()
+      } catch { case e: Throwable =>
+        // unreadable floor ⇒ log + rebuild from this run; never let a
+        // corrupt side-file kill the bench record itself
+        System.err.println(s"floor file unreadable, rebuilding: ${e.getClass.getSimpleName}")
+        Map.empty
+      }
+    // floors only for CURRENT queries (renamed/retired entries drop
+    // out); a query whose every pass failed this run keeps its prior
+    // floor if one exists, else has no floor yet
+    val floor: Seq[(String, Double)] = results.flatMap { case (name, t, s) =>
+      val cand = (if (s == "ok") Seq(t) else Nil) ++ priorFloor.get(name)
+      cand.minOption.map(name -> _)
+    }
+    val floorTotal = floor.map(_._2).sum
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f(3, v) }.mkString("{", ",", "}")
+    try {
+      val thisRun = results.map { case (k, v, _) => (k, v) }
+      java.nio.file.Files.writeString(floorFile.toPath,
+        s"""{"sf":$sfNum,"runs":$runs,"failures":$failures,
+           |"floor_total":${f(2, floorTotal)},"run_total":${f(2, total)},
+           |"floor":${jmap(floor)},
+           |"this_run":${jmap(thisRun)},
+           |"status":$st}
+           |""".stripMargin)
+    } catch { case e: Throwable =>
+      System.err.println(s"floor file write failed: ${e.getClass.getSimpleName}")
+    }
     def lineOf(rs: Seq[(String, Double, String)], dec: Int, omitted: Int): String = {
       val qs = rs.map { case (k, v, _) => "\"" + k + "\":" + f(dec, v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f(2, total)},"unit":"sec","queries":$qs$om,"failures":$failures,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${f(2, total)},"unit":"sec","floor_total":${f(2, floorTotal)},"floor_file":"${floorFile.getName}","queries":$qs$om,"failures":$failures,"sf":$sfNum}"""
     }
     // budget: 2000-char tail minus sbt's "[info] " prefix and trailing
     // "[success] Total time: …" line (~85 chars), with slack. Full map

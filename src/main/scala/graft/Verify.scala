@@ -22,8 +22,17 @@ object Verify {
       // queries cache intermediates for their own multi-use plans
       // (LSH signatures, SQ8 code sets, k-means assignments); drop
       // them once the result is on disk so a 120-query session never
-      // accumulates pinned corpus-sized blocks (Bench does the same)
-      finally spark.catalog.clearCache()
+      // accumulates pinned corpus-sized blocks (Bench does the same).
+      // clearCache gets its OWN catch: if the session is wedged after
+      // a query failure, an escaping exception here would abort the
+      // foreach — skipping every remaining dump AND the
+      // oracle_sql.json write, silently zeroing the round.
+      finally {
+        try spark.catalog.clearCache()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] clearCache after $name failed: ${e.getMessage}")
+        }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -586,9 +586,17 @@ object Dedup {
     // the ONLY corpus-bounded stage; output is k hashes per source
     val sk = vh.groupBy(col("source"))
       .agg(call_function(fn, col("h")).getField("values").as("hs"))
-    // |sources|·k rows from here on — cached because both sides of
-    // the pair construction read it (Verify/Bench clear per query)
-    val ex = sk.select(col("source"), explode(col("hs")).as("h")).cache()
+    // |sources|·k rows from here on — BOUNDED state (k hashes per
+    // source at ANY corpus size), so collect it once to the driver
+    // (the same bounded-driver-state discipline as the k-means
+    // centroids, ext/Similarity.scala) and rebuild a local relation:
+    // the corpus pass runs exactly once, both sides of the pair
+    // construction read the local copy, nothing stays pinned in the
+    // block manager, and the operator is self-contained — no
+    // reliance on a harness-level clearCache.
+    import spark.implicits._
+    val ex = sk.select(col("source"), explode(col("hs")).as("h"))
+      .as[(String, Long)].collect().toSeq.toDF("source", "h")
     val srcs = ex.select(col("source")).distinct()
     val pr = srcs.select(col("source").as("src_a"))
       .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
