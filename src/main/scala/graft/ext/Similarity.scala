@@ -497,6 +497,49 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** The four ANN families s11 grades, each reduced to its final
+    * (query_id, neighbor_id) answer set. s2 stands for the LSH
+    * family, s3 for IVF (s5's k-means variant shares its plan
+    * shape), s6 for PQ-ADC, s10 for the packed-SQ8 + rescore
+    * production layout. */
+  private def annFamilies(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    Seq("lsh" -> s2AnnLsh(spark, dir),
+        "ivf" -> s3IvfAnn(spark, dir),
+        "pq"  -> s6PqAdc(spark, dir),
+        "sq8" -> s10Sq8Packed(spark, dir))
+
+  /** S11 — the recall MATRIX: s7's quality gate generalized to every
+    * ANN family in the library (lsh/ivf/pq/sq8), each graded against
+    * the same s1 exact answer. One row per (family, query): k, the
+    * integer-exact hit count, and recall@k — the table a lab pins to
+    * choose an index, and the gate that keeps all four approximate
+    * paths honest at once (before this, only LSH's claim was
+    * measured; s3/s6/s10 made the same claim ungated).
+    *
+    * Every family ranks with the identical (score desc, vec_id)
+    * tie-break as the exact side, so hits are integer-exact
+    * cross-engine. Scale shape: each family's answer and the exact
+    * answer are |Q|·k rows — the grid is 4·|Q|·k and the membership
+    * join is trivially broadcastable regardless of corpus size; the
+    * corpus-scale work lives inside the family pipelines themselves,
+    * each already bounded (band buckets / probed lists / ADC tables /
+    * packed scan). */
+  def s11RecallMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val fams = annFamilies(spark, dir)
+    val ann = fams.map { case (f, df) =>
+      df.select(lit(f).as("family"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _).withColumn("hit", lit(1L))
+    val grid = exact.withColumn("family",
+      explode(array(fams.map(f => lit(f._1)): _*)))
+    grid.join(ann, Seq("family", "query_id", "neighbor_id"), "left")
+      .groupBy(col("family"), col("query_id"))
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") * 1.0 / col("k"), 4))
+      .orderBy(col("family"), col("query_id"))
+  }
+
   /** S9 — FILTERED exact kNN (the "hybrid search" every vector store
     * ships: a metadata predicate composed with the similarity rank):
     * each query's neighbors are restricted to the corpus rows sharing
@@ -698,6 +741,7 @@ object Similarity {
     "s10_sq8_packed"       -> (s10Sq8Packed _),
     "d13_semdedup"         -> (d13SemDedup _),
     "s7_recall_eval"       -> (s7RecallEval _),
+    "s11_recall_matrix"    -> (s11RecallMatrix _),
     "s1_knn_brute"         -> (s1KnnBrute _),
     "s2_ann_lsh"           -> (s2AnnLsh _),
     "s3_ivf_ann"           -> (s3IvfAnn _),
@@ -880,7 +924,146 @@ object Similarity {
          WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
 
+  private lazy val s10OracleSql: String =
+    s"""WITH $expandCtes,
+         mm AS (SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+                FROM ux GROUP BY 1),
+         qcod AS (
+           SELECT u.vec_id, u.i,
+                  CAST(floor((CAST(u.x AS DOUBLE) - m.mn) * $SqLevels
+                    / greatest(m.mx - m.mn, 1e-12)) AS BIGINT) AS c
+           FROM ux u JOIN mm m USING (i)),
+         qsel AS (SELECT vec_id AS query_id, i, c FROM qcod WHERE vec_id < $QueryCount),
+         dist AS (
+           SELECT q.query_id, v.vec_id,
+                  CAST(sum((v.c - q.c) * (v.c - q.c)) AS BIGINT) AS d2
+           FROM qcod v JOIN qsel q ON q.i = v.i AND v.vec_id <> q.query_id
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT query_id, vec_id, d2 FROM (
+             SELECT query_id, vec_id, d2,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY d2, vec_id) AS crank
+             FROM dist) t WHERE crank <= $RescoreDepth),
+         resc AS (
+           SELECT c.query_id, c.vec_id, min(c.d2) AS d2,
+                  round(sum(CAST(q.qx AS DOUBLE) * CAST(v.x AS DOUBLE))
+                        / (min(q.qn) * min(n.nrm)), 6) AS cosine
+           FROM cand c
+           JOIN uq q ON q.query_id = c.query_id
+           JOIN ux v ON v.vec_id = c.vec_id AND v.i = q.qi
+           JOIN nrm n ON n.vec_id = c.vec_id
+           GROUP BY 1, 2),
+         rnk AS (
+           SELECT query_id, vec_id AS neighbor_id, d2, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+           FROM resc)
+         SELECT query_id, neighbor_id, d2, cosine, rank FROM rnk
+         WHERE rank <= $TopK ORDER BY query_id, rank"""
+
+  private lazy val s1OracleSql: String =
+    s"""WITH $expandCtes,
+         scored AS (
+           SELECT uq.query_id, u.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM uq
+           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
+           JOIN nrm n ON n.vec_id = u.vec_id
+           GROUP BY 1, 2),
+         $rankTail"""
+
+  private lazy val s2OracleSql: String =
+    s"""WITH $expandCtes,
+         $sigsCtes,
+         qsigs AS (
+           SELECT s.vec_id AS query_id, s.band, s.sig
+           FROM sigs s WHERE s.vec_id < 5),
+         cand AS (
+           SELECT DISTINCT qs.query_id, s.vec_id
+           FROM sigs s JOIN qsigs qs ON s.band = qs.band AND s.sig = qs.sig
+           WHERE s.vec_id <> qs.query_id),
+         scored AS (
+           SELECT c.query_id, c.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM cand c
+           JOIN uq ON uq.query_id = c.query_id
+           JOIN ux u ON u.vec_id = c.vec_id AND u.i = uq.qi
+           JOIN nrm n ON n.vec_id = c.vec_id
+           GROUP BY 1, 2),
+         $rankTail"""
+
+  private lazy val s3OracleSql: String =
+    s"""WITH $expandCtes,
+         cx AS (
+           SELECT u.vec_id AS cid, u.x AS cx, u.i AS ci, n.nrm AS cn
+           FROM ux u JOIN nrm n USING (vec_id)
+           WHERE u.vec_id % $IvfCentroidStride = 0),
+         ccos AS (
+           SELECT u.vec_id, c.cid,
+                  sum(CAST(u.x AS DOUBLE) * CAST(c.cx AS DOUBLE)) / (min(n.nrm) * min(c.cn)) AS ccos
+           FROM ux u
+           JOIN nrm n ON n.vec_id = u.vec_id
+           JOIN cx c ON c.ci = u.i
+           GROUP BY 1, 2),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+             FROM ccos) t WHERE r = 1),
+         qprobe AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+             FROM ccos WHERE vec_id < 5) t WHERE r <= $IvfProbes),
+         cand AS (
+           SELECT DISTINCT q.query_id, a.vec_id
+           FROM assign a JOIN qprobe q ON a.cid = q.cid
+           WHERE a.vec_id <> q.query_id),
+         scored AS (
+           SELECT c.query_id, c.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM cand c
+           JOIN uq ON uq.query_id = c.query_id
+           JOIN ux u ON u.vec_id = c.vec_id AND u.i = uq.qi
+           JOIN nrm n ON n.vec_id = c.vec_id
+           GROUP BY 1, 2),
+         $rankTail"""
+
+  /** s11's mirror: each family's FULL oracle pipeline runs as a
+    * nested-WITH derived table (CTE names stay scoped per subquery,
+    * so the four pipelines can't collide), reduced to its
+    * (query_id, neighbor_id) answer and graded against the exact
+    * answer exactly like the Spark side's membership join. */
+  private lazy val s11OracleSql: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($s1OracleSql) tex),
+         fam AS (
+           SELECT 'lsh' AS family, query_id, neighbor_id FROM ($s2OracleSql) t1
+           UNION ALL
+           SELECT 'ivf' AS family, query_id, neighbor_id FROM ($s3OracleSql) t2
+           UNION ALL
+           SELECT 'pq' AS family, query_id, neighbor_id FROM ($s6OracleSql) t3
+           UNION ALL
+           SELECT 'sq8' AS family, query_id, neighbor_id FROM ($s10OracleSql) t4),
+         grid AS (
+           SELECT f.family, e.query_id, e.neighbor_id
+           FROM ex e CROSS JOIN
+             (SELECT unnest(['lsh', 'ivf', 'pq', 'sq8']) AS family) f)
+         SELECT g.family, g.query_id, count(*) AS k,
+                CAST(sum(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit,
+                round(CAST(sum(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1.0 / count(*), 4) AS recall
+         FROM grid g
+         LEFT JOIN fam a ON a.family = g.family AND a.query_id = g.query_id
+                        AND a.neighbor_id = g.neighbor_id
+         GROUP BY 1, 2 ORDER BY g.family, g.query_id"""
+
   val oracles: Map[String, String] = Map(
+    "s11_recall_matrix" -> s11OracleSql,
     "s9_filtered_knn" ->
       s"""WITH $expandCtes,
          lbl AS (SELECT vec_id, label FROM embeddings),
@@ -932,43 +1115,7 @@ object Similarity {
     // code space (same qc CTEs as s8) for stage 1, then rescored
     // exact cosine (same float discipline as s1: round 6 at the edge)
     // decides the final rank over the top-RescoreDepth survivors
-    "s10_sq8_packed" ->
-      s"""WITH $expandCtes,
-         mm AS (SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
-                FROM ux GROUP BY 1),
-         qcod AS (
-           SELECT u.vec_id, u.i,
-                  CAST(floor((CAST(u.x AS DOUBLE) - m.mn) * $SqLevels
-                    / greatest(m.mx - m.mn, 1e-12)) AS BIGINT) AS c
-           FROM ux u JOIN mm m USING (i)),
-         qsel AS (SELECT vec_id AS query_id, i, c FROM qcod WHERE vec_id < $QueryCount),
-         dist AS (
-           SELECT q.query_id, v.vec_id,
-                  CAST(sum((v.c - q.c) * (v.c - q.c)) AS BIGINT) AS d2
-           FROM qcod v JOIN qsel q ON q.i = v.i AND v.vec_id <> q.query_id
-           GROUP BY 1, 2),
-         cand AS (
-           SELECT query_id, vec_id, d2 FROM (
-             SELECT query_id, vec_id, d2,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY d2, vec_id) AS crank
-             FROM dist) t WHERE crank <= $RescoreDepth),
-         resc AS (
-           SELECT c.query_id, c.vec_id, min(c.d2) AS d2,
-                  round(sum(CAST(q.qx AS DOUBLE) * CAST(v.x AS DOUBLE))
-                        / (min(q.qn) * min(n.nrm)), 6) AS cosine
-           FROM cand c
-           JOIN uq q ON q.query_id = c.query_id
-           JOIN ux v ON v.vec_id = c.vec_id AND v.i = q.qi
-           JOIN nrm n ON n.vec_id = c.vec_id
-           GROUP BY 1, 2),
-         rnk AS (
-           SELECT query_id, vec_id AS neighbor_id, d2, cosine,
-                  CAST(row_number() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-           FROM resc)
-         SELECT query_id, neighbor_id, d2, cosine, rank FROM rnk
-         WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "s10_sq8_packed" -> s10OracleSql,
     "d13_semdedup" ->
       s"""WITH $kmeansListsCtes,
          pr AS (
@@ -1040,87 +1187,12 @@ object Similarity {
          GROUP BY 1 ORDER BY e.query_id""",
     "s5_ivf_kmeans" -> s5OracleSql,
     "s6_pq_adc" -> s6OracleSql,
-    "s1_knn_brute" ->
-      s"""WITH $expandCtes,
-         scored AS (
-           SELECT uq.query_id, u.vec_id,
-                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
-                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
-           FROM uq
-           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
-           JOIN nrm n ON n.vec_id = u.vec_id
-           GROUP BY 1, 2),
-         $rankTail""",
+    "s1_knn_brute" -> s1OracleSql,
     // same semantics as s1 — the Spark side differs only in the fused
     // codegen expression, which the oracle must not care about
-    "s4_knn_codegen" ->
-      s"""WITH $expandCtes,
-         scored AS (
-           SELECT uq.query_id, u.vec_id,
-                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
-                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
-           FROM uq
-           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
-           JOIN nrm n ON n.vec_id = u.vec_id
-           GROUP BY 1, 2),
-         $rankTail""",
-    "s2_ann_lsh" ->
-      s"""WITH $expandCtes,
-         $sigsCtes,
-         qsigs AS (
-           SELECT s.vec_id AS query_id, s.band, s.sig
-           FROM sigs s WHERE s.vec_id < 5),
-         cand AS (
-           SELECT DISTINCT qs.query_id, s.vec_id
-           FROM sigs s JOIN qsigs qs ON s.band = qs.band AND s.sig = qs.sig
-           WHERE s.vec_id <> qs.query_id),
-         scored AS (
-           SELECT c.query_id, c.vec_id,
-                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
-                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
-           FROM cand c
-           JOIN uq ON uq.query_id = c.query_id
-           JOIN ux u ON u.vec_id = c.vec_id AND u.i = uq.qi
-           JOIN nrm n ON n.vec_id = c.vec_id
-           GROUP BY 1, 2),
-         $rankTail""",
-    "s3_ivf_ann" ->
-      s"""WITH $expandCtes,
-         cx AS (
-           SELECT u.vec_id AS cid, u.x AS cx, u.i AS ci, n.nrm AS cn
-           FROM ux u JOIN nrm n USING (vec_id)
-           WHERE u.vec_id % $IvfCentroidStride = 0),
-         ccos AS (
-           SELECT u.vec_id, c.cid,
-                  sum(CAST(u.x AS DOUBLE) * CAST(c.cx AS DOUBLE)) / (min(n.nrm) * min(c.cn)) AS ccos
-           FROM ux u
-           JOIN nrm n ON n.vec_id = u.vec_id
-           JOIN cx c ON c.ci = u.i
-           GROUP BY 1, 2),
-         assign AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
-             FROM ccos) t WHERE r = 1),
-         qprobe AS (
-           SELECT vec_id AS query_id, cid FROM (
-             SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
-             FROM ccos WHERE vec_id < 5) t WHERE r <= $IvfProbes),
-         cand AS (
-           SELECT DISTINCT q.query_id, a.vec_id
-           FROM assign a JOIN qprobe q ON a.cid = q.cid
-           WHERE a.vec_id <> q.query_id),
-         scored AS (
-           SELECT c.query_id, c.vec_id,
-                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
-                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
-           FROM cand c
-           JOIN uq ON uq.query_id = c.query_id
-           JOIN ux u ON u.vec_id = c.vec_id AND u.i = uq.qi
-           JOIN nrm n ON n.vec_id = c.vec_id
-           GROUP BY 1, 2),
-         $rankTail""",
+    "s4_knn_codegen" -> s1OracleSql,
+    "s2_ann_lsh" -> s2OracleSql,
+    "s3_ivf_ann" -> s3OracleSql,
     "d6_embedding_neardup" ->
       s"""WITH $expandCtes,
          $sigsCtes,
