@@ -275,7 +275,74 @@ object Multimodal {
         md5(expr("substring(text, p0 + 1, p1 - p0 + 1)")).as("h"))
   }
 
+  val M6TopK = 10
+  val M6Queries = 5
+  private val EmbDims = 64
+
+  /** Deterministic ±1 projection matrix entry for m6's 16→64 feature
+    * lift — same construction as Similarity's hyperplane signs
+    * (plan-build-time literal from the portable md5 hash, "m6:" key
+    * space so it's independent of the LSH planes). */
+  private def m6Sign(j: Int, i: Int): Long = {
+    val h = graft.functions.Md5Hash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"m6:$j:$i"))
+    if (h % 2 == 0) 1L else -1L
+  }
+
+  /** M6 — CROSS-MODAL retrieval (the CLIP-style pairing shape): media
+    * payloads queried against the text-embedding table. The media
+    * side's "encoder" is the library's deterministic stand-in chain —
+    * byte-histogram features (m1), integer-permille quantization
+    * (m4's exactness discipline), then a fixed ±1 random-projection
+    * lift from 16 feature bins to the embedding space's 64 dims
+    * (sign matrix = plan-build-time literals from the portable hash,
+    * so the projection is an exact INTEGER vector both engines
+    * compute bit-identically; a real deployment swaps this for a
+    * learned projection head). Retrieval is then s1's exact cosine
+    * top-k: query side is |Q| 64-dim vectors broadcast to the
+    * embedding scan — the corpus never moves, at any scale. Rounding
+    * and tie-break follow the s-family discipline (round 6, then
+    * vec_id), with the rounding margin measured in Round7Spec. */
+  def m6CrossModalKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val counts = ColumnShim.column(
+      graft.functions.ByteHistogram(ColumnShim.expression(col("payload")), FeatureBins))
+    // query side: the 5 lowest-id image media, m4's exact permille bins
+    val perm = mediaFromDocs(spark, dir)
+      .filter(col("kind") === "image" && col("media_id") < 3 * M6Queries)
+      .select(col("media_id"), col("n_bytes"), counts.as("_c"))
+      .select(col("media_id"),
+        transform(col("_c"), c => floor((c * SigPermille)
+          / greatest(lit(1L), col("n_bytes"))).cast("long")).as("perm"))
+    val proj = (0 until EmbDims).map { j =>
+      val signs = array((0 until FeatureBins).map(i => lit(m6Sign(j, i))): _*)
+      aggregate(zip_with(col("perm"), signs, (x, s) => x * s), lit(0L), _ + _)
+        .cast("double").as(s"p$j")
+    }
+    val q = perm.select(col("media_id") +: proj: _*)
+      .select(col("media_id"),
+        array((0 until EmbDims).map(j => col(s"p$j")): _*).as("qe"))
+      // all-zero projection (empty payload) would zero the norm; the
+      // floor keeps the cosine defined (=0) identically in both engines
+      .withColumn("qn",
+        greatest(sqrt(aggregate(col("qe"), lit(0.0), (a, x) => a + x * x)), lit(1e-12)))
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
+    val w = Window.partitionBy(col("media_id")).orderBy(desc("cosine"), col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .withColumn("cosine", round(
+        aggregate(zip_with(col("qe"), col("embedding"), (a, b) => a * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= M6TopK)
+      .select(col("media_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("media_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_crossmodal_knn"      -> (m6CrossModalKnn _),
     "m5_cdc_chunks"          -> (m5CdcChunks _),
     "m4_signature_dedup"     -> (m4SignatureDedup _),
     "m3_media_metadata"      -> (m3MediaMetadata _),
@@ -288,6 +355,62 @@ object Multimodal {
     * per-char `unicode()` equals the payload byte. Kind cycles with
     * doc_id % 3 exactly as mediaFromDocs assigns it. */
   val oracles: Map[String, String] = Map(
+    // m6: m4's per-char bin counts → integer permille → the same ±1
+    // projection matrix (portable-hash signs over the 'm6:' key
+    // space) → exact cosine vs the embedding table, s1's round-6 +
+    // vec_id tie-break discipline
+    "m6_crossmodal_knn" -> {
+      val h = graft.functions.StableHash.duckdbHash64(
+        "'m6:' || CAST(jj.range AS VARCHAR) || ':' || CAST(ii.range AS VARCHAR)")
+      s"""WITH d AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS n
+           FROM documents
+           WHERE CAST(doc_id % 3 AS INTEGER) = 0 AND doc_id < ${3 * M6Queries}),
+         ch AS (
+           SELECT doc_id,
+                  unicode(substr(text, CAST(i AS INTEGER) + 1, 1)) // ${256 / FeatureBins} AS bin
+           FROM (SELECT doc_id, text, unnest(range(n)) AS i FROM d)),
+         cnt AS (SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY 1, 2),
+         perm AS (
+           SELECT d.doc_id AS media_id, CAST(b.range AS INTEGER) AS bin,
+                  (COALESCE(c.c, 0) * $SigPermille) // greatest(1, d.n) AS p
+           FROM d CROSS JOIN range($FeatureBins) b
+           LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = b.range),
+         sgn AS (
+           SELECT CAST(jj.range AS INTEGER) AS j, CAST(ii.range AS INTEGER) AS i,
+                  CASE WHEN ($h) % 2 = 0 THEN 1 ELSE -1 END AS s
+           FROM range($EmbDims) jj CROSS JOIN range($FeatureBins) ii),
+         proj AS (
+           SELECT p.media_id, g.j, CAST(sum(p.p * g.s) AS BIGINT) AS pj
+           FROM perm p JOIN sgn g ON g.i = p.bin GROUP BY 1, 2),
+         qn AS (
+           SELECT media_id,
+                  greatest(sqrt(sum(CAST(pj AS DOUBLE) * CAST(pj AS DOUBLE))), 1e-12) AS qn
+           FROM proj GROUP BY 1),
+         ux AS (
+           SELECT vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         nrm AS (
+           SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+           FROM ux GROUP BY 1),
+         scored AS (
+           SELECT pr.media_id, u.vec_id,
+                  round(sum(CAST(pr.pj AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(q.qn) * min(n.nrm)), 6) AS cosine
+           FROM proj pr
+           JOIN ux u ON u.i - 1 = pr.j
+           JOIN qn q ON q.media_id = pr.media_id
+           JOIN nrm n ON n.vec_id = u.vec_id
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT media_id, vec_id AS neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY media_id
+                    ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT media_id, neighbor_id, cosine, rank FROM ranked
+         WHERE rank <= $M6TopK ORDER BY media_id, rank"""
+    },
     "m1_multimodal_features" ->
       s"""WITH d AS (
            SELECT doc_id,
