@@ -303,7 +303,10 @@ object Multimodal {
     * embedding scan — the corpus never moves, at any scale. Rounding
     * and tie-break follow the s-family discipline (round 6, then
     * vec_id), with the rounding margin measured in Round7Spec. */
-  def m6CrossModalKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** m6's full scored cross product with the UNROUNDED cosine —
+    * factored so Round7Spec can measure every pair's distance from
+    * the round(·,6) boundary (the repo's measured-margin rule). */
+  private[graft] def m6Scored(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val counts = ColumnShim.column(
       graft.functions.ByteHistogram(ColumnShim.expression(col("payload")), FeatureBins))
@@ -330,11 +333,17 @@ object Multimodal {
       .select(col("vec_id"), col("embedding"),
         sqrt(aggregate(col("embedding"), lit(0.0),
           (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
-    val w = Window.partitionBy(col("media_id")).orderBy(desc("cosine"), col("vec_id"))
     v.crossJoin(broadcast(q))
-      .withColumn("cosine", round(
+      .withColumn("cosraw",
         aggregate(zip_with(col("qe"), col("embedding"), (a, b) => a * b.cast("double")),
-          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm")), 6))
+          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm")))
+      .select(col("media_id"), col("vec_id"), col("cosraw"))
+  }
+
+  def m6CrossModalKnn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("media_id")).orderBy(desc("cosine"), col("vec_id"))
+    m6Scored(spark, dir)
+      .withColumn("cosine", round(col("cosraw"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= M6TopK)
       .select(col("media_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))

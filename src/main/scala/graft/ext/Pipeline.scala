@@ -29,7 +29,11 @@ object Pipeline {
     * counted at a later one), mirroring a real pipeline's order:
     * dedup first (cheapest global signal), then row-local quality,
     * then decontamination. */
-  def e1CorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-doc funnel frame: every non-eval doc with its
+    * token count and CUMULATIVE stage-survival flags s1 (dedup), s2
+    * (quality), s3 (decontam) — e1 aggregates it directly; e2/e3
+    * continue the clean (s3) set through selection and mixing. */
+  private def funnelFrame(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("_w"))
     val isEval = TextAnalysis.isEvalDoc
@@ -52,28 +56,97 @@ object Pipeline {
     docs.filter(!isEval)
       .join(drops, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("n_tok", size(col("_w")).cast("long"))
       .withColumn("s1", col("dup").isNull)
       .withColumn("s2", col("s1") && dupFrac <= TextAnalysis.RepetitionThreshold)
       .withColumn("s3", col("s2") && col("contam").isNull)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("s1"), col("s2"), col("s3"))
+  }
+
+  def e1CorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    funnelFrame(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_pool"),
            sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_dedup"),
            sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_quality"),
            sum(when(col("s3"), 1L).otherwise(0L)).as("n_clean"),
-           sum(when(col("s3"), size(col("_w")).cast("long")).otherwise(0L))
+           sum(when(col("s3"), col("n_tok")).otherwise(0L))
              .as("clean_tokens"))
       .orderBy(col("source"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e1_corpus_funnel" -> (e1CorpusFunnel _))
+  /** The clean set extended with the two remaining pipeline flags:
+    * s4 (DSIR selection — t21's standalone model and cut, with the
+    * target domain kept by definition) and s5 (temperature mixing —
+    * t16's full-corpus rate table and hash lottery). Reusing the
+    * STANDALONE operators' models is the point: e2 composes the
+    * pipeline, it does not re-fit each stage on its shrunken input,
+    * so every flag reconciles 1:1 with the standalone op (spec). */
+  private def selectedFrame(spark: SparkSession, dir: String): DataFrame = {
+    val clean = funnelFrame(spark, dir).filter(col("s3"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    val perDocFull = TextAnalysis.dsirPerDoc(spark, dir)
+    val perDoc = perDocFull.select(col("doc_id"), col("logw"))
+    val cut = TextAnalysis.dsirCut(perDocFull)
+    val rates = TextAnalysis.mixRates(spark, dir)
+    clean
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cut))
+      // target-domain docs are in-domain by definition; pool docs
+      // survive iff their importance weight clears t21's cut (margin
+      // measured in Round5Spec for the standalone op; same compare)
+      .withColumn("s4",
+        col("source") === TextAnalysis.DsirTarget || col("logw") > col("cut"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("s5", col("s4") && TextAnalysis.mixKeepHash < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("s4"), col("s5"))
+  }
 
-  /** The same funnel assembled from the standalone operators' oracle
-    * fragments: d7's transitive-closure labeling, t9's dup-fraction
-    * formula, t10's eval-gram overlap. */
-  val oracles: Map[String, String] = Map(
-    "e1_corpus_funnel" ->
-      s"""WITH RECURSIVE ${Dedup.d7LabelCtes},
+  /** E2 — the pipeline COMPLETED: e1's clean set → t21 DSIR
+    * selection → t16 temperature mixing, per-source funnel with the
+    * final token mass a training run would actually consume. Scale
+    * shape: the union of the parts — the DSIR model is B buckets and
+    * the rate table |sources| rows (both broadcast), the selection
+    * and mixing decisions are row-local, and the rollup is one hash
+    * agg; nothing new shuffles beyond e1's stages. */
+  def e2SelectionMix(spark: SparkSession, dir: String): DataFrame =
+    selectedFrame(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clean"),
+           sum(when(col("s4"), 1L).otherwise(0L)).as("n_selected"),
+           sum(when(col("s5"), 1L).otherwise(0L)).as("n_final"),
+           sum(when(col("s5"), col("n_tok")).otherwise(0L)).as("final_tokens"))
+      .orderBy(col("source"))
+
+  /** E3 — the LAST pipeline step: the mixed corpus laid into
+    * fixed-capacity context windows with t13's shard-local stream
+    * packing (same shard hash, same capacity, same straddle rule),
+    * so the funnel ends where a training job begins — at batches.
+    * Per-(shard, bin) doc/token counts; one window per shard at any
+    * corpus size, no global sort. */
+  def e3FinalPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    selectedFrame(spark, dir).filter(col("s5"))
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(TextAnalysis.PackShards)).as("shard"), col("n_tok"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("start_off") / TextAnalysis.PackCapacity))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_corpus_funnel"  -> (e1CorpusFunnel _),
+    "e2_selection_mix"  -> (e2SelectionMix _),
+    "e3_final_packing"  -> (e3FinalPacking _))
+
+  /** The e1 stage-1..3 CTE chain (labels → clean set), shared by the
+    * e1/e2/e3 oracles so the funnel's SQL twin has one definition. */
+  private lazy val cleanCtes: String =
+    s"""${Dedup.d7LabelCtes},
          w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
          drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
          q AS (SELECT doc_id, source, len(w) AS n_tok,
@@ -85,7 +158,65 @@ object Pipeline {
                FROM w),
          ev AS (SELECT DISTINCT g FROM u WHERE doc_id % ${TextAnalysis.EvalStride} = 0),
          contam AS (SELECT DISTINCT u.doc_id FROM u JOIN ev USING (g)
-                    WHERE u.doc_id % ${TextAnalysis.EvalStride} <> 0),
+                    WHERE u.doc_id % ${TextAnalysis.EvalStride} <> 0)"""
+
+  /** e2's selection+mixing flags over the clean set — the s4/s5 CTE
+    * tail shared by the e2 and e3 oracles. Composes the standalone
+    * models verbatim: t21's dsirCtes (perdoc, cut) and t16's
+    * mixRateCtes (mixr). */
+  private lazy val selectedCtes: String =
+    s"""$cleanCtes,
+         clean AS (
+           SELECT q.doc_id, q.source, q.n_tok
+           FROM q
+           LEFT JOIN drops dr ON dr.doc_id = q.doc_id
+           LEFT JOIN contam c3 ON c3.doc_id = q.doc_id
+           WHERE q.doc_id % ${TextAnalysis.EvalStride} <> 0
+             AND dr.doc_id IS NULL
+             AND q.dfrac <= ${TextAnalysis.RepetitionThreshold}
+             AND c3.doc_id IS NULL),
+         ${TextAnalysis.dsirCtes},
+         ${TextAnalysis.mixRateCtes},
+         sel AS (
+           SELECT cl.doc_id, cl.source, cl.n_tok,
+                  CASE WHEN cl.source = '${TextAnalysis.DsirTarget}'
+                         OR pd.logw > ct.cut THEN 1 ELSE 0 END AS s4
+           FROM clean cl
+           LEFT JOIN perdoc pd ON pd.doc_id = cl.doc_id
+           CROSS JOIN cut ct),
+         mx AS (
+           SELECT s.doc_id, s.source, s.n_tok, s.s4,
+                  CASE WHEN s.s4 = 1
+                        AND (${TextAnalysis.mixKeepSql("s.doc_id")}) < r.rate_ppm
+                       THEN 1 ELSE 0 END AS s5
+           FROM sel s JOIN mixr r ON r.source = s.source)"""
+
+  /** The same funnel assembled from the standalone operators' oracle
+    * fragments: d7's transitive-closure labeling, t9's dup-fraction
+    * formula, t10's eval-gram overlap. */
+  val oracles: Map[String, String] = Map(
+    "e2_selection_mix" ->
+      s"""WITH RECURSIVE $selectedCtes
+         SELECT source, count(*) AS n_clean,
+                CAST(sum(s4) AS BIGINT) AS n_selected,
+                CAST(sum(s5) AS BIGINT) AS n_final,
+                CAST(sum(CASE WHEN s5 = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+                  AS final_tokens
+         FROM mx GROUP BY 1 ORDER BY source""",
+    "e3_final_packing" ->
+      s"""WITH RECURSIVE $selectedCtes,
+         fin AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok
+                 FROM mx WHERE s5 = 1),
+         coff AS (
+           SELECT shard, n_tok,
+                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+           FROM fin)
+         SELECT shard, CAST(floor(start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM coff GROUP BY 1, 2 ORDER BY shard, bin""",
+    "e1_corpus_funnel" ->
+      s"""WITH RECURSIVE $cleanCtes,
          j AS (
            SELECT q.doc_id, q.source, q.n_tok,
                   (dr.doc_id IS NULL) AS s1,

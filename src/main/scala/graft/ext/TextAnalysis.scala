@@ -430,21 +430,35 @@ object TextAnalysis {
     * (the keep decision is row-local). floor/sqrt/division all run
     * on exactly-representable inputs, so the ppm rates are
     * bit-identical cross-engine. */
-  def t16TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+  /** t16's per-source keep-rate table (source, rate_ppm), factored
+    * for reuse by the e2 pipeline stage. Rates derive from the FULL
+    * corpus token mass (the standalone operator's model — e2 reuses
+    * the model, not a re-fit on its shrunken input). */
+  private[graft] def mixRates(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
     // cached: per-source rows (tiny), referenced by both nmin and the
     // rate table — without it the corpus is scanned+tokenized once
     // per reference (DataFrames get no cross-subtree CSE)
     val counts = d.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_src")).cache()
     val nmin = counts.agg(min(col("tok_src")).as("tok_min"))
-    val rates = counts.crossJoin(broadcast(nmin))
+    counts.crossJoin(broadcast(nmin))
       .withColumn("rate_ppm",
         floor(lit(MixPpm.toDouble) * sqrt(col("tok_min").cast("double") / col("tok_src"))))
       .select(col("source"), col("rate_ppm"))
-    d.join(broadcast(rates), Seq("source"))
-      .withColumn("h", pmod(graft.functions.StableHash.hash64(MixSeed,
-        col("doc_id").cast("string")), lit(MixPpm)))
+  }
+
+  /** The deterministic mixing lottery ticket for the current row's
+    * doc_id — compare `< rate_ppm` to decide keep (integer-exact). */
+  private[ext] def mixKeepHash: Column =
+    pmod(graft.functions.StableHash.hash64(MixSeed,
+      col("doc_id").cast("string")), lit(MixPpm))
+
+  def t16TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
+    d.join(broadcast(mixRates(spark, dir)), Seq("source"))
+      .withColumn("h", mixKeepHash)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("h") < col("rate_ppm"), 1L).otherwise(0L)).as("n_kept"),
@@ -728,7 +742,10 @@ object TextAnalysis {
     * broadcast back, per-doc weighted sum, per-source rollup. The
     * log-weight sums are doubles; the report rounds at the edge and
     * the selection margin is spec-measured, matching t12. */
-  def t21DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+  /** t21's model, factored for reuse by the e2 pipeline stage: per
+    * non-target-doc DSIR log importance weight (doc_id, source,
+    * logw) from the hashed-unigram bucket model. */
+  private[ext] def dsirPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(words(col("text"))).as("t"))
@@ -747,16 +764,22 @@ object TextAnalysis {
     val totals = spine.agg(
       (sum(col("ct")) + DsirBuckets).cast("double").as("nt"),
       (sum(col("cr")) + DsirBuckets).cast("double").as("nr"))
-    val perDoc = tf.filter(col("source") =!= DsirTarget)
+    tf.filter(col("source") =!= DsirTarget)
       .join(broadcast(spine), Seq("b"))
       .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("k") * (log((col("ct") + 1) / col("nt"))
         - log((col("cr") + 1) / col("nr")))).as("logw"))
-    // pool-wide selection cut: a 1-row exact-percentile aggregate
-    // broadcast back (t8's pattern) — never a global sort/rank
-    val cut = perDoc.agg(
-      percentile(col("logw"), lit(DsirSelectQuantile)).as("cut"))
+  }
+
+  /** Pool-wide selection cut: a 1-row exact-percentile aggregate
+    * broadcast back (t8's pattern) — never a global sort/rank. */
+  private[ext] def dsirCut(perDoc: DataFrame): DataFrame =
+    perDoc.agg(percentile(col("logw"), lit(DsirSelectQuantile)).as("cut"))
+
+  def t21DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = dsirPerDoc(spark, dir)
+    val cut = dsirCut(perDoc)
     perDoc.crossJoin(broadcast(cut))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -901,6 +924,56 @@ object TextAnalysis {
          ELSE [array_to_string(w, ' ')] END"""
   }
 
+  /** t21's whole DSIR model as a composable CTE chain (toks → tf →
+    * bucket spine → perdoc log weights → the quantile cut) — shared
+    * by the t21 oracle and the e2 pipeline oracle so the two can
+    * never drift apart. */
+  private[ext] lazy val dsirCtes: String =
+    s"""toks AS (
+           SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
+           FROM documents),
+         tf AS (
+           SELECT doc_id, source,
+                  (${graft.functions.StableHash.duckdbHash64(DsirSeed, "t")}) % $DsirBuckets AS b,
+                  count(*) AS k
+           FROM toks GROUP BY 1, 2, 3),
+         ctc AS (SELECT b, sum(k) AS ct FROM tf WHERE source = '$DsirTarget' GROUP BY 1),
+         crc AS (SELECT b, sum(k) AS cr FROM tf WHERE source <> '$DsirTarget' GROUP BY 1),
+         spine AS (
+           SELECT CAST(r.range AS BIGINT) AS b,
+                  COALESCE(ctc.ct, 0) AS ct, COALESCE(crc.cr, 0) AS cr
+           FROM range($DsirBuckets) r
+           LEFT JOIN ctc ON ctc.b = r.range
+           LEFT JOIN crc ON crc.b = r.range),
+         tot AS (SELECT CAST(sum(ct) + $DsirBuckets AS DOUBLE) AS nt,
+                        CAST(sum(cr) + $DsirBuckets AS DOUBLE) AS nr
+                 FROM spine),
+         perdoc AS (
+           SELECT f.doc_id, f.source,
+                  sum(f.k * (ln((s.ct + 1) / t.nt) - ln((s.cr + 1) / t.nr))) AS logw
+           FROM tf f JOIN spine s USING (b) CROSS JOIN tot t
+           WHERE f.source <> '$DsirTarget'
+           GROUP BY 1, 2),
+         cut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut FROM perdoc)"""
+
+  /** t16's full-corpus rate table as CTEs (mixd → mixr), names
+    * prefixed so the fragment composes into the e2 oracle without
+    * CTE collisions. */
+  private[ext] lazy val mixRateCtes: String =
+    s"""mixd AS (
+           SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n_tok
+           FROM documents),
+         mixc AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_src FROM mixd GROUP BY 1),
+         mixm AS (SELECT min(tok_src) AS tok_min FROM mixc),
+         mixr AS (SELECT source,
+                      CAST(floor($MixPpm.0 * sqrt(CAST(tok_min AS DOUBLE) / tok_src)) AS BIGINT)
+                        AS rate_ppm
+               FROM mixc, mixm)"""
+
+  /** SQL twin of [[mixKeepHash]] for an arbitrary doc_id expression. */
+  private[ext] def mixKeepSql(docId: String): String =
+    s"(${graft.functions.StableHash.duckdbHash64(MixSeed, s"CAST($docId AS VARCHAR)")}) % $MixPpm"
+
   val oracles: Map[String, String] = Map(
     "t18_pii_redact" ->
       s"""WITH p AS (
@@ -980,24 +1053,14 @@ object TextAnalysis {
          SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
          ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopN"""
     },
-    "t16_temperature_mix" -> {
-      val h = graft.functions.StableHash.duckdbHash64(MixSeed, "CAST(doc_id AS VARCHAR)")
-      s"""WITH d AS (
-           SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n_tok
-           FROM documents),
-         c AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_src FROM d GROUP BY 1),
-         m AS (SELECT min(tok_src) AS tok_min FROM c),
-         r AS (SELECT source,
-                      CAST(floor($MixPpm.0 * sqrt(CAST(tok_min AS DOUBLE) / tok_src)) AS BIGINT)
-                        AS rate_ppm
-               FROM c, m),
+    "t16_temperature_mix" ->
+      s"""WITH $mixRateCtes,
          k AS (SELECT d.source, r.rate_ppm,
-                      CASE WHEN ($h) % $MixPpm < r.rate_ppm THEN 1 ELSE 0 END AS kept
-               FROM d JOIN r USING (source))
+                      CASE WHEN (${mixKeepSql("d.doc_id")}) < r.rate_ppm THEN 1 ELSE 0 END AS kept
+               FROM mixd d JOIN mixr r USING (source))
          SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
                 min(rate_ppm) AS rate_ppm
-         FROM k GROUP BY 1 ORDER BY source"""
-    },
+         FROM k GROUP BY 1 ORDER BY source""",
     "t15_vocab_ppl" ->
       s"""WITH toks AS (
            SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
@@ -1091,32 +1154,7 @@ object TextAnalysis {
          FROM c, n WHERE c.cnt * $HeavyK > n.n
          ORDER BY n_occurrences DESC, token""",
     "t21_dsir_select" ->
-      s"""WITH toks AS (
-           SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
-           FROM documents),
-         tf AS (
-           SELECT doc_id, source,
-                  (${graft.functions.StableHash.duckdbHash64(DsirSeed, "t")}) % $DsirBuckets AS b,
-                  count(*) AS k
-           FROM toks GROUP BY 1, 2, 3),
-         ctc AS (SELECT b, sum(k) AS ct FROM tf WHERE source = '$DsirTarget' GROUP BY 1),
-         crc AS (SELECT b, sum(k) AS cr FROM tf WHERE source <> '$DsirTarget' GROUP BY 1),
-         spine AS (
-           SELECT CAST(r.range AS BIGINT) AS b,
-                  COALESCE(ctc.ct, 0) AS ct, COALESCE(crc.cr, 0) AS cr
-           FROM range($DsirBuckets) r
-           LEFT JOIN ctc ON ctc.b = r.range
-           LEFT JOIN crc ON crc.b = r.range),
-         tot AS (SELECT CAST(sum(ct) + $DsirBuckets AS DOUBLE) AS nt,
-                        CAST(sum(cr) + $DsirBuckets AS DOUBLE) AS nr
-                 FROM spine),
-         perdoc AS (
-           SELECT f.doc_id, f.source,
-                  sum(f.k * (ln((s.ct + 1) / t.nt) - ln((s.cr + 1) / t.nr))) AS logw
-           FROM tf f JOIN spine s USING (b) CROSS JOIN tot t
-           WHERE f.source <> '$DsirTarget'
-           GROUP BY 1, 2),
-         cut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut FROM perdoc)
+      s"""WITH $dsirCtes
          SELECT source, count(*) AS n_docs, round(avg(logw), 3) AS avg_logw,
                 CAST(sum(CASE WHEN logw > c.cut THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_selected
