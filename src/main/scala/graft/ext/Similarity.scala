@@ -448,6 +448,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S12 — IVF-PQ, the composition every production vector store
+    * actually ships (the FAISS IVFx,PQy shape): s5's coarse k-means
+    * lists bound WHICH vectors a query scores, s6's PQ-ADC tables
+    * bound HOW MUCH each scoring costs — probe-bounded candidate
+    * volume × 8 int64 table lookups per candidate. Both stages reuse
+    * the standalone operators' machinery verbatim (same integer-sum
+    * k-means, same codebooks, same ADC tables), so the composed
+    * answer stays bit-exact cross-engine and the oracle composes the
+    * same two CTE chains.
+    *
+    * Scale: the coarse stage broadcasts |C| centroids and the probe
+    * list; the fine stage broadcasts the |Q|·8·K distance table and
+    * the candidate ids; the corpus contributes one narrow codes scan
+    * — it never shuffles in either stage. (Residual encoding — PQ on
+    * x−centroid — is the production refinement; it changes recall,
+    * not the plan shape, and is deliberately skipped to keep one
+    * codebook definition shared with s6.) */
+  def s12IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    // coarse stage: s5's k-means lists + query probes
+    val qv = quantVecs(spark, dir).cache()
+    val cen = kmeansCentroids(spark, qv)
+    val lists = rankCentroids(qv, cen).filter(col("r") === 1)
+      .select(col("vec_id"), col("cid").as("ccid"))
+    val qProbe = rankCentroids(qv.filter(col("vec_id") < QueryCount), cen)
+      .filter(col("r") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cid").as("ccid"))
+    val cand = lists.join(broadcast(qProbe), Seq("ccid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    // fine stage: s6's codes + ADC tables, summed only over candidates
+    val v = pqSubVecs(spark, dir).cache()
+    val pcen = pqCodebooks(spark, dir, v)
+    val codes = pqCodes(v, pcen)
+    val dtab = pqDist(v.filter(col("vec_id") < QueryCount), pcen)
+      .select(col("vec_id").as("query_id"), col("sub"), col("cid"), col("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
+    codes.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("d2_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
 
   /** D6 — embedding-cosine near-dup detection (the dedup-side twin of
@@ -503,27 +549,28 @@ object Similarity {
     * shape), s6 for PQ-ADC, s10 for the packed-SQ8 + rescore
     * production layout. */
   private def annFamilies(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
-    Seq("lsh" -> s2AnnLsh(spark, dir),
-        "ivf" -> s3IvfAnn(spark, dir),
-        "pq"  -> s6PqAdc(spark, dir),
-        "sq8" -> s10Sq8Packed(spark, dir))
+    Seq("lsh"   -> s2AnnLsh(spark, dir),
+        "ivf"   -> s3IvfAnn(spark, dir),
+        "pq"    -> s6PqAdc(spark, dir),
+        "sq8"   -> s10Sq8Packed(spark, dir),
+        "ivfpq" -> s12IvfPq(spark, dir))
 
   /** S11 — the recall MATRIX: s7's quality gate generalized to every
-    * ANN family in the library (lsh/ivf/pq/sq8), each graded against
-    * the same s1 exact answer. One row per (family, query): k, the
-    * integer-exact hit count, and recall@k — the table a lab pins to
-    * choose an index, and the gate that keeps all four approximate
-    * paths honest at once (before this, only LSH's claim was
-    * measured; s3/s6/s10 made the same claim ungated).
+    * ANN family in the library (lsh/ivf/pq/sq8/ivfpq), each graded
+    * against the same s1 exact answer. One row per (family, query):
+    * k, the integer-exact hit count, and recall@k — the table a lab
+    * pins to choose an index, and the gate that keeps all the
+    * approximate paths honest at once (before this, only LSH's claim
+    * was measured; s3/s6/s10/s12 made the same claim ungated).
     *
     * Every family ranks with the identical (score desc, vec_id)
     * tie-break as the exact side, so hits are integer-exact
     * cross-engine. Scale shape: each family's answer and the exact
-    * answer are |Q|·k rows — the grid is 4·|Q|·k and the membership
-    * join is trivially broadcastable regardless of corpus size; the
-    * corpus-scale work lives inside the family pipelines themselves,
-    * each already bounded (band buckets / probed lists / ADC tables /
-    * packed scan). */
+    * answer are |Q|·k rows — the grid is |families|·|Q|·k and the
+    * membership join is trivially broadcastable regardless of corpus
+    * size; the corpus-scale work lives inside the family pipelines
+    * themselves, each already bounded (band buckets / probed lists /
+    * ADC tables / packed scan). */
   def s11RecallMatrix(spark: SparkSession, dir: String): DataFrame = {
     val exact = s1KnnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
     val fams = annFamilies(spark, dir)
@@ -742,6 +789,7 @@ object Similarity {
     "d13_semdedup"         -> (d13SemDedup _),
     "s7_recall_eval"       -> (s7RecallEval _),
     "s11_recall_matrix"    -> (s11RecallMatrix _),
+    "s12_ivf_pq"           -> (s12IvfPq _),
     "s1_knn_brute"         -> (s1KnnBrute _),
     "s2_ann_lsh"           -> (s2AnnLsh _),
     "s3_ivf_ann"           -> (s3IvfAnn _),
@@ -868,7 +916,11 @@ object Similarity {
     * table and (restricted to queries) the ADC distance table, and
     * the int64 lookup-sum. Every distance is Σ(q−m)² over integers,
     * which equals the Spark side's |q|²+|m|²−2·q·m exactly. */
-  private lazy val s6OracleSql: String = {
+  /** The PQ chain (quantized subvectors → unrolled codebook Lloyd
+    * rounds → codes + query ADC tables) WITHOUT the leading ux CTE,
+    * so chains that already expand the embeddings (kmeansListsCtes)
+    * can compose it — shared by the s6 and s12 oracles. */
+  private lazy val pqCtes: String = {
     val rounds = (1 to PqIters + 1).map { t =>
       val prev = t - 1
       val assign =
@@ -893,11 +945,7 @@ object Similarity {
       else assign
     }.mkString(",\n         ")
     val fin = PqIters + 1
-    s"""WITH ux AS (
-           SELECT vec_id, unnest(embedding) AS x,
-                  generate_subscripts(embedding, 1) AS i
-           FROM embeddings),
-         qs AS (
+    s"""qs AS (
            SELECT vec_id, CAST((i - 1) // $PqSubDim AS INTEGER) AS sub,
                   CAST((i - 1) % $PqSubDim AS INTEGER) AS j,
                   CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) AS q
@@ -909,7 +957,15 @@ object Similarity {
          $rounds,
          codes AS (SELECT vec_id, sub, cid FROM asg$fin WHERE r = 1),
          dtab AS (SELECT vec_id AS query_id, sub, cid, d2 FROM dist$fin
-                  WHERE vec_id < $QueryCount),
+                  WHERE vec_id < $QueryCount)"""
+  }
+
+  private lazy val s6OracleSql: String =
+    s"""WITH ux AS (
+           SELECT vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         $pqCtes,
          approx AS (
            SELECT t.query_id, c.vec_id, CAST(sum(t.d2) AS BIGINT) AS d2_fp
            FROM codes c JOIN dtab t ON t.sub = c.sub AND t.cid = c.cid
@@ -922,7 +978,32 @@ object Similarity {
            FROM approx)
          SELECT query_id, neighbor_id, d2_fp, rank FROM ranked
          WHERE rank <= $TopK ORDER BY query_id, rank"""
-  }
+
+  /** s12's mirror: the coarse chain (kmeansListsCtes: lists + probe
+    * ranks) and the fine chain (pqCtes: codes + ADC tables) composed
+    * — candidates from the probed lists, distances from the tables. */
+  private lazy val s12OracleSql: String =
+    s"""WITH $kmeansListsCtes,
+         $pqCtes,
+         qprobe AS (SELECT vec_id AS query_id, cid AS ccid FROM r$KmeansFin
+                    WHERE r <= $IvfProbes AND vec_id < $QueryCount),
+         ivfcand AS (
+           SELECT DISTINCT p.query_id, l.vec_id
+           FROM lists l JOIN qprobe p ON l.cid = p.ccid
+           WHERE l.vec_id <> p.query_id),
+         approx AS (
+           SELECT ca.query_id, c.vec_id, CAST(sum(t.d2) AS BIGINT) AS d2_fp
+           FROM codes c
+           JOIN ivfcand ca ON ca.vec_id = c.vec_id
+           JOIN dtab t ON t.query_id = ca.query_id AND t.sub = c.sub AND t.cid = c.cid
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, vec_id AS neighbor_id, d2_fp,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY d2_fp, vec_id) AS INTEGER) AS rank
+           FROM approx)
+         SELECT query_id, neighbor_id, d2_fp, rank FROM ranked
+         WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   private lazy val s10OracleSql: String =
     s"""WITH $expandCtes,
@@ -1047,11 +1128,13 @@ object Similarity {
            UNION ALL
            SELECT 'pq' AS family, query_id, neighbor_id FROM ($s6OracleSql) t3
            UNION ALL
-           SELECT 'sq8' AS family, query_id, neighbor_id FROM ($s10OracleSql) t4),
+           SELECT 'sq8' AS family, query_id, neighbor_id FROM ($s10OracleSql) t4
+           UNION ALL
+           SELECT 'ivfpq' AS family, query_id, neighbor_id FROM ($s12OracleSql) t5),
          grid AS (
            SELECT f.family, e.query_id, e.neighbor_id
            FROM ex e CROSS JOIN
-             (SELECT unnest(['lsh', 'ivf', 'pq', 'sq8']) AS family) f)
+             (SELECT unnest(['lsh', 'ivf', 'pq', 'sq8', 'ivfpq']) AS family) f)
          SELECT g.family, g.query_id, count(*) AS k,
                 CAST(sum(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_hit,
@@ -1064,6 +1147,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s11_recall_matrix" -> s11OracleSql,
+    "s12_ivf_pq" -> s12OracleSql,
     "s9_filtered_knn" ->
       s"""WITH $expandCtes,
          lbl AS (SELECT vec_id, label FROM embeddings),

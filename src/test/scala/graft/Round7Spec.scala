@@ -78,7 +78,7 @@ class Round7Spec extends AnyFunSuite {
       .map(r => r.getAs[Long]("query_id") ->
         ((r.getAs[Long]("k"), r.getAs[Long]("n_hit")))).toMap
     val m = Similarity.s11RecallMatrix(spark, dir).collect()
-    assert(m.length === 4 * Similarity.QueryCount)
+    assert(m.length === 5 * Similarity.QueryCount)
     m.foreach { r =>
       val (k, h) = (r.getAs[Long]("k"), r.getAs[Long]("n_hit"))
       assert(k === Similarity.TopK.toLong, r.toString)
@@ -88,6 +88,24 @@ class Round7Spec extends AnyFunSuite {
       val (k, h) = s7(r.getAs[Long]("query_id"))
       assert(r.getAs[Long]("k") === k && r.getAs[Long]("n_hit") === h,
         s"s11 lsh row diverged from s7: $r")
+    }
+  }
+
+  test("s12: IVF-PQ distances agree with s6's full-ADC scan on shared pairs") {
+    // same codes, same tables — the IVF stage only restricts WHICH
+    // pairs are scored, never what a pair scores
+    val s6 = Similarity.s6PqAdc(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("d2_fp")).toMap
+    val s12 = Similarity.s12IvfPq(spark, dir).collect()
+    assert(s12.nonEmpty)
+    val shared = s12.flatMap { r =>
+      s6.get((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .map(d6 => (r, d6))
+    }
+    assert(shared.nonEmpty, "no overlap between s12 and s6 top-k to compare")
+    shared.foreach { case (r, d6) =>
+      assert(r.getAs[Long]("d2_fp") === d6, s"ADC distance diverged: $r")
     }
   }
 
