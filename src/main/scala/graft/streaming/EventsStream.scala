@@ -443,7 +443,39 @@ object EventsStream {
   def st7Trending(spark: SparkSession, dir: String): DataFrame =
     rankTrending(trendWindowCounts(Tables.events(spark, dir)))
 
+  /** Chained windowed aggregation — hour windows re-aggregated into
+    * day windows INSIDE one query, the multiple-stateful-operators
+    * capability Structured Streaming gained in Spark 3.4
+    * (SPARK-40925): the daily rollup consumes the hourly aggregate's
+    * window column directly downstream, no intermediate sink or
+    * second job. Batch and stream share this transform (the
+    * watermark is a no-op in batch; in streaming it both bounds the
+    * hourly state and gates the daily append emission). At scale
+    * this replaces the classic two-topology pattern (stream to a
+    * sink, batch-roll the sink) with one state store per level,
+    * each bounded by watermark × window count. */
+  def chainedDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+           sum(col("n_events")).as("n_events"),
+           max(col("n_events")).as("peak_hour_events"))
+
+  /** ST9 — batch twin of chainedDaily: per-(day, event_type) hour
+    * coverage, event totals, and the peak hour's volume. All-integer
+    * outputs — no float edge anywhere. */
+  def st9ChainedWindows(spark: SparkSession, dir: String): DataFrame =
+    chainedDaily(Tables.events(spark, dir))
+      .select(col("window.start").cast("timestamp").as("day_start"),
+              col("event_type"), col("n_hours"), col("n_events"),
+              col("peak_hour_events"))
+      .orderBy(col("day_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_chained_windows" -> (st9ChainedWindows _),
     "st8_anomalies"      -> (st8Anomalies _),
     "st7_trending"       -> (st7Trending _),
     "st6_static_enrich"  -> (st6StaticEnrich _),
@@ -511,6 +543,16 @@ object EventsStream {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value),2) AS total_value
          FROM events GROUP BY 1,2 ORDER BY window_start, event_type""",
+    // two-level mirror of the chained windows: tumbling windows are
+    // epoch-aligned, so hour/day starts are date_truncs
+    "st9_chained_windows" ->
+      """WITH h AS (
+           SELECT date_trunc('hour', ts) AS hs, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT date_trunc('day', hs) AS day_start, event_type,
+                count(*) AS n_hours, CAST(sum(n) AS BIGINT) AS n_events,
+                max(n) AS peak_hour_events
+         FROM h GROUP BY 1, 2 ORDER BY day_start, event_type""",
     "st2_sessionization" ->
       s"""WITH e AS (
            SELECT user_id, ts,

@@ -160,6 +160,33 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained hour→day windows: streamed append output == batch rollup below the watermark") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.chainedDaily(stream)
+        .select(col("window.start").cast("timestamp").as("day_start"),
+                col("event_type"), col("n_hours"), col("n_events"),
+                col("peak_hour_events")),
+      "chained_stream", mode = "append")
+    try {
+      // append emits a day only after the watermark (max ts − 10 min)
+      // passes its end — the batch twin restricted to those days must
+      // match the streamed output exactly
+      val maxTs = Tables.events(spark, dir).agg(max(col("ts"))).collect().head
+        .getTimestamp(0)
+      val frontierMicros = maxTs.getTime * 1000L - 10L * 60 * 1000000
+      val closed = EventsStream.st9ChainedWindows(spark, dir)
+        .filter(unix_micros(col("day_start")) + 86400L * 1000000 <= frontierMicros)
+        .collect()
+      assert(closed.nonEmpty, "need at least one watermark-closed day")
+      val streamed = spark.table("chained_stream")
+        .orderBy(col("day_start"), col("event_type")).collect()
+      assert(streamed.length === closed.length,
+        s"streamed ${streamed.length} vs closed-batch ${closed.length}")
+      streamed.zip(closed).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
   test("streamed dropDuplicatesWithinWatermark debounce == batch distinct counts") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(
