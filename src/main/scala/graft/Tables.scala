@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -24,15 +25,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert to
-    * a proper TimestampType at microsecond precision — the same
-    * truncation DuckDB applies, so oracle parity holds. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+    * drops and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, so
+    * the loader is representation-adaptive: nanos read as raw longs
+    * (legacy conf) and truncate to micros — the same truncation DuckDB
+    * applies — while micros NTZ casts to session-local TimestampType
+    * (identity on the wall clock under the UTC session this library
+    * pins). Downstream code always sees microsecond TimestampType. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    normalizeEventTs(load(s, d, "events"))
   }
+
+  /** ts → microsecond TimestampType from any of the three shapes a
+    * raw events read can produce (legacy nanos long / micros NTZ /
+    * already-local timestamp). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

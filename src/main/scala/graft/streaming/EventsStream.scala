@@ -24,27 +24,23 @@ import graft.Tables
   */
 object EventsStream {
 
-  /** events.parquet raw schema: ts is TIMESTAMP(NANOS), which Spark
-    * only reads as raw longs (see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream over an events parquet directory, ts
     * normalized to microsecond TimestampType exactly as the batch
-    * loader does. */
+    * loader does. The file source needs an explicit schema, and the
+    * raw representation of ts has varied across data drops (nanos →
+    * raw long under the legacy conf; micros → TIMESTAMP_NTZ), so the
+    * schema is sniffed from the directory's parquet footers with a
+    * batch read — metadata-only, no data scan — and normalized by the
+    * shared Tables.normalizeEventTs. */
   def readEventsStream(spark: SparkSession, dir: String,
                        maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val rawSchema = spark.read.parquet(dir).schema
+    Tables.normalizeEventTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour event-time windows per event_type; 10-minute

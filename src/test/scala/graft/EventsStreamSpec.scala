@@ -127,8 +127,10 @@ class EventsStreamSpec extends AnyFunSuite {
     // split events into two time-ordered files so the upsert sees two
     // micro-batches with re-emitted (refined) windows in between
     val splitDir = java.nio.file.Files.createTempDirectory("events_split").toString
-    // split from the RAW nanos representation so the staged files match
-    // the stream's rawSchema (ts: bigint), not a re-encoded timestamp
+    // split from the RAW representation so the staged files carry the
+    // same ts encoding the stream's sniffed schema expects (the legacy
+    // conf makes this read nanos drops as raw longs; on micros drops
+    // it is a no-op and ts stays a parquet timestamp)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val all = spark.read.parquet(s"$dir/events.parquet").orderBy("ts").cache()
     val n = all.count()
