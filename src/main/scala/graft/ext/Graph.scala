@@ -306,7 +306,56 @@ object Graph {
     out
   }
 
+  val CoreK = 2
+  val CoreRounds = 4
+
+  /** K-core of an undirected pair graph by synchronous peeling:
+    * each round recomputes alive-subgraph degrees and drops nodes
+    * below k; survivors after the last round form the k-core, each
+    * reported with its within-core degree. Fixed unrolled rounds (the
+    * repo's oracle-checkable iteration discipline — PageRank/LPA/BFS
+    * all do this); Round7Spec asserts a further round is a no-op at
+    * test scale, and at 100 TB the round count is the knob (peeling
+    * converges in O(peel depth) rounds — typically ≤ tens — each
+    * round one degree aggregate + two node-sized semi-joins at edge
+    * parallelism, the same per-round cost envelope as [[pagerank]]). */
+  def kcore(pairs: DataFrame, aCol: String, bCol: String,
+            k: Int = CoreK, rounds: Int = CoreRounds): DataFrame =
+    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = true) { (edges, width) =>
+      var cur = edges.repartition(width, col("src")).localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val alive = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src"))
+        // symmetric edge list ⇒ filtering BOTH endpoints against the
+        // alive set preserves symmetry; node-sized alive side joins
+        // at the edge-partitioned width
+        val next = cur
+          .join(alive, Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .repartition(width, col("src")).localCheckpoint()
+        CheckpointShim.unpersist(cur)
+        cur = next
+      }
+      val res = cur.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint()
+      CheckpointShim.unpersist(cur)
+      res
+    }
+
+  /** P5 — k-core decomposition of the near-dup candidate graph (k=2):
+    * the density gate BETWEEN p2's triangle census and p3's
+    * communities — a node outside the 2-core sits on a tree fringe
+    * (chained borderline pairs, the over-merge signature), while the
+    * 2-core is where true duplicate clusters live. Output: each core
+    * member with its within-core degree. */
+  def p5Kcore(spark: SparkSession, dir: String): DataFrame =
+    kcore(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+      .select(col("src").as("doc_id"), col("core_deg"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p5_kcore" -> (p5Kcore _),
     "p1_pagerank" -> (p1Pagerank _),
     "p2_triangles" -> (p2Triangles _),
     "p3_communities" -> (p3Communities _),
@@ -340,7 +389,31 @@ object Graph {
        GROUP BY e.s, l.lbl),
      l$k AS (SELECT node, lbl FROM c$k WHERE rn = 1)"""
 
+  /** One synchronous peel round as SQL: recompute degrees over edges
+    * whose BOTH endpoints survive in a{k-1}, keep nodes at ≥ CoreK. */
+  private def peelRound(k: Int): String =
+    s"""a$k AS (
+       SELECT e.s AS n FROM edges e
+       JOIN a${k - 1} x ON x.n = e.s
+       JOIN a${k - 1} y ON y.n = e.d
+       GROUP BY e.s HAVING count(*) >= $CoreK)"""
+
   val oracles: Map[String, String] = Map(
+    "p5_kcore" -> {
+      val rounds = (1 to CoreRounds).map(peelRound).mkString(",\n         ")
+      s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT s, d FROM (
+             SELECT a_id AS s, b_id AS d FROM pairs
+             UNION ALL SELECT b_id, a_id FROM pairs)),
+         a0 AS (SELECT DISTINCT s AS n FROM edges),
+         $rounds
+         SELECT e.s AS doc_id, count(*) AS core_deg
+         FROM edges e
+         JOIN a$CoreRounds x ON x.n = e.s
+         JOIN a$CoreRounds y ON y.n = e.d
+         GROUP BY e.s ORDER BY doc_id"""
+    },
     // bounded-depth recursive BFS; min(dp) per node is the true hop
     // distance when BfsRounds ≥ the component diameter
     "p4_bfs_depth" ->

@@ -867,7 +867,110 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Gopher rule-bundle constants (Rae et al. 2021, Table A1 — the
+    * widely-reused heuristic filter suite): word-count bounds, mean
+    * word length bounds, max symbol-to-word ratio, min alpha-word
+    * ratio, min distinct stopword hits. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanWordLen = 3
+  val GopherMaxMeanWordLen = 10
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  /** T24 — the Gopher quality-rule bundle: five row-local heuristic
+    * rules evaluated per document, rolled up per source with
+    * PER-RULE fail counts (the number a corpus curator actually
+    * tunes against — "this source loses 40% to word-count alone").
+    * Every rule is an integer cross-multiply, never a float ratio:
+    * mean word length ∈ [3,10] is `3n ≤ Σlen ≤ 10n`, alpha-word
+    * ratio ≥ 0.8 is `5·alpha ≥ 4n`, symbol ratio ≤ 0.1 is
+    * `10·symbols ≤ n` — bit-exact cross-engine, no rounding margin
+    * needed (t15's OOV discipline).
+    *
+    * Scale shape: one narrow map pass per doc (no joins, no shuffle
+    * beyond the |sources|-row rollup); at 100 TB this is the cheapest
+    * possible corpus operator — scan-bounded, fully codegen'd. */
+  def t24GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(w).as("n"),
+        length(array_join(w, "")).as("sumlen"),
+        size(filter(w, x => x.rlike("[A-Za-z]"))).as("alpha"),
+        (size(regexp_extract_all(col("text"), lit("#"), lit(0))) +
+          size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))).as("symbols"),
+        size(array_intersect(array_distinct(w),
+          array(GopherStopwords.map(lit): _*))).as("stop_hits"))
+      .select(col("source"),
+        (col("n") < GopherMinWords || col("n") > GopherMaxWords).as("f_wc"),
+        (col("sumlen") < col("n") * GopherMinMeanWordLen ||
+          col("sumlen") > col("n") * GopherMaxMeanWordLen).as("f_mwl"),
+        (col("alpha") * 5 < col("n") * 4).as("f_alpha"),
+        (col("symbols") * 10 > col("n")).as("f_sym"),
+        (col("stop_hits") < GopherMinStopHits).as("f_stop"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_wc"), 1L).otherwise(0L)).as("fail_word_count"),
+        sum(when(col("f_mwl"), 1L).otherwise(0L)).as("fail_mean_word_len"),
+        sum(when(col("f_alpha"), 1L).otherwise(0L)).as("fail_alpha_ratio"),
+        sum(when(col("f_sym"), 1L).otherwise(0L)).as("fail_symbol_ratio"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(!col("f_wc") && !col("f_mwl") && !col("f_alpha") &&
+          !col("f_sym") && !col("f_stop"), 1L).otherwise(0L)).as("n_pass_all"))
+      .orderBy(col("source"))
+  }
+
+  val NoveltyGramK = 3
+
+  /** T25 — cross-document n-gram novelty: what fraction of each
+    * source's distinct 3-gram mass is SHARED with at least one other
+    * document (boilerplate / template mass), vs novel. The
+    * complement of t20's within-source diversity: t20 asks "how
+    * varied is this source's text", t25 asks "how much of it is
+    * copied around the corpus" — the signal used to down-weight
+    * template-heavy sources before training. novelty_permille is an
+    * integer div of summed counts (exact); doc-level novelty
+    * extremes are reported for triage.
+    *
+    * Scale shape: d3's bounded frequency join — distinct (doc,gram)
+    * pairs semi-joined against the grams whose doc-frequency ≥ 2
+    * (computed by one gram-keyed groupBy with map-side combine). No
+    * pair explosion: each gram contributes its doc count, never
+    * doc². At 100 TB the hot-gram cap (d3's knob) bounds the
+    * frequency table's skew; the rollup is |sources| rows. */
+  def t25NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("_w"))
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(Dedup.shinglesOf(col("_w"), NoveltyGramK))).as("g"))
+    val shared = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+      .select(col("g"))
+    val perDoc = grams
+      .join(shared, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val docGrams = grams.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    docGrams.join(perDoc, Seq("doc_id"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        expr("(1000 * (n_grams - coalesce(n_shared, 0))) div n_grams").as("doc_novelty_pm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("n_shared")).as("shared_grams"),
+        expr("(1000 * sum(n_grams - n_shared)) div sum(n_grams)").as("novelty_permille"),
+        min(col("doc_novelty_pm")).as("min_doc_novelty_pm"),
+        max(col("doc_novelty_pm")).as("max_doc_novelty_pm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_ngram_novelty"    -> (t25NgramNovelty _),
+    "t24_gopher_rules"     -> (t24GopherRules _),
     "t23_decontam_spans"   -> (t23DecontamSpans _),
     "t22_heavy_hitters"    -> (t22HeavyHitters _),
     "t21_dsir_select"      -> (t21DsirSelect _),
@@ -975,6 +1078,60 @@ object TextAnalysis {
     s"(${graft.functions.StableHash.duckdbHash64(MixSeed, s"CAST($docId AS VARCHAR)")}) % $MixPpm"
 
   val oracles: Map[String, String] = Map(
+    "t24_gopher_rules" -> {
+      val stopList = GopherStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH s AS (
+           SELECT source,
+                  len(string_split(trim(text), ' ')) AS n,
+                  length(array_to_string(string_split(trim(text), ' '), '')) AS sumlen,
+                  len(list_filter(string_split(trim(text), ' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+                  len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+                  len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+                      $stopList)) AS stop_hits
+           FROM documents),
+         f AS (
+           SELECT source,
+                  (n < $GopherMinWords OR n > $GopherMaxWords) AS f_wc,
+                  (sumlen < $GopherMinMeanWordLen * n
+                    OR sumlen > $GopherMaxMeanWordLen * n) AS f_mwl,
+                  (alpha * 5 < n * 4) AS f_alpha,
+                  (symbols * 10 > n) AS f_sym,
+                  (stop_hits < $GopherMinStopHits) AS f_stop
+           FROM s)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+                CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+                CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_ratio,
+                CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+                CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+                CAST(sum(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_alpha
+                               AND NOT f_sym AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pass_all
+         FROM f GROUP BY 1 ORDER BY source"""
+    },
+    "t25_ngram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+         u AS (SELECT doc_id, source, unnest(list_distinct(${sqlGrams(NoveltyGramK)})) AS g
+               FROM w),
+         sh AS (SELECT g FROM u GROUP BY g HAVING count(*) >= 2),
+         perdoc AS (
+           SELECT u.doc_id, u.source, count(*) AS n_grams,
+                  CAST(sum(CASE WHEN sh.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+           FROM u LEFT JOIN sh ON sh.g = u.g
+           GROUP BY 1, 2),
+         d AS (SELECT source, n_grams, n_shared,
+                      (1000 * (n_grams - n_shared)) // n_grams AS doc_novelty_pm
+               FROM perdoc)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_grams) AS BIGINT) AS total_grams,
+                CAST(sum(n_shared) AS BIGINT) AS shared_grams,
+                CAST((1000 * CAST(sum(n_grams - n_shared) AS BIGINT))
+                     // CAST(sum(n_grams) AS BIGINT) AS BIGINT) AS novelty_permille,
+                CAST(min(doc_novelty_pm) AS BIGINT) AS min_doc_novelty_pm,
+                CAST(max(doc_novelty_pm) AS BIGINT) AS max_doc_novelty_pm
+         FROM d GROUP BY 1 ORDER BY source""",
     "t18_pii_redact" ->
       s"""WITH p AS (
            SELECT source,

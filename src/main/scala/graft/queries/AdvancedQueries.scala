@@ -978,7 +978,56 @@ object AdvancedQueries {
     }
   }
 
+  val BasketMinSupport = 2
+  val BasketTopK = 50
+
+  /** q54 — market-basket association rules (support / confidence /
+    * lift) over parts co-purchased in the same order: the classic
+    * retail-analytics extension of the reference's star-schema sales
+    * rollups (reference README.md:207-258 stops at single-item
+    * aggregates). Baskets are orders; items are the order's distinct
+    * parts; a pair's support is how many baskets hold both.
+    *
+    * Scale shape: the only corpus-sized shuffle is the within-basket
+    * self-join keyed on the ORDER key — fan-out is C(L,2) per basket,
+    * bounded by basket size (max 13 items in this data; at 100 TB the
+    * knob is a basket-size cap, exactly d3's hot-shingle rule: a
+    * degenerate wholesale basket with 10k items would fan out 50M
+    * pairs and is dropped or sampled, standard in production
+    * basket mining). Item counts are |parts| rows (catalog-bounded,
+    * broadcast), the basket count is a 1-row broadcast, and the
+    * top-k is TakeOrderedAndProject — no global sort materializes.
+    *
+    * All ratios are integer ppm with truncating division (cross-
+    * engine exact): lift_ppm = 1e6·pair·N div (cnt_a·cnt_b) — well
+    * inside int64 (pair, N ≤ 2^24 here; the 100 TB form caps the
+    * numerator at 1e6·2^31·2^31 only if baskets exceed 2^31, at
+    * which point you shard the lift computation by pair hash). */
+  def q54BasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val nBaskets = items.select(col("k")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemOrders = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("pair_orders"))
+      .filter(col("pair_orders") >= BasketMinSupport)
+    pairs
+      .join(broadcast(itemOrders.select(col("p").as("part_a"), col("c").as("orders_a"))), Seq("part_a"))
+      .join(broadcast(itemOrders.select(col("p").as("part_b"), col("c").as("orders_b"))), Seq("part_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("pair_orders"),
+        col("orders_a"), col("orders_b"),
+        expr("(1000000 * pair_orders) div orders_a").as("conf_ab_ppm"),
+        expr("(1000000 * pair_orders * n_baskets) div (orders_a * orders_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(BasketTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_basket_lift"     -> (q54BasketLift _),
     "q53_zorder_profile"  -> (q53ZorderProfile _),
     "q52_skew_join"       -> (q52SkewJoin _),
     "q51_ltv_curve"       -> (q51LtvCurve _),
@@ -1056,6 +1105,22 @@ object AdvancedQueries {
            FROM v2 JOIN novel USING (customer_id))"""
 
   val oracles: Map[String, String] = Map(
+    // q54: integer-ppm confidence/lift with truncating division —
+    // bit-exact cross-engine; counts CAST back from HUGEINT
+    "q54_basket_lift" ->
+      s"""WITH i AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+         nb AS (SELECT count(DISTINCT k) AS n_baskets FROM i),
+         c AS (SELECT p, count(*) AS c FROM i GROUP BY 1),
+         pr AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS pair_orders
+                FROM i a JOIN i b ON a.k = b.k AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)
+         SELECT part_a, part_b, pair_orders,
+                ca.c AS orders_a, cb.c AS orders_b,
+                CAST((1000000 * pair_orders) // ca.c AS BIGINT) AS conf_ab_ppm,
+                CAST((1000000 * pair_orders * (SELECT n_baskets FROM nb))
+                     // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+         FROM pr JOIN c ca ON ca.p = part_a JOIN c cb ON cb.p = part_b
+         ORDER BY lift_ppm DESC, part_a, part_b LIMIT $BasketTopK""",
     // q53: row counts mirror the source table (the rewrite must hold
     // exactly the source's rows); the skip claim is a measured
     // boolean the oracle emits as a literal (q24's pattern), pinned

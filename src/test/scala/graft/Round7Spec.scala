@@ -109,6 +109,58 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("p5: peeling reached its fixpoint (an extra round is a no-op) and core degrees ≥ k") {
+    import graft.ext.{Dedup, Graph}
+    val pairs = Dedup.d4MinhashLsh(spark, dir).select("a_id", "b_id").cache()
+    try {
+      val atR = Graph.kcore(pairs, "a_id", "b_id").collect()
+        .map(r => r.getAs[Long]("src") -> r.getAs[Long]("core_deg")).toMap
+      val atR1 = Graph.kcore(pairs, "a_id", "b_id",
+        rounds = Graph.CoreRounds + 1).collect()
+        .map(r => r.getAs[Long]("src") -> r.getAs[Long]("core_deg")).toMap
+      assert(atR === atR1, "CoreRounds has not converged on the test graph")
+      assert(atR.nonEmpty)
+      atR.values.foreach(d => assert(d >= Graph.CoreK))
+    } finally { pairs.unpersist(); () }
+  }
+
+  test("q54: support/confidence identities hold on every emitted rule") {
+    val rows = graft.queries.AdvancedQueries.q54BasketLift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, a, b) = (r.getAs[Long]("pair_orders"),
+        r.getAs[Long]("orders_a"), r.getAs[Long]("orders_b"))
+      assert(p <= math.min(a, b), s"support exceeds an item count: $r")
+      assert(r.getAs[Long]("conf_ab_ppm") <= 1000000L, r.toString)
+      assert(r.getAs[Long]("lift_ppm") > 0L, r.toString)
+    }
+  }
+
+  test("t24: per-rule fail counts reconcile with independently computed word-count fails") {
+    val t24 = TextAnalysis.t24GopherRules(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val wcFails = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(when(size(split(trim(col("text")), " ")) < TextAnalysis.GopherMinWords, 1L)
+        .otherwise(0L)).as("f")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("f")).toMap
+    assert(t24.nonEmpty)
+    t24.foreach { case (src, r) =>
+      assert(r.getAs[Long]("fail_word_count") === wcFails(src), src)
+      assert(r.getAs[Long]("n_pass_all") <= r.getAs[Long]("n_docs"), src)
+    }
+  }
+
+  test("t25: novelty bounded and anti-monotone in shared mass") {
+    TextAnalysis.t25NgramNovelty(spark, dir).collect().foreach { r =>
+      val (tg, sg, pm) = (r.getAs[Long]("total_grams"), r.getAs[Long]("shared_grams"),
+        r.getAs[Long]("novelty_permille"))
+      assert(sg <= tg, r.toString)
+      assert(pm >= 0L && pm <= 1000L, r.toString)
+      assert(pm === 1000L * (tg - sg) / tg, r.toString)
+    }
+  }
+
   test("m6 cross-modal cosines sit ≫ float-noise from the round(·,6) boundary (measured)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // distance of every pair's cosine from the nearest .5 rounding
