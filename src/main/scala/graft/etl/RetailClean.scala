@@ -187,25 +187,29 @@ object RetailClean {
   /** Persisted audit/data-quality table (README.md:177-178: "Record
     * row counts, rejections, and data quality metrics" — A7). One row
     * per metric so downstream monitoring can diff loads without
-    * schema changes. Every count is a bounded aggregate over staging
-    * (map-side combine, no wide state); the derivation re-runs the
-    * narrow pipeline stages, which Catalyst collapses into the same
-    * scan. */
+    * schema changes. Fate counts come from ONE aggregate over the
+    * quarantine frame (which already tags every row's reject reason
+    * and parse flag — one scan plus the collision aggregate clean()
+    * pays anyway), rather than five separate count() actions each
+    * re-deriving staging. rows_out stays an independent count of the
+    * actual cleaned output so the audit still cross-checks the
+    * pipeline rather than restating the tags. */
   def audit(raw: DataFrame, cleaned: DataFrame, loadId: String): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val staged = parseDateTime(fillUnknown(dropCriticalNulls(rename(raw))))
-    val nRaw = raw.count()
-    val nCriticalKept = dropCriticalNulls(rename(raw)).count()
-    val nParseFail = parseFailures(staged).count()
-    val nAfterDedup = dedupCollisions(staged).count()
+    val fates = quarantine(raw).agg(
+      count(lit(1)),
+      coalesce(sum(when(col("reject_reason") === "null_critical", 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("parse_failed"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("reject_reason") === "id_collision", 1L).otherwise(0L)), lit(0L))
+    ).collect()(0)
     val nClean = cleaned.count()
     Seq(
-      ("rows_in",             nRaw),
-      ("rows_dropped_null",   nRaw - nCriticalKept),
-      ("rows_parse_failed",   nParseFail),
-      ("rows_dropped_collision", nCriticalKept - nAfterDedup),
-      ("rows_out",            nClean)
+      ("rows_in",                fates.getLong(0)),
+      ("rows_dropped_null",      fates.getLong(1)),
+      ("rows_parse_failed",      fates.getLong(2)),
+      ("rows_dropped_collision", fates.getLong(3)),
+      ("rows_out",               nClean)
     ).toDF("metric", "value").withColumn("load_id", lit(loadId))
   }
 

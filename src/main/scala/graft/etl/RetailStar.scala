@@ -126,6 +126,9 @@ object RetailStar {
     * apply identically. */
   def q29TopProducts(spark: SparkSession, dir: String): DataFrame = {
     val star = buildStar(spark, dir)
+    // Bounded-catalog assumption (same as q2): DimProduct is a retail
+    // product dim — broadcastable at any realistic catalog size; drop
+    // the hint (AQE shuffle join) if it ever outgrows the threshold.
     star.fact.join(broadcast(star.product), Seq("product_key"))
       .groupBy(col("product_name"), col("product_brand"))
       .agg(round(sum(col("line_total_amount")), 2).as("revenue"))

@@ -1014,9 +1014,13 @@ object AdvancedQueries {
       .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
       .agg(count(lit(1)).as("pair_orders"))
       .filter(col("pair_orders") >= BasketMinSupport)
+    // itemOrders is catalog-sized (one row per distinct part) and grows
+    // with the product catalog — never hint-broadcast it. The pairs side
+    // is min-support-filtered and far smaller; leave side choice to AQE,
+    // which broadcasts whichever side fits at the actual scale.
     pairs
-      .join(broadcast(itemOrders.select(col("p").as("part_a"), col("c").as("orders_a"))), Seq("part_a"))
-      .join(broadcast(itemOrders.select(col("p").as("part_b"), col("c").as("orders_b"))), Seq("part_b"))
+      .join(itemOrders.select(col("p").as("part_a"), col("c").as("orders_a")), Seq("part_a"))
+      .join(itemOrders.select(col("p").as("part_b"), col("c").as("orders_b")), Seq("part_b"))
       .crossJoin(broadcast(nBaskets))
       .select(col("part_a"), col("part_b"), col("pair_orders"),
         col("orders_a"), col("orders_b"),

@@ -63,6 +63,10 @@ object CoreQueries {
   def q2TopParts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val part = Tables.part(spark, dir)
+    // Bounded-catalog assumption: a retail product dim stays in the
+    // 1e5–1e7 row range (≲ a few hundred MB) — broadcastable on any
+    // sane executor. If the catalog ever outgrows the broadcast
+    // threshold, drop the hint and let AQE fall back to shuffle join.
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_name"), col("p_brand"))
       .agg(revenueSumExact.as("revenue"),

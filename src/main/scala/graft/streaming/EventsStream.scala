@@ -24,6 +24,16 @@ import graft.Tables
   */
 object EventsStream {
 
+  /** Raw schema of the current micros-NTZ events drops — the
+    * empty-directory fallback for readEventsStream's footer sniff. */
+  val defaultRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-source stream over an events parquet directory, ts
     * normalized to microsecond TimestampType exactly as the batch
     * loader does. The file source needs an explicit schema, and the
@@ -31,11 +41,18 @@ object EventsStream {
     * raw long under the legacy conf; micros → TIMESTAMP_NTZ), so the
     * schema is sniffed from the directory's parquet footers with a
     * batch read — metadata-only, no data scan — and normalized by the
-    * shared Tables.normalizeEventTs. */
+    * shared Tables.normalizeEventTs. When the directory has no
+    * footers yet (classic file-source pattern: start the query, files
+    * arrive later) the sniff cannot work, so we fall back to the
+    * micros-NTZ schema of the current testdata drops — callers with a
+    * different layout pass `schemaOverride`. */
   def readEventsStream(spark: SparkSession, dir: String,
-                       maxFilesPerTrigger: Int = 1): DataFrame = {
+                       maxFilesPerTrigger: Int = 1,
+                       schemaOverride: Option[StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(dir).schema
+    val rawSchema = schemaOverride.getOrElse(
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => defaultRawSchema })
     Tables.normalizeEventTs(
       spark.readStream
         .schema(rawSchema)

@@ -175,6 +175,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"too many shuffles for a row-local sampler:\n$p")
   }
 
+  test("q54: no hard broadcast hint on the catalog-sized itemOrders side") {
+    val df = graft.queries.AdvancedQueries.q54BasketLift(spark, dir)
+    // itemOrders grows with the product catalog — the only permitted
+    // hint is the 1-row nBaskets cross-join broadcast; side choice for
+    // the stats joins belongs to AQE at runtime
+    val logical = df.queryExecution.analyzed.toString
+    assert(countOf(logical, "ResolvedHint") <= 1,
+      s"q54 carries a catalog-sized broadcast hint:\n$logical")
+    df.collect() // still executes green without the hint
+  }
+
   private def countOf(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 }
