@@ -401,12 +401,18 @@ object Similarity {
     * the same bounded-driver-state pattern as s5. New centroids are
     * floor(sum/count) integer means; floor of an exactly-
     * representable quotient is identical in Scala and DuckDB. */
-  private def pqCodebooks(spark: SparkSession, dir: String, v: DataFrame): DataFrame = {
+  private def pqCodebooks(spark: SparkSession, dir: String, v: DataFrame): DataFrame =
+    pqCodebooksOn(spark, v, pqStride(Tables.embeddings(spark, dir)))
+
+  /** Stride as a 1-row plan-side aggregate (same scale-free pattern
+    * as PageRank's node count): no driver value steers the plan.
+    * `pop` is the TRAINING population — s13 passes the base slice so
+    * its codebook stays ~K over the training set. */
+  private def pqStride(pop: DataFrame): DataFrame =
+    pop.agg(greatest(lit(1L), expr(s"count(1) div $PqTargetK")).as("seed_stride"))
+
+  private def pqCodebooksOn(spark: SparkSession, v: DataFrame, strideDf: DataFrame): DataFrame = {
     import spark.implicits._
-    // stride as a 1-row plan-side aggregate (same scale-free pattern
-    // as PageRank's node count): no driver value steers the plan
-    val strideDf = Tables.embeddings(spark, dir)
-      .agg(greatest(lit(1L), expr(s"count(1) div $PqTargetK")).as("seed_stride"))
     var cen = v.crossJoin(broadcast(strideDf))
       .filter(pmod(col("vec_id"), col("seed_stride")) === 0)
       .select(col("sub"), col("vec_id").as("cid"), col("qa").as("ma"), col("na").as("nc"))
@@ -492,6 +498,129 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2_fp"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------
+  // S13 — the PERSISTED + INCREMENTAL vector-store lifecycle s12
+  // stops short of. s12 retrains coarse centroids and PQ codebooks
+  // on every run; a production vector store (FAISS on disk, Milvus,
+  // Vespa) builds the index ONCE, appends new vectors into the
+  // existing inverted lists without retraining, and serves queries
+  // from the index tables alone — the corpus parquet is never
+  // touched at query time.
+  //
+  // Layout (all parquet under one index root):
+  //   coarse_centroids/  (cid, sarr, nc)            — |C| rows
+  //   pq_codebooks/      (sub, cid, ma, nc)          — 8·K rows
+  //   codes/ccid=<list>/ (vec_id, sub, cid)          — 8 rows/vector
+  // codes is PARTITIONED BY the coarse list id: that IS the inverted-
+  // list layout — a query probing IvfProbes lists reads only those
+  // partitions (dynamic partition pruning from the broadcast probe
+  // join), i.e. ~IvfProbes/|C| of the corpus codes, exactly FAISS's
+  // probe-bounded scan expressed as parquet pruning.
+  //
+  // Exactness: build/append/query all reuse s5+s6's integer-sum
+  // machinery, so the persisted round-trip changes no bits — the
+  // append path codes vectors against centroids they never trained
+  // (the production semantics), and coding is deterministic given
+  // the model, so append ≡ rebuild on the coded set (Round8Spec).
+  //
+  // Scale: build pays s12's training once; append is one narrow scan
+  // of the NEW vectors (assignment + coding against broadcast model
+  // tables — no shuffle of the existing index); the query path
+  // broadcasts |Q| probes + the |Q|·8·K ADC table against a
+  // partition-pruned codes scan. At 100 TB the knobs are |C| (list
+  // count → partition granularity) and periodic re-train/compaction
+  // when drift degrades recall — both named, neither needed for
+  // correctness.
+  // ---------------------------------------------------------------
+
+  /** The held-out ~10% append slice for the s13 gate entry: vec_ids
+    * ending in 9 (coprime with the 97-stride coarse seeds and outside
+    * the vec_id < 5 query set, so seeds and queries stay in base). */
+  val S13AppendDigit = 9
+  private def s13BasePred: Column = col("vec_id") % 10 =!= S13AppendDigit
+
+  /** Build the index at `idxDir`: train coarse centroids + PQ
+    * codebooks on `trainPred` vectors, code `codePred` vectors into
+    * the inverted-list layout. */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, idxDir: String,
+                      trainPred: Column, codePred: Column): Unit = {
+    val qv = quantVecs(spark, dir).cache()
+    val cen = kmeansCentroids(spark, qv.filter(trainPred))
+    cen.write.mode("overwrite").parquet(s"$idxDir/coarse_centroids")
+    val v = pqSubVecs(spark, dir).cache()
+    val pcen = pqCodebooksOn(spark, v.filter(trainPred),
+      pqStride(Tables.embeddings(spark, dir).filter(trainPred)))
+    pcen.write.mode("overwrite").parquet(s"$idxDir/pq_codebooks")
+    writeCodes(qv.filter(codePred), v.filter(codePred), cen, pcen, idxDir,
+      overwrite = true)
+  }
+
+  /** Append `appendPred` vectors into the EXISTING index: read the
+    * persisted model tables, assign + code only the new vectors, and
+    * append their rows to the inverted lists. No retraining, no
+    * rewrite of existing lists — the incremental path. */
+  def appendIvfPqIndex(spark: SparkSession, dir: String, idxDir: String,
+                       appendPred: Column): Unit = {
+    val cen = spark.read.parquet(s"$idxDir/coarse_centroids")
+    val pcen = spark.read.parquet(s"$idxDir/pq_codebooks")
+    writeCodes(quantVecs(spark, dir).filter(appendPred),
+      pqSubVecs(spark, dir).filter(appendPred), cen, pcen, idxDir,
+      overwrite = false)
+  }
+
+  /** Coarse-assign + PQ-code `qv`/`v` against the given model and
+    * write into the ccid-partitioned codes table. */
+  private def writeCodes(qv: DataFrame, v: DataFrame, cen: DataFrame,
+                         pcen: DataFrame, idxDir: String,
+                         overwrite: Boolean): Unit = {
+    val lists = rankCentroids(qv, cen).filter(col("r") === 1)
+      .select(col("vec_id"), col("cid").as("ccid"))
+    pqCodes(v, pcen).join(lists, Seq("vec_id"))
+      .select(col("vec_id"), col("sub"), col("cid"), col("ccid"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("ccid").parquet(s"$idxDir/codes")
+  }
+
+  /** Serve top-k from the index tables ONLY (plus the query vectors
+    * themselves) — s12's probe-bounded ADC plan over the persisted
+    * model; the corpus embedding table never appears. */
+  def queryIvfPqIndex(spark: SparkSession, dir: String, idxDir: String): DataFrame = {
+    val cen = spark.read.parquet(s"$idxDir/coarse_centroids")
+    val pcen = spark.read.parquet(s"$idxDir/pq_codebooks")
+    // partition column comes back type-inferred; pin it to long
+    val codes = spark.read.parquet(s"$idxDir/codes")
+      .withColumn("ccid", col("ccid").cast("long"))
+    val qQv = quantVecs(spark, dir).filter(col("vec_id") < QueryCount)
+    val qV = pqSubVecs(spark, dir).filter(col("vec_id") < QueryCount)
+    val qProbe = rankCentroids(qQv, cen).filter(col("r") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cid").as("ccid"))
+    val dtab = pqDist(qV, pcen)
+      .select(col("vec_id").as("query_id"), col("sub"), col("cid"), col("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
+    codes.join(broadcast(qProbe), Seq("ccid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("d2_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** S13 — the full lifecycle as the gate entry: build on the ~90%
+    * base slice (train + code), append the held-out slice against the
+    * frozen model, then answer the standard query set from the index
+    * tables alone. The oracle replays the same pipeline as SQL —
+    * train restricted to base, codes over everything (valid because
+    * append ≡ rebuild: coding is deterministic given the model). */
+  def s13PersistedIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_s13_idx_").toString
+    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
+    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    queryIvfPqIndex(spark, dir, idxDir)
   }
 
   val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
@@ -790,6 +919,7 @@ object Similarity {
     "s7_recall_eval"       -> (s7RecallEval _),
     "s11_recall_matrix"    -> (s11RecallMatrix _),
     "s12_ivf_pq"           -> (s12IvfPq _),
+    "s13_persisted_index"  -> (s13PersistedIvfPq _),
     "s1_knn_brute"         -> (s1KnnBrute _),
     "s2_ann_lsh"           -> (s2AnnLsh _),
     "s3_ivf_ann"           -> (s3IvfAnn _),
@@ -850,10 +980,14 @@ object Similarity {
   private val KmeansFin = KmeansIters + 1
 
   /** Everything through the final k-means assignment (`lists` =
-    * (vec_id, cid)), shared by the s5 and d13 oracles: quantized
+    * (vec_id, cid)), shared by the s5/d13/s12/s13 oracles: quantized
     * long-format vectors, integer norms, stride seeds, and
-    * `KmeansIters` unrolled Lloyd rounds. */
-  private lazy val kmeansListsCtes: String = {
+    * `KmeansIters` unrolled Lloyd rounds. `train` restricts the
+    * TRAINING population (seeds + per-round re-sums) — the final
+    * assignment always covers every vector, which is exactly s13's
+    * append path: vectors outside the training set are coded against
+    * centroids they never influenced. */
+  private def kmeansListsCtes(train: String = "TRUE"): String = {
     val rounds = (1 to KmeansFin).map { t =>
       val prev = t - 1
       val rank =
@@ -873,7 +1007,7 @@ object Similarity {
         s"""$rank,
          c$t AS (
            SELECT a.cid, q.i, sum(q.q) AS s
-           FROM (SELECT vec_id, cid FROM r$t WHERE r = 1) a
+           FROM (SELECT vec_id, cid FROM r$t WHERE r = 1 AND ($train)) a
            JOIN qv q ON q.vec_id = a.vec_id GROUP BY 1, 2),
          nc$t AS (SELECT cid, sum(s * s) AS nc FROM c$t GROUP BY 1)"""
       else rank
@@ -883,7 +1017,8 @@ object Similarity {
            SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) AS q
            FROM ux),
          nv AS (SELECT vec_id, sum(q * q) AS nv FROM qv GROUP BY 1),
-         c0 AS (SELECT vec_id AS cid, i, q AS s FROM qv WHERE vec_id % $IvfCentroidStride = 0),
+         c0 AS (SELECT vec_id AS cid, i, q AS s FROM qv
+                WHERE vec_id % $IvfCentroidStride = 0 AND ($train)),
          nc0 AS (SELECT cid, sum(s * s) AS nc FROM c0 GROUP BY 1),
          $rounds,
          lists AS (SELECT vec_id, cid FROM r$KmeansFin WHERE r = 1)"""
@@ -891,7 +1026,7 @@ object Similarity {
 
   private lazy val s5OracleSql: String = {
     val fin = KmeansFin
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes()},
          qprobe AS (SELECT vec_id AS query_id, cid FROM r$fin
                     WHERE r <= $IvfProbes AND vec_id < $QueryCount),
          cand AS (
@@ -919,8 +1054,10 @@ object Similarity {
   /** The PQ chain (quantized subvectors → unrolled codebook Lloyd
     * rounds → codes + query ADC tables) WITHOUT the leading ux CTE,
     * so chains that already expand the embeddings (kmeansListsCtes)
-    * can compose it — shared by the s6 and s12 oracles. */
-  private lazy val pqCtes: String = {
+    * can compose it — shared by the s6/s12/s13 oracles. `train`
+    * restricts codebook training (seed stride base + per-round
+    * re-means); codes + ADC tables always cover every vector. */
+  private def pqCtes(train: String = "TRUE"): String = {
     val rounds = (1 to PqIters + 1).map { t =>
       val prev = t - 1
       val assign =
@@ -939,7 +1076,7 @@ object Similarity {
          cb$t AS (
            SELECT a.sub, a.cid, q.j,
                   CAST(floor(CAST(sum(q.q) AS DOUBLE) / count(*)) AS BIGINT) AS m
-           FROM (SELECT vec_id, sub, cid FROM asg$t WHERE r = 1) a
+           FROM (SELECT vec_id, sub, cid FROM asg$t WHERE r = 1 AND ($train)) a
            JOIN qs q ON q.vec_id = a.vec_id AND q.sub = a.sub
            GROUP BY 1, 2, 3)"""
       else assign
@@ -953,7 +1090,7 @@ object Similarity {
          cb0 AS (
            SELECT sub, vec_id AS cid, j, q AS m FROM qs
            WHERE vec_id % (SELECT greatest(1, count(*) // $PqTargetK)
-                           FROM embeddings) = 0),
+                           FROM embeddings WHERE ($train)) = 0 AND ($train)),
          $rounds,
          codes AS (SELECT vec_id, sub, cid FROM asg$fin WHERE r = 1),
          dtab AS (SELECT vec_id AS query_id, sub, cid, d2 FROM dist$fin
@@ -965,7 +1102,7 @@ object Similarity {
            SELECT vec_id, unnest(embedding) AS x,
                   generate_subscripts(embedding, 1) AS i
            FROM embeddings),
-         $pqCtes,
+         ${pqCtes()},
          approx AS (
            SELECT t.query_id, c.vec_id, CAST(sum(t.d2) AS BIGINT) AS d2_fp
            FROM codes c JOIN dtab t ON t.sub = c.sub AND t.cid = c.cid
@@ -979,13 +1116,10 @@ object Similarity {
          SELECT query_id, neighbor_id, d2_fp, rank FROM ranked
          WHERE rank <= $TopK ORDER BY query_id, rank"""
 
-  /** s12's mirror: the coarse chain (kmeansListsCtes: lists + probe
-    * ranks) and the fine chain (pqCtes: codes + ADC tables) composed
-    * — candidates from the probed lists, distances from the tables. */
-  private lazy val s12OracleSql: String =
-    s"""WITH $kmeansListsCtes,
-         $pqCtes,
-         qprobe AS (SELECT vec_id AS query_id, cid AS ccid FROM r$KmeansFin
+  /** The composed IVF-PQ query tail (probe → candidates → ADC sum →
+    * rank), shared by the s12 and s13 oracles. */
+  private lazy val ivfPqTailSql: String =
+    s"""qprobe AS (SELECT vec_id AS query_id, cid AS ccid FROM r$KmeansFin
                     WHERE r <= $IvfProbes AND vec_id < $QueryCount),
          ivfcand AS (
            SELECT DISTINCT p.query_id, l.vec_id
@@ -1004,6 +1138,25 @@ object Similarity {
            FROM approx)
          SELECT query_id, neighbor_id, d2_fp, rank FROM ranked
          WHERE rank <= $TopK ORDER BY query_id, rank"""
+
+  /** s12's mirror: the coarse chain (kmeansListsCtes: lists + probe
+    * ranks) and the fine chain (pqCtes: codes + ADC tables) composed
+    * — candidates from the probed lists, distances from the tables. */
+  private lazy val s12OracleSql: String =
+    s"""WITH ${kmeansListsCtes()},
+         ${pqCtes()},
+         $ivfPqTailSql"""
+
+  /** s13's mirror: identical query tail, but training restricted to
+    * the base slice — the coded set still covers every vector, which
+    * is the SQL statement of append ≡ rebuild (coding is
+    * deterministic given the frozen model). */
+  private lazy val s13OracleSql: String = {
+    val train = s"vec_id % 10 <> $S13AppendDigit"
+    s"""WITH ${kmeansListsCtes(train)},
+         ${pqCtes(train)},
+         $ivfPqTailSql"""
+  }
 
   private lazy val s10OracleSql: String =
     s"""WITH $expandCtes,
@@ -1148,6 +1301,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s11_recall_matrix" -> s11OracleSql,
     "s12_ivf_pq" -> s12OracleSql,
+    "s13_persisted_index" -> s13OracleSql,
     "s9_filtered_knn" ->
       s"""WITH $expandCtes,
          lbl AS (SELECT vec_id, label FROM embeddings),
@@ -1201,7 +1355,7 @@ object Similarity {
     // decides the final rank over the top-RescoreDepth survivors
     "s10_sq8_packed" -> s10OracleSql,
     "d13_semdedup" ->
-      s"""WITH $kmeansListsCtes,
+      s"""WITH ${kmeansListsCtes()},
          pr AS (
            SELECT l.cid, x.vec_id AS a, y.vec_id AS b, sum(x.q * y.q) AS dot
            FROM lists l

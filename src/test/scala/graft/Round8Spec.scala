@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+
+/** Round-8 pins for the persisted + incremental ANN index (s13):
+  *
+  *  1. Query-path parity — an index BUILT on the full corpus and then
+  *     served purely from its parquet tables answers bit-identically
+  *     to s12's in-memory composition: persistence changes no bits.
+  *  2. Append ≡ rebuild — coding the held-out slice into the existing
+  *     lists (frozen model, no retraining) produces the exact codes
+  *     table a from-scratch build over everything (same training set)
+  *     would: the incremental path is lossless.
+  *  3. The gate entry's lists cover the whole corpus: every vector —
+  *     base and appended — lands in exactly one inverted list with a
+  *     full set of 8 subspace codes.
+  */
+class Round8Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def codesOf(idxDir: String): Set[(Long, Int, Long, Long)] =
+    spark.read.parquet(s"$idxDir/codes")
+      .select(col("vec_id"), col("sub"), col("cid"), col("ccid").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("s13: persisted query path is bit-identical to s12's in-memory composition") {
+    val idx = tmp("graft_s13_parity_")
+    Similarity.buildIvfPqIndex(spark, dir, idx, lit(true), lit(true))
+    val fromIndex = Similarity.queryIvfPqIndex(spark, dir, idx).collect()
+    spark.catalog.clearCache()
+    val inMemory = Similarity.s12IvfPq(spark, dir).collect()
+    assert(fromIndex.length === inMemory.length)
+    assert(fromIndex.map(_.toString).toSeq === inMemory.map(_.toString).toSeq,
+      "persisted round-trip changed the answer")
+  }
+
+  test("s13: append into frozen lists ≡ rebuild with the same training set") {
+    val base = col("vec_id") % 10 =!= Similarity.S13AppendDigit
+    val incr = tmp("graft_s13_incr_")
+    Similarity.buildIvfPqIndex(spark, dir, incr, base, base)
+    Similarity.appendIvfPqIndex(spark, dir, incr, !base)
+    spark.catalog.clearCache()
+    val full = tmp("graft_s13_full_")
+    Similarity.buildIvfPqIndex(spark, dir, full, base, lit(true))
+    assert(codesOf(incr) === codesOf(full),
+      "incremental coding diverged from a from-scratch build")
+  }
+
+  test("s13: every corpus vector is in exactly one list with 8 codes") {
+    val idx = tmp("graft_s13_cover_")
+    val base = col("vec_id") % 10 =!= Similarity.S13AppendDigit
+    Similarity.buildIvfPqIndex(spark, dir, idx, base, base)
+    Similarity.appendIvfPqIndex(spark, dir, idx, !base)
+    val nVecs = Tables.embeddings(spark, dir).count()
+    val perVec = spark.read.parquet(s"$idx/codes")
+      .groupBy(col("vec_id"))
+      .agg(countDistinct(col("ccid")).as("lists"), count(lit(1)).as("codes"))
+      .collect()
+    assert(perVec.length.toLong === nVecs, "a vector is missing from the index")
+    perVec.foreach { r =>
+      assert(r.getAs[Long]("lists") === 1L, s"${r.getLong(0)} in multiple lists")
+      assert(r.getAs[Long]("codes") === Similarity.PqSubspaces.toLong)
+    }
+  }
+}
