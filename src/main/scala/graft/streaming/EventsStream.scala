@@ -232,6 +232,62 @@ object EventsStream {
       .orderBy(col("user_id"))
   }
 
+  /** LEFT OUTER interval attribution: every purchase row survives —
+    * with its attributing views where they exist, null-extended where
+    * none do (the purchase-without-attribution case st4's inner join
+    * silently drops). Shared by batch and stream; in a stream the
+    * null-extended rows are emitted by WATERMARK EXPIRY: once the
+    * watermark passes a buffered purchase (no view with
+    * view_ts ≤ buy_ts can still arrive), the state store evicts it
+    * and append mode emits the orphan exactly once. State stays
+    * bounded by (watermark + gap) of traffic on both sides — the
+    * outer mode costs no extra state over the inner join, only the
+    * deferred emission. */
+  def attributionOuterPairs(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("view_user"),
+      col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val b = purchases.select(col("user_id").as("buyer_id"),
+      col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+    b.join(v,
+      col("buyer_id") === col("view_user") &&
+        col("view_ts") <= col("buy_ts") &&
+        col("view_ts") >= col("buy_ts") - expr(s"interval $AttributionGap"),
+      "left_outer")
+      .select(col("buyer_id").as("user_id"), col("buy_id"), col("buy_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  /** Streaming form of the left-outer attribution join — the one
+    * stateful join mode the inner interval join (st4) doesn't cover.
+    * Both branches carry the 1-hour watermark the outer join needs to
+    * know when an unmatched purchase can never match again. */
+  def attributionOuterStream(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view").withWatermark("ts", "1 hour")
+    val b = events.filter(col("event_type") === "purchase").withWatermark("ts", "1 hour")
+    attributionOuterPairs(v, b)
+  }
+
+  /** ST10 — the batch twin under the DuckDB oracle: per-user
+    * attribution census INCLUDING the orphans. n_attributed_buys +
+    * n_orphan_buys = n_buys by construction, so the oracle hash pins
+    * both partitions of the outer join's output; count(view_id) per
+    * purchase counts only matched rows (COUNT of a null-extended
+    * column is 0 in both engines). */
+  def st10OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val perBuy = attributionOuterPairs(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"))
+      .groupBy(col("user_id"), col("buy_id"))
+      .agg(count(col("view_id")).as("n_views"))
+    perBuy.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_buys"),
+        sum(when(col("n_views") > 0, 1L).otherwise(0L)).as("n_attributed_buys"),
+        sum(when(col("n_views") === 0, 1L).otherwise(0L)).as("n_orphan_buys"),
+        sum(col("n_views")).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   /** foreachBatch upsert (SURVEY §2.9/§7 sketch): maintain a
     * windowed-counts snapshot table incrementally from a stream.
     * Update-mode batches carry re-emitted (window, event_type) rows;
@@ -496,7 +552,8 @@ object EventsStream {
     "st1_event_windows"  -> (st1EventWindows _),
     "st2_sessionization" -> (st2Sessionization _),
     "st3_transitions"    -> (st3Transitions _),
-    "st4_stream_join"    -> (st4StreamJoin _))
+    "st4_stream_join"    -> (st4StreamJoin _),
+    "st10_outer_join"    -> (st10OuterJoin _))
 
   val oracles: Map[String, String] = Map(
     // the z-test cross-multiplied into pure int64, identical to the
@@ -615,5 +672,27 @@ object EventsStream {
                 count(DISTINCT view_id) AS n_contributing_views,
                 round(avg(date_diff('microsecond', view_ts, buy_ts) / 60000000.0), 1)
                   AS avg_view_to_buy_mins
-         FROM pairs GROUP BY 1 ORDER BY user_id""")
+         FROM pairs GROUP BY 1 ORDER BY user_id""",
+    // LEFT JOIN keeps orphan purchases; count(view_id) is 0 for the
+    // null-extended rows in both engines
+    "st10_outer_join" ->
+      s"""WITH v AS (
+           SELECT user_id, ts AS view_ts, event_id AS view_id
+           FROM events WHERE event_type = 'view'),
+         b AS (
+           SELECT user_id, ts AS buy_ts, event_id AS buy_id
+           FROM events WHERE event_type = 'purchase'),
+         perbuy AS (
+           SELECT b.user_id, b.buy_id, count(v.view_id) AS n_views
+           FROM b LEFT JOIN v ON v.user_id = b.user_id
+             AND v.view_ts <= b.buy_ts
+             AND date_diff('microsecond', v.view_ts, b.buy_ts) <= $AttributionGapMicros
+           GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_buys,
+                CAST(sum(CASE WHEN n_views > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_attributed_buys,
+                CAST(sum(CASE WHEN n_views = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_orphan_buys,
+                CAST(sum(n_views) AS BIGINT) AS n_pairs
+         FROM perbuy GROUP BY 1 ORDER BY user_id""")
 }

@@ -233,6 +233,52 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join == batch pairs + watermark-closed orphans") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.attributionOuterStream(stream)
+        .select(col("user_id"), col("buy_id"), col("buy_ts"), col("view_id")),
+      "attr_outer_stream", mode = "append")
+    try {
+      def key(r: org.apache.spark.sql.Row): (Long, Long, Long) =
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))
+      val streamedRows = spark.table("attr_outer_stream").collect()
+      val streamedMatched = streamedRows.filter(!_.isNullAt(3)).map(key).sorted
+      val streamedOrphans = streamedRows.filter(_.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e = Tables.events(spark, dir)
+      val batchAll = EventsStream.attributionOuterPairs(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "purchase")).collect()
+      // matched pairs emit eagerly → exact equality over ALL of them
+      val batchMatched = batchAll.filter(!_.isNullAt(3)).map(key).sorted
+      assert(streamedMatched.length === batchMatched.length)
+      streamedMatched.zip(batchMatched).foreach { case (s, b) => assert(s === b) }
+      // a null-extended orphan emits only once the watermark
+      // (max ts − 1 h, ms-truncated, with a ±1 ms eviction guard)
+      // passes its buy_ts: soundness — every streamed orphan is a
+      // batch orphan; completeness — every batch orphan a full second
+      // clear of the frontier has streamed
+      val batchOrphans = batchAll.filter(_.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamedOrphans.subsetOf(batchOrphans),
+        "stream emitted an orphan the batch join attributes")
+      // each branch watermarks AFTER its event-type filter, so the
+      // global (min) watermark trails the SLOWER branch's max ts
+      val maxByType = e.filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type")).agg(max(col("ts")).as("m"))
+        .collect().map(_.getTimestamp(1).getTime).min
+      val frontierMicros = maxByType * 1000L - 3600L * 1000000
+      val safelyClosed = batchAll
+        .filter(r => r.isNullAt(3) &&
+          r.getTimestamp(2).getTime * 1000L < frontierMicros - 1000000L)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(safelyClosed.nonEmpty, "need at least one closed orphan")
+      assert(safelyClosed.subsetOf(streamedOrphans),
+        s"missing closed orphans: ${safelyClosed -- streamedOrphans}")
+    } finally q.stop()
+  }
+
   test("snapshot swap recovers from a crash between the two renames") {
     import spark.implicits._
     val target = java.nio.file.Files.createTempDirectory("swap").toString + "/snap"
