@@ -350,7 +350,113 @@ object Multimodal {
       .orderBy(col("media_id"), col("rank"))
   }
 
+  val M7Segments = 16
+  val M7Bands = 4
+  val M7BandWidth: Int = M7Segments / M7Bands
+  /** Verified-pair L1 bound, in permille units summed over the 16
+    * segments. A 1-byte substitution moves ONE segment's mean by at
+    * most 255·1000/(256·seg_len) ≈ 1000/seg_len ≈ 16‰ at typical doc
+    * lengths, so 48 accepts single-edit perturbations with 3× margin;
+    * unrelated docs differ across many segments at once. Integer
+    * compare — no float margin needed (t15's rule). */
+  val M7MaxL1 = 48L
+  /** Hot-bucket cap (d3's discipline): an LSH band bucket larger than
+    * this is degenerate (a constant signature region) and is dropped
+    * rather than joined — the knob that keeps the self-join
+    * pair-bounded at any corpus size. */
+  val M7BucketCap = 64L
+
+  /** Per-media positional permille signature: 16 segment byte-means
+    * quantized to integer permille of the byte range (value 1000 ≡
+    * mean byte 256). SegmentSums is the codegen'd downscale;
+    * segment lengths come from the same ceil-div arithmetic both
+    * engines evaluate exactly. */
+  private[graft] def m7Signatures(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val sums = ColumnShim.column(graft.functions.SegmentSums(
+      ColumnShim.expression(col("payload")), M7Segments))
+    val S = M7Segments
+    media.select(col("media_id"), col("kind"), col("n_bytes"), sums.as("_s"))
+      .withColumn("pvec", expr(
+        s"""transform(sequence(0, ${S - 1}), s ->
+              if(((CAST(s AS BIGINT) + 1) * n_bytes + ${S - 1}) div $S
+                   - (CAST(s AS BIGINT) * n_bytes + ${S - 1}) div $S > 0,
+                 (_s[s] * 1000) div (256 *
+                   (((CAST(s AS BIGINT) + 1) * n_bytes + ${S - 1}) div $S
+                     - (CAST(s AS BIGINT) * n_bytes + ${S - 1}) div $S)),
+                 0L))"""))
+      .select(col("media_id"), col("kind"), col("pvec"))
+  }
+
+  /** M7 — perceptual-hash NEAR-dup for media: m4 clusters only
+    * byte-identical signatures; m7 finds near-identical payloads (a
+    * re-encode, a corrupted byte, a truncated trailer) via banded LSH
+    * over the positional permille signature, then an exact integer L1
+    * verify — d4's band machinery in the media domain.
+    *
+    * Why the POSITIONAL signature and not the 16-bin histogram the
+    * naive form would band: ASCII payloads leave the high histogram
+    * bins identically zero, and an all-zero band is ONE corpus-wide
+    * LSH bucket — the O(n²) degeneracy. Segment means carry coarse
+    * positional structure (pHash's average-pooling downscale), so
+    * band values spread; the hot-bucket cap stays as the safety knob
+    * for any residual constant region.
+    *
+    * Scale: one codegen'd scan for signatures; candidates exist only
+    * inside same-(kind, band, sig) buckets, each capped at
+    * M7BucketCap members; the L1 verify touches candidate pairs only.
+    * No pairwise compare outside buckets at any corpus size. */
+  def m7PairsOf(media: DataFrame): DataFrame = {
+    val sig = m7Signatures(media)
+    val bands = sig.select(col("media_id"), col("kind"),
+        explode(sequence(lit(0), lit(M7Bands - 1))).as("band"), col("pvec"))
+      .withColumn("bsig", md5(concat_ws(",", col("band"),
+        expr(s"array_join(transform(slice(pvec, band * $M7BandWidth + 1, $M7BandWidth), x -> CAST(x AS STRING)), ',')"))))
+      .select(col("kind"), col("band"), col("bsig"), col("media_id"))
+    val small = bands.groupBy(col("kind"), col("band"), col("bsig"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= M7BucketCap)
+      .select(col("kind"), col("band"), col("bsig"))
+    val member = bands.join(small, Seq("kind", "band", "bsig"))
+    val cand = member.as("a")
+      .join(member.as("b"), col("a.kind") === col("b.kind") &&
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.kind").as("kind"), col("a.media_id").as("a_id"),
+        col("b.media_id").as("b_id"))
+      .distinct()
+    val pa = sig.select(col("media_id").as("a_id"), col("pvec").as("pa"))
+    val pb = sig.select(col("media_id").as("b_id"), col("pvec").as("pb"))
+    cand.join(pa, Seq("a_id")).join(pb, Seq("b_id"))
+      .withColumn("l1_permille",
+        expr("aggregate(zip_with(pa, pb, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1_permille") <= M7MaxL1)
+      .select(col("kind"), col("a_id"), col("b_id"), col("l1_permille"))
+      .orderBy(col("kind"), col("a_id"), col("b_id"))
+  }
+
+  /** Every M7PlantStride-th media row gets a twin with its FIRST BYTE
+    * rewritten — the deterministic planted-signal pattern t18 uses
+    * for PII. The corpus itself contains no near-identical payloads
+    * (measured: organic minimum L1 = 30 with no band collision at
+    * sf0.01), so the planted twins are what make the gate row a
+    * non-vacuous recall check; the oracle plants identically. */
+  val M7PlantStride = 50
+  val M7TwinOffset = 9000000L
+
+  def m7PerceptualLsh(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocs(spark, dir)
+    val twins = media
+      .filter(col("media_id") % M7PlantStride === 0 && col("n_bytes") >= 2)
+      .select((col("media_id") + M7TwinOffset).as("media_id"), col("kind"),
+        col("mime"),
+        concat(encode(lit("Z"), "UTF-8"),
+          expr("substring(payload, 2, cast(n_bytes as int))")).as("payload"),
+        col("n_bytes"))
+    m7PairsOf(media.unionByName(twins))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_perceptual_lsh"      -> (m7PerceptualLsh _),
     "m6_crossmodal_knn"      -> (m6CrossModalKnn _),
     "m5_cdc_chunks"          -> (m5CdcChunks _),
     "m4_signature_dedup"     -> (m4SignatureDedup _),
@@ -504,6 +610,63 @@ object Multimodal {
          SELECT kind, sig, count(*) AS cluster_size, min(doc_id) AS keep_media_id
          FROM sigs GROUP BY 1, 2 HAVING count(*) > 1
          ORDER BY kind, sig""",
+    // m7: the same positional-permille signature, band md5s, capped
+    // bucket self-join, and integer L1 verify — per-char unicode()
+    // equals the payload byte (ASCII corpus), and the ceil-div
+    // segment mapping (i*16)//n matches SegmentSums bit-for-bit
+    "m7_perceptual_lsh" ->
+      s"""WITH base AS (
+           SELECT doc_id AS media_id,
+                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  text, octet_length(encode(text)) AS n
+           FROM documents),
+         d AS (
+           SELECT media_id, kind, text, n FROM base
+           UNION ALL
+           SELECT media_id + $M7TwinOffset, kind, 'Z' || substr(text, 2), n
+           FROM base WHERE media_id % $M7PlantStride = 0 AND n >= 2),
+         ch AS (
+           SELECT media_id, (CAST(i AS BIGINT) * $M7Segments) // n AS seg,
+                  unicode(substr(text, CAST(i AS INTEGER) + 1, 1)) AS v
+           FROM (SELECT media_id, text, n, unnest(range(n)) AS i FROM d)),
+         segs AS (
+           SELECT media_id, seg, CAST(sum(v) AS BIGINT) AS s,
+                  count(*) AS c
+           FROM ch GROUP BY 1, 2),
+         pv AS (
+           SELECT d.media_id, d.kind, CAST(r.range AS INTEGER) AS seg,
+                  COALESCE((g.s * 1000) // (256 * g.c), 0) AS p
+           FROM d CROSS JOIN range($M7Segments) r
+           LEFT JOIN segs g ON g.media_id = d.media_id AND g.seg = r.range),
+         pvb AS (
+           SELECT media_id, kind, seg, p,
+                  CAST(seg // $M7BandWidth AS INTEGER) AS band
+           FROM pv),
+         bands AS (
+           SELECT media_id, kind, band,
+                  md5(CAST(band AS VARCHAR) || ',' ||
+                      array_to_string(list(CAST(p AS VARCHAR) ORDER BY seg), ',')) AS bsig
+           FROM pvb GROUP BY 1, 2, 3),
+         small AS (
+           SELECT kind, band, bsig FROM bands
+           GROUP BY 1, 2, 3 HAVING count(*) <= $M7BucketCap),
+         cand AS (
+           SELECT DISTINCT a.kind, a.media_id AS a_id, b.media_id AS b_id
+           FROM bands a
+           JOIN bands b ON a.kind = b.kind AND a.band = b.band
+                       AND a.bsig = b.bsig AND a.media_id < b.media_id
+           JOIN small s ON s.kind = a.kind AND s.band = a.band AND s.bsig = a.bsig),
+         l1 AS (
+           SELECT c.kind, c.a_id, c.b_id,
+                  CAST(sum(abs(pa.p - pb.p)) AS BIGINT) AS l1_permille
+           FROM cand c
+           JOIN pv pa ON pa.media_id = c.a_id
+           JOIN pv pb ON pb.media_id = c.b_id AND pb.seg = pa.seg
+           GROUP BY 1, 2, 3)
+         SELECT kind, a_id, b_id, l1_permille FROM l1
+         WHERE l1_permille <= $M7MaxL1
+         ORDER BY kind, a_id, b_id""",
     // m3's oracle re-derives the header fields from the same doc_id
     // arithmetic the header was built from — the Spark side genuinely
     // round-trips them through payload bytes, so the hash-match

@@ -62,6 +62,46 @@ class Round8Spec extends AnyFunSuite {
       "incremental coding diverged from a from-scratch build")
   }
 
+  test("m7: a 1-byte-perturbed payload lands in its original's cluster; unrelated stays out") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val baseText = ("the quick brown fox jumps over the lazy dog " * 12).trim
+    val perturbed = "X" + baseText.substring(1)
+    val unrelated = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed " * 9).trim
+    val media = Seq(
+      (1L, "image", baseText), (2L, "image", perturbed), (3L, "image", unrelated))
+      .toDF("media_id", "kind", "text")
+      .select(col("media_id"), col("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+    val pairs = Multimodal.m7PairsOf(media).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "perturbed payload must pair (cluster) with its original")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated payload must not join the cluster")
+  }
+
+  test("m7: SegmentSums codegen matches an independent Scala fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val rnd = new scala.util.Random(42)
+    val payloads = (0 until 32).map { i =>
+      i.toLong -> Array.fill(rnd.nextInt(200) + 1)(rnd.nextInt(256).toByte)
+    }
+    val df = payloads.toDF("id", "payload")
+      .select(col("id"), ColumnShim.column(graft.functions.SegmentSums(
+        ColumnShim.expression(col("payload")), 16)).as("s"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    payloads.foreach { case (id, bytes) =>
+      val want = new Array[Long](16)
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        want((i.toLong * 16 / bytes.length).toInt) += (b & 0xff).toLong
+      }
+      assert(got(id) === want.toSeq, s"payload $id")
+    }
+  }
+
   test("s13: every corpus vector is in exactly one list with 8 codes") {
     val idx = tmp("graft_s13_cover_")
     val base = col("vec_id") % 10 =!= Similarity.S13AppendDigit
