@@ -596,10 +596,20 @@ object Similarity {
     val qV = pqSubVecs(spark, dir).filter(col("vec_id") < QueryCount)
     val qProbe = rankCentroids(qQv, cen).filter(col("r") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("cid").as("ccid"))
+    // STATIC partition pruning: the probed list ids are bounded driver
+    // state (≤ |Q|·IvfProbes values), so collecting them and filtering
+    // the partition column with literals guarantees the codes scan
+    // reads ONLY the probed ccid directories — deterministic at any
+    // scale, no reliance on runtime DPP heuristics (the FAISS probe
+    // pattern: the coarse search always materializes the list ids
+    // before touching the inverted lists).
+    val probedLists = qProbe.select(col("ccid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
     val dtab = pqDist(qV, pcen)
       .select(col("vec_id").as("query_id"), col("sub"), col("cid"), col("d2"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
-    codes.join(broadcast(qProbe), Seq("ccid"))
+    codes.filter(col("ccid").isin(probedLists: _*))
+      .join(broadcast(qProbe), Seq("ccid"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(dtab), Seq("query_id", "sub", "cid"))
       .groupBy(col("query_id"), col("vec_id"))

@@ -62,6 +62,19 @@ class Round8Spec extends AnyFunSuite {
       "incremental coding diverged from a from-scratch build")
   }
 
+  test("s13: query path partition-prunes the codes scan to the probed lists") {
+    val idx = tmp("graft_s13_prune_")
+    Similarity.buildIvfPqIndex(spark, dir, idx, lit(true), lit(true))
+    val q = Similarity.queryIvfPqIndex(spark, dir, idx)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val codesScan = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("codes"))
+      .getOrElse("")
+    assert(codesScan.contains("PartitionFilters") && codesScan.contains("ccid"),
+      s"codes scan carries no ccid partition filter:\n$plan")
+  }
+
   test("m7: a 1-byte-perturbed payload lands in its original's cluster; unrelated stays out") {
     import spark.implicits._
     import graft.ext.Multimodal
