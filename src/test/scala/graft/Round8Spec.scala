@@ -95,6 +95,21 @@ class Round8Spec extends AnyFunSuite {
       "unrelated payload must not join the cluster")
   }
 
+  test("m7: every planted twin is recalled by the gate query (recall = 1 on the planted set)") {
+    import graft.ext.Multimodal
+    val pairs = Multimodal.m7PerceptualLsh(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val planted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % Multimodal.M7PlantStride === 0 &&
+        length(encode(col("text"), "UTF-8")) >= 2)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(pairs.contains((id, id + Multimodal.M7TwinOffset)),
+        s"planted twin of $id not recalled")
+    }
+  }
+
   test("m7: SegmentSums codegen matches an independent Scala fold") {
     import spark.implicits._
     import org.apache.spark.sql.graftshim.ColumnShim
