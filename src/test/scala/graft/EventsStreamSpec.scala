@@ -279,6 +279,30 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream starts on an EMPTY directory (schema fallback) and picks up late files") {
+    val emptyDir = java.nio.file.Files.createTempDirectory("events_late")
+    // classic file-source lifecycle: the query starts before any file
+    // exists — the footer sniff cannot work, the explicit fallback
+    // schema must carry it
+    val stream = EventsStream.readEventsStream(spark, emptyDir.toString)
+    val q = EventsStream.runToMemory(
+      EventsStream.windowedCounts(stream), "late_stream")
+    try {
+      assert(spark.table("late_stream").count() === 0)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        emptyDir.resolve("events.parquet"))
+      q.processAllAvailable()
+      val streamed = spark.table("late_stream")
+        .select(col("window_start"), col("event_type"), col("n_events"),
+                round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("window_start"), col("event_type")).collect()
+      val batch = EventsStream.st1EventWindows(spark, dir).collect()
+      assert(streamed.length === batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
   test("snapshot swap recovers from a crash between the two renames") {
     import spark.implicits._
     val target = java.nio.file.Files.createTempDirectory("swap").toString + "/snap"

@@ -62,6 +62,19 @@ class Round8Spec extends AnyFunSuite {
       "incremental coding diverged from a from-scratch build")
   }
 
+  test("s13: two successive appends equal one rebuild (repeated-append lifecycle)") {
+    val train = col("vec_id") % 10 < 8
+    val incr = tmp("graft_s13_multi_")
+    Similarity.buildIvfPqIndex(spark, dir, incr, train, train)
+    Similarity.appendIvfPqIndex(spark, dir, incr, col("vec_id") % 10 === 8)
+    Similarity.appendIvfPqIndex(spark, dir, incr, col("vec_id") % 10 === 9)
+    spark.catalog.clearCache()
+    val full = tmp("graft_s13_multi_full_")
+    Similarity.buildIvfPqIndex(spark, dir, full, train, lit(true))
+    assert(codesOf(incr) === codesOf(full),
+      "two-step append diverged from a from-scratch build")
+  }
+
   test("s13: query path partition-prunes the codes scan to the probed lists") {
     val idx = tmp("graft_s13_prune_")
     Similarity.buildIvfPqIndex(spark, dir, idx, lit(true), lit(true))
