@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -138,10 +138,114 @@ object Pipeline {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** The ~10% "newly arrived" slice for the e4 gate entry: every 10th
+    * row-BLOCK within each source ((doc_id div 20) cycles the
+    * per-source row index because source = doc_id % 20 in this
+    * corpus), minus eval-rule docs — orthogonal to source, so every
+    * source keeps ~90% of its mass in the base and the frozen models
+    * stay meaningful. (A doc_id % 10 slice would swallow src7/src17
+    * WHOLE — a frozen-rate table with no mass for a source keeps
+    * nothing from it, the documented new-source posture.) Eval-rule
+    * docs never arrive as training candidates: the eval set is frozen
+    * at base by definition. */
+  val E4DeltaDigit = 7
+  private[graft] def e4DeltaPred: Column =
+    expr(s"(doc_id div 20) % 10 = $E4DeltaDigit") && !TextAnalysis.isEvalDoc
+
+  /** Per-delta-doc stage flags under FROZEN base-trained models —
+    * factored so Round8Spec can pin (a) e4(all, all) ≡ e1⋈e2 and
+    * (b) report-slice independence (scoring a delta doc gives the
+    * same answer whether or not the rest of the corpus is scored
+    * alongside it). */
+  private[graft] def e4FlagsOf(spark: SparkSession, dir: String,
+                               basePred: Column, deltaPred: Column): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("_w"))
+    val frozenEval = TextAnalysis.isEvalDoc && basePred
+    // stage 1 — near-dup canonical labeling stays GLOBAL (base+delta:
+    // a new doc duplicating a kept base doc must drop). The
+    // incremental path for this stage is d11's fold ≡ rebuild CC —
+    // e4 uses the converged labels, which d11 proves the incremental
+    // fold reaches.
+    val drops = Dedup.nonCanonicalDocs(spark, dir).withColumn("dup", lit(1L))
+    // stage 2 — t9's dup-fraction, row-local on the delta rows
+    val total = greatest(size(Dedup.shinglesOf(col("_w"))), lit(1))
+    val dupFrac = (total - size(array_distinct(Dedup.shinglesOf(col("_w")))))
+      .cast("double") / total.cast("double")
+    // stage 3 — decontam against the FROZEN eval-gram set
+    val contaminated = TextAnalysis
+      .contaminatedOfOn(docs, frozenEval, deltaPred && !frozenEval)
+      .withColumn("contam", lit(1L))
+    // stages 4/5 — frozen DSIR model + cut and frozen mix rates,
+    // trained on base, applied to delta rows only
+    val cut = TextAnalysis.dsirCut(
+      TextAnalysis.dsirPerDocOn(spark, dir, basePred, basePred))
+    val perDocDelta = TextAnalysis
+      .dsirPerDocOn(spark, dir, basePred, deltaPred)
+      .select(col("doc_id"), col("logw"))
+    val rates = TextAnalysis.mixRatesOn(spark, dir, basePred)
+    docs.filter(deltaPred && !frozenEval)
+      .join(drops, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("n_tok", size(col("_w")).cast("long"))
+      .withColumn("s1", col("dup").isNull)
+      .withColumn("s2", col("s1") && dupFrac <= TextAnalysis.RepetitionThreshold)
+      .withColumn("s3", col("s2") && col("contam").isNull)
+      .join(perDocDelta, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cut))
+      .withColumn("s4", col("s3") &&
+        (col("source") === TextAnalysis.DsirTarget || col("logw") > col("cut")))
+      .join(broadcast(rates), Seq("source"), "left")
+      // a source with NO base token mass has no frozen rate: keep
+      // nothing from it (unvetted feed) until the models retrain
+      .withColumn("s5", col("s4") &&
+        TextAnalysis.mixKeepHash < coalesce(col("rate_ppm"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("s1"), col("s2"), col("s3"), col("s4"), col("s5"))
+  }
+
+  /** E4 — INCREMENTAL ingest: the production "daily delta" pass the
+    * batch funnel (e1–e3) doesn't cover. New documents are processed
+    * against FROZEN models — the base-trained DSIR bucket model and
+    * selection cut, the base token-mass mixing rates, the frozen
+    * eval-gram set — touching only the delta rows (plus the global
+    * dedup labels, whose incremental path is d11): the e-family twin
+    * of s13's frozen-model append. Per-source funnel of the arrived
+    * slice through all five stages.
+    *
+    * Scale: model tables are the SAME bounded broadcasts as e2
+    * (B buckets, 1-row cut, |sources| rates, tiny eval-gram set);
+    * the only corpus-sized work is the delta scan itself — daily
+    * ingest cost is proportional to the delta, not the corpus. */
+  /** Distance from every scored doc (base AND delta) to the frozen
+    * base-trained cut — Round8Spec asserts it ≫ cross-engine ln/sum
+    * drift, the t12/t21 threshold discipline applied to e4's one
+    * float compare. */
+  private[graft] def e4CutMargin(spark: SparkSession, dir: String): Double = {
+    val cut = TextAnalysis.dsirCut(
+      TextAnalysis.dsirPerDocOn(spark, dir, !e4DeltaPred, !e4DeltaPred))
+    TextAnalysis.dsirPerDocOn(spark, dir, !e4DeltaPred, lit(true))
+      .crossJoin(broadcast(cut))
+      .agg(min(abs(col("logw") - col("cut")))).collect()(0).getDouble(0)
+  }
+
+  def e4DeltaIngest(spark: SparkSession, dir: String): DataFrame =
+    e4FlagsOf(spark, dir, !e4DeltaPred, e4DeltaPred)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_arrived"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_quality"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("s5"), col("n_tok")).otherwise(0L)).as("final_tokens"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_corpus_funnel"  -> (e1CorpusFunnel _),
     "e2_selection_mix"  -> (e2SelectionMix _),
-    "e3_final_packing"  -> (e3FinalPacking _))
+    "e3_final_packing"  -> (e3FinalPacking _),
+    "e4_delta_ingest"   -> (e4DeltaIngest _))
 
   /** The e1 stage-1..3 CTE chain (labels → clean set), shared by the
     * e1/e2/e3 oracles so the funnel's SQL twin has one definition. */
@@ -191,10 +295,76 @@ object Pipeline {
                        THEN 1 ELSE 0 END AS s5
            FROM sel s JOIN mixr r ON r.source = s.source)"""
 
+  /** e4's mirror: the same stages with every model CTE train-filtered
+    * to the base slice and every scoring/report CTE delta-filtered —
+    * the SQL statement of "frozen models, delta-only processing". */
+  private lazy val e4OracleSql: String = {
+    def deltaOf(id: String): String =
+      s"(($id // 20) % 10 = $E4DeltaDigit AND $id % ${TextAnalysis.EvalStride} <> 0)"
+    val base = s"NOT ${deltaOf("doc_id")}"
+    val delta = deltaOf("doc_id")
+    s"""WITH RECURSIVE ${Dedup.d7LabelCtes},
+         w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+         drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+         q AS (SELECT doc_id, source, len(w) AS n_tok,
+                 CAST(greatest(len(g), 1) - len(list_distinct(g)) AS DOUBLE)
+                   / CAST(greatest(len(g), 1) AS DOUBLE) AS dfrac
+               FROM (SELECT doc_id, source, w, ${TextAnalysis.sqlGrams(3)} AS g
+                     FROM w WHERE $delta) t),
+         u AS (SELECT doc_id,
+                      unnest(list_distinct(${TextAnalysis.sqlGrams(TextAnalysis.DecontaminationGramK)})) AS g
+               FROM w
+               WHERE (doc_id % ${TextAnalysis.EvalStride} = 0 AND ($base)) OR ($delta)),
+         ev AS (SELECT DISTINCT g FROM u
+                WHERE doc_id % ${TextAnalysis.EvalStride} = 0 AND ($base)),
+         contam AS (SELECT DISTINCT u.doc_id FROM u JOIN ev USING (g)
+                    WHERE ${deltaOf("u.doc_id")}),
+         ${TextAnalysis.dsirModelCtes(base)},
+         ${TextAnalysis.dsirPerdocCte("perdocb", s"NOT ${deltaOf("f.doc_id")}")},
+         cut AS (SELECT quantile_cont(logw, ${TextAnalysis.DsirSelectQuantile}) AS cut
+                 FROM perdocb),
+         ${TextAnalysis.dsirPerdocCte("perdocd", deltaOf("f.doc_id"))},
+         ${TextAnalysis.mixRateCtesOn(base)},
+         j AS (
+           SELECT q.doc_id, q.source, q.n_tok,
+                  (dr.doc_id IS NULL) AS s1,
+                  (dr.doc_id IS NULL
+                    AND q.dfrac <= ${TextAnalysis.RepetitionThreshold}) AS s2,
+                  (dr.doc_id IS NULL
+                    AND q.dfrac <= ${TextAnalysis.RepetitionThreshold}
+                    AND c.doc_id IS NULL) AS s3
+           FROM q
+           LEFT JOIN drops dr ON dr.doc_id = q.doc_id
+           LEFT JOIN contam c ON c.doc_id = q.doc_id
+           WHERE NOT (q.doc_id % ${TextAnalysis.EvalStride} = 0
+                      AND NOT ${deltaOf("q.doc_id")})),
+         sel AS (
+           SELECT j.doc_id, j.source, j.n_tok, j.s1, j.s2, j.s3,
+                  (j.s3 AND (j.source = '${TextAnalysis.DsirTarget}'
+                     OR pd.logw > ct.cut)) AS s4
+           FROM j
+           LEFT JOIN perdocd pd ON pd.doc_id = j.doc_id
+           CROSS JOIN cut ct),
+         mx AS (
+           SELECT s.doc_id, s.source, s.n_tok, s.s1, s.s2, s.s3, s.s4,
+                  (s.s4 AND (${TextAnalysis.mixKeepSql("s.doc_id")})
+                     < COALESCE(r.rate_ppm, 0)) AS s5
+           FROM sel s LEFT JOIN mixr r ON r.source = s.source)
+         SELECT source, count(*) AS n_arrived,
+                CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+                CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+                CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+                CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+                CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+                CAST(sum(CASE WHEN s5 THEN n_tok ELSE 0 END) AS BIGINT) AS final_tokens
+         FROM mx GROUP BY 1 ORDER BY source"""
+  }
+
   /** The same funnel assembled from the standalone operators' oracle
     * fragments: d7's transitive-closure labeling, t9's dup-fraction
     * formula, t10's eval-gram overlap. */
   val oracles: Map[String, String] = Map(
+    "e4_delta_ingest" -> e4OracleSql,
     "e2_selection_mix" ->
       s"""WITH RECURSIVE $selectedCtes
          SELECT source, count(*) AS n_clean,

@@ -268,16 +268,25 @@ object TextAnalysis {
   private[ext] def decontamGrams: Column =
     explode(array_distinct(Dedup.shinglesOf(col("_w"), DecontaminationGramK))).as("g")
 
-  /** Distinct eval-split 8-gram set over (doc_id, `_w`) rows. */
-  private[ext] def evalGramsOf(docs: DataFrame): DataFrame =
-    docs.filter(isEvalDoc).select(decontamGrams).distinct()
+  /** Distinct eval-split 8-gram set over (doc_id, `_w`) rows.
+    * `evalPred` lets e4 freeze the eval set to the base slice. */
+  private[ext] def evalGramsOf(docs: DataFrame,
+                               evalPred: Column = isEvalDoc): DataFrame =
+    docs.filter(evalPred).select(decontamGrams).distinct()
+
+  /** Distinct candidate doc_ids sharing ≥ 1 gram with the eval set —
+    * parameterized form (e4 passes a frozen eval slice and a delta
+    * candidate slice). */
+  private[ext] def contaminatedOfOn(docs: DataFrame, evalPred: Column,
+                                    candPred: Column): DataFrame =
+    docs.filter(candPred)
+      .select(col("doc_id"), decontamGrams)
+      .join(broadcast(evalGramsOf(docs, evalPred)), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
 
   /** Distinct training doc_ids sharing ≥ 1 gram with the eval set. */
   private[ext] def contaminatedOf(docs: DataFrame): DataFrame =
-    docs.filter(!isEvalDoc)
-      .select(col("doc_id"), decontamGrams)
-      .join(broadcast(evalGramsOf(docs)), Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
+    contaminatedOfOn(docs, isEvalDoc, !isEvalDoc)
 
   /** T10 — benchmark decontamination: flag training documents sharing
     * any 8-gram with the held-out eval set (the doc_id-stride subset
@@ -434,8 +443,14 @@ object TextAnalysis {
     * for reuse by the e2 pipeline stage. Rates derive from the FULL
     * corpus token mass (the standalone operator's model — e2 reuses
     * the model, not a re-fit on its shrunken input). */
-  private[graft] def mixRates(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  private[graft] def mixRates(spark: SparkSession, dir: String): DataFrame =
+    mixRatesOn(spark, dir, lit(true))
+
+  /** Parameterized form: rates derive from `trainPred` docs' token
+    * mass only — e4 freezes them on the base slice. */
+  private[graft] def mixRatesOn(spark: SparkSession, dir: String,
+                                trainPred: Column): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(trainPred)
       .select(col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
     // cached: per-source rows (tiny), referenced by both nmin and the
     // rate table — without it the corpus is scanned+tokenized once
@@ -745,7 +760,15 @@ object TextAnalysis {
   /** t21's model, factored for reuse by the e2 pipeline stage: per
     * non-target-doc DSIR log importance weight (doc_id, source,
     * logw) from the hashed-unigram bucket model. */
-  private[ext] def dsirPerDoc(spark: SparkSession, dir: String): DataFrame = {
+  private[ext] def dsirPerDoc(spark: SparkSession, dir: String): DataFrame =
+    dsirPerDocOn(spark, dir, lit(true), lit(true))
+
+  /** Parameterized form: the bucket model (target/raw counts +
+    * totals) trains on `trainPred` docs only; `scorePred` selects the
+    * pool docs that receive a log weight — e4's frozen-model delta
+    * scoring (train = base slice, score = newly-arrived slice). */
+  private[ext] def dsirPerDocOn(spark: SparkSession, dir: String,
+                                trainPred: Column, scorePred: Column): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(words(col("text"))).as("t"))
@@ -754,7 +777,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("k")).cache()
     def bucketCounts(cond: Column, name: String): DataFrame =
-      tf.filter(cond).groupBy(col("b")).agg(sum(col("k")).as(name))
+      tf.filter(trainPred && cond).groupBy(col("b")).agg(sum(col("k")).as(name))
     val ct = bucketCounts(col("source") === DsirTarget, "ct")
     val cr = bucketCounts(col("source") =!= DsirTarget, "cr")
     val spine = spark.range(DsirBuckets).select(col("id").as("b"))
@@ -764,7 +787,7 @@ object TextAnalysis {
     val totals = spine.agg(
       (sum(col("ct")) + DsirBuckets).cast("double").as("nt"),
       (sum(col("cr")) + DsirBuckets).cast("double").as("nr"))
-    tf.filter(col("source") =!= DsirTarget)
+    tf.filter(scorePred && col("source") =!= DsirTarget)
       .join(broadcast(spine), Seq("b"))
       .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"), col("source"))
@@ -1031,7 +1054,10 @@ object TextAnalysis {
     * bucket spine → perdoc log weights → the quantile cut) — shared
     * by the t21 oracle and the e2 pipeline oracle so the two can
     * never drift apart. */
-  private[ext] lazy val dsirCtes: String =
+  /** DSIR bucket-model CTEs (toks → tf → ctc/crc → spine → tot) with
+    * the TRAINING population restricted to `train` — the SQL twin of
+    * dsirPerDocOn's trainPred. */
+  private[ext] def dsirModelCtes(train: String = "TRUE"): String =
     s"""toks AS (
            SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
            FROM documents),
@@ -1040,8 +1066,10 @@ object TextAnalysis {
                   (${graft.functions.StableHash.duckdbHash64(DsirSeed, "t")}) % $DsirBuckets AS b,
                   count(*) AS k
            FROM toks GROUP BY 1, 2, 3),
-         ctc AS (SELECT b, sum(k) AS ct FROM tf WHERE source = '$DsirTarget' GROUP BY 1),
-         crc AS (SELECT b, sum(k) AS cr FROM tf WHERE source <> '$DsirTarget' GROUP BY 1),
+         ctc AS (SELECT b, sum(k) AS ct FROM tf
+                 WHERE source = '$DsirTarget' AND ($train) GROUP BY 1),
+         crc AS (SELECT b, sum(k) AS cr FROM tf
+                 WHERE source <> '$DsirTarget' AND ($train) GROUP BY 1),
          spine AS (
            SELECT CAST(r.range AS BIGINT) AS b,
                   COALESCE(ctc.ct, 0) AS ct, COALESCE(crc.cr, 0) AS cr
@@ -1050,22 +1078,34 @@ object TextAnalysis {
            LEFT JOIN crc ON crc.b = r.range),
          tot AS (SELECT CAST(sum(ct) + $DsirBuckets AS DOUBLE) AS nt,
                         CAST(sum(cr) + $DsirBuckets AS DOUBLE) AS nr
-                 FROM spine),
-         perdoc AS (
+                 FROM spine)"""
+
+  /** A perdoc-shaped scoring CTE over the model above, restricted to
+    * `score` pool docs — named so e4 can emit two (base for the cut,
+    * delta for the flags). */
+  private[ext] def dsirPerdocCte(name: String, score: String = "TRUE"): String =
+    s"""$name AS (
            SELECT f.doc_id, f.source,
                   sum(f.k * (ln((s.ct + 1) / t.nt) - ln((s.cr + 1) / t.nr))) AS logw
            FROM tf f JOIN spine s USING (b) CROSS JOIN tot t
-           WHERE f.source <> '$DsirTarget'
-           GROUP BY 1, 2),
+           WHERE f.source <> '$DsirTarget' AND ($score)
+           GROUP BY 1, 2)"""
+
+  private[ext] lazy val dsirCtes: String =
+    s"""${dsirModelCtes()},
+         ${dsirPerdocCte("perdoc")},
          cut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut FROM perdoc)"""
 
   /** t16's full-corpus rate table as CTEs (mixd → mixr), names
     * prefixed so the fragment composes into the e2 oracle without
     * CTE collisions. */
-  private[ext] lazy val mixRateCtes: String =
+  private[ext] lazy val mixRateCtes: String = mixRateCtesOn()
+
+  /** Parameterized rate table: token mass from `train` docs only. */
+  private[ext] def mixRateCtesOn(train: String = "TRUE"): String =
     s"""mixd AS (
            SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n_tok
-           FROM documents),
+           FROM documents WHERE ($train)),
          mixc AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_src FROM mixd GROUP BY 1),
          mixm AS (SELECT min(tok_src) AS tok_min FROM mixc),
          mixr AS (SELECT source,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.Similarity
+import graft.ext.{Pipeline, Similarity}
 
 /** Round-8 pins for the persisted + incremental ANN index (s13):
   *
@@ -86,6 +86,50 @@ class Round8Spec extends AnyFunSuite {
       .getOrElse("")
     assert(codesScan.contains("PartitionFilters") && codesScan.contains("ccid"),
       s"codes scan carries no ccid partition filter:\n$plan")
+  }
+
+  test("e4 with base = everything reconciles row-for-row with the e1 ⋈ e2 batch funnel") {
+    val flags = Pipeline.e4FlagsOf(spark, dir, lit(true), lit(true))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("c4"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("c5"),
+        sum(when(col("s5"), col("n_tok")).otherwise(0L)).as("tok5"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val e1 = Pipeline.e1CorpusFunnel(spark, dir).collect()
+    val e2 = Pipeline.e2SelectionMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(e1.nonEmpty)
+    e1.foreach { r =>
+      val src = r.getString(0); val f = flags(src); val m = e2(src)
+      assert(f.getAs[Long]("n") === r.getAs[Long]("n_pool"), s"$src pool")
+      assert(f.getAs[Long]("c1") === r.getAs[Long]("n_after_dedup"), s"$src s1")
+      assert(f.getAs[Long]("c2") === r.getAs[Long]("n_after_quality"), s"$src s2")
+      assert(f.getAs[Long]("c3") === r.getAs[Long]("n_clean"), s"$src s3")
+      assert(f.getAs[Long]("c4") === m.getAs[Long]("n_selected"), s"$src s4")
+      assert(f.getAs[Long]("c5") === m.getAs[Long]("n_final"), s"$src s5")
+      assert(f.getAs[Long]("tok5") === m.getAs[Long]("final_tokens"), s"$src tokens")
+    }
+  }
+
+  test("e4 delta processing is report-slice independent (incremental ≡ full, frozen models)") {
+    val base = !Pipeline.e4DeltaPred
+    val incremental = Pipeline.e4FlagsOf(spark, dir, base, Pipeline.e4DeltaPred)
+      .collect().map(_.toString).sorted
+    val fullThenFilter = Pipeline.e4FlagsOf(spark, dir, base, lit(true))
+      .filter(Pipeline.e4DeltaPred)
+      .collect().map(_.toString).sorted
+    assert(incremental.nonEmpty)
+    assert(incremental.toSeq === fullThenFilter.toSeq,
+      "scoring a delta doc must not depend on which other docs are scored")
+  }
+
+  test("e4: every scored doc sits measured-margin clear of the frozen cut") {
+    val margin = Pipeline.e4CutMargin(spark, dir)
+    assert(margin > 1e-6, s"frozen-cut margin $margin too close to float drift")
   }
 
   test("m7: a 1-byte-perturbed payload lands in its original's cluster; unrelated stays out") {
