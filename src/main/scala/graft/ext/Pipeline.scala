@@ -177,11 +177,14 @@ object Pipeline {
       .contaminatedOfOn(docs, frozenEval, deltaPred && !frozenEval)
       .withColumn("contam", lit(1L))
     // stages 4/5 — frozen DSIR model + cut and frozen mix rates,
-    // trained on base, applied to delta rows only
-    val cut = TextAnalysis.dsirCut(
-      TextAnalysis.dsirPerDocOn(spark, dir, basePred, basePred))
-    val perDocDelta = TextAnalysis
-      .dsirPerDocOn(spark, dir, basePred, deltaPred)
+    // trained on base, applied to delta rows only. Base and delta
+    // docs score in ONE pass (scoring is per-doc independent — the
+    // property the report-slice-independence spec pins), so the
+    // tokenize+bucket scan isn't paid twice for cut vs flags.
+    val scored = TextAnalysis
+      .dsirPerDocOn(spark, dir, basePred, basePred || deltaPred).cache()
+    val cut = TextAnalysis.dsirCut(scored.filter(basePred))
+    val perDocDelta = scored.filter(deltaPred)
       .select(col("doc_id"), col("logw"))
     val rates = TextAnalysis.mixRatesOn(spark, dir, basePred)
     docs.filter(deltaPred && !frozenEval)
