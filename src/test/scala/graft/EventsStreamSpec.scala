@@ -319,6 +319,49 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got === Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
   }
 
+  test("restart from checkpoint: exactly-once across stop/start, no loss, no dups") {
+    // stage the events into two files so the first run can stop after
+    // one trigger and the restarted run has genuinely unseen input
+    val e = Tables.events(spark, dir)
+    val half = e.count() / 2
+    val splitDir = java.nio.file.Files.createTempDirectory("events_ckpt_split").toString
+    e.filter(col("event_id") < half).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/f1")
+    e.filter(col("event_id") >= half).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/f2")
+    val inDir = java.nio.file.Files.createTempDirectory("events_ckpt_in")
+    def stage(src: String, dst: String): Unit = {
+      val part = new java.io.File(src).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, inDir.resolve(dst)); ()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("events_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("events_ckpt_out").toString + "/dedup"
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      EventsStream.dedupEvents(
+          EventsStream.readEventsStream(spark, inDir.toString))
+        .select(col("event_id"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+    // run 1: only the first file exists; process it and STOP
+    stage(s"$splitDir/f1", "a.parquet")
+    val q1 = run(); q1.processAllAvailable(); q1.stop()
+    // run 2: second file arrives while the query is DOWN; the restart
+    // must resume from the checkpoint — reprocessing nothing, missing
+    // nothing
+    stage(s"$splitDir/f2", "b.parquet")
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).select(col("event_id")).collect()
+        .map(_.getLong(0)).sorted
+      val want = e.select(col("event_id")).distinct().collect()
+        .map(_.getLong(0)).sorted
+      assert(got.length === got.distinct.length, "restart re-emitted rows (dups)")
+      assert(got.toSeq === want.toSeq, "restart lost or invented rows")
+    } finally q2.stop()
+  }
+
   test("watermarked dedup emits each event_id once") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(
