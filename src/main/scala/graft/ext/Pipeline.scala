@@ -223,7 +223,8 @@ object Pipeline {
   /** Distance from every scored doc (base AND delta) to the frozen
     * base-trained cut — Round8Spec asserts it ≫ cross-engine ln/sum
     * drift, the t12/t21 threshold discipline applied to e4's one
-    * float compare. */
+    * float compare. Measured: 1.1e-1 at sf0.001, 7.4e-3 at sf0.01,
+    * 1.4e-3 at sf0.1 — all ≫ the ~1e-12 drift scale. */
   private[graft] def e4CutMargin(spark: SparkSession, dir: String): Double = {
     val cut = TextAnalysis.dsirCut(
       TextAnalysis.dsirPerDocOn(spark, dir, !e4DeltaPred, !e4DeltaPred))
