@@ -200,6 +200,35 @@ class PropertySpec extends AnyFunSuite {
     }, n = 60)
   }
 
+  test("segment-sums laws: mass conservation, shape, and concatenation order") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val bytesGen: Gen[List[Byte]] = for {
+      n <- Gen.chooseNum(0, 300)
+      bs <- Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte))
+    } yield bs
+    check("segment-sums", Prop.forAll(Gen.listOfN(12, bytesGen)) { payloads =>
+      val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b.toArray) }
+        .toDF("id", "payload")
+        .select(col("id"), col("payload"), ColumnShim.column(
+          graft.functions.SegmentSums(ColumnShim.expression(col("payload")), 16)).as("s"))
+      df.collect().forall { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val sums = r.getSeq[Long](2)
+        val mass = bytes.map(b => (b & 0xff).toLong).sum
+        // 16 segments always; total mass conserved; byte i lands in
+        // the segment the (i·16) div n rule names (monotone order)
+        sums.length == 16 && sums.sum == mass &&
+          (bytes.isEmpty || sums.zipWithIndex.forall { case (s, seg) =>
+            val want = bytes.indices
+              .filter(i => (i.toLong * 16 / bytes.length).toInt == seg)
+              .map(i => (bytes(i) & 0xff).toLong).sum
+            s == want
+          })
+      }
+    }, n = 20)
+  }
+
   test("pagerank: path graph ranks middle above endpoints") {
     import spark.implicits._
     // P5 path 0-1-2-3-4: degree-2 interior beats degree-1 endpoints,
