@@ -75,6 +75,29 @@ class Round8Spec extends AnyFunSuite {
       "two-step append diverged from a from-scratch build")
   }
 
+  test("s13 maintenance: compacting appended inverted lists preserves the query answer") {
+    val idx = tmp("graft_s13_compact_")
+    val base = col("vec_id") % 10 =!= Similarity.S13AppendDigit
+    Similarity.buildIvfPqIndex(spark, dir, idx, base, base)
+    Similarity.appendIvfPqIndex(spark, dir, idx, !base)
+    val before = Similarity.queryIvfPqIndex(spark, dir, idx).collect()
+    spark.catalog.clearCache()
+    // the append path accumulates small part files per list — Compact
+    // is the maintenance op, applied per partition directory
+    val parts = new java.io.File(s"$idx/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ccid="))
+    assert(parts.nonEmpty)
+    def nFiles = parts.map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val filesBefore = nFiles
+    parts.foreach(p =>
+      graft.operators.Compact.compact(spark, p.getPath, targetBytes = 1L << 26))
+    assert(nFiles < filesBefore,
+      s"compaction should shrink the file count: $filesBefore -> $nFiles")
+    val after = Similarity.queryIvfPqIndex(spark, dir, idx).collect()
+    assert(after.map(_.toString).toSeq === before.map(_.toString).toSeq,
+      "compaction changed the served answer")
+  }
+
   test("s13: query path partition-prunes the codes scan to the probed lists") {
     val idx = tmp("graft_s13_prune_")
     Similarity.buildIvfPqIndex(spark, dir, idx, lit(true), lit(true))
