@@ -226,8 +226,12 @@ object Similarity {
     * exact squared norm. floor (not round) — identical semantics in
     * both engines with no half-up/half-even ambiguity. */
   private def quantVecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
+    quantVecsOf(Tables.embeddings(spark, dir))
+
+  /** Form over an arbitrary (vec_id, embedding) frame — the s13
+    * streaming-ingest path codes micro-batches through this. */
+  private def quantVecsOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
         transform(col("embedding"), x => floor(x.cast("double") * QuantScale)).as("qv"))
       .withColumn("nv", aggregate(col("qv"), lit(0L), (a, v) => a + v * v))
 
@@ -351,8 +355,10 @@ object Similarity {
   /** Quantized subvectors: one row per (vec_id, subspace) with the
     * int64 subvector and its exact squared norm. */
   private def pqSubVecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
+    pqSubVecsOf(Tables.embeddings(spark, dir))
+
+  private def pqSubVecsOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"))
       .withColumn("qa",
         transform(slice(col("embedding"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
@@ -562,11 +568,20 @@ object Similarity {
     * append their rows to the inverted lists. No retraining, no
     * rewrite of existing lists — the incremental path. */
   def appendIvfPqIndex(spark: SparkSession, dir: String, idxDir: String,
-                       appendPred: Column): Unit = {
+                       appendPred: Column): Unit =
+    appendIvfPqIndexFrom(spark,
+      Tables.embeddings(spark, dir).filter(appendPred), idxDir)
+
+  /** Append an arbitrary (vec_id, embedding) frame into the existing
+    * index — the entry point a STREAMING ingest uses from
+    * foreachBatch: each micro-batch codes against the frozen model
+    * and lands in the inverted lists, identically to the batch
+    * append (Round8Spec pins stream ≡ batch on the codes table). */
+  def appendIvfPqIndexFrom(spark: SparkSession, emb: DataFrame,
+                           idxDir: String): Unit = {
     val cen = spark.read.parquet(s"$idxDir/coarse_centroids")
     val pcen = spark.read.parquet(s"$idxDir/pq_codebooks")
-    writeCodes(quantVecs(spark, dir).filter(appendPred),
-      pqSubVecs(spark, dir).filter(appendPred), cen, pcen, idxDir,
+    writeCodes(quantVecsOf(emb), pqSubVecsOf(emb), cen, pcen, idxDir,
       overwrite = false)
   }
 

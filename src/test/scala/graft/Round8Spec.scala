@@ -75,6 +75,40 @@ class Round8Spec extends AnyFunSuite {
       "two-step append diverged from a from-scratch build")
   }
 
+  test("s13 streaming ingest: foreachBatch micro-batches code identically to the batch append") {
+    val base = col("vec_id") % 10 =!= Similarity.S13AppendDigit
+    // batch reference: build on base, append the held-out slice at once
+    val batchIdx = tmp("graft_s13_stream_ref_")
+    Similarity.buildIvfPqIndex(spark, dir, batchIdx, base, base)
+    Similarity.appendIvfPqIndex(spark, dir, batchIdx, !base)
+    spark.catalog.clearCache()
+    // streaming: same base build, then the append slice arrives as a
+    // file-source STREAM in two files, each micro-batch coded into the
+    // lists via foreachBatch against the frozen model
+    val streamIdx = tmp("graft_s13_stream_")
+    Similarity.buildIvfPqIndex(spark, dir, streamIdx, base, base)
+    spark.catalog.clearCache()
+    val newVecs = Tables.embeddings(spark, dir).filter(!base)
+    val half = Tables.embeddings(spark, dir).agg(max(col("vec_id")))
+      .collect()(0).getLong(0) / 2
+    val inDir = tmp("graft_s13_stream_in_")
+    newVecs.filter(col("vec_id") <= half).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    newVecs.filter(col("vec_id") > half).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendIvfPqIndexFrom(spark, batch, streamIdx)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(codesOf(streamIdx) === codesOf(batchIdx),
+      "streamed micro-batch coding diverged from the batch append")
+  }
+
   test("s13 maintenance: compacting appended inverted lists preserves the query answer") {
     val idx = tmp("graft_s13_compact_")
     val base = col("vec_id") % 10 =!= Similarity.S13AppendDigit
