@@ -66,51 +66,40 @@ object Bench {
     // so index i in any pass IS query i — total, and (qs and passes
     // are IndexedSeq-backed, so the indexed reads are O(1)) linear
     // overall instead of a per-query name-scan
-    val results = qs.zipWithIndex.map { case ((name, _), i) =>
+    val firstResults = qs.zipWithIndex.map { case ((name, _), i) =>
       val attempts = passes.map(_(i)).map { case (_, t, s) => (t, s) }
       val okTimes = attempts.collect { case (t, "ok") => t }
       if (okTimes.nonEmpty) (name, okTimes.min, "ok")
       else (name, attempts.map(_._1).min, attempts.head._2)
     }
-    val st = results.map { case (k, _, s) => s"\"" + k + "\":\"" + s + "\"" }
-      .mkString("{", ",", "}")
-    val failures = results.count(_._3 != "ok")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // The harness that collects this output keeps only the final ~2KB,
-    // so the machine-readable metric line must be (a) last and (b)
-    // short: 2-decimal times, numeric sf, per-query status on its own
-    // earlier line, nothing printed after. If the query inventory
-    // grows past the budget, drop to 1 decimal rather than overflow.
-    println(s"""{"bench_status":$st,"failures":$failures}""")
+    // ---- outlier auto-retry (self-defending bench) -------------------
+    // Interleaved best-of-N defeats SHORT contention windows, but a
+    // stall spanning the whole run inflates every pass of one query
+    // identically (r8: e2 65.7s in both passes vs an 8.3s committed
+    // floor — external contention, confirmed by a clean 3-pass rerun
+    // on identical code). Defense: after the standard passes, any OK
+    // query whose best time still exceeds retryFactor× its COMMITTED
+    // cross-round floor (and by >1s absolute, so sub-second noise
+    // never triggers) is re-run in up to retryMax extra interleaved
+    // mini-passes over just the outlier set, keeping the min. A floor
+    // is a previously-demonstrated capability of this code on this
+    // machine, so a miss that large is contention (or a real
+    // regression, which retries won't hide: a true slowdown stays slow
+    // in every retry and still lands in the record).
+    val retryFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR", "3.0").toDouble
+    val retryMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val dirName = new java.io.File(sfDir).getName
     // sf must stay valid JSON: accept only a dir named exactly
     // sf<well-formed number> ("sf1." and "sf.5" are not — an
     // end-anchored-only regex would read "sf.5" as 5), else quote
     // the dir name with everything JSON-unsafe stripped rather than
     // fabricating sf:0
-    val dirName = new java.io.File(sfDir).getName
     val sfNum = "^sf([0-9]+(\\.[0-9]+)?)$".r.findFirstMatchIn(dirName)
       .map(_.group(1))
       .getOrElse("\"" + dirName.replaceAll("[^A-Za-z0-9._-]", "") + "\"")
-    def f(dec: Int, v: Double): String = {
-      val s = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
-    }
-    // ---- cross-round floor file -------------------------------------
-    // Sustained whole-run contention can defeat interleaved best-of-N:
-    // r6 recorded d12 at 60.6s vs 1.6s measured because the machine
-    // was oversubscribed for the ENTIRE run, so both passes saw the
-    // same stall. And the stdout metric line cannot carry all ~123
-    // per-query times (full map is ~2.6KB even at 0 decimals vs the
-    // collector's ~1.9KB tail budget). So the contention-proof record
-    // lives in BENCH_FLOOR.json at the repo root, committed with each
-    // round snapshot: per-query floor = min(this run's ok time, the
-    // prior committed floor), plus this run's FULL per-query map — a
-    // contention window can inflate one run's map but can never move
-    // a floor upward, and every query stays comparable round-over-
-    // round from the repo alone. Floors are only meaningful within
-    // one scale factor: the canonical file tracks the driver's sf0.1;
-    // any other sf dir gets its own suffixed file so dev runs at
-    // sf0.01 never pollute the driver's record.
+    // Floors are only meaningful within one scale factor: the canonical
+    // file tracks the driver's sf0.1; any other sf dir gets its own
+    // suffixed file so dev runs at sf0.01 never pollute the record.
     val floorFile = new java.io.File(
       if (sfNum == "0.1") "BENCH_FLOOR.json"
       else "BENCH_FLOOR_sf" + sfNum.replaceAll("[^0-9.]", "") + ".json")
@@ -130,6 +119,61 @@ object Bench {
         System.err.println(s"floor file unreadable, rebuilding: ${e.getClass.getSimpleName}")
         Map.empty
       }
+    def isOutlier(name: String, t: Double, status: String): Boolean =
+      status == "ok" && priorFloor.get(name).exists(fl => t > fl * retryFactor && t - fl > 1.0)
+    val byName = qs.toMap
+    var results = firstResults
+    var retriesUsed = 0
+    while (retriesUsed < retryMax && results.exists { case (n, t, s) => isOutlier(n, t, s) }) {
+      retriesUsed += 1
+      val outliers = results.collect { case (n, t, s) if isOutlier(n, t, s) => n }
+      System.err.println(s"retry pass $retriesUsed: ${outliers.mkString(",")}")
+      val retried = outliers.map { name =>
+        val t0 = System.nanoTime()
+        val status =
+          try { byName(name)(spark, sfDir).foreach(_.write.mode("overwrite").format("noop").save()); "ok" }
+          catch { case e: Throwable => s"fail:${e.getClass.getSimpleName}" }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> (t, status)
+      }.toMap
+      results = results.map { case r @ (n, t, s) =>
+        retried.get(n) match {
+          case Some((t2, "ok")) if t2 < t => (n, t2, s)
+          case _ => r
+        }
+      }
+    }
+    val st = results.map { case (k, _, s) => s"\"" + k + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    val failures = results.count(_._3 != "ok")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The harness that collects this output keeps only the final ~2KB,
+    // so the machine-readable metric line must be (a) last and (b)
+    // short: 2-decimal times, numeric sf, per-query status on its own
+    // earlier line, nothing printed after. If the query inventory
+    // grows past the budget, drop to 1 decimal rather than overflow.
+    println(s"""{"bench_status":$st,"failures":$failures}""")
+    def f(dec: Int, v: Double): String = {
+      val s = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    // ---- cross-round floor file -------------------------------------
+    // Sustained whole-run contention can defeat interleaved best-of-N:
+    // r6 recorded d12 at 60.6s vs 1.6s measured because the machine
+    // was oversubscribed for the ENTIRE run, so both passes saw the
+    // same stall. And the stdout metric line cannot carry all ~123
+    // per-query times (full map is ~2.6KB even at 0 decimals vs the
+    // collector's ~1.9KB tail budget). So the contention-proof record
+    // lives in BENCH_FLOOR.json at the repo root, committed with each
+    // round snapshot: per-query floor = min(this run's ok time, the
+    // prior committed floor), plus this run's FULL per-query map — a
+    // contention window can inflate one run's map but can never move
+    // a floor upward, and every query stays comparable round-over-
+    // round from the repo alone. Provenance policy (CLAUDE.md): the
+    // committed file is whatever the LATEST run wrote — overwrites are
+    // monotone-safe because floor is a min-merge; runs/retries/this_run
+    // describe only the most recent run, never the floor's history.
     // floors only for CURRENT queries (renamed/retired entries drop
     // out); a query whose every pass failed this run keeps its prior
     // floor if one exists, else has no floor yet
@@ -143,7 +187,7 @@ object Bench {
     try {
       val thisRun = results.map { case (k, v, _) => (k, v) }
       java.nio.file.Files.writeString(floorFile.toPath,
-        s"""{"sf":$sfNum,"runs":$runs,"failures":$failures,
+        s"""{"sf":$sfNum,"runs":$runs,"retries":$retriesUsed,"failures":$failures,
            |"floor_total":${f(2, floorTotal)},"run_total":${f(2, total)},
            |"floor":${jmap(floor)},
            |"this_run":${jmap(thisRun)},
@@ -156,7 +200,7 @@ object Bench {
       val qs = rs.map { case (k, v, _) => "\"" + k + "\":" + f(dec, v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f(2, total)},"unit":"sec","floor_total":${f(2, floorTotal)},"floor_file":"${floorFile.getName}","queries":$qs$om,"failures":$failures,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${f(2, total)},"unit":"sec","floor_total":${f(2, floorTotal)},"floor_file":"${floorFile.getName}","queries":$qs$om,"failures":$failures,"retries":$retriesUsed,"sf":$sfNum}"""
     }
     // budget: 2000-char tail minus sbt's "[info] " prefix and trailing
     // "[success] Total time: …" line (~85 chars), with slack. Full map
