@@ -158,7 +158,15 @@ object Pipeline {
     * same answer whether or not the rest of the corpus is scored
     * alongside it). */
   private[graft] def e4FlagsOf(spark: SparkSession, dir: String,
-                               basePred: Column, deltaPred: Column): DataFrame = {
+                               basePred: Column, deltaPred: Column): DataFrame =
+    e4FlagsScored(spark, dir, basePred, deltaPred)._1
+
+  /** Flags plus the cached `scored` handle, so the gate-entry rollups
+    * can release the cache themselves once their bounded report is
+    * collected (d18's self-contained discipline) instead of relying
+    * on the harness-level clearCache between queries. */
+  private def e4FlagsScored(spark: SparkSession, dir: String,
+                            basePred: Column, deltaPred: Column): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("_w"))
     val frozenEval = TextAnalysis.isEvalDoc && basePred
@@ -187,7 +195,7 @@ object Pipeline {
     val perDocDelta = scored.filter(deltaPred)
       .select(col("doc_id"), col("logw"))
     val rates = TextAnalysis.mixRatesOn(spark, dir, basePred)
-    docs.filter(deltaPred && !frozenEval)
+    val flags = docs.filter(deltaPred && !frozenEval)
       .join(drops, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("n_tok", size(col("_w")).cast("long"))
@@ -199,12 +207,20 @@ object Pipeline {
       .withColumn("s4", col("s3") &&
         (col("source") === TextAnalysis.DsirTarget || col("logw") > col("cut")))
       .join(broadcast(rates), Seq("source"), "left")
-      // a source with NO base token mass has no frozen rate: keep
-      // nothing from it (unvetted feed) until the models retrain
+      // a source with NO base token mass has no frozen rate. Its docs
+      // that survive every frozen vetting stage (s4) are QUARANTINED,
+      // not silently dropped: they are counted per source, excluded
+      // from the final mix (s5), and the documented admit path is
+      // include-on-retrain — the next model retrain's base covers the
+      // new feed, it gets a rate row, and the same docs flow the
+      // batch path (Round8/9Spec pin e4(base=all) ≡ e1⋈e2 and
+      // quarantine emptying under a full-base rerun).
+      .withColumn("quar", col("s4") && col("rate_ppm").isNull)
       .withColumn("s5", col("s4") &&
         TextAnalysis.mixKeepHash < coalesce(col("rate_ppm"), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tok"),
-        col("s1"), col("s2"), col("s3"), col("s4"), col("s5"))
+        col("s1"), col("s2"), col("s3"), col("s4"), col("quar"), col("s5"))
+    (flags, scored)
   }
 
   /** E4 — INCREMENTAL ingest: the production "daily delta" pass the
@@ -233,23 +249,59 @@ object Pipeline {
       .agg(min(abs(col("logw") - col("cut")))).collect()(0).getDouble(0)
   }
 
-  def e4DeltaIngest(spark: SparkSession, dir: String): DataFrame =
-    e4FlagsOf(spark, dir, !e4DeltaPred, e4DeltaPred)
+  /** Shared ingest rollup for e4/e5: per-source funnel of the arrived
+    * slice through all five frozen-model stages plus the quarantine
+    * census. The report is ≤|sources| rows — BOUNDED driver state —
+    * so it is collected, the scored cache this operator pinned is
+    * released, and a local relation is returned (d18's self-contained
+    * discipline: no reliance on harness-level clearCache). */
+  private def ingestReport(spark: SparkSession, dir: String,
+                           basePred: Column, deltaPred: Column): DataFrame = {
+    val (flags, scored) = e4FlagsScored(spark, dir, basePred, deltaPred)
+    val agg = flags
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_arrived"),
         sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_dedup"),
         sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_quality"),
         sum(when(col("s3"), 1L).otherwise(0L)).as("n_clean"),
         sum(when(col("s4"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("quar"), 1L).otherwise(0L)).as("n_quarantined"),
         sum(when(col("s5"), 1L).otherwise(0L)).as("n_final"),
         sum(when(col("s5"), col("n_tok")).otherwise(0L)).as("final_tokens"))
       .orderBy(col("source"))
+    val rows = agg.collect()
+    scored.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
+
+  def e4DeltaIngest(spark: SparkSession, dir: String): DataFrame =
+    ingestReport(spark, dir, !e4DeltaPred, e4DeltaPred)
+
+  /** The NEW-feed scenario e4's block-slice deliberately avoids: one
+    * whole source arrives with ZERO base history. Its docs are vetted
+    * by the frozen models (dedup against the full corpus, frozen
+    * eval-gram decontam, frozen DSIR cut) but have no frozen mix rate,
+    * so every selected doc lands in quarantine (n_quarantined =
+    * n_selected, n_final = 0) instead of being silently dropped —
+    * the bootstrap posture a daily-ingest user sees the first time a
+    * feed onboards. Admit path: include-on-retrain (Round9Spec pins
+    * quarantine emptying once the base covers the new source). The
+    * new source's eval-rule docs are in NEITHER base nor delta: an
+    * eval set frozen before the feed existed cannot contain them, and
+    * they are held out as eval candidates, not training candidates. */
+  val E5NewSource = "src7"
+  private[graft] def e5BasePred: Column = col("source") =!= E5NewSource
+  private[graft] def e5DeltaPred: Column =
+    col("source") === E5NewSource && !TextAnalysis.isEvalDoc
+  def e5NewSourceIngest(spark: SparkSession, dir: String): DataFrame =
+    ingestReport(spark, dir, e5BasePred, e5DeltaPred)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_corpus_funnel"  -> (e1CorpusFunnel _),
     "e2_selection_mix"  -> (e2SelectionMix _),
     "e3_final_packing"  -> (e3FinalPacking _),
-    "e4_delta_ingest"   -> (e4DeltaIngest _))
+    "e4_delta_ingest"   -> (e4DeltaIngest _),
+    "e5_new_source"     -> (e5NewSourceIngest _))
 
   /** The e1 stage-1..3 CTE chain (labels → clean set), shared by the
     * e1/e2/e3 oracles so the funnel's SQL twin has one definition. */
@@ -299,13 +351,17 @@ object Pipeline {
                        THEN 1 ELSE 0 END AS s5
            FROM sel s JOIN mixr r ON r.source = s.source)"""
 
-  /** e4's mirror: the same stages with every model CTE train-filtered
-    * to the base slice and every scoring/report CTE delta-filtered —
-    * the SQL statement of "frozen models, delta-only processing". */
-  private lazy val e4OracleSql: String = {
-    def deltaOf(id: String): String =
-      s"(($id // 20) % 10 = $E4DeltaDigit AND $id % ${TextAnalysis.EvalStride} <> 0)"
-    val base = s"NOT ${deltaOf("doc_id")}"
+  /** e4/e5's mirror: the same stages with every model CTE
+    * train-filtered to the base slice and every scoring/report CTE
+    * delta-filtered — the SQL statement of "frozen models, delta-only
+    * processing". Parameterized over base and delta as doc_id-level
+    * predicates (source = 'src' || doc_id % 20 in this corpus, so
+    * source predicates are doc_id-expressible); base need NOT be the
+    * complement of delta — e5's new-source case keeps the new feed's
+    * eval-rule docs out of BOTH. */
+  private def ingestOracleSql(baseOf: String => String,
+                              deltaOf: String => String): String = {
+    val base = baseOf("doc_id")
     val delta = deltaOf("doc_id")
     s"""WITH RECURSIVE ${Dedup.d7LabelCtes},
          w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
@@ -324,7 +380,7 @@ object Pipeline {
          contam AS (SELECT DISTINCT u.doc_id FROM u JOIN ev USING (g)
                     WHERE ${deltaOf("u.doc_id")}),
          ${TextAnalysis.dsirModelCtes(base)},
-         ${TextAnalysis.dsirPerdocCte("perdocb", s"NOT ${deltaOf("f.doc_id")}")},
+         ${TextAnalysis.dsirPerdocCte("perdocb", baseOf("f.doc_id"))},
          cut AS (SELECT quantile_cont(logw, ${TextAnalysis.DsirSelectQuantile}) AS cut
                  FROM perdocb),
          ${TextAnalysis.dsirPerdocCte("perdocd", deltaOf("f.doc_id"))},
@@ -341,7 +397,7 @@ object Pipeline {
            LEFT JOIN drops dr ON dr.doc_id = q.doc_id
            LEFT JOIN contam c ON c.doc_id = q.doc_id
            WHERE NOT (q.doc_id % ${TextAnalysis.EvalStride} = 0
-                      AND NOT ${deltaOf("q.doc_id")})),
+                      AND ${baseOf("q.doc_id")})),
          sel AS (
            SELECT j.doc_id, j.source, j.n_tok, j.s1, j.s2, j.s3,
                   (j.s3 AND (j.source = '${TextAnalysis.DsirTarget}'
@@ -351,6 +407,7 @@ object Pipeline {
            CROSS JOIN cut ct),
          mx AS (
            SELECT s.doc_id, s.source, s.n_tok, s.s1, s.s2, s.s3, s.s4,
+                  (s.s4 AND r.rate_ppm IS NULL) AS quar,
                   (s.s4 AND (${TextAnalysis.mixKeepSql("s.doc_id")})
                      < COALESCE(r.rate_ppm, 0)) AS s5
            FROM sel s LEFT JOIN mixr r ON r.source = s.source)
@@ -359,9 +416,29 @@ object Pipeline {
                 CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
                 CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
                 CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+                CAST(sum(CASE WHEN quar THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
                 CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
                 CAST(sum(CASE WHEN s5 THEN n_tok ELSE 0 END) AS BIGINT) AS final_tokens
          FROM mx GROUP BY 1 ORDER BY source"""
+  }
+
+  /** e4's concrete predicates: delta = every 10th row-block per
+    * source minus eval-rule docs; base = its complement. */
+  private def e4DeltaSqlOf(id: String): String =
+    s"(($id // 20) % 10 = $E4DeltaDigit AND $id % ${TextAnalysis.EvalStride} <> 0)"
+  private lazy val e4OracleSql: String =
+    ingestOracleSql(id => s"NOT ${e4DeltaSqlOf(id)}", e4DeltaSqlOf)
+
+  /** e5's: the whole of src7 arrives new (source = 'src' || doc_id %
+    * 20 ⇒ src7 ⇔ doc_id % 20 = 7); base strictly excludes it, and the
+    * new feed's eval-rule docs are in neither slice. (doc_id % 20 = 7
+    * already implies non-eval — eval is doc_id % 20 = 0 — but the
+    * predicate states the rule, not the corpus accident.) */
+  private lazy val e5OracleSql: String = {
+    val digit = E5NewSource.stripPrefix("src").toInt
+    ingestOracleSql(
+      id => s"($id % 20 <> $digit)",
+      id => s"($id % 20 = $digit AND $id % ${TextAnalysis.EvalStride} <> 0)")
   }
 
   /** The same funnel assembled from the standalone operators' oracle
@@ -369,6 +446,7 @@ object Pipeline {
     * formula, t10's eval-gram overlap. */
   val oracles: Map[String, String] = Map(
     "e4_delta_ingest" -> e4OracleSql,
+    "e5_new_source" -> e5OracleSql,
     "e2_selection_mix" ->
       s"""WITH RECURSIVE $selectedCtes
          SELECT source, count(*) AS n_clean,

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Pipeline
+
+/** Round-9 pins for the e5 new-source bootstrap (quarantine-and-admit):
+  *
+  *  1. Quarantine census — when a whole source arrives with zero base
+  *     history, every doc of it that survives the frozen vetting
+  *     stages is QUARANTINED (n_quarantined = n_selected) and none is
+  *     mixed (n_final = 0): the feed is parked, not silently dropped.
+  *  2. Nothing vanishes — n_arrived covers the whole non-eval slice
+  *     of the new source, and the funnel counts are monotone.
+  *  3. Admit-on-retrain — re-running the same delta against a base
+  *     that now covers the new source empties the quarantine
+  *     (n_quarantined = 0) and admits docs through the mix lottery:
+  *     include-on-retrain is a real path, not documentation.
+  *  4. e4's established slicing keeps an empty quarantine (every
+  *     source has base mass), so the new column changes nothing for
+  *     the existing gate entry.
+  */
+class Round9Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("e5: a delta-only source is quarantined, not silently dropped") {
+    val rows = Pipeline.e5NewSourceIngest(spark, dir).collect()
+    assert(rows.length === 1, "the arrived slice is exactly the new source")
+    val r = rows.head
+    assert(r.getAs[String]("source") === Pipeline.E5NewSource)
+    val arrived = r.getAs[Long]("n_arrived")
+    val selected = r.getAs[Long]("n_selected")
+    val quarantined = r.getAs[Long]("n_quarantined")
+    assert(arrived > 0, "the new feed has docs")
+    assert(selected > 0,
+      "the planted corpus keeps some vetted docs from the new source " +
+        "(otherwise the quarantine pin below is vacuous)")
+    assert(quarantined === selected,
+      "every vetted doc of an unseen source must be quarantined")
+    assert(r.getAs[Long]("n_final") === 0L,
+      "no doc of an unseen source enters the final mix")
+    assert(r.getAs[Long]("final_tokens") === 0L)
+    // monotone funnel: arrived >= dedup >= quality >= clean >= selected
+    val chain = Seq("n_arrived", "n_after_dedup", "n_after_quality",
+      "n_clean", "n_selected").map(r.getAs[Long])
+    assert(chain.zip(chain.tail).forall { case (a, b) => a >= b }, chain.toString)
+  }
+
+  test("e5: admit-on-retrain empties the quarantine and admits through the mix") {
+    import spark.implicits._
+    // retrain = the base now covers everything (including the new
+    // source); the very same delta slice is re-scored
+    val (quar, fin, sel): (Long, Long, Long) =
+      Pipeline.e4FlagsOf(spark, dir, lit(true), Pipeline.e5DeltaPred)
+        .agg(sum(when(col("quar"), 1L).otherwise(0L)).as("q"),
+          sum(when(col("s5"), 1L).otherwise(0L)).as("f"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("sel"))
+        .as[(Long, Long, Long)].collect().head
+    assert(quar === 0L, "a retrained base leaves nothing in quarantine")
+    assert(sel > 0L)
+    assert(fin > 0L, "admitted docs flow through the mix lottery")
+  }
+
+  test("e4's block-slice keeps an empty quarantine (every source has base mass)") {
+    val rows = Pipeline.e4DeltaIngest(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_quarantined") === 0L),
+      "e4's slicing leaves ~90% of every source in base, so no " +
+        "source is rate-less")
+  }
+}
