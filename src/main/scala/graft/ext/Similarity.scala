@@ -561,6 +561,11 @@ object Similarity {
     pcen.write.mode("overwrite").parquet(s"$idxDir/pq_codebooks")
     writeCodes(qv.filter(codePred), v.filter(codePred), cen, pcen, idxDir,
       overwrite = true)
+    // the writes above are actions — the caches have served their
+    // multi-use purpose (k-means iterations + coding) once the codes
+    // land; release them here so the build is self-contained
+    qv.unpersist()
+    v.unpersist()
   }
 
   /** Append `appendPred` vectors into the EXISTING index: read the
@@ -641,11 +646,60 @@ object Similarity {
     * tables alone. The oracle replays the same pipeline as SQL —
     * train restricted to base, codes over everything (valid because
     * append ≡ rebuild: coding is deterministic given the model). */
+  /** One FIXED index location per (JVM, sf dir): repeated gate
+    * invocations overwrite in place (the build's overwrite clears the
+    * codes table before the append re-adds the held-out slice), so
+    * Verify/Bench loops no longer accumulate unbounded /tmp disk —
+    * one index per scale factor, ever. */
+  private def s13IdxDir(dir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    s"${System.getProperty("java.io.tmpdir")}/graft_s13_idx_$tag"
+  }
+
   def s13PersistedIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_s13_idx_").toString
+    val idxDir = s13IdxDir(dir)
     buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
     appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
     queryIvfPqIndex(spark, dir, idxDir)
+  }
+
+  /** Retrain trigger for the appended index: when the APPENDED
+    * index's mean recall@k falls more than this below a full
+    * retrain's, rebuild. 0.05 = half a neighbor at k=10 — below
+    * that, an append-only index answers as well as a fresh one and a
+    * retrain buys nothing. Round9Spec measures the drift on this
+    * corpus and pins it under the trigger. */
+  val S14RetrainDrift = 0.05
+
+  /** S14 — index-health gate: recall@k of the APPENDED persisted
+    * index (s13's lifecycle: train on the base slice, append the
+    * held-out slice against the frozen model, serve from parquet)
+    * side by side with a FULL RETRAIN (s12's model trained on
+    * everything), both graded against s1's exact answer with s11's
+    * membership-join machinery. This is the health check a
+    * production vector store runs after every append window: the
+    * `appended − retrained` recall gap IS the model-drift measure,
+    * and crossing [[S14RetrainDrift]] is the named retrain trigger
+    * (SURVEY §2.10 s13 row). Scale shape: both answer sets are
+    * |Q|·k rows — the grading join is broadcast-sized regardless of
+    * corpus size; the cost is the two index pipelines themselves. */
+  def s14IndexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val states = Seq(
+      "appended"  -> s13PersistedIvfPq(spark, dir),
+      "retrained" -> s12IvfPq(spark, dir))
+    val ans = states.map { case (st, df) =>
+      df.select(lit(st).as("state"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _).withColumn("hit", lit(1L))
+    val grid = exact.withColumn("state",
+      explode(array(states.map(s => lit(s._1)): _*)))
+    grid.join(ans, Seq("state", "query_id", "neighbor_id"), "left")
+      .groupBy(col("state"), col("query_id"))
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") * 1.0 / col("k"), 4))
+      .orderBy(col("state"), col("query_id"))
   }
 
   val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
@@ -945,6 +999,7 @@ object Similarity {
     "s11_recall_matrix"    -> (s11RecallMatrix _),
     "s12_ivf_pq"           -> (s12IvfPq _),
     "s13_persisted_index"  -> (s13PersistedIvfPq _),
+    "s14_index_health"     -> (s14IndexHealth _),
     "s1_knn_brute"         -> (s1KnnBrute _),
     "s2_ann_lsh"           -> (s2AnnLsh _),
     "s3_ivf_ann"           -> (s3IvfAnn _),
@@ -1323,10 +1378,36 @@ object Similarity {
                         AND a.neighbor_id = g.neighbor_id
          GROUP BY 1, 2 ORDER BY g.family, g.query_id"""
 
+  /** s14's mirror: the two index states as nested-WITH derived
+    * tables — 'appended' replays s13's pipeline (train on base, code
+    * everything: valid because append ≡ rebuild under a frozen
+    * model, Round8Spec), 'retrained' replays s12's (train on all) —
+    * graded against the exact answer like the s11 oracle. */
+  private lazy val s14OracleSql: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($s1OracleSql) tex),
+         fam AS (
+           SELECT 'appended' AS state, query_id, neighbor_id FROM ($s13OracleSql) t1
+           UNION ALL
+           SELECT 'retrained' AS state, query_id, neighbor_id FROM ($s12OracleSql) t2),
+         grid AS (
+           SELECT s.state, e.query_id, e.neighbor_id
+           FROM ex e CROSS JOIN
+             (SELECT unnest(['appended', 'retrained']) AS state) s)
+         SELECT g.state, g.query_id, count(*) AS k,
+                CAST(sum(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit,
+                round(CAST(sum(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1.0 / count(*), 4) AS recall
+         FROM grid g
+         LEFT JOIN fam a ON a.state = g.state AND a.query_id = g.query_id
+                        AND a.neighbor_id = g.neighbor_id
+         GROUP BY 1, 2 ORDER BY g.state, g.query_id"""
+
   val oracles: Map[String, String] = Map(
     "s11_recall_matrix" -> s11OracleSql,
     "s12_ivf_pq" -> s12OracleSql,
     "s13_persisted_index" -> s13OracleSql,
+    "s14_index_health" -> s14OracleSql,
     "s9_filtered_knn" ->
       s"""WITH $expandCtes,
          lbl AS (SELECT vec_id, label FROM embeddings),

@@ -71,6 +71,37 @@ class Round9Spec extends AnyFunSuite {
     assert(fin > 0L, "admitted docs flow through the mix lottery")
   }
 
+  test("s14: appended-index recall stays within the retrain trigger of a full retrain") {
+    import graft.ext.Similarity
+    val rows = Similarity.s14IndexHealth(spark, dir).collect()
+    val byState = rows.groupBy(_.getAs[String]("state"))
+    assert(byState.keySet === Set("appended", "retrained"))
+    // same query grid on both sides
+    assert(byState("appended").length === byState("retrained").length)
+    assert(rows.forall(_.getAs[Long]("k") > 0))
+    def mean(st: String): Double = {
+      val rs = byState(st).map(_.getAs[Double]("recall"))
+      rs.sum / rs.length
+    }
+    val drift = mean("retrained") - mean("appended")
+    info(f"recall drift (retrained - appended) = $drift%.4f, trigger = ${Similarity.S14RetrainDrift}")
+    assert(drift <= Similarity.S14RetrainDrift,
+      f"appended index drifted $drift%.4f below a full retrain — past the retrain trigger")
+  }
+
+  test("s14: the retrained state reconciles with s11's ivfpq family row-for-row") {
+    import graft.ext.Similarity
+    val health = Similarity.s14IndexHealth(spark, dir).collect()
+      .filter(_.getAs[String]("state") === "retrained")
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    val matrix = Similarity.s11RecallMatrix(spark, dir).collect()
+      .filter(_.getAs[String]("family") === "ivfpq")
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    assert(health.nonEmpty)
+    assert(health === matrix,
+      "s14's retrained grading and s11's ivfpq grading are the same measurement")
+  }
+
   test("e4's block-slice keeps an empty quarantine (every source has base mass)") {
     val rows = Pipeline.e4DeltaIngest(spark, dir).collect()
     assert(rows.nonEmpty)
