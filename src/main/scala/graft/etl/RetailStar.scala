@@ -136,10 +136,55 @@ object RetailStar {
       .limit(10)
   }
 
+  /** Q55 — the incremental-snapshot maintenance path AS a gate entry
+    * (the processing mode the reference endorses over full rebuilds,
+    * README.md:199-201): the LAST month in the data is "the month
+    * that just arrived" — the prior snapshot is built over everything
+    * before it, Warehouse.factMonthlySnapshotIncrement appends the
+    * new month, and the gate reports the appended rows. The oracle is
+    * the FULL-REBUILD slice: the complete (customer, month) running-
+    * sum snapshot filtered to the last month — so the hash gate
+    * proves increment ≡ rebuild on the appended month (WarehouseSpec
+    * proves the whole-history fold; this puts the path under the
+    * driver's gate). Surrogate customer_key is xxhash64 (not DuckDB-
+    * reproducible), so the report joins back to the natural key — a
+    * broadcast-sized dimension join at any fact scale.
+    *
+    * Scale: the new month's staging aggregates once; prior lifetimes
+    * are one customer-keyed max_by over the (month-partitioned)
+    * snapshot — at 100 TB that max_by is maintained as a compact
+    * current-state table instead of re-scanning history (see the
+    * increment's doc). The boundary month is ONE value — bounded
+    * driver state. */
+  def q55SnapshotIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir))
+    val monthOf = date_trunc("month", to_date(col("Date"), "M/d/yyyy"))
+    // append the most recent COMPLETE month: the max month is still
+    // receiving data (the corpus ends mid-month — a 2-customer stub
+    // at sf0.01), which is exactly when a production load appends the
+    // month before it. 2 months of driver state.
+    val lastM = cleaned.select(monthOf.as("m")).distinct()
+      .orderBy(desc("m")).limit(2).collect().last.getTimestamp(0)
+    val prev = Warehouse.factMonthlySnapshot(cleaned.filter(monthOf < lit(lastM)))
+    val inc = Warehouse.factMonthlySnapshotIncrement(
+      prev, cleaned.filter(monthOf === lit(lastM)))
+    val ids = cleaned
+      .select(xxhash64(col("Customer_ID")).as("customer_key"),
+        col("Customer_ID").as("customer_id"))
+      .distinct()
+    inc.join(broadcast(ids), Seq("customer_key"))
+      .select(col("customer_id"), col("month_start"),
+        round(col("month_total_spent"), 2).as("month_total_spent"),
+        col("month_total_orders"),
+        round(col("customer_lifetime_spent"), 2).as("customer_lifetime_spent"))
+      .orderBy(col("customer_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_sales_by_hour"          -> (q27SalesByHour _),
     "q28_sales_by_shipping_tier" -> (q28SalesByShippingTier _),
-    "q29_top_products_star"      -> (q29TopProducts _))
+    "q29_top_products_star"      -> (q29TopProducts _),
+    "q55_snapshot_increment"     -> (q55SnapshotIncrement _))
 
   /** Oracles re-derive the same results from first principles: the
     * staging synthesis drops nothing (inner joins on guaranteed FKs,
@@ -175,5 +220,29 @@ object RetailStar {
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1, 2
          ORDER BY revenue DESC, product_name, product_brand
-         LIMIT 10""")
+         LIMIT 10""",
+    // the full-rebuild snapshot (running-sum lifetime over every
+    // month) sliced to the LAST month — what the increment must equal
+    "q55_snapshot_increment" ->
+      """WITH f AS (
+           SELECT o_custkey AS customer_id,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                  l_extendedprice AS amt, l_orderkey AS tid
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         m AS (
+           SELECT customer_id, month_start, sum(amt) AS ms,
+                  count(DISTINCT tid) AS mo
+           FROM f GROUP BY 1, 2),
+         w AS (
+           SELECT customer_id, month_start, ms, mo,
+                  sum(ms) OVER (PARTITION BY customer_id ORDER BY month_start) AS life
+           FROM m),
+         lm AS (SELECT max(month_start) AS v FROM m
+                WHERE month_start < (SELECT max(month_start) FROM m))
+         SELECT customer_id, month_start,
+                round(ms, 2) AS month_total_spent,
+                CAST(mo AS BIGINT) AS month_total_orders,
+                round(life, 2) AS customer_lifetime_spent
+         FROM w, lm WHERE w.month_start = lm.v
+         ORDER BY customer_id""")
 }

@@ -347,6 +347,71 @@ object EventsStream {
     q
   }
 
+  /** ST11 — the foreachBatch parquet-merge maintenance path AS a gate
+    * entry: the events table is staged as two TIME-ORDERED files, the
+    * windowed-counts stream consumes them one micro-batch each
+    * (update mode, so batch 2 re-emits every window it refines), the
+    * merge upserts each emission into the snapshot table, and the
+    * gate reports the POST-MERGE census per event_type. The oracle is
+    * the direct batch aggregate — equality holds deterministically,
+    * not by luck: the time-ordered split means every batch-2 row's ts
+    * ≥ batch 1's max ts > watermark, so the 10-minute watermark can
+    * never drop a row, and the converged snapshot IS the batch
+    * answer (EventsStreamSpec pins the window-level equality; this
+    * entry puts the path under the driver's hash gate).
+    *
+    * Scale: the snapshot is windows × event_types — tiny vs the
+    * stream; at 100 TB/day the same merge runs with dynamic partition
+    * overwrite (or an ACID format) so each batch rewrites only the
+    * partitions it touches (see mergeIntoParquet doc). Scratch lives
+    * at one FIXED location per scale factor, rebuilt per invocation
+    * (s13's no-tmp-accumulation discipline). */
+  def st11SnapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st11_$tag")
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
+      f.delete(); ()
+    }
+    delete(base)
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    // split from the RAW representation so the staged files carry the
+    // ts encoding the stream's sniffed schema expects
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.parquet(s"$dir/events.parquet").orderBy("ts").cache()
+    val n = all.count()
+    val firstHalf = all.limit((n / 2).toInt)
+    val secondHalf = all.join(firstHalf.select("event_id"), Seq("event_id"), "left_anti")
+    firstHalf.coalesce(1).write.mode("overwrite").parquet(s"$base/f1")
+    secondHalf.coalesce(1).write.mode("overwrite").parquet(s"$base/f2")
+    all.unpersist()
+    // stage with increasing mtimes so the file source orders the two
+    // micro-batches deterministically
+    def stage(src: String, dst: String, mtime: Long): Unit = {
+      val part = new java.io.File(src).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val to = new java.io.File(inDir, dst)
+      java.nio.file.Files.copy(part.toPath, to.toPath)
+      to.setLastModified(mtime); ()
+    }
+    stage(s"$base/f1", "a.parquet", 1000000L)
+    stage(s"$base/f2", "b.parquet", 2000000L)
+    val target = s"$base/snapshot"
+    val q = runSnapshotUpsert(
+      readEventsStream(spark, inDir.toString, maxFilesPerTrigger = 1), target)
+    q.stop()
+    // post-merge census: per-window totals rounded to cents FIRST
+    // (st1's proven cross-engine edge), then summed and re-rounded
+    spark.read.parquet(target)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_events")).as("n_events"),
+        round(sum(round(col("total_value"), 2)), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Semantic debounce key: one event per (user, type, event-hour).
     * The hour bucket is derived from EVENT time, so batch and stream
     * agree on which rows are duplicates. */
@@ -553,7 +618,8 @@ object EventsStream {
     "st2_sessionization" -> (st2Sessionization _),
     "st3_transitions"    -> (st3Transitions _),
     "st4_stream_join"    -> (st4StreamJoin _),
-    "st10_outer_join"    -> (st10OuterJoin _))
+    "st10_outer_join"    -> (st10OuterJoin _),
+    "st11_snapshot_merge" -> (st11SnapshotMerge _))
 
   val oracles: Map[String, String] = Map(
     // the z-test cross-multiplied into pure int64, identical to the
@@ -613,6 +679,18 @@ object EventsStream {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value),2) AS total_value
          FROM events GROUP BY 1,2 ORDER BY window_start, event_type""",
+    // direct batch aggregate — what the converged merge snapshot must
+    // equal (the stream side's per-window totals round to cents first,
+    // st1's proven cross-engine edge, then the census sums them)
+    "st11_snapshot_merge" ->
+      """WITH w AS (
+           SELECT date_trunc('hour', ts) AS ws, event_type,
+                  count(*) AS n, round(sum(value), 2) AS tv
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, count(*) AS n_windows,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                round(sum(tv), 2) AS total_value
+         FROM w GROUP BY 1 ORDER BY event_type""",
     // two-level mirror of the chained windows: tumbling windows are
     // epoch-aligned, so hour/day starts are date_truncs
     "st9_chained_windows" ->
