@@ -363,7 +363,11 @@ object Multimodal {
   /** Hot-bucket cap (d3's discipline): an LSH band bucket larger than
     * this is degenerate (a constant signature region) and is dropped
     * rather than joined — the knob that keeps the self-join
-    * pair-bounded at any corpus size. */
+    * pair-bounded at any corpus size. Dropping a bucket also drops
+    * any planted pair inside it on BOTH the Spark and oracle sides
+    * (the gate would still hash-match), so planted-twin recall = 1 is
+    * asserted at every SF the driver runs — sf0.001/0.01/0.1
+    * (Round8Spec + Round9Spec), not just the smallest. */
   val M7BucketCap = 64L
 
   /** Per-media positional permille signature: 16 segment byte-means

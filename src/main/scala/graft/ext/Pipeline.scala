@@ -255,8 +255,8 @@ object Pipeline {
     * so it is collected, the scored cache this operator pinned is
     * released, and a local relation is returned (d18's self-contained
     * discipline: no reliance on harness-level clearCache). */
-  private def ingestReport(spark: SparkSession, dir: String,
-                           basePred: Column, deltaPred: Column): DataFrame = {
+  private def ingestAgg(spark: SparkSession, dir: String,
+                        basePred: Column, deltaPred: Column): (DataFrame, DataFrame) = {
     val (flags, scored) = e4FlagsScored(spark, dir, basePred, deltaPred)
     val agg = flags
       .groupBy(col("source"))
@@ -269,10 +269,24 @@ object Pipeline {
         sum(when(col("s5"), 1L).otherwise(0L)).as("n_final"),
         sum(when(col("s5"), col("n_tok")).otherwise(0L)).as("final_tokens"))
       .orderBy(col("source"))
+    (agg, scored)
+  }
+
+  private def ingestReport(spark: SparkSession, dir: String,
+                           basePred: Column, deltaPred: Column): DataFrame = {
+    val (agg, scored) = ingestAgg(spark, dir, basePred, deltaPred)
     val rows = agg.collect()
     scored.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
+
+  /** The DISTRIBUTED plan behind e4's gate entry, pre-collect: the
+    * gate returns a bounded local relation (so the operator can
+    * release its own cache — see ingestReport), which hides the real
+    * plan behind a LocalTableScan; PlanDump dumps this frame so
+    * PLANS.md keeps showing the broadcast-model delta-scan shape. */
+  private[graft] def e4DeltaIngestFrame(spark: SparkSession, dir: String): DataFrame =
+    ingestAgg(spark, dir, !e4DeltaPred, e4DeltaPred)._1
 
   def e4DeltaIngest(spark: SparkSession, dir: String): DataFrame =
     ingestReport(spark, dir, !e4DeltaPred, e4DeltaPred)

@@ -676,16 +676,23 @@ object AdvancedQueries {
     * sessions (st2's 30-minute rule, plus a 60 s grace so single-event
     * sessions occupy real time) become [start, end] intervals; each
     * day's peak is the max of the +1/−1 sweep over its clamped
-    * intervals. Sessions spanning midnight are split across the days
-    * they touch (explode of the day span — bounded by session length,
-    * ≤ 2 rows in practice).
+    * intervals. Sessions spanning a boundary are split across the
+    * slices they touch (explode of the hour span — bounded by session
+    * length, ≤ 2-3 rows in practice).
     *
     * Scale shape: the sweep — the part that's a global sort in the
-    * naive form — partitions by DAY, so each window sees one day's
-    * session endpoints, and the day key refines to (day, hour) at
-    * higher volume without changing the plan. Everything upstream is
-    * the user-keyed session window st2 already pays. All arithmetic
-    * is integer epoch-micros, so the oracle hash-matches exactly. */
+    * naive form — partitions by (DAY, HOUR): each window sees one
+    * HOUR of one day's session endpoints (plan-asserted), so even a
+    * single viral day splits across 24 partitions instead of
+    * hot-spotting one; the per-day peak is then the max over its
+    * hours' peaks, which is exact because a session carried into an
+    * hour gets its +1 at the hour boundary (the same clamp trick that
+    * splits days), so every hour's sweep attains the true running
+    * count. Everything upstream is the user-keyed session window st2
+    * already pays. All arithmetic is integer epoch-micros, so the
+    * oracle hash-matches exactly (per-day answers identical to the
+    * day-partitioned form — the refinement changes the partitioning,
+    * not the function). */
   def q46Concurrency(spark: SparkSession, dir: String): DataFrame = {
     val gapMicros = graft.streaming.EventsStream.SessionGapMicros
     val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -699,25 +706,35 @@ object AdvancedQueries {
     val sess = e.groupBy(col("user_id"), col("sid"))
       .agg(min(unix_micros(col("ts"))).as("m0"),
            (max(unix_micros(col("ts"))) + ConcurrencyGraceMicros).as("m1"))
+    val hourMicros = 3600000000L
     val spanned = sess
-      .withColumn("day", explode(sequence(
-        to_date(timestamp_micros(col("m0"))),
-        to_date(timestamp_micros(col("m1"))))))
-      .withColumn("d0", unix_micros(col("day").cast("timestamp")))
-      .withColumn("s", greatest(col("m0"), col("d0")))
-      .withColumn("t", least(col("m1"), col("d0") + lit(86400000000L) - 1))
-    val deltas = spanned.select(col("day"), col("s").as("m"), lit(1L).as("delta"))
-      .unionAll(spanned.select(col("day"), col("t").as("m"), lit(-1L).as("delta")))
+      .withColumn("hour", explode(sequence(
+        date_trunc("hour", timestamp_micros(col("m0"))),
+        date_trunc("hour", timestamp_micros(col("m1"))),
+        expr("interval 1 hour"))))
+      .withColumn("day", to_date(col("hour")))
+      .withColumn("h0", unix_micros(col("hour")))
+      .withColumn("s", greatest(col("m0"), col("h0")))
+      .withColumn("t", least(col("m1"), col("h0") + lit(hourMicros) - 1))
+    val deltas = spanned
+      .select(col("day"), col("hour"), col("s").as("m"), lit(1L).as("delta"))
+      .unionAll(spanned
+        .select(col("day"), col("hour"), col("t").as("m"), lit(-1L).as("delta")))
     // +1 sorts BEFORE −1 at an equal instant: intervals are CLOSED
-    // ([s, t] via the d0+86400000000−1 clamp), so a session ending at
-    // X and one starting at X are both active at X — and a day whose
-    // clamped interval collapses to [d0, d0] still peaks at ≥ 1
-    val wD = Window.partitionBy(col("day")).orderBy(col("m"), col("delta").desc)
+    // ([s, t] via the h0+3600000000−1 clamp), so a session ending at
+    // X and one starting at X are both active at X — and a slice whose
+    // clamped interval collapses to [h0, h0] still peaks at ≥ 1
+    val wH = Window.partitionBy(col("day"), col("hour"))
+      .orderBy(col("m"), col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("c", sum(col("delta")).over(wD))
+    deltas.withColumn("c", sum(col("delta")).over(wH))
       .groupBy(col("day"))
       .agg(max(col("c")).as("max_concurrent"))
-      .join(spanned.groupBy(col("day")).agg(count(lit(1)).as("n_sessions")), Seq("day"))
+      // a session touches each of its days once, so distinct (user,
+      // sid) per day = the sessions-touching-day census the day-
+      // exploded form counted directly
+      .join(spanned.groupBy(col("day"))
+        .agg(countDistinct(col("user_id"), col("sid")).as("n_sessions")), Seq("day"))
       .select(col("day"), col("n_sessions"), col("max_concurrent"))
       .orderBy(col("day"))
   }

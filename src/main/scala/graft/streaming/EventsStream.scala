@@ -50,9 +50,20 @@ object EventsStream {
                        maxFilesPerTrigger: Int = 1,
                        schemaOverride: Option[StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = schemaOverride.getOrElse(
-      try spark.read.parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => defaultRawSchema })
+    // fall back to the default schema ONLY for the genuinely-empty
+    // directory (files-arrive-later pattern) — decided by looking at
+    // the directory, not by catching AnalysisException, which would
+    // also swallow corrupt footers / wrong paths / permission errors
+    // and let the stream start against a wrong schema that fails
+    // later and obscurely. Anything else the batch read throws
+    // propagates.
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isFile) f.getName.endsWith(".parquet")
+      else Option(f.listFiles()).exists(_.exists(hasParquet))
+    val rawSchema = schemaOverride.getOrElse {
+      if (hasParquet(new java.io.File(dir))) spark.read.parquet(dir).schema
+      else defaultRawSchema
+    }
     Tables.normalizeEventTs(
       spark.readStream
         .schema(rawSchema)

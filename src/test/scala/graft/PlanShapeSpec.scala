@@ -79,15 +79,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q46: the endpoint sweep windows by day — no single-partition global sort") {
+  test("q46: the endpoint sweep windows by (day, hour) — no single-partition global sort") {
     val p = plan(graft.queries.AdvancedQueries.q46Concurrency(spark, dir))
-    // every Window operator carries a partition spec (day or user_id)
+    // every Window operator carries a partition spec (day+hour or user_id)
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
     assert(specs.nonEmpty, p)
     specs.foreach { l =>
       assert(l.contains("windowspecdefinition(day") ||
         l.contains("windowspecdefinition(user_id"), s"unpartitioned window: $l")
     }
+    // the sweep itself must be HOUR-refined: a single viral day is 24
+    // partitions, not one
+    assert(specs.exists(l => l.contains("windowspecdefinition(day") && l.contains("hour")),
+      s"sweep window not (day, hour)-partitioned:\n${specs.mkString("\n")}")
+  }
+
+  test("st10: the streaming outer join plans a state-store symmetric hash join under watermarks") {
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.functions.col
+    val sd = java.nio.file.Files.createTempDirectory("events_stream_plan")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      sd.resolve("events.parquet"))
+    val q = EventsStream.runToMemory(
+      EventsStream.attributionOuterStream(
+          EventsStream.readEventsStream(spark, sd.toString))
+        .select(col("user_id"), col("buy_id"), col("view_id")),
+      "st10_plan_probe", mode = "append")
+    try {
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+        q.explain()
+      }
+      val p = baos.toString("UTF-8")
+      // the stateful join operator (per-partition state stores on
+      // both sides), its outer mode, and the event-time watermarks
+      // that drive orphan emission must all be visible in the plan
+      assert(p.contains("StreamingSymmetricHashJoin"), p)
+      assert(p.contains("LeftOuter"), p)
+      assert(p.contains("EventTimeWatermark"), p)
+    } finally q.stop()
   }
 
   test("q49: the global cumulative runs bucket-partitioned — no single-partition window") {

@@ -102,6 +102,27 @@ class Round9Spec extends AnyFunSuite {
       "s14's retrained grading and s11's ivfpq grading are the same measurement")
   }
 
+  test("m7: planted-twin recall = 1 holds at the driver gate SFs, not just sf0.001") {
+    import graft.ext.Multimodal
+    // the bucket cap can in principle swallow a planted pair at a
+    // larger SF while the oracle swallows the same pair (the gate
+    // would still hash-match) — so recall is asserted at the SFs the
+    // driver actually runs: sf0.01 (correctness) and sf0.1 (bench)
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val pairs = Multimodal.m7PerceptualLsh(spark, d).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val planted = Tables.documents(spark, d)
+        .filter(col("doc_id") % Multimodal.M7PlantStride === 0 &&
+          length(encode(col("text"), "UTF-8")) >= 2)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      assert(planted.nonEmpty, d)
+      planted.foreach { id =>
+        assert(pairs.contains((id, id + Multimodal.M7TwinOffset)),
+          s"planted twin of $id not recalled at $d")
+      }
+    }
+  }
+
   test("e4's block-slice keeps an empty quarantine (every source has base mass)") {
     val rows = Pipeline.e4DeltaIngest(spark, dir).collect()
     assert(rows.nonEmpty)
