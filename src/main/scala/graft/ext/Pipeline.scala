@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.StableHash
 
 /** The operators COMPOSED: one DAG that takes the raw corpus through
   * the canonical training-data preparation funnel —
@@ -310,12 +311,63 @@ object Pipeline {
   def e5NewSourceIngest(spark: SparkSession, dir: String): DataFrame =
     ingestReport(spark, dir, e5BasePred, e5DeltaPred)
 
+  // 80/10/10 in ppm of the split-key hash space
+  val SplitSeed = 9001
+  val SplitTrainPpm = 800000L
+  val SplitValidPpm = 900000L
+  val SplitPpm = 1000000L
+
+  /** Doc-level split assignment behind e6: every document joins the
+    * d7 near-dup labeling and is keyed by its CLUSTER representative
+    * (its own id when unclustered), so the hash lottery places whole
+    * near-dup clusters — never individual members — into a split.
+    * Factored out so Round9Spec can pin the cluster-atomicity and
+    * exhaustiveness laws at the doc grain. */
+  private[graft] def e6DocSplits(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup
+      .connectedComponents(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("ppm",
+        pmod(StableHash.hash64(SplitSeed, col("split_key").cast("string")), lit(SplitPpm)))
+      .withColumn("split",
+        when(col("ppm") < SplitTrainPpm, "train")
+          .when(col("ppm") < SplitValidPpm, "valid")
+          .otherwise("test"))
+  }
+
+  /** E6 — leakage-safe train/valid/test split: the assignment unit is
+    * the NEAR-DUP CLUSTER, not the document. A per-doc hash split
+    * leaks — two near-identical documents land on opposite sides of
+    * the train/test wall and the eval measures memorization — so e6
+    * hashes the d7 cluster representative instead: every member of a
+    * cluster rides the same lottery ticket, and singletons (the vast
+    * majority) hash their own id. The split is exhaustive, disjoint,
+    * and STABLE under corpus growth (a doc's ticket never depends on
+    * corpus size — only cluster merges can move it, which is exactly
+    * when it must move). Census per (split, source).
+    *
+    * Scale shape: the labeling is d4/d7's candidate-pair-bounded CC
+    * (its incremental path is d11); the join is doc⟕labels on the
+    * doc key; the lottery is row-local; the rollup is one hash agg.
+    * Nothing new shuffles beyond d7 itself. */
+  def e6LeakageSplit(spark: SparkSession, dir: String): DataFrame =
+    e6DocSplits(spark, dir)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_corpus_funnel"  -> (e1CorpusFunnel _),
     "e2_selection_mix"  -> (e2SelectionMix _),
     "e3_final_packing"  -> (e3FinalPacking _),
     "e4_delta_ingest"   -> (e4DeltaIngest _),
-    "e5_new_source"     -> (e5NewSourceIngest _))
+    "e5_new_source"     -> (e5NewSourceIngest _),
+    "e6_leakage_split"  -> (e6LeakageSplit _))
 
   /** The e1 stage-1..3 CTE chain (labels → clean set), shared by the
     * e1/e2/e3 oracles so the funnel's SQL twin has one definition. */
@@ -458,7 +510,33 @@ object Pipeline {
   /** The same funnel assembled from the standalone operators' oracle
     * fragments: d7's transitive-closure labeling, t9's dup-fraction
     * formula, t10's eval-gram overlap. */
+  /** e6's twin: the same d7 transitive-closure labels, the same
+    * cluster-representative key, the same md5-derived lottery. */
+  private lazy val e6OracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.d7LabelCtes},
+         docs AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         keyed AS (
+           SELECT d.doc_id, d.source, d.n_tok,
+                  COALESCE(l.cluster_id, d.doc_id) AS split_key
+           FROM docs d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         sp AS (
+           SELECT source, n_tok,
+                  CASE WHEN ppm < $SplitTrainPpm THEN 'train'
+                       WHEN ppm < $SplitValidPpm THEN 'valid'
+                       ELSE 'test' END AS split
+           FROM (SELECT *,
+                   (${StableHash.duckdbHash64(SplitSeed, "CAST(split_key AS VARCHAR)")})
+                     % $SplitPpm AS ppm
+                 FROM keyed) t)
+         SELECT split, source, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM sp GROUP BY 1, 2 ORDER BY split, source"""
+
   val oracles: Map[String, String] = Map(
+    "e6_leakage_split" -> e6OracleSql,
     "e4_delta_ingest" -> e4OracleSql,
     "e5_new_source" -> e5OracleSql,
     "e2_selection_mix" ->

@@ -124,6 +124,104 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val RrfK = 60           // the standard RRF rank-damping constant
+  val HybridDepth = 50    // each leg contributes its top-50 list
+  val HybridTopK = 10
+  /** 1e12 // (RrfK + rank) — RRF contributions as exact integers, so
+    * fused-score compares never touch a float (the t15 OOV rule
+    * applied to rank fusion: 1/(60+r) sums are floats whose ties
+    * near the top-k cut would otherwise need a measured margin). */
+  val RrfScale = 1000000000000L
+
+  /** Per-query lexical "query text": the terms each hybrid query
+    * searches for. The dense leg uses the SAME query_id's embedding,
+    * so each hybrid query carries both modalities. */
+  val HybridTerms: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "merge"),
+    1 -> Seq("join", "hash"),
+    2 -> Seq("stream", "window"),
+    3 -> Seq("vector", "scan"),
+    4 -> Seq("customer", "table"))
+
+  /** S15 — hybrid retrieval: the lexical BM25 leg (t14's scoring,
+    * per-query term lists) and the dense exact-cosine leg (s1's
+    * scoring) fused with Reciprocal Rank Fusion —
+    * score(d) = Σ_legs 1/(RrfK + rank_leg(d)) — the standard way a
+    * retrieval stack combines keyword and embedding evidence without
+    * calibrating their incomparable score scales (only RANKS cross
+    * the fusion boundary).
+    *
+    * Scale shape: the lexical corpus stats are ONE broadcast row
+    * (t14), the dense leg broadcasts |Q| query vectors against the
+    * stationary vector table (s1; swap in the s13 partition-pruned
+    * index for the dense leg at 100 TB — fusion only consumes ranks,
+    * so the legs are interchangeable), and the fusion join touches
+    * ≤ 2·|Q|·HybridDepth rows — bounded by the query load, never by
+    * the corpus. Integer-exact: contributions are 1e12 div (60+r),
+    * ties broken by doc_id. */
+  def s15HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    // dense leg: s1's exact cosine ranking, depth HybridDepth
+    val v = normed(spark, dir)
+    val q = v.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val dw = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
+    val dense = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .withColumn("d_rank", row_number().over(dw))
+      .filter(col("d_rank") <= HybridDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("d_rank"))
+
+    // lexical leg: t14's BM25 with per-query term lists; corpus stats
+    // (N, avgdl, df per distinct query term) stay one broadcast row
+    val terms = HybridTerms.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
+      .withColumn("dl", size(col("w")).cast("double"))
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl") +:
+        terms.map { t =>
+          sum(when(array_contains(col("w"), t), 1.0).otherwise(0.0)).as(s"df${idx(t)}")
+        }: _*)
+    def termScore(t: String): Column = {
+      val i = idx(t)
+      val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      idf * (tf * (TextAnalysis.Bm25K1 + 1.0)) /
+        (tf + lit(TextAnalysis.Bm25K1) * (lit(1.0 - TextAnalysis.Bm25B) +
+          lit(TextAnalysis.Bm25B) * col("dl") / col("avgdl")))
+    }
+    val perQuery = HybridTerms.map { case (qid, ts) =>
+      struct(lit(qid.toLong).as("query_id"),
+        round(ts.map(termScore).reduce(_ + _), 3).as("bm25"))
+    }
+    val lw = Window.partitionBy(col("query_id")).orderBy(desc("bm25"), col("doc_id"))
+    val lex = d.crossJoin(broadcast(stats))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("doc_id"), col("qs.bm25").as("bm25"))
+      .filter(col("bm25") > 0)
+      .withColumn("l_rank", row_number().over(lw))
+      .filter(col("l_rank") <= HybridDepth)
+      .select(col("query_id"), col("doc_id"), col("l_rank"))
+
+    // fusion: a doc absent from a leg contributes 0 from it (RRF over
+    // the union); integer div keeps the fused score exact
+    val fw = Window.partitionBy(col("query_id")).orderBy(desc("rrf_scaled"), col("doc_id"))
+    dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_scaled",
+        coalesce(expr(s"${RrfScale}L div ($RrfK + d_rank)"), lit(0L)) +
+          coalesce(expr(s"${RrfScale}L div ($RrfK + l_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("d_rank"), lit(0)).as("d_rank"),
+        coalesce(col("l_rank"), lit(0)).as("l_rank"),
+        col("rrf_scaled"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val IvfCentroidStride = 97 // centroid set = vec_id % 97 == 0 (deterministic, ~1% of corpus)
   val IvfProbes = 2
 
@@ -1000,6 +1098,7 @@ object Similarity {
     "s12_ivf_pq"           -> (s12IvfPq _),
     "s13_persisted_index"  -> (s13PersistedIvfPq _),
     "s14_index_health"     -> (s14IndexHealth _),
+    "s15_hybrid_rrf"       -> (s15HybridRrf _),
     "s1_knn_brute"         -> (s1KnnBrute _),
     "s2_ann_lsh"           -> (s2AnnLsh _),
     "s3_ivf_ann"           -> (s3IvfAnn _),
@@ -1288,6 +1387,76 @@ object Similarity {
            GROUP BY 1, 2),
          $rankTail"""
 
+  /** s15's twin: s1's dense scoring + t14's BM25 formula with
+    * per-query term lists, fused with integer-exact RRF. */
+  private lazy val s15OracleSql: String = {
+    val terms = HybridTerms.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val dfs = terms.map(t =>
+      s"sum(CASE WHEN list_contains(w, '$t') THEN 1.0 ELSE 0.0 END) AS df${idx(t)}")
+      .mkString(",\n                  ")
+    val tfs = terms.map(t =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf${idx(t)}")
+      .mkString(",\n                  ")
+    def score(ts: Seq[String]): String = ts.map { t =>
+      val i = idx(t)
+      s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * (${TextAnalysis.Bm25K1} + 1.0))
+            / (tf$i + ${TextAnalysis.Bm25K1} * (1.0 - ${TextAnalysis.Bm25B} + ${TextAnalysis.Bm25B} * dl / avgdl))"""
+    }.mkString(" + ")
+    val qscores = HybridTerms.map { case (qid, ts) =>
+      s"SELECT doc_id, CAST($qid AS BIGINT) AS query_id, round(${score(ts)}, 3) AS bm25 FROM tf, s"
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH $expandCtes,
+         scored AS (
+           SELECT uq.query_id, u.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM uq
+           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
+           JOIN nrm n ON n.vec_id = u.vec_id
+           GROUP BY 1, 2),
+         dense AS (
+           SELECT query_id, doc_id, d_rank FROM (
+             SELECT query_id, vec_id AS doc_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS INTEGER) AS d_rank
+             FROM scored) t WHERE d_rank <= $HybridDepth),
+         d AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                      CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
+               FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                  $dfs
+               FROM d),
+         tf AS (SELECT doc_id, dl,
+                  $tfs
+                FROM d),
+         qsc AS (
+           $qscores),
+         lex AS (
+           SELECT query_id, doc_id, l_rank FROM (
+             SELECT query_id, doc_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id) AS INTEGER) AS l_rank
+             FROM qsc WHERE bm25 > 0) t WHERE l_rank <= $HybridDepth),
+         fused AS (
+           SELECT COALESCE(de.query_id, le.query_id) AS query_id,
+                  COALESCE(de.doc_id, le.doc_id) AS doc_id,
+                  de.d_rank AS dr, le.l_rank AS lr,
+                  COALESCE($RrfScale // ($RrfK + de.d_rank), 0) +
+                  COALESCE($RrfScale // ($RrfK + le.l_rank), 0) AS rrf_scaled
+           FROM dense de FULL OUTER JOIN lex le
+             ON le.query_id = de.query_id AND le.doc_id = de.doc_id),
+         rk AS (
+           SELECT query_id, doc_id,
+                  CAST(COALESCE(dr, 0) AS INTEGER) AS d_rank,
+                  CAST(COALESCE(lr, 0) AS INTEGER) AS l_rank, rrf_scaled,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_scaled DESC, doc_id) AS INTEGER) AS rank
+           FROM fused)
+         SELECT query_id, doc_id, d_rank, l_rank, rrf_scaled, rank
+         FROM rk WHERE rank <= $HybridTopK ORDER BY query_id, rank"""
+  }
+
   private lazy val s2OracleSql: String =
     s"""WITH $expandCtes,
          $sigsCtes,
@@ -1535,6 +1704,7 @@ object Similarity {
     // same semantics as s1 — the Spark side differs only in the fused
     // codegen expression, which the oracle must not care about
     "s4_knn_codegen" -> s1OracleSql,
+    "s15_hybrid_rrf" -> s15OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "s3_ivf_ann" -> s3OracleSql,
     "d6_embedding_neardup" ->

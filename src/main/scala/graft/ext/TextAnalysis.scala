@@ -15,7 +15,7 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private def words(c: Column): Column = split(trim(c), " ")
+  private[ext] def words(c: Column): Column = split(trim(c), " ")
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(words(c))

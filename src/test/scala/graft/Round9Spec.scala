@@ -123,6 +123,66 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("s15: fused lists are full, integer-exact, and genuinely hybrid") {
+    import graft.ext.Similarity
+    val rows = Similarity.s15HybridRrf(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Similarity.HybridTerms.map(_._1.toLong).toSet)
+    byQ.values.foreach { qs =>
+      assert(qs.map(_.getAs[Int]("rank")).sorted.toSeq ===
+        (1 to Similarity.HybridTopK), "dense ranks 1..k per query")
+    }
+    // the fused score is exactly recomputable from the leg ranks —
+    // no float ever enters the fusion
+    rows.foreach { r =>
+      def c(rank: Int): Long =
+        if (rank == 0) 0L else Similarity.RrfScale / (Similarity.RrfK + rank)
+      assert(r.getAs[Long]("rrf_scaled") ===
+        c(r.getAs[Int]("d_rank")) + c(r.getAs[Int]("l_rank")),
+        r.toString)
+    }
+    // non-vacuous fusion: at least one top-k doc is carried by each
+    // leg alone, and at least one is endorsed by both
+    assert(rows.exists(r => r.getAs[Int]("d_rank") > 0 && r.getAs[Int]("l_rank") === 0))
+    assert(rows.exists(r => r.getAs[Int]("l_rank") > 0 && r.getAs[Int]("d_rank") === 0))
+    assert(rows.exists(r => r.getAs[Int]("d_rank") > 0 && r.getAs[Int]("l_rank") > 0),
+      "no doc endorsed by both legs — the fusion would be a disjoint union")
+  }
+
+  test("e6: the split is exhaustive, cluster-atomic, and non-vacuously so") {
+    import graft.ext.{Dedup, Pipeline}
+    import graft.functions.StableHash
+    val doc = Pipeline.e6DocSplits(spark, dir)
+      .select(col("doc_id"), col("split_key"), col("split")).cache()
+    try {
+      // exhaustive + disjoint: every document lands in exactly one split
+      val total = Tables.documents(spark, dir).count()
+      assert(doc.count() === total)
+      assert(doc.select(col("split")).distinct().collect().map(_.getString(0)).toSet
+        === Set("train", "valid", "test"), "all three splits are inhabited")
+      // cluster atomicity: no near-dup cluster spans two splits
+      val straddling = doc.groupBy(col("split_key"))
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1).count()
+      assert(straddling === 0L, "a near-dup cluster crossed the split wall")
+      // non-vacuity: the naive PER-DOC lottery does straddle a real
+      // multi-member cluster — the guard changes actual outcomes
+      val naive = doc.withColumn("naive_ppm",
+          pmod(StableHash.hash64(Pipeline.SplitSeed, col("doc_id").cast("string")),
+            lit(Pipeline.SplitPpm)))
+        .withColumn("naive_split",
+          when(col("naive_ppm") < Pipeline.SplitTrainPpm, "train")
+            .when(col("naive_ppm") < Pipeline.SplitValidPpm, "valid")
+            .otherwise("test"))
+      val leaky = naive.groupBy(col("split_key"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("naive_split")).as("n_splits"))
+        .filter(col("n") > 1 && col("n_splits") > 1).count()
+      assert(leaky > 0L,
+        "no multi-member cluster would straddle under the naive split — " +
+          "the cluster-key guard is vacuous on this corpus")
+    } finally doc.unpersist()
+  }
+
   test("e4's block-slice keeps an empty quarantine (every source has base mass)") {
     val rows = Pipeline.e4DeltaIngest(spark, dir).collect()
     assert(rows.nonEmpty)
