@@ -418,6 +418,59 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** T26 — per-source DISTRIBUTION DRIFT of the arriving slice
+    * against its history: add-one-smoothed unigram KL(delta ‖ base)
+    * over the FROZEN base top-VocabK vocabulary, per source. This is
+    * the corpus-side twin of s14's index-health gate: e4 applies
+    * base-trained models (DSIR buckets, selection cut, mix rates) to
+    * every delta — valid only while the delta still looks like the
+    * base — and t26 is the measurement that says when it stops
+    * looking like it (retrain trigger). The vocabulary is frozen at
+    * base (t15's top-K discipline: ties break by token) so the
+    * measure never shifts under the feet of the thing it monitors;
+    * add-one smoothing keeps both distributions strictly positive on
+    * the whole vocab, so the KL is always defined — no dropped terms,
+    * no epsilon tuning.
+    *
+    * Scale shape: one tokenize pass; the vocab is a K-row
+    * TakeOrderedAndProject broadcast; the dense (source × vocab) grid
+    * is |sources|·K rows — bounded model-side state, never corpus
+    * data; the rollup is one hash agg. At 100 TB "base/delta" become
+    * date partitions and the same plan runs per ingest window. */
+  def t26SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val isDelta = Pipeline.e4DeltaPred
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        when(isDelta, lit("delta")).otherwise(lit("base")).as("side"),
+        explode(words(col("text"))).as("t"))
+    val vocab = toks.filter(col("side") === "base")
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(VocabK)
+      .select(col("t"))
+    val cnt = toks.join(broadcast(vocab), Seq("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(sum(when(col("side") === "base", 1L).otherwise(0L)).as("kb"),
+           sum(when(col("side") === "delta", 1L).otherwise(0L)).as("kd"))
+    // dense grid so zero-count vocab terms still carry their smoothed
+    // mass (otherwise the KL silently drops exactly the terms that
+    // signal drift — a vanished token is drift, not missing data)
+    val grid = toks.select(col("source")).distinct().crossJoin(broadcast(vocab))
+    val dense = grid.join(cnt, Seq("source", "t"), "left")
+      .select(col("source"), col("t"),
+        coalesce(col("kb"), lit(0L)).as("kb"),
+        coalesce(col("kd"), lit(0L)).as("kd"))
+    val tot = dense.groupBy(col("source"))
+      .agg(sum(col("kb")).as("nb"), sum(col("kd")).as("nd"))
+    dense.join(broadcast(tot), Seq("source"))
+      .withColumn("pd", (col("kd") + 1).cast("double") / (col("nd") + VocabK))
+      .withColumn("pb", (col("kb") + 1).cast("double") / (col("nb") + VocabK))
+      .groupBy(col("source"))
+      .agg(min(col("nb")).as("base_tokens"),
+           min(col("nd")).as("delta_tokens"),
+           round(sum(col("pd") * log(col("pd") / col("pb"))), 4).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
   val MixSeed = 7
   val MixPpm = 1000000L
 
@@ -993,6 +1046,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t25_ngram_novelty"    -> (t25NgramNovelty _),
+    "t26_source_drift"     -> (t26SourceDrift _),
     "t24_gopher_rules"     -> (t24GopherRules _),
     "t23_decontam_spans"   -> (t23DecontamSpans _),
     "t22_heavy_hitters"    -> (t22HeavyHitters _),
@@ -1151,6 +1205,39 @@ object TextAnalysis {
                   AS n_pass_all
          FROM f GROUP BY 1 ORDER BY source"""
     },
+    "t26_source_drift" ->
+      s"""WITH toks AS (
+           SELECT source,
+                  CASE WHEN ((doc_id // 20) % 10 = ${Pipeline.E4DeltaDigit}
+                             AND doc_id % $EvalStride <> 0)
+                       THEN 'delta' ELSE 'base' END AS side,
+                  unnest(string_split(trim(text), ' ')) AS t
+           FROM documents),
+         vocab AS (
+           SELECT t FROM (
+             SELECT t, count(*) AS cnt FROM toks WHERE side = 'base'
+             GROUP BY 1 ORDER BY cnt DESC, t LIMIT $VocabK) v),
+         cnt AS (
+           SELECT source, t,
+                  sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS kb,
+                  sum(CASE WHEN side = 'delta' THEN 1 ELSE 0 END) AS kd
+           FROM toks JOIN vocab USING (t) GROUP BY 1, 2),
+         grid AS (
+           SELECT s.source, v.t
+           FROM (SELECT DISTINCT source FROM toks) s CROSS JOIN vocab v),
+         dense AS (
+           SELECT g.source, g.t, COALESCE(c.kb, 0) AS kb, COALESCE(c.kd, 0) AS kd
+           FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.t = g.t),
+         tot AS (SELECT source, sum(kb) AS nb, sum(kd) AS nd FROM dense GROUP BY 1),
+         p AS (
+           SELECT d.source, t2.nb, t2.nd,
+                  CAST(d.kd + 1 AS DOUBLE) / (t2.nd + $VocabK) AS pd,
+                  CAST(d.kb + 1 AS DOUBLE) / (t2.nb + $VocabK) AS pb
+           FROM dense d JOIN tot t2 USING (source))
+         SELECT source, CAST(min(nb) AS BIGINT) AS base_tokens,
+                CAST(min(nd) AS BIGINT) AS delta_tokens,
+                round(sum(pd * ln(pd / pb)), 4) AS kl_nats
+         FROM p GROUP BY 1 ORDER BY source""",
     "t25_ngram_novelty" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
          u AS (SELECT doc_id, source, unnest(list_distinct(${sqlGrams(NoveltyGramK)})) AS g

@@ -183,6 +183,27 @@ class Round9Spec extends AnyFunSuite {
     } finally doc.unpersist()
   }
 
+  test("t26: drift KL is Gibbs-nonnegative, per-source complete, and smoothing-floored for the eval source") {
+    import graft.ext.TextAnalysis
+    val rows = TextAnalysis.t26SourceDrift(spark, dir).collect()
+    assert(rows.length === 20, "one drift row per source")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl_nats") >= 0.0,
+        s"Gibbs: smoothed KL cannot be negative — ${r}")
+      assert(r.getAs[Long]("base_tokens") > 0L)
+    }
+    // source = doc_id % 20 and eval = doc_id % 20 == 0, so src0 is the
+    // all-eval source: its delta is empty BY THE FROZEN-EVAL RULE (eval
+    // docs never arrive as training candidates), and its KL is the
+    // smoothing floor (uniform-over-vocab vs base), not a gap in the report
+    val src0 = rows.find(_.getAs[String]("source") === "src0").get
+    assert(src0.getAs[Long]("delta_tokens") === 0L)
+    // non-vacuity: real deltas measurably diverge past the empty-delta floor
+    assert(rows.exists(r => r.getAs[Double]("kl_nats") >
+      src0.getAs[Double]("kl_nats")),
+      "no source drifts past the smoothing floor — the measure is flat")
+  }
+
   test("e4's block-slice keeps an empty quarantine (every source has base mass)") {
     val rows = Pipeline.e4DeltaIngest(spark, dir).collect()
     assert(rows.nonEmpty)
