@@ -217,6 +217,20 @@ class PlanShapeSpec extends AnyFunSuite {
     df.collect() // still executes green without the hint
   }
 
+  test("s15: both retrieval legs rank via WindowGroupLimit and broadcast their model side") {
+    val p = plan(graft.ext.Similarity.s15HybridRrf(spark, dir))
+    // per-leg top-depth + fused top-k: rank pushdown, never a global sort
+    assert(countOf(p, "WindowGroupLimit") >= 4, // partial+final × (dense, lex) at least
+      s"leg ranking must use WindowGroupLimit (partitioned rank pushdown):\n$p")
+    // query vectors and the 1-row BM25 stats both broadcast — the
+    // corpus-sized sides never move for the legs
+    assert(countOf(p, "BroadcastExchange") >= 2,
+      s"query set and stats row must broadcast:\n$p")
+    // (FuseDotProduct firing on the dense leg is a session-extension
+    // property, asserted in CatalystExtensionSpec — this spec's plain
+    // session exercises the un-extended plan shape)
+  }
+
   private def countOf(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 }
