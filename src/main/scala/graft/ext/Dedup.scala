@@ -373,6 +373,102 @@ object Dedup {
     out
   }
 
+  /** D19 — connected components by LARGE-STAR / SMALL-STAR
+    * alternation (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): the pointer-doubling family d7's label
+    * loop names as the production answer for high-diameter graphs.
+    * d7/d11 converge in O(diameter) label rounds — fine for LSH
+    * candidate graphs (star-ish, tiny diameter), fatal for
+    * chain-shaped graphs: a 300-link chain blows the 50-round cap,
+    * and the documented posture was "switch algorithms", not "raise
+    * the cap". This IS that switch. Star rounds contract paths
+    * exponentially — O(log² n) rounds w.h.p. on ANY topology — so
+    * the cap stops being a topology assumption and becomes a real
+    * safety margin. Same labeling contract as d7 (cluster_id =
+    * component min over the d4 pair graph), same oracle; pinned
+    * label-for-label against d7 on the real pair graph, against
+    * brute-force union-find on a randomized graph, and on the
+    * 300-node chain d7's loop cannot label (Round9Spec).
+    *
+    * Scale shape per round: a groupBy-min and an edge-sized join per
+    * star phase, both at edge-sized width; the convergence check is
+    * two anti-join counts on the pair-bounded edge set. Nothing is
+    * node² or corpus-sized; round count is log-bounded, never
+    * diameter-bounded. */
+  def d19CcBigstar(spark: SparkSession, dir: String): DataFrame =
+    bigStarComponents(d4MinhashLsh(spark, dir), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  def bigStarComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    bigStarComponentsWithRounds(pairs, aCol, bCol)._1
+
+  private[graft] def bigStarComponentsWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String): (DataFrame, Int) =
+    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = true)(
+      bigStarLabelsOnEdges)
+
+  /** The star-contraction loop over a PREBUILT symmetric edge list.
+    * Edges live in canonical (hi > lo) undirected form between
+    * rounds; each round runs one LARGE-STAR (every edge processed
+    * from its smaller endpoint u: neighbors v > u re-point at
+    * m(u) = min(Γ(u) ∪ {u})) then one SMALL-STAR (every edge
+    * processed from its larger endpoint hi: hi and its smaller
+    * neighbors re-point at their min). Fixpoint = a union of stars
+    * centered at component minima. */
+  private[ext] def bigStarLabelsOnEdges(edges: DataFrame, width: Int): (DataFrame, Int) = {
+    import org.apache.spark.sql.graftshim.CheckpointShim
+    // every original node: final labels must cover nodes whose edges
+    // are rewritten away as their component contracts onto the root
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    var e = edges.filter(col("src") > col("dst"))
+      .select(col("src").as("hi"), col("dst").as("lo"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < 50) {
+      // LARGE-STAR
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mu = sym.repartition(width, col("u")).groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // m ≤ u < v, so (v, m) is already canonical and never a self-loop
+      val ls = sym.filter(col("v") > col("u"))
+        .join(mu, Seq("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct().localCheckpoint()
+      // SMALL-STAR: m = min of hi's smaller neighbors (= min(N∪{hi}))
+      val mv = ls.repartition(width, col("hi")).groupBy(col("hi"))
+        .agg(min(col("lo")).as("m"))
+      val withM = ls.join(mv, Seq("hi"))
+      val eNew = withM.select(col("hi"), col("m").as("lo"))
+        .union(withM.filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint()
+      changed = eNew.except(e).count() + e.except(eNew).count()
+      CheckpointShim.unpersist(ls)
+      CheckpointShim.unpersist(e)
+      e = eNew
+      rounds += 1
+    }
+    if (changed != 0) {
+      CheckpointShim.unpersist(nodes)
+      CheckpointShim.unpersist(e)
+      throw new IllegalStateException(
+        s"bigStar did not converge within $rounds rounds — impossible for any " +
+          "graph with < 2^50-scale contraction depth; investigate the edge set")
+    }
+    // fixpoint edges are (member, root) stars; roots label themselves
+    val labels = nodes
+      .join(e.select(col("hi").as("node"), col("lo").as("lab")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("lab"), col("node")).as("cluster_id"))
+      .localCheckpoint()
+    CheckpointShim.unpersist(nodes)
+    CheckpointShim.unpersist(e)
+    (labels, rounds)
+  }
+
   val SnmJaccardThreshold = 0.5
 
   /** Blocks larger than this are hash-split before the sort window;
@@ -741,7 +837,8 @@ object Dedup {
     "d7_dedup_components"  -> (d7DedupComponents _),
     "d9_containment"       -> (d9Containment _),
     "d10_snm_multipass"    -> (d10SnmMultipass _),
-    "d11_incremental_cc"   -> (d11IncrementalCc _))
+    "d11_incremental_cc"   -> (d11IncrementalCc _),
+    "d19_cc_bigstar"       -> (d19CcBigstar _))
 
   private val H = StableHash // brevity in SQL builders below
 
@@ -1000,6 +1097,10 @@ object Dedup {
     // the incremental fold must land on the identical fixpoint as the
     // full rebuild — d11 shares d7's oracle verbatim (fold ≡ rebuild)
     "d11_incremental_cc" -> d7ComponentsOracleSql,
+    // d19 shares d7's labeling contract exactly (component min over
+    // the same d4 pair graph) — the oracle is shared verbatim, the
+    // Spark side differs only in the convergence ALGORITHM
+    "d19_cc_bigstar" -> d7ComponentsOracleSql,
     "d15_dedup_materialize" ->
       s"""WITH RECURSIVE $d7LabelCtes,
          drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)

@@ -204,6 +204,53 @@ class Round9Spec extends AnyFunSuite {
       "no source drifts past the smoothing floor — the measure is flat")
   }
 
+  test("d19: big-star labels equal d7's label-propagation labels on the real pair graph") {
+    import graft.ext.Dedup
+    val d7 = Dedup.d7DedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d19 = Dedup.d19CcBigstar(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d19.nonEmpty)
+    assert(d19 === d7, "two CC algorithms, one labeling contract")
+  }
+
+  test("d19: a 300-node chain — the topology d7's O(diameter) loop cannot label — converges log-fast") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // path 0-1-2-...-300: diameter 300 > the 50-round label-propagation
+    // cap (d7's documented failure mode; its posture is to throw, not
+    // mislabel). Star contraction must close it in O(log n) rounds.
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.bigStarComponentsWithRounds(chain, "a_id", "b_id")
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === 301)
+    assert(out.forall(_._2 === 0L), "one chain, one component, min-rooted")
+    assert(rounds <= 15, s"star contraction took $rounds rounds on a 300-chain — not log-bounded")
+  }
+
+  test("d19: randomized graph labels match brute-force union-find") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: plain union-find with min-relabel
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = Dedup.bigStarComponents(edges.toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("e4's block-slice keeps an empty quarantine (every source has base mass)") {
     val rows = Pipeline.e4DeltaIngest(spark, dir).collect()
     assert(rows.nonEmpty)
