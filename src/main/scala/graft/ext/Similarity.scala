@@ -222,6 +222,81 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** λ = 0.5: relevance and redundancy weighted equally, so the MMR
+    * argmax reduces to argmax(rel − maxsim) — the form both engines
+    * compare exactly (two 6-rounded cosines subtracted; no λ float
+    * ever enters the ordering). */
+  val MmrLambda = 0.5
+  val MmrDepth = 50
+  val MmrTopK = 10
+
+  /** S16 — MMR diversity rerank (Carbonell & Goldstein, SIGIR'98):
+    * the step after retrieval that s15 stops short of. The dense
+    * top-MmrDepth candidates are re-selected greedily — each pick
+    * maximizes relevance MINUS the max similarity to anything already
+    * picked — so the final top-k answers the query without saying the
+    * same thing k times (near-dup hits collapse to one
+    * representative; d6 removes cross-corpus duplicates at build
+    * time, MMR removes residual redundancy at query time).
+    *
+    * Greedy selection is inherently sequential in k, so the loop is
+    * k−1 UNROLLED DataFrame rounds, each a join + argmax over the
+    * per-query candidate state — ≤ |Q|·MmrDepth rows, checkpointed
+    * per round (exactly the ccLabelsOnEdges discipline; the lineage
+    * would otherwise double per round). The corpus participates only
+    * through the initial top-depth retrieval: candidate pairwise
+    * sims are |Q|·depth² rows, query-side state at any corpus size —
+    * at 100 TB swap the s13 index in for the brute-force first stage
+    * and everything after is unchanged. */
+  def s16MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.CheckpointShim
+    val v = normed(spark, dir)
+    val q = v.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val dw = Window.partitionBy(col("query_id")).orderBy(desc("rel"), col("vec_id"))
+    val cand = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", round(dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .withColumn("r", row_number().over(dw)).filter(col("r") <= MmrDepth)
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("nrm"), col("rel"))
+      .localCheckpoint()
+    val a = cand.select(col("query_id"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("nrm").as("an"))
+    val b = cand.select(col("query_id"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("nrm").as("bn"))
+    val sims = a.join(b, Seq("query_id")).filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(dotd(col("ae"), col("be")) / (col("an") * col("bn")), 6).as("sim"))
+      .localCheckpoint()
+    val rels = cand.select(col("query_id"), col("vec_id"), col("rel"))
+    var selected = rels
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("rel"), col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("rank"))
+      .localCheckpoint()
+    for (k <- 2 to MmrTopK) {
+      val ms = sims
+        .join(selected.select(col("query_id"), col("vec_id").as("b_id")), Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id")).agg(max(col("sim")).as("maxsim"))
+        .withColumnRenamed("a_id", "vec_id")
+      val remaining = rels.join(selected.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("score"), col("vec_id"))
+      val next = remaining.join(ms, Seq("query_id", "vec_id"))
+        .withColumn("score", col("rel") - col("maxsim"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("query_id"), col("vec_id"), lit(k).as("rank"))
+      val grown = selected.union(next).localCheckpoint()
+      CheckpointShim.unpersist(selected)
+      selected = grown
+    }
+    selected.join(rels, Seq("query_id", "vec_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"),
+        col("rel").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val IvfCentroidStride = 97 // centroid set = vec_id % 97 == 0 (deterministic, ~1% of corpus)
   val IvfProbes = 2
 
@@ -1099,6 +1174,7 @@ object Similarity {
     "s13_persisted_index"  -> (s13PersistedIvfPq _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
+    "s16_mmr_rerank"       -> (s16MmrRerank _),
     "s1_knn_brute"         -> (s1KnnBrute _),
     "s2_ann_lsh"           -> (s2AnnLsh _),
     "s3_ivf_ann"           -> (s3IvfAnn _),
@@ -1457,6 +1533,69 @@ object Similarity {
          FROM rk WHERE rank <= $HybridTopK ORDER BY query_id, rank"""
   }
 
+  /** s16's twin: the greedy MMR loop UNROLLED as k−1 chained CTEs
+    * (sel1 → sel10), each picking the argmax of (rel − maxsim) over
+    * the not-yet-selected candidates — membership tested by LEFT JOIN
+    * (the repeated-subquery binder workaround), ties by vec_id. */
+  private lazy val s16OracleSql: String = {
+    val steps = (2 to MmrTopK).map { k =>
+      s"""p$k AS (
+           SELECT query_id, vec_id, $k AS rank FROM (
+             SELECT r.query_id, r.vec_id,
+                    row_number() OVER (PARTITION BY r.query_id
+                      ORDER BY (r.rel - m.maxsim) DESC, r.vec_id) AS rk
+             FROM cand50 r
+             JOIN (SELECT si.query_id, si.a_id AS vec_id, max(si.sim) AS maxsim
+                   FROM sims si JOIN sel${k - 1} s
+                     ON s.query_id = si.query_id AND s.vec_id = si.b_id
+                   GROUP BY 1, 2) m
+               ON m.query_id = r.query_id AND m.vec_id = r.vec_id
+             LEFT JOIN sel${k - 1} s2
+               ON s2.query_id = r.query_id AND s2.vec_id = r.vec_id
+             WHERE s2.vec_id IS NULL) t
+           WHERE rk = 1),
+         sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM p$k)"""
+    }.mkString(",\n         ")
+    s"""WITH $expandCtes,
+         scored AS (
+           SELECT uq.query_id, u.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS rel
+           FROM uq
+           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
+           JOIN nrm n ON n.vec_id = u.vec_id
+           GROUP BY 1, 2),
+         cand50 AS MATERIALIZED (
+           SELECT query_id, vec_id, rel FROM (
+             SELECT query_id, vec_id, rel,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, vec_id) AS r
+             FROM scored) t WHERE r <= $MmrDepth),
+         sims AS MATERIALIZED (
+           SELECT ca.query_id, ca.vec_id AS a_id, cb.vec_id AS b_id,
+                  round(sum(CAST(xa.x AS DOUBLE) * CAST(xb.x AS DOUBLE))
+                        / (min(na.nrm) * min(nb.nrm)), 6) AS sim
+           FROM cand50 ca
+           JOIN cand50 cb ON cb.query_id = ca.query_id AND cb.vec_id <> ca.vec_id
+           JOIN ux xa ON xa.vec_id = ca.vec_id
+           JOIN ux xb ON xb.vec_id = cb.vec_id AND xb.i = xa.i
+           JOIN nrm na ON na.vec_id = ca.vec_id
+           JOIN nrm nb ON nb.vec_id = cb.vec_id
+           GROUP BY 1, 2, 3),
+         sel1 AS MATERIALIZED (
+           SELECT query_id, vec_id, 1 AS rank FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, vec_id) AS rk
+             FROM cand50) t WHERE rk = 1),
+         $steps
+         SELECT s.query_id, s.vec_id AS doc_id, CAST(s.rank AS INTEGER) AS rank,
+                c.rel AS cosine
+         FROM sel$MmrTopK s JOIN cand50 c
+           ON c.query_id = s.query_id AND c.vec_id = s.vec_id
+         ORDER BY s.query_id, s.rank"""
+  }
+
   private lazy val s2OracleSql: String =
     s"""WITH $expandCtes,
          $sigsCtes,
@@ -1705,6 +1844,7 @@ object Similarity {
     // codegen expression, which the oracle must not care about
     "s4_knn_codegen" -> s1OracleSql,
     "s15_hybrid_rrf" -> s15OracleSql,
+    "s16_mmr_rerank" -> s16OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "s3_ivf_ann" -> s3OracleSql,
     "d6_embedding_neardup" ->

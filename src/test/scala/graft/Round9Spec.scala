@@ -204,6 +204,29 @@ class Round9Spec extends AnyFunSuite {
       "no source drifts past the smoothing floor — the measure is flat")
   }
 
+  test("s16: MMR picks are complete, anchored on the top hit, and genuinely diversify") {
+    import graft.ext.Similarity
+    val mmr = Similarity.s16MmrRerank(spark, dir).collect()
+    val byQ = mmr.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === Similarity.QueryCount)
+    byQ.values.foreach { qs =>
+      assert(qs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to Similarity.MmrTopK))
+    }
+    val s1 = Similarity.s1KnnBrute(spark, dir).collect()
+    // rank-1 MMR pick = the exact top-1 neighbor (relevance anchors the greedy)
+    val top1 = s1.filter(_.getAs[Int]("rank") === 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    byQ.foreach { case (q, qs) =>
+      val first = qs.find(_.getAs[Int]("rank") === 1).get.getAs[Long]("doc_id")
+      assert(first === top1(q), s"query $q: MMR must open with the most relevant hit")
+    }
+    // non-vacuous: the diversified set differs from plain top-k relevance
+    val topK = s1.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val mmrSet = mmr.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    assert((mmrSet -- topK).nonEmpty,
+      "MMR returned exactly the relevance top-k — redundancy penalty is vacuous here")
+  }
+
   test("d19: big-star labels equal d7's label-propagation labels on the real pair graph") {
     import graft.ext.Dedup
     val d7 = Dedup.d7DedupComponents(spark, dir).collect()
