@@ -204,6 +204,28 @@ class Round9Spec extends AnyFunSuite {
       "no source drifts past the smoothing floor — the measure is flat")
   }
 
+  test("e6: split tickets are stable under corpus growth except where clusters merge") {
+    import graft.ext.{Dedup, Pipeline}
+    // "growth": sf0.001 is a strict subset-shaped stand-in — compare the
+    // split of each doc computed against the SMALL corpus's clustering
+    // vs the FULL sf0.01 clustering. A doc may move splits ONLY if its
+    // cluster representative changed (a merge pulled it under a new
+    // ticket); every other doc's assignment must be bit-stable.
+    val small = Pipeline.e6DocSplits(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("split_key"), col("split")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val big = Pipeline.e6DocSplits(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("split_key"), col("split")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val shared = small.keySet intersect big.keySet
+    assert(shared.nonEmpty)
+    val moved = shared.filter(id => small(id)._2 != big(id)._2)
+    val movedWithSameKey = moved.filter(id => small(id)._1 == big(id)._1)
+    assert(movedWithSameKey.isEmpty,
+      s"docs changed split without a cluster-key change: $movedWithSameKey — " +
+        "the lottery must be a pure function of the representative")
+  }
+
   test("s16: MMR picks are complete, anchored on the top hit, and genuinely diversify") {
     import graft.ext.Similarity
     val mmr = Similarity.s16MmrRerank(spark, dir).collect()
