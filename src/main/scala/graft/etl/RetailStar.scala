@@ -157,7 +157,12 @@ object RetailStar {
     * increment's doc). The boundary month is ONE value — bounded
     * driver state. */
   def q55SnapshotIncrement(spark: SparkSession, dir: String): DataFrame = {
-    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir))
+    // four consumers (boundary-month probe, prior snapshot, increment,
+    // key-map) — materialize the cleaning pipeline ONCE instead of
+    // re-running the staging joins per consumer (bench: 9.8s → 7.3s);
+    // the checkpoint block is freed by the ContextCleaner once the
+    // frame is unreferenced (same lifecycle as the CC label loops)
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir)).localCheckpoint()
     val monthOf = date_trunc("month", to_date(col("Date"), "M/d/yyyy"))
     // append the most recent COMPLETE month: the max month is still
     // receiving data (the corpus ends mid-month — a 2-customer stub
