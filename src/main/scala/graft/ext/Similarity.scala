@@ -145,7 +145,8 @@ object Similarity {
 
   /** S15 — hybrid retrieval: the lexical BM25 leg (t14's scoring,
     * per-query term lists) and the dense exact-cosine leg (s1's
-    * scoring) fused with Reciprocal Rank Fusion —
+    * scoring) fused with Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher, SIGIR'09) —
     * score(d) = Σ_legs 1/(RrfK + rank_leg(d)) — the standard way a
     * retrieval stack combines keyword and embedding evidence without
     * calibrating their incomparable score scales (only RANKS cross
@@ -171,9 +172,31 @@ object Similarity {
       .withColumn("d_rank", row_number().over(dw))
       .filter(col("d_rank") <= HybridDepth)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("d_rank"))
+    rrfFuse(lexicalRanks(spark, dir), dense)
+  }
 
-    // lexical leg: t14's BM25 with per-query term lists; corpus stats
-    // (N, avgdl, df per distinct query term) stay one broadcast row
+  /** S17 — the hybrid SERVED FROM THE PERSISTED INDEX: s15's fusion
+    * with the dense leg swapped for s13's full lifecycle (base-train,
+    * frozen-model append, query from the parquet index with static
+    * partition pruning) ranked by ADC distance to HybridDepth. This
+    * makes the interchangeability claim executable: fusion consumes
+    * only RANKS, so the exact-scan leg and the index-served leg slot
+    * into the identical tail — the production migration path when the
+    * corpus outgrows brute force, under the same hash gate. */
+  def s17HybridIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = s13IdxDir(dir)
+    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
+    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    val dense = queryIvfPqIndex(spark, dir, idxDir, HybridDepth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("d_rank"))
+    rrfFuse(lexicalRanks(spark, dir), dense)
+  }
+
+  /** The lexical BM25 leg shared by s15/s17: t14's scoring with
+    * per-query term lists; corpus stats (N, avgdl, df per distinct
+    * query term) stay ONE broadcast row. */
+  private def lexicalRanks(spark: SparkSession, dir: String): DataFrame = {
     val terms = HybridTerms.flatMap(_._2).distinct
     val idx = terms.zipWithIndex.toMap
     val d = Tables.documents(spark, dir)
@@ -198,16 +221,19 @@ object Similarity {
         round(ts.map(termScore).reduce(_ + _), 3).as("bm25"))
     }
     val lw = Window.partitionBy(col("query_id")).orderBy(desc("bm25"), col("doc_id"))
-    val lex = d.crossJoin(broadcast(stats))
+    d.crossJoin(broadcast(stats))
       .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
       .select(col("qs.query_id").as("query_id"), col("doc_id"), col("qs.bm25").as("bm25"))
       .filter(col("bm25") > 0)
       .withColumn("l_rank", row_number().over(lw))
       .filter(col("l_rank") <= HybridDepth)
       .select(col("query_id"), col("doc_id"), col("l_rank"))
+  }
 
-    // fusion: a doc absent from a leg contributes 0 from it (RRF over
-    // the union); integer div keeps the fused score exact
+  /** RRF fusion shared by s15/s17: a doc absent from a leg
+    * contributes 0 from it (RRF over the union); integer div keeps
+    * the fused score exact. */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame = {
     val fw = Window.partitionBy(col("query_id")).orderBy(desc("rrf_scaled"), col("doc_id"))
     dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_scaled",
@@ -779,7 +805,8 @@ object Similarity {
   /** Serve top-k from the index tables ONLY (plus the query vectors
     * themselves) — s12's probe-bounded ADC plan over the persisted
     * model; the corpus embedding table never appears. */
-  def queryIvfPqIndex(spark: SparkSession, dir: String, idxDir: String): DataFrame = {
+  def queryIvfPqIndex(spark: SparkSession, dir: String, idxDir: String,
+                      topK: Int = TopK): DataFrame = {
     val cen = spark.read.parquet(s"$idxDir/coarse_centroids")
     val pcen = spark.read.parquet(s"$idxDir/pq_codebooks")
     // partition column comes back type-inferred; pin it to long
@@ -808,7 +835,7 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d2")).as("d2_fp"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2_fp"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -1175,6 +1202,7 @@ object Similarity {
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
     "s16_mmr_rerank"       -> (s16MmrRerank _),
+    "s17_hybrid_indexed"   -> (s17HybridIndexed _),
     "s1_knn_brute"         -> (s1KnnBrute _),
     "s2_ann_lsh"           -> (s2AnnLsh _),
     "s3_ivf_ann"           -> (s3IvfAnn _),
@@ -1373,7 +1401,10 @@ object Similarity {
 
   /** The composed IVF-PQ query tail (probe → candidates → ADC sum →
     * rank), shared by the s12 and s13 oracles. */
-  private lazy val ivfPqTailSql: String =
+  /** The probe→candidates→ADC→rank chain as CTEs (through `ranked`),
+    * so s12/s13 can SELECT their top-k from it and s17 can draw its
+    * hybrid dense leg at HybridDepth from the same chain. */
+  private lazy val ivfPqRankedCtes: String =
     s"""qprobe AS (SELECT vec_id AS query_id, cid AS ccid FROM r$KmeansFin
                     WHERE r <= $IvfProbes AND vec_id < $QueryCount),
          ivfcand AS (
@@ -1390,7 +1421,10 @@ object Similarity {
            SELECT query_id, vec_id AS neighbor_id, d2_fp,
                   CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY d2_fp, vec_id) AS INTEGER) AS rank
-           FROM approx)
+           FROM approx)"""
+
+  private lazy val ivfPqTailSql: String =
+    s"""$ivfPqRankedCtes
          SELECT query_id, neighbor_id, d2_fp, rank FROM ranked
          WHERE rank <= $TopK ORDER BY query_id, rank"""
 
@@ -1463,9 +1497,13 @@ object Similarity {
            GROUP BY 1, 2),
          $rankTail"""
 
-  /** s15's twin: s1's dense scoring + t14's BM25 formula with
-    * per-query term lists, fused with integer-exact RRF. */
-  private lazy val s15OracleSql: String = {
+  /** The lexical-leg + RRF-fusion SQL tail shared by s15 and s17:
+    * t14's BM25 with per-query term lists, fused integer-exact
+    * against a CTE `dense`(query_id, doc_id, d_rank) the caller has
+    * already defined (exact-cosine ranks for s15, the persisted
+    * index's ADC ranks for s17 — the interchangeability the fusion
+    * boundary buys). */
+  private lazy val hybridFusionSql: String = {
     val terms = HybridTerms.flatMap(_._2).distinct
     val idx = terms.zipWithIndex.toMap
     val dfs = terms.map(t =>
@@ -1480,32 +1518,17 @@ object Similarity {
             / (tf$i + ${TextAnalysis.Bm25K1} * (1.0 - ${TextAnalysis.Bm25B} + ${TextAnalysis.Bm25B} * dl / avgdl))"""
     }.mkString(" + ")
     val qscores = HybridTerms.map { case (qid, ts) =>
-      s"SELECT doc_id, CAST($qid AS BIGINT) AS query_id, round(${score(ts)}, 3) AS bm25 FROM tf, s"
+      s"SELECT doc_id, CAST($qid AS BIGINT) AS query_id, round(${score(ts)}, 3) AS bm25 FROM tf, lexstats"
     }.mkString("\n           UNION ALL\n           ")
-    s"""WITH $expandCtes,
-         scored AS (
-           SELECT uq.query_id, u.vec_id,
-                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
-                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
-           FROM uq
-           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
-           JOIN nrm n ON n.vec_id = u.vec_id
-           GROUP BY 1, 2),
-         dense AS (
-           SELECT query_id, doc_id, d_rank FROM (
-             SELECT query_id, vec_id AS doc_id,
-                    CAST(row_number() OVER (PARTITION BY query_id
-                      ORDER BY cosine DESC, vec_id) AS INTEGER) AS d_rank
-             FROM scored) t WHERE d_rank <= $HybridDepth),
-         d AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+    s"""lexdocs AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
                       CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
                FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         lexstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
                   $dfs
-               FROM d),
+               FROM lexdocs),
          tf AS (SELECT doc_id, dl,
                   $tfs
-                FROM d),
+                FROM lexdocs),
          qsc AS (
            $qscores),
          lex AS (
@@ -1531,6 +1554,39 @@ object Similarity {
            FROM fused)
          SELECT query_id, doc_id, d_rank, l_rank, rrf_scaled, rank
          FROM rk WHERE rank <= $HybridTopK ORDER BY query_id, rank"""
+  }
+
+  /** s15's twin: s1's dense scoring + the shared lexical/fusion tail. */
+  private lazy val s15OracleSql: String =
+    s"""WITH $expandCtes,
+         scored AS (
+           SELECT uq.query_id, u.vec_id,
+                  round(sum(CAST(uq.qx AS DOUBLE) * CAST(u.x AS DOUBLE))
+                        / (min(uq.qn) * min(n.nrm)), 6) AS cosine
+           FROM uq
+           JOIN ux u ON u.i = uq.qi AND u.vec_id <> uq.query_id
+           JOIN nrm n ON n.vec_id = u.vec_id
+           GROUP BY 1, 2),
+         dense AS (
+           SELECT query_id, doc_id, d_rank FROM (
+             SELECT query_id, vec_id AS doc_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS INTEGER) AS d_rank
+             FROM scored) t WHERE d_rank <= $HybridDepth),
+         $hybridFusionSql"""
+
+  /** s17's twin: the s13 chain (base-trained model, codes over
+    * everything = append ≡ rebuild) supplies the dense ranks; the
+    * lexical/fusion tail is shared with s15 verbatim. */
+  private lazy val s17OracleSql: String = {
+    val train = s"vec_id % 10 <> $S13AppendDigit"
+    s"""WITH ${kmeansListsCtes(train)},
+         ${pqCtes(train)},
+         $ivfPqRankedCtes,
+         dense AS (
+           SELECT query_id, neighbor_id AS doc_id, rank AS d_rank
+           FROM ranked WHERE rank <= $HybridDepth),
+         $hybridFusionSql"""
   }
 
   /** s16's twin: the greedy MMR loop UNROLLED as k−1 chained CTEs
@@ -1845,6 +1901,7 @@ object Similarity {
     "s4_knn_codegen" -> s1OracleSql,
     "s15_hybrid_rrf" -> s15OracleSql,
     "s16_mmr_rerank" -> s16OracleSql,
+    "s17_hybrid_indexed" -> s17OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "s3_ivf_ann" -> s3OracleSql,
     "d6_embedding_neardup" ->

@@ -249,6 +249,27 @@ class Round9Spec extends AnyFunSuite {
       "MMR returned exactly the relevance top-k — redundancy penalty is vacuous here")
   }
 
+  test("s17: index-served hybrid fuses the SAME lexical leg; only the dense leg is swapped") {
+    import graft.ext.Similarity
+    val exact = Similarity.s15HybridRrf(spark, dir).collect()
+    val indexed = Similarity.s17HybridIndexed(spark, dir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+    val byQ = indexed.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === Similarity.QueryCount)
+    byQ.values.foreach(qs =>
+      assert(qs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to Similarity.HybridTopK)))
+    // the lexical leg is shared code AND shared numbers: wherever the
+    // same doc surfaces in both fused lists, its l_rank is identical
+    val exactL = exact.map(r => key(r) -> r.getAs[Int]("l_rank")).toMap
+    val common = indexed.filter(r => exactL.contains(key(r)))
+    assert(common.nonEmpty, "the two hybrids share no docs — implausible on this corpus")
+    common.foreach { r =>
+      assert(r.getAs[Int]("l_rank") === exactL(key(r)),
+        s"lexical leg diverged at ${key(r)} — it must be the same measurement")
+    }
+  }
+
   test("d19: big-star labels equal d7's label-propagation labels on the real pair graph") {
     import graft.ext.Dedup
     val d7 = Dedup.d7DedupComponents(spark, dir).collect()
