@@ -239,4 +239,38 @@ class PropertySpec extends AnyFunSuite {
     assert(r(2L) > r(0L) && r(2L) > r(4L), s"middle must dominate: $r")
     assert(r(0L) === r(4L) && r(1L) === r(3L), s"mirror symmetry must be exact: $r")
   }
+
+  test("big-star CC law: equals union-find on random graphs of any shape") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // arbitrary multigraphs with self-loops pre-filtered: chains, stars,
+    // cliques, and disconnected shards all arise under this generator —
+    // the single-seed Round9Spec cases are subsumed
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n  <- Gen.chooseNum(2, 30)
+      m  <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    check("bigstar", Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = es.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).toMap
+        val got = Dedup.bigStarComponents(es.toDF("a_id", "b_id"), "a_id", "b_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }, n = 8)
+  }
 }
