@@ -246,21 +246,27 @@ object Dedup {
     * in ONE groupBy — no per-bit explode, no UDF. Word-shuffled
     * copies share token multisets, hence identical signatures; the
     * query reports multi-doc signature clusters. */
-  def d5SimhashClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 32-bit SimHash signature frame (doc_id, simhash) —
+    * factored out of d5 so d20's quality matrix can grade the
+    * same-signature pair set d5's clusters imply. */
+  private[graft] def d5Signatures(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("t"))
       .withColumn("h", StableHash.hash64(99, col("t")))
     val sums = (0 until SimhashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
     val bitSums = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    val sim = bitSums.withColumn("simhash",
+    bitSums.withColumn("simhash",
       (0 until SimhashBits).map(b =>
         when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column).reduce(_ + _))
-    sim.groupBy(col("simhash"))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  def d5SimhashClusters(spark: SparkSession, dir: String): DataFrame =
+    d5Signatures(spark, dir).groupBy(col("simhash"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keep_doc_id"))
       .filter(col("cluster_size") > 1)
       .orderBy(col("simhash"))
-  }
 
   /** Connected components by iterative min-label propagation: each
     * node starts labeled with itself; every round takes the min of
@@ -821,7 +827,69 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** D20 — the dedup QUALITY MATRIX: every cheap near-dup family
+    * graded against the exact ground truth, s11's recall-matrix
+    * pattern in the dedup domain. Truth = d3's exact 3-gram Jaccard
+    * pairs at ≥ 0.8; each family contributes the PAIR SET its keep
+    * decision implies: d4's verified MinHash-LSH pairs, d5's
+    * same-SimHash pairs, d8's sorted-neighborhood pairs, and d2's
+    * same-token-set-fingerprint pairs — plus the 'exact' row grading
+    * truth against itself (precision = recall = 1000 by construction,
+    * the harness's own non-vacuity check, and the row that carries
+    * n_truth without a second evaluation of the d3 pipeline). This is
+    * the measurement that picks a family at 100 TB: recall says what a
+    * cheaper family MISSES vs the quadratic-ish exact method, and
+    * precision says what over-merging it would inflict.
+    *
+    * Integer permille with truncating division — no float compare
+    * anywhere. Scale shape: every family's pair set is already
+    * candidate-bounded by its own operator's argument (band buckets,
+    * signature clusters, SNM blocks, fingerprint groups); the grading
+    * join runs on pair lists (≪ corpus), and the per-family rollup is
+    * |families| rows. The one cache is that 5-row aggregate —
+    * referenced twice (per-family rows + the n_truth broadcast) and
+    * bounded by the family count at any corpus size. */
+  def d20DedupQuality(spark: SparkSession, dir: String): DataFrame = {
+    val truth = d3JaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
+    val mh = d4MinhashLsh(spark, dir)
+      .select(lit("minhash_lsh").as("family"), col("a_id"), col("b_id"))
+    val sim = d5Signatures(spark, dir)
+    val sh = sim.as("a")
+      .join(sim.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(lit("simhash").as("family"),
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val snm = d8Snm(spark, dir)
+      .select(lit("snm").as("family"),
+        least(col("doc_id"), col("dup_id")).as("a_id"),
+        greatest(col("doc_id"), col("dup_id")).as("b_id"))
+    val fpd = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenSetFingerprint(col("text")).as("fp"))
+    val fp = fpd.as("a")
+      .join(fpd.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(lit("fingerprint").as("family"),
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val exact = truth.select(lit("exact").as("family"), col("a_id"), col("b_id"))
+    val pred = mh.unionByName(sh).unionByName(snm).unionByName(fp)
+      .unionByName(exact).distinct()
+    val graded = pred
+      .join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_pred"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .cache() // |families| rows — bounded driver-side state
+    val tc = graded.filter(col("family") === "exact")
+      .select(col("n_pred").as("n_truth"))
+    graded.crossJoin(broadcast(tc))
+      .withColumn("precision_permille", expr("(n_hit * 1000) div greatest(n_pred, 1)"))
+      .withColumn("recall_permille", expr("(n_hit * 1000) div greatest(n_truth, 1)"))
+      .select(col("family"), col("n_pred"), col("n_hit"), col("n_truth"),
+        col("precision_permille"), col("recall_permille"))
+      .orderBy(col("family"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_dedup_quality"     -> (d20DedupQuality _),
     "d18_sketch_overlap"    -> (d18SketchOverlap _),
     "d17_cross_source"      -> (d17CrossSourcePairs _),
     "d16_source_overlap"    -> (d16SourceOverlap _),
@@ -887,6 +955,40 @@ object Dedup {
          JOIN sz sb ON sb.doc_id = b_id
          WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5
          ORDER BY a_id, b_id"""
+  }
+
+  /** d3's full SELECT — the exact-Jaccard ground truth, shared by the
+    * d3 entry and nested as d20's `truth` CTE body. */
+  private[ext] lazy val d3OracleSql: String =
+    s"""WITH $shingleCte,
+         shh AS (SELECT doc_id, ${H.duckdbHash64("s")} AS s FROM sh),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+           FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = a_id
+         JOIN sz sb ON sb.doc_id = b_id
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.8
+         ORDER BY a_id, b_id"""
+
+  /** d5's signature CTE chain (ends with `sim` = (doc_id, simhash)),
+    * shared by the d5 entry and d20's simhash family. */
+  private lazy val d5SimCtes: String = {
+    val bitSums = (0 until SimhashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n                ")
+    val assemble = (0 until SimhashBits).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""toks AS (
+           SELECT doc_id, ${H.duckdbHash64(99, "t")} AS h
+           FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents)),
+         bits AS (SELECT doc_id,
+                $bitSums
+                FROM toks GROUP BY doc_id),
+         sim AS (SELECT doc_id, $assemble AS simhash FROM bits)"""
   }
 
   /** One SNM pass as a CTE chain (names suffixed by `tag`), SQL twin
@@ -1063,37 +1165,48 @@ object Dedup {
          JOIN sz sb ON sb.doc_id = b_id
          WHERE round(i * 1.0 / least(sa.n, sb.n), 3) >= $ContainmentThreshold
          ORDER BY a_id, b_id""",
-    "d3_jaccard_pairs" ->
-      s"""WITH $shingleCte,
-         shh AS (SELECT doc_id, ${H.duckdbHash64("s")} AS s FROM sh),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-           FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
-         FROM inter
-         JOIN sz sa ON sa.doc_id = a_id
-         JOIN sz sb ON sb.doc_id = b_id
-         WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.8
-         ORDER BY a_id, b_id""",
+    "d3_jaccard_pairs" -> d3OracleSql,
     "d4_minhash_lsh" -> d4OracleSql,
-    "d5_simhash_clusters" -> {
-      val bitSums = (0 until SimhashBits).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
-        .mkString(",\n                ")
-      val assemble = (0 until SimhashBits).map(b =>
-        s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-      s"""WITH toks AS (
-           SELECT doc_id, ${H.duckdbHash64(99, "t")} AS h
-           FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents)),
-         bits AS (SELECT doc_id,
-                $bitSums
-                FROM toks GROUP BY doc_id),
-         sim AS (SELECT doc_id, $assemble AS simhash FROM bits)
+    "d5_simhash_clusters" ->
+      s"""WITH $d5SimCtes
          SELECT simhash, count(*) AS cluster_size, min(doc_id) AS keep_doc_id
-         FROM sim GROUP BY 1 HAVING count(*) > 1 ORDER BY simhash"""
-    },
+         FROM sim GROUP BY 1 HAVING count(*) > 1 ORDER BY simhash""",
+    // d20: every family's pair-set SQL is its standalone operator's
+    // fragment verbatim (d3 truth, d4 full SELECT, d5 sim CTEs, d8
+    // pass, d2 fingerprint); the grading is one pair-list left join
+    "d20_dedup_quality" ->
+      s"""WITH $wordsCte,
+         ${snmPassSql("", snmPrefixBlkSql)},
+         truth AS MATERIALIZED ($d3OracleSql),
+         mhp AS MATERIALIZED ($d4OracleSql),
+         $d5SimCtes,
+         fpd AS (
+           SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp
+           FROM documents),
+         pred AS (
+           SELECT 'minhash_lsh' AS family, a_id, b_id FROM mhp
+           UNION
+           SELECT 'simhash', a.doc_id, b.doc_id
+           FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+           UNION
+           SELECT 'snm', least(doc_id, dup_id), greatest(doc_id, dup_id)
+           FROM j WHERE jaccard >= $SnmJaccardThreshold
+           UNION
+           SELECT 'fingerprint', a.doc_id, b.doc_id
+           FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           UNION
+           SELECT 'exact', a_id, b_id FROM truth),
+         g AS MATERIALIZED (
+           SELECT p.family, count(*) AS n_pred,
+                  CAST(sum(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           FROM pred p LEFT JOIN truth t ON t.a_id = p.a_id AND t.b_id = p.b_id
+           GROUP BY 1),
+         tc AS (SELECT n_pred AS n_truth FROM g WHERE family = 'exact')
+         SELECT g.family, g.n_pred, g.n_hit, tc.n_truth,
+                (g.n_hit * 1000) // greatest(g.n_pred, 1) AS precision_permille,
+                (g.n_hit * 1000) // greatest(tc.n_truth, 1) AS recall_permille
+         FROM g CROSS JOIN tc ORDER BY g.family""",
     // the incremental fold must land on the identical fixpoint as the
     // full rebuild — d11 shares d7's oracle verbatim (fold ≡ rebuild)
     "d11_incremental_cc" -> d7ComponentsOracleSql,

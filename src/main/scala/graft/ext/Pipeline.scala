@@ -361,7 +361,61 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("split"), col("source"))
 
+  val E7Epochs = 2
+  /** 2^58: the 60-bit StableHash space splits into 4 equal quartile
+    * ranges by one integer division — a row-local, engine-exact
+    * position statistic over the shuffle key. */
+  val E7QuartileDiv: Long = 1L << 58
+
+  /** The per-epoch shuffle key for a packed window: a fresh
+    * deterministic 60-bit draw per (epoch, shard, bin). The TRAINING
+    * ORDER of epoch e is "bins ascending by this hash" — at scale
+    * materialized as repartitionByRange(h) + sortWithinPartitions(h)
+    * (range partition + partition-local sort, the scalable total
+    * order), never a single-partition global window. */
+  private[graft] def e7OrderHash(epoch: Column): Column =
+    StableHash.hash64(concat(lit("e7:"), epoch.cast("string"), lit(":"),
+      col("shard").cast("string"), lit(":"), col("bin").cast("string")))
+
+  /** E7 — deterministic epoch shuffle of the training batches: the
+    * step after e3's packing that a real run needs BEFORE the first
+    * optimizer step. Reading packed windows in their natural (shard,
+    * bin) order feeds the model each shard's documents contiguously —
+    * a curriculum accident that measurably hurts convergence — so
+    * every epoch re-orders the windows by a seeded hash: deterministic
+    * (re-runs and restarts see the identical order — a requirement
+    * for reproducible training and mid-epoch resume), epoch-varying
+    * (each epoch is a DIFFERENT permutation — hash seeded by epoch),
+    * and coordination-free (any worker computes any window's position
+    * without a shuffle service or a driver-held permutation table).
+    *
+    * The gate row is the order census: per (epoch, hash-range
+    * quartile) window/doc/token mass — uniform hashing means each
+    * quartile of the training order carries ~¼ of every source's
+    * mass, which is exactly the interleaving claim. Round9Spec pins
+    * the real thing: the hash order is a true permutation of e3's
+    * bins, the two epochs order differently, and the
+    * range-partition + local-sort materialization equals the logical
+    * orderBy.
+    *
+    * Scale shape: the quartile is ONE integer division on the
+    * row's own hash — row-local, no rank, no window, no sort in the
+    * report; the production order pays exactly one range shuffle of
+    * the BIN directory (windows × a few counters, ≪ corpus — the
+    * payload rows follow their bin). */
+  def e7TrainingOrder(spark: SparkSession, dir: String): DataFrame =
+    e3FinalPacking(spark, dir)
+      .withColumn("epoch", explode(array((1 to E7Epochs).map(lit(_)): _*)))
+      .withColumn("h", e7OrderHash(col("epoch")))
+      .withColumn("quartile", expr(s"h div $E7QuartileDiv"))
+      .groupBy(col("epoch"), col("quartile"))
+      .agg(count(lit(1)).as("n_bins"),
+           sum(col("n_docs")).as("bin_docs"),
+           sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("epoch"), col("quartile"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_training_order" -> (e7TrainingOrder _),
     "e1_corpus_funnel"  -> (e1CorpusFunnel _),
     "e2_selection_mix"  -> (e2SelectionMix _),
     "e3_final_packing"  -> (e3FinalPacking _),
@@ -559,6 +613,36 @@ object Pipeline {
          SELECT shard, CAST(floor(start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
                 count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM coff GROUP BY 1, 2 ORDER BY shard, bin""",
+    // e7: e3's bins CTE chain verbatim, cross-joined with the epoch
+    // spine; the order hash is the same StableHash over the same
+    // "e7:epoch:shard:bin" key, the quartile the same 2^58 division
+    "e7_training_order" ->
+      s"""WITH RECURSIVE $selectedCtes,
+         fin AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok
+                 FROM mx WHERE s5 = 1),
+         coff AS (
+           SELECT shard, n_tok,
+                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+           FROM fin),
+         bins AS (
+           SELECT shard, CAST(floor(start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
+                  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM coff GROUP BY 1, 2),
+         ep AS (
+           SELECT b.shard, b.bin, b.n_docs, b.n_tokens,
+                  CAST(e.range + 1 AS INTEGER) AS epoch
+           FROM bins b CROSS JOIN range($E7Epochs) e),
+         qz AS (
+           SELECT epoch, n_docs, n_tokens,
+                  (${StableHash.duckdbHash64(
+                    "'e7:' || CAST(epoch AS VARCHAR) || ':' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)")})
+                    // $E7QuartileDiv AS quartile
+           FROM ep)
+         SELECT epoch, quartile, count(*) AS n_bins,
+                CAST(sum(n_docs) AS BIGINT) AS bin_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         FROM qz GROUP BY 1, 2 ORDER BY epoch, quartile""",
     "e1_corpus_funnel" ->
       s"""WITH RECURSIVE $cleanCtes,
          j AS (

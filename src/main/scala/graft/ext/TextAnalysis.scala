@@ -1044,7 +1044,87 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  val BpeRounds = 8
+  /** Vocabulary cap for BPE training (freq desc, word asc tie-break —
+    * deterministic on both engines). The 100 TB knob: BPE trains on
+    * the WORD-FREQUENCY table (Sennrich et al., arXiv:1508.07909),
+    * so after the one corpus-sized groupBy the iterative phase costs
+    * O(cap · word_len) per round regardless of corpus size; the cap
+    * bounds that state and drops only the frequency tail that cannot
+    * win a merge anyway. */
+  val BpeVocabCap = 65536
+
+  /** One greedy left-to-right BPE merge pass over a symbol array:
+    * fold that either fuses the accumulator's last symbol with the
+    * incoming one (when they equal the round's winning pair) or
+    * appends. `get()` (0-based, null-on-out-of-range) keeps the
+    * empty-accumulator probe ANSI-safe. Greedy semantics under
+    * overlap ("aaa" + merge(a,a) → ["aa","a"]) are exactly standard
+    * BPE's non-overlapping left-to-right replace; Round9Spec
+    * property-tests this fold against an independent Scala reference
+    * on arbitrary symbol runs. */
+  private[graft] def bpeApplyMerge(toks: Column, l: String, r: String): Column =
+    aggregate(toks, array().cast("array<string>"),
+      (acc, x) => when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** T27 — distributed BPE tokenizer training: the first [[BpeRounds]]
+    * merge rules learned from the corpus, the actual
+    * tokenizer-construction step of an LLM data pipeline (every
+    * token-count/packing operator upstream assumes a tokenizer came
+    * from somewhere — this is the somewhere). Standard
+    * word-frequency formulation: the corpus collapses to (word, freq)
+    * once, words split into character symbols, and each round (a)
+    * counts adjacent symbol pairs weighted by word frequency, (b)
+    * takes the argmax pair (count desc, then lexicographic — fully
+    * deterministic), (c) fuses that pair greedily left-to-right in
+    * every word. Output: the learned merge table (rank, pair, count).
+    *
+    * Scale shape: stage 1 is ONE map-side-combined groupBy of the
+    * corpus (the only corpus-sized work); every round after runs on
+    * the ≤[[BpeVocabCap]]-row vocabulary — corpus-size-INDEPENDENT —
+    * with the argmax a 1-row TakeOrdered (bounded driver state, like
+    * s5's centroids). The per-round vocab cache is materialized then
+    * the predecessor unpersisted, so peak storage is two vocab
+    * copies, never `rounds`. */
+  def t27BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val vocab0 = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      // empty tokens (doubled separators) are not words — and
+      // sequence(1, length('')) would DESCEND (the m2 lesson)
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(BpeVocabCap)
+      .select(col("word"), col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("toks"))
+    var seq0 = vocab0.cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val best = seq0.filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+             i -> named_struct('l', element_at(toks, i), 'r', element_at(toks, i + 1)))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()(0) // 1 row per round — bounded driver state
+      val (l, rr, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, l, rr, cnt))
+      val next = seq0.select(col("word"), col("freq"),
+        bpeApplyMerge(col("toks"), l, rr).as("toks")).cache()
+      next.count() // materialize before dropping the parent cache
+      seq0.unpersist()
+      seq0 = next
+    }
+    seq0.unpersist()
+    spark.createDataFrame(merges.result())
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_bpe_merges"       -> (t27BpeMerges _),
     "t25_ngram_novelty"    -> (t25NgramNovelty _),
     "t26_source_drift"     -> (t26SourceDrift _),
     "t24_gopher_rules"     -> (t24GopherRules _),
@@ -1171,7 +1251,75 @@ object TextAnalysis {
   private[ext] def mixKeepSql(docId: String): String =
     s"(${graft.functions.StableHash.duckdbHash64(MixSeed, s"CAST($docId AS VARCHAR)")}) % $MixPpm"
 
+  /** One BPE round as CTEs: pair counts from a per-word lead()
+    * window, the deterministic argmax, then the positional greedy
+    * merge — candidate positions, island-odd-rank selection (a run of
+    * consecutive candidates means a repeated symbol, where greedy
+    * takes the 1st, 3rd, … occurrence), winners fused / absorbed
+    * right-symbols dropped, arrays rebuilt in position order. The
+    * island-odd-rank rule IS the fold's greedy left-to-right pass;
+    * Round9Spec property-tests the equivalence. seq/tk/best are
+    * MATERIALIZED: each is referenced 2-3× and the chain is
+    * [[BpeRounds]] deep — inlining would replicate the whole prefix
+    * exponentially (the s16 lesson). */
+  private def bpeRoundSql(r: Int): String =
+    s"""tk$r AS MATERIALIZED (
+           SELECT word, freq, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) AS p
+           FROM seq$r),
+         nb$r AS MATERIALIZED (
+           SELECT word, freq, tok, p,
+                  lead(tok) OVER (PARTITION BY word ORDER BY p) AS nxt
+           FROM tk$r),
+         best$r AS MATERIALIZED (
+           SELECT tok AS l, nxt AS r, cnt FROM (
+             SELECT tok, nxt, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM nb$r WHERE nxt IS NOT NULL GROUP BY 1, 2) t
+           ORDER BY cnt DESC, tok, nxt LIMIT 1),
+         ck$r AS (
+           SELECT n.word, n.p,
+                  row_number() OVER (PARTITION BY n.word ORDER BY n.p) AS rn
+           FROM nb$r n, best$r b WHERE n.tok = b.l AND n.nxt = b.r),
+         keep$r AS MATERIALIZED (
+           SELECT word, p FROM (
+             SELECT word, p,
+                    row_number() OVER (PARTITION BY word, p - rn ORDER BY p) AS rr
+             FROM ck$r) t
+           WHERE rr % 2 = 1),
+         seq${r + 1} AS MATERIALIZED (
+           SELECT t.word, min(t.freq) AS freq,
+                  list(CASE WHEN k.p IS NOT NULL THEN b.l || b.r ELSE t.tok END
+                       ORDER BY t.p) AS toks
+           FROM tk$r t
+           CROSS JOIN best$r b
+           LEFT JOIN keep$r k ON k.word = t.word AND k.p = t.p
+           LEFT JOIN keep$r k2 ON k2.word = t.word AND k2.p = t.p - 1
+           WHERE k2.p IS NULL
+           GROUP BY t.word)"""
+
+  private lazy val t27OracleSql: String = {
+    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n         ")
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM best$r")
+      .mkString("\n           UNION ALL ")
+    s"""WITH v0 AS (
+           SELECT w AS word, count(*) AS freq
+           FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY 1),
+         vcap AS (SELECT word, freq FROM v0 ORDER BY freq DESC, word LIMIT $BpeVocabCap),
+         seq1 AS MATERIALIZED (
+           SELECT word, CAST(freq AS BIGINT) AS freq,
+                  list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, CAST(i AS INTEGER), 1)) AS toks
+           FROM vcap),
+         $rounds
+         SELECT merge_rank, lhs, rhs, pair_count FROM (
+           $out) u
+         ORDER BY merge_rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t27_bpe_merges" -> t27OracleSql,
     "t24_gopher_rules" -> {
       val stopList = GopherStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH s AS (

@@ -324,4 +324,174 @@ class Round9Spec extends AnyFunSuite {
       "e4's slicing leaves ~90% of every source in base, so no " +
         "source is rate-less")
   }
+
+  // ---------- d20: dedup quality matrix ----------
+
+  test("d20: exact self-grade is 1000/1000, hits are bounded, families discriminate") {
+    import graft.ext.Dedup
+    val rows = Dedup.d20DedupQuality(spark, dir).collect()
+    val byFam = rows.map(r => r.getAs[String]("family") -> r).toMap
+    assert(byFam.keySet ===
+      Set("exact", "fingerprint", "minhash_lsh", "simhash", "snm"))
+    val ex = byFam("exact")
+    assert(ex.getAs[Long]("precision_permille") === 1000L)
+    assert(ex.getAs[Long]("recall_permille") === 1000L)
+    assert(ex.getAs[Long]("n_pred") === ex.getAs[Long]("n_truth"))
+    rows.foreach { r =>
+      val (np, nh, nt) = (r.getAs[Long]("n_pred"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("n_truth"))
+      assert(nh <= np && nh <= nt, r.toString)
+      assert(nt === ex.getAs[Long]("n_truth"), "n_truth constant across rows")
+    }
+    // the matrix genuinely measures: some family trades precision away,
+    // and the production family (minhash-lsh) keeps recall high
+    assert(rows.exists(r => r.getAs[String]("family") != "exact" &&
+      r.getAs[Long]("precision_permille") < 1000L))
+    assert(byFam("minhash_lsh").getAs[Long]("recall_permille") >= 900L)
+  }
+
+  // ---------- t27: BPE tokenizer training ----------
+
+  /** Independent greedy left-to-right one-pass merge (standard BPE). */
+  private def greedyMerge(toks: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** The oracle's island-odd-rank positional rule, simulated. */
+  private def islandMerge(toks: Seq[String], l: String, r: String): Seq[String] = {
+    val cand = (0 until toks.length - 1).filter(i => toks(i) == l && toks(i + 1) == r)
+    val keep = cand.zipWithIndex
+      .groupBy { case (p, rank) => p - rank } // consecutive runs
+      .values.flatMap(_.map(_._1).sorted.zipWithIndex.collect {
+        case (p, rr) if rr % 2 == 0 => p
+      }).toSet
+    toks.indices.flatMap { i =>
+      if (keep(i)) Some(l + r)
+      else if (keep(i - 1)) None
+      else Some(toks(i))
+    }
+  }
+
+  test("t27: the aggregate-HOF fold ≡ greedy reference ≡ the oracle's island rule") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(150) {
+      val n = 1 + rnd.nextInt(10)
+      Seq.fill(n)(Seq("a", "b", "ab")(rnd.nextInt(3)))
+    } ++ Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("a", "b"),
+      Seq("b", "a"), Seq("a"), Seq("ab", "a", "b"))
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"), ("ab", "a"))) {
+      val df = cases.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "toks")
+      val got = df.select(col("id"),
+          TextAnalysis.bpeApplyMerge(col("toks"), l, r).as("m"))
+        .collect().map(row => row.getInt(0) -> row.getSeq[String](1)).toMap
+      cases.zipWithIndex.foreach { case (t, i) =>
+        val ref = greedyMerge(t, l, r)
+        assert(got(i) === ref, s"fold vs greedy on $t merge ($l,$r)")
+        assert(islandMerge(t, l, r) === ref, s"island vs greedy on $t merge ($l,$r)")
+      }
+    }
+  }
+
+  test("t27: merge table — full rounds, weakly-decreasing argmax, learned multi-char merges") {
+    import graft.ext.TextAnalysis
+    val rows = TextAnalysis.t27BpeMerges(spark, dir).collect()
+    assert(rows.length === TextAnalysis.BpeRounds)
+    assert(rows.map(_.getAs[Int]("merge_rank")).toSeq === (1 to TextAnalysis.BpeRounds))
+    val counts = rows.map(_.getAs[Long]("pair_count")).toSeq
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"a merged pair's successors can never outnumber it: $counts")
+    assert(rows.exists(r => r.getAs[String]("lhs").length > 1 ||
+      r.getAs[String]("rhs").length > 1),
+      "later rounds consume earlier rounds' fused symbols — the " +
+        "iterative structure is real, not 8 independent argmaxes")
+  }
+
+  // ---------- e7: deterministic epoch shuffle ----------
+
+  test("e7: epoch orders are deterministic permutations that differ by epoch; " +
+    "range-partition + local sort ≡ the logical orderBy") {
+    val bins = Pipeline.e3FinalPacking(spark, dir)
+    def orderOf(epoch: Int): Seq[(Long, Long)] =
+      bins.withColumn("h", Pipeline.e7OrderHash(lit(epoch)))
+        .orderBy(col("h")).select(col("shard"), col("bin"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val o1 = orderOf(1)
+    val o2 = orderOf(2)
+    val all = bins.select(col("shard"), col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(o1.toSet === all && o1.length === all.size, "epoch 1 is a permutation")
+    assert(o2.toSet === all && o2.length === all.size, "epoch 2 is a permutation")
+    assert(o1 === orderOf(1), "re-evaluation reproduces the identical order")
+    assert(o1 !== o2, "each epoch is a different permutation")
+    // the scalable materialization: range shuffle + partition-local sort
+    val ranged = bins.withColumn("h", Pipeline.e7OrderHash(lit(1)))
+      .repartitionByRange(4, col("h")).sortWithinPartitions(col("h"))
+      .select(col("shard"), col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ranged === o1,
+      "repartitionByRange + sortWithinPartitions IS the global hash order")
+  }
+
+  test("e7: quartile census reconciles with e3's bins") {
+    val bins = Pipeline.e3FinalPacking(spark, dir).collect()
+    val census = Pipeline.e7TrainingOrder(spark, dir).collect()
+    val perEpoch = census.groupBy(_.getAs[Int]("epoch"))
+    assert(perEpoch.keySet === Set(1, 2))
+    perEpoch.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("n_bins")).sum === bins.length.toLong)
+      assert(rows.map(_.getAs[Long]("bin_docs")).sum ===
+        bins.map(_.getAs[Long]("n_docs")).sum)
+      assert(rows.map(_.getAs[Long]("bin_tokens")).sum ===
+        bins.map(_.getAs[Long]("n_tokens")).sum)
+    }
+  }
+
+  // ---------- m8: scene segmentation ----------
+
+  test("m8: a planted step payload cuts exactly two scenes; flat stays one") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    // 320 bytes: 'A' (65) → permille 253 per segment; 'z' (122) → 476.
+    // One 223‰ jump at segment 8 — far past the 40‰ boundary rule.
+    val step = ("A" * 160) + ("z" * 160)
+    val flat = "m" * 320
+    val media = Seq(
+      (1L, "video", "video/mp4", step.getBytes("UTF-8"), 320L),
+      (2L, "video", "video/mp4", flat.getBytes("UTF-8"), 320L),
+      (3L, "image", "image/png", step.getBytes("UTF-8"), 320L))
+      .toDF("media_id", "kind", "mime", "payload", "n_bytes")
+    val out = Multimodal.m8ScenesOf(media).collect()
+    assert(out.map(_.getAs[Long]("media_id")).toSeq === Seq(1L, 2L),
+      "only video media segment; the image row is out of scope")
+    val stepRow = out.find(_.getAs[Long]("media_id") == 1L).get
+    assert(stepRow.getAs[Long]("n_scenes") === 2L)
+    assert(stepRow.getAs[Long]("max_scene_len") === 8L)
+    val flatRow = out.find(_.getAs[Long]("media_id") == 2L).get
+    assert(flatRow.getAs[Long]("n_scenes") === 1L)
+    assert(flatRow.getAs[Long]("max_scene_len") === 16L)
+  }
+
+  test("m8: corpus scenes are well-formed and the threshold discriminates") {
+    import graft.ext.Multimodal
+    val rows = Multimodal.m8SceneSegmentation(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, ml) = (r.getAs[Long]("n_scenes"), r.getAs[Long]("max_scene_len"))
+      assert(ns >= 1L && ns <= Multimodal.M7Segments.toLong, r.toString)
+      assert(ml >= 1L && ml <= Multimodal.M7Segments.toLong - ns + 1L, r.toString)
+    }
+    // 40‰ sits inside the corpus's Δ distribution: both static and
+    // multi-scene media exist, so the statistic carries signal
+    assert(rows.exists(_.getAs[Long]("n_scenes") === 1L))
+    assert(rows.exists(_.getAs[Long]("n_scenes") > 1L))
+  }
 }
