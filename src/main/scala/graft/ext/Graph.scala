@@ -354,7 +354,54 @@ object Graph {
       .select(col("src").as("doc_id"), col("core_deg"))
       .orderBy(col("doc_id"))
 
+  /** P6 — MODULARITY of p3's communities: the quality measure that
+    * grades the partition LPA produced (the d20/s11 pattern — every
+    * heuristic in this library gets a measurement operator). Newman
+    * modularity per community c over the undirected pair graph:
+    *   Q_c = e_c/m − (deg_c / 2m)²
+    * reported in EXACT integer form q_num = 4·m·e_c − deg_c² (so
+    * Q_c = q_num / 4m² and ΣQ·4m² = Σq_num) — no division, no float,
+    * no negative-integer-division cross-engine hazard. A community
+    * with q_num > 0 beats the random-graph expectation; a chain
+    * community LPA failed to split shows q_num ≤ 0. Round9Spec pins
+    * Σq_num > 0 (the partition is better than random) and the
+    * degree/edge conservation laws.
+    *
+    * Scale shape: the labeling is p3's (edge-sized rounds); the
+    * grading adds one degree aggregate, two pair-sized label lookups,
+    * and a |communities|-row rollup — nothing beyond the pair volume.
+    * The pair list is cached once and shared by the labeling, the
+    * degree count, and the 1-row edge count (pair-bounded, the d16
+    * vocab pattern). */
+  def p6Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.d4MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).cache()
+    val labels = labelPropagation(pairs, "a_id", "b_id") // (node, lbl), checkpointed
+    val mm = pairs.agg(count(lit(1)).as("m")) // 1-row plan-side aggregate
+    val deg = pairs.select(col("a_id").as("node"))
+      .unionAll(pairs.select(col("b_id").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val intra = pairs
+      .join(labels.select(col("node").as("a_id"), col("lbl").as("la")), Seq("a_id"))
+      .join(labels.select(col("node").as("b_id"), col("lbl").as("lb")), Seq("b_id"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community_id"))
+      .agg(count(lit(1)).as("intra_edges"))
+    labels.join(deg, Seq("node"))
+      .groupBy(col("lbl").as("community_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("deg_sum"))
+      .join(intra, Seq("community_id"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(mm))
+      .withColumn("q_num",
+        lit(4L) * col("m") * col("intra_edges") - col("deg_sum") * col("deg_sum"))
+      .select(col("community_id"), col("n_members"), col("intra_edges"),
+        col("deg_sum"), col("q_num"))
+      .orderBy(col("community_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p6_modularity" -> (p6Modularity _),
     "p5_kcore" -> (p5Kcore _),
     "p1_pagerank" -> (p1Pagerank _),
     "p2_triangles" -> (p2Triangles _),
@@ -399,6 +446,43 @@ object Graph {
        GROUP BY e.s HAVING count(*) >= $CoreK)"""
 
   val oracles: Map[String, String] = Map(
+    // p6: p3's unrolled LPA labels (materialized — referenced three
+    // times here), then pure integer grading over the pair list
+    "p6_modularity" -> {
+      val rounds = (1 to LpaRounds).map(lpaRound).mkString(",\n         ")
+      s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT s, d FROM (
+             SELECT a_id AS s, b_id AS d FROM pairs
+             UNION ALL SELECT b_id, a_id FROM pairs)),
+         l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges),
+         $rounds,
+         lab AS MATERIALIZED (SELECT node, lbl FROM l$LpaRounds),
+         mm AS (SELECT count(*) AS m FROM pairs),
+         deg AS (SELECT node, count(*) AS deg FROM (
+             SELECT a_id AS node FROM pairs
+             UNION ALL SELECT b_id FROM pairs) u GROUP BY 1),
+         intra AS (
+           SELECT la.lbl AS community_id, count(*) AS intra_edges
+           FROM pairs p
+           JOIN lab la ON la.node = p.a_id
+           JOIN lab lb ON lb.node = p.b_id AND lb.lbl = la.lbl
+           GROUP BY 1),
+         comm AS (
+           SELECT l.lbl AS community_id, count(*) AS n_members,
+                  CAST(sum(d.deg) AS BIGINT) AS deg_sum
+           FROM lab l JOIN deg d ON d.node = l.node
+           GROUP BY 1)
+         SELECT c.community_id, c.n_members,
+                CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+                c.deg_sum,
+                4 * mm.m * CAST(COALESCE(i.intra_edges, 0) AS BIGINT)
+                  - c.deg_sum * c.deg_sum AS q_num
+         FROM comm c
+         LEFT JOIN intra i USING (community_id)
+         CROSS JOIN mm
+         ORDER BY c.community_id"""
+    },
     "p5_kcore" -> {
       val rounds = (1 to CoreRounds).map(peelRound).mkString(",\n         ")
       s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),

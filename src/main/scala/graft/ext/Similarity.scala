@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -810,8 +811,18 @@ object Similarity {
     val cen = spark.read.parquet(s"$idxDir/coarse_centroids")
     val pcen = spark.read.parquet(s"$idxDir/pq_codebooks")
     // partition column comes back type-inferred; pin it to long
-    val codes = spark.read.parquet(s"$idxDir/codes")
+    val codes0 = spark.read.parquet(s"$idxDir/codes")
       .withColumn("ccid", col("ccid").cast("long"))
+    // live view: un-compacted tombstones (if any) are excluded by a
+    // broadcast anti-join — the delete set is bounded by the
+    // compaction cadence, never corpus-sized (s18's serve contract)
+    val delPath = new Path(s"$idxDir/deletes")
+    val delFs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
+    val codes =
+      if (delFs.exists(delPath))
+        codes0.join(broadcast(spark.read.parquet(delPath.toString)
+          .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+      else codes0
     val qQv = quantVecs(spark, dir).filter(col("vec_id") < QueryCount)
     val qV = pqSubVecs(spark, dir).filter(col("vec_id") < QueryCount)
     val qProbe = rankCentroids(qQv, cen).filter(col("r") <= IvfProbes)
@@ -900,6 +911,108 @@ object Similarity {
            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .withColumn("recall", round(col("n_hit") * 1.0 / col("k"), 4))
       .orderBy(col("state"), col("query_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // S18 — the DELETE path of the persisted vector store: the
+  // lifecycle piece s13 (build/append/query/compact) stops short of.
+  // Production stores (FAISS IDSelector, Milvus/Vespa delete) do NOT
+  // rewrite inverted lists per delete — they tombstone and compact:
+  //   1. delete  = append ids to a tombstone table (O(deletes) work);
+  //   2. serve   = anti-join tombstones at query time (the tombstone
+  //      set is bounded by the compaction cadence — a broadcast);
+  //   3. compact = physically drop tombstoned rows, rewriting ONLY
+  //      the affected ccid partitions (aside-first swap per list, the
+  //      Compact discipline), deleting a list's directory outright
+  //      when it empties, then clearing the tombstones.
+  // Frozen-model semantics: deletes never retrain anything — the
+  // centroids/codebooks keep their trained values (drift is s14's
+  // job), so delete-then-query ≡ rebuild-coding-only-survivors,
+  // which is exactly what the oracle states.
+  // ---------------------------------------------------------------
+
+  /** The deterministic delete slice for the s18 gate entry: vec_ids
+    * ending in 6 — disjoint from the query set (vec_id < 5) so the
+    * probe side is stable, and overlapping both base and append
+    * slices so the delete path is exercised against trained AND
+    * frozen-coded rows. */
+  val S18DeleteDigit = 6
+  private def s18DeletePred: Column = col("vec_id") % 10 === S18DeleteDigit
+
+  /** Tombstone a set of vector ids: one appended parquet write,
+    * O(deletes) — no index data moves. */
+  def deleteFromIvfPqIndex(spark: SparkSession, ids: DataFrame, idxDir: String): Unit =
+    ids.select(col("vec_id")).write.mode("append").parquet(s"$idxDir/deletes")
+
+  /** Apply the tombstones physically: rewrite ONLY the ccid
+    * partitions that contain tombstoned rows (aside-first swap per
+    * list — a crash leaves either the old or new copy), drop a
+    * partition directory outright when every row in it is deleted
+    * (dynamic partition overwrite cannot express an emptied
+    * partition), then clear the tombstone table. The affected-list
+    * ids are bounded driver state (≤ |C|); at 100 TB the per-list
+    * rewrites run as one grouped job rather than this driver loop —
+    * same swap discipline, wider scheduling. */
+  def compactIvfPqDeletes(spark: SparkSession, idxDir: String): Unit = {
+    val delPath = new Path(s"$idxDir/deletes")
+    val fs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delPath)) return
+    val del = spark.read.parquet(delPath.toString).select(col("vec_id")).distinct()
+    val codesDir = s"$idxDir/codes"
+    val codes = spark.read.parquet(codesDir).withColumn("ccid", col("ccid").cast("long"))
+    val affected = codes.join(broadcast(del), Seq("vec_id"), "left_semi")
+      .select(col("ccid")).distinct().collect().map(_.getLong(0)).sorted
+    affected.foreach { ccid =>
+      val partDir = s"$codesDir/ccid=$ccid"
+      val survivors = spark.read.parquet(partDir)
+        .join(broadcast(del), Seq("vec_id"), "left_anti")
+      if (survivors.isEmpty) fs.delete(new Path(partDir), true)
+      else {
+        val tmp = partDir + ".del_tmp"
+        survivors.write.mode("overwrite").parquet(tmp)
+        val p = new Path(partDir)
+        val old = new Path(partDir + ".del_old")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (!fs.rename(p, old))
+          throw new java.io.IOException(s"delete-compact swap failed: $partDir")
+        if (!fs.rename(new Path(tmp), p)) {
+          fs.rename(old, p)
+          throw new java.io.IOException(s"delete-compact swap failed: $tmp -> $partDir")
+        }
+        fs.delete(old, true)
+      }
+    }
+    fs.delete(delPath, true) // tombstones applied
+  }
+
+  private def s18IdxDir(dir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    s"${System.getProperty("java.io.tmpdir")}/graft_s18_idx_$tag"
+  }
+
+  /** S18 — the full delete lifecycle as the gate entry: s13's
+    * build-on-base + frozen-model append, then a slice of the corpus
+    * is deleted (tombstoned), compacted away, and the standard query
+    * set is answered from the shrunken index. The oracle replays the
+    * same chain with the candidate set restricted to survivors —
+    * delete ≡ rebuild-without-deleted under frozen models.
+    * Round9Spec pins the stronger operational laws: tombstone-serve ≡
+    * compacted-serve, untouched lists keep their very part files, and
+    * the tombstone table is empty after compaction. */
+  def s18IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = s18IdxDir(dir)
+    // a crashed prior run may leave stale tombstones; the lifecycle
+    // starts from a clean ledger (the codes table is rebuilt anyway)
+    val delPath = new Path(s"$idxDir/deletes")
+    val fs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delPath)) fs.delete(delPath, true)
+    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
+    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    deleteFromIvfPqIndex(spark,
+      Tables.embeddings(spark, dir).filter(s18DeletePred), idxDir)
+    compactIvfPqDeletes(spark, idxDir)
+    queryIvfPqIndex(spark, dir, idxDir)
   }
 
   val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
@@ -1199,6 +1312,7 @@ object Similarity {
     "s11_recall_matrix"    -> (s11RecallMatrix _),
     "s12_ivf_pq"           -> (s12IvfPq _),
     "s13_persisted_index"  -> (s13PersistedIvfPq _),
+    "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
     "s16_mmr_rerank"       -> (s16MmrRerank _),
@@ -1404,13 +1518,13 @@ object Similarity {
   /** The probe→candidates→ADC→rank chain as CTEs (through `ranked`),
     * so s12/s13 can SELECT their top-k from it and s17 can draw its
     * hybrid dense leg at HybridDepth from the same chain. */
-  private lazy val ivfPqRankedCtes: String =
+  private def ivfPqRankedCtes(liveOf: String => String = _ => "TRUE"): String =
     s"""qprobe AS (SELECT vec_id AS query_id, cid AS ccid FROM r$KmeansFin
                     WHERE r <= $IvfProbes AND vec_id < $QueryCount),
          ivfcand AS (
            SELECT DISTINCT p.query_id, l.vec_id
            FROM lists l JOIN qprobe p ON l.cid = p.ccid
-           WHERE l.vec_id <> p.query_id),
+           WHERE l.vec_id <> p.query_id AND (${liveOf("l.vec_id")})),
          approx AS (
            SELECT ca.query_id, c.vec_id, CAST(sum(t.d2) AS BIGINT) AS d2_fp
            FROM codes c
@@ -1423,8 +1537,8 @@ object Similarity {
                     ORDER BY d2_fp, vec_id) AS INTEGER) AS rank
            FROM approx)"""
 
-  private lazy val ivfPqTailSql: String =
-    s"""$ivfPqRankedCtes
+  private def ivfPqTailSql(liveOf: String => String = _ => "TRUE"): String =
+    s"""${ivfPqRankedCtes(liveOf)}
          SELECT query_id, neighbor_id, d2_fp, rank FROM ranked
          WHERE rank <= $TopK ORDER BY query_id, rank"""
 
@@ -1434,7 +1548,7 @@ object Similarity {
   private lazy val s12OracleSql: String =
     s"""WITH ${kmeansListsCtes()},
          ${pqCtes()},
-         $ivfPqTailSql"""
+         ${ivfPqTailSql()}"""
 
   /** s13's mirror: identical query tail, but training restricted to
     * the base slice — the coded set still covers every vector, which
@@ -1444,7 +1558,19 @@ object Similarity {
     val train = s"vec_id % 10 <> $S13AppendDigit"
     s"""WITH ${kmeansListsCtes(train)},
          ${pqCtes(train)},
-         $ivfPqTailSql"""
+         ${ivfPqTailSql()}"""
+  }
+
+  /** s18's mirror: s13's chain (train on base, code everything) with
+    * the CANDIDATE set restricted to survivors — the SQL statement of
+    * "deletes never retrain, they only shrink the lists". Filtering
+    * candidates alone suffices: a deleted row in the codes table can
+    * only reach the answer through the candidate join. */
+  private lazy val s18OracleSql: String = {
+    val train = s"vec_id % 10 <> $S13AppendDigit"
+    s"""WITH ${kmeansListsCtes(train)},
+         ${pqCtes(train)},
+         ${ivfPqTailSql(id => s"$id % 10 <> $S18DeleteDigit")}"""
   }
 
   private lazy val s10OracleSql: String =
@@ -1582,7 +1708,7 @@ object Similarity {
     val train = s"vec_id % 10 <> $S13AppendDigit"
     s"""WITH ${kmeansListsCtes(train)},
          ${pqCtes(train)},
-         $ivfPqRankedCtes,
+         ${ivfPqRankedCtes()},
          dense AS (
            SELECT query_id, neighbor_id AS doc_id, rank AS d_rank
            FROM ranked WHERE rank <= $HybridDepth),
@@ -1771,6 +1897,7 @@ object Similarity {
     "s11_recall_matrix" -> s11OracleSql,
     "s12_ivf_pq" -> s12OracleSql,
     "s13_persisted_index" -> s13OracleSql,
+    "s18_index_delete" -> s18OracleSql,
     "s14_index_health" -> s14OracleSql,
     "s9_filtered_knn" ->
       s"""WITH $expandCtes,

@@ -455,6 +455,98 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ---------- s18: vector-store delete path ----------
+
+  test("s18: tombstone-serve ≡ compacted-serve ≡ rebuild-without-deleted; " +
+    "untouched lists keep their very files; the ledger clears") {
+    import graft.ext.Similarity
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val idx = java.nio.file.Files.createTempDirectory("s18spec").toString
+    Similarity.buildIvfPqIndex(spark, dir, idx, lit(true), lit(true))
+    // delete three specific vectors — small enough that most inverted
+    // lists are untouched, so the untouched-files pin is non-vacuous
+    val delIds = Seq(6L, 16L, 26L)
+    val del = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(delIds: _*)).select(col("vec_id"))
+    Similarity.deleteFromIvfPqIndex(spark, del, idx)
+    def answers(): Seq[(Long, Long, Long, Int)] =
+      Similarity.queryIvfPqIndex(spark, dir, idx).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Long]("d2_fp"), r.getAs[Int]("rank"))).toSeq
+    val tombstoned = answers()
+    assert(tombstoned.nonEmpty)
+    assert(!tombstoned.exists(a => delIds.contains(a._2)),
+      "a tombstoned vector must never be served as a neighbor")
+    val fs = FileSystem.get(new Path(idx).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val affected = spark.read.parquet(s"$idx/codes")
+      .join(del, Seq("vec_id"), "left_semi")
+      .select(col("ccid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    def partFiles(): Map[String, Seq[(String, Long)]] =
+      fs.listStatus(new Path(s"$idx/codes")).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath)
+          .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sorted
+      }.toMap
+    val before = partFiles()
+    assert(affected.nonEmpty && affected.size < before.size,
+      "the 3-vector delete touches some lists but not all — else the " +
+        "untouched pin below is vacuous")
+    Similarity.compactIvfPqDeletes(spark, idx)
+    val after = partFiles()
+    before.keys.filterNot(k => affected.contains(k.stripPrefix("ccid=").toLong))
+      .foreach { k =>
+        assert(after(k) === before(k),
+          s"untouched list $k must keep its very part files (names + mtimes)")
+      }
+    assert(!fs.exists(new Path(s"$idx/deletes")),
+      "compaction clears the tombstone ledger")
+    val compacted = answers()
+    assert(compacted === tombstoned,
+      "physical compaction must not change a single served answer")
+    // rebuild-without-deleted: same frozen model (train on everything),
+    // codes only over survivors — the oracle's statement, re-proven here
+    val idx2 = java.nio.file.Files.createTempDirectory("s18spec2").toString
+    Similarity.buildIvfPqIndex(spark, dir, idx2, lit(true),
+      !col("vec_id").isin(delIds: _*))
+    val rebuilt = Similarity.queryIvfPqIndex(spark, dir, idx2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("d2_fp"), r.getAs[Int]("rank"))).toSeq
+    assert(rebuilt === compacted, "delete ≡ rebuild-without-deleted")
+  }
+
+  // ---------- p6: community modularity ----------
+
+  test("p6: the LPA partition beats random (Σq_num > 0) and every " +
+    "conservation law holds against the pair graph") {
+    import graft.ext.{Dedup, Graph}
+    val rows = Graph.p6Modularity(spark, dir).collect()
+    val pairs = Dedup.d4MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = pairs.length.toLong
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+    assert(rows.map(_.getAs[Long]("deg_sum")).sum === 2 * m,
+      "degrees sum to twice the edge count")
+    assert(rows.map(_.getAs[Long]("intra_edges")).sum <= m)
+    assert(rows.map(_.getAs[Long]("n_members")).sum === nodes,
+      "every node of the pair graph is in exactly one community")
+    rows.foreach { r =>
+      val (n, e) = (r.getAs[Long]("n_members"), r.getAs[Long]("intra_edges"))
+      assert(e <= n * (n - 1) / 2, s"intra edges bounded by the clique: $r")
+      assert(r.getAs[Long]("q_num") ===
+        4 * m * e - r.getAs[Long]("deg_sum") * r.getAs[Long]("deg_sum"))
+    }
+    assert(rows.map(_.getAs[Long]("q_num")).sum > 0,
+      "the community structure must beat the random-graph expectation")
+    // the graded communities ARE p3's communities, member for member
+    val p3 = Graph.p3Communities(spark, dir).collect()
+      .map(r => r.getAs[Long]("community_id") -> r.getAs[Long]("n_members")).toMap
+    rows.foreach { r =>
+      assert(p3(r.getAs[Long]("community_id")) === r.getAs[Long]("n_members"))
+    }
+  }
+
   // ---------- m8: scene segmentation ----------
 
   test("m8: a planted step payload cuts exactly two scenes; flat stays one") {
