@@ -888,7 +888,71 @@ object Dedup {
       .orderBy(col("family"))
   }
 
+  /** Band counts swept by d21 over the same 16 MinHashes (rows/band =
+    * 16/b). The b=4 row IS d4's production operating point. */
+  val D21BandConfigs: Seq[Int] = Seq(2, 4, 8)
+
+  /** S-curve floor: P(candidate) = 1 − (1 − j^r)^b at the truth
+    * threshold j = 0.8, in truncated permille — the textbook LSH
+    * capture probability (Leskovec/Rajaraman/Ullman ch. 3), computed
+    * once here and injected as the SAME literal into both engines. */
+  def d21TheoryMinPermille(b: Int): Long = {
+    val r = NumHashes / b
+    math.floor(1000.0 * (1.0 - math.pow(1.0 - math.pow(0.8, r), b))).toLong
+  }
+
+  /** D21 — the LSH TUNING CURVE: d20 picks between families; d21
+    * picks the operating point WITHIN the MinHash family. The same 16
+    * hashes banded three ways — (b=2, r=8) precision-leaning,
+    * (b=4, r=4) = d4's production point, (b=8, r=2) recall-leaning —
+    * each config's raw band-collision candidates graded for recall
+    * against d3's exact ≥0.8 ground truth, next to the S-curve's
+    * theoretical capture floor at j=0.8. The measured-vs-theory gap
+    * is the sanity check that the affine permutation family actually
+    * behaves like the random permutations the theory assumes; the
+    * candidate counts are the cost side of the trade (what the
+    * verify stage must pay per config). All integer permille.
+    *
+    * Scale shape: ONE signature build (the md5 pass — the dominant
+    * cost at any scale) shared by all three configs; per config the
+    * candidates exist only inside its band buckets; the grading joins
+    * run on pair lists. Adding a config costs one more banding of the
+    * same 16 columns, never a new corpus pass. */
+  def d21LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashSignatures(shingleSet(spark, dir)).cache()
+    val truth = d3JaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
+    val pred = D21BandConfigs.map { b =>
+      val rpb = NumHashes / b
+      val bandStructs = (0 until b).map { band =>
+        struct(lit(band).as("band"),
+          concat_ws(":", (0 until rpb).map(r => col(s"mh${band * rpb + r}")): _*).as("sig"))
+      }
+      val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(lit(b).as("bands"), col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+    }.reduce(_ unionByName _)
+    val theory = D21BandConfigs.foldLeft(lit(null).cast("long")) { (acc, b) =>
+      when(col("bands") === b, lit(d21TheoryMinPermille(b))).otherwise(acc)
+    }
+    pred.join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_cand"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .withColumn("rows_per_band", (lit(NumHashes) / col("bands")).cast("int"))
+      .withColumn("recall_permille", expr("(n_hit * 1000) div greatest(n_truth, 1)"))
+      .withColumn("theory_min_permille", theory)
+      .select(col("bands"), col("rows_per_band"), col("n_cand"), col("n_hit"),
+        col("n_truth"), col("recall_permille"), col("theory_min_permille"))
+      .orderBy(col("bands"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_lsh_tuning"        -> (d21LshTuning _),
     "d20_dedup_quality"     -> (d20DedupQuality _),
     "d18_sketch_overlap"    -> (d18SketchOverlap _),
     "d17_cross_source"      -> (d17CrossSourcePairs _),
@@ -1171,6 +1235,55 @@ object Dedup {
       s"""WITH $d5SimCtes
          SELECT simhash, count(*) AS cluster_size, min(doc_id) AS keep_doc_id
          FROM sim GROUP BY 1 HAVING count(*) > 1 ORDER BY simhash""",
+    // d21: one MATERIALIZED MinHash signature table banded three
+    // ways; per-config candidate pairs graded against the d3 truth;
+    // the theory column is the same Scala-computed literal both
+    // engines carry
+    "d21_lsh_tuning" -> {
+      val mhCols = (0 until NumHashes)
+        .map(k => s"min((${minhashA(k)} * h0 + ${minhashB(k)}) % $MinhashP) AS mh$k")
+        .mkString(",\n                ")
+      val configCtes = D21BandConfigs.map { b =>
+        val rpb = NumHashes / b
+        val bandSelects = (0 until b).map { band =>
+          val sig = (0 until rpb).map(r => s"CAST(mh${band * rpb + r} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"SELECT doc_id, $band AS band, $sig AS sig FROM mh"
+        }.mkString("\n           UNION ALL ")
+        s"""bands$b AS (
+           $bandSelects),
+         cand$b AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands$b a JOIN bands$b b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+      }.mkString(",\n         ")
+      val predSelects = D21BandConfigs.map(b =>
+        s"SELECT CAST($b AS INTEGER) AS bands, a_id, b_id FROM cand$b")
+        .mkString("\n           UNION ALL ")
+      val theoryCase = D21BandConfigs.map(b =>
+        s"WHEN $b THEN CAST(${d21TheoryMinPermille(b)} AS BIGINT)").mkString(" ")
+      s"""WITH $shingleCte,
+         sh0 AS (SELECT doc_id, ${H.duckdbHash64("s")} % $MinhashP AS h0 FROM sh),
+         mh AS MATERIALIZED (
+           SELECT doc_id,
+                $mhCols
+                FROM sh0 GROUP BY doc_id),
+         truth AS MATERIALIZED ($d3OracleSql),
+         $configCtes,
+         pred AS (
+           $predSelects),
+         g AS (
+           SELECT p.bands, count(*) AS n_cand,
+                  CAST(sum(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           FROM pred p LEFT JOIN truth t ON t.a_id = p.a_id AND t.b_id = p.b_id
+           GROUP BY 1),
+         tc AS (SELECT count(*) AS n_truth FROM truth)
+         SELECT g.bands, CAST($NumHashes // g.bands AS INTEGER) AS rows_per_band,
+                g.n_cand, g.n_hit, tc.n_truth,
+                (g.n_hit * 1000) // greatest(tc.n_truth, 1) AS recall_permille,
+                CASE g.bands $theoryCase END AS theory_min_permille
+         FROM g CROSS JOIN tc ORDER BY g.bands"""
+    },
     // d20: every family's pair-set SQL is its standalone operator's
     // fragment verbatim (d3 truth, d4 full SELECT, d5 sim CTEs, d8
     // pass, d2 fingerprint); the grading is one pair-list left join

@@ -962,25 +962,37 @@ object Similarity {
     val codes = spark.read.parquet(codesDir).withColumn("ccid", col("ccid").cast("long"))
     val affected = codes.join(broadcast(del), Seq("vec_id"), "left_semi")
       .select(col("ccid")).distinct().collect().map(_.getLong(0)).sorted
-    affected.foreach { ccid =>
-      val partDir = s"$codesDir/ccid=$ccid"
-      val survivors = spark.read.parquet(partDir)
+    if (affected.nonEmpty) {
+      // ONE grouped job rewrites every affected list into a staging
+      // tree partitioned by ccid (a per-list driver loop of tiny jobs
+      // costs a scheduler round-trip per list — measured ~0.3 s × |C|);
+      // the swap is then pure renames, aside-first per list. A list
+      // whose every row is tombstoned writes no staging partition and
+      // its directory simply goes away.
+      val tmpRoot = new Path(codesDir + ".del_tmp")
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      codes.filter(col("ccid").isin(affected: _*))
         .join(broadcast(del), Seq("vec_id"), "left_anti")
-      if (survivors.isEmpty) fs.delete(new Path(partDir), true)
-      else {
-        val tmp = partDir + ".del_tmp"
-        survivors.write.mode("overwrite").parquet(tmp)
-        val p = new Path(partDir)
-        val old = new Path(partDir + ".del_old")
-        if (fs.exists(old)) fs.delete(old, true)
+        .write.mode("overwrite").partitionBy("ccid").parquet(tmpRoot.toString)
+      // aside dirs live OUTSIDE the codes root: a crash mid-swap must
+      // never leave a non-partition directory where the reader would
+      // parse it as a (null-valued) partition
+      val oldRoot = new Path(codesDir + ".del_old")
+      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+      fs.mkdirs(oldRoot)
+      affected.foreach { ccid =>
+        val p = new Path(s"$codesDir/ccid=$ccid")
+        val t = new Path(s"$tmpRoot/ccid=$ccid")
+        val old = new Path(s"$oldRoot/ccid=$ccid")
         if (!fs.rename(p, old))
-          throw new java.io.IOException(s"delete-compact swap failed: $partDir")
-        if (!fs.rename(new Path(tmp), p)) {
+          throw new java.io.IOException(s"delete-compact swap failed: $p")
+        if (fs.exists(t) && !fs.rename(t, p)) {
           fs.rename(old, p)
-          throw new java.io.IOException(s"delete-compact swap failed: $tmp -> $partDir")
+          throw new java.io.IOException(s"delete-compact swap failed: $t -> $p")
         }
-        fs.delete(old, true)
       }
+      fs.delete(oldRoot, true)
+      fs.delete(tmpRoot, true)
     }
     fs.delete(delPath, true) // tombstones applied
   }

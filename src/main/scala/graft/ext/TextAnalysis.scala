@@ -1088,8 +1088,10 @@ object TextAnalysis {
     * s5's centroids). The per-round vocab cache is materialized then
     * the predecessor unpersisted, so peak storage is two vocab
     * copies, never `rounds`. */
-  def t27BpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    val vocab0 = Tables.documents(spark, dir)
+  /** The capped (word, freq, toks) vocabulary — BPE's whole view of
+    * the corpus after the one corpus-sized groupBy. */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("word"))
       // empty tokens (doubled separators) are not words — and
       // sequence(1, length('')) would DESCEND (the m2 lesson)
@@ -1098,15 +1100,29 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("word")).limit(BpeVocabCap)
       .select(col("word"), col("freq"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("toks"))
-    var seq0 = vocab0.cache()
+
+  /** Frequency-weighted adjacent-pair counts of a symbol-sequence
+    * frame — one BPE round's statistics. */
+  private def bpePairCounts(seqDf: DataFrame): DataFrame =
+    seqDf.filter(size(col("toks")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+           i -> named_struct('l', element_at(toks, i), 'r', element_at(toks, i + 1)))""")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Round-1's argmax frame (vocab pair count + 1-row TakeOrdered) —
+    * the distributed plan PLANS.md shows for t27, whose gate result
+    * is a driver-assembled merge table (a local relation). */
+  private[graft] def t27Round1Pairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairCounts(bpeVocab(spark, dir))
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+
+  def t27BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    var seq0 = bpeVocab(spark, dir).cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to BpeRounds) {
-      val best = seq0.filter(size(col("toks")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(toks) - 1),
-             i -> named_struct('l', element_at(toks, i), 'r', element_at(toks, i + 1)))""")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
+      val best = bpePairCounts(seq0)
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
         .collect()(0) // 1 row per round — bounded driver state
       val (l, rr, cnt) = (best.getString(0), best.getString(1), best.getLong(2))

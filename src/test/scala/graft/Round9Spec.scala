@@ -350,6 +350,27 @@ class Round9Spec extends AnyFunSuite {
     assert(byFam("minhash_lsh").getAs[Long]("recall_permille") >= 900L)
   }
 
+  test("d21: capture is monotone in band count (bands nest), the " +
+    "theory literals match the Scala formula, and d4 sits inside its point") {
+    import graft.ext.Dedup
+    val rows = Dedup.d21LshTuning(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("bands")).toSeq === Dedup.D21BandConfigs)
+    // 16 = 2·8 band boundaries nest: an 8-row band match implies its
+    // 4-row and 2-row sub-bands match, so capture (and candidate
+    // volume) can only grow with b — a LAW of the sweep, not a datum
+    val recall = rows.map(_.getAs[Long]("recall_permille")).toSeq
+    val cand = rows.map(_.getAs[Long]("n_cand")).toSeq
+    assert(recall.zip(recall.tail).forall { case (a, b) => a <= b }, recall.toString)
+    assert(cand.zip(cand.tail).forall { case (a, b) => a <= b }, cand.toString)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("theory_min_permille") ===
+        Dedup.d21TheoryMinPermille(r.getAs[Int]("bands")))
+    }
+    // d4 = the b=4 point's candidates SHRUNK by the jaccard verify
+    val b4 = rows.find(_.getAs[Int]("bands") == 4).get
+    assert(Dedup.d4MinhashLsh(spark, dir).count() <= b4.getAs[Long]("n_cand"))
+  }
+
   // ---------- t27: BPE tokenizer training ----------
 
   /** Independent greedy left-to-right one-pass merge (standard BPE). */
