@@ -299,6 +299,73 @@ object EventsStream {
       .orderBy(col("user_id"))
   }
 
+  /** FULL OUTER interval attribution: BOTH unmatched sides survive —
+    * orphan purchases (no prior view, st10's case) AND orphan views
+    * (no purchase within the gap ever followed: the ABANDONMENT
+    * signal a funnel analysis needs, which st10's left join silently
+    * drops). In a stream each side's null-extended rows emit on
+    * watermark expiry of that side's state: a buffered view becomes a
+    * final orphan once the watermark passes view_ts + gap (no
+    * qualifying purchase can still arrive); a buffered purchase once
+    * it passes buy_ts. Same (watermark + gap) state bound as the
+    * inner/left modes — full outer adds only the second deferred
+    * emission class. */
+  def attributionFullOuterPairs(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("view_user"),
+      col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val b = purchases.select(col("user_id").as("buyer_id"),
+      col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+    b.join(v,
+      col("buyer_id") === col("view_user") &&
+        col("view_ts") <= col("buy_ts") &&
+        col("view_ts") >= col("buy_ts") - expr(s"interval $AttributionGap"),
+      "full_outer")
+      .select(coalesce(col("buyer_id"), col("view_user")).as("user_id"),
+        col("buy_id"), col("buy_ts"), col("view_id"), col("view_ts"))
+  }
+
+  /** Streaming form — the last stateful join mode (inner = st4,
+    * left outer = st10, full outer = this). */
+  def attributionFullOuterStream(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view").withWatermark("ts", "1 hour")
+    val b = events.filter(col("event_type") === "purchase").withWatermark("ts", "1 hour")
+    attributionFullOuterPairs(v, b)
+  }
+
+  /** ST12 — the batch twin under the DuckDB oracle: the per-user
+    * census over ALL THREE output partitions of the full outer join —
+    * attributed pairs, orphan purchases, orphan views. The buy-side
+    * identities (attributed + orphan = total buys) pin the left-join
+    * partitions exactly as st10 does; n_orphan_views pins the new
+    * right-side partition (EventsStreamSpec adds the conservation law
+    * orphan + distinct-matched = total views per user). Same one
+    * user-keyed shuffle as st4/st10. */
+  def st12FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val pairs = attributionFullOuterPairs(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"))
+      .cache() // pair-bounded; two census passes read it
+    val perBuy = pairs.filter(col("buy_id").isNotNull)
+      .groupBy(col("user_id"), col("buy_id"))
+      .agg(count(col("view_id")).as("n_views"))
+    val buySide = perBuy.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_buys"),
+        sum(when(col("n_views") > 0, 1L).otherwise(0L)).as("n_attributed_buys"),
+        sum(when(col("n_views") === 0, 1L).otherwise(0L)).as("n_orphan_buys"),
+        sum(col("n_views")).as("n_pairs"))
+    val orphanViews = pairs.filter(col("buy_id").isNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_orphan_views"))
+    buySide.join(orphanViews, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+        coalesce(col("n_attributed_buys"), lit(0L)).as("n_attributed_buys"),
+        coalesce(col("n_orphan_buys"), lit(0L)).as("n_orphan_buys"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_orphan_views"), lit(0L)).as("n_orphan_views"))
+      .orderBy(col("user_id"))
+  }
+
   /** foreachBatch upsert (SURVEY §2.9/§7 sketch): maintain a
     * windowed-counts snapshot table incrementally from a stream.
     * Update-mode batches carry re-emitted (window, event_type) rows;
@@ -630,6 +697,7 @@ object EventsStream {
     "st3_transitions"    -> (st3Transitions _),
     "st4_stream_join"    -> (st4StreamJoin _),
     "st10_outer_join"    -> (st10OuterJoin _),
+    "st12_full_outer"    -> (st12FullOuter _),
     "st11_snapshot_merge" -> (st11SnapshotMerge _))
 
   val oracles: Map[String, String] = Map(
@@ -764,6 +832,41 @@ object EventsStream {
          FROM pairs GROUP BY 1 ORDER BY user_id""",
     // LEFT JOIN keeps orphan purchases; count(view_id) is 0 for the
     // null-extended rows in both engines
+    "st12_full_outer" ->
+      s"""WITH v AS (
+           SELECT user_id, ts AS view_ts, event_id AS view_id
+           FROM events WHERE event_type = 'view'),
+         b AS (
+           SELECT user_id, ts AS buy_ts, event_id AS buy_id
+           FROM events WHERE event_type = 'purchase'),
+         fo AS (
+           SELECT COALESCE(b.user_id, v.user_id) AS user_id,
+                  b.buy_id, v.view_id
+           FROM b FULL JOIN v ON v.user_id = b.user_id
+             AND v.view_ts <= b.buy_ts
+             AND date_diff('microsecond', v.view_ts, b.buy_ts) <= $AttributionGapMicros),
+         perbuy AS (
+           SELECT user_id, buy_id, count(view_id) AS n_views
+           FROM fo WHERE buy_id IS NOT NULL GROUP BY 1, 2),
+         buyside AS (
+           SELECT user_id, count(*) AS n_buys,
+                  CAST(sum(CASE WHEN n_views > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_attributed_buys,
+                  CAST(sum(CASE WHEN n_views = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_orphan_buys,
+                  CAST(sum(n_views) AS BIGINT) AS n_pairs
+           FROM perbuy GROUP BY 1),
+         ov AS (
+           SELECT user_id, count(*) AS n_orphan_views
+           FROM fo WHERE buy_id IS NULL GROUP BY 1)
+         SELECT COALESCE(bs.user_id, ov.user_id) AS user_id,
+                COALESCE(bs.n_buys, 0) AS n_buys,
+                COALESCE(bs.n_attributed_buys, 0) AS n_attributed_buys,
+                COALESCE(bs.n_orphan_buys, 0) AS n_orphan_buys,
+                COALESCE(bs.n_pairs, 0) AS n_pairs,
+                COALESCE(ov.n_orphan_views, 0) AS n_orphan_views
+         FROM buyside bs FULL JOIN ov ON ov.user_id = bs.user_id
+         ORDER BY user_id""",
     "st10_outer_join" ->
       s"""WITH v AS (
            SELECT user_id, ts AS view_ts, event_id AS view_id

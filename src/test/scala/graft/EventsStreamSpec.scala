@@ -279,6 +279,75 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join == batch pairs + BOTH watermark-closed orphan classes") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.attributionFullOuterStream(stream)
+        .select(col("user_id"), col("buy_id"), col("buy_ts"),
+          col("view_id"), col("view_ts")),
+      "attr_full_stream", mode = "append")
+    try {
+      val streamedRows = spark.table("attr_full_stream").collect()
+      def pairKey(r: org.apache.spark.sql.Row): (Long, Long, Long) =
+        (r.getLong(0), r.getLong(1), r.getLong(3))
+      val streamedMatched = streamedRows
+        .filter(r => !r.isNullAt(1) && !r.isNullAt(3)).map(pairKey).sorted
+      val streamedBuyOrphans = streamedRows.filter(r => !r.isNullAt(1) && r.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamedViewOrphans = streamedRows.filter(r => r.isNullAt(1))
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      val e = Tables.events(spark, dir)
+      val batchAll = EventsStream.attributionFullOuterPairs(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "purchase")).collect()
+      // matched pairs emit eagerly → exact equality over ALL of them
+      val batchMatched = batchAll
+        .filter(r => !r.isNullAt(1) && !r.isNullAt(3)).map(pairKey).sorted
+      assert(streamedMatched.length === batchMatched.length)
+      streamedMatched.zip(batchMatched).foreach { case (s, b) => assert(s === b) }
+      // soundness: every streamed orphan (either class) is a batch orphan
+      val batchBuyOrphans = batchAll.filter(r => !r.isNullAt(1) && r.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchViewOrphans = batchAll.filter(r => r.isNullAt(1))
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(streamedBuyOrphans.subsetOf(batchBuyOrphans))
+      assert(streamedViewOrphans.subsetOf(batchViewOrphans))
+      // completeness at the frontier: the global watermark trails the
+      // SLOWER branch's max ts by the 1 h delay; a purchase is
+      // orphan-final past its buy_ts, a view only past view_ts + gap
+      // (a qualifying purchase could arrive that much later)
+      val frontierMicros = e.filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type")).agg(max(col("ts")).as("m"))
+        .collect().map(_.getTimestamp(1).getTime).min * 1000L - 3600L * 1000000
+      val closedBuyOrphans = batchAll
+        .filter(r => !r.isNullAt(1) && r.isNullAt(3) &&
+          r.getTimestamp(2).getTime * 1000L < frontierMicros - 1000000L)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val closedViewOrphans = batchAll
+        .filter(r => r.isNullAt(1) &&
+          r.getTimestamp(4).getTime * 1000L + EventsStream.AttributionGapMicros
+            < frontierMicros - 1000000L)
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(closedBuyOrphans.nonEmpty && closedViewOrphans.nonEmpty,
+        "need at least one closed orphan of EACH class")
+      assert(closedBuyOrphans.subsetOf(streamedBuyOrphans),
+        s"missing closed buy orphans: ${closedBuyOrphans -- streamedBuyOrphans}")
+      assert(closedViewOrphans.subsetOf(streamedViewOrphans),
+        s"missing closed view orphans: ${closedViewOrphans -- streamedViewOrphans}")
+      // census conservation: the st12 gate row's three partitions
+      // reconcile with the raw event counts
+      val census = EventsStream.st12FullOuter(spark, dir).collect()
+      val totBuys = e.filter(col("event_type") === "purchase").count()
+      val totViews = e.filter(col("event_type") === "view").count()
+      assert(census.map(_.getAs[Long]("n_buys")).sum === totBuys)
+      val matchedViews = batchAll
+        .filter(r => !r.isNullAt(1) && !r.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(3))).distinct.length
+      assert(census.map(_.getAs[Long]("n_orphan_views")).sum + matchedViews === totViews,
+        "orphan views + distinct matched views = all views")
+    } finally q.stop()
+  }
+
   test("stream starts on an EMPTY directory (schema fallback) and picks up late files") {
     val emptyDir = java.nio.file.Files.createTempDirectory("events_late")
     // classic file-source lifecycle: the query starts before any file

@@ -422,6 +422,14 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("t27: the per-round argmax plans as a TakeOrdered, never a global sort") {
+    import graft.ext.TextAnalysis
+    val plan = TextAnalysis.t27Round1Pairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"1-row argmax must be a top-k, got:\n$plan")
+  }
+
   test("t27: merge table — full rounds, weakly-decreasing argmax, learned multi-char merges") {
     import graft.ext.TextAnalysis
     val rows = TextAnalysis.t27BpeMerges(spark, dir).collect()
