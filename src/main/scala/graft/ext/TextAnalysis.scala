@@ -1118,7 +1118,10 @@ object TextAnalysis {
     bpePairCounts(bpeVocab(spark, dir))
       .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
 
-  def t27BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** The training loop itself, returning the learned merge table as
+    * bounded driver state ([[BpeRounds]] rows) — t27 reports it, t28
+    * applies it. */
+  private def learnBpeMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     var seq0 = bpeVocab(spark, dir).cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to BpeRounds) {
@@ -1134,13 +1137,76 @@ object TextAnalysis {
       seq0 = next
     }
     seq0.unpersist()
-    spark.createDataFrame(merges.result())
+    merges.result()
+  }
+
+  def t27BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(learnBpeMerges(spark, dir))
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
       .orderBy(col("merge_rank"))
+
+  /** T28 — ENCODE the corpus with the tokenizer t27 trained: the
+    * apply side of BPE, the step that turns "we have a merge table"
+    * into the per-source token counts every budget/mixing/packing
+    * decision upstream (t13, t16, e3) is denominated in. Encoding is
+    * word-deterministic, so the corpus is NEVER re-scanned per merge:
+    * the distinct-word table (Heaps-law vocabulary-sized, the named
+    * 100 TB bound — sublinear in corpus size) is folded through all
+    * [[BpeRounds]] learned merges in rank order as ONE lazy column
+    * pipeline (8 chained [[bpeApplyMerge]] HOF folds, a linear-depth
+    * expression — no per-round action, no per-round shuffle), then
+    * joined back to the per-(source, word) frequency table for an
+    * integer-exact census: words, BPE tokens, chars, fully-fused
+    * words, and chars-per-token compression in truncating permille.
+    *
+    * Out-of-cap words still encode: merges operate on character
+    * sequences, so the frequency tail the [[BpeVocabCap]] training
+    * cap dropped simply fuses less (that is standard BPE inference).
+    * At 100 TB the encode table joins shuffle-on-word (broadcast only
+    * while it fits); the corpus-sized work is the one (source, word)
+    * groupBy — same shape as t27's stage 1. */
+  /** The per-(source, word) frequency table t28 censuses. */
+  private def sourceWordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
+
+  /** The distinct-word table folded through all learned merges in
+    * rank order — one lazy column pipeline, (word, toks) out.
+    * Exposed for Round9Spec's conservation/monotonicity pins. */
+  private[graft] def t28EncodedWords(spark: SparkSession, dir: String): DataFrame = {
+    val merges = learnBpeMerges(spark, dir)
+    merges.foldLeft(
+        sourceWordFreq(spark, dir).select(col("word")).distinct().withColumn("toks",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      ) { case (df, (_, l, r, _)) =>
+        df.select(col("word"), bpeApplyMerge(col("toks"), l, r).as("toks"))
+      }
+  }
+
+  def t28BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ws = sourceWordFreq(spark, dir)
+    val encoded = t28EncodedWords(spark, dir)
+      .select(col("word"), size(col("toks")).cast("long").as("n_tok"),
+        length(col("word")).cast("long").as("n_char"))
+    ws.join(encoded, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("freq") * col("n_tok")).as("n_bpe_tokens"),
+        sum(col("freq") * col("n_char")).as("n_chars"),
+        sum(when(col("n_tok") === 1, col("freq")).otherwise(0L)).as("n_fused_words"))
+      .withColumn("chars_per_token_pm", expr("(1000 * n_chars) div n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_distinct_words"),
+        col("n_bpe_tokens"), col("n_chars"), col("n_fused_words"),
+        col("chars_per_token_pm"))
+      .orderBy(col("source"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_bpe_merges"       -> (t27BpeMerges _),
+    "t28_bpe_encode"       -> (t28BpeEncode _),
     "t25_ngram_novelty"    -> (t25NgramNovelty _),
     "t26_source_drift"     -> (t26SourceDrift _),
     "t24_gopher_rules"     -> (t24GopherRules _),
@@ -1313,6 +1379,85 @@ object TextAnalysis {
            WHERE k2.p IS NULL
            GROUP BY t.word)"""
 
+  /** One BPE APPLY round over the full distinct-word table — the same
+    * positional island-odd-rank machinery as [[bpeRoundSql]] but with
+    * the round's winning pair READ from the learn chain's best$r
+    * (1 row) instead of recomputed: candidates, greedy selection,
+    * rebuild. No freq column — encoding is pure word → toks. */
+  private def bpeApplyRoundSql(r: Int): String =
+    s"""ftk$r AS MATERIALIZED (
+           SELECT word, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) AS p
+           FROM fseq$r),
+         fnb$r AS MATERIALIZED (
+           SELECT word, tok, p,
+                  lead(tok) OVER (PARTITION BY word ORDER BY p) AS nxt
+           FROM ftk$r),
+         fck$r AS (
+           SELECT n.word, n.p,
+                  row_number() OVER (PARTITION BY n.word ORDER BY n.p) AS rn
+           FROM fnb$r n, best$r b WHERE n.tok = b.l AND n.nxt = b.r),
+         fkeep$r AS MATERIALIZED (
+           SELECT word, p FROM (
+             SELECT word, p,
+                    row_number() OVER (PARTITION BY word, p - rn ORDER BY p) AS rr
+             FROM fck$r) t
+           WHERE rr % 2 = 1),
+         fseq${r + 1} AS MATERIALIZED (
+           SELECT t.word,
+                  list(CASE WHEN k.p IS NOT NULL THEN b.l || b.r ELSE t.tok END
+                       ORDER BY t.p) AS toks
+           FROM ftk$r t
+           CROSS JOIN best$r b
+           LEFT JOIN fkeep$r k ON k.word = t.word AND k.p = t.p
+           LEFT JOIN fkeep$r k2 ON k2.word = t.word AND k2.p = t.p - 1
+           WHERE k2.p IS NULL
+           GROUP BY t.word)"""
+
+  /** t28's oracle: replay the learn chain (identical CTEs to t27's —
+    * same merges fall out), then apply each round's winner to the
+    * distinct-word table and roll up the freq-weighted census. */
+  private lazy val t28OracleSql: String = {
+    val learnRounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n         ")
+    val applyRounds = (1 to BpeRounds).map(bpeApplyRoundSql).mkString(",\n         ")
+    s"""WITH v0 AS (
+           SELECT w AS word, count(*) AS freq
+           FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY 1),
+         vcap AS (SELECT word, freq FROM v0 ORDER BY freq DESC, word LIMIT $BpeVocabCap),
+         seq1 AS MATERIALIZED (
+           SELECT word, CAST(freq AS BIGINT) AS freq,
+                  list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, CAST(i AS INTEGER), 1)) AS toks
+           FROM vcap),
+         $learnRounds,
+         ws AS MATERIALIZED (
+           SELECT source, w AS word, count(*) AS freq
+           FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+         fseq1 AS MATERIALIZED (
+           SELECT word,
+                  list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, CAST(i AS INTEGER), 1)) AS toks
+           FROM (SELECT DISTINCT word FROM ws)),
+         $applyRounds,
+         enc AS MATERIALIZED (
+           SELECT word, len(toks) AS n_tok, length(word) AS n_char
+           FROM fseq${BpeRounds + 1})
+         SELECT ws.source,
+                CAST(sum(ws.freq) AS BIGINT) AS n_words,
+                count(*) AS n_distinct_words,
+                CAST(sum(ws.freq * e.n_tok) AS BIGINT) AS n_bpe_tokens,
+                CAST(sum(ws.freq * e.n_char) AS BIGINT) AS n_chars,
+                CAST(sum(CASE WHEN e.n_tok = 1 THEN ws.freq ELSE 0 END) AS BIGINT)
+                  AS n_fused_words,
+                CAST((1000 * CAST(sum(ws.freq * e.n_char) AS BIGINT))
+                     // CAST(sum(ws.freq * e.n_tok) AS BIGINT) AS BIGINT)
+                  AS chars_per_token_pm
+         FROM ws JOIN enc e USING (word)
+         GROUP BY 1 ORDER BY source"""
+  }
+
   private lazy val t27OracleSql: String = {
     val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n         ")
     val out = (1 to BpeRounds).map(r =>
@@ -1336,6 +1481,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t27_bpe_merges" -> t27OracleSql,
+    "t28_bpe_encode" -> t28OracleSql,
     "t24_gopher_rules" -> {
       val stopList = GopherStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH s AS (

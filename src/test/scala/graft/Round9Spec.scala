@@ -444,6 +444,37 @@ class Round9Spec extends AnyFunSuite {
         "iterative structure is real, not 8 independent argmaxes")
   }
 
+  // ---------- t28: BPE encode (the apply side of t27) ----------
+
+  test("t28: encoding conserves every word — toks concatenate back exactly") {
+    import graft.ext.TextAnalysis
+    val bad = TextAnalysis.t28EncodedWords(spark, dir)
+      .filter(concat_ws("", col("toks")) =!= col("word")).count()
+    assert(bad === 0L, "a BPE merge must never alter the character stream")
+  }
+
+  test("t28: census invariants — words ≤ tokens ≤ chars, real compression, cap tail still encodes") {
+    import graft.ext.TextAnalysis
+    val rows = TextAnalysis.t28BpeEncode(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, tok, ch) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("n_chars"))
+      assert(w <= tok, s"every word is at least one token: $r")
+      assert(tok <= ch, s"a merge only ever shrinks a word's token count: $r")
+      assert(r.getAs[Long]("chars_per_token_pm") >= 1000L,
+        s"compression ratio is ≥1 by construction: $r")
+    }
+    // the tokenizer actually fused something corpus-wide (else the
+    // census is a vacuous char count)
+    assert(rows.map(_.getAs[Long]("n_bpe_tokens")).sum <
+      rows.map(_.getAs[Long]("n_chars")).sum,
+      "8 learned merges must compress the corpus strictly")
+    assert(rows.map(_.getAs[Long]("n_fused_words")).sum > 0L,
+      "some frequent word fuses to a single token within 8 merges " +
+        "or the merge table learned nothing useful")
+  }
+
   // ---------- e7: deterministic epoch shuffle ----------
 
   test("e7: epoch orders are deterministic permutations that differ by epoch; " +
