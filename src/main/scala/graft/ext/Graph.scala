@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** Shared harness for iterative operators over a pair-derived graph
   * (connected components, PageRank): symmetrize and checkpoint the
   * edge list once, and hand the body a shuffle WIDTH sized to the
@@ -135,6 +137,72 @@ object Graph {
     pagerank(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
       .select(col("node").as("doc_id"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("doc_id"))
+
+  /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen: "Combating Web Spam
+    * with TrustRank", VLDB 2004): PageRank with the teleport vector
+    * concentrated on a TRUSTED SEED SET instead of uniform — the
+    * quality-propagation form a corpus-curation pipeline runs when a
+    * small vetted feed exists and quality must flow outward along
+    * near-dup edges (a near-dup of a trusted doc inherits trust; a
+    * component containing NO seed gets EXACTLY zero — mass cannot
+    * teleport into it, an integer-exact property Round9Spec pins).
+    *
+    * Same harness, fixed-point discipline and per-round shape as
+    * [[pagerank]]: r_{k+1}(v) = 0.15·s(v) + 0.85·Σ_{u→v} r_k(u)/deg(u)
+    * with s(v) = Scale/|S∩V| on seeds and 0 elsewhere, all scaled
+    * int64 with truncating division. The seed-mass vector is
+    * node-sized, co-partitioned on the round-join key ONCE and
+    * checkpointed — each round adds one node-sized join over p1's
+    * shape (the uniform teleport constant becomes a vector).
+    * With S = all nodes it degenerates to exactly [[pagerank]]
+    * (same per-node teleport integer) — spec-pinned. */
+  def trustRank(pairs: DataFrame, aCol: String, bCol: String, seeds: DataFrame): DataFrame =
+    IterativeGraph.withSymmetricEdges(pairs, aCol, bCol, distinctEdges = false) { (edges, width) =>
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val degEdges = edges.join(deg, Seq("src"))
+        .repartition(width, col("src")).localCheckpoint()
+      val nodes = degEdges.select(col("src").as("node")).distinct()
+      val seedN = nodes.join(seeds.select(col("node")).distinct(), Seq("node"))
+      val ns = seedN.agg(count(lit(1)).as("n")).localCheckpoint()
+      val mass = nodes
+        .join(seedN.select(col("node"), lit(1).as("is_seed")), Seq("node"), "left")
+        .crossJoin(broadcast(ns))
+        .select(col("node"),
+          when(col("is_seed").isNotNull, expr(s"$Scale div n"))
+            .otherwise(lit(0L)).as("sv"))
+        .repartition(width, col("node")).localCheckpoint()
+      var ranks = mass.select(col("node"), col("sv").as("r")).localCheckpoint()
+      for (_ <- 1 to Iterations) {
+        val next = degEdges
+          .join(ranks.repartition(width, col("node")), col("src") === col("node"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          .join(mass.select(col("node"), col("sv")), col("dst") === col("node"))
+          .select(col("node"), expr("(3 * sv) div 20 + (17 * sc) div 20").as("r"))
+          .localCheckpoint()
+        CheckpointShim.unpersist(ranks)
+        ranks = next
+      }
+      CheckpointShim.unpersist(degEdges)
+      CheckpointShim.unpersist(mass)
+      CheckpointShim.unpersist(ns)
+      ranks
+    }
+
+  /** P7 — TrustRank over the d4 near-dup graph, seeded by the corpus's
+    * lexicographically-first source (the deterministic stand-in for
+    * "the vetted feed" — at 100 TB the seed list is whatever curated
+    * whitelist exists; it enters as a plain DataFrame). Output: every
+    * graph node's exact scaled-int64 trust. */
+  def p7TrustRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val seedSrc = docs.agg(min(col("source")).as("s"))
+    val seeds = docs.join(broadcast(seedSrc), col("source") === col("s"))
+      .select(col("doc_id").as("node"))
+    trustRank(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id", seeds)
+      .select(col("node").as("doc_id"), col("r").as("trust_fp"))
+      .orderBy(col("trust_fp").desc, col("doc_id"))
+  }
 
   /** P2 — triangle census of the near-dup candidate graph: a
     * triangle means three documents that are all pairwise near-dups —
@@ -404,6 +472,7 @@ object Graph {
     "p6_modularity" -> (p6Modularity _),
     "p5_kcore" -> (p5Kcore _),
     "p1_pagerank" -> (p1Pagerank _),
+    "p7_trustrank" -> (p7TrustRank _),
     "p2_triangles" -> (p2Triangles _),
     "p3_communities" -> (p3Communities _),
     "p4_bfs_depth" -> (p4BfsDepth _))
@@ -415,6 +484,19 @@ object Graph {
     * `edges` are hinted MATERIALIZED: every round references them,
     * and DuckDB's default inlining re-ran the whole LSH build once
     * per round (measured 90 s+ → 1.5 s at sf0.1). */
+  /** One TrustRank round as SQL — prRound with the uniform teleport
+    * constant replaced by the per-node seed-mass vector sv. */
+  private def trRound(k: Int): String =
+    s"""r$k AS (
+       SELECT t.node,
+              CAST((3 * v.sv) // 20 + (17 * t.sc) // 20 AS BIGINT) AS r
+       FROM (SELECT e.d AS node, CAST(sum(p.r // g.outdeg) AS BIGINT) AS sc
+             FROM edges e
+             JOIN r${k - 1} p ON p.node = e.s
+             JOIN deg g ON g.s = e.s
+             GROUP BY e.d) t
+       JOIN sv v ON v.node = t.node)"""
+
   private def prRound(k: Int): String =
     s"""r$k AS (
        SELECT e.d AS node,
@@ -539,6 +621,28 @@ object Graph {
                  JOIN e e2 ON e1.b = e2.a
                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
          SELECT n_nodes, n_edges, n_triangles FROM nv, ne, tri""",
+    "p7_trustrank" -> {
+      val rounds = (1 to Iterations).map(trRound).mkString(",\n         ")
+      s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),
+         edges AS MATERIALIZED (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         deg AS (SELECT s, count(*) AS outdeg FROM edges GROUP BY 1),
+         seeds AS (SELECT DISTINCT doc_id FROM documents
+                   WHERE source = (SELECT min(source) FROM documents)),
+         nodes AS (SELECT DISTINCT s AS node FROM edges),
+         sn AS (SELECT count(*) AS n
+                FROM nodes JOIN seeds ON seeds.doc_id = nodes.node),
+         sv AS MATERIALIZED (
+           SELECT node, CASE WHEN sd.doc_id IS NOT NULL
+                        THEN CAST($Scale // (SELECT n FROM sn) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS sv
+           FROM nodes LEFT JOIN seeds sd ON sd.doc_id = nodes.node),
+         r0 AS (SELECT node, sv AS r FROM sv),
+         $rounds
+         SELECT node AS doc_id, r AS trust_fp FROM r$Iterations
+         ORDER BY trust_fp DESC, doc_id"""
+    },
     "p1_pagerank" -> {
       val rounds = (1 to Iterations).map(prRound).mkString(",\n         ")
       s"""WITH pairs AS MATERIALIZED (${Dedup.d4OracleSql}),

@@ -444,6 +444,59 @@ class Round9Spec extends AnyFunSuite {
         "iterative structure is real, not 8 independent argmaxes")
   }
 
+  // ---------- p7: TrustRank (seed-personalized PageRank) ----------
+
+  test("p7: seeds = all nodes degenerates to exactly p1's PageRank") {
+    import graft.ext.{Dedup, Graph}
+    val seeds = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("node"))
+    val ppr = Graph.trustRank(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id", seeds)
+      .select(col("node").as("doc_id"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("doc_id")).collect().toSeq
+    val pr = Graph.p1Pagerank(spark, dir).collect().toSeq
+    assert(ppr.length === pr.length)
+    ppr.zip(pr).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1),
+        s"uniform-seed TrustRank must be bit-identical to PageRank: $a vs $b")
+    }
+  }
+
+  test("p7: trust is exactly zero on seedless components, positive on seeded ones, " +
+    "and mass stays bounded by Scale") {
+    import graft.ext.{Dedup, Graph}
+    val ranks = Graph.p7TrustRank(spark, dir).collect()
+    assert(ranks.nonEmpty)
+    val total = ranks.map(_.getAs[Long]("trust_fp")).sum
+    assert(total > 0L && total <= Graph.Scale,
+      s"truncating divisions only ever LOSE mass: $total")
+    // component census: a component's trust is nonzero iff it holds a seed
+    val seedSrc = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(min(col("source"))).collect()(0).getString(0)
+    val seedIds = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === seedSrc)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val comp = Dedup.d7DedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rankByDoc = ranks.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seededComps = comp.collect { case (d, c) if seedIds.contains(d) => c }.toSet
+    val (zeroComps, liveComps) = comp.values.toSet.partition(!seededComps.contains(_))
+    assert(liveComps.nonEmpty && zeroComps.nonEmpty,
+      "the pin needs both kinds of component to be non-vacuous")
+    comp.foreach { case (d, c) =>
+      if (seededComps.contains(c))
+        assert(rankByDoc(d) >= 0L) // seeded component: nonneg; seeds strictly positive below
+      else
+        assert(rankByDoc(d) === 0L,
+          s"doc $d sits in seedless component $c — teleport mass cannot reach it")
+    }
+    val nSeedsInGraph = comp.keySet.count(seedIds.contains)
+    val floor = (3L * (Graph.Scale / nSeedsInGraph)) / 20L
+    seedIds.filter(comp.contains).foreach { s =>
+      assert(rankByDoc(s) >= floor,
+        s"a seed keeps at least its teleport term: $s has ${rankByDoc(s)} < $floor")
+    }
+  }
+
   // ---------- t28: BPE encode (the apply side of t27) ----------
 
   test("t28: encoding conserves every word — toks concatenate back exactly") {
