@@ -414,7 +414,86 @@ object Pipeline {
            sum(col("n_tokens")).as("bin_tokens"))
       .orderBy(col("epoch"), col("quartile"))
 
+  /** e8's budget: (3/4)·total available BPE tokens — a real
+    * downsampling posture that lands the water level strictly inside
+    * the spec ladder's ratio spread at every SF (measured: 10-11 of
+    * 20 sources saturate), so BOTH allocation regimes are always
+    * exercised. */
+  val E8BudgetNum = 3L
+  val E8BudgetDen = 4L
+  /** The gate's stand-in mixture spec: a priority ladder 1..20 cycled
+    * over the alphabetical source catalog. In production the spec is
+    * an external table (DoReMi / hand-tuned domain weights) — the
+    * operator under test is the ALLOCATOR, not the weights. */
+  val E8WeightLadder = 20L
+  /** lcm(1..20): (avail·Lcm) div w is an EXACT integer for every
+    * ladder weight, so ordering by it IS ordering by the true
+    * rational avail/weight — no float sort key, no quantization ties
+    * (beyond genuine ratio equality, broken by source). Bound: avail
+    * · 2.33e8 must fit int64 — fine to ~4e10 tokens/source; at
+    * 100 TB hold the product as DECIMAL(38,0) (the documented knob). */
+  val E8RatioLcm = 232792560L
+
+  /** E8 — token-budget allocation across sources (water-filling): the
+    * step between "we measured what each source has" (t28's census) and
+    * "this is what each source contributes to the training mix" — cap
+    * a global token budget B against per-source availability,
+    * proportional to declared mixture weights, with EXACT saturation
+    * semantics: sources whose availability runs out at the water
+    * level contribute everything they have; the rest get θ·w tokens
+    * at the common level θ.
+    *
+    * Closed form, not iteration: sort sources by the exact rational
+    * avail/weight (the saturation order), prefix-sum availability and
+    * weight, and pick the FIRST position where the remaining budget
+    * over the remaining weight mass no longer exhausts that source
+    * (decided by integer cross-multiply, the t24/t15 discipline —
+    * avail·den > num·w, no division). Everything left of the cut
+    * saturates (alloc = avail, exact); everything right gets
+    * (num·w) div den at the frozen θ = num/den — truncating, so the
+    * unallocated remainder is < |unsaturated| tokens (spec-pinned).
+    *
+    * Scale shape: the windows (rank, two prefix sums) run over the
+    * MIXTURE SPEC table — |sources| rows, catalog-bounded like q2's
+    * brand table, NEVER the corpus — and the 1-row cut broadcasts
+    * back; the corpus-sized work is entirely inside t28's census.
+    * The sentinel row makes B ≥ total degrade to all-saturated
+    * instead of an empty cut frame. */
+  def e8TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val avail = TextAnalysis.t28BpeEncode(spark, dir)
+      .select(col("source"), col("n_bpe_tokens").as("avail"))
+    val wSpec = Window.orderBy(col("source"))
+    val base = avail
+      .withColumn("w",
+        (((row_number().over(wSpec) - 1) % E8WeightLadder) + 1).cast("long"))
+      .withColumn("rkey", expr(s"(avail * $E8RatioLcm) div w"))
+    val totals = base.agg(sum(col("avail")).as("ta"), sum(col("w")).as("tw"))
+    val wOrd = Window.orderBy(col("rkey"), col("source"))
+    val pre = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val flags = base.crossJoin(broadcast(totals))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("pa", coalesce(sum(col("avail")).over(pre), lit(0L)))
+      .withColumn("pw", coalesce(sum(col("w")).over(pre), lit(0L)))
+      .withColumn("num", expr(s"($E8BudgetNum * ta) div $E8BudgetDen") - col("pa"))
+      .withColumn("den", col("tw") - col("pw"))
+    val cut = flags.filter(col("avail") * col("den") > col("num") * col("w"))
+      .select(col("rn").as("kk"), col("num").as("tn"), col("den").as("td"))
+      .union(spark.range(1).select(lit(Long.MaxValue).as("kk"),
+        lit(0L).as("tn"), lit(1L).as("td")))
+      .orderBy(col("kk")).limit(1)
+    flags.crossJoin(broadcast(cut))
+      .withColumn("saturated", (col("rn") < col("kk")).cast("int"))
+      .withColumn("alloc", when(col("rn") < col("kk"), col("avail"))
+        .otherwise(least(col("avail"), expr("(tn * w) div td"))))
+      .select(col("source"), col("w").as("weight"), col("avail").as("avail_tokens"),
+        col("alloc").as("alloc_tokens"), col("saturated"),
+        expr("(1000 * alloc) div avail").as("fill_permille"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_token_budget"   -> (e8TokenBudget _),
     "e7_training_order" -> (e7TrainingOrder _),
     "e1_corpus_funnel"  -> (e1CorpusFunnel _),
     "e2_selection_mix"  -> (e2SelectionMix _),
@@ -589,7 +668,56 @@ object Pipeline {
                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM sp GROUP BY 1, 2 ORDER BY split, source"""
 
+  /** e8's oracle: t28's census chain as the avail subquery, then the
+    * same spec ladder, exact-ratio sort, prefix sums, cross-multiply
+    * cut (sentinel row for the B ≥ total degenerate), and the frozen
+    * θ allocation — all integer. */
+  private lazy val e8OracleSql: String =
+    s"""WITH avail AS MATERIALIZED (
+           SELECT source, n_bpe_tokens AS avail
+           FROM (${TextAnalysis.t28OracleSql}) t28),
+         base AS (
+           SELECT source, avail,
+                  ((row_number() OVER (ORDER BY source) - 1) % $E8WeightLadder) + 1 AS w
+           FROM avail),
+         b2 AS (SELECT source, avail, w, (avail * $E8RatioLcm) // w AS rkey FROM base),
+         tt AS (SELECT CAST(sum(avail) AS BIGINT) AS ta,
+                       CAST(sum(w) AS BIGINT) AS tw FROM b2),
+         flags AS (
+           SELECT b.source, b.avail, b.w, b.rkey, t.ta, t.tw,
+                  row_number() OVER (ORDER BY b.rkey, b.source) AS rn,
+                  COALESCE(CAST(sum(b.avail) OVER (ORDER BY b.rkey, b.source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                    0) AS pa,
+                  COALESCE(CAST(sum(b.w) OVER (ORDER BY b.rkey, b.source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                    0) AS pw
+           FROM b2 b, tt t),
+         f2 AS (
+           SELECT *, ($E8BudgetNum * ta) // $E8BudgetDen - pa AS num,
+                  tw - pw AS den
+           FROM flags),
+         cut AS (
+           SELECT * FROM (
+             SELECT rn AS kk, num AS tn, den AS td FROM f2
+             WHERE avail * den > num * w
+             UNION ALL
+             SELECT 9223372036854775807, CAST(0 AS BIGINT), CAST(1 AS BIGINT)) u
+           ORDER BY kk LIMIT 1),
+         alloc AS (
+           SELECT f.source, f.w AS weight, f.avail AS avail_tokens,
+                  CASE WHEN f.rn < c.kk THEN f.avail
+                       ELSE least(f.avail, (c.tn * f.w) // c.td) END AS alloc_tokens,
+                  CASE WHEN f.rn < c.kk THEN 1 ELSE 0 END AS saturated
+           FROM f2 f, cut c)
+         SELECT source, CAST(weight AS BIGINT) AS weight, avail_tokens,
+                CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+                CAST(saturated AS INTEGER) AS saturated,
+                CAST((1000 * alloc_tokens) // avail_tokens AS BIGINT) AS fill_permille
+         FROM alloc ORDER BY source"""
+
   val oracles: Map[String, String] = Map(
+    "e8_token_budget" -> e8OracleSql,
     "e6_leakage_split" -> e6OracleSql,
     "e4_delta_ingest" -> e4OracleSql,
     "e5_new_source" -> e5OracleSql,

@@ -1417,7 +1417,7 @@ object TextAnalysis {
   /** t28's oracle: replay the learn chain (identical CTEs to t27's —
     * same merges fall out), then apply each round's winner to the
     * distinct-word table and roll up the freq-weighted census. */
-  private lazy val t28OracleSql: String = {
+  private[ext] lazy val t28OracleSql: String = {
     val learnRounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n         ")
     val applyRounds = (1 to BpeRounds).map(bpeApplyRoundSql).mkString(",\n         ")
     s"""WITH v0 AS (

@@ -444,6 +444,38 @@ class Round9Spec extends AnyFunSuite {
         "iterative structure is real, not 8 independent argmaxes")
   }
 
+  // ---------- e8: token-budget water-filling ----------
+
+  test("e8: exact saturation both regimes, truncation remainder < |unsaturated|, " +
+    "and the cut respects the ratio order") {
+    val rows = Pipeline.e8TokenBudget(spark, dir).collect()
+    val sat = rows.filter(_.getAs[Int]("saturated") == 1)
+    val unsat = rows.filter(_.getAs[Int]("saturated") == 0)
+    assert(sat.nonEmpty && unsat.nonEmpty,
+      s"budget 3/4 must land inside the ladder's ratio spread (${sat.length} sat)")
+    sat.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") === r.getAs[Long]("avail_tokens"),
+        s"a saturated source contributes EVERYTHING it has: $r")
+      assert(r.getAs[Long]("fill_permille") === 1000L)
+    }
+    unsat.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") < r.getAs[Long]("avail_tokens"),
+        s"an unsaturated source must sit strictly under its availability: $r")
+    }
+    val tot = rows.map(_.getAs[Long]("avail_tokens")).sum
+    val budget = (Pipeline.E8BudgetNum * tot) / Pipeline.E8BudgetDen
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc <= budget, "the budget is a hard cap")
+    assert(budget - alloc <= unsat.length.toLong,
+      s"truncating θ·w loses under one token per unsaturated source " +
+        s"(and the least() guard never bound): $budget vs $alloc")
+    // the water level separates the two regimes in exact-ratio order
+    def rkey(r: org.apache.spark.sql.Row): Long =
+      r.getAs[Long]("avail_tokens") * Pipeline.E8RatioLcm / r.getAs[Long]("weight")
+    assert(sat.map(rkey).max <= unsat.map(rkey).min,
+      "every saturated avail/weight ratio sits at or below every unsaturated one")
+  }
+
   // ---------- p7: TrustRank (seed-personalized PageRank) ----------
 
   test("p7: seeds = all nodes degenerates to exactly p1's PageRank") {
