@@ -464,10 +464,21 @@ object Pipeline {
     val avail = TextAnalysis.t28BpeEncode(spark, dir)
       .select(col("source"), col("n_bpe_tokens").as("avail"))
     val wSpec = Window.orderBy(col("source"))
-    val base = avail
-      .withColumn("w",
-        (((row_number().over(wSpec) - 1) % E8WeightLadder) + 1).cast("long"))
-      .withColumn("rkey", expr(s"(avail * $E8RatioLcm) div w"))
+    waterFill(spark, avail.withColumn("w",
+      (((row_number().over(wSpec) - 1) % E8WeightLadder) + 1).cast("long")))
+  }
+
+  /** The allocator itself over an arbitrary (source, avail, w) spec
+    * frame — factored so PropertySpec can drive it with ScalaCheck
+    * instances against an independent iterative-greedy reference
+    * (the closed form and the round-by-round greedy provably agree
+    * in exact rational arithmetic; the test checks the integer
+    * implementations agree too, truncation and all). */
+  private[graft] def waterFill(spark: SparkSession, spec: DataFrame,
+                               bNum: Long = E8BudgetNum,
+                               bDen: Long = E8BudgetDen): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = spec.withColumn("rkey", expr(s"(avail * $E8RatioLcm) div w"))
     val totals = base.agg(sum(col("avail")).as("ta"), sum(col("w")).as("tw"))
     val wOrd = Window.orderBy(col("rkey"), col("source"))
     val pre = wOrd.rowsBetween(Window.unboundedPreceding, -1)
@@ -475,7 +486,7 @@ object Pipeline {
       .withColumn("rn", row_number().over(wOrd).cast("long"))
       .withColumn("pa", coalesce(sum(col("avail")).over(pre), lit(0L)))
       .withColumn("pw", coalesce(sum(col("w")).over(pre), lit(0L)))
-      .withColumn("num", expr(s"($E8BudgetNum * ta) div $E8BudgetDen") - col("pa"))
+      .withColumn("num", expr(s"($bNum * ta) div $bDen") - col("pa"))
       .withColumn("den", col("tw") - col("pw"))
     val cut = flags.filter(col("avail") * col("den") > col("num") * col("w"))
       .select(col("rn").as("kk"), col("num").as("tn"), col("den").as("td"))

@@ -273,4 +273,53 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 8)
   }
+
+  test("water-filling law: closed-form cut equals the iterative greedy, truncation and all") {
+    import spark.implicits._
+    import graft.ext.Pipeline
+    // arbitrary specs: skewed availabilities, ladder-bounded weights,
+    // duplicate ratios, singletons; budget both UNDER total (the real
+    // regime) and OVER it (the sentinel all-saturated degenerate)
+    val specGen: Gen[(List[(String, Long, Long)], (Long, Long))] = for {
+      n  <- Gen.chooseNum(1, 25)
+      as <- Gen.listOfN(n, Gen.chooseNum(1L, 1000000L))
+      ws <- Gen.listOfN(n, Gen.chooseNum(1L, 20L))
+      b  <- Gen.oneOf((3L, 4L), (1L, 3L), (9L, 10L), (5L, 4L))
+    } yield (as.zip(ws).zipWithIndex.map { case ((a, w), i) => (f"s$i%02d", a, w) }, b)
+    // reference: round-by-round greedy — saturate every source whose
+    // availability fits under the current level (exact cross-multiply),
+    // shrink the budget, repeat; when a round saturates nobody, pour
+    // the remaining budget over the remaining weights at the frozen
+    // level with the same truncating division
+    def ref(items: List[(String, Long, Long)], b: Long): Map[String, Long] = {
+      var sat = Set.empty[String]
+      var remB = b
+      var alloc = Map.empty[String, Long]
+      var done = false
+      while (!done) {
+        val unsat = items.filterNot(i => sat(i._1))
+        if (unsat.isEmpty) done = true
+        else {
+          val tw = unsat.map(_._3).sum
+          val newly = unsat.filter { case (_, a, w) => a * tw <= remB * w }
+          if (newly.isEmpty) {
+            unsat.foreach { case (s, _, w) => alloc += s -> (remB * w) / tw }
+            done = true
+          } else newly.foreach { case (s, a, _) =>
+            alloc += s -> a; remB -= a; sat += s
+          }
+        }
+      }
+      alloc
+    }
+    check("waterfill", Prop.forAll(specGen) { case (items, (bn, bd)) =>
+      val tot = items.map(_._2).sum
+      val budget = (bn * tot) / bd
+      val expected = ref(items, budget)
+      val got = Pipeline.waterFill(spark,
+          items.toDF("source", "avail", "w"), bn, bd)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
+      got == expected
+    }, n = 12)
+  }
 }
