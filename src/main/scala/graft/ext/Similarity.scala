@@ -808,6 +808,21 @@ object Similarity {
     * model; the corpus embedding table never appears. */
   def queryIvfPqIndex(spark: SparkSession, dir: String, idxDir: String,
                       topK: Int = TopK): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
+    ivfPqCandidateDistances(spark, dir, idxDir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The probed-candidate ADC distance frame (query_id, vec_id,
+    * d2_fp) BEFORE any rank/threshold — the shared tail of every
+    * index-serving query type: s13/s17 rank it to top-k, s19
+    * thresholds it to a radius. Candidate-bounded (only vectors in
+    * the probed, tombstone-filtered lists), distances exact int64. */
+  private def ivfPqCandidateDistances(spark: SparkSession, dir: String,
+                                      idxDir: String): DataFrame = {
     val cen = spark.read.parquet(s"$idxDir/coarse_centroids")
     val pcen = spark.read.parquet(s"$idxDir/pq_codebooks")
     // partition column comes back type-inferred; pin it to long
@@ -836,7 +851,6 @@ object Similarity {
     // before touching the inverted lists).
     val probedLists = qProbe.select(col("ccid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
     val dtab = pqDist(qV, pcen)
       .select(col("vec_id").as("query_id"), col("sub"), col("cid"), col("d2"))
     codes.filter(col("ccid").isin(probedLists: _*))
@@ -845,10 +859,6 @@ object Similarity {
       .join(broadcast(dtab), Seq("query_id", "sub", "cid"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d2")).as("d2_fp"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2_fp"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** S13 — the full lifecycle as the gate entry: build on the ~90%
@@ -873,6 +883,51 @@ object Similarity {
     buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
     appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
     queryIvfPqIndex(spark, dir, idxDir)
+  }
+
+  /** S19 — RADIUS search from the persisted index (FAISS
+    * `range_search`, Milvus `search` with `radius`): the other query
+    * type a vector store serves — "every neighbor within distance R",
+    * not "the k nearest". Same probed-list candidate generation and
+    * exact int64 ADC distances as s13's top-k path (one shared tail,
+    * [[ivfPqCandidateDistances]]); the rank window is replaced by an
+    * exact integer threshold, so two engines agree bit-for-bit with
+    * NO margin analysis (the d2_fp grid is integral).
+    *
+    * The gate's deterministic radius is self-calibrated: R = the mean
+    * ADC distance of the standard top-k answer set (an exact 1-row
+    * integer aggregate over rows both engines already agree on) —
+    * dense queries then return well past k neighbors, sparse ones
+    * return none, which is exactly range semantics.
+    *
+    * Scale: candidates stay bounded by the probed, tombstone-filtered
+    * lists — but unlike top-k, range output is per-query UNBOUNDED in
+    * general (the documented range_search hazard), so the gate row is
+    * the per-query census (n_within + distance moments, ≤ |Q| rows,
+    * driver-assembled d18-style with the candidate cache released);
+    * the pair list itself stays distributed for callers that want
+    * it. */
+  def s19RadiusSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = s13IdxDir(dir)
+    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
+    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    val cand = ivfPqCandidateDistances(spark, dir, idxDir).cache()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
+    val r = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .agg(expr("sum(d2_fp) div count(1)").as("r"))
+      .collect()(0).getLong(0) // 1-row driver state: the radius
+    val census = cand.filter(col("d2_fp") <= r)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_within"), min(col("d2_fp")).as("min_d2_fp"),
+        max(col("d2_fp")).as("max_d2_fp"), sum(col("d2_fp")).as("sum_d2_fp"))
+      .orderBy(col("query_id"))
+      .collect() // ≤ |Q| rows — bounded census, d18's pattern
+    cand.unpersist()
+    spark.createDataFrame(census.toSeq.map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toDF("query_id", "n_within", "min_d2_fp", "max_d2_fp", "sum_d2_fp")
+      .orderBy(col("query_id"))
   }
 
   /** Retrain trigger for the appended index: when the APPENDED
@@ -1324,6 +1379,7 @@ object Similarity {
     "s11_recall_matrix"    -> (s11RecallMatrix _),
     "s12_ivf_pq"           -> (s12IvfPq _),
     "s13_persisted_index"  -> (s13PersistedIvfPq _),
+    "s19_radius_search"    -> (s19RadiusSearch _),
     "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
@@ -1578,6 +1634,25 @@ object Similarity {
     * "deletes never retrain, they only shrink the lists". Filtering
     * candidates alone suffices: a deleted row in the codes table can
     * only reach the answer through the candidate join. */
+  /** s19's mirror: s13's chain up to `approx` (all candidate
+    * distances), the radius as the same 1-row integer aggregate over
+    * the top-k subset, then the per-query census under the exact
+    * threshold. */
+  private lazy val s19OracleSql: String = {
+    val train = s"vec_id % 10 <> $S13AppendDigit"
+    s"""WITH ${kmeansListsCtes(train)},
+         ${pqCtes(train)},
+         ${ivfPqRankedCtes()},
+         rad AS (SELECT CAST(sum(d2_fp) AS BIGINT) // count(*) AS r
+                 FROM ranked WHERE rank <= $TopK)
+         SELECT a.query_id, count(*) AS n_within,
+                min(a.d2_fp) AS min_d2_fp, max(a.d2_fp) AS max_d2_fp,
+                CAST(sum(a.d2_fp) AS BIGINT) AS sum_d2_fp
+         FROM approx a, rad
+         WHERE a.d2_fp <= rad.r
+         GROUP BY 1 ORDER BY 1"""
+  }
+
   private lazy val s18OracleSql: String = {
     val train = s"vec_id % 10 <> $S13AppendDigit"
     s"""WITH ${kmeansListsCtes(train)},
@@ -1909,6 +1984,7 @@ object Similarity {
     "s11_recall_matrix" -> s11OracleSql,
     "s12_ivf_pq" -> s12OracleSql,
     "s13_persisted_index" -> s13OracleSql,
+    "s19_radius_search" -> s19OracleSql,
     "s18_index_delete" -> s18OracleSql,
     "s14_index_health" -> s14OracleSql,
     "s9_filtered_knn" ->

@@ -444,6 +444,37 @@ class Round9Spec extends AnyFunSuite {
         "iterative structure is real, not 8 independent argmaxes")
   }
 
+  // ---------- s19: radius search from the persisted index ----------
+
+  test("s19: census agrees with the top-k path — threshold respected, " +
+    "top-k hits within R are never missed") {
+    import graft.ext.Similarity
+    val census = Similarity.s19RadiusSearch(spark, dir).collect()
+    assert(census.nonEmpty, "the self-calibrated radius must catch someone")
+    val topk = Similarity.s13PersistedIvfPq(spark, dir).collect()
+    val radius = topk.map(_.getAs[Long]("d2_fp")).sum / topk.length
+    val byQuery = census.map(r => r.getLong(0) -> r).toMap
+    census.foreach { r =>
+      assert(r.getAs[Long]("max_d2_fp") <= radius,
+        s"a census row can never exceed the radius: $r vs $radius")
+      assert(r.getAs[Long]("min_d2_fp") <= r.getAs[Long]("max_d2_fp"))
+      val (n, mn, mx, sm) = (r.getAs[Long]("n_within"), r.getAs[Long]("min_d2_fp"),
+        r.getAs[Long]("max_d2_fp"), r.getAs[Long]("sum_d2_fp"))
+      assert(n * mn <= sm && sm <= n * mx, s"moment consistency: $r")
+    }
+    // the top-k answers are a subset of the radius candidates, so any
+    // query whose top-k path already found m hits within R must report
+    // n_within >= m (and in particular must APPEAR in the census)
+    topk.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val m = rows.count(_.getAs[Long]("d2_fp") <= radius)
+      if (m > 0) {
+        assert(byQuery.contains(q), s"query $q has $m top-k hits within R but no census row")
+        assert(byQuery(q).getAs[Long]("n_within") >= m.toLong,
+          s"radius search can only ADD neighbors past the top-k: $q")
+      }
+    }
+  }
+
   // ---------- e8: token-budget water-filling ----------
 
   test("e8: exact saturation both regimes, truncation remainder < |unsaturated|, " +
