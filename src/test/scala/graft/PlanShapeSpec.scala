@@ -121,6 +121,33 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st12: the streaming FULL OUTER join keeps the symmetric state-store shape") {
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.functions.col
+    val sd = java.nio.file.Files.createTempDirectory("events_stream_plan12")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      sd.resolve("events.parquet"))
+    val q = EventsStream.runToMemory(
+      EventsStream.attributionFullOuterStream(
+          EventsStream.readEventsStream(spark, sd.toString))
+        .select(col("user_id"), col("buy_id"), col("view_id")),
+      "st12_plan_probe", mode = "append")
+    try {
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+        q.explain()
+      }
+      val p = baos.toString("UTF-8")
+      // same stateful operator as st10/st4, in its last join mode:
+      // both sides keep watermark-bounded state and both emit
+      // null-extended rows on expiry
+      assert(p.contains("StreamingSymmetricHashJoin"), p)
+      assert(p.contains("FullOuter"), p)
+      assert(p.contains("EventTimeWatermark"), p)
+    } finally q.stop()
+  }
+
   test("q49: the global cumulative runs bucket-partitioned — no single-partition window") {
     val p = plan(graft.queries.AdvancedQueries.q49Pareto(spark, dir))
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
