@@ -414,6 +414,48 @@ object Pipeline {
            sum(col("n_tokens")).as("bin_tokens"))
       .orderBy(col("epoch"), col("quartile"))
 
+  /** Content-hash modulus for e9's order checksum: keeping each term
+    * pos·c under 2^40 (c < 2^20, pos < 2^20 bins/shard) bounds the
+    * int64 sum to 2^60 for up to a million bins per shard — the
+    * documented knob; past that, reduce the sum modulo 2^61−1 per
+    * partial (Mersenne fold) instead of widening. */
+  val E9HashMod = 1L << 20
+
+  /** E9 — the RESTART-INTEGRITY MANIFEST of the training order: per
+    * packing shard, the bin/doc/token census of epoch 1's order PLUS
+    * an order-sensitive checksum Σ pos·hash(shard,bin,n_docs,n_tokens)
+    * — the reproducibility artifact a real run writes next to its
+    * shards so a resume (or a re-run on different hardware) can prove
+    * it is reading EXACTLY the data, in EXACTLY the order, of the
+    * original run. A count/sum census cannot see two bins trading
+    * content while totals balance; the position-weighted content hash
+    * can (Round9Spec pins exactly that corruption, plus drop
+    * detection and recompute-determinism).
+    *
+    * Scale: one row per (shard) — the windows are shard-partitioned
+    * (e3's own partitioning), the manifest is |shards| rows, and the
+    * checksum is an int64 sum of bounded terms ([[E9HashMod]]). */
+  def e9OrderManifest(spark: SparkSession, dir: String): DataFrame =
+    manifestOf(e3FinalPacking(spark, dir))
+
+  /** Factored over an arbitrary bins frame so the spec can doctor the
+    * input and watch the checksum catch it. */
+  private[graft] def manifestOf(bins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("bin"))
+    bins.withColumn("h", e7OrderHash(lit(1)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("c", pmod(StableHash.hash64(concat(lit("e9:"),
+        col("shard").cast("string"), lit(":"), col("bin").cast("string"),
+        lit(":"), col("n_docs").cast("string"), lit(":"),
+        col("n_tokens").cast("string"))), lit(E9HashMod)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("pos") * col("c")).as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
   /** e8's budget: (3/4)·total available BPE tokens — a real
     * downsampling posture that lands the water level strictly inside
     * the spec ladder's ratio spread at every SF (measured: 10-11 of
@@ -504,6 +546,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_order_manifest" -> (e9OrderManifest _),
     "e8_token_budget"   -> (e8TokenBudget _),
     "e7_training_order" -> (e7TrainingOrder _),
     "e1_corpus_funnel"  -> (e1CorpusFunnel _),
@@ -755,6 +798,40 @@ object Pipeline {
     // e7: e3's bins CTE chain verbatim, cross-joined with the epoch
     // spine; the order hash is the same StableHash over the same
     // "e7:epoch:shard:bin" key, the quartile the same 2^58 division
+    // e9: e3's bins chain verbatim, then the epoch-1 order hash, the
+    // bounded content hash, the per-shard position window, and the
+    // position-weighted checksum rollup
+    "e9_order_manifest" ->
+      s"""WITH RECURSIVE $selectedCtes,
+         fin AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok
+                 FROM mx WHERE s5 = 1),
+         coff AS (
+           SELECT shard, n_tok,
+                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+           FROM fin),
+         bins AS (
+           SELECT shard, CAST(floor(start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
+                  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM coff GROUP BY 1, 2),
+         hb AS (
+           SELECT shard, bin, n_docs, n_tokens,
+                  (${StableHash.duckdbHash64(
+                    "'e7:1:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)")}) AS h,
+                  (${StableHash.duckdbHash64(
+                    "'e9:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)" +
+                      " || ':' || CAST(n_docs AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)")})
+                    % $E9HashMod AS c
+           FROM bins),
+         p AS (
+           SELECT shard, n_docs, n_tokens, c,
+                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, bin) AS BIGINT) AS pos
+           FROM hb)
+         SELECT shard, count(*) AS n_bins,
+                CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                CAST(sum(pos * c) AS BIGINT) AS order_checksum
+         FROM p GROUP BY 1 ORDER BY shard""",
     "e7_training_order" ->
       s"""WITH RECURSIVE $selectedCtes,
          fin AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok

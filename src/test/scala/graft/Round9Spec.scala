@@ -444,6 +444,48 @@ class Round9Spec extends AnyFunSuite {
         "iterative structure is real, not 8 independent argmaxes")
   }
 
+  // ---------- e9: restart-integrity manifest ----------
+
+  test("e9: checksum catches swapped composition at equal totals (census-blind), " +
+    "drops stay shard-local, recompute is stable") {
+    val bins = Pipeline.e3FinalPacking(spark, dir).cache()
+    val m1 = Pipeline.manifestOf(bins).collect()
+    assert(m1.toSeq === Pipeline.manifestOf(bins).collect().toSeq,
+      "a resumed run recomputing the manifest must reproduce it exactly")
+    bins.unpersist()
+    // doctor a CONSTRUCTED bins frame (manifestOf is input-agnostic;
+    // sf0.001's shards pack into single bins, so the swap needs a
+    // multi-bin shard built by hand): swap n_tokens between two bins
+    // of shard 0 — totals balance, so every count/sum column stays
+    // identical and only the position-weighted content hash can notice
+    import spark.implicits._
+    val synth = Seq((0L, 0L, 3L, 100L), (0L, 1L, 2L, 200L), (0L, 2L, 4L, 300L),
+        (1L, 0L, 1L, 50L), (1L, 1L, 2L, 60L))
+      .toDF("shard", "bin", "n_docs", "n_tokens")
+    val ms = Pipeline.manifestOf(synth).collect()
+    val doctored = synth.withColumn("n_tokens",
+      when(col("shard") === 0L && col("bin") === 0L, lit(200L))
+        .when(col("shard") === 0L && col("bin") === 1L, lit(100L))
+        .otherwise(col("n_tokens")))
+    val md = Pipeline.manifestOf(doctored).collect()
+    val orig = ms.find(_.getLong(0) == 0L).get
+    val doct = md.find(_.getLong(0) == 0L).get
+    assert(doct.getAs[Long]("n_bins") === orig.getAs[Long]("n_bins") &&
+      doct.getAs[Long]("n_docs") === orig.getAs[Long]("n_docs") &&
+      doct.getAs[Long]("n_tokens") === orig.getAs[Long]("n_tokens"),
+      "the census columns are provably blind to this corruption")
+    assert(doct.getAs[Long]("order_checksum") !== orig.getAs[Long]("order_checksum"),
+      "the order checksum must catch it")
+    // a dropped bin changes ITS shard's row and no other
+    val mdrop = Pipeline.manifestOf(
+      synth.filter(!(col("shard") === 0L && col("bin") === 1L))).collect()
+    assert(mdrop.find(_.getLong(0) == 0L).get.getAs[Long]("n_bins")
+      === orig.getAs[Long]("n_bins") - 1)
+    assert(mdrop.filterNot(_.getLong(0) == 0L).toSeq
+      === ms.filterNot(_.getLong(0) == 0L).toSeq,
+      "unrelated shards' manifests are untouched by a shard-local drop")
+  }
+
   // ---------- s19: radius search from the persisted index ----------
 
   test("s19: census agrees with the top-k path — threshold respected, " +
