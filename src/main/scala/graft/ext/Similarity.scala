@@ -885,6 +885,60 @@ object Similarity {
     queryIvfPqIndex(spark, dir, idxDir)
   }
 
+  /** S20 — approximate kNN-GRAPH construction: every vector's top-k
+    * neighbors, not just a query set's — the backbone ARTIFACT of
+    * graph-based indexes (HNSW's base layer, NN-Descent's goal state)
+    * and of SemDeDup-style clustering, where d6/d13 consume exactly
+    * such a neighborhood structure. All-pairs is quadratic and dead
+    * at any scale; the standard blocking answer (Dong et al.'s
+    * observation that neighbors share closures; FAISS's IVF
+    * assignment) is used here: vectors are candidates for each other
+    * only when one's [[IvfProbes]] nearest coarse centroids include
+    * the other's primary list — per-vector candidate volume is
+    * O(probes · list size), and list count GROWS with the corpus
+    * (stride seeding), so total candidate volume stays linear in n at
+    * fixed stride. Distances are exact int64 squared-L2 on the
+    * quantized grid (na + nb − 2·dot via the codegen'd
+    * LongDotProduct), so the oracle agrees bit-for-bit with no margin
+    * analysis; Round9Spec measures recall vs the brute-force graph on
+    * the same metric. */
+  /** s20's own probe width: the recall/cost knob of graph
+    * construction (measured at sf0.001: 2 probes → 0.56 recall@10,
+    * 3 probes → 0.72 — candidate volume stays linear,
+    * ~probes·list_size per vector). Wider than the query-path
+    * [[IvfProbes]] because construction is offline and pays once. */
+  val S20Probes = 3
+
+  def s20KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val qv = quantVecs(spark, dir)
+    val cen = kmeansCentroids(spark, qv)
+    // the graph is corpus×k — it stays DISTRIBUTED (unlike the
+    // bounded-census ops, collecting it would be a scale bug), so the
+    // plan is fully lazy: the probe ranking is re-derived per use
+    // rather than pinned in the block manager
+    val rc = rankCentroids(qv, cen).filter(col("r") <= S20Probes)
+      .select(col("vec_id"), col("cid"), col("r"))
+    val cand = rc // every probed list of u ...
+      .select(col("vec_id"), col("cid"))
+      .join(rc.filter(col("r") === 1) // ... meets primary members v
+        .select(col("vec_id").as("nb_id"), col("cid")), Seq("cid"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id")).distinct()
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val dot = ColumnShim.column(graft.functions.LongDotProduct(
+      ColumnShim.expression(col("va")), ColumnShim.expression(col("vb"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2_fp"), col("nb_id"))
+    cand
+      .join(qv.select(col("vec_id"), col("qv").as("va"), col("nv").as("na")), Seq("vec_id"))
+      .join(qv.select(col("vec_id").as("nb_id"), col("qv").as("vb"),
+        col("nv").as("nb")), Seq("nb_id"))
+      .withColumn("d2_fp", col("na") + col("nb") - lit(2L) * dot)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"), col("d2_fp"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** S19 — RADIUS search from the persisted index (FAISS
     * `range_search`, Milvus `search` with `radius`): the other query
     * type a vector store serves — "every neighbor within distance R",
@@ -1380,6 +1434,7 @@ object Similarity {
     "s12_ivf_pq"           -> (s12IvfPq _),
     "s13_persisted_index"  -> (s13PersistedIvfPq _),
     "s19_radius_search"    -> (s19RadiusSearch _),
+    "s20_knn_graph"        -> (s20KnnGraph _),
     "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
@@ -1634,6 +1689,37 @@ object Similarity {
     * "deletes never retrain, they only shrink the lists". Filtering
     * candidates alone suffices: a deleted row in the codes table can
     * only reach the answer through the candidate join. */
+  /** s20's mirror: the k-means chain's ranks for ALL vectors (probe =
+    * r ≤ IvfProbes, membership = r = 1), pair candidates inside the
+    * shared lists, exact integer d2 = na + nb − 2·dot via the
+    * expanded qv join, per-vector rank. */
+  private lazy val s20OracleSql: String =
+    s"""WITH ${kmeansListsCtes()},
+         probe AS (SELECT vec_id, cid FROM r$KmeansFin WHERE r <= $S20Probes),
+         cand AS (
+           SELECT DISTINCT p.vec_id, l.vec_id AS nb_id
+           FROM probe p JOIN lists l ON l.cid = p.cid
+           WHERE l.vec_id <> p.vec_id),
+         dots AS (
+           SELECT c.vec_id, c.nb_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+           FROM cand c
+           JOIN qv a ON a.vec_id = c.vec_id
+           JOIN qv b ON b.vec_id = c.nb_id AND b.i = a.i
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT d.vec_id, d.nb_id,
+                  CAST(na.nv + nb.nv - 2 * d.dot AS BIGINT) AS d2_fp
+           FROM dots d
+           JOIN nv na ON na.vec_id = d.vec_id
+           JOIN nv nb ON nb.vec_id = d.nb_id),
+         rk AS (
+           SELECT vec_id, nb_id, d2_fp,
+                  CAST(row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2_fp, nb_id) AS INTEGER) AS rank
+           FROM sc)
+         SELECT vec_id, nb_id AS neighbor_id, d2_fp, rank FROM rk
+         WHERE rank <= $TopK ORDER BY vec_id, rank"""
+
   /** s19's mirror: s13's chain up to `approx` (all candidate
     * distances), the radius as the same 1-row integer aggregate over
     * the top-k subset, then the per-query census under the exact
@@ -1985,6 +2071,7 @@ object Similarity {
     "s12_ivf_pq" -> s12OracleSql,
     "s13_persisted_index" -> s13OracleSql,
     "s19_radius_search" -> s19OracleSql,
+    "s20_knn_graph" -> s20OracleSql,
     "s18_index_delete" -> s18OracleSql,
     "s14_index_health" -> s14OracleSql,
     "s9_filtered_knn" ->

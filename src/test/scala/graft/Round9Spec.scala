@@ -444,6 +444,45 @@ class Round9Spec extends AnyFunSuite {
         "iterative structure is real, not 8 independent argmaxes")
   }
 
+  // ---------- s20: approximate kNN-graph construction ----------
+
+  test("s20: well-formed graph, exact distances, and measured recall vs brute force") {
+    import graft.ext.Similarity
+    val edges = Similarity.s20KnnGraph(spark, dir).collect()
+    // structural: contiguous ranks from 1, distances non-decreasing
+    // with rank, no self-edges
+    edges.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, es) =>
+      val sorted = es.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to es.length))
+      val ds = sorted.map(_.getAs[Long]("d2_fp")).toSeq
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      es.foreach(e => assert(e.getAs[Long]("neighbor_id") != v))
+    }
+    // brute-force ground truth on the SAME quantized-L2 metric
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val norms = raw.map { case (v, a) => v -> a.map(x => x * x).sum }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      -2L * s
+    }
+    val exact = raw.map { case (vi, a) =>
+      vi -> raw.filter(_._1 != vi)
+        .map { case (vj, b) => (norms(vi) + norms(vj) + d2(a, b), vj) }
+        .sortBy(x => (x._1, x._2)).take(Similarity.TopK).map(_._2).toSet
+    }.toMap
+    val hits = edges.count(e =>
+      exact(e.getAs[Long]("vec_id")).contains(e.getAs[Long]("neighbor_id")))
+    val recall = hits.toDouble / (raw.length * Similarity.TopK)
+    info(s"s20 recall@${Similarity.TopK} vs brute force: $recall")
+    // measured 0.72 at 3 probes on this corpus (0.56 at 2) — the
+    // floor sits well under it, pinning blocking quality, not luck
+    assert(recall >= 0.55, s"kNN-graph recall collapsed: $recall")
+  }
+
   // ---------- e9: restart-integrity manifest ----------
 
   test("e9: checksum catches swapped composition at equal totals (census-blind), " +
