@@ -444,6 +444,33 @@ class Round9Spec extends AnyFunSuite {
         "iterative structure is real, not 8 independent argmaxes")
   }
 
+  // ---------- cache hygiene of the round-9 self-releasing ops ----------
+
+  test("s19: no pinned blocks survive the operator in a bare session; " +
+    "p7 leaves only its result checkpoint") {
+    import graft.ext.{Graph, Similarity}
+    // s19 manages its own caches end-to-end (the d18 discipline the
+    // r8 verdict asked e4 to adopt): candidate cache released, index
+    // build self-contained — a bare session comes back clean without
+    // harness-level clearCache. (e9 is excluded: it traverses the
+    // shared BOUNDED model caches — |sources|-row rates, B-bucket
+    // DSIR — the audit-accepted pattern.)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.s19RadiusSearch(spark, dir).collect()
+    val afterS19 = spark.sparkContext.getPersistentRDDs.size
+    assert(afterS19 <= before,
+      s"s19 leaked pinned blocks: $before -> $afterS19")
+    // a graph op's RESULT is itself a localCheckpoint (it must outlive
+    // the harness call), and the d4 pair source keeps its one shared
+    // shingle cache (the cross-entry reuse pattern every consumer of
+    // the LSH graph inherits) — everything ELSE p7 pinned (degree
+    // edges, seed-mass vector, per-round ranks) must be freed
+    Graph.p7TrustRank(spark, dir).collect()
+    val afterP7 = spark.sparkContext.getPersistentRDDs.size
+    assert(afterP7 <= afterS19 + 2,
+      s"p7 pinned more than its result + d4's shared cache: $afterS19 -> $afterP7")
+  }
+
   // ---------- s20: approximate kNN-graph construction ----------
 
   test("s20: well-formed graph, exact distances, and measured recall vs brute force") {
