@@ -938,7 +938,7 @@ object Dedup {
     val theory = D21BandConfigs.foldLeft(lit(null).cast("long")) { (acc, b) =>
       when(col("bands") === b, lit(d21TheoryMinPermille(b))).otherwise(acc)
     }
-    pred.join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+    val report = pred.join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
       .groupBy(col("bands"))
       .agg(count(lit(1)).as("n_cand"),
            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
@@ -949,6 +949,12 @@ object Dedup {
       .select(col("bands"), col("rows_per_band"), col("n_cand"), col("n_hit"),
         col("n_truth"), col("recall_permille"), col("theory_min_permille"))
       .orderBy(col("bands"))
+    // |configs|-row report — bounded driver state: collect it, release
+    // the corpus-row-sized signature cache (d18's self-contained
+    // discipline), return a local relation
+    val rows = report.collect()
+    mh.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

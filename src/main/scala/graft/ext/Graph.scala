@@ -168,7 +168,11 @@ object Graph {
         .join(seedN.select(col("node"), lit(1).as("is_seed")), Seq("node"), "left")
         .crossJoin(broadcast(ns))
         .select(col("node"),
-          when(col("is_seed").isNotNull, expr(s"$Scale div n"))
+          // greatest(n, 1): a seed set disjoint from the graph makes
+          // n = 0 — all-zero trust is the defined degenerate on BOTH
+          // engines (DuckDB's // would otherwise raise div-by-zero
+          // while Spark's div yields null: a silent divergence)
+          when(col("is_seed").isNotNull, expr(s"$Scale div greatest(n, 1)"))
             .otherwise(lit(0L)).as("sv"))
         .repartition(width, col("node")).localCheckpoint()
       var ranks = mass.select(col("node"), col("sv").as("r")).localCheckpoint()
@@ -442,6 +446,7 @@ object Graph {
     * degree count, and the 1-row edge count (pair-bounded, the d16
     * vocab pattern). */
   def p6Modularity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.CheckpointShim
     val pairs = Dedup.d4MinhashLsh(spark, dir)
       .select(col("a_id"), col("b_id")).cache()
     val labels = labelPropagation(pairs, "a_id", "b_id") // (node, lbl), checkpointed
@@ -455,7 +460,7 @@ object Graph {
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("community_id"))
       .agg(count(lit(1)).as("intra_edges"))
-    labels.join(deg, Seq("node"))
+    val out = labels.join(deg, Seq("node"))
       .groupBy(col("lbl").as("community_id"))
       .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("deg_sum"))
       .join(intra, Seq("community_id"), "left")
@@ -466,6 +471,14 @@ object Graph {
       .select(col("community_id"), col("n_members"), col("intra_edges"),
         col("deg_sum"), col("q_num"))
       .orderBy(col("community_id"))
+      // p7's self-releasing discipline: materialize the
+      // |communities|-row result, then drop the pair cache and the
+      // labeling checkpoint — repeated invocations in one session pin
+      // only the result
+      .localCheckpoint()
+    pairs.unpersist()
+    CheckpointShim.unpersist(labels)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -635,7 +648,7 @@ object Graph {
                 FROM nodes JOIN seeds ON seeds.doc_id = nodes.node),
          sv AS MATERIALIZED (
            SELECT node, CASE WHEN sd.doc_id IS NOT NULL
-                        THEN CAST($Scale // (SELECT n FROM sn) AS BIGINT)
+                        THEN CAST($Scale // greatest((SELECT n FROM sn), 1) AS BIGINT)
                         ELSE CAST(0 AS BIGINT) END AS sv
            FROM nodes LEFT JOIN seeds sd ON sd.doc_id = nodes.node),
          r0 AS (SELECT node, sv AS r FROM sv),

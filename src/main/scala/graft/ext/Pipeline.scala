@@ -541,7 +541,11 @@ object Pipeline {
         .otherwise(least(col("avail"), expr("(tn * w) div td"))))
       .select(col("source"), col("w").as("weight"), col("avail").as("avail_tokens"),
         col("alloc").as("alloc_tokens"), col("saturated"),
-        expr("(1000 * alloc) div avail").as("fill_permille"))
+        // greatest(avail, 1): a spec row with avail = 0 (a declared
+        // source whose census came back empty) reports fill 0/1 = 0
+        // on BOTH engines instead of Spark-null vs DuckDB
+        // division-by-zero
+        expr("(1000 * alloc) div greatest(avail, 1)").as("fill_permille"))
       .orderBy(col("source"))
   }
 
@@ -767,7 +771,7 @@ object Pipeline {
          SELECT source, CAST(weight AS BIGINT) AS weight, avail_tokens,
                 CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
                 CAST(saturated AS INTEGER) AS saturated,
-                CAST((1000 * alloc_tokens) // avail_tokens AS BIGINT) AS fill_permille
+                CAST((1000 * alloc_tokens) // greatest(avail_tokens, 1) AS BIGINT) AS fill_permille
          FROM alloc ORDER BY source"""
 
   val oracles: Map[String, String] = Map(

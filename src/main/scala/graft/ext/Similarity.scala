@@ -967,9 +967,12 @@ object Similarity {
     appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
     val cand = ivfPqCandidateDistances(spark, dir, idxDir).cache()
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
+    // coalesce/greatest: an empty candidate frame (every probed list
+    // empty) must yield radius 0 → an empty census, not an NPE here
+    // (sum → null) or a div-by-zero in the DuckDB twin
     val r = cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
-      .agg(expr("sum(d2_fp) div count(1)").as("r"))
+      .agg(expr("coalesce(sum(d2_fp), 0) div greatest(count(1), 1)").as("r"))
       .collect()(0).getLong(0) // 1-row driver state: the radius
     val census = cand.filter(col("d2_fp") <= r)
       .groupBy(col("query_id"))
@@ -1065,9 +1068,28 @@ object Similarity {
   def compactIvfPqDeletes(spark: SparkSession, idxDir: String): Unit = {
     val delPath = new Path(s"$idxDir/deletes")
     val fs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
+    val codesDir = s"$idxDir/codes"
+    // CRASH RECOVERY before anything reads the codes table: a crash
+    // inside the rename loop below leaves a list's partition in
+    // codes.del_old with nothing yet at codes/ccid=… — computing the
+    // delete set from that partial table would silently lose the
+    // stranded list's live rows. Restore every aside partition whose
+    // home slot is empty (rollback to the old copy; the tombstone
+    // table is only cleared AFTER the aside dir is deleted, so the
+    // tombstones are still present and the re-run reconverges), then
+    // clear the aside/staging trees and proceed normally.
+    val oldRootIn = new Path(codesDir + ".del_old")
+    if (fs.exists(oldRootIn)) {
+      fs.listStatus(oldRootIn).foreach { st =>
+        val home = new Path(codesDir, st.getPath.getName)
+        if (!fs.exists(home) && !fs.rename(st.getPath, home))
+          throw new java.io.IOException(
+            s"delete-compact recovery failed: ${st.getPath} -> $home")
+      }
+      fs.delete(oldRootIn, true)
+    }
     if (!fs.exists(delPath)) return
     val del = spark.read.parquet(delPath.toString).select(col("vec_id")).distinct()
-    val codesDir = s"$idxDir/codes"
     val codes = spark.read.parquet(codesDir).withColumn("ccid", col("ccid").cast("long"))
     val affected = codes.join(broadcast(del), Seq("vec_id"), "left_semi")
       .select(col("ccid")).distinct().collect().map(_.getLong(0)).sorted
@@ -1729,7 +1751,8 @@ object Similarity {
     s"""WITH ${kmeansListsCtes(train)},
          ${pqCtes(train)},
          ${ivfPqRankedCtes()},
-         rad AS (SELECT CAST(sum(d2_fp) AS BIGINT) // count(*) AS r
+         rad AS (SELECT COALESCE(CAST(sum(d2_fp) AS BIGINT), 0)
+                          // greatest(count(*), 1) AS r
                  FROM ranked WHERE rank <= $TopK)
          SELECT a.query_id, count(*) AS n_within,
                 min(a.d2_fp) AS min_d2_fp, max(a.d2_fp) AS max_d2_fp,

@@ -345,24 +345,23 @@ object EventsStream {
     val pairs = attributionFullOuterPairs(
         e.filter(col("event_type") === "view"),
         e.filter(col("event_type") === "purchase"))
-      .cache() // pair-bounded; two census passes read it
-    val perBuy = pairs.filter(col("buy_id").isNotNull)
-      .groupBy(col("user_id"), col("buy_id"))
+    // ONE aggregation cascade over the three output partitions: the
+    // (user, buy) grain groups attributed views under their buy AND
+    // collects each user's orphan views under the null buy key, so the
+    // user rollup needs no second pass over the pairs (the former
+    // two-census + full-outer-join shape cached the corpus-sized pair
+    // frame; this one keeps zero pinned state and one fewer shuffle)
+    pairs.groupBy(col("user_id"), col("buy_id"))
       .agg(count(col("view_id")).as("n_views"))
-    val buySide = perBuy.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_buys"),
-        sum(when(col("n_views") > 0, 1L).otherwise(0L)).as("n_attributed_buys"),
-        sum(when(col("n_views") === 0, 1L).otherwise(0L)).as("n_orphan_buys"),
-        sum(col("n_views")).as("n_pairs"))
-    val orphanViews = pairs.filter(col("buy_id").isNull)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_orphan_views"))
-    buySide.join(orphanViews, Seq("user_id"), "full_outer")
-      .select(col("user_id"),
-        coalesce(col("n_buys"), lit(0L)).as("n_buys"),
-        coalesce(col("n_attributed_buys"), lit(0L)).as("n_attributed_buys"),
-        coalesce(col("n_orphan_buys"), lit(0L)).as("n_orphan_buys"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("n_orphan_views"), lit(0L)).as("n_orphan_views"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("buy_id").isNotNull, 1L).otherwise(0L)).as("n_buys"),
+        sum(when(col("buy_id").isNotNull && col("n_views") > 0, 1L)
+          .otherwise(0L)).as("n_attributed_buys"),
+        sum(when(col("buy_id").isNotNull && col("n_views") === 0, 1L)
+          .otherwise(0L)).as("n_orphan_buys"),
+        sum(when(col("buy_id").isNotNull, col("n_views")).otherwise(0L)).as("n_pairs"),
+        sum(when(col("buy_id").isNull, col("n_views")).otherwise(0L)).as("n_orphan_views"))
       .orderBy(col("user_id"))
   }
 

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Graph, Pipeline, Similarity}
+import graft.streaming.EventsStream
+
+/** Round-10 pins, part 1 — the r9 ADVICE items:
+  *
+  *  1. Delete-compaction CRASH RECOVERY: a crash between the two
+  *     renames of the per-list swap leaves a list stranded in
+  *     codes.del_old with nothing at its home slot; the next
+  *     compaction must restore it before computing the delete set
+  *     (otherwise the stranded list's live rows are silently lost).
+  *  2. Cache hygiene of d21/p6/st12: repeated invocations in one bare
+  *     session must not accumulate pinned corpus-row-sized blocks
+  *     (the self-releasing discipline Round9Spec pins for s19/p7).
+  *  3. trustRank's empty-seed degenerate: a seed set disjoint from
+  *     the graph yields all-ZERO trust on both engines, not
+  *     Spark-null vs DuckDB division-by-zero.
+  *  4. waterFill's avail=0 row: a declared source with an empty
+  *     census allocates 0 with fill_permille 0, never null.
+  */
+class Round10Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  // ---------- 1. compaction crash recovery ----------
+
+  test("s18 compact: a crash stranding a list in codes.del_old is recovered " +
+    "— the re-run restores the aside copy and loses no live rows") {
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_r10_crash_idx"
+    val basePred = col("vec_id") % 10 =!= 9
+    val delSlice = Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 6)
+    val delPath = new Path(s"$idxDir/deletes")
+    val fs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
+    def freshIndex(): Unit = {
+      if (fs.exists(delPath)) fs.delete(delPath, true)
+      fs.delete(new Path(s"$idxDir/codes.del_old"), true)
+      fs.delete(new Path(s"$idxDir/codes.del_tmp"), true)
+      Similarity.buildIvfPqIndex(spark, dir, idxDir, basePred, basePred)
+      Similarity.appendIvfPqIndex(spark, dir, idxDir, !basePred)
+    }
+    def codeRows(): Set[(Long, Int, Long, Long)] =
+      spark.read.parquet(s"$idxDir/codes")
+        .withColumn("ccid", col("ccid").cast("long")).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+          r.getAs[Long]("cid"), r.getAs[Long]("ccid"))).toSet
+
+    // reference: the clean delete lifecycle
+    freshIndex()
+    Similarity.deleteFromIvfPqIndex(spark, delSlice, idxDir)
+    Similarity.compactIvfPqDeletes(spark, idxDir)
+    val refCodes = codeRows()
+    val refAns = Similarity.queryIvfPqIndex(spark, dir, idxDir).collect().toSeq
+
+    // crash simulation: rebuild, tombstone, then strand one affected
+    // list aside exactly as a crash after the first rename would
+    freshIndex()
+    Similarity.deleteFromIvfPqIndex(spark, delSlice, idxDir)
+    val affected = spark.read.parquet(s"$idxDir/codes")
+      .withColumn("ccid", col("ccid").cast("long"))
+      .filter(col("vec_id") % 10 === 6)
+      .select(col("ccid")).distinct().collect().map(_.getLong(0))
+    assert(affected.nonEmpty, "the delete slice must touch some list")
+    val victim = affected.min
+    val victimLive = spark.read.parquet(s"$idxDir/codes")
+      .withColumn("ccid", col("ccid").cast("long"))
+      .filter(col("ccid") === victim && col("vec_id") % 10 =!= 6).count()
+    assert(victimLive > 0,
+      "the stranded list must carry live rows or the recovery pin is vacuous")
+    val oldRoot = new Path(s"$idxDir/codes.del_old")
+    fs.mkdirs(oldRoot)
+    assert(fs.rename(new Path(s"$idxDir/codes/ccid=$victim"),
+      new Path(s"$oldRoot/ccid=$victim")))
+
+    // the re-run must first restore the aside copy, then compact
+    Similarity.compactIvfPqDeletes(spark, idxDir)
+    assert(codeRows() === refCodes,
+      "recovered compaction must equal the crash-free compaction bit-for-bit")
+    assert(Similarity.queryIvfPqIndex(spark, dir, idxDir).collect().toSeq === refAns)
+    assert(!fs.exists(oldRoot), "the aside tree is cleared")
+    assert(!fs.exists(delPath), "tombstones are applied and cleared")
+  }
+
+  // ---------- 2. cache hygiene: d21 / p6 / st12 ----------
+
+  test("cache hygiene: repeated d21/p6/st12 invocations accumulate no " +
+    "corpus-row-sized pinned blocks") {
+    // st12 has no cache at all now (single aggregation cascade)
+    EventsStream.st12FullOuter(spark, dir).collect()
+    val st1 = spark.sparkContext.getPersistentRDDs.size
+    EventsStream.st12FullOuter(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size === st1,
+      "st12 must pin nothing across invocations")
+    // d21 collects its 3-row report and releases the signature cache;
+    // only the shared shingle cache (the d4 cross-entry pattern) stays
+    Dedup.d21LshTuning(spark, dir).collect()
+    val d1 = spark.sparkContext.getPersistentRDDs.size
+    Dedup.d21LshTuning(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size === d1,
+      "repeated d21 must not accumulate MinHash signature caches")
+    // p6's result is a localCheckpoint (it must outlive the call) —
+    // repeated invocations may pin at most that one result each
+    Graph.p6Modularity(spark, dir).collect()
+    val p1 = spark.sparkContext.getPersistentRDDs.size
+    Graph.p6Modularity(spark, dir).collect()
+    val p2 = spark.sparkContext.getPersistentRDDs.size
+    assert(p2 - p1 <= 1,
+      s"repeated p6 pinned more than its result checkpoint: $p1 -> $p2")
+  }
+
+  // ---------- 3. trustRank empty-seed degenerate ----------
+
+  test("trustRank: seeds disjoint from the graph yield all-zero trust, not nulls") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val seeds = Seq(99L).toDF("node")
+    val out = Graph.trustRank(pairs, "a_id", "b_id", seeds).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("r")), "trust must never be null")
+      assert(r.getAs[Long]("r") === 0L, "zero seed mass propagates zero trust")
+    }
+  }
+
+  // ---------- 4. waterFill avail=0 row ----------
+
+  test("e8 waterFill: a zero-availability source allocates 0 with fill 0, " +
+    "never null") {
+    import spark.implicits._
+    val spec = Seq(("a", 0L, 5L), ("b", 1000L, 1L), ("c", 500L, 2L))
+      .toDF("source", "avail", "w")
+    val rows = Pipeline.waterFill(spark, spec).collect()
+    assert(rows.length === 3)
+    val a = rows.find(_.getString(0) == "a").get
+    assert(a.getAs[Long]("alloc_tokens") === 0L)
+    assert(a.getAs[Long]("saturated") === 1,
+      "an empty source is trivially saturated (alloc = avail = 0)")
+    assert(a.getAs[Long]("fill_permille") === 0L)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("fill_permille")))
+      assert(!r.isNullAt(r.fieldIndex("alloc_tokens")))
+    }
+  }
+}
