@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,6 +26,89 @@ import graft.functions.StableHash
   */
 object Pipeline {
 
+  // ---------------------------------------------------------------
+  // PERSISTED PIPELINE ARTIFACTS — the s13 persist-once pattern
+  // applied to the e-family. A real training-data pipeline's stages
+  // are materialized, checkpointed TABLES (every production stack
+  // writes its dedup labels, per-doc decisions, and packed shards to
+  // storage between stages); re-deriving the whole e1→e3 funnel per
+  // query was gate scaffolding, not the production shape. One fixed
+  // per-(version, sf-dir) parquet root now holds the stage DAG:
+  //
+  //   labels/    (node, cluster_id)               — d7's global CC labeling
+  //   docflags/  (doc_id, source, n_tok, s1..s5,
+  //               rate_ppm)                       — per-doc funnel + frozen-
+  //                                                 model selection decisions
+  //   bins/      (shard, bin, n_docs, n_tokens)   — e3's packed context windows
+  //   manifest/  (shard, n_bins, n_docs,
+  //               n_tokens, order_checksum)       — e9's restart-integrity
+  //                                                 artifact, written BESIDE
+  //                                                 the bins as its doc promises
+  //
+  // Each table is built on demand from its PARENT table's parquet
+  // (never recomputed from scratch), gated on Spark's _SUCCESS marker
+  // (a crashed write has no marker and rebuilds — overwrite mode makes
+  // the rebuild idempotent). Gate entries read the artifacts: e1/e2
+  // aggregate docflags, e3/e7 read bins, e9 reads the manifest, e6 and
+  // the e4/e5 ingest paths read labels. [[EArtifactVersion]] is part
+  // of the root path — bump it whenever flag semantics change so a
+  // stale tree from an older build can never serve. Round10Spec pins
+  // artifact-served ≡ freshly-derived for every consumer.
+  //
+  // 100 TB posture: the artifacts live where the corpus lives (here
+  // java.io.tmpdir stands in for the warehouse); stage cost is paid
+  // once per corpus version instead of once per downstream query, and
+  // the incremental path for the labels table is d11's fold.
+  // ---------------------------------------------------------------
+
+  val EArtifactVersion = 1
+
+  private[graft] def eArtifactRoot(dir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    s"${System.getProperty("java.io.tmpdir")}/graft_e_artifacts_v${EArtifactVersion}_$tag"
+  }
+
+  /** Build `table` under the artifact root iff its _SUCCESS marker is
+    * absent, then return the frame READ FROM PARQUET (so every
+    * consumer serves from the artifact, never the build plan). */
+  private def ensureArtifact(spark: SparkSession, dir: String, table: String)
+                            (build: => DataFrame): DataFrame = {
+    val path = s"${eArtifactRoot(dir)}/$table"
+    val ok = new Path(s"$path/_SUCCESS")
+    val fs = FileSystem.get(ok.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ok)) build.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** d7's global CC labeling — the root of the artifact DAG, shared
+    * by the funnel's dedup stage, the e4/e5 ingest drops, and e6's
+    * cluster-atomic split key. */
+  private[graft] def labelsDerived(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+
+  private def labelsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "labels")(labelsDerived(spark, dir))
+
+  /** Non-canonical members of a labeling = the docs dedup drops (one
+    * definition with Dedup.nonCanonicalDocs' semantics, over an
+    * already-materialized labels table). */
+  private def dropsOf(labels: DataFrame): DataFrame =
+    labels.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
+
+  private def docFlagsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "docflags")(
+      docFlagsDerived(spark, dir, labelsArtifact(spark, dir)))
+
+  private def binsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "bins")(
+      binsFrom(docFlagsArtifact(spark, dir)))
+
+  private def manifestArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "manifest")(
+      manifestOf(binsArtifact(spark, dir)))
+
   /** E1 — the composed corpus-preparation funnel. Stages are
     * CUMULATIVE (a doc must survive every earlier stage to be
     * counted at a later one), mirroring a real pipeline's order:
@@ -32,9 +116,10 @@ object Pipeline {
     * then decontamination. */
   /** The shared per-doc funnel frame: every non-eval doc with its
     * token count and CUMULATIVE stage-survival flags s1 (dedup), s2
-    * (quality), s3 (decontam) — e1 aggregates it directly; e2/e3
-    * continue the clean (s3) set through selection and mixing. */
-  private def funnelFrame(spark: SparkSession, dir: String): DataFrame = {
+    * (quality), s3 (decontam) — the first three columns of the
+    * docflags artifact. `labels` is the materialized CC labeling. */
+  private def funnelFrame(spark: SparkSession, dir: String,
+                          labels: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("_w"))
     val isEval = TextAnalysis.isEvalDoc
@@ -42,8 +127,8 @@ object Pipeline {
     // stage 1 — global near-dup labeling over the WHOLE corpus (the
     // labeling must see eval docs too: a train doc that duplicates an
     // eval doc is exactly what the canonical-copy rule must catch).
-    // Shared helper with d15 — structurally the same drop set.
-    val drops = Dedup.nonCanonicalDocs(spark, dir).withColumn("dup", lit(1L))
+    // Same drop set as d15's, served from the labels artifact.
+    val drops = dropsOf(labels).withColumn("dup", lit(1L))
 
     // stage 2 — t9's duplicate-3-gram fraction, row-local
     val total = greatest(size(Dedup.shinglesOf(col("_w"))), lit(1))
@@ -65,8 +150,8 @@ object Pipeline {
         col("s1"), col("s2"), col("s3"))
   }
 
-  def e1CorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
-    funnelFrame(spark, dir)
+  def e1CorpusFunnel(spark: SparkSession, dir: String): DataFrame =
+    docFlagsArtifact(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_pool"),
            sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_dedup"),
@@ -75,44 +160,48 @@ object Pipeline {
            sum(when(col("s3"), col("n_tok")).otherwise(0L))
              .as("clean_tokens"))
       .orderBy(col("source"))
-  }
 
-  /** The clean set extended with the two remaining pipeline flags:
-    * s4 (DSIR selection — t21's standalone model and cut, with the
-    * target domain kept by definition) and s5 (temperature mixing —
-    * t16's full-corpus rate table and hash lottery). Reusing the
-    * STANDALONE operators' models is the point: e2 composes the
-    * pipeline, it does not re-fit each stage on its shrunken input,
-    * so every flag reconciles 1:1 with the standalone op (spec). */
-  private def selectedFrame(spark: SparkSession, dir: String): DataFrame = {
-    val clean = funnelFrame(spark, dir).filter(col("s3"))
-      .select(col("doc_id"), col("source"), col("n_tok"))
+  /** The full per-doc decision table behind the docflags artifact:
+    * the funnel flags (s1..s3) extended with the two remaining
+    * pipeline stages — s4 (DSIR selection: t21's standalone model and
+    * cut, target domain kept by definition) and s5 (temperature
+    * mixing: t16's full-corpus rate table and hash lottery).
+    * Reusing the STANDALONE operators' models is the point: this
+    * composes the pipeline, it does not re-fit each stage on its
+    * shrunken input, so every flag reconciles 1:1 with the standalone
+    * op (spec). rate_ppm rides along (left join) so e2 can reproduce
+    * the rated-source semantics without re-reading the rate table:
+    * null marks a source with no mix-rate row, whose docs never
+    * reach the final mix. */
+  private[graft] def docFlagsDerived(spark: SparkSession, dir: String,
+                                     labels: DataFrame): DataFrame = {
     val perDocFull = TextAnalysis.dsirPerDoc(spark, dir)
     val perDoc = perDocFull.select(col("doc_id"), col("logw"))
     val cut = TextAnalysis.dsirCut(perDocFull)
     val rates = TextAnalysis.mixRates(spark, dir)
-    clean
+    funnelFrame(spark, dir, labels)
       .join(perDoc, Seq("doc_id"), "left")
       .crossJoin(broadcast(cut))
       // target-domain docs are in-domain by definition; pool docs
       // survive iff their importance weight clears t21's cut (margin
       // measured in Round5Spec for the standalone op; same compare)
-      .withColumn("s4",
-        col("source") === TextAnalysis.DsirTarget || col("logw") > col("cut"))
-      .join(broadcast(rates), Seq("source"))
+      .withColumn("s4", col("s3") &&
+        (col("source") === TextAnalysis.DsirTarget || col("logw") > col("cut")))
+      .join(broadcast(rates), Seq("source"), "left")
       .withColumn("s5", col("s4") && TextAnalysis.mixKeepHash < col("rate_ppm"))
-      .select(col("doc_id"), col("source"), col("n_tok"), col("s4"), col("s5"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("s1"), col("s2"), col("s3"), col("s4"), col("s5"), col("rate_ppm"))
   }
 
   /** E2 — the pipeline COMPLETED: e1's clean set → t21 DSIR
     * selection → t16 temperature mixing, per-source funnel with the
-    * final token mass a training run would actually consume. Scale
-    * shape: the union of the parts — the DSIR model is B buckets and
-    * the rate table |sources| rows (both broadcast), the selection
-    * and mixing decisions are row-local, and the rollup is one hash
-    * agg; nothing new shuffles beyond e1's stages. */
+    * final token mass a training run actually consumes. Served from
+    * the docflags artifact: one narrow scan + one hash agg; the
+    * rate_ppm IS NOT NULL filter reproduces the rated-source join
+    * semantics of the derivation. */
   def e2SelectionMix(spark: SparkSession, dir: String): DataFrame =
-    selectedFrame(spark, dir)
+    docFlagsArtifact(spark, dir)
+      .filter(col("s3") && col("rate_ppm").isNotNull)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_clean"),
            sum(when(col("s4"), 1L).otherwise(0L)).as("n_selected"),
@@ -120,24 +209,31 @@ object Pipeline {
            sum(when(col("s5"), col("n_tok")).otherwise(0L)).as("final_tokens"))
       .orderBy(col("source"))
 
-  /** E3 — the LAST pipeline step: the mixed corpus laid into
-    * fixed-capacity context windows with t13's shard-local stream
-    * packing (same shard hash, same capacity, same straddle rule),
-    * so the funnel ends where a training job begins — at batches.
-    * Per-(shard, bin) doc/token counts; one window per shard at any
+  /** t13's shard-local stream packing over the mixed (s5) set — the
+    * bins-artifact builder: same shard hash, same capacity, same
+    * straddle rule as the standalone t13; one window per shard at any
     * corpus size, no global sort. */
-  def e3FinalPacking(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def binsFrom(flags: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    selectedFrame(spark, dir).filter(col("s5"))
+    flags.filter(col("s5"))
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(TextAnalysis.PackShards)).as("shard"), col("n_tok"))
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("bin", floor(col("start_off") / TextAnalysis.PackCapacity))
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      .orderBy(col("shard"), col("bin"))
   }
+
+  /** E3 — the LAST pipeline step: the mixed corpus laid into
+    * fixed-capacity context windows, so the funnel ends where a
+    * training job begins — at batches. Served from the bins
+    * artifact (the packed-shard table a training job actually
+    * reads). */
+  def e3FinalPacking(spark: SparkSession, dir: String): DataFrame =
+    binsArtifact(spark, dir)
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
+      .orderBy(col("shard"), col("bin"))
 
   /** The ~10% "newly arrived" slice for the e4 gate entry: every 10th
     * row-BLOCK within each source ((doc_id div 20) cycles the
@@ -172,11 +268,11 @@ object Pipeline {
       .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("_w"))
     val frozenEval = TextAnalysis.isEvalDoc && basePred
     // stage 1 — near-dup canonical labeling stays GLOBAL (base+delta:
-    // a new doc duplicating a kept base doc must drop). The
-    // incremental path for this stage is d11's fold ≡ rebuild CC —
-    // e4 uses the converged labels, which d11 proves the incremental
-    // fold reaches.
-    val drops = Dedup.nonCanonicalDocs(spark, dir).withColumn("dup", lit(1L))
+    // a new doc duplicating a kept base doc must drop). Served from
+    // the labels artifact; the incremental path for this stage is
+    // d11's fold ≡ rebuild CC — e4 uses the converged labels, which
+    // d11 proves the incremental fold reaches.
+    val drops = dropsOf(labelsArtifact(spark, dir)).withColumn("dup", lit(1L))
     // stage 2 — t9's dup-fraction, row-local on the delta rows
     val total = greatest(size(Dedup.shinglesOf(col("_w"))), lit(1))
     val dupFrac = (total - size(array_distinct(Dedup.shinglesOf(col("_w")))))
@@ -323,10 +419,12 @@ object Pipeline {
     * near-dup clusters — never individual members — into a split.
     * Factored out so Round9Spec can pin the cluster-atomicity and
     * exhaustiveness laws at the doc grain. */
-  private[graft] def e6DocSplits(spark: SparkSession, dir: String): DataFrame = {
-    val labels = Dedup
-      .connectedComponents(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
-      .select(col("node").as("doc_id"), col("cluster_id"))
+  private[graft] def e6DocSplits(spark: SparkSession, dir: String): DataFrame =
+    e6DocSplitsFrom(spark, dir, labelsArtifact(spark, dir))
+
+  private[graft] def e6DocSplitsFrom(spark: SparkSession, dir: String,
+                                     ccLabels: DataFrame): DataFrame = {
+    val labels = ccLabels.select(col("node").as("doc_id"), col("cluster_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
@@ -404,7 +502,7 @@ object Pipeline {
     * the BIN directory (windows × a few counters, ≪ corpus — the
     * payload rows follow their bin). */
   def e7TrainingOrder(spark: SparkSession, dir: String): DataFrame =
-    e3FinalPacking(spark, dir)
+    binsArtifact(spark, dir)
       .withColumn("epoch", explode(array((1 to E7Epochs).map(lit(_)): _*)))
       .withColumn("h", e7OrderHash(col("epoch")))
       .withColumn("quartile", expr(s"h div $E7QuartileDiv"))
@@ -434,9 +532,14 @@ object Pipeline {
     *
     * Scale: one row per (shard) — the windows are shard-partitioned
     * (e3's own partitioning), the manifest is |shards| rows, and the
-    * checksum is an int64 sum of bounded terms ([[E9HashMod]]). */
+    * checksum is an int64 sum of bounded terms ([[E9HashMod]]).
+    * Served from the PERSISTED manifest artifact — the file a resume
+    * actually opens, written beside the bins it describes. */
   def e9OrderManifest(spark: SparkSession, dir: String): DataFrame =
-    manifestOf(e3FinalPacking(spark, dir))
+    manifestArtifact(spark, dir)
+      .select(col("shard"), col("n_bins"), col("n_docs"), col("n_tokens"),
+        col("order_checksum"))
+      .orderBy(col("shard"))
 
   /** Factored over an arbitrary bins frame so the spec can doctor the
     * input and watch the checksum catch it. */

@@ -120,6 +120,59 @@ class Round10Spec extends AnyFunSuite {
       s"repeated p6 pinned more than its result checkpoint: $p1 -> $p2")
   }
 
+  // ---------- persisted e-family artifacts ----------
+
+  test("e-artifacts: artifact-served tables equal the fresh derivation " +
+    "for every stage of the DAG (labels -> docflags -> bins -> manifest)") {
+    // force a cold build so the pin covers the build path, not a
+    // leftover tree from an earlier session
+    val root = new Path(Pipeline.eArtifactRoot(dir))
+    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // gate entries (artifact-served) — triggers the build
+    val e1 = Pipeline.e1CorpusFunnel(spark, dir)
+    val e3 = Pipeline.e3FinalPacking(spark, dir)
+    val e9 = Pipeline.e9OrderManifest(spark, dir)
+    val e6 = Pipeline.e6LeakageSplit(spark, dir)
+    // fresh derivation, bypassing the artifact tree entirely
+    val labelsD = Pipeline.labelsDerived(spark, dir)
+    val flagsD = Pipeline.docFlagsDerived(spark, dir, labelsD)
+    val binsD = Pipeline.binsFrom(flagsD)
+    val e1D = flagsD.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pool"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_quality"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("s3"), col("n_tok")).otherwise(0L)).as("clean_tokens"))
+    assert(rows(e1) === rows(e1D), "e1 artifact-served != derived")
+    assert(rows(e3) === rows(binsD), "e3 artifact-served != derived")
+    assert(rows(e9) === rows(Pipeline.manifestOf(binsD)),
+      "e9 artifact-served != derived")
+    val e6D = Pipeline.e6DocSplitsFrom(spark, dir, labelsD)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    assert(rows(e6) === rows(e6D), "e6 artifact-served != derived")
+  }
+
+  test("e-artifacts: a crashed (marker-less) table rebuilds; a complete " +
+    "one is served without rebuilding") {
+    val root = Pipeline.eArtifactRoot(dir)
+    val marker = new Path(s"$root/docflags/_SUCCESS")
+    val fs = FileSystem.get(marker.toUri, spark.sparkContext.hadoopConfiguration)
+    val before = Pipeline.e1CorpusFunnel(spark, dir).collect().toSeq // ensures built
+    // simulate a crash mid-write: data present, marker gone
+    assert(fs.exists(marker))
+    fs.delete(marker, false)
+    assert(Pipeline.e1CorpusFunnel(spark, dir).collect().toSeq === before,
+      "rebuild after a marker-less (crashed) write must reproduce the table")
+    assert(fs.exists(marker), "the rebuild restores the completeness marker")
+    // served path: mutate the parquet tree's mtime-invisible content by
+    // checking the marker short-circuits (no exception, same rows)
+    assert(Pipeline.e1CorpusFunnel(spark, dir).collect().toSeq === before)
+  }
+
   // ---------- 3. trustRank empty-seed degenerate ----------
 
   test("trustRank: seeds disjoint from the graph yield all-zero trust, not nulls") {
