@@ -904,26 +904,16 @@ object Similarity {
     * the same metric. */
   /** s20's own probe width: the recall/cost knob of graph
     * construction (measured at sf0.001: 2 probes → 0.56 recall@10,
-    * 3 probes → 0.72 — candidate volume stays linear,
-    * ~probes·list_size per vector). Wider than the query-path
-    * [[IvfProbes]] because construction is offline and pays once. */
+    * 3 probes → 0.72 before the descent round). Wider than the
+    * query-path [[IvfProbes]] because construction is offline and
+    * pays once. */
   val S20Probes = 3
 
-  def s20KnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val qv = quantVecs(spark, dir)
-    val cen = kmeansCentroids(spark, qv)
-    // the graph is corpus×k — it stays DISTRIBUTED (unlike the
-    // bounded-census ops, collecting it would be a scale bug), so the
-    // plan is fully lazy: the probe ranking is re-derived per use
-    // rather than pinned in the block manager
-    val rc = rankCentroids(qv, cen).filter(col("r") <= S20Probes)
-      .select(col("vec_id"), col("cid"), col("r"))
-    val cand = rc // every probed list of u ...
-      .select(col("vec_id"), col("cid"))
-      .join(rc.filter(col("r") === 1) // ... meets primary members v
-        .select(col("vec_id").as("nb_id"), col("cid")), Seq("cid"))
-      .filter(col("vec_id") =!= col("nb_id"))
-      .select(col("vec_id"), col("nb_id")).distinct()
+  /** Exact top-k per vector over an arbitrary candidate pair frame —
+    * the shared rank tail of s20's blocking round and its descent
+    * refinement: codegen'd integer distances (na + nb − 2·dot), rank
+    * window partitioned per vector, ties on nb_id. */
+  private def knnRankTopK(cand: DataFrame, qv: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val dot = ColumnShim.column(graft.functions.LongDotProduct(
       ColumnShim.expression(col("va")), ColumnShim.expression(col("vb"))))
@@ -935,6 +925,57 @@ object Similarity {
       .withColumn("d2_fp", col("na") + col("nb") - lit(2L) * dot)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
+      .select(col("vec_id"), col("nb_id"), col("d2_fp"), col("rank"))
+  }
+
+  /** Round 1 of the graph build: IVF-blocked candidates (vectors are
+    * candidates for each other only when one's [[S20Probes]] nearest
+    * coarse centroids include the other's primary list) ranked to
+    * top-k. Factored so Round10Spec can measure the descent round's
+    * recall lift against this baseline. */
+  private[graft] def s20Round1Graph(spark: SparkSession, dir: String): DataFrame =
+    s20Round1Graph(spark, dir, quantVecs(spark, dir))
+
+  private def s20Round1Graph(spark: SparkSession, dir: String,
+                             qv: DataFrame): DataFrame = {
+    val cen = kmeansCentroids(spark, qv)
+    val rc = rankCentroids(qv, cen).filter(col("r") <= S20Probes)
+      .select(col("vec_id"), col("cid"), col("r"))
+    val cand = rc // every probed list of u ...
+      .select(col("vec_id"), col("cid"))
+      .join(rc.filter(col("r") === 1) // ... meets primary members v
+        .select(col("vec_id").as("nb_id"), col("cid")), Seq("cid"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id")).distinct()
+    knnRankTopK(cand, qv)
+  }
+
+  def s20KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val qv = quantVecs(spark, dir)
+    // round 1 is read three times below (both sides of the two-hop
+    // self-join + the union floor) — cache it for the call; the final
+    // graph itself stays DISTRIBUTED and lazy (corpus×k — collecting
+    // or checkpointing it would be a scale bug), and the harness's
+    // clearCache releases the round-1 block after the action
+    val g1 = s20Round1Graph(spark, dir, qv).cache()
+    // ONE NN-Descent refinement round (Dong et al., WWW'11): a
+    // vector's improved candidates are its neighbors' neighbors over
+    // the SYMMETRIZED round-1 graph (forward + reverse edges — the
+    // reverse direction is what lets a vector escape its own probed
+    // lists), unioned with its round-1 answer so the refinement is
+    // monotone (exact re-rank over a superset can only improve
+    // recall). Candidate volume is O(n·(2k)²) — linear in n at fixed
+    // k, independent of list sizes; measured recall@10 at sf0.001:
+    // 0.72 → 0.89 at unchanged probe count (Round10Spec).
+    val sym = g1.select(col("vec_id"), col("nb_id"))
+      .union(g1.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
+    val cand2 = sym.select(col("vec_id"), col("nb_id").as("mid"))
+      .join(sym.select(col("vec_id").as("mid"), col("nb_id")), Seq("mid"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id"))
+      .union(g1.select(col("vec_id"), col("nb_id")))
+      .distinct()
+    knnRankTopK(cand2, qv)
       .select(col("vec_id"), col("nb_id").as("neighbor_id"), col("d2_fp"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
   }
@@ -1712,9 +1753,12 @@ object Similarity {
     * candidates alone suffices: a deleted row in the codes table can
     * only reach the answer through the candidate join. */
   /** s20's mirror: the k-means chain's ranks for ALL vectors (probe =
-    * r ≤ IvfProbes, membership = r = 1), pair candidates inside the
+    * r ≤ S20Probes, membership = r = 1), pair candidates inside the
     * shared lists, exact integer d2 = na + nb − 2·dot via the
-    * expanded qv join, per-vector rank. */
+    * expanded qv join, per-vector rank — then ONE NN-Descent round:
+    * two-hop candidates over the symmetrized round-1 top-k, unioned
+    * with round 1, re-scored with the same exact distance and
+    * re-ranked. */
   private lazy val s20OracleSql: String =
     s"""WITH ${kmeansListsCtes()},
          probe AS (SELECT vec_id, cid FROM r$KmeansFin WHERE r <= $S20Probes),
@@ -1738,8 +1782,33 @@ object Similarity {
            SELECT vec_id, nb_id, d2_fp,
                   CAST(row_number() OVER (PARTITION BY vec_id
                     ORDER BY d2_fp, nb_id) AS INTEGER) AS rank
-           FROM sc)
-         SELECT vec_id, nb_id AS neighbor_id, d2_fp, rank FROM rk
+           FROM sc),
+         g1 AS (SELECT vec_id, nb_id FROM rk WHERE rank <= $TopK),
+         sym AS (SELECT vec_id, nb_id FROM g1
+                 UNION SELECT nb_id, vec_id FROM g1),
+         cand2 AS (
+           SELECT a.vec_id, b.nb_id
+           FROM sym a JOIN sym b ON b.vec_id = a.nb_id
+           WHERE a.vec_id <> b.nb_id
+           UNION SELECT vec_id, nb_id FROM g1),
+         dots2 AS (
+           SELECT c.vec_id, c.nb_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+           FROM cand2 c
+           JOIN qv a ON a.vec_id = c.vec_id
+           JOIN qv b ON b.vec_id = c.nb_id AND b.i = a.i
+           GROUP BY 1, 2),
+         sc2 AS (
+           SELECT d.vec_id, d.nb_id,
+                  CAST(na.nv + nb.nv - 2 * d.dot AS BIGINT) AS d2_fp
+           FROM dots2 d
+           JOIN nv na ON na.vec_id = d.vec_id
+           JOIN nv nb ON nb.vec_id = d.nb_id),
+         rk2 AS (
+           SELECT vec_id, nb_id, d2_fp,
+                  CAST(row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2_fp, nb_id) AS INTEGER) AS rank
+           FROM sc2)
+         SELECT vec_id, nb_id AS neighbor_id, d2_fp, rank FROM rk2
          WHERE rank <= $TopK ORDER BY vec_id, rank"""
 
   /** s19's mirror: s13's chain up to `approx` (all candidate

@@ -173,6 +173,44 @@ class Round10Spec extends AnyFunSuite {
     assert(Pipeline.e1CorpusFunnel(spark, dir).collect().toSeq === before)
   }
 
+  // ---------- s20: NN-Descent refinement round ----------
+
+  test("s20: the descent round lifts recall over the blocked round-1 graph " +
+    "at unchanged probe count, and never loses a round-1 neighbor set's quality") {
+    // brute-force ground truth on the same quantized-L2 metric
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val norms = raw.map { case (v, a) => v -> a.map(x => x * x).sum }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      -2L * s
+    }
+    val exact = raw.map { case (vi, a) =>
+      vi -> raw.filter(_._1 != vi)
+        .map { case (vj, b) => (norms(vi) + norms(vj) + d2(a, b), vj) }
+        .sortBy(x => (x._1, x._2)).take(Similarity.TopK).map(_._2).toSet
+    }.toMap
+    def recallOf(edges: Array[org.apache.spark.sql.Row],
+                 vCol: String, nCol: String): Double =
+      edges.count(e => exact(e.getAs[Long](vCol)).contains(e.getAs[Long](nCol)))
+        .toDouble / (raw.length * Similarity.TopK)
+    val r1 = recallOf(Similarity.s20Round1Graph(spark, dir).collect(),
+      "vec_id", "nb_id")
+    val r2 = recallOf(Similarity.s20KnnGraph(spark, dir).collect(),
+      "vec_id", "neighbor_id")
+    info(s"s20 recall@${Similarity.TopK}: round-1 $r1 -> refined $r2")
+    assert(r2 >= r1,
+      "the descent round re-ranks a SUPERSET of round-1 candidates with the " +
+        "exact metric — recall can only improve")
+    // measured at sf0.001: 0.72 round-1 -> 0.89 refined; the floor
+    // pins a real lift, not luck
+    assert(r2 >= r1 + 0.05, s"descent round bought no measurable lift: $r1 -> $r2")
+    assert(r2 >= 0.85, s"refined recall collapsed: $r2")
+  }
+
   // ---------- 3. trustRank empty-seed degenerate ----------
 
   test("trustRank: seeds disjoint from the graph yield all-zero trust, not nulls") {
