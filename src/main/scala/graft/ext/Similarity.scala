@@ -1199,6 +1199,72 @@ object Similarity {
     queryIvfPqIndex(spark, dir, idxDir)
   }
 
+  // ---------------------------------------------------------------
+  // S21 — the UPDATE verb of the persisted vector store: the one
+  // lifecycle operation s13 (build/append), s18 (delete/compact) and
+  // s14 (drift health) left uncomposed. A document whose content
+  // changed gets RE-EMBEDDED; the store must serve the new vector
+  // under the same id. Production stores implement upsert as
+  // delete ∘ insert (FAISS remove_ids + add; LSM stores tombstone +
+  // new generation), and so does this: tombstone the changed ids,
+  // compact (vec_id is the row identity in the codes table, so the
+  // old rows must be physically gone before the same ids re-enter),
+  // then append the new vectors CODED AGAINST THE FROZEN MODEL —
+  // updates never retrain, exactly like appends and deletes (drift
+  // from accumulated updates is s14's trigger). At 100 TB the named
+  // knob is deferring the compaction: tag appended rows with a
+  // generation and serve max-generation per id, compacting on the
+  // s18 cadence instead of per update batch.
+  // ---------------------------------------------------------------
+
+  /** Upsert a re-embedded batch into the existing index: tombstone
+    * the ids, apply, re-code the new values against the frozen model.
+    * Works for ANY id set (training-slice rows included — the model
+    * is persisted, not re-derived); Round10Spec pins the operational
+    * equivalence update ≡ rebuild-with-current-values. */
+  def updateIvfPqIndex(spark: SparkSession, newEmb: DataFrame, idxDir: String): Unit = {
+    deleteFromIvfPqIndex(spark, newEmb.select(col("vec_id")), idxDir)
+    compactIvfPqDeletes(spark, idxDir)
+    appendIvfPqIndexFrom(spark, newEmb, idxDir)
+  }
+
+  /** The re-embedded slice for the s21 gate entry: the APPENDED
+    * (vec_id % 10 = 9) docs change content — the most recently
+    * ingested documents are the ones that get edited and re-embedded
+    * in practice, and keeping the slice outside the frozen TRAINING
+    * slice lets the oracle state one current-view corpus (the model
+    * CTEs, train-filtered to base, see only unchanged rows either
+    * way). The deterministic re-embed stand-in is the REVERSED
+    * vector: same norm, maximally different direction, and exactly
+    * expressible on both engines (reverse / list_reverse). */
+  private def s21NewEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(!s13BasePred)
+      .withColumn("embedding", reverse(col("embedding")))
+
+  private def s21IdxDir(dir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    s"${System.getProperty("java.io.tmpdir")}/graft_s21_idx_$tag"
+  }
+
+  /** S21 — the full update lifecycle as the gate entry: s13's
+    * build-on-base + frozen-model append, then the appended slice is
+    * re-embedded (reversed vectors) and upserted, and the standard
+    * query set is answered from the updated index. The oracle replays
+    * the identical chain over the post-update CURRENT view of the
+    * corpus — update ≡ rebuild-with-current-values under frozen
+    * models. */
+  def s21IndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = s21IdxDir(dir)
+    val delPath = new Path(s"$idxDir/deletes")
+    val fs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delPath)) fs.delete(delPath, true)
+    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
+    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    updateIvfPqIndex(spark, s21NewEmbeddings(spark, dir), idxDir)
+    queryIvfPqIndex(spark, dir, idxDir)
+  }
+
   val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
 
   /** D6 — embedding-cosine near-dup detection (the dedup-side twin of
@@ -1498,6 +1564,7 @@ object Similarity {
     "s13_persisted_index"  -> (s13PersistedIvfPq _),
     "s19_radius_search"    -> (s19RadiusSearch _),
     "s20_knn_graph"        -> (s20KnnGraph _),
+    "s21_index_update"     -> (s21IndexUpdate _),
     "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
@@ -1515,17 +1582,21 @@ object Similarity {
   // DuckDB has no WITH ORDINALITY; lockstep unnest + generate_subscripts
   // in the select list expands (value, index) pairs instead.
 
-  private val expandCtes =
-    """ux AS (
+  /** `src` parameterizes the vector source so s21's oracle can run
+    * the identical chain over the post-update CURRENT view. */
+  private def expandCtesFrom(src: String) =
+    s"""ux AS (
          SELECT vec_id, unnest(embedding) AS x,
                 generate_subscripts(embedding, 1) AS i
-         FROM embeddings),
+         FROM $src),
        nrm AS (
          SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
          FROM ux GROUP BY 1),
        uq AS (
          SELECT u.vec_id AS query_id, n.nrm AS qn, u.x AS qx, u.i AS qi
          FROM ux u JOIN nrm n USING (vec_id) WHERE u.vec_id < 5)"""
+
+  private val expandCtes = expandCtesFrom("embeddings")
 
   private val rankTail =
     """ranked AS (
@@ -1570,7 +1641,8 @@ object Similarity {
     * assignment always covers every vector, which is exactly s13's
     * append path: vectors outside the training set are coded against
     * centroids they never influenced. */
-  private def kmeansListsCtes(train: String = "TRUE"): String = {
+  private def kmeansListsCtes(train: String = "TRUE",
+                              src: String = "embeddings"): String = {
     val rounds = (1 to KmeansFin).map { t =>
       val prev = t - 1
       val rank =
@@ -1595,7 +1667,7 @@ object Similarity {
          nc$t AS (SELECT cid, sum(s * s) AS nc FROM c$t GROUP BY 1)"""
       else rank
     }.mkString(",\n         ")
-    s"""$expandCtes,
+    s"""${expandCtesFrom(src)},
          qv AS (
            SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) AS q
            FROM ux),
@@ -1640,7 +1712,8 @@ object Similarity {
     * can compose it — shared by the s6/s12/s13 oracles. `train`
     * restricts codebook training (seed stride base + per-round
     * re-means); codes + ADC tables always cover every vector. */
-  private def pqCtes(train: String = "TRUE"): String = {
+  private def pqCtes(train: String = "TRUE",
+                     src: String = "embeddings"): String = {
     val rounds = (1 to PqIters + 1).map { t =>
       val prev = t - 1
       val assign =
@@ -1673,7 +1746,7 @@ object Similarity {
          cb0 AS (
            SELECT sub, vec_id AS cid, j, q AS m FROM qs
            WHERE vec_id % (SELECT greatest(1, count(*) // $PqTargetK)
-                           FROM embeddings WHERE ($train)) = 0 AND ($train)),
+                           FROM $src WHERE ($train)) = 0 AND ($train)),
          $rounds,
          codes AS (SELECT vec_id, sub, cid FROM asg$fin WHERE r = 1),
          dtab AS (SELECT vec_id AS query_id, sub, cid, d2 FROM dist$fin
@@ -1836,6 +1909,23 @@ object Similarity {
     s"""WITH ${kmeansListsCtes(train)},
          ${pqCtes(train)},
          ${ivfPqTailSql(id => s"$id % 10 <> $S18DeleteDigit")}"""
+  }
+
+  /** s21's mirror: the s13 chain run over the post-update CURRENT
+    * view (the re-embedded slice carries its new, reversed vectors;
+    * training stays base-filtered, which reads only unchanged rows) —
+    * the SQL statement of update ≡ rebuild-with-current-values under
+    * frozen models. */
+  private lazy val s21OracleSql: String = {
+    val train = s"vec_id % 10 <> $S13AppendDigit"
+    s"""WITH embcur AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 10 = $S13AppendDigit
+                       THEN list_reverse(embedding) ELSE embedding END AS embedding
+           FROM embeddings),
+         ${kmeansListsCtes(train, "embcur")},
+         ${pqCtes(train, "embcur")},
+         ${ivfPqTailSql()}"""
   }
 
   private lazy val s10OracleSql: String =
@@ -2164,6 +2254,7 @@ object Similarity {
     "s13_persisted_index" -> s13OracleSql,
     "s19_radius_search" -> s19OracleSql,
     "s20_knn_graph" -> s20OracleSql,
+    "s21_index_update" -> s21OracleSql,
     "s18_index_delete" -> s18OracleSql,
     "s14_index_health" -> s14OracleSql,
     "s9_filtered_knn" ->

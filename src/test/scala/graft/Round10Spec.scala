@@ -173,6 +173,39 @@ class Round10Spec extends AnyFunSuite {
     assert(Pipeline.e1CorpusFunnel(spark, dir).collect().toSeq === before)
   }
 
+  // ---------- s21: vector-store UPDATE verb ----------
+
+  test("s21: the update path (tombstone + compact + frozen-model recode) " +
+    "equals a rebuild with current values, codes table bit-for-bit") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val updDir = s"$tmp/graft_r10_upd_idx"
+    val rebDir = s"$tmp/graft_r10_reb_idx"
+    val basePred = col("vec_id") % 10 =!= 9
+    val newEmb = Tables.embeddings(spark, dir).filter(!basePred)
+      .withColumn("embedding", reverse(col("embedding")))
+    val fs = FileSystem.get(new Path(updDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$updDir/deletes"), true)
+    // update path: full s13 lifecycle, then upsert the re-embedded slice
+    Similarity.buildIvfPqIndex(spark, dir, updDir, basePred, basePred)
+    Similarity.appendIvfPqIndex(spark, dir, updDir, !basePred)
+    Similarity.updateIvfPqIndex(spark, newEmb, updDir)
+    // rebuild path: same frozen model, current values coded directly
+    Similarity.buildIvfPqIndex(spark, dir, rebDir, basePred, basePred)
+    Similarity.appendIvfPqIndexFrom(spark, newEmb, rebDir)
+    def codeRows(d: String): Set[(Long, Int, Long, Long)] =
+      spark.read.parquet(s"$d/codes")
+        .withColumn("ccid", col("ccid").cast("long")).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+          r.getAs[Long]("cid"), r.getAs[Long]("ccid"))).toSet
+    assert(codeRows(updDir) === codeRows(rebDir),
+      "update != rebuild-with-current-values on the codes table")
+    assert(Similarity.queryIvfPqIndex(spark, dir, updDir).collect().toSeq ===
+      Similarity.queryIvfPqIndex(spark, dir, rebDir).collect().toSeq)
+    assert(!fs.exists(new Path(s"$updDir/deletes")),
+      "the upsert leaves no tombstones behind")
+  }
+
   // ---------- s20: NN-Descent refinement round ----------
 
   test("s20: the descent round lifts recall over the blocked round-1 graph " +
