@@ -1044,6 +1044,23 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Merge-round count for the t27 gate. The ROUNDS axis is the
+    * other named knob next to [[BpeVocabCap]]: training cost is
+    * rounds × (one vocab-sized pair-count pass + a 1-row argmax
+    * round-trip), so a production tokenizer's ~30k merges means ~30k
+    * driver round-trips — each cheap (vocab-bounded,
+    * corpus-independent: Round10Spec measures the training frame at
+    * EXACTLY |vocab| rows at every widened round) but latency-bound
+    * in aggregate. The standard mitigations, in preference order:
+    * (a) the capped vocab IS bounded driver state (≤[[BpeVocabCap]]
+    * rows) — collect it once after the corpus groupBy and run the
+    * remaining merges driver-local, keeping the distributed encode
+    * (t28) unchanged; (b) batch B non-overlapping argmax pairs per
+    * round (merges whose symbols don't touch commute), cutting
+    * round-trips ~B×. Round10Spec also pins PREFIX STABILITY — a
+    * 2×-rounds run's first half equals the shorter run's merge table
+    * — which is what makes the batched/driver-local variants
+    * drop-in. */
   val BpeRounds = 8
   /** Vocabulary cap for BPE training (freq desc, word asc tie-break —
     * deterministic on both engines). The 100 TB knob: BPE trains on
@@ -1090,7 +1107,7 @@ object TextAnalysis {
     * copies, never `rounds`. */
   /** The capped (word, freq, toks) vocabulary — BPE's whole view of
     * the corpus after the one corpus-sized groupBy. */
-  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("word"))
       // empty tokens (doubled separators) are not words — and
@@ -1121,10 +1138,19 @@ object TextAnalysis {
   /** The training loop itself, returning the learned merge table as
     * bounded driver state ([[BpeRounds]] rows) — t27 reports it, t28
     * applies it. */
-  private def learnBpeMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
-    var seq0 = bpeVocab(spark, dir).cache()
+  private def learnBpeMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    learnBpeMergesFrom(bpeVocab(spark, dir), BpeRounds)._1
+
+  /** Parameterized over the vocab frame and round count so
+    * Round10Spec can widen the rounds axis and pin (a) prefix
+    * stability and (b) the per-round frame staying exactly
+    * vocab-sized. Returns (merge table, final training-frame rows). */
+  private[graft] def learnBpeMergesFrom(vocab: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], Long) = {
+    var seq0 = vocab.cache()
+    var nRows = 0L
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to BpeRounds) {
+    for (r <- 1 to rounds) {
       val best = bpePairCounts(seq0)
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
         .collect()(0) // 1 row per round — bounded driver state
@@ -1132,12 +1158,12 @@ object TextAnalysis {
       merges += ((r, l, rr, cnt))
       val next = seq0.select(col("word"), col("freq"),
         bpeApplyMerge(col("toks"), l, rr).as("toks")).cache()
-      next.count() // materialize before dropping the parent cache
+      nRows = next.count() // materialize before dropping the parent cache
       seq0.unpersist()
       seq0 = next
     }
     seq0.unpersist()
-    merges.result()
+    (merges.result(), nRows)
   }
 
   def t27BpeMerges(spark: SparkSession, dir: String): DataFrame =

@@ -425,14 +425,15 @@ object EventsStream {
   }
 
   /** ST11 — the foreachBatch parquet-merge maintenance path AS a gate
-    * entry: the events table is staged as two TIME-ORDERED files, the
-    * windowed-counts stream consumes them one micro-batch each
+    * entry: the events table is staged as two TIME-SPLIT files (a
+    * midpoint ts threshold — one 1-row aggregate, no global sort),
+    * the windowed-counts stream consumes them one micro-batch each
     * (update mode, so batch 2 re-emits every window it refines), the
     * merge upserts each emission into the snapshot table, and the
     * gate reports the POST-MERGE census per event_type. The oracle is
     * the direct batch aggregate — equality holds deterministically,
-    * not by luck: the time-ordered split means every batch-2 row's ts
-    * ≥ batch 1's max ts > watermark, so the 10-minute watermark can
+    * not by luck: the threshold split means every batch-2 row's ts
+    * > batch 1's max ts > watermark, so the 10-minute watermark can
     * never drop a row, and the converged snapshot IS the batch
     * answer (EventsStreamSpec pins the window-level equality; this
     * entry puts the path under the driver's hash gate).
@@ -457,13 +458,24 @@ object EventsStream {
     // split from the RAW representation so the staged files carry the
     // ts encoding the stream's sniffed schema expects
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val all = spark.read.parquet(s"$dir/events.parquet").orderBy("ts").cache()
-    val n = all.count()
-    val firstHalf = all.limit((n / 2).toInt)
-    val secondHalf = all.join(firstHalf.select("event_id"), Seq("event_id"), "left_anti")
-    firstHalf.coalesce(1).write.mode("overwrite").parquet(s"$base/f1")
-    secondHalf.coalesce(1).write.mode("overwrite").parquet(s"$base/f2")
-    all.unpersist()
+    // TIME-THRESHOLD split, not a sort: the two micro-batches only
+    // need "every batch-2 ts > every batch-1 ts", which a midpoint
+    // threshold from one 1-row min/max aggregate gives exactly — no
+    // global orderBy+limit (a single-partition sort at any scale), no
+    // anti-join, no cache. Batch sizes ride the time distribution
+    // instead of being an exact half, which is what real file arrival
+    // looks like anyway; the convergence argument is unchanged (and
+    // strictly: batch-2 rows sit ABOVE batch 1's max ts, so the
+    // watermark can never drop one).
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    val mm = all.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
+    val lo = mm.getAs[java.time.LocalDateTime]("lo")
+    val hi = mm.getAs[java.time.LocalDateTime]("hi")
+    val mid = lo.plus(java.time.Duration.between(lo, hi).dividedBy(2))
+    all.filter(col("ts") <= lit(mid))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/f1")
+    all.filter(col("ts") > lit(mid))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/f2")
     // stage with increasing mtimes so the file source orders the two
     // micro-batches deterministically
     def stage(src: String, dst: String, mtime: Long): Unit = {

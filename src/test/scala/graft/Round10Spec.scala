@@ -244,6 +244,30 @@ class Round10Spec extends AnyFunSuite {
     assert(r2 >= 0.85, s"refined recall collapsed: $r2")
   }
 
+  // ---------- t27: the rounds axis of BPE training ----------
+
+  test("t27: widened merge rounds are prefix-stable and every round's " +
+    "training frame stays exactly vocab-sized (corpus-independent cost)") {
+    import graft.ext.TextAnalysis
+    val vocab = TextAnalysis.bpeVocab(spark, dir)
+    val nVocab = vocab.count()
+    val (m8, rows8) = TextAnalysis.learnBpeMergesFrom(vocab, TextAnalysis.BpeRounds)
+    val (m16, rows16) =
+      TextAnalysis.learnBpeMergesFrom(vocab, 2 * TextAnalysis.BpeRounds)
+    // prefix stability: training longer never rewrites earlier merges —
+    // what makes the batched / driver-local production variants drop-in
+    assert(m16.take(TextAnalysis.BpeRounds) === m8,
+      "a 2x-rounds run must extend, not rewrite, the shorter merge table")
+    assert(m16.length === 2 * TextAnalysis.BpeRounds)
+    assert(m16.map(_._1) === (1 to 2 * TextAnalysis.BpeRounds))
+    // the per-round cost bound: a merge rewrites toks, it never changes
+    // the row count — every round processes exactly |vocab| rows no
+    // matter how many rounds run or how big the corpus behind the
+    // vocab cap was
+    assert(rows8 === nVocab && rows16 === nVocab,
+      s"training frame drifted from vocab size: $nVocab -> $rows8/$rows16")
+  }
+
   // ---------- 3. trustRank empty-seed degenerate ----------
 
   test("trustRank: seeds disjoint from the graph yield all-zero trust, not nulls") {
