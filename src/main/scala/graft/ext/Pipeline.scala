@@ -618,37 +618,60 @@ object Pipeline {
     * instances against an independent iterative-greedy reference
     * (the closed form and the round-by-round greedy provably agree
     * in exact rational arithmetic; the test checks the integer
-    * implementations agree too, truncation and all). */
+    * implementations agree too, truncation and all).
+    *
+    * `wide` is the DECIMAL(38,0) escape the int64 bound names: the
+    * sort key avail·lcm(1..20) overflows int64 past ~4e10
+    * tokens/source, so the wide path carries every avail-scaled
+    * product (sort key, prefix sums, cross-multiply cut, θ·w
+    * allocation, fill numerator) as DECIMAL(38,0) — exact to 1e28
+    * tokens/source — and casts only the bounded outputs (alloc ≤
+    * avail, fill ≤ 1000) back to BIGINT, so the result schema is
+    * identical in both modes. floor-division replaces `div` because
+    * Spark's IntegralDivide always narrows to long; divisor digits
+    * stay small (w ≤ ladder, den ≤ Σw, bDen), so the scale-6
+    * quotient is exact wherever the narrow path's truncation is.
+    * PropertySpec drives the wide path past the int64 bound against
+    * the same BigInt greedy reference. The e8 GATE stays narrow
+    * (its census is ≪ the bound; the oracle mirrors int64). */
   private[graft] def waterFill(spark: SparkSession, spec: DataFrame,
                                bNum: Long = E8BudgetNum,
-                               bDen: Long = E8BudgetDen): DataFrame = {
+                               bDen: Long = E8BudgetDen,
+                               wide: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = spec.withColumn("rkey", expr(s"(avail * $E8RatioLcm) div w"))
-    val totals = base.agg(sum(col("avail")).as("ta"), sum(col("w")).as("tw"))
+    val T = if (wide) "DECIMAL(38,0)" else "BIGINT"
+    def big(c: String): String = s"CAST(($c) AS $T)"
+    def idiv(a: String, b: String): String =
+      if (wide) s"CAST(floor(($a) / ($b)) AS $T)" else s"($a) div ($b)"
+    val base = spec.withColumn("rkey",
+      expr(idiv(s"${big("avail")} * $E8RatioLcm", "w")))
+    val totals = base.agg(sum(expr(big("avail"))).as("ta"), sum(col("w")).as("tw"))
     val wOrd = Window.orderBy(col("rkey"), col("source"))
     val pre = wOrd.rowsBetween(Window.unboundedPreceding, -1)
     val flags = base.crossJoin(broadcast(totals))
       .withColumn("rn", row_number().over(wOrd).cast("long"))
-      .withColumn("pa", coalesce(sum(col("avail")).over(pre), lit(0L)))
+      .withColumn("pa",
+        coalesce(sum(expr(big("avail"))).over(pre), lit(0L).cast(T)))
       .withColumn("pw", coalesce(sum(col("w")).over(pre), lit(0L)))
-      .withColumn("num", expr(s"($bNum * ta) div $bDen") - col("pa"))
+      .withColumn("num", expr(idiv(s"$bNum * ta", s"$bDen")) - col("pa"))
       .withColumn("den", col("tw") - col("pw"))
-    val cut = flags.filter(col("avail") * col("den") > col("num") * col("w"))
+    val cut = flags.filter(expr(s"${big("avail")} * den > num * w"))
       .select(col("rn").as("kk"), col("num").as("tn"), col("den").as("td"))
       .union(spark.range(1).select(lit(Long.MaxValue).as("kk"),
-        lit(0L).as("tn"), lit(1L).as("td")))
+        lit(0L).cast(T).as("tn"), lit(1L).as("td")))
       .orderBy(col("kk")).limit(1)
     flags.crossJoin(broadcast(cut))
       .withColumn("saturated", (col("rn") < col("kk")).cast("int"))
-      .withColumn("alloc", when(col("rn") < col("kk"), col("avail"))
-        .otherwise(least(col("avail"), expr("(tn * w) div td"))))
+      .withColumn("alloc", when(col("rn") < col("kk"), expr(big("avail")))
+        .otherwise(least(expr(big("avail")), expr(idiv("tn * w", "td")))))
       .select(col("source"), col("w").as("weight"), col("avail").as("avail_tokens"),
-        col("alloc").as("alloc_tokens"), col("saturated"),
+        col("alloc").cast("long").as("alloc_tokens"), col("saturated"),
         // greatest(avail, 1): a spec row with avail = 0 (a declared
         // source whose census came back empty) reports fill 0/1 = 0
         // on BOTH engines instead of Spark-null vs DuckDB
         // division-by-zero
-        expr("(1000 * alloc) div greatest(avail, 1)").as("fill_permille"))
+        expr(idiv(s"1000 * ${big("alloc")}", "greatest(avail, 1)"))
+          .cast("long").as("fill_permille"))
       .orderBy(col("source"))
   }
 

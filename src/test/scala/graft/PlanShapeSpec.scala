@@ -258,6 +258,31 @@ class PlanShapeSpec extends AnyFunSuite {
     // session exercises the un-extended plan shape)
   }
 
+  test("d20: the quality grading joins pair lists on their keys — " +
+    "no cartesian product anywhere in the five-family matrix") {
+    val p = plan(graft.ext.Dedup.d20DedupQuality(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"d20 must never plan a cartesian product:\n$p")
+    // the membership grade is a KEYED join on the pair identity —
+    // pair-bounded by construction (both sides are candidate lists)
+    val gradingJoin = p.linesIterator.exists(l =>
+      l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*") &&
+        l.contains("a_id") && l.contains("b_id"))
+    assert(gradingJoin, s"grading join must key on (a_id, b_id):\n$p")
+  }
+
+  test("s14: the index-health grade is a |Q|·k membership join keyed on " +
+    "(query_id, neighbor_id) — the corpus never enters the grading") {
+    val p = plan(graft.ext.Similarity.s14IndexHealth(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"s14 must never plan a cartesian product:\n$p")
+    val gradingJoin = p.linesIterator.exists(l =>
+      l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*") &&
+        l.contains("query_id") && l.contains("neighbor_id"))
+    assert(gradingJoin,
+      s"grading join must key on (query_id, neighbor_id):\n$p")
+  }
+
   private def countOf(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 }

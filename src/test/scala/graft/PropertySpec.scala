@@ -322,4 +322,59 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     }, n = 12)
   }
+
+  test("water-filling wide: the DECIMAL(38) path agrees with a BigInt greedy " +
+    "past the int64 sort-key bound, and with the narrow path inside it") {
+    import spark.implicits._
+    import graft.ext.Pipeline
+    // availabilities chosen PAST the documented ~4e10 bound: the narrow
+    // path's avail·lcm(1..20) sort key would overflow int64 on every row
+    val wideGen: Gen[(List[(String, Long, Long)], (Long, Long))] = for {
+      n  <- Gen.chooseNum(2, 15)
+      as <- Gen.listOfN(n, Gen.chooseNum(50000000000L, 2000000000000000L))
+      ws <- Gen.listOfN(n, Gen.chooseNum(1L, 20L))
+      b  <- Gen.oneOf((3L, 4L), (1L, 3L), (9L, 10L))
+    } yield (as.zip(ws).zipWithIndex.map { case ((a, w), i) => (f"s$i%02d", a, w) }, b)
+    // the same round-by-round greedy as the narrow law, in BigInt so
+    // the REFERENCE cannot overflow either
+    def ref(items: List[(String, Long, Long)], b: BigInt): Map[String, BigInt] = {
+      var sat = Set.empty[String]
+      var remB = b
+      var alloc = Map.empty[String, BigInt]
+      var done = false
+      while (!done) {
+        val unsat = items.filterNot(i => sat(i._1))
+        if (unsat.isEmpty) done = true
+        else {
+          val tw = BigInt(unsat.map(_._3).sum)
+          val newly = unsat.filter { case (_, a, w) => BigInt(a) * tw <= remB * w }
+          if (newly.isEmpty) {
+            unsat.foreach { case (s, _, w) => alloc += s -> (remB * w) / tw }
+            done = true
+          } else newly.foreach { case (s, a, _) =>
+            alloc += s -> BigInt(a); remB -= a; sat += s
+          }
+        }
+      }
+      alloc
+    }
+    check("waterfill-wide", Prop.forAll(wideGen) { case (items, (bn, bd)) =>
+      val tot = items.map(i => BigInt(i._2)).sum
+      val budget = (BigInt(bn) * tot) / BigInt(bd)
+      val expected = ref(items, budget)
+      val rows = Pipeline.waterFill(spark,
+          items.toDF("source", "avail", "w"), bn, bd, wide = true).collect()
+      val noNulls = rows.forall(r =>
+        !r.isNullAt(r.fieldIndex("alloc_tokens")) &&
+          !r.isNullAt(r.fieldIndex("fill_permille")))
+      val got = rows.map(r =>
+        r.getString(0) -> BigInt(r.getAs[Long]("alloc_tokens"))).toMap
+      noNulls && got == expected
+    }, n = 10)
+    // inside the int64 envelope the two paths are interchangeable
+    val small = List(("a", 1000000L, 3L), ("b", 50L, 20L), ("c", 999999L, 7L))
+      .toDF("source", "avail", "w")
+    assert(Pipeline.waterFill(spark, small, wide = true).collect().toSeq ===
+      Pipeline.waterFill(spark, small).collect().toSeq)
+  }
 }
