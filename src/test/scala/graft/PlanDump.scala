@@ -26,19 +26,20 @@ object PlanDump {
     "d18_sketch_overlap" -> "KMV overlap: one O(k)-state sketch pass; |sources|·k bounded tail",
     "s11_recall_matrix" -> "four ANN families union'd into one |Q|·k membership grade",
     "m6_crossmodal_knn" -> "cross-modal kNN: broadcast integer query projections; corpus never moves",
-    "e2_selection_mix" -> "pipeline tail: broadcast DSIR model + cut + rate table over the clean set",
+    "e2_selection_mix" -> "served from the persisted docflags artifact: pruned parquet scan + one hash agg",
+    "docflags_build" -> "the docflags ARTIFACT BUILD (paid once per corpus version): broadcast DSIR model + cut + rate table over the funnel, labels artifact left-joined",
     "s12_ivf_pq" -> "IVF-PQ: probed-list candidates x broadcast ADC tables; corpus never shuffles",
     "q54_basket_lift" -> "basket-local pair self-join, min-support pruned; no catalog-sized broadcast hint (AQE picks sides)",
     "s13_persisted_index" -> "persisted IVF-PQ: query path reads ONLY the ccid-partitioned index tables",
     "m7_perceptual_lsh" -> "banded LSH over codegen'd positional signatures; capped buckets, L1 verify on candidates only",
     "e4_delta_ingest" -> "incremental ingest: frozen base-trained models broadcast over a delta-only scan",
     "s15_hybrid_rrf" -> "hybrid RRF: 1-row BM25 stats + |Q| query vectors both broadcast; fusion join bounded by query load",
-    "e6_leakage_split" -> "cluster-atomic split: doc left-join CC labels + row-local hash lottery; no shuffle beyond d7's",
+    "e6_leakage_split" -> "cluster-atomic split: doc left-join the persisted labels artifact + row-local hash lottery",
     "t26_source_drift" -> "frozen top-K vocab broadcast; |sources|xK dense model grid; one tokenize pass",
     "d20_dedup_quality" -> "five pair-set families graded in one pair-bounded membership join",
     "d21_lsh_tuning" -> "one MinHash signature table banded three ways; candidates only inside each config's buckets",
     "t27_bpe_merges" -> "BPE round: corpus-size-independent vocab pair count + 1-row TakeOrdered argmax",
-    "e7_training_order" -> "epoch-shuffle census: row-local hash-range quartiles — no rank, no window, no global sort",
+    "e7_training_order" -> "epoch-shuffle census over the bins artifact: row-local hash-range quartiles — no rank, no window, no global sort",
     "m8_scene_segmentation" -> "codegen'd SegmentSums scan; lag/cumsum windows partitioned per media (16 rows each)",
     "s18_index_delete" -> "post-compaction serve: s13's partition-pruned query plan over the shrunken survivor lists",
     "p6_modularity" -> "modularity grading: one degree aggregate + two pair-sized label lookups beyond p3's rounds",
@@ -46,7 +47,7 @@ object PlanDump {
     "e8_token_budget" -> "water-filling: |sources|-row spec windows + 1-row broadcast cut; corpus-sized work stays inside t28's census",
     "s14_index_health" -> "index health: two full index pipelines graded by one |Q|·k membership join keyed on (query_id, neighbor_id)",
     "s20_knn_graph" -> "kNN graph: IVF-blocked candidates + one NN-Descent two-hop round, codegen'd integer distances, rank window partitioned per vector",
-    "e9_order_manifest" -> "order manifest: shard-partitioned position window over e3's bins; |shards|-row rollup")
+    "e9_order_manifest" -> "order manifest SERVED from its persisted artifact (built once beside the bins: shard-partitioned position window, |shards|-row rollup)")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
@@ -62,6 +63,8 @@ object PlanDump {
     val planFrame: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
       "e4_delta_ingest" -> (graft.ext.Pipeline.e4DeltaIngestFrame _),
+      "docflags_build" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.ext.Pipeline.docFlagsDerived(s, d, graft.ext.Pipeline.labelsDerived(s, d))),
       "t27_bpe_merges" -> (graft.ext.TextAnalysis.t27Round1Pairs _))
     Headline.foreach { case (name, why) =>
       val df = planFrame.getOrElse(name, SparkEntry.queries(name))(spark, dir)

@@ -258,6 +258,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // session exercises the un-extended plan shape)
   }
 
+  test("e2: the artifact serve pushes the clean-set filter into the " +
+    "docflags scan and prunes the unused flag columns") {
+    val p = plan(graft.ext.Pipeline.e2SelectionMix(spark, dir))
+    val scan = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("docflags")).getOrElse("")
+    assert(scan.nonEmpty, s"e2 must serve from the docflags artifact:\n$p")
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(s3,true)"),
+      s"the s3 filter must reach the parquet scan:\n$p")
+    assert(!scan.contains("doc_id"),
+      s"doc_id must be pruned from e2's artifact scan:\n$p")
+  }
+
   test("d20: the quality grading joins pair lists on their keys — " +
     "no cartesian product anywhere in the five-family matrix") {
     val p = plan(graft.ext.Dedup.d20DedupQuality(spark, dir))
