@@ -61,7 +61,7 @@ object Pipeline {
   // the incremental path for the labels table is d11's fold.
   // ---------------------------------------------------------------
 
-  val EArtifactVersion = 1
+  val EArtifactVersion = 2 // v2: bins partitioned by shard
 
   private[graft] def eArtifactRoot(dir: String): String = {
     val tag = java.lang.Long.toHexString(
@@ -72,12 +72,17 @@ object Pipeline {
   /** Build `table` under the artifact root iff its _SUCCESS marker is
     * absent, then return the frame READ FROM PARQUET (so every
     * consumer serves from the artifact, never the build plan). */
-  private def ensureArtifact(spark: SparkSession, dir: String, table: String)
+  private def ensureArtifact(spark: SparkSession, dir: String, table: String,
+                             partitionCols: Seq[String] = Nil)
                             (build: => DataFrame): DataFrame = {
     val path = s"${eArtifactRoot(dir)}/$table"
     val ok = new Path(s"$path/_SUCCESS")
     val fs = FileSystem.get(ok.toUri, spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ok)) build.write.mode("overwrite").parquet(path)
+    if (!fs.exists(ok)) {
+      val w = build.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(path)
+    }
     spark.read.parquet(path)
   }
 
@@ -101,9 +106,15 @@ object Pipeline {
     ensureArtifact(spark, dir, "docflags")(
       docFlagsDerived(spark, dir, labelsArtifact(spark, dir)))
 
+  /** PARTITIONED by shard — the bins table IS the shard directory a
+    * training worker opens, so the layout lets a per-shard reader
+    * prune to its own partition (s13's inverted-list lesson). The
+    * partition column reads back type-inferred; pin it to long. */
   private def binsArtifact(spark: SparkSession, dir: String): DataFrame =
-    ensureArtifact(spark, dir, "bins")(
+    ensureArtifact(spark, dir, "bins", Seq("shard"))(
       binsFrom(docFlagsArtifact(spark, dir)))
+      .select(col("shard").cast("long").as("shard"),
+        col("bin"), col("n_docs"), col("n_tokens"))
 
   private def manifestArtifact(spark: SparkSession, dir: String): DataFrame =
     ensureArtifact(spark, dir, "manifest")(
