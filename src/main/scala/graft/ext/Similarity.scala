@@ -1265,6 +1265,99 @@ object Similarity {
     queryIvfPqIndex(spark, dir, idxDir)
   }
 
+  // ---------------------------------------------------------------
+  // S22 — RETRAIN: the action s14's drift trigger fires, closing the
+  // vector-store lifecycle (build s13 / append s13 / query s13 /
+  // radius s19 / delete+compact s18 / update s21 / health s14 /
+  // retrain THIS). A retrain is NOT an in-place mutation: the new
+  // model changes every list assignment and every code, so production
+  // stores rebuild into a STAGING root and atomically swap it in,
+  // serving the old index until the instant of the swap. Two laws a
+  // retrain must keep: (1) it trains AND codes only the LIVE set —
+  // pending tombstones must not resurrect through the rebuild; (2)
+  // the swap is crash-recoverable at every window (the compact/merge
+  // aside-first discipline, applied at root granularity).
+  // ---------------------------------------------------------------
+
+  /** Rebuild the index at `idxDir` from the current corpus with a
+    * freshly trained model (coarse centroids + PQ codebooks), staging
+    * + atomic root swap. PENDING tombstones are respected: the live
+    * set excludes them, and the fresh tree starts with a clean
+    * ledger. The tombstone id list is bounded driver state (s18's
+    * compaction-cadence argument — a store retrains far less often
+    * than it compacts).
+    *
+    * Source-of-truth semantics (this library's posture everywhere):
+    * the CORPUS table is authoritative and the index is a derived
+    * artifact — index tombstones BRIDGE a deletion until the corpus
+    * itself drops the rows (d15's materialize path). A retrain from
+    * an unchanged corpus therefore re-includes rows whose tombstones
+    * were already applied, exactly like rebuilding a FAISS index from
+    * the original dataset after remove_ids. */
+  def retrainIvfPqIndex(spark: SparkSession, dir: String, idxDir: String): Unit = {
+    val idxPath = new Path(idxDir)
+    val staging = new Path(idxDir + ".retrain_tmp")
+    val oldRoot = new Path(idxDir + ".retrain_old")
+    val fs = FileSystem.get(idxPath.toUri, spark.sparkContext.hadoopConfiguration)
+    // CRASH RECOVERY from a previous retrain's swap window: the
+    // staging tree is complete before any rename starts, so a missing
+    // root with a staging present is completed forward; with only the
+    // aside present it rolls back. (A crash DURING the staging build
+    // leaves the live root untouched; the stale staging is cleared
+    // below.)
+    if (!fs.exists(idxPath)) {
+      if (fs.exists(staging)) {
+        if (!fs.rename(staging, idxPath))
+          throw new java.io.IOException(s"retrain recovery failed: $staging")
+      } else if (fs.exists(oldRoot) && !fs.rename(oldRoot, idxPath))
+        throw new java.io.IOException(s"retrain recovery failed: $oldRoot")
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val delPath = new Path(s"$idxDir/deletes")
+    val delIds: Array[Long] =
+      if (!fs.exists(delPath)) Array.empty
+      else spark.read.parquet(delPath.toString)
+        .select(col("vec_id")).distinct().collect().map(_.getLong(0))
+    val live = if (delIds.isEmpty) lit(true) else !col("vec_id").isin(delIds: _*)
+    buildIvfPqIndex(spark, dir, staging.toString, live, live)
+    // atomic root swap, aside-first: a crash at any point leaves a
+    // recoverable state (see the recovery block above)
+    if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+    if (!fs.rename(idxPath, oldRoot))
+      throw new java.io.IOException(s"retrain swap failed: $idxPath aside")
+    if (!fs.rename(staging, idxPath)) {
+      fs.rename(oldRoot, idxPath) // restore the live index before failing
+      throw new java.io.IOException(s"retrain swap failed: $staging -> $idxPath")
+    }
+    fs.delete(oldRoot, true)
+  }
+
+  private def s22IdxDir(dir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    s"${System.getProperty("java.io.tmpdir")}/graft_s22_idx_$tag"
+  }
+
+  /** S22 — the retrain lifecycle as the gate entry: the drifted state
+    * s14 measures (base-trained model, frozen-coded append slice) is
+    * rebuilt with a model trained on EVERYTHING, swapped in, and the
+    * standard query set is answered from the retrained index. By
+    * construction the answers equal s12's all-trained IVF-PQ — the
+    * oracle IS s12's chain, and Round10Spec additionally pins the
+    * Spark-side equivalence bit-for-bit plus the no-resurrection and
+    * crash-recovery laws. */
+  def s22IndexRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = s22IdxDir(dir)
+    val fs = FileSystem.get(new Path(idxDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val delPath = new Path(s"$idxDir/deletes")
+    if (fs.exists(delPath)) fs.delete(delPath, true)
+    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
+    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    retrainIvfPqIndex(spark, dir, idxDir)
+    queryIvfPqIndex(spark, dir, idxDir)
+  }
+
   val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
 
   /** D6 — embedding-cosine near-dup detection (the dedup-side twin of
@@ -1565,6 +1658,7 @@ object Similarity {
     "s19_radius_search"    -> (s19RadiusSearch _),
     "s20_knn_graph"        -> (s20KnnGraph _),
     "s21_index_update"     -> (s21IndexUpdate _),
+    "s22_index_retrain"    -> (s22IndexRetrain _),
     "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
@@ -2255,6 +2349,10 @@ object Similarity {
     "s19_radius_search" -> s19OracleSql,
     "s20_knn_graph" -> s20OracleSql,
     "s21_index_update" -> s21OracleSql,
+    // s22's mirror IS s12's chain: a retrain on an undeleted corpus
+    // trains on everything and codes everything — the equivalence the
+    // gate states (the swap machinery itself is pinned in Round10Spec)
+    "s22_index_retrain" -> s12OracleSql,
     "s18_index_delete" -> s18OracleSql,
     "s14_index_health" -> s14OracleSql,
     "s9_filtered_knn" ->

@@ -206,6 +206,57 @@ class Round10Spec extends AnyFunSuite {
       "the upsert leaves no tombstones behind")
   }
 
+  // ---------- s22: index RETRAIN (staging + atomic root swap) ----------
+
+  test("s22: retrain-served equals the all-trained s12 bit-for-bit; pending " +
+    "tombstones do not resurrect; both swap-crash windows recover") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val idxDir = s"$tmp/graft_r10_retrain_idx"
+    val basePred = col("vec_id") % 10 =!= 9
+    val fs = FileSystem.get(new Path(idxDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    Seq("", "/deletes", ".retrain_tmp", ".retrain_old")
+      .foreach(s => fs.delete(new Path(idxDir + s), true))
+    def answers(): Seq[org.apache.spark.sql.Row] =
+      Similarity.queryIvfPqIndex(spark, dir, idxDir).collect().toSeq
+    // lifecycle: drifted state -> retrain -> serve
+    Similarity.buildIvfPqIndex(spark, dir, idxDir, basePred, basePred)
+    Similarity.appendIvfPqIndex(spark, dir, idxDir, !basePred)
+    Similarity.retrainIvfPqIndex(spark, dir, idxDir)
+    val ref = answers()
+    assert(ref === Similarity.s12IvfPq(spark, dir).collect().toSeq,
+      "retrain on an undeleted corpus must equal the all-trained IVF-PQ")
+    // no-resurrection: tombstone a slice WITHOUT compacting, retrain —
+    // the rebuilt codes must not contain the deleted ids and the
+    // ledger must be gone (a fresh tree starts clean)
+    Similarity.deleteFromIvfPqIndex(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 6), idxDir)
+    Similarity.retrainIvfPqIndex(spark, dir, idxDir)
+    val resurrected = spark.read.parquet(s"$idxDir/codes")
+      .filter(col("vec_id") % 10 === 6).count()
+    assert(resurrected === 0L,
+      "tombstoned ids must not resurrect through a retrain")
+    assert(!fs.exists(new Path(s"$idxDir/deletes")),
+      "the rebuilt tree starts with a clean tombstone ledger")
+    // source-of-truth law: the corpus is authoritative, tombstones only
+    // BRIDGE — a further retrain from the unchanged corpus (ledger now
+    // clean) re-includes the rows, landing back at the all-trained state
+    Similarity.retrainIvfPqIndex(spark, dir, idxDir)
+    val full = answers()
+    assert(full === ref,
+      "a retrain from the unchanged corpus returns to the all-trained answers")
+    // crash window A: root renamed aside, staging complete -> the next
+    // retrain completes forward and converges to the same answers
+    assert(fs.rename(new Path(idxDir), new Path(idxDir + ".retrain_tmp")))
+    Similarity.retrainIvfPqIndex(spark, dir, idxDir)
+    assert(answers() === full, "completion-forward recovery lost the index")
+    // crash window B: root renamed aside with only the old copy left ->
+    // rollback, then the retrain converges again
+    assert(fs.rename(new Path(idxDir), new Path(idxDir + ".retrain_old")))
+    Similarity.retrainIvfPqIndex(spark, dir, idxDir)
+    assert(answers() === full, "rollback recovery lost the index")
+  }
+
   // ---------- s20: NN-Descent refinement round ----------
 
   test("s20: the descent round lifts recall over the blocked round-1 graph " +
