@@ -63,11 +63,8 @@ object Pipeline {
 
   val EArtifactVersion = 2 // v2: bins partitioned by shard
 
-  private[graft] def eArtifactRoot(dir: String): String = {
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    s"${System.getProperty("java.io.tmpdir")}/graft_e_artifacts_v${EArtifactVersion}_$tag"
-  }
+  private[graft] def eArtifactRoot(dir: String): String =
+    graft.ArtifactRoots.tagged(s"graft_e_artifacts_v$EArtifactVersion", dir)
 
   /** Build `table` under the artifact root iff its _SUCCESS marker is
     * absent, then return the frame READ FROM PARQUET (so every

@@ -872,11 +872,8 @@ object Similarity {
     * codes table before the append re-adds the held-out slice), so
     * Verify/Bench loops no longer accumulate unbounded /tmp disk —
     * one index per scale factor, ever. */
-  private def s13IdxDir(dir: String): String = {
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    s"${System.getProperty("java.io.tmpdir")}/graft_s13_idx_$tag"
-  }
+  private def s13IdxDir(dir: String): String =
+    graft.ArtifactRoots.tagged("graft_s13_idx", dir)
 
   def s13PersistedIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = s13IdxDir(dir)
@@ -1169,11 +1166,8 @@ object Similarity {
     fs.delete(delPath, true) // tombstones applied
   }
 
-  private def s18IdxDir(dir: String): String = {
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    s"${System.getProperty("java.io.tmpdir")}/graft_s18_idx_$tag"
-  }
+  private def s18IdxDir(dir: String): String =
+    graft.ArtifactRoots.tagged("graft_s18_idx", dir)
 
   /** S18 — the full delete lifecycle as the gate entry: s13's
     * build-on-base + frozen-model append, then a slice of the corpus
@@ -1241,11 +1235,8 @@ object Similarity {
     Tables.embeddings(spark, dir).filter(!s13BasePred)
       .withColumn("embedding", reverse(col("embedding")))
 
-  private def s21IdxDir(dir: String): String = {
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    s"${System.getProperty("java.io.tmpdir")}/graft_s21_idx_$tag"
-  }
+  private def s21IdxDir(dir: String): String =
+    graft.ArtifactRoots.tagged("graft_s21_idx", dir)
 
   /** S21 — the full update lifecycle as the gate entry: s13's
     * build-on-base + frozen-model append, then the appended slice is
@@ -1332,11 +1323,8 @@ object Similarity {
     fs.delete(oldRoot, true)
   }
 
-  private def s22IdxDir(dir: String): String = {
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    s"${System.getProperty("java.io.tmpdir")}/graft_s22_idx_$tag"
-  }
+  private def s22IdxDir(dir: String): String =
+    graft.ArtifactRoots.tagged("graft_s22_idx", dir)
 
   /** S22 — the retrain lifecycle as the gate entry: the drifted state
     * s14 measures (base-trained model, frozen-coded append slice) is

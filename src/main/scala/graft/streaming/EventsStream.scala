@@ -445,10 +445,7 @@ object EventsStream {
     * at one FIXED location per scale factor, rebuilt per invocation
     * (s13's no-tmp-accumulation discipline). */
   def st11SnapshotMerge(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    val base = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_st11_$tag")
+    val base = new java.io.File(graft.ArtifactRoots.tagged("graft_st11", dir))
     def delete(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
       f.delete(); ()
