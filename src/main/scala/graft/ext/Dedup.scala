@@ -920,6 +920,28 @@ object Dedup {
     * same 16 columns, never a new corpus pass. */
   def d21LshTuning(spark: SparkSession, dir: String): DataFrame = {
     val mh = minhashSignatures(shingleSet(spark, dir)).cache()
+    val report = d21ReportFrame(spark, dir, mh)
+    // |configs|-row report — bounded driver state: collect it, release
+    // the corpus-row-sized signature cache (d18's self-contained
+    // discipline), return a local relation
+    val rows = report.collect()
+    mh.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
+  }
+
+  /** The d21 grading frame, LAZY over a caller-supplied signature
+    * table — factored out so PlanDump can pin the distributed plan
+    * (three bandings of one signature build, bucket-bounded
+    * candidates, pair-list grading joins); the gate entry above wraps
+    * it with the cache/collect/unpersist hygiene, whose price is a
+    * LocalTableScan plan. */
+  /** PlanDump entry point: the d21 grading plan over a fresh
+    * (uncached) signature build. */
+  private[graft] def d21PlanFrame(spark: SparkSession, dir: String): DataFrame =
+    d21ReportFrame(spark, dir, minhashSignatures(shingleSet(spark, dir)))
+
+  private[graft] def d21ReportFrame(spark: SparkSession, dir: String,
+                                    mh: DataFrame): DataFrame = {
     val truth = d3JaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
     val pred = D21BandConfigs.map { b =>
       val rpb = NumHashes / b
@@ -938,7 +960,7 @@ object Dedup {
     val theory = D21BandConfigs.foldLeft(lit(null).cast("long")) { (acc, b) =>
       when(col("bands") === b, lit(d21TheoryMinPermille(b))).otherwise(acc)
     }
-    val report = pred.join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+    pred.join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
       .groupBy(col("bands"))
       .agg(count(lit(1)).as("n_cand"),
            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
@@ -949,12 +971,6 @@ object Dedup {
       .select(col("bands"), col("rows_per_band"), col("n_cand"), col("n_hit"),
         col("n_truth"), col("recall_permille"), col("theory_min_permille"))
       .orderBy(col("bands"))
-    // |configs|-row report — bounded driver state: collect it, release
-    // the corpus-row-sized signature cache (d18's self-contained
-    // discipline), return a local relation
-    val rows = report.collect()
-    mh.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

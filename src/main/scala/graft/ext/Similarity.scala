@@ -752,6 +752,19 @@ object Similarity {
     * the inverted-list layout. */
   def buildIvfPqIndex(spark: SparkSession, dir: String, idxDir: String,
                       trainPred: Column, codePred: Column): Unit = {
+    // building at idxDir STARTS a new index generation: clear every
+    // sibling artifact a previous generation may have left (tombstone
+    // table, compaction aside/staging trees), or a later compaction's
+    // crash recovery could resurrect an old-generation partition —
+    // rows coded against a different model — into this index
+    locally {
+      val idxPath = new Path(idxDir)
+      val fs = FileSystem.get(idxPath.toUri, spark.sparkContext.hadoopConfiguration)
+      Seq("deletes", "codes.del_old", "codes.del_tmp").foreach { s =>
+        val p = new Path(idxPath, s)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
     val qv = quantVecs(spark, dir).cache()
     val cen = kmeansCentroids(spark, qv.filter(trainPred))
     cen.write.mode("overwrite").parquet(s"$idxDir/coarse_centroids")
@@ -1126,6 +1139,13 @@ object Similarity {
       }
       fs.delete(oldRootIn, true)
     }
+    // staging cleanup is UNCONDITIONAL, not tied to the re-run finding
+    // affected lists: a crash between "delete aside" and "delete
+    // staging" leaves codes.del_tmp with the aside gone and the rows
+    // already compacted — the affected set comes back empty and the
+    // branch below that would clear tmpRoot never runs
+    val tmpRootIn = new Path(codesDir + ".del_tmp")
+    if (fs.exists(tmpRootIn)) fs.delete(tmpRootIn, true)
     if (!fs.exists(delPath)) return
     val del = spark.read.parquet(delPath.toString).select(col("vec_id")).distinct()
     val codes = spark.read.parquet(codesDir).withColumn("ccid", col("ccid").cast("long"))
@@ -1312,15 +1332,21 @@ object Similarity {
     val live = if (delIds.isEmpty) lit(true) else !col("vec_id").isin(delIds: _*)
     buildIvfPqIndex(spark, dir, staging.toString, live, live)
     // atomic root swap, aside-first: a crash at any point leaves a
-    // recoverable state (see the recovery block above)
+    // recoverable state (see the recovery block above). A missing live
+    // root is NOT an error — retrain doubles as CREATE (no prior index
+    // to set aside; the staging tree renames straight into place, and
+    // a crash before that rename is completed forward by the recovery
+    // block) — so a fresh-dir call doesn't waste the full staging
+    // build on a spurious swap failure.
     if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
-    if (!fs.rename(idxPath, oldRoot))
+    val hadLive = fs.exists(idxPath)
+    if (hadLive && !fs.rename(idxPath, oldRoot))
       throw new java.io.IOException(s"retrain swap failed: $idxPath aside")
     if (!fs.rename(staging, idxPath)) {
-      fs.rename(oldRoot, idxPath) // restore the live index before failing
+      if (hadLive) fs.rename(oldRoot, idxPath) // restore the live index before failing
       throw new java.io.IOException(s"retrain swap failed: $staging -> $idxPath")
     }
-    fs.delete(oldRoot, true)
+    if (hadLive) fs.delete(oldRoot, true)
   }
 
   private def s22IdxDir(dir: String): String =

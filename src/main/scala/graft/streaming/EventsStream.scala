@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 
 import graft.Tables
 
@@ -57,11 +58,15 @@ object EventsStream {
     // and let the stream start against a wrong schema that fails
     // later and obscurely. Anything else the batch read throws
     // propagates.
-    def hasParquet(f: java.io.File): Boolean =
-      if (f.isFile) f.getName.endsWith(".parquet")
-      else Option(f.listFiles()).exists(_.exists(hasParquet))
+    val dirPath = new Path(dir)
+    val fs = FileSystem.get(dirPath.toUri, spark.sparkContext.hadoopConfiguration)
+    def hasParquet(p: Path): Boolean = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) p.getName.endsWith(".parquet")
+      else fs.listStatus(p).exists(s => hasParquet(s.getPath))
+    }
     val rawSchema = schemaOverride.getOrElse {
-      if (hasParquet(new java.io.File(dir))) spark.read.parquet(dir).schema
+      if (fs.exists(dirPath) && hasParquet(dirPath)) spark.read.parquet(dir).schema
       else defaultRawSchema
     }
     Tables.normalizeEventTs(
@@ -376,41 +381,40 @@ object EventsStream {
     * local-FS stand-in for that atomicity. */
   def mergeIntoParquet(target: String, keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val dir = new java.io.File(target)
+    // Hadoop FileSystem throughout (not java.io.File), so the
+    // SPARK_GRAFT_ARTIFACT_ROOT knob can point the snapshot at the
+    // warehouse filesystem and the swap renames stay same-FS atomic
+    val dir = new Path(target)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     // crash recovery: a death between "rename target aside" and
     // "promote tmp" leaves only the .old copy — restore it BEFORE
     // looking at dir, or this batch would rebuild from itself and the
     // cleanup below would delete the sole surviving snapshot
-    val oldAside = new java.io.File(target + ".old")
-    if (!dir.exists() && oldAside.exists() && !oldAside.renameTo(dir))
-      throw new java.io.IOException(s"recovery failed: ${oldAside.getPath} -> $target")
+    val old = new Path(target + ".old")
+    if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+      throw new java.io.IOException(s"recovery failed: $old -> $target")
     val cols = batch.columns.map(col).toSeq
     val merged =
-      if (!dir.exists()) batch.select(cols: _*)
+      if (!fs.exists(dir)) batch.select(cols: _*)
       else spark.read.parquet(target)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
         .select(cols: _*)
         .union(batch.select(cols: _*))
-    val tmp = target + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    val tmp = new Path(target + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
     // swap order matters for crash-safety: rename the live snapshot
     // ASIDE first, then promote tmp, then drop the old copy — a crash
     // at any point leaves either the old or the new snapshot intact
     // and recoverable (delete-then-rename would lose the snapshot if
     // the rename failed or the process died between the two).
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(delete)
-      f.delete(); ()
-    }
-    val old = new java.io.File(target + ".old")
-    if (old.exists()) delete(old)
-    if (dir.exists() && !dir.renameTo(old))
-      throw new java.io.IOException(s"swap failed: $target -> ${old.getPath}")
-    if (!new java.io.File(tmp).renameTo(dir)) {
-      old.renameTo(dir) // restore the previous snapshot before failing
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dir) && !fs.rename(dir, old))
+      throw new java.io.IOException(s"swap failed: $target -> $old")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // restore the previous snapshot before failing
       throw new java.io.IOException(s"swap failed: $tmp -> $target")
     }
-    if (old.exists()) delete(old)
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   /** Drive the windowed-counts stream into a parquet snapshot via the
@@ -445,13 +449,10 @@ object EventsStream {
     * at one FIXED location per scale factor, rebuilt per invocation
     * (s13's no-tmp-accumulation discipline). */
   def st11SnapshotMerge(spark: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(graft.ArtifactRoots.tagged("graft_st11", dir))
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-      f.delete(); ()
-    }
-    delete(base)
-    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val base = new Path(graft.ArtifactRoots.tagged("graft_st11", dir))
+    val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val inDir = new Path(base, "in"); fs.mkdirs(inDir)
     // split from the RAW representation so the staged files carry the
     // ts encoding the stream's sniffed schema expects
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -468,7 +469,15 @@ object EventsStream {
     val mm = all.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
     val lo = mm.getAs[java.time.LocalDateTime]("lo")
     val hi = mm.getAs[java.time.LocalDateTime]("hi")
-    val mid = lo.plus(java.time.Duration.between(lo, hi).dividedBy(2))
+    // degenerate inputs stay well-defined: an EMPTY events table
+    // (lo/hi null) stages two empty batches under an arbitrary
+    // threshold; a SINGLE-distinct-ts table puts every row in batch 1
+    // (mid = lo = hi) and batch 2 runs empty — the merge converges to
+    // the batch answer either way, it just exercises one populated
+    // micro-batch instead of two.
+    val mid =
+      if (lo == null) java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+      else lo.plus(java.time.Duration.between(lo, hi).dividedBy(2))
     all.filter(col("ts") <= lit(mid))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/f1")
     all.filter(col("ts") > lit(mid))
@@ -476,11 +485,12 @@ object EventsStream {
     // stage with increasing mtimes so the file source orders the two
     // micro-batches deterministically
     def stage(src: String, dst: String, mtime: Long): Unit = {
-      val part = new java.io.File(src).listFiles()
+      val part = fs.listStatus(new Path(src)).map(_.getPath)
         .find(_.getName.endsWith(".parquet")).get
-      val to = new java.io.File(inDir, dst)
-      java.nio.file.Files.copy(part.toPath, to.toPath)
-      to.setLastModified(mtime); ()
+      val to = new Path(inDir, dst)
+      FileUtil.copy(fs, part, fs, to, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(to, mtime, -1); ()
     }
     stage(s"$base/f1", "a.parquet", 1000000L)
     stage(s"$base/f2", "b.parquet", 2000000L)

@@ -328,10 +328,16 @@ class PropertySpec extends AnyFunSuite {
     import spark.implicits._
     import graft.ext.Pipeline
     // availabilities chosen PAST the documented ~4e10 bound: the narrow
-    // path's avail·lcm(1..20) sort key would overflow int64 on every row
+    // path's avail·lcm(1..20) sort key would overflow int64 on every
+    // row. The generator runs to the very END of the int64 range —
+    // the wide path's documented domain edge (avail/alloc are BIGINT
+    // columns, so int64 bounds the interface; the decimal internals
+    // must stay exact all the way there, incl. Σavail past int64)
     val wideGen: Gen[(List[(String, Long, Long)], (Long, Long))] = for {
       n  <- Gen.chooseNum(2, 15)
-      as <- Gen.listOfN(n, Gen.chooseNum(50000000000L, 2000000000000000L))
+      as <- Gen.listOfN(n, Gen.oneOf(
+              Gen.chooseNum(50000000000L, 2000000000000000L),
+              Gen.chooseNum(Long.MaxValue / 4, Long.MaxValue - 1)))
       ws <- Gen.listOfN(n, Gen.chooseNum(1L, 20L))
       b  <- Gen.oneOf((3L, 4L), (1L, 3L), (9L, 10L))
     } yield (as.zip(ws).zipWithIndex.map { case ((a, w), i) => (f"s$i%02d", a, w) }, b)
