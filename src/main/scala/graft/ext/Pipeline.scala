@@ -567,6 +567,88 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  // ---------------------------------------------------------------
+  // E10 — artifact REFRESH: the lifecycle verb the stage DAG was
+  // missing. The index family has build/append/delete/update/retrain
+  // (s13/s18/s21/s22); the pipeline artifacts only had full rebuild.
+  // When e4's delta arrives, its s5 survivors must reach the bins
+  // table WITHOUT rewriting shipped bins — a shipped context window
+  // is immutable (training jobs, resumes, and e9 manifests already
+  // reference it). So the bins artifact gains an EPOCH axis:
+  //
+  //   bins/epoch=0/shard=*   the base packing, written once
+  //   bins/epoch=1/shard=*   the delta packing, appended by refresh
+  //
+  // Append-only packing law: epoch-1 docs pack into NEW bins whose
+  // ids start at each shard's base watermark (max base bin + 1) —
+  // never topping up a partial base bin. That trades perfect fill for
+  // immutability (n_bins ≥ the pack-at-once count; doc/token mass is
+  // conserved exactly — both spec-pinned), which is the trade every
+  // production format makes (immutable segments + append, compaction
+  // as a separate verb). The manifest is recomputed from the combined
+  // bins table — |shards| rows, trivially rewritable; append-only
+  // applies to the CORPUS-sized table, not the census.
+  //
+  // Crash/idempotence: each epoch directory is gated on its own
+  // _SUCCESS marker; a crashed write has no marker and rebuilds via
+  // overwrite (deterministic input ⇒ identical files), so refresh
+  // never double-appends. 100 TB shape: the refresh scans only the
+  // delta slice of docflags (delta-sized, not corpus-sized), the
+  // offsets are a |shards|-row broadcast, and the packing window is
+  // per-shard — the same one-window-per-shard plan as e3.
+  // ---------------------------------------------------------------
+
+  private[graft] def e10Root(dir: String): String =
+    graft.ArtifactRoots.tagged("graft_e10_epochs_v1", dir)
+
+  /** Build both epochs of the epoch-partitioned bins tree (marker-
+    * gated, idempotent) and return the combined frame. */
+  private[graft] def e10Bins(spark: SparkSession, dir: String): DataFrame = {
+    val root = e10Root(dir)
+    val fs = FileSystem.get(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def ensureEpoch(epoch: Int)(build: => DataFrame): Unit = {
+      val path = s"$root/bins/epoch=$epoch"
+      if (!fs.exists(new Path(s"$path/_SUCCESS")))
+        build.write.mode("overwrite").partitionBy("shard").parquet(path)
+    }
+    ensureEpoch(0) {
+      binsFrom(docFlagsArtifact(spark, dir).filter(!e4DeltaPred))
+    }
+    ensureEpoch(1) {
+      // per-shard watermark of the SHIPPED packing; a shard with no
+      // base bins starts at 0
+      val offsets = spark.read.parquet(s"$root/bins/epoch=0")
+        .select(col("shard").cast("long").as("shard"), col("bin"))
+        .groupBy(col("shard")).agg((max(col("bin")) + 1L).as("off"))
+      binsFrom(docFlagsArtifact(spark, dir).filter(e4DeltaPred))
+        .join(broadcast(offsets), Seq("shard"), "left")
+        .withColumn("bin", col("bin") + coalesce(col("off"), lit(0L)))
+        .drop("off")
+    }
+    spark.read.parquet(s"$root/bins")
+      .select(col("epoch").cast("int").as("epoch"),
+        col("shard").cast("long").as("shard"),
+        col("bin"), col("n_docs"), col("n_tokens"))
+  }
+
+  /** E10 — the refreshed packing's per-shard census: base vs appended
+    * bin counts plus e9's position-weighted order checksum over the
+    * COMBINED bin order (offsets make epoch-1 bin ids disjoint, so the
+    * combined order is well-defined and a resume after the refresh
+    * verifies against THIS manifest). */
+  def e10ArtifactRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val bins = e10Bins(spark, dir)
+    val perEpoch = bins.groupBy(col("shard"))
+      .agg(sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("n_bins_base"),
+           sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("n_bins_new"))
+    manifestOf(bins.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens")))
+      .join(perEpoch, Seq("shard"))
+      .select(col("shard"), col("n_bins_base"), col("n_bins_new"),
+        col("n_docs"), col("n_tokens"), col("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
   /** e8's budget: (3/4)·total available BPE tokens — a real
     * downsampling posture that lands the water level strictly inside
     * the spec ladder's ratio spread at every SF (measured: 10-11 of
@@ -632,16 +714,27 @@ object Pipeline {
     * sort key avail·lcm(1..20) overflows int64 past ~4e10
     * tokens/source, so the wide path carries every avail-scaled
     * product (sort key, prefix sums, cross-multiply cut, θ·w
-    * allocation, fill numerator) as DECIMAL(38,0) — exact to 1e28
-    * tokens/source — and casts only the bounded outputs (alloc ≤
-    * avail, fill ≤ 1000) back to BIGINT, so the result schema is
-    * identical in both modes. floor-division replaces `div` because
-    * Spark's IntegralDivide always narrows to long; divisor digits
-    * stay small (w ≤ ladder, den ≤ Σw, bDen), so the scale-6
-    * quotient is exact wherever the narrow path's truncation is.
-    * PropertySpec drives the wide path past the int64 bound against
-    * the same BigInt greedy reference. The e8 GATE stays narrow
-    * (its census is ≪ the bound; the oracle mirrors int64). */
+    * allocation, fill numerator) as DECIMAL(38,0) and casts only the
+    * bounded outputs (alloc ≤ avail, fill ≤ 1000) back to BIGINT, so
+    * the result schema is identical in both modes. The wide domain is
+    * the FULL int64 avail range (~9.2e18 tokens/source — 9 orders
+    * past the narrow bound, and already ~10⁵× every token ever
+    * written): avail is a BIGINT input and alloc a BIGINT output, so
+    * int64 bounds the interface by construction, and inside it every
+    * decimal intermediate provably fits — products ≤ avail·lcm ≈
+    * 2.2e27 < 1e38, and every division's QUOTIENT (the part decimal
+    * division can overflow — results are DECIMAL(38,6), integer
+    * capacity 1e32) is ≤ max(avail·lcm ≈ 2.2e27, bNum·Σavail/bDen),
+    * under 1e32 for any catalog-bounded source count and sane budget
+    * ratio. floor-division replaces `div` because Spark's
+    * IntegralDivide always narrows to long; a multiply-back
+    * correction (see idiv) undoes the scale-6 quotient's HALF_UP
+    * rounding, so the wide floor is exact for any divisor — no
+    * small-divisor assumption. PropertySpec drives
+    * the wide path past the int64 sort-key bound AND at the int64
+    * avail edge against the same BigInt greedy reference. The e8 GATE
+    * stays narrow (its census is ≪ the bound; the oracle mirrors
+    * int64). */
   private[graft] def waterFill(spark: SparkSession, spec: DataFrame,
                                bNum: Long = E8BudgetNum,
                                bDen: Long = E8BudgetDen,
@@ -649,8 +742,18 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val T = if (wide) "DECIMAL(38,0)" else "BIGINT"
     def big(c: String): String = s"CAST(($c) AS $T)"
+    // Wide-mode floor division must correct for Spark's decimal
+    // division ROUNDING: the DECIMAL(38,6) quotient is the nearest
+    // scale-6 grid value, so when the exact quotient sits within 5e-7
+    // BELOW an integer the rounded value crosses it and floor() lands
+    // one too high (the other direction is safe — an integer is its
+    // own nearest grid point). One multiply-back correction makes the
+    // floor exact for ANY divisor, with no small-divisor caveat.
     def idiv(a: String, b: String): String =
-      if (wide) s"CAST(floor(($a) / ($b)) AS $T)" else s"($a) div ($b)"
+      if (wide)
+        s"(CAST(floor(($a) / ($b)) AS $T) - " +
+          s"(CASE WHEN CAST(floor(($a) / ($b)) AS $T) * ($b) > ($a) THEN 1 ELSE 0 END))"
+      else s"($a) div ($b)"
     val base = spec.withColumn("rkey",
       expr(idiv(s"${big("avail")} * $E8RatioLcm", "w")))
     val totals = base.agg(sum(expr(big("avail"))).as("ta"), sum(col("w")).as("tw"))
@@ -684,6 +787,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
     "e8_token_budget"   -> (e8TokenBudget _),
     "e7_training_order" -> (e7TrainingOrder _),
@@ -909,6 +1013,61 @@ object Pipeline {
          FROM alloc ORDER BY source"""
 
   val oracles: Map[String, String] = Map(
+    // e10: e3's packing CTE run twice — once over the base slice of
+    // the mixed set, once over the delta slice with each shard's bin
+    // ids offset past the base watermark — then e9's manifest chain
+    // over the combined bins plus the per-epoch bin census
+    "e10_artifact_refresh" ->
+      s"""WITH RECURSIVE $selectedCtes,
+         fin0 AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok
+                  FROM mx WHERE s5 = 1 AND NOT ${e4DeltaSqlOf("doc_id")}),
+         coff0 AS (
+           SELECT shard, n_tok,
+                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+           FROM fin0),
+         bins0 AS (
+           SELECT shard, CAST(floor(start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
+                  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM coff0 GROUP BY 1, 2),
+         off AS (SELECT shard, max(bin) + 1 AS o FROM bins0 GROUP BY 1),
+         fin1 AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok
+                  FROM mx WHERE s5 = 1 AND ${e4DeltaSqlOf("doc_id")}),
+         coff1 AS (
+           SELECT shard, n_tok,
+                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+           FROM fin1),
+         bins1 AS (
+           SELECT c.shard,
+                  COALESCE(o.o, 0) + CAST(floor(c.start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
+                  count(*) AS n_docs, CAST(sum(c.n_tok) AS BIGINT) AS n_tokens
+           FROM coff1 c LEFT JOIN off o ON o.shard = c.shard
+           GROUP BY 1, 2),
+         allb AS (
+           SELECT 0 AS epoch, shard, bin, n_docs, n_tokens FROM bins0
+           UNION ALL
+           SELECT 1 AS epoch, shard, bin, n_docs, n_tokens FROM bins1),
+         hb AS (
+           SELECT epoch, shard, bin, n_docs, n_tokens,
+                  (${StableHash.duckdbHash64(
+                    "'e7:1:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)")}) AS h,
+                  (${StableHash.duckdbHash64(
+                    "'e9:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)" +
+                      " || ':' || CAST(n_docs AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)")})
+                    % $E9HashMod AS c
+           FROM allb),
+         p AS (
+           SELECT epoch, shard, n_docs, n_tokens, c,
+                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, bin) AS BIGINT) AS pos
+           FROM hb)
+         SELECT shard,
+                CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_base,
+                CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_new,
+                CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                CAST(sum(pos * c) AS BIGINT) AS order_checksum
+         FROM p GROUP BY 1 ORDER BY shard""",
     "e8_token_budget" -> e8OracleSql,
     "e6_leakage_split" -> e6OracleSql,
     "e4_delta_ingest" -> e4OracleSql,

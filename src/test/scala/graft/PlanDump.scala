@@ -47,7 +47,8 @@ object PlanDump {
     "e8_token_budget" -> "water-filling: |sources|-row spec windows + 1-row broadcast cut; corpus-sized work stays inside t28's census",
     "s14_index_health" -> "index health: two full index pipelines graded by one |Q|·k membership join keyed on (query_id, neighbor_id)",
     "s20_knn_graph" -> "kNN graph: IVF-blocked candidates + one NN-Descent two-hop round, codegen'd integer distances, rank window partitioned per vector",
-    "e9_order_manifest" -> "order manifest SERVED from its persisted artifact (built once beside the bins: shard-partitioned position window, |shards|-row rollup)")
+    "e9_order_manifest" -> "order manifest SERVED from its persisted artifact (built once beside the bins: shard-partitioned position window, |shards|-row rollup)",
+    "e10_artifact_refresh" -> "epoch-append refresh: one scan of the epoch-partitioned bins tree feeds both the per-epoch census and the combined-order checksum; the delta pack itself is marker-gated build work, delta-sized")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
@@ -65,7 +66,10 @@ object PlanDump {
       "e4_delta_ingest" -> (graft.ext.Pipeline.e4DeltaIngestFrame _),
       "docflags_build" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.ext.Pipeline.docFlagsDerived(s, d, graft.ext.Pipeline.labelsDerived(s, d))),
-      "t27_bpe_merges" -> (graft.ext.TextAnalysis.t27Round1Pairs _))
+      "t27_bpe_merges" -> (graft.ext.TextAnalysis.t27Round1Pairs _),
+      "d21_lsh_tuning" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.ext.Dedup.d21PlanFrame(s, d)),
+      "p6_modularity" -> (graft.ext.Graph.p6PlanFrame _))
     Headline.foreach { case (name, why) =>
       val df = planFrame.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       df.collect() // let AQE finalize

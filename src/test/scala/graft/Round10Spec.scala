@@ -352,4 +352,132 @@ class Round10Spec extends AnyFunSuite {
       assert(!r.isNullAt(r.fieldIndex("alloc_tokens")))
     }
   }
+
+  // ---------- 5. index-lifecycle edge cases (review findings) ----------
+
+  test("retrain doubles as CREATE: on a dir with no live index the staging " +
+    "tree renames straight into place — no spurious swap failure, answers " +
+    "equal a direct all-trained build") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val freshDir = s"$tmp/graft_r10_retrain_create"
+    val refDir = s"$tmp/graft_r10_retrain_ref"
+    val fs = FileSystem.get(new Path(freshDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    Seq(freshDir, s"$freshDir.retrain_tmp", s"$freshDir.retrain_old", refDir)
+      .foreach(p => fs.delete(new Path(p), true))
+    Similarity.retrainIvfPqIndex(spark, dir, freshDir)
+    assert(fs.exists(new Path(s"$freshDir/codes")), "retrain-as-create built the index")
+    assert(!fs.exists(new Path(s"$freshDir.retrain_tmp")), "staging cleared")
+    assert(!fs.exists(new Path(s"$freshDir.retrain_old")), "no aside left")
+    Similarity.buildIvfPqIndex(spark, dir, refDir, lit(true), lit(true))
+    assert(Similarity.queryIvfPqIndex(spark, dir, freshDir).collect().toSeq ===
+      Similarity.queryIvfPqIndex(spark, dir, refDir).collect().toSeq,
+      "retrain-created index answers equal a direct all-trained build")
+  }
+
+  test("index generations are sealed: a stale codes.del_old from a previous " +
+    "generation is cleared by the rebuild and never resurrected by a later " +
+    "compaction; a stale codes.del_tmp is cleared even when the re-run has " +
+    "no compaction work") {
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_r10_gen_idx"
+    val fs = FileSystem.get(new Path(idxDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(idxDir), true)
+    Similarity.buildIvfPqIndex(spark, dir, idxDir, lit(true), lit(true))
+    // plant an OLD-GENERATION aside: a ccid the live index doesn't
+    // have, carrying rows coded against a different model
+    val oldRoot = new Path(s"$idxDir/codes.del_old")
+    fs.mkdirs(oldRoot)
+    spark.read.parquet(s"$idxDir/codes").limit(5).drop("ccid")
+      .write.parquet(s"$oldRoot/ccid=999999")
+    // plant a stale staging tree too
+    fs.mkdirs(new Path(s"$idxDir/codes.del_tmp"))
+    // rebuild = new generation: both scratch trees must be gone
+    Similarity.buildIvfPqIndex(spark, dir, idxDir, lit(true), lit(true))
+    assert(!fs.exists(oldRoot), "rebuild clears the stale aside tree")
+    assert(!fs.exists(new Path(s"$idxDir/codes.del_tmp")),
+      "rebuild clears the stale staging tree")
+    // and a later compaction finds nothing to resurrect
+    Similarity.deleteFromIvfPqIndex(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 6), idxDir)
+    Similarity.compactIvfPqDeletes(spark, idxDir)
+    assert(spark.read.parquet(s"$idxDir/codes")
+      .filter(col("ccid") === 999999).count() === 0,
+      "no old-generation partition leaks into the compacted index")
+    // separately: a stale del_tmp alone (crash between aside-delete
+    // and staging-delete) is cleared even when the tombstone table is
+    // empty and the affected branch never runs
+    fs.mkdirs(new Path(s"$idxDir/codes.del_tmp"))
+    Similarity.compactIvfPqDeletes(spark, idxDir) // no tombstones pending
+    assert(!fs.exists(new Path(s"$idxDir/codes.del_tmp")),
+      "staging cleanup is unconditional, not tied to pending work")
+  }
+
+  // ---------- e10: epoch-append artifact refresh ----------
+
+  test("e10: refresh is append-only (epoch-0 part files untouched by an " +
+    "epoch-1 rebuild), conserves the mixed set's mass vs pack-at-once, " +
+    "appends strictly above each shard's watermark, and is idempotent") {
+    val root = new Path(Pipeline.e10Root(dir))
+    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // cold build: the pin covers the build path
+    val first = Pipeline.e10ArtifactRefresh(spark, dir).collect().toSeq
+    def epochFiles(e: Int): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new Path(root, s"bins/epoch=$e"), true)
+      val b = scala.collection.mutable.Map[String, (Long, Long)]()
+      while (it.hasNext) {
+        val st = it.next()
+        b(st.getPath.toString) = (st.getLen, st.getModificationTime)
+      }
+      b.toMap
+    }
+    val base1 = epochFiles(0)
+    // force an epoch-1 rebuild: drop its marker, call again
+    fs.delete(new Path(root, "bins/epoch=1/_SUCCESS"), false)
+    val second = Pipeline.e10ArtifactRefresh(spark, dir).collect().toSeq
+    assert(second === first, "refresh is deterministic across rebuilds")
+    assert(epochFiles(0) === base1,
+      "epoch-0 part files (path, length, mtime) are untouched by the refresh")
+    // idempotence: a marker-complete tree serves without rewriting
+    val e1files = epochFiles(1)
+    assert(Pipeline.e10ArtifactRefresh(spark, dir).collect().toSeq === first)
+    assert(epochFiles(1) === e1files, "a complete epoch is never rewritten")
+    // conservation vs the pack-at-once world (e3's bins over the SAME
+    // mixed set): doc/token mass equal, bin count >= (append-only
+    // packing never beats perfect fill)
+    val atOnce = Pipeline.queries("e3_final_packing")(spark, dir)
+      .agg(sum(col("n_docs")), sum(col("n_tokens")), count(lit(1))).collect()(0)
+    val refreshed = Pipeline.e10Bins(spark, dir)
+      .agg(sum(col("n_docs")), sum(col("n_tokens")), count(lit(1))).collect()(0)
+    assert(refreshed.getLong(0) === atOnce.getLong(0), "docs conserved")
+    assert(refreshed.getLong(1) === atOnce.getLong(1), "tokens conserved")
+    assert(refreshed.getLong(2) >= atOnce.getLong(2),
+      "append-only packing uses at least as many bins as pack-at-once")
+    // watermark law: wherever both epochs have bins, the first new bin
+    // sits exactly one above the shipped watermark
+    val bins = Pipeline.e10Bins(spark, dir)
+    val wm = bins.groupBy(col("shard"))
+      .agg(max(when(col("epoch") === 0, col("bin"))).as("base_max"),
+           min(when(col("epoch") === 1, col("bin"))).as("new_min"))
+      .filter(col("base_max").isNotNull && col("new_min").isNotNull)
+      .collect()
+    assert(wm.nonEmpty, "the pin must see shards with both epochs")
+    wm.foreach(r => assert(r.getAs[Long]("new_min") === r.getAs[Long]("base_max") + 1L,
+      s"shard ${r.get(0)}: appended bins start at the watermark"))
+  }
+
+  // ---------- 6. st11 degenerate inputs ----------
+
+  test("st11: an empty events table stages two empty batches and yields an " +
+    "empty census — no NPE from the null min/max midpoint") {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_r10_empty_events"
+    val fs = FileSystem.get(new Path(tmp).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(tmp), true)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").limit(0)
+      .write.parquet(s"$tmp/events.parquet")
+    val out = EventsStream.st11SnapshotMerge(spark, tmp).collect()
+    assert(out.isEmpty, "empty input converges to an empty snapshot census")
+  }
 }
