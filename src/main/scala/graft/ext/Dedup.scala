@@ -929,17 +929,20 @@ object Dedup {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
   }
 
+  /** PlanDump entry point: the d21 grading plan over a fresh,
+    * deliberately UNCACHED signature build, so the dumped plan shows
+    * the full banding shape rather than an InMemoryRelation (PlanDump
+    * is a one-shot JVM — the recompute is paid once, at dump time
+    * only). */
+  private[graft] def d21PlanFrame(spark: SparkSession, dir: String): DataFrame =
+    d21ReportFrame(spark, dir, minhashSignatures(shingleSet(spark, dir)))
+
   /** The d21 grading frame, LAZY over a caller-supplied signature
     * table — factored out so PlanDump can pin the distributed plan
     * (three bandings of one signature build, bucket-bounded
     * candidates, pair-list grading joins); the gate entry above wraps
     * it with the cache/collect/unpersist hygiene, whose price is a
     * LocalTableScan plan. */
-  /** PlanDump entry point: the d21 grading plan over a fresh
-    * (uncached) signature build. */
-  private[graft] def d21PlanFrame(spark: SparkSession, dir: String): DataFrame =
-    d21ReportFrame(spark, dir, minhashSignatures(shingleSet(spark, dir)))
-
   private[graft] def d21ReportFrame(spark: SparkSession, dir: String,
                                     mh: DataFrame): DataFrame = {
     val truth = d3JaccardPairs(spark, dir).select(col("a_id"), col("b_id"))

@@ -491,8 +491,13 @@ object Graph {
       .orderBy(col("community_id"))
   }
 
-  /** PlanDump entry point: the p6 grading plan over a fresh
-    * (uncached) pair list and its labeling. */
+  /** PlanDump entry point: the p6 grading plan over a fresh,
+    * deliberately UNCACHED pair list and its labeling, so the dumped
+    * plan shows the real grading shape rather than InMemory scans.
+    * The labeling's checkpoint is NOT released here — PlanDump is a
+    * one-shot JVM, and eager release would require collecting before
+    * the caller can dump the plan; the gate entry (p6Modularity) is
+    * the self-releasing path. */
   private[graft] def p6PlanFrame(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.d4MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
     p6GradingFrame(pairs, labelPropagation(pairs, "a_id", "b_id"))

@@ -598,27 +598,24 @@ object Pipeline {
   // per-shard — the same one-window-per-shard plan as e3.
   // ---------------------------------------------------------------
 
+  /** The epoch tree lives INSIDE the versioned e-artifact root: it is
+    * derived from the docflags artifact, so the EArtifactVersion bump
+    * that invalidates docflags must invalidate the epoch packing with
+    * it — a marker-complete epoch tree packed from an older build's
+    * docflags must never serve (the CLAUDE.md invariant). */
   private[graft] def e10Root(dir: String): String =
-    graft.ArtifactRoots.tagged("graft_e10_epochs_v1", dir)
+    s"${eArtifactRoot(dir)}/bins_epochs"
 
   /** Build both epochs of the epoch-partitioned bins tree (marker-
-    * gated, idempotent) and return the combined frame. */
+    * gated via ensureArtifact, idempotent) and return the combined
+    * frame. */
   private[graft] def e10Bins(spark: SparkSession, dir: String): DataFrame = {
-    val root = e10Root(dir)
-    val fs = FileSystem.get(new Path(root).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    def ensureEpoch(epoch: Int)(build: => DataFrame): Unit = {
-      val path = s"$root/bins/epoch=$epoch"
-      if (!fs.exists(new Path(s"$path/_SUCCESS")))
-        build.write.mode("overwrite").partitionBy("shard").parquet(path)
-    }
-    ensureEpoch(0) {
-      binsFrom(docFlagsArtifact(spark, dir).filter(!e4DeltaPred))
-    }
-    ensureEpoch(1) {
+    val base = ensureArtifact(spark, dir, "bins_epochs/epoch=0", Seq("shard"))(
+      binsFrom(docFlagsArtifact(spark, dir).filter(!e4DeltaPred)))
+    ensureArtifact(spark, dir, "bins_epochs/epoch=1", Seq("shard")) {
       // per-shard watermark of the SHIPPED packing; a shard with no
       // base bins starts at 0
-      val offsets = spark.read.parquet(s"$root/bins/epoch=0")
+      val offsets = base
         .select(col("shard").cast("long").as("shard"), col("bin"))
         .groupBy(col("shard")).agg((max(col("bin")) + 1L).as("off"))
       binsFrom(docFlagsArtifact(spark, dir).filter(e4DeltaPred))
@@ -626,7 +623,7 @@ object Pipeline {
         .withColumn("bin", col("bin") + coalesce(col("off"), lit(0L)))
         .drop("off")
     }
-    spark.read.parquet(s"$root/bins")
+    spark.read.parquet(e10Root(dir))
       .select(col("epoch").cast("int").as("epoch"),
         col("shard").cast("long").as("shard"),
         col("bin"), col("n_docs"), col("n_tokens"))

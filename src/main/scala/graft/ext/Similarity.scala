@@ -1158,8 +1158,7 @@ object Similarity {
       // the swap is then pure renames, aside-first per list. A list
       // whose every row is tombstoned writes no staging partition and
       // its directory simply goes away.
-      val tmpRoot = new Path(codesDir + ".del_tmp")
-      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      val tmpRoot = new Path(codesDir + ".del_tmp") // cleared unconditionally above
       codes.filter(col("ccid").isin(affected: _*))
         .join(broadcast(del), Seq("vec_id"), "left_anti")
         .write.mode("overwrite").partitionBy("ccid").parquet(tmpRoot.toString)
@@ -1200,11 +1199,8 @@ object Similarity {
     * the tombstone table is empty after compaction. */
   def s18IndexDelete(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = s18IdxDir(dir)
-    // a crashed prior run may leave stale tombstones; the lifecycle
-    // starts from a clean ledger (the codes table is rebuilt anyway)
-    val delPath = new Path(s"$idxDir/deletes")
-    val fs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(delPath)) fs.delete(delPath, true)
+    // buildIvfPqIndex seals the generation: stale tombstones and
+    // compaction scratch from a crashed prior run are cleared there
     buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
     appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
     deleteFromIvfPqIndex(spark,
@@ -1267,9 +1263,7 @@ object Similarity {
     * models. */
   def s21IndexUpdate(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = s21IdxDir(dir)
-    val delPath = new Path(s"$idxDir/deletes")
-    val fs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(delPath)) fs.delete(delPath, true)
+    // buildIvfPqIndex seals the generation (clears stale tombstones)
     buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
     appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
     updateIvfPqIndex(spark, s21NewEmbeddings(spark, dir), idxDir)
@@ -1310,14 +1304,16 @@ object Similarity {
     val staging = new Path(idxDir + ".retrain_tmp")
     val oldRoot = new Path(idxDir + ".retrain_old")
     val fs = FileSystem.get(idxPath.toUri, spark.sparkContext.hadoopConfiguration)
-    // CRASH RECOVERY from a previous retrain's swap window: the
-    // staging tree is complete before any rename starts, so a missing
-    // root with a staging present is completed forward; with only the
-    // aside present it rolls back. (A crash DURING the staging build
-    // leaves the live root untouched; the stale staging is cleared
-    // below.)
+    // CRASH RECOVERY from a previous retrain's swap window: a missing
+    // root with a COMPLETE staging present is completed forward; with
+    // only the aside present it rolls back. Completeness is witnessed
+    // by the codes table's _SUCCESS marker — codes is the LAST table
+    // the staging build writes — because in the create path (no live
+    // index yet) a missing root no longer implies the staging build
+    // finished: a crash mid-build leaves a partial tree that must be
+    // discarded (cleared below), never promoted to serve.
     if (!fs.exists(idxPath)) {
-      if (fs.exists(staging)) {
+      if (fs.exists(new Path(s"$staging/codes/_SUCCESS"))) {
         if (!fs.rename(staging, idxPath))
           throw new java.io.IOException(s"retrain recovery failed: $staging")
       } else if (fs.exists(oldRoot) && !fs.rename(oldRoot, idxPath))
@@ -1362,10 +1358,7 @@ object Similarity {
     * crash-recovery laws. */
   def s22IndexRetrain(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = s22IdxDir(dir)
-    val fs = FileSystem.get(new Path(idxDir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    val delPath = new Path(s"$idxDir/deletes")
-    if (fs.exists(delPath)) fs.delete(delPath, true)
+    // buildIvfPqIndex seals the generation (clears stale tombstones)
     buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
     appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
     retrainIvfPqIndex(spark, dir, idxDir)

@@ -60,13 +60,15 @@ object EventsStream {
     // propagates.
     val dirPath = new Path(dir)
     val fs = FileSystem.get(dirPath.toUri, spark.sparkContext.hadoopConfiguration)
-    def hasParquet(p: Path): Boolean = {
-      val st = fs.getFileStatus(p)
-      if (st.isFile) p.getName.endsWith(".parquet")
-      else fs.listStatus(p).exists(s => hasParquet(s.getPath))
-    }
+    // recurse on FileStatus, not Path: listStatus already returns each
+    // child's status, so a remote filesystem pays one metadata RPC per
+    // DIRECTORY, not one per file
+    def hasParquet(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      if (st.isFile) st.getPath.getName.endsWith(".parquet")
+      else fs.listStatus(st.getPath).exists(hasParquet)
     val rawSchema = schemaOverride.getOrElse {
-      if (fs.exists(dirPath) && hasParquet(dirPath)) spark.read.parquet(dir).schema
+      if (fs.exists(dirPath) && hasParquet(fs.getFileStatus(dirPath)))
+        spark.read.parquet(dir).schema
       else defaultRawSchema
     }
     Tables.normalizeEventTs(

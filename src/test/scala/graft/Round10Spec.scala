@@ -370,9 +370,20 @@ class Round10Spec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$freshDir.retrain_tmp")), "staging cleared")
     assert(!fs.exists(new Path(s"$freshDir.retrain_old")), "no aside left")
     Similarity.buildIvfPqIndex(spark, dir, refDir, lit(true), lit(true))
-    assert(Similarity.queryIvfPqIndex(spark, dir, freshDir).collect().toSeq ===
-      Similarity.queryIvfPqIndex(spark, dir, refDir).collect().toSeq,
+    val refAns = Similarity.queryIvfPqIndex(spark, dir, refDir).collect().toSeq
+    assert(Similarity.queryIvfPqIndex(spark, dir, freshDir).collect().toSeq === refAns,
       "retrain-created index answers equal a direct all-trained build")
+    // partial-staging crash in the CREATE path: no live root, a
+    // staging tree WITHOUT its codes/_SUCCESS completeness witness —
+    // recovery must discard it (never promote a partial tree to
+    // serve) and the retrain must still land a correct index
+    fs.delete(new Path(freshDir), true)
+    fs.mkdirs(new Path(s"$freshDir.retrain_tmp/codes"))
+    Similarity.retrainIvfPqIndex(spark, dir, freshDir)
+    assert(!fs.exists(new Path(s"$freshDir.retrain_tmp")),
+      "the partial staging tree is discarded, not promoted")
+    assert(Similarity.queryIvfPqIndex(spark, dir, freshDir).collect().toSeq === refAns,
+      "recovery from a partial staging rebuilds a correct index")
   }
 
   test("index generations are sealed: a stale codes.del_old from a previous " +
@@ -423,7 +434,7 @@ class Round10Spec extends AnyFunSuite {
     fs.delete(root, true) // cold build: the pin covers the build path
     val first = Pipeline.e10ArtifactRefresh(spark, dir).collect().toSeq
     def epochFiles(e: Int): Map[String, (Long, Long)] = {
-      val it = fs.listFiles(new Path(root, s"bins/epoch=$e"), true)
+      val it = fs.listFiles(new Path(root, s"epoch=$e"), true)
       val b = scala.collection.mutable.Map[String, (Long, Long)]()
       while (it.hasNext) {
         val st = it.next()
@@ -433,7 +444,7 @@ class Round10Spec extends AnyFunSuite {
     }
     val base1 = epochFiles(0)
     // force an epoch-1 rebuild: drop its marker, call again
-    fs.delete(new Path(root, "bins/epoch=1/_SUCCESS"), false)
+    fs.delete(new Path(root, "epoch=1/_SUCCESS"), false)
     val second = Pipeline.e10ArtifactRefresh(spark, dir).collect().toSeq
     assert(second === first, "refresh is deterministic across rebuilds")
     assert(epochFiles(0) === base1,
