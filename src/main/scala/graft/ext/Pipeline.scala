@@ -646,6 +646,82 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  // ---------------------------------------------------------------
+  // E11 — RETENTION DELETE: right-to-be-forgotten propagated through
+  // the packed training artifacts — s18's delete discipline at the
+  // artifact layer. A feed OFFBOARDS (licensing lapse, takedown,
+  // retention expiry): every one of its docs must leave the packed
+  // bins, and unlike e10's append, deletion cannot be append-only —
+  // removing a doc shifts every later start_off in its shard, so the
+  // compaction REPACKS each epoch's survivors (bin ids re-derived
+  // under the same watermark law, so epoch-1 still sits above
+  // epoch-0). The law is s18's verbatim: delete ∘ compact ≡
+  // rebuild-without-deleted — the retained tree equals the epoch
+  // pipeline run on a corpus whose mixed set never contained the
+  // retired source (spec-pinned against the independent derivation).
+  //
+  // The retained generation lands in its OWN marker-gated tree beside
+  // the e10 epochs (bins_retained/ inside the versioned root): gate
+  // entries stay independent and re-runnable in any order; production
+  // would atomically swap the retained root over the live one with
+  // s22's aside-first discipline, serving the old tree until cutover.
+  //
+  // 100 TB shape: the repack is one docflags scan + the same
+  // one-window-per-shard packing as e3/e10; the report joins two
+  // |shards|-row summaries. At real scale deletion batches on the
+  // compaction cadence (tombstone doc ids first, repack once), which
+  // is exactly s18's ledger posture — the gate compacts immediately
+  // because the census, not the ledger, is the operator under test.
+  // ---------------------------------------------------------------
+
+  /** The feed that offboards in the e11 gate instance — chosen to
+    * carry final (s5) token mass at every driver SF so the removed
+    * columns are non-degenerate. */
+  val E11RetiredSource = "src2"
+
+  /** Build the retained (post-delete) epoch tree: both epochs
+    * repacked WITHOUT the retired source's docs, marker-gated like
+    * every artifact. */
+  private[graft] def e11RetainedBins(spark: SparkSession, dir: String): DataFrame = {
+    val keep = col("source") =!= E11RetiredSource
+    val base = ensureArtifact(spark, dir, "bins_retained/epoch=0", Seq("shard"))(
+      binsFrom(docFlagsArtifact(spark, dir).filter(!e4DeltaPred && keep)))
+    ensureArtifact(spark, dir, "bins_retained/epoch=1", Seq("shard")) {
+      val offsets = base
+        .select(col("shard").cast("long").as("shard"), col("bin"))
+        .groupBy(col("shard")).agg((max(col("bin")) + 1L).as("off"))
+      binsFrom(docFlagsArtifact(spark, dir).filter(e4DeltaPred && keep))
+        .join(broadcast(offsets), Seq("shard"), "left")
+        .withColumn("bin", col("bin") + coalesce(col("off"), lit(0L)))
+        .drop("off")
+    }
+    spark.read.parquet(s"${eArtifactRoot(dir)}/bins_retained")
+      .select(col("epoch").cast("int").as("epoch"),
+        col("shard").cast("long").as("shard"),
+        col("bin"), col("n_docs"), col("n_tokens"))
+  }
+
+  /** E11 — the post-delete manifest with the per-shard removed mass:
+    * what the pre-delete (e10) packing carried for the retired feed.
+    * Emitted from the PRE-delete shard set (left join + coalesce), so
+    * a shard whose every doc belonged to the retired source still
+    * reports its removal instead of vanishing from the census. */
+  def e11RetentionDelete(spark: SparkSession, dir: String): DataFrame = {
+    val before = e10Bins(spark, dir).groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("b_docs"), sum(col("n_tokens")).as("b_tokens"))
+    val after = manifestOf(e11RetainedBins(spark, dir)
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens")))
+    before.join(after, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (col("b_docs") - coalesce(col("n_docs"), lit(0L))).as("n_docs_removed"),
+        (col("b_tokens") - coalesce(col("n_tokens"), lit(0L))).as("n_tokens_removed"),
+        coalesce(col("order_checksum"), lit(0L)).as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
   /** e8's budget: (3/4)·total available BPE tokens — a real
     * downsampling posture that lands the water level strictly inside
     * the spec ladder's ratio spread at every SF (measured: 10-11 of
@@ -784,6 +860,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
     "e8_token_budget"   -> (e8TokenBudget _),
@@ -1009,7 +1086,83 @@ object Pipeline {
                 CAST((1000 * alloc_tokens) // greatest(avail_tokens, 1) AS BIGINT) AS fill_permille
          FROM alloc ORDER BY source"""
 
+  /** The epoch-packing CTE chain over `mx` (e10's append law: base
+    * slice packed first, delta slice offset past each shard's
+    * watermark), name-prefixed so one statement can hold several
+    * worlds, with an extra row predicate for e11's retained world.
+    * Ends with `<p>allb` = (epoch, shard, bin, n_docs, n_tokens). */
+  private def epochPackSql(p: String, extra: String): String =
+    s"""${p}fin0 AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok
+                  FROM mx WHERE s5 = 1 AND NOT ${e4DeltaSqlOf("doc_id")} AND ($extra)),
+         ${p}coff0 AS (
+           SELECT shard, n_tok,
+                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+           FROM ${p}fin0),
+         ${p}bins0 AS (
+           SELECT shard, CAST(floor(start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
+                  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM ${p}coff0 GROUP BY 1, 2),
+         ${p}off AS (SELECT shard, max(bin) + 1 AS o FROM ${p}bins0 GROUP BY 1),
+         ${p}fin1 AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok
+                  FROM mx WHERE s5 = 1 AND ${e4DeltaSqlOf("doc_id")} AND ($extra)),
+         ${p}coff1 AS (
+           SELECT shard, n_tok,
+                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+           FROM ${p}fin1),
+         ${p}bins1 AS (
+           SELECT c.shard,
+                  COALESCE(o.o, 0) + CAST(floor(c.start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
+                  count(*) AS n_docs, CAST(sum(c.n_tok) AS BIGINT) AS n_tokens
+           FROM ${p}coff1 c LEFT JOIN ${p}off o ON o.shard = c.shard
+           GROUP BY 1, 2),
+         ${p}allb AS (
+           SELECT 0 AS epoch, shard, bin, n_docs, n_tokens FROM ${p}bins0
+           UNION ALL
+           SELECT 1 AS epoch, shard, bin, n_docs, n_tokens FROM ${p}bins1)"""
+
   val oracles: Map[String, String] = Map(
+    // e11: the e10 packing chain twice — the pre-delete world for the
+    // per-shard removed mass, the retained world (mixed set minus the
+    // retired source) for the post-delete manifest — emitted from the
+    // pre-delete shard set so fully-retired shards still report
+    "e11_retention_delete" ->
+      s"""WITH RECURSIVE $selectedCtes,
+         ${epochPackSql("b", "TRUE")},
+         bsum AS (
+           SELECT shard, CAST(sum(n_docs) AS BIGINT) AS b_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS b_tokens
+           FROM ballb GROUP BY 1),
+         ${epochPackSql("r", s"source <> '$E11RetiredSource'")},
+         rhb AS (
+           SELECT shard, bin, n_docs, n_tokens,
+                  (${StableHash.duckdbHash64(
+                    "'e7:1:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)")}) AS h,
+                  (${StableHash.duckdbHash64(
+                    "'e9:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)" +
+                      " || ':' || CAST(n_docs AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)")})
+                    % $E9HashMod AS c
+           FROM rallb),
+         rp AS (
+           SELECT shard, n_docs, n_tokens, c,
+                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, bin) AS BIGINT) AS pos
+           FROM rhb),
+         aft AS (
+           SELECT shard, count(*) AS n_bins,
+                  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                  CAST(sum(pos * c) AS BIGINT) AS order_checksum
+           FROM rp GROUP BY 1)
+         SELECT b.shard,
+                COALESCE(a.n_bins, 0) AS n_bins,
+                COALESCE(a.n_docs, 0) AS n_docs,
+                COALESCE(a.n_tokens, 0) AS n_tokens,
+                b.b_docs - COALESCE(a.n_docs, 0) AS n_docs_removed,
+                b.b_tokens - COALESCE(a.n_tokens, 0) AS n_tokens_removed,
+                COALESCE(a.order_checksum, 0) AS order_checksum
+         FROM bsum b LEFT JOIN aft a ON a.shard = b.shard
+         ORDER BY b.shard""",
     // e10: e3's packing CTE run twice — once over the base slice of
     // the mixed set, once over the delta slice with each shard's bin
     // ids offset past the base watermark — then e9's manifest chain

@@ -477,6 +477,59 @@ class Round10Spec extends AnyFunSuite {
       s"shard ${r.get(0)}: appended bins start at the watermark"))
   }
 
+  // ---------- e11: retention delete through the artifacts ----------
+
+  test("e11: delete-compact equals rebuild-without-deleted (independent " +
+    "derivation), removed mass reconciles to the retired source's s5 docs, " +
+    "and the pre-delete e10 tree is untouched") {
+    val eroot = new Path(Pipeline.eArtifactRoot(dir))
+    val fs = FileSystem.get(eroot.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(eroot, "bins_retained"), true) // cold retained build
+    // snapshot the pre-delete epochs, then run the delete
+    Pipeline.e10Bins(spark, dir).count()
+    def files(sub: String): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new Path(eroot, sub), true)
+      val b = scala.collection.mutable.Map[String, (Long, Long)]()
+      while (it.hasNext) {
+        val st = it.next()
+        b(st.getPath.toString) = (st.getLen, st.getModificationTime)
+      }
+      b.toMap
+    }
+    val e10Before = files("bins_epochs")
+    val report = Pipeline.e11RetentionDelete(spark, dir).collect()
+    assert(files("bins_epochs") === e10Before,
+      "the retained generation is written beside, not over, the live epochs")
+    // rebuild-without-deleted: the retained tree equals the epoch
+    // pipeline derived FRESH (no artifacts) on the filtered mixed set
+    val flagsD = Pipeline.docFlagsDerived(spark, dir,
+      Pipeline.labelsDerived(spark, dir))
+      .filter(col("source") =!= Pipeline.E11RetiredSource).cache()
+    val base = Pipeline.binsFrom(flagsD.filter(!Pipeline.e4DeltaPred))
+    val off = base.groupBy(col("shard")).agg((max(col("bin")) + 1L).as("off"))
+    val delta = Pipeline.binsFrom(flagsD.filter(Pipeline.e4DeltaPred))
+      .join(broadcast(off), Seq("shard"), "left")
+      .withColumn("bin", col("bin") + coalesce(col("off"), lit(0L)))
+      .drop("off")
+    val derived = base.withColumn("epoch", lit(0))
+      .unionByName(delta.withColumn("epoch", lit(1)))
+      .select(col("epoch"), col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
+      .collect().map(_.toString).toSet
+    val served = Pipeline.e11RetainedBins(spark, dir)
+      .select(col("epoch"), col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
+      .collect().map(_.toString).toSet
+    assert(served === derived, "delete-compact != rebuild-without-deleted")
+    // removed-mass reconciliation: exactly the retired source's s5 docs
+    val retired = Pipeline.docFlagsDerived(spark, dir,
+      Pipeline.labelsDerived(spark, dir))
+      .filter(col("source") === Pipeline.E11RetiredSource && col("s5"))
+      .agg(count(lit(1)), coalesce(sum(col("n_tok")), lit(0L))).collect()(0)
+    flagsD.unpersist()
+    assert(report.map(_.getAs[Long]("n_docs_removed")).sum === retired.getLong(0))
+    assert(report.map(_.getAs[Long]("n_tokens_removed")).sum === retired.getLong(1))
+    assert(retired.getLong(0) > 0, "the pin must remove real mass (non-vacuity)")
+  }
+
   // ---------- 6. st11 degenerate inputs ----------
 
   test("st11: an empty events table stages two empty batches and yields an " +
