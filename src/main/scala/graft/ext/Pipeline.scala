@@ -606,23 +606,31 @@ object Pipeline {
   private[graft] def e10Root(dir: String): String =
     s"${eArtifactRoot(dir)}/bins_epochs"
 
+  /** Pack a docflags slice as the NEXT epoch above `prev` (the
+    * combined bins of every earlier epoch): per-shard watermark from
+    * prev (a shard with no earlier bins starts at 0), local packing
+    * offset above it. The refresh operator is N-FOLD composable —
+    * epoch k's ids depend only on epochs < k, so daily deltas chain
+    * indefinitely (Round10Spec pins the 3-epoch composition against
+    * the independent derivation). */
+  private[graft] def appendEpochBins(flags: DataFrame, prev: DataFrame): DataFrame = {
+    val offsets = prev
+      .select(col("shard").cast("long").as("shard"), col("bin"))
+      .groupBy(col("shard")).agg((max(col("bin")) + 1L).as("off"))
+    binsFrom(flags)
+      .join(broadcast(offsets), Seq("shard"), "left")
+      .withColumn("bin", col("bin") + coalesce(col("off"), lit(0L)))
+      .drop("off")
+  }
+
   /** Build both epochs of the epoch-partitioned bins tree (marker-
     * gated via ensureArtifact, idempotent) and return the combined
     * frame. */
   private[graft] def e10Bins(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureArtifact(spark, dir, "bins_epochs/epoch=0", Seq("shard"))(
       binsFrom(docFlagsArtifact(spark, dir).filter(!e4DeltaPred)))
-    ensureArtifact(spark, dir, "bins_epochs/epoch=1", Seq("shard")) {
-      // per-shard watermark of the SHIPPED packing; a shard with no
-      // base bins starts at 0
-      val offsets = base
-        .select(col("shard").cast("long").as("shard"), col("bin"))
-        .groupBy(col("shard")).agg((max(col("bin")) + 1L).as("off"))
-      binsFrom(docFlagsArtifact(spark, dir).filter(e4DeltaPred))
-        .join(broadcast(offsets), Seq("shard"), "left")
-        .withColumn("bin", col("bin") + coalesce(col("off"), lit(0L)))
-        .drop("off")
-    }
+    ensureArtifact(spark, dir, "bins_epochs/epoch=1", Seq("shard"))(
+      appendEpochBins(docFlagsArtifact(spark, dir).filter(e4DeltaPred), base))
     spark.read.parquet(e10Root(dir))
       .select(col("epoch").cast("int").as("epoch"),
         col("shard").cast("long").as("shard"),
@@ -686,15 +694,8 @@ object Pipeline {
     val keep = col("source") =!= E11RetiredSource
     val base = ensureArtifact(spark, dir, "bins_retained/epoch=0", Seq("shard"))(
       binsFrom(docFlagsArtifact(spark, dir).filter(!e4DeltaPred && keep)))
-    ensureArtifact(spark, dir, "bins_retained/epoch=1", Seq("shard")) {
-      val offsets = base
-        .select(col("shard").cast("long").as("shard"), col("bin"))
-        .groupBy(col("shard")).agg((max(col("bin")) + 1L).as("off"))
-      binsFrom(docFlagsArtifact(spark, dir).filter(e4DeltaPred && keep))
-        .join(broadcast(offsets), Seq("shard"), "left")
-        .withColumn("bin", col("bin") + coalesce(col("off"), lit(0L)))
-        .drop("off")
-    }
+    ensureArtifact(spark, dir, "bins_retained/epoch=1", Seq("shard"))(
+      appendEpochBins(docFlagsArtifact(spark, dir).filter(e4DeltaPred && keep), base))
     spark.read.parquet(s"${eArtifactRoot(dir)}/bins_retained")
       .select(col("epoch").cast("int").as("epoch"),
         col("shard").cast("long").as("shard"),

@@ -477,6 +477,55 @@ class Round10Spec extends AnyFunSuite {
       s"shard ${r.get(0)}: appended bins start at the watermark"))
   }
 
+  // ---------- N-epoch composition of the refresh operator ----------
+
+  test("epoch append composes N-fold: two delta waves chained through " +
+    "appendEpochBins give disjoint, watermark-ordered, mass-conserving " +
+    "epochs — daily deltas chain indefinitely") {
+    val flags = Pipeline.docFlagsDerived(spark, dir,
+      Pipeline.labelsDerived(spark, dir)).cache()
+    // wave split INSIDE the delta: two arrival days
+    val w1 = Pipeline.e4DeltaPred && (col("doc_id") % 2 === 0)
+    val w2 = Pipeline.e4DeltaPred && (col("doc_id") % 2 === 1)
+    val e0 = Pipeline.binsFrom(flags.filter(!Pipeline.e4DeltaPred))
+      .withColumn("epoch", lit(0))
+    val e1 = Pipeline.appendEpochBins(flags.filter(w1), e0.drop("epoch"))
+      .withColumn("epoch", lit(1))
+    val e2 = Pipeline.appendEpochBins(flags.filter(w2),
+        e0.drop("epoch").unionByName(e1.drop("epoch")))
+      .withColumn("epoch", lit(2))
+    val all = e0.unionByName(e1).unionByName(e2).cache()
+    // disjoint + watermark-ordered per shard: each epoch's min bin is
+    // exactly one above the previous non-empty epochs' max
+    val byShard = all.groupBy(col("shard")).agg(
+      max(when(col("epoch") === 0, col("bin"))).as("m0"),
+      min(when(col("epoch") === 1, col("bin"))).as("lo1"),
+      max(when(col("epoch") === 1, col("bin"))).as("m1"),
+      min(when(col("epoch") === 2, col("bin"))).as("lo2")).collect()
+    var chained = 0
+    byShard.foreach { r =>
+      val m0 = Option(r.getAs[java.lang.Long]("m0"))
+      val lo1 = Option(r.getAs[java.lang.Long]("lo1"))
+      val m1 = Option(r.getAs[java.lang.Long]("m1"))
+      val lo2 = Option(r.getAs[java.lang.Long]("lo2"))
+      for (a <- m0; b <- lo1) { assert(b === a + 1L); chained += 1 }
+      // epoch 2 sits above the highest EARLIER bin (epoch 1 if it
+      // exists on this shard, else epoch 0)
+      for (b <- lo2) {
+        val prevMax = (m1.toSeq ++ m0.toSeq).map(_.toLong)
+        assert(prevMax.nonEmpty && b === prevMax.max + 1L); chained += 1
+      }
+    }
+    assert(chained > 0, "the pin must see genuinely chained epochs")
+    // conservation: the three epochs carry exactly the mixed set's mass
+    val tot = all.agg(sum(col("n_docs")), sum(col("n_tokens"))).collect()(0)
+    val mass = flags.filter(col("s5"))
+      .agg(count(lit(1)), sum(col("n_tok"))).collect()(0)
+    flags.unpersist(); all.unpersist()
+    assert(tot.getLong(0) === mass.getLong(0))
+    assert(tot.getLong(1) === mass.getLong(1))
+  }
+
   // ---------- e11: retention delete through the artifacts ----------
 
   test("e11: delete-compact equals rebuild-without-deleted (independent " +
