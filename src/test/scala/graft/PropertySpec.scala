@@ -323,6 +323,56 @@ class PropertySpec extends AnyFunSuite {
     }, n = 12)
   }
 
+  test("epoch packing composes on arbitrary inputs: chained appendEpochBins " +
+    "equals an independent Scala packing reference with cascading offsets") {
+    import spark.implicits._
+    import graft.ext.{Pipeline, TextAnalysis}
+    val S = TextAnalysis.PackShards.toLong
+    val C = TextAnalysis.PackCapacity.toLong
+    // (doc_id, n_tok, wave): giant docs straddle bins, tiny id domains
+    // put several docs per shard, waves may be empty per shard
+    val docsGen: Gen[List[(Long, Long, Int)]] = for {
+      n   <- Gen.chooseNum(0, 60)
+      ids <- Gen.pick(n, 0L until 400L)
+      ts  <- Gen.listOfN(n, Gen.oneOf(Gen.chooseNum(1L, 50L), Gen.chooseNum(1500L, 6000L)))
+      ws  <- Gen.listOfN(n, Gen.chooseNum(0, 2))
+    } yield ids.toList.zip(ts).zip(ws).map { case ((i, t), w) => (i, t, w) }
+    // reference: per shard, sort by doc_id, running start_off, local
+    // bin floor(start/C) + the shard's cascading offset
+    def ref(docs: List[(Long, Long, Int)]): Map[(Long, Long), (Long, Long)] = {
+      var off = Map.empty[Long, Long].withDefaultValue(0L)
+      var out = Map.empty[(Long, Long), (Long, Long)]
+      for (w <- 0 to 2) {
+        val wave = docs.filter(_._3 == w).sortBy(_._1)
+        val byShard = wave.groupBy(d => d._1 % S)
+        byShard.foreach { case (sh, ds) =>
+          var start = 0L
+          var maxBin = -1L
+          ds.foreach { case (_, t, _) =>
+            val bin = off(sh) + start / C
+            val (nd, nt) = out.getOrElse((sh, bin), (0L, 0L))
+            out += (sh, bin) -> (nd + 1, nt + t)
+            maxBin = math.max(maxBin, bin)
+            start += t
+          }
+          if (maxBin >= 0) off += sh -> (maxBin + 1)
+        }
+      }
+      out
+    }
+    check("epoch-packing", Prop.forAll(docsGen) { docs =>
+      def flags(w: Int) = docs.filter(_._3 == w)
+        .map(d => (d._1, d._2, true)).toDF("doc_id", "n_tok", "s5")
+      val e0 = Pipeline.binsFrom(flags(0))
+      val e1 = Pipeline.appendEpochBins(flags(1), e0)
+      val e2 = Pipeline.appendEpochBins(flags(2), e0.unionByName(e1))
+      val got = e0.unionByName(e1).unionByName(e2).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+      got == ref(docs)
+    }, n = 8)
+  }
+
   test("water-filling wide: the DECIMAL(38) path agrees with a BigInt greedy " +
     "past the int64 sort-key bound, and with the narrow path inside it") {
     import spark.implicits._
