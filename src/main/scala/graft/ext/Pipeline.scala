@@ -669,7 +669,8 @@ object Pipeline {
   // retired source (spec-pinned against the independent derivation).
   //
   // The retained generation lands in its OWN marker-gated tree beside
-  // the e10 epochs (bins_retained/ inside the versioned root): gate
+  // the e10 epochs (bins_retained_<source>/ inside the versioned
+  // root — the retired source is part of the path): gate
   // entries stay independent and re-runnable in any order; production
   // would atomically swap the retained root over the live one with
   // s22's aside-first discipline, serving the old tree until cutover.
@@ -691,12 +692,17 @@ object Pipeline {
     * repacked WITHOUT the retired source's docs, marker-gated like
     * every artifact. */
   private[graft] def e11RetainedBins(spark: SparkSession, dir: String): DataFrame = {
+    // the retired source is part of the PATH: a marker-complete tree
+    // packed for a different retirement can never serve a changed
+    // E11RetiredSource (the structural form of the version-bump
+    // invariant, like the versioned root itself)
+    val tag = s"bins_retained_$E11RetiredSource"
     val keep = col("source") =!= E11RetiredSource
-    val base = ensureArtifact(spark, dir, "bins_retained/epoch=0", Seq("shard"))(
+    val base = ensureArtifact(spark, dir, s"$tag/epoch=0", Seq("shard"))(
       binsFrom(docFlagsArtifact(spark, dir).filter(!e4DeltaPred && keep)))
-    ensureArtifact(spark, dir, "bins_retained/epoch=1", Seq("shard"))(
+    ensureArtifact(spark, dir, s"$tag/epoch=1", Seq("shard"))(
       appendEpochBins(docFlagsArtifact(spark, dir).filter(e4DeltaPred && keep), base))
-    spark.read.parquet(s"${eArtifactRoot(dir)}/bins_retained")
+    spark.read.parquet(s"${eArtifactRoot(dir)}/$tag")
       .select(col("epoch").cast("int").as("epoch"),
         col("shard").cast("long").as("shard"),
         col("bin"), col("n_docs"), col("n_tokens"))
@@ -1170,35 +1176,7 @@ object Pipeline {
     // over the combined bins plus the per-epoch bin census
     "e10_artifact_refresh" ->
       s"""WITH RECURSIVE $selectedCtes,
-         fin0 AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok
-                  FROM mx WHERE s5 = 1 AND NOT ${e4DeltaSqlOf("doc_id")}),
-         coff0 AS (
-           SELECT shard, n_tok,
-                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
-           FROM fin0),
-         bins0 AS (
-           SELECT shard, CAST(floor(start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
-                  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-           FROM coff0 GROUP BY 1, 2),
-         off AS (SELECT shard, max(bin) + 1 AS o FROM bins0 GROUP BY 1),
-         fin1 AS (SELECT doc_id, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok
-                  FROM mx WHERE s5 = 1 AND ${e4DeltaSqlOf("doc_id")}),
-         coff1 AS (
-           SELECT shard, n_tok,
-                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
-           FROM fin1),
-         bins1 AS (
-           SELECT c.shard,
-                  COALESCE(o.o, 0) + CAST(floor(c.start_off / ${TextAnalysis.PackCapacity}) AS BIGINT) AS bin,
-                  count(*) AS n_docs, CAST(sum(c.n_tok) AS BIGINT) AS n_tokens
-           FROM coff1 c LEFT JOIN off o ON o.shard = c.shard
-           GROUP BY 1, 2),
-         allb AS (
-           SELECT 0 AS epoch, shard, bin, n_docs, n_tokens FROM bins0
-           UNION ALL
-           SELECT 1 AS epoch, shard, bin, n_docs, n_tokens FROM bins1),
+         ${epochPackSql("", "TRUE")},
          hb AS (
            SELECT epoch, shard, bin, n_docs, n_tokens,
                   (${StableHash.duckdbHash64(

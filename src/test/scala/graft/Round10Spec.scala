@@ -484,14 +484,21 @@ class Round10Spec extends AnyFunSuite {
     "epochs — daily deltas chain indefinitely") {
     val flags = Pipeline.docFlagsDerived(spark, dir,
       Pipeline.labelsDerived(spark, dir)).cache()
-    // wave split INSIDE the delta: two arrival days
-    val w1 = Pipeline.e4DeltaPred && (col("doc_id") % 2 === 0)
-    val w2 = Pipeline.e4DeltaPred && (col("doc_id") % 2 === 1)
-    val e0 = Pipeline.binsFrom(flags.filter(!Pipeline.e4DeltaPred))
+    // three ARRIVAL WAVES over the whole mixed set, split on
+    // doc_id % 3: the shard hash is doc_id % 32 (a power of two), so
+    // any (doc_id div 2^a) % 2 split would alias with shard bits and
+    // starve the 3-deep case (no shard would ever chain epoch 2 above
+    // epoch 1 — the very law under test); 3 is coprime with 32, so
+    // every wave hits every shard class, and splitting the FULL mixed
+    // set (not just e4's thin delta slice) gives the density the
+    // corpus-level pin needs at sf0.001. The synthetic PropertySpec
+    // property covers arbitrary wave shapes on top of this.
+    val e0 = Pipeline.binsFrom(flags.filter(col("doc_id") % 3 === 0))
       .withColumn("epoch", lit(0))
-    val e1 = Pipeline.appendEpochBins(flags.filter(w1), e0.drop("epoch"))
+    val e1 = Pipeline.appendEpochBins(flags.filter(col("doc_id") % 3 === 1),
+        e0.drop("epoch"))
       .withColumn("epoch", lit(1))
-    val e2 = Pipeline.appendEpochBins(flags.filter(w2),
+    val e2 = Pipeline.appendEpochBins(flags.filter(col("doc_id") % 3 === 2),
         e0.drop("epoch").unionByName(e1.drop("epoch")))
       .withColumn("epoch", lit(2))
     val all = e0.unionByName(e1).unionByName(e2).cache()
@@ -503,20 +510,29 @@ class Round10Spec extends AnyFunSuite {
       max(when(col("epoch") === 1, col("bin"))).as("m1"),
       min(when(col("epoch") === 2, col("bin"))).as("lo2")).collect()
     var chained = 0
+    var chained12 = 0 // shards where epoch 2 stacks on epoch 1 — the 3-deep case
     byShard.foreach { r =>
       val m0 = Option(r.getAs[java.lang.Long]("m0"))
       val lo1 = Option(r.getAs[java.lang.Long]("lo1"))
       val m1 = Option(r.getAs[java.lang.Long]("m1"))
       val lo2 = Option(r.getAs[java.lang.Long]("lo2"))
       for (a <- m0; b <- lo1) { assert(b === a + 1L); chained += 1 }
-      // epoch 2 sits above the highest EARLIER bin (epoch 1 if it
-      // exists on this shard, else epoch 0)
+      if (m0.isEmpty) lo1.foreach(b => assert(b === 0L,
+        "a shard with no earlier bins starts its epoch at 0"))
+      // epoch 2 sits above the highest EARLIER bin on this shard
+      // (epoch 1 if present, else epoch 0, else it starts at 0)
       for (b <- lo2) {
         val prevMax = (m1.toSeq ++ m0.toSeq).map(_.toLong)
-        assert(prevMax.nonEmpty && b === prevMax.max + 1L); chained += 1
+        if (prevMax.isEmpty) assert(b === 0L)
+        else {
+          assert(b === prevMax.max + 1L); chained += 1
+          if (m1.isDefined) chained12 += 1
+        }
       }
     }
     assert(chained > 0, "the pin must see genuinely chained epochs")
+    assert(chained12 > 0,
+      "the pin must see epoch 2 stacked directly on epoch 1 (3-deep chain)")
     // conservation: the three epochs carry exactly the mixed set's mass
     val tot = all.agg(sum(col("n_docs")), sum(col("n_tokens"))).collect()(0)
     val mass = flags.filter(col("s5"))
@@ -533,7 +549,8 @@ class Round10Spec extends AnyFunSuite {
     "and the pre-delete e10 tree is untouched") {
     val eroot = new Path(Pipeline.eArtifactRoot(dir))
     val fs = FileSystem.get(eroot.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(eroot, "bins_retained"), true) // cold retained build
+    fs.delete(new Path(eroot,
+      s"bins_retained_${Pipeline.E11RetiredSource}"), true) // cold retained build
     // snapshot the pre-delete epochs, then run the delete
     Pipeline.e10Bins(spark, dir).count()
     def files(sub: String): Map[String, (Long, Long)] = {
