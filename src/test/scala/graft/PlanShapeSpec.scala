@@ -295,6 +295,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"grading join must key on (query_id, neighbor_id):\n$p")
   }
 
+  test("e10/e11: the refresh and retention reports serve from the " +
+    "epoch-tree scans — no corpus table, no cartesian product, and the " +
+    "manifest window partitions by shard") {
+    val p10 = plan(graft.ext.Pipeline.e10ArtifactRefresh(spark, dir))
+    assert(p10.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("bins_epochs")),
+      s"e10 must serve from the persisted epoch tree:\n$p10")
+    assert(!p10.contains("documents") && !p10.contains("CartesianProduct"),
+      s"the corpus never enters e10's serve path:\n$p10")
+    assert(p10.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy") ||
+        l.contains("windowspecdefinition(shard")),
+      s"the manifest position window must partition by shard:\n$p10")
+    val p11 = plan(graft.ext.Pipeline.e11RetentionDelete(spark, dir))
+    assert(p11.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("bins_retained")),
+      s"e11 must serve from the retained generation:\n$p11")
+    assert(!p11.contains("documents") && !p11.contains("CartesianProduct"),
+      s"the corpus never enters e11's serve path:\n$p11")
+  }
+
   private def countOf(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 }
