@@ -783,6 +783,57 @@ object Pipeline {
       (((row_number().over(wSpec) - 1) % E8WeightLadder) + 1).cast("long")))
   }
 
+  /** E12 — BUDGET ENFORCEMENT: the step that makes e8's allocation
+    * actionable. e8 answers "how many tokens may each source
+    * contribute"; nothing downstream enforced it. e12 applies the
+    * water-filled allocation as a deterministic per-source cap over
+    * the mixed set: docs are admitted in doc_id order until the next
+    * doc would cross the source's alloc, docs stay WHOLE (truncating
+    * at doc granularity — kept_tokens ≤ alloc, and the prefix rule is
+    * maximal: the first spilled doc's cumulative total provably
+    * exceeds alloc, spec-pinned). The gate instance allocates over
+    * the docflags s5 census (whitespace n_tok — ONE denomination for
+    * avail, alloc, and enforcement; e8's BPE census is the tokenizer-
+    * true variant of the same allocator), budget = e8's ¾·total, so
+    * both regimes appear: saturated sources keep everything, capped
+    * sources spill a tail.
+    *
+    * Scale shape: the allocator runs on the |sources|-row spec
+    * (e8's shape); enforcement adds ONE per-source cumulative window
+    * over the mixed set plus a broadcast of the |sources|-row alloc
+    * table. A hot source = one window partition — at 100 TB the
+    * prefix rule materializes as q49's two-level scan
+    * (repartitionByRange(source, doc_id) + partition-local running
+    * sums with broadcast per-range offsets); the decision stays the
+    * same integer compare. */
+  def e12BudgetEnforce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = docFlagsArtifact(spark, dir).filter(col("s5"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    val wSpec = Window.orderBy(col("source"))
+    val spec = census.groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))
+      .withColumn("w",
+        (((row_number().over(wSpec) - 1) % E8WeightLadder) + 1).cast("long"))
+    val alloc = waterFill(spark, spec)
+      .select(col("source"), col("avail_tokens"), col("alloc_tokens"),
+        col("saturated"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val stats = census
+      .withColumn("cum", sum(col("n_tok")).over(wCum))
+      .join(broadcast(alloc.select(col("source"), col("alloc_tokens"))), Seq("source"))
+      .withColumn("keep", col("cum") <= col("alloc_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+           sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+           sum(when(!col("keep"), 1L).otherwise(0L)).as("n_docs_spilled"),
+           sum(when(!col("keep"), col("n_tok")).otherwise(0L)).as("spilled_tokens"))
+    alloc.join(stats, Seq("source"))
+      .select(col("source"), col("avail_tokens"), col("alloc_tokens"),
+        col("saturated"), col("n_docs_kept"), col("kept_tokens"),
+        col("n_docs_spilled"), col("spilled_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** The allocator itself over an arbitrary (source, avail, w) spec
     * frame — factored so PropertySpec can drive it with ScalaCheck
     * instances against an independent iterative-greedy reference
@@ -867,6 +918,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_budget_enforce"   -> (e12BudgetEnforce _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -1045,22 +1097,21 @@ object Pipeline {
                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM sp GROUP BY 1, 2 ORDER BY split, source"""
 
-  /** e8's oracle: t28's census chain as the avail subquery, then the
-    * same spec ladder, exact-ratio sort, prefix sums, cross-multiply
-    * cut (sentinel row for the B ≥ total degenerate), and the frozen
-    * θ allocation — all integer. */
-  private lazy val e8OracleSql: String =
-    s"""WITH avail AS MATERIALIZED (
-           SELECT source, n_bpe_tokens AS avail
-           FROM (${TextAnalysis.t28OracleSql}) t28),
-         base AS (
+  /** waterFill's oracle chain — the spec ladder, exact-ratio sort,
+    * prefix sums, cross-multiply cut (sentinel row for the B ≥ total
+    * degenerate), and the frozen θ allocation, all integer — assuming
+    * an `avail(source, avail)` CTE precedes it; ends with `alloc`.
+    * ONE definition shared by the e8 and e12 oracles (the epochPackSql
+    * lesson: a law in two SQL copies drifts). */
+  private lazy val waterFillSqlCtes: String =
+    s"""wfbase AS (
            SELECT source, avail,
                   ((row_number() OVER (ORDER BY source) - 1) % $E8WeightLadder) + 1 AS w
            FROM avail),
-         b2 AS (SELECT source, avail, w, (avail * $E8RatioLcm) // w AS rkey FROM base),
-         tt AS (SELECT CAST(sum(avail) AS BIGINT) AS ta,
-                       CAST(sum(w) AS BIGINT) AS tw FROM b2),
-         flags AS (
+         wfb2 AS (SELECT source, avail, w, (avail * $E8RatioLcm) // w AS rkey FROM wfbase),
+         wftt AS (SELECT CAST(sum(avail) AS BIGINT) AS ta,
+                       CAST(sum(w) AS BIGINT) AS tw FROM wfb2),
+         wfflags AS (
            SELECT b.source, b.avail, b.w, b.rkey, t.ta, t.tw,
                   row_number() OVER (ORDER BY b.rkey, b.source) AS rn,
                   COALESCE(CAST(sum(b.avail) OVER (ORDER BY b.rkey, b.source
@@ -1069,29 +1120,37 @@ object Pipeline {
                   COALESCE(CAST(sum(b.w) OVER (ORDER BY b.rkey, b.source
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
                     0) AS pw
-           FROM b2 b, tt t),
-         f2 AS (
+           FROM wfb2 b, wftt t),
+         wff2 AS (
            SELECT *, ($E8BudgetNum * ta) // $E8BudgetDen - pa AS num,
                   tw - pw AS den
-           FROM flags),
-         cut AS (
+           FROM wfflags),
+         wfcut AS (
            SELECT * FROM (
-             SELECT rn AS kk, num AS tn, den AS td FROM f2
+             SELECT rn AS kk, num AS tn, den AS td FROM wff2
              WHERE avail * den > num * w
              UNION ALL
              SELECT 9223372036854775807, CAST(0 AS BIGINT), CAST(1 AS BIGINT)) u
            ORDER BY kk LIMIT 1),
-         alloc AS (
+         wfalloc AS (
            SELECT f.source, f.w AS weight, f.avail AS avail_tokens,
                   CASE WHEN f.rn < c.kk THEN f.avail
                        ELSE least(f.avail, (c.tn * f.w) // c.td) END AS alloc_tokens,
                   CASE WHEN f.rn < c.kk THEN 1 ELSE 0 END AS saturated
-           FROM f2 f, cut c)
+           FROM wff2 f, wfcut c)"""
+
+  /** e8's oracle: t28's census chain as the avail subquery, then the
+    * shared water-filling chain. */
+  private lazy val e8OracleSql: String =
+    s"""WITH avail AS MATERIALIZED (
+           SELECT source, n_bpe_tokens AS avail
+           FROM (${TextAnalysis.t28OracleSql}) t28),
+         $waterFillSqlCtes
          SELECT source, CAST(weight AS BIGINT) AS weight, avail_tokens,
                 CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
                 CAST(saturated AS INTEGER) AS saturated,
                 CAST((1000 * alloc_tokens) // greatest(avail_tokens, 1) AS BIGINT) AS fill_permille
-         FROM alloc ORDER BY source"""
+         FROM wfalloc ORDER BY source"""
 
   /** The epoch-packing CTE chain over `mx` (e10's append law: base
     * slice packed first, delta slice offset past each shard's
@@ -1130,6 +1189,34 @@ object Pipeline {
            SELECT 1 AS epoch, shard, bin, n_docs, n_tokens FROM ${p}bins1)"""
 
   val oracles: Map[String, String] = Map(
+    // e12: the s5 census as the avail CTE, the shared water-filling
+    // chain, then the per-source cumulative prefix rule — keep iff
+    // the running total INCLUDING this doc stays within alloc (cum is
+    // monotone per source, so the kept set is a clean prefix)
+    "e12_budget_enforce" ->
+      s"""WITH RECURSIVE $selectedCtes,
+         avail AS MATERIALIZED (
+           SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail
+           FROM mx WHERE s5 = 1 GROUP BY 1),
+         $waterFillSqlCtes,
+         cum AS (
+           SELECT source, n_tok,
+                  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM mx WHERE s5 = 1),
+         dec AS (
+           SELECT c.source, c.n_tok,
+                  (c.cum <= a.alloc_tokens) AS keep
+           FROM cum c JOIN wfalloc a ON a.source = c.source)
+         SELECT a.source, a.avail_tokens,
+                CAST(a.alloc_tokens AS BIGINT) AS alloc_tokens,
+                CAST(a.saturated AS INTEGER) AS saturated,
+                CAST(sum(CASE WHEN d.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+                CAST(sum(CASE WHEN d.keep THEN d.n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+                CAST(sum(CASE WHEN d.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_docs_spilled,
+                CAST(sum(CASE WHEN d.keep THEN 0 ELSE d.n_tok END) AS BIGINT) AS spilled_tokens
+         FROM wfalloc a JOIN dec d ON d.source = a.source
+         GROUP BY 1, 2, 3, 4 ORDER BY a.source""",
     // e11: the e10 packing chain twice — the pre-delete world for the
     // per-shard removed mass, the retained world (mixed set minus the
     // retired source) for the post-delete manifest — emitted from the

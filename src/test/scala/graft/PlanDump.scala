@@ -49,7 +49,8 @@ object PlanDump {
     "s20_knn_graph" -> "kNN graph: IVF-blocked candidates + one NN-Descent two-hop round, codegen'd integer distances, rank window partitioned per vector",
     "e9_order_manifest" -> "order manifest SERVED from its persisted artifact (built once beside the bins: shard-partitioned position window, |shards|-row rollup)",
     "e10_artifact_refresh" -> "epoch-append refresh: one scan of the epoch-partitioned bins tree feeds both the per-epoch census and the combined-order checksum; the delta pack itself is marker-gated build work, delta-sized",
-    "e11_retention_delete" -> "retention delete: pre-delete epoch scan (removed mass) left-joined with the retained generation's manifest; the repack is marker-gated build work, one docflags scan + per-shard windows")
+    "e11_retention_delete" -> "retention delete: pre-delete epoch scan (removed mass) left-joined with the retained generation's manifest; the repack is marker-gated build work, one docflags scan + per-shard windows",
+    "e12_budget_enforce" -> "budget enforcement: |sources|-row water-filling spec + broadcast alloc table over ONE per-source cumulative window on the mixed set; q49's two-level scan is the named hot-source escape")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)

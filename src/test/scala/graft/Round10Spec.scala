@@ -542,6 +542,47 @@ class Round10Spec extends AnyFunSuite {
     assert(tot.getLong(1) === mass.getLong(1))
   }
 
+  // ---------- e12: budget enforcement ----------
+
+  test("e12: the prefix cap is maximal and exact — kept <= alloc, saturated " +
+    "sources keep everything, and every report row matches an independent " +
+    "Scala greedy over the census") {
+    val report = Pipeline.e12BudgetEnforce(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val census = Pipeline.docFlagsDerived(spark, dir,
+        Pipeline.labelsDerived(spark, dir))
+      .filter(col("s5")).select(col("doc_id"), col("source"), col("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(report.nonEmpty && census.nonEmpty)
+    report.foreach { case (src, r) =>
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val kept = r.getAs[Long]("kept_tokens")
+      assert(kept <= alloc, s"$src: kept must never exceed alloc")
+      if (r.getAs[Int]("saturated") === 1) {
+        assert(r.getAs[Long]("n_docs_spilled") === 0L, s"$src: saturated spills nothing")
+        assert(kept === r.getAs[Long]("avail_tokens"), s"$src: saturated keeps all")
+      }
+      // independent greedy prefix over the census, given the
+      // (oracle-verified) alloc: admit docs whole in doc_id order
+      // while the running total stays within alloc
+      val docs = census.filter(_._2 == src).sortBy(_._1)
+      var cum = 0L; var nK = 0L; var tK = 0L; var nS = 0L; var tS = 0L
+      docs.foreach { case (_, _, t) =>
+        cum += t
+        if (cum <= alloc) { nK += 1; tK += t } else { nS += 1; tS += t }
+      }
+      assert(r.getAs[Long]("n_docs_kept") === nK, s"$src: n_docs_kept")
+      assert(r.getAs[Long]("kept_tokens") === tK, s"$src: kept_tokens")
+      assert(r.getAs[Long]("n_docs_spilled") === nS, s"$src: n_docs_spilled")
+      assert(r.getAs[Long]("spilled_tokens") === tS, s"$src: spilled_tokens")
+    }
+    // non-vacuity: the gate instance exercises BOTH regimes
+    assert(report.values.exists(_.getAs[Int]("saturated") === 1),
+      "some source must saturate")
+    assert(report.values.exists(_.getAs[Long]("n_docs_spilled") > 0L),
+      "some source must spill")
+  }
+
   // ---------- e11: retention delete through the artifacts ----------
 
   test("e11: delete-compact equals rebuild-without-deleted (independent " +
