@@ -774,13 +774,19 @@ object Pipeline {
     * back; the corpus-sized work is entirely inside t28's census.
     * The sentinel row makes B ≥ total degrade to all-saturated
     * instead of an empty cut frame. */
-  def e8TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+  def e8TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    waterFill(spark, ladderSpec(TextAnalysis.t28BpeEncode(spark, dir)
+      .select(col("source"), col("n_bpe_tokens").as("avail"))))
+
+  /** The spec-ladder weight law — ONE Scala definition shared by e8
+    * and e12 (the waterFillSqlCtes lesson applied to the Spark twin):
+    * weights 1..E8WeightLadder cycled over the alphabetical source
+    * order of an (source, avail) frame. */
+  private def ladderSpec(avail: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val avail = TextAnalysis.t28BpeEncode(spark, dir)
-      .select(col("source"), col("n_bpe_tokens").as("avail"))
     val wSpec = Window.orderBy(col("source"))
-    waterFill(spark, avail.withColumn("w",
-      (((row_number().over(wSpec) - 1) % E8WeightLadder) + 1).cast("long")))
+    avail.withColumn("w",
+      (((row_number().over(wSpec) - 1) % E8WeightLadder) + 1).cast("long"))
   }
 
   /** E12 — BUDGET ENFORCEMENT: the step that makes e8's allocation
@@ -810,14 +816,15 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val census = docFlagsArtifact(spark, dir).filter(col("s5"))
       .select(col("doc_id"), col("source"), col("n_tok"))
-    val wSpec = Window.orderBy(col("source"))
-    val spec = census.groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))
-      .withColumn("w",
-        (((row_number().over(wSpec) - 1) % E8WeightLadder) + 1).cast("long"))
-    val alloc = waterFill(spark, spec)
+    val alloc = waterFill(spark, ladderSpec(
+        census.groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))))
       .select(col("source"), col("avail_tokens"), col("alloc_tokens"),
         col("saturated"))
+    // explicit ROWS frame: the default is RANGE, whose peer-row
+    // semantics would diverge from the oracle's ROWS window if
+    // (source, doc_id) ever stopped being unique
     val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val stats = census
       .withColumn("cum", sum(col("n_tok")).over(wCum))
       .join(broadcast(alloc.select(col("source"), col("alloc_tokens"))), Seq("source"))

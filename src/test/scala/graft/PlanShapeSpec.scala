@@ -316,6 +316,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus never enters e11's serve path:\n$p11")
   }
 
+  test("e12: enforcement serves from the docflags artifact with the alloc " +
+    "table broadcast — the corpus table never enters, the cum window " +
+    "partitions by source") {
+    val p = plan(graft.ext.Pipeline.e12BudgetEnforce(spark, dir))
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("docflags")),
+      s"e12 must serve from the docflags artifact:\n$p")
+    assert(!p.contains("documents") && !p.contains("CartesianProduct"),
+      s"the corpus never enters e12's serve path:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("source")),
+      s"the |sources|-row alloc table must broadcast onto the census:\n$p")
+    assert(p.contains("windowspecdefinition(source"),
+      s"the cumulative window must partition by source:\n$p")
+  }
+
   private def countOf(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 }
