@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 /** One root for every persisted derived artifact — index trees
   * (s13/s18/s21/s22), the e-family stage tables, st11's staging
   * scratch. Defaults to java.io.tmpdir; override with
@@ -12,12 +15,46 @@ object ArtifactRoots {
   def root: String = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ROOT",
     System.getProperty("java.io.tmpdir"))
 
-  /** One FIXED location per (prefix, data dir) — repeated invocations
-    * overwrite in place, so Verify/Bench loops never accumulate
-    * unbounded scratch (the s13 no-tmp-accumulation discipline). */
+  /** Cheap corpus-identity fingerprint of a data dir: a 32-bit hash
+    * over every entry's (name, length, mtime), one level deep (table
+    * dirs list their part files — Spark writes fresh part names on
+    * every overwrite, so a regenerated table always moves the hash).
+    * This is the artifact tag's defense against serving a stale
+    * marker-complete tree after the corpus is REGENERATED AT THE SAME
+    * PATH (the code-semantics version constants cover code changes;
+    * this covers data changes). Listing is a few dozen statuses per
+    * call at any corpus size — file counts, not file contents. An
+    * unreadable/missing dir fingerprints as "0" rather than failing:
+    * the artifact build itself is what should report a bad data dir. */
+  private def fingerprint(dir: String): String =
+    try {
+      val p = new Path(dir)
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
+      val fs = FileSystem.get(p.toUri, conf)
+      if (!fs.exists(p)) "0"
+      else {
+        val parts = Seq.newBuilder[String]
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+          parts += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+          if (st.isDirectory)
+            fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach { c =>
+              parts += s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}"
+            }
+        }
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.orderedHash(parts.result()).toLong & 0xffffffffL)
+      }
+    } catch { case _: Exception => "0" }
+
+  /** One FIXED location per (prefix, data dir, corpus fingerprint) —
+    * repeated invocations over unchanged data overwrite in place, so
+    * Verify/Bench loops never accumulate unbounded scratch (the s13
+    * no-tmp-accumulation discipline), while a regenerated corpus gets
+    * a fresh tree instead of being served stale artifacts. */
   def tagged(prefix: String, dir: String): String = {
     val tag = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    s"$root/${prefix}_$tag"
+    s"$root/${prefix}_${tag}_${fingerprint(dir)}"
   }
 }

@@ -1316,6 +1316,13 @@ object Similarity {
       if (fs.exists(new Path(s"$staging/codes/_SUCCESS"))) {
         if (!fs.rename(staging, idxPath))
           throw new java.io.IOException(s"retrain recovery failed: $staging")
+        // forward completion PROMOTED a complete staging tree — the
+        // crashed retrain's goal (fresh model over the live set) is
+        // achieved; rebuilding again here would pay a redundant full
+        // staging build. Drop the stranded aside (its old index is
+        // superseded by the promoted tree) and serve.
+        if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+        return
       } else if (fs.exists(oldRoot) && !fs.rename(oldRoot, idxPath))
         throw new java.io.IOException(s"retrain recovery failed: $oldRoot")
     }
@@ -1339,8 +1346,14 @@ object Similarity {
     if (hadLive && !fs.rename(idxPath, oldRoot))
       throw new java.io.IOException(s"retrain swap failed: $idxPath aside")
     if (!fs.rename(staging, idxPath)) {
-      if (hadLive) fs.rename(oldRoot, idxPath) // restore the live index before failing
-      throw new java.io.IOException(s"retrain swap failed: $staging -> $idxPath")
+      // restore the live index before failing — and if the restore
+      // itself fails, SAY SO: the live index is stranded at
+      // .retrain_old and the next retrain's recovery block is what
+      // brings it back, which the operator must know
+      val restored = !hadLive || fs.rename(oldRoot, idxPath)
+      throw new java.io.IOException(
+        s"retrain swap failed: $staging -> $idxPath" +
+          (if (restored) "" else s"; RESTORE ALSO FAILED — live index stranded at $oldRoot"))
     }
     if (hadLive) fs.delete(oldRoot, true)
   }

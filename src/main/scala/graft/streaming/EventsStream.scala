@@ -480,7 +480,11 @@ object EventsStream {
     val mid =
       if (lo == null) java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
       else lo.plus(java.time.Duration.between(lo, hi).dividedBy(2))
-    all.filter(col("ts") <= lit(mid))
+    // NULL-ts rows fail BOTH ts<=mid and ts>mid — route them into
+    // batch 1 explicitly so the split is lossless (the old orderBy
+    // split staged them; silently dropping them would make the
+    // snapshot diverge from the batch oracle instead of failing)
+    all.filter(col("ts").isNull || col("ts") <= lit(mid))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/f1")
     all.filter(col("ts") > lit(mid))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/f2")
