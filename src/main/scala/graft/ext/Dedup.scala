@@ -207,10 +207,42 @@ object Dedup {
   /** D4 — MinHash-LSH near-dup pairs, verified with exact Jaccard
     * (threshold 0.5 on candidates). The 100 TB path: candidates only
     * form within a band bucket, so cost tracks duplicate density, not
-    * corpus size². */
+    * corpus size².
+    *
+    * This is the FROM-SCRATCH derivation (one shingle pass shared by
+    * the signature build and the verify stage) — the spec/oracle twin.
+    * Consumers serve the same rows from the persisted pairs artifact
+    * ([[graft.ext.Pipeline.pairsArtifact]], whose builder is
+    * [[d4PairsFromSignatures]] over the signatures artifact): a
+    * 100 TB candidate graph is a materialized table, not a per-query
+    * derivation. */
   def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleSet(spark, dir).cache()
-    val mh = minhashSignatures(sh)
+    d4VerifiedPairs(sh, minhashSignatures(sh))
+  }
+
+  /** The signature pass alone — the artifact DAG's root-table builder
+    * (Pipeline.signaturesArtifact). */
+  private[graft] def signaturesDerived(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(shingleSet(spark, dir))
+
+  /** d4's banding + candidate join + exact-Jaccard verify over a
+    * caller-supplied signature table (the pairs-artifact build serves
+    * the signatures from parquet; the shingle pass still runs here —
+    * the verify stage needs the shingle SETS, which the signature
+    * table deliberately does not carry). */
+  private[ext] def d4PairsFromSignatures(spark: SparkSession, dir: String,
+                                         mh: DataFrame): DataFrame =
+    d4VerifiedPairs(shingleSet(spark, dir).cache(), mh)
+
+  /** The d4 GATE entry: serves the persisted pairs artifact
+    * (re-ordered — a parquet roundtrip does not preserve row order),
+    * which pins the artifact's CONTENT against the DuckDB oracle
+    * every round on top of Round11Spec's served ≡ derived pin. */
+  def d4MinhashLshServed(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.pairsArtifact(spark, dir).orderBy(col("a_id"), col("b_id"))
+
+  private def d4VerifiedPairs(sh: DataFrame, mh: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / Bands
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -336,9 +368,11 @@ object Dedup {
     * connected components; cluster_id = min doc_id of the component
     * (the canonical keep-one-per-cluster decision every dedup
     * pipeline ends with). Oracle: recursive-CTE transitive closure
-    * over the same pairs. */
+    * over the same pairs. Served from the persisted labels artifact —
+    * the labeling IS that table; Round11Spec pins served ≡ the
+    * from-scratch labeling. */
   def d7DedupComponents(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(d4MinhashLsh(spark, dir), "a_id", "b_id")
+    Pipeline.labelsArtifact(spark, dir)
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
 
@@ -359,9 +393,10 @@ object Dedup {
     * shares d7's oracle verbatim. */
   def d11IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.CheckpointShim
-    // one LSH build feeds both halves
-    val pairs = d4MinhashLsh(spark, dir)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
+    // the persisted pairs artifact feeds both halves (pre-r11 this
+    // localCheckpointed a fresh LSH build; a parquet table needs no
+    // checkpoint to be read twice)
+    val pairs = Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id"))
     val old = pairs.filter((col("a_id") + col("b_id")) % 2 === 0)
     val fresh = pairs.filter((col("a_id") + col("b_id")) % 2 === 1)
     // label edges: includes the representatives' (x, x) self-edges,
@@ -373,9 +408,8 @@ object Dedup {
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
     // both CC calls have materialized their own checkpoints by now;
-    // the first run's labels and the shared pair list can go
+    // the first run's labels can go
     CheckpointShim.unpersist(equiv)
-    CheckpointShim.unpersist(pairs)
     out
   }
 
@@ -402,7 +436,7 @@ object Dedup {
     * node² or corpus-sized; round count is log-bounded, never
     * diameter-bounded. */
   def d19CcBigstar(spark: SparkSession, dir: String): DataFrame =
-    bigStarComponents(d4MinhashLsh(spark, dir), "a_id", "b_id")
+    bigStarComponents(Pipeline.pairsArtifact(spark, dir), "a_id", "b_id")
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
 
@@ -638,7 +672,7 @@ object Dedup {
     * plus a tiny rollup. */
   def d17CrossSourcePairs(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    d4MinhashLsh(spark, dir)
+    Pipeline.pairsArtifact(spark, dir)
       .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
       .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
       .select(least(col("sa"), col("sb")).as("src_a"),
@@ -726,9 +760,10 @@ object Dedup {
   }
 
   /** doc_ids the d7 labeling drops (non-canonical members) — ONE
-    * definition for d15 and the e1 funnel. */
+    * definition for d15 and the e1 funnel, served from the persisted
+    * labels artifact. */
   private[ext] def nonCanonicalDocs(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(d4MinhashLsh(spark, dir), "a_id", "b_id")
+    Pipeline.labelsArtifact(spark, dir)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"))
 
@@ -851,7 +886,7 @@ object Dedup {
     * bounded by the family count at any corpus size. */
   def d20DedupQuality(spark: SparkSession, dir: String): DataFrame = {
     val truth = d3JaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
-    val mh = d4MinhashLsh(spark, dir)
+    val mh = Pipeline.pairsArtifact(spark, dir)
       .select(lit("minhash_lsh").as("family"), col("a_id"), col("b_id"))
     val sim = d5Signatures(spark, dir)
     val sh = sim.as("a")
@@ -918,16 +953,13 @@ object Dedup {
     * candidates exist only inside its band buckets; the grading joins
     * run on pair lists. Adding a config costs one more banding of the
     * same 16 columns, never a new corpus pass. */
-  def d21LshTuning(spark: SparkSession, dir: String): DataFrame = {
-    val mh = minhashSignatures(shingleSet(spark, dir)).cache()
-    val report = d21ReportFrame(spark, dir, mh)
-    // |configs|-row report — bounded driver state: collect it, release
-    // the corpus-row-sized signature cache (d18's self-contained
-    // discipline), return a local relation
-    val rows = report.collect()
-    mh.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
-  }
+  def d21LshTuning(spark: SparkSession, dir: String): DataFrame =
+    // the signature table serves from the persisted artifact — three
+    // bandings are three cheap parquet scans of it, so the pre-r11
+    // cache/collect/unpersist hygiene (which existed to share ONE
+    // in-memory signature build across the bandings without pinning
+    // it past the call) has nothing left to manage
+    d21ReportFrame(spark, dir, Pipeline.signaturesArtifact(spark, dir))
 
   /** PlanDump entry point: the d21 grading plan over a fresh,
     * deliberately UNCACHED signature build, so the dumped plan shows
@@ -989,7 +1021,7 @@ object Dedup {
     "d1_dedup_exact"       -> (d1ExactDedup _),
     "d2_fingerprint_dedup" -> (d2FingerprintDedup _),
     "d3_jaccard_pairs"     -> (d3JaccardPairs _),
-    "d4_minhash_lsh"       -> (d4MinhashLsh _),
+    "d4_minhash_lsh"       -> (d4MinhashLshServed _),
     "d5_simhash_clusters"  -> (d5SimhashClusters _),
     "d7_dedup_components"  -> (d7DedupComponents _),
     "d9_containment"       -> (d9Containment _),

@@ -134,7 +134,7 @@ object Graph {
     * centrality-based canonical-copy choice; min-id d7 is the
     * arbitrary one). rank_fp is the exact scaled-int64 rank. */
   def p1Pagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerank(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+    pagerank(Pipeline.pairsArtifact(spark, dir), "a_id", "b_id")
       .select(col("node").as("doc_id"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("doc_id"))
 
@@ -203,7 +203,7 @@ object Graph {
     val seedSrc = docs.agg(min(col("source")).as("s"))
     val seeds = docs.join(broadcast(seedSrc), col("source") === col("s"))
       .select(col("doc_id").as("node"))
-    trustRank(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id", seeds)
+    trustRank(Pipeline.pairsArtifact(spark, dir), "a_id", "b_id", seeds)
       .select(col("node").as("doc_id"), col("r").as("trust_fp"))
       .orderBy(col("trust_fp").desc, col("doc_id"))
   }
@@ -224,7 +224,7 @@ object Graph {
     * this exact LSH graph — so the DuckDB oracle keeps the simple
     * id-oriented form. */
   def p2Triangles(spark: SparkSession, dir: String): DataFrame =
-    triangleCensusOriented(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+    triangleCensusOriented(Pipeline.pairsArtifact(spark, dir), "a_id", "b_id")
 
   /** Core census over any undirected edge list. Precondition: each
     * edge appears exactly once, oriented aCol < bCol (what d4 emits);
@@ -323,7 +323,7 @@ object Graph {
     * a chain of borderline pairs that min-label CC merges into one
     * cluster splits here unless the middle is genuinely dense. */
   def p3Communities(spark: SparkSession, dir: String): DataFrame =
-    labelPropagation(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+    labelPropagation(Pipeline.pairsArtifact(spark, dir), "a_id", "b_id")
       .groupBy(col("lbl").as("community_id"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_doc_id"))
       .orderBy(col("community_id"))
@@ -340,12 +340,14 @@ object Graph {
     * candidate graph's diameter (spec asserts nothing is left
     * unreached). All-integer, exact unrolled-recursive oracle. */
   def p4BfsDepth(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.d4MinhashLsh(spark, dir)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
-    // ONE symmetrize/checkpoint serves both the labeling and the BFS
-    val out = IterativeGraph.withSymmetricEdges(pairs, "a_id", "b_id",
+    // pairs AND the labeling both serve from the persisted artifact
+    // DAG — pre-r11 this re-ran the whole LSH build plus a CC label
+    // loop per query; now the only iterative work left is the BFS
+    // rounds themselves
+    val pairs = Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id"))
+    val labels = Pipeline.labelsArtifact(spark, dir)
+    IterativeGraph.withSymmetricEdges(pairs, "a_id", "b_id",
         distinctEdges = true) { (edges, width) =>
-      val labels = Dedup.ccLabelsOnEdges(edges, width)
       val canon = labels.filter(col("node") === col("cluster_id"))
         .select(col("node"), lit(0).as("depth"))
       var depths = canon.localCheckpoint()
@@ -368,14 +370,8 @@ object Graph {
         .orderBy(col("doc_id"))
         .localCheckpoint()
       CheckpointShim.unpersist(depths)
-      // `labels` is ccLabelsOnEdges' pinned final-round checkpoint;
-      // unlike d7 (where it IS the returned result) it is intermediate
-      // here — free it or one component-sized block leaks per call
-      CheckpointShim.unpersist(labels)
       res
     }
-    CheckpointShim.unpersist(pairs)
-    out
   }
 
   val CoreK = 2
@@ -422,7 +418,7 @@ object Graph {
     * 2-core is where true duplicate clusters live. Output: each core
     * member with its within-core degree. */
   def p5Kcore(spark: SparkSession, dir: String): DataFrame =
-    kcore(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
+    kcore(Pipeline.pairsArtifact(spark, dir), "a_id", "b_id")
       .select(col("src").as("doc_id"), col("core_deg"))
       .orderBy(col("doc_id"))
 
@@ -447,16 +443,17 @@ object Graph {
     * vocab pattern). */
   def p6Modularity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.CheckpointShim
-    val pairs = Dedup.d4MinhashLsh(spark, dir)
-      .select(col("a_id"), col("b_id")).cache()
+    // pairs serve from the persisted artifact — a parquet table needs
+    // no cache to be scanned by the labeling, the degree count, and
+    // the grading joins
+    val pairs = Pipeline.pairsArtifact(spark, dir)
+      .select(col("a_id"), col("b_id"))
     val labels = labelPropagation(pairs, "a_id", "b_id") // (node, lbl), checkpointed
     val out = p6GradingFrame(pairs, labels)
       // p7's self-releasing discipline: materialize the
-      // |communities|-row result, then drop the pair cache and the
-      // labeling checkpoint — repeated invocations in one session pin
-      // only the result
+      // |communities|-row result, then drop the labeling checkpoint —
+      // repeated invocations in one session pin only the result
       .localCheckpoint()
-    pairs.unpersist()
     CheckpointShim.unpersist(labels)
     out
   }
@@ -491,15 +488,15 @@ object Graph {
       .orderBy(col("community_id"))
   }
 
-  /** PlanDump entry point: the p6 grading plan over a fresh,
-    * deliberately UNCACHED pair list and its labeling, so the dumped
-    * plan shows the real grading shape rather than InMemory scans.
-    * The labeling's checkpoint is NOT released here — PlanDump is a
-    * one-shot JVM, and eager release would require collecting before
-    * the caller can dump the plan; the gate entry (p6Modularity) is
-    * the self-releasing path. */
+  /** PlanDump entry point: the p6 grading plan over the artifact-
+    * served pair list and its labeling — the same shape the gate
+    * entry runs (parquet scans of the pairs table feeding the grading
+    * joins). The labeling's checkpoint is NOT released here —
+    * PlanDump is a one-shot JVM, and eager release would require
+    * collecting before the caller can dump the plan; the gate entry
+    * (p6Modularity) is the self-releasing path. */
   private[graft] def p6PlanFrame(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.d4MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val pairs = Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id"))
     p6GradingFrame(pairs, labelPropagation(pairs, "a_id", "b_id"))
   }
 

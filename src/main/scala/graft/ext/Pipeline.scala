@@ -28,14 +28,26 @@ object Pipeline {
 
   // ---------------------------------------------------------------
   // PERSISTED PIPELINE ARTIFACTS — the s13 persist-once pattern
-  // applied to the e-family. A real training-data pipeline's stages
-  // are materialized, checkpointed TABLES (every production stack
-  // writes its dedup labels, per-doc decisions, and packed shards to
-  // storage between stages); re-deriving the whole e1→e3 funnel per
-  // query was gate scaffolding, not the production shape. One fixed
-  // per-(version, sf-dir) parquet root now holds the stage DAG:
+  // applied to the e-family AND (since r11) the whole pair-derived
+  // d/p families. A real training-data pipeline's stages are
+  // materialized, checkpointed TABLES (every production stack writes
+  // its candidate-pair graph, dedup labels, per-doc decisions, and
+  // packed shards to storage between stages); re-deriving the
+  // shingle→minhash→band pipeline per graph query was gate
+  // scaffolding, not the production shape — a 100 TB candidate graph
+  // is a table, not a per-query derivation. One fixed
+  // per-(version, sf-dir, corpus-fingerprint) parquet root holds the
+  // stage DAG:
   //
-  //   labels/    (node, cluster_id)               — d7's global CC labeling
+  //   signatures/ (doc_id, mh0..mh15)             — the MinHash signature
+  //                                                 table (the md5-dominated
+  //                                                 corpus pass)
+  //   pairs/     (a_id, b_id, jaccard)            — d4's VERIFIED near-dup
+  //                                                 candidate pairs (banded
+  //                                                 from signatures, exact-
+  //                                                 Jaccard confirmed)
+  //   labels/    (node, cluster_id)               — d7's global CC labeling,
+  //                                                 closed over pairs/
   //   docflags/  (doc_id, source, n_tok, s1..s5,
   //               rate_ppm)                       — per-doc funnel + frozen-
   //                                                 model selection decisions
@@ -48,49 +60,93 @@ object Pipeline {
   // Each table is built on demand from its PARENT table's parquet
   // (never recomputed from scratch), gated on Spark's _SUCCESS marker
   // (a crashed write has no marker and rebuilds — overwrite mode makes
-  // the rebuild idempotent). Gate entries read the artifacts: e1/e2
-  // aggregate docflags, e3/e7 read bins, e9 reads the manifest, e6 and
-  // the e4/e5 ingest paths read labels. [[EArtifactVersion]] is part
-  // of the root path — bump it whenever flag semantics change so a
-  // stale tree from an older build can never serve. Round10Spec pins
-  // artifact-served ≡ freshly-derived for every consumer.
+  // the rebuild idempotent). Gate entries read the artifacts: d4 IS
+  // the pairs table; d7/d15/d19's labeling, d11's fold halves, d17's
+  // provenance rollup, d20's minhash row, and every p1–p7 graph
+  // operator read pairs/labels; d21 bands the signatures three ways;
+  // e1/e2 aggregate docflags, e3/e7 read bins, e9 reads the manifest,
+  // e6 and the e4/e5 ingest paths read labels. [[EArtifactVersion]]
+  // is part of the root path — bump it whenever any table's semantics
+  // change so a stale tree from an older build can never serve (data
+  // changes are covered separately: ArtifactRoots folds a corpus
+  // fingerprint into the tag). Round10/11Spec pin artifact-served ≡
+  // freshly-derived for every consumer plus the crashed-write rebuild.
   //
   // 100 TB posture: the artifacts live where the corpus lives (here
   // java.io.tmpdir stands in for the warehouse); stage cost is paid
   // once per corpus version instead of once per downstream query, and
-  // the incremental path for the labels table is d11's fold.
+  // the incremental path for the pairs/labels tables is d11's fold.
   // ---------------------------------------------------------------
 
-  val EArtifactVersion = 2 // v2: bins partitioned by shard
+  val EArtifactVersion = 3 // v3: signatures/pairs tables root the DAG
 
   private[graft] def eArtifactRoot(dir: String): String =
     graft.ArtifactRoots.tagged(s"graft_e_artifacts_v$EArtifactVersion", dir)
 
   /** Build `table` under the artifact root iff its _SUCCESS marker is
     * absent, then return the frame READ FROM PARQUET (so every
-    * consumer serves from the artifact, never the build plan). */
-  private def ensureArtifact(spark: SparkSession, dir: String, table: String,
+    * consumer serves from the artifact, never the build plan).
+    *
+    * The builder's schema is persisted beside the data (an
+    * underscore-prefixed sidecar, invisible to the parquet reader)
+    * and replayed into the read: a build whose frame is EMPTY — zero
+    * s5 survivors in a delta slice, a retired source covering the
+    * whole delta — writes only _SUCCESS with no data files, and a
+    * schema-less read of that tree would fail with "unable to infer
+    * schema" while the marker makes the failure sticky. With the
+    * sidecar an empty artifact serves as a well-typed empty frame,
+    * this run and every later one. */
+  private[graft] def ensureArtifact(spark: SparkSession, dir: String, table: String,
                              partitionCols: Seq[String] = Nil)
                             (build: => DataFrame): DataFrame = {
     val path = s"${eArtifactRoot(dir)}/$table"
     val ok = new Path(s"$path/_SUCCESS")
+    val schemaFile = new Path(s"$path/_graft_schema.ddl")
     val fs = FileSystem.get(ok.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(ok)) {
-      val w = build.write.mode("overwrite")
+      val b = build
+      val w = b.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(path)
+      val out = fs.create(schemaFile, true)
+      try out.write(b.schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
-    spark.read.parquet(path)
+    // serve with the recorded schema when the sidecar exists (trees
+    // written before the sidecar landed still serve via inference)
+    if (fs.exists(schemaFile)) {
+      val in = fs.open(schemaFile)
+      val ddl =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(path)
+    } else spark.read.parquet(path)
   }
 
-  /** d7's global CC labeling — the root of the artifact DAG, shared
-    * by the funnel's dedup stage, the e4/e5 ingest drops, and e6's
-    * cluster-atomic split key. */
+  /** The MinHash signature table — the md5-dominated corpus pass at
+    * the root of the DAG, banded by the pairs build below and
+    * re-banded three ways by d21's tuning sweep. */
+  private[graft] def signaturesArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "signatures")(Dedup.signaturesDerived(spark, dir))
+
+  /** d4's verified near-dup candidate pairs — the graph every
+    * pair-derived operator (d7/d11/d15/d17/d19/d20, p1–p7) consumes.
+    * Built from the signatures artifact (banding + candidate join +
+    * exact-Jaccard verify against a fresh shingle pass). */
+  private[graft] def pairsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "pairs")(
+      Dedup.d4PairsFromSignatures(spark, dir, signaturesArtifact(spark, dir)))
+
+  /** d7's global CC labeling FROM SCRATCH (no artifact tree touched) —
+    * the spec-side twin Round10/11Spec compare the served tables
+    * against; the artifact build itself goes through [[pairsArtifact]]
+    * so each DAG stage reads its parent table, never re-derives it. */
   private[graft] def labelsDerived(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
 
-  private def labelsArtifact(spark: SparkSession, dir: String): DataFrame =
-    ensureArtifact(spark, dir, "labels")(labelsDerived(spark, dir))
+  private[ext] def labelsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "labels")(
+      Dedup.connectedComponents(pairsArtifact(spark, dir), "a_id", "b_id"))
 
   /** Non-canonical members of a labeling = the docs dedup drops (one
     * definition with Dedup.nonCanonicalDocs' semantics, over an

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Graph, Pipeline}
+
+/** Round-11 pins — the candidate-pair artifact DAG extension
+  * (signatures → pairs → labels now root the persisted tree, and the
+  * whole pair-derived d/p family serves from it) plus the r10 ADVICE
+  * hardenings:
+  *
+  *  1. pairs/signatures artifact-served ≡ the from-scratch d4
+  *     derivation, and a crashed (marker-less) pairs write rebuilds.
+  *  2. Consumer equivalence: d7's served labeling ≡ the from-scratch
+  *     CC labeling; p1 over the artifact ≡ p1 over a fresh pair list.
+  *  3. ensureArtifact's EMPTY-build guard: an artifact whose build
+  *     frame has zero rows serves as a well-typed empty frame (the
+  *     schema sidecar) instead of failing sticky on 'unable to infer
+  *     schema' behind its own _SUCCESS marker.
+  *  4. ArtifactRoots' corpus fingerprint: two dirs with identical
+  *     paths-but-different-content tag differently; an unchanged dir
+  *     tags stably.
+  */
+class Round11Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  // ---------- 1. pairs/signatures artifact ≡ derived ----------
+
+  test("pair artifacts: served signatures and pairs equal the from-scratch " +
+    "d4 derivation, and a crashed (marker-less) pairs write rebuilds") {
+    val root = new Path(Pipeline.eArtifactRoot(dir))
+    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    // cold build so the pin covers the build path
+    fs.delete(root, true)
+    val pairsServed = rows(Pipeline.pairsArtifact(spark, dir))
+    val pairsDerived = rows(Dedup.d4MinhashLsh(spark, dir))
+    assert(pairsServed === pairsDerived, "pairs artifact-served != derived")
+    assert(pairsServed.nonEmpty, "vacuous pin: the sf0.001 pair graph is non-empty")
+    assert(rows(Pipeline.signaturesArtifact(spark, dir)) ===
+      rows(Dedup.signaturesDerived(spark, dir)),
+      "signatures artifact-served != derived")
+    // crashed write: data present, marker gone → rebuild, same rows
+    val marker = new Path(s"${Pipeline.eArtifactRoot(dir)}/pairs/_SUCCESS")
+    assert(fs.exists(marker))
+    fs.delete(marker, false)
+    assert(rows(Pipeline.pairsArtifact(spark, dir)) === pairsDerived,
+      "rebuild after a marker-less (crashed) pairs write must reproduce the table")
+    assert(fs.exists(marker), "the rebuild restores the completeness marker")
+  }
+
+  // ---------- 2. consumer equivalence ----------
+
+  test("pair artifacts: d7's artifact-served labeling and p1's artifact-served " +
+    "ranks equal the same operators over a fresh pair list") {
+    val freshPairs = Dedup.d4MinhashLsh(spark, dir)
+    val d7Derived = Dedup.connectedComponents(freshPairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    assert(rows(Dedup.d7DedupComponents(spark, dir)) === rows(d7Derived),
+      "d7 artifact-served != CC over a fresh pair list")
+    val p1Derived = Graph.pagerank(freshPairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("r").as("rank_fp"))
+    assert(rows(Graph.p1Pagerank(spark, dir)) === rows(p1Derived),
+      "p1 artifact-served != pagerank over a fresh pair list")
+  }
+
+  // ---------- 3. empty-build artifacts serve, not stick ----------
+
+  test("ensureArtifact: an EMPTY build frame round-trips as a well-typed " +
+    "empty frame on the build call AND on later marker-served calls") {
+    import spark.implicits._
+    val table = "r11_empty_probe"
+    val path = new Path(s"${Pipeline.eArtifactRoot(dir)}/$table")
+    val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    try {
+      val empty = Seq.empty[(Long, String)].toDF("k", "v").filter(lit(false))
+      val built = Pipeline.ensureArtifact(spark, dir, table)(empty)
+      assert(built.schema.fieldNames.toSeq === Seq("k", "v"))
+      assert(built.count() === 0L)
+      // the marker is present (the build 'succeeded'); the served read
+      // must still work — pre-r11 this path failed sticky with
+      // 'unable to infer schema'
+      assert(fs.exists(new Path(s"$path/_SUCCESS")))
+      var buildRan = false
+      val served = Pipeline.ensureArtifact(spark, dir, table) {
+        buildRan = true
+        Seq.empty[(Long, String)].toDF("k", "v")
+      }
+      assert(!buildRan, "a marker-complete table must serve, not rebuild")
+      assert(served.schema.fieldNames.toSeq === Seq("k", "v"))
+      assert(served.count() === 0L)
+    } finally fs.delete(path, true)
+  }
+
+  // ---------- 4. corpus fingerprint in the artifact tag ----------
+
+  test("ArtifactRoots.tagged: stable for an unchanged dir, different for " +
+    "same-path dirs whose content differs (regeneration detection)") {
+    val t1 = ArtifactRoots.tagged("r11_fp", dir)
+    assert(t1 === ArtifactRoots.tagged("r11_fp", dir),
+      "an unchanged corpus dir must tag stably")
+    // a scratch dir standing in for 'the corpus path after regeneration':
+    // same path string both times, different content
+    val scratch = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_r11_fp_probe")
+    def writeProbe(content: String): Unit = {
+      scratch.mkdirs()
+      val f = new java.io.File(scratch, "t.parquet")
+      java.nio.file.Files.writeString(f.toPath, content)
+      // force a distinct mtime axis too (content length already differs)
+      f.setLastModified(((content.length % 2) + 1) * 1000000000L)
+    }
+    try {
+      writeProbe("one")
+      val a = ArtifactRoots.tagged("r11_fp", scratch.getPath)
+      writeProbe("regenerated")
+      val b = ArtifactRoots.tagged("r11_fp", scratch.getPath)
+      assert(a !== b, "a regenerated corpus at the same path must re-tag")
+    } finally {
+      new java.io.File(scratch, "t.parquet").delete()
+      scratch.delete()
+    }
+  }
+}
