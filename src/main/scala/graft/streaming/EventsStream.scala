@@ -420,12 +420,21 @@ object EventsStream {
   }
 
   /** Drive the windowed-counts stream into a parquet snapshot via the
-    * foreachBatch merge; update mode so refined windows re-emit. */
-  def runSnapshotUpsert(events: DataFrame, target: String): StreamingQuery = {
-    val q = windowedCounts(events).writeStream
+    * foreachBatch merge; update mode so refined windows re-emit.
+    * Pass `checkpoint` for the production posture — a durable
+    * checkpointLocation is what lets the query STOP (deploy, crash,
+    * rebalance) and resume exactly-once: source offsets, the window
+    * state store, and the watermark all recover from it, so a restart
+    * reprocesses nothing and misses nothing (EventsStreamSpec pins
+    * this with a real stop/stage-more-files/restart cycle). Without
+    * it Spark uses a temp checkpoint that dies with the query —
+    * fine only for one-shot converge-and-read use. */
+  def runSnapshotUpsert(events: DataFrame, target: String,
+                        checkpoint: Option[String] = None): StreamingQuery = {
+    val w = windowedCounts(events).writeStream
       .outputMode("update")
       .foreachBatch(mergeIntoParquet(target, Seq("window_start", "event_type")) _)
-      .start()
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
     q.processAllAvailable()
     q
   }

@@ -431,6 +431,88 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("restart from checkpoint: the STATEFUL windowed-count upsert (st11's " +
+    "merge path) stopped mid-stream and resumed converges to the batch answer") {
+    import org.apache.spark.sql.SaveMode
+    // four time-ordered files: two processed before the stop, two
+    // arriving while the query is DOWN — the restart must recover the
+    // source offsets (f1/f2 never reprocess), the WINDOW STATE STORE
+    // (windows spanning the stop keep their partial counts — a lost
+    // state store would restart them at zero and the merge would
+    // upsert the too-small refinement), and the watermark. Time-ordered
+    // staging keeps every later file's ts above the recovered
+    // watermark, so no row can be late-dropped (st11's argument).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.parquet(s"$dir/events.parquet").cache()
+    // the STOP boundary must fall INSIDE some 1-hour window (two
+    // consecutive-in-time events sharing an hour land on opposite
+    // sides of it), else the state-recovery branch is vacuous — the
+    // sf0.001 events average ~1.4/hour, so a blind row-count quartile
+    // usually lands between windows. Find the split nearest the middle
+    // whose neighbors share an hour, on the NORMALIZED view (the raw
+    // ts encoding varies across drops), keyed by event_id.
+    val orderedIds = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = orderedIds.length
+    def hourOf(us: Long): Long = us / 3600000000L
+    val mid = ((n / 2) until n)
+      .find(i => hourOf(orderedIds(i - 1)._2) == hourOf(orderedIds(i)._2))
+      .orElse((2 until n / 2).reverse
+        .find(i => hourOf(orderedIds(i - 1)._2) == hourOf(orderedIds(i)._2)))
+      .getOrElse(fail("no 1-hour window holds two events — cannot exercise restart"))
+    val bounds = Seq(0, mid / 2, mid, (mid + n) / 2, n)
+    val splitDir = java.nio.file.Files.createTempDirectory("events_rs_split").toString
+    val inDir = java.nio.file.Files.createTempDirectory("events_rs_in")
+    (0 until 4).foreach { k =>
+      val ids = orderedIds.slice(bounds(k), bounds(k + 1)).map(_._1)
+      all.filter(col("event_id").isin(ids: _*))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$splitDir/f$k")
+    }
+    def stage(k: Int): Unit = {
+      val part = new java.io.File(s"$splitDir/f$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val to = inDir.resolve(s"$k.parquet")
+      java.nio.file.Files.copy(part.toPath, to)
+      to.toFile.setLastModified((k + 1) * 1000000L); ()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("events_rs_ckpt").toString
+    val target = java.nio.file.Files.createTempDirectory("events_rs_out").toString + "/snapshot"
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      EventsStream.runSnapshotUpsert(
+        EventsStream.readEventsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+        target, checkpoint = Some(ckpt))
+    def counts(): Map[(java.sql.Timestamp, String), Long] =
+      spark.read.parquet(target)
+        .select(col("window_start").cast("timestamp"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // run 1: two files, two micro-batches, then STOP (the deploy/crash)
+    stage(0); stage(1)
+    val q1 = run(); q1.stop()
+    val preStop = counts()
+    // run 2: the rest arrives while the query is down; resume
+    stage(2); stage(3)
+    val q2 = run()
+    try {
+      val got = spark.read.parquet(target)
+        .select(col("window_start"), col("event_type"), col("n_events"),
+                round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("window_start"), col("event_type")).collect()
+      val want = EventsStream.st1EventWindows(spark, dir).collect()
+      assert(got.length === want.length,
+        "restarted snapshot lost or invented (window, event_type) rows")
+      got.zip(want).foreach { case (g, w) => assert(g === w) }
+      // non-vacuity: at least one window GREW across the restart — its
+      // pre-stop partial count was recovered from the state store and
+      // refined, which is exactly the branch a lost store would break
+      // (the window would restart at zero and upsert a smaller count,
+      // failing the batch comparison above)
+      assert(counts().exists { case (k, v) => preStop.get(k).exists(v > _) },
+        "no window spanned the stop — the state-recovery branch was not exercised")
+    } finally q2.stop()
+  }
+
   test("watermarked dedup emits each event_id once") {
     val stream = EventsStream.readEventsStream(spark, streamDir)
     val q = EventsStream.runToMemory(
