@@ -863,12 +863,23 @@ object Pipeline {
     * Scale shape: the allocator runs on the |sources|-row spec
     * (e8's shape); enforcement adds ONE per-source cumulative window
     * over the mixed set plus a broadcast of the |sources|-row alloc
-    * table. A hot source = one window partition — at 100 TB the
-    * prefix rule materializes as q49's two-level scan
-    * (repartitionByRange(source, doc_id) + partition-local running
-    * sums with broadcast per-range offsets); the decision stays the
-    * same integer compare. */
-  def e12BudgetEnforce(spark: SparkSession, dir: String): DataFrame = {
+    * table. A hot source = one window partition — the TWO-LEVEL form
+    * below (q49's pattern, `twoLevel = true`) is the 100 TB escape:
+    * per-source doc_id decile boundaries (tiny mergeable-sketch agg,
+    * broadcast) split each source into value-disjoint ranges, range
+    * totals self-join into broadcast per-range offsets, and the
+    * running sum windows WITHIN each (source, range) and adds its
+    * offset — no window partition ever holds more than a range's
+    * docs, and because ranges are doc_id-disjoint with intra-range
+    * order matching the per-source global order, the two-level
+    * cumulative equals the single-window one EXACTLY for any cut set
+    * (Round11Spec pins row-for-row equality; the decision stays the
+    * same integer compare). */
+  def e12BudgetEnforce(spark: SparkSession, dir: String): DataFrame =
+    e12Enforced(spark, dir, twoLevel = false)
+
+  private[graft] def e12Enforced(spark: SparkSession, dir: String,
+                                 twoLevel: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val census = docFlagsArtifact(spark, dir).filter(col("s5"))
       .select(col("doc_id"), col("source"), col("n_tok"))
@@ -881,8 +892,31 @@ object Pipeline {
     // (source, doc_id) ever stopped being unique
     val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val stats = census
-      .withColumn("cum", sum(col("n_tok")).over(wCum))
+    val cummed =
+      if (!twoLevel) census.withColumn("cum", sum(col("n_tok")).over(wCum))
+      else {
+        // value-disjoint doc_id ranges per source; approx boundaries
+        // are fine — the cumulative is exact for ANY cut set
+        val bounds = census.groupBy(col("source")).agg(expr(
+          "approx_percentile(doc_id, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 1000)")
+          .as("bs"))
+        val bucketed = census.join(broadcast(bounds), Seq("source"))
+          .withColumn("bucket", size(filter(col("bs"), b => b < col("doc_id"))))
+          .drop("bs")
+        val totals = bucketed.groupBy(col("source"), col("bucket"))
+          .agg(sum(col("n_tok")).as("bc"))
+        val offsets = totals
+          .join(totals.select(col("source"), col("bucket").as("yb"), col("bc").as("ybc")),
+            Seq("source"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(sum(when(col("yb") < col("bucket"), col("ybc")).otherwise(0L)).as("off"))
+        val wRange = Window.partitionBy(col("source"), col("bucket"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.join(broadcast(offsets), Seq("source", "bucket"))
+          .withColumn("cum", col("off") + sum(col("n_tok")).over(wRange))
+      }
+    val stats = cummed
       .join(broadcast(alloc.select(col("source"), col("alloc_tokens"))), Seq("source"))
       .withColumn("keep", col("cum") <= col("alloc_tokens"))
       .groupBy(col("source"))

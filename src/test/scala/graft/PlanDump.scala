@@ -50,7 +50,8 @@ object PlanDump {
     "e9_order_manifest" -> "order manifest SERVED from its persisted artifact (built once beside the bins: shard-partitioned position window, |shards|-row rollup)",
     "e10_artifact_refresh" -> "epoch-append refresh: one scan of the epoch-partitioned bins tree feeds both the per-epoch census and the combined-order checksum; the delta pack itself is marker-gated build work, delta-sized",
     "e11_retention_delete" -> "retention delete: pre-delete epoch scan (removed mass) left-joined with the retained generation's manifest; the repack is marker-gated build work, one docflags scan + per-shard windows",
-    "e12_budget_enforce" -> "budget enforcement: |sources|-row water-filling spec + broadcast alloc table over ONE per-source cumulative window on the mixed set; q49's two-level scan is the named hot-source escape")
+    "e12_budget_enforce" -> "budget enforcement: |sources|-row water-filling spec + broadcast alloc table over ONE per-source cumulative window on the mixed set",
+    "e12_two_level" -> "e12's hot-source escape (q49's pattern, flag-selected): broadcast per-source doc_id decile boundaries + broadcast range offsets; the running sum windows per (source, range) — no single hot window partition, pinned row-equal to the window form")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
@@ -71,7 +72,9 @@ object PlanDump {
       "t27_bpe_merges" -> (graft.ext.TextAnalysis.t27Round1Pairs _),
       "d21_lsh_tuning" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.ext.Dedup.d21PlanFrame(s, d)),
-      "p6_modularity" -> (graft.ext.Graph.p6PlanFrame _))
+      "p6_modularity" -> (graft.ext.Graph.p6PlanFrame _),
+      "e12_two_level" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.ext.Pipeline.e12Enforced(s, d, twoLevel = true)))
     Headline.foreach { case (name, why) =>
       val df = planFrame.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       df.collect() // let AQE finalize

@@ -77,6 +77,20 @@ class Round11Spec extends AnyFunSuite {
       "p1 artifact-served != pagerank over a fresh pair list")
   }
 
+  // ---------- e12 two-level enforcement ≡ the window form ----------
+
+  test("e12: the two-level hot-source escape (range-bucketed partial sums + " +
+    "broadcast offsets) equals the single-window form row for row") {
+    val window = Pipeline.e12BudgetEnforce(spark, dir).collect().toSeq
+    val twoLevel = Pipeline.e12Enforced(spark, dir, twoLevel = true)
+      .collect().toSeq
+    assert(twoLevel === window, "two-level enforcement != window form")
+    // non-vacuity: at least one source actually spills (both regimes
+    // present, so the prefix decision is exercised at the boundary)
+    assert(window.exists(_.getAs[Long]("n_docs_spilled") > 0),
+      "no source spilled — the cap branch was not exercised")
+  }
+
   // ---------- 3. empty-build artifacts serve, not stick ----------
 
   test("ensureArtifact: an EMPTY build frame round-trips as a well-typed " +
