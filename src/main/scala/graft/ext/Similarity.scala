@@ -760,7 +760,7 @@ object Similarity {
     locally {
       val idxPath = new Path(idxDir)
       val fs = FileSystem.get(idxPath.toUri, spark.sparkContext.hadoopConfiguration)
-      Seq("deletes", "codes.del_old", "codes.del_tmp").foreach { s =>
+      Seq("deletes", "codes.del_old", "codes.del_tmp", "codes_gen").foreach { s =>
         val p = new Path(idxPath, s)
         if (fs.exists(p)) fs.delete(p, true)
       }
@@ -841,16 +841,49 @@ object Similarity {
     // partition column comes back type-inferred; pin it to long
     val codes0 = spark.read.parquet(s"$idxDir/codes")
       .withColumn("ccid", col("ccid").cast("long"))
-    // live view: un-compacted tombstones (if any) are excluded by a
-    // broadcast anti-join — the delete set is bounded by the
-    // compaction cadence, never corpus-sized (s18's serve contract)
     val delPath = new Path(s"$idxDir/deletes")
     val delFs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
+    // DEFERRED-UPDATE overlay (s21's 100 TB knob): un-compacted
+    // generation-tagged updates (if any) supersede the base rows of
+    // their ids — serve max-generation per id, base rows of updated
+    // ids excluded. The ledger is bounded by the compaction cadence
+    // (s18's tombstone argument), so the id set broadcasts; the
+    // max-gen rule is computed over the WHOLE ledger before ccid
+    // pruning — an id's freshest coding may live in a different list
+    // than its stale one, and pruning first could serve the stale row.
+    // The base-exclusion rule is keyed on ledger MEMBERSHIP (not
+    // max-gen), which is what makes compaction's crash window safe: a
+    // crash after the fold's append but before the ledger delete
+    // leaves both copies on disk, and the overlay still serves exactly
+    // one.
+    val genPath = new Path(s"$idxDir/codes_gen")
+    val overlaid =
+      if (!delFs.exists(genPath)) codes0
+      else {
+        val gen = spark.read.parquet(genPath.toString)
+          .select(col("vec_id"), col("sub"), col("cid"),
+            col("ccid").cast("long").as("ccid"), col("gen").cast("long").as("gen"))
+        val maxGen = gen.groupBy(col("vec_id")).agg(max(col("gen")).as("gen"))
+        val genLive = gen.join(broadcast(maxGen), Seq("vec_id", "gen"))
+          .select(col("vec_id"), col("sub"), col("cid"), col("ccid"))
+        codes0.join(broadcast(gen.select(col("vec_id")).distinct()),
+            Seq("vec_id"), "left_anti")
+          .unionByName(genLive)
+      }
+    // live view: un-compacted tombstones (if any) are excluded by a
+    // broadcast anti-join — the delete set is bounded by the
+    // compaction cadence, never corpus-sized (s18's serve contract).
+    // Tombstones apply AFTER the generation overlay, so a delete
+    // issued against an id with pending deferred updates hides every
+    // copy. (An id deleted and THEN re-updated before any compaction
+    // would stay hidden until the tombstone compacts — by contract
+    // callers compact between a delete and a re-insert of the same id,
+    // exactly as s21's eager update path does.)
     val codes =
       if (delFs.exists(delPath))
-        codes0.join(broadcast(spark.read.parquet(delPath.toString)
+        overlaid.join(broadcast(spark.read.parquet(delPath.toString)
           .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
-      else codes0
+      else overlaid
     val qQv = quantVecs(spark, dir).filter(col("vec_id") < QueryCount)
     val qV = pqSubVecs(spark, dir).filter(col("vec_id") < QueryCount)
     val qProbe = rankCentroids(qQv, cen).filter(col("r") <= IvfProbes)
@@ -1236,6 +1269,62 @@ object Similarity {
     deleteFromIvfPqIndex(spark, newEmb.select(col("vec_id")), idxDir)
     compactIvfPqDeletes(spark, idxDir)
     appendIvfPqIndexFrom(spark, newEmb, idxDir)
+  }
+
+  /** The DEFERRED update path — s21's documented 100 TB knob, landed:
+    * the eager path above compacts the affected lists on EVERY update
+    * batch; at scale a store amortizes that by appending the
+    * re-embedded batch as GENERATION-TAGGED rows in a sidecar ledger
+    * (codes_gen/gen=N/ccid=…, coded against the frozen model exactly
+    * like any append) and serving max-generation per id until the
+    * next s18-cadence compaction folds the ledger in. Cost per batch:
+    * one narrow coded write, O(updates) — no list rewrites, no
+    * tombstone round-trip. Round11Spec pins generation-served ≡
+    * compacted-served ≡ rebuild-with-current-values, including a
+    * two-batch case where only max-generation may win. */
+  def deferUpdateIvfPqIndex(spark: SparkSession, newEmb: DataFrame,
+                            idxDir: String): Unit = {
+    val genPath = new Path(s"$idxDir/codes_gen")
+    val fs = FileSystem.get(genPath.toUri, spark.sparkContext.hadoopConfiguration)
+    val nextGen =
+      if (!fs.exists(genPath)) 1L
+      else fs.listStatus(genPath).map(_.getPath.getName)
+        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+        .foldLeft(0L)(math.max) + 1L
+    val cen = spark.read.parquet(s"$idxDir/coarse_centroids")
+    val pcen = spark.read.parquet(s"$idxDir/pq_codebooks")
+    val lists = rankCentroids(quantVecsOf(newEmb), cen).filter(col("r") === 1)
+      .select(col("vec_id"), col("cid").as("ccid"))
+    pqCodes(pqSubVecsOf(newEmb), pcen).join(lists, Seq("vec_id"))
+      .select(col("vec_id"), col("sub"), col("cid"), col("ccid"),
+        lit(nextGen).as("gen"))
+      .write.mode("append").partitionBy("gen", "ccid")
+      .parquet(genPath.toString)
+  }
+
+  /** Fold the deferred-update ledger into the codes table (the
+    * s18-cadence compaction): re-tombstone the ledger's ids, apply the
+    * tombstones physically (removes the superseded base rows — and,
+    * on a crashed re-run, any half-folded copies), append each id's
+    * max-generation rows, drop the ledger. Every step is idempotent,
+    * so a crash at ANY point re-converges on the next call — and the
+    * serve overlay keys base-exclusion on ledger membership, so the
+    * crash window between the append and the ledger delete (both
+    * copies on disk) still serves exactly one copy (Round11Spec). */
+  def compactIvfPqUpdates(spark: SparkSession, idxDir: String): Unit = {
+    val genPath = new Path(s"$idxDir/codes_gen")
+    val fs = FileSystem.get(genPath.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(genPath)) return
+    val gen = spark.read.parquet(genPath.toString)
+      .select(col("vec_id"), col("sub"), col("cid"),
+        col("ccid").cast("long").as("ccid"), col("gen").cast("long").as("gen"))
+    deleteFromIvfPqIndex(spark, gen.select(col("vec_id")).distinct(), idxDir)
+    compactIvfPqDeletes(spark, idxDir)
+    val maxGen = gen.groupBy(col("vec_id")).agg(max(col("gen")).as("gen"))
+    gen.join(broadcast(maxGen), Seq("vec_id", "gen"))
+      .select(col("vec_id"), col("sub"), col("cid"), col("ccid"))
+      .write.mode("append").partitionBy("ccid").parquet(s"$idxDir/codes")
+    fs.delete(genPath, true)
   }
 
   /** The re-embedded slice for the s21 gate entry: the APPENDED

@@ -120,6 +120,67 @@ class Round11Spec extends AnyFunSuite {
     } finally fs.delete(path, true)
   }
 
+  // ---------- s21 deferred compaction ----------
+
+  test("s21 deferred updates: generation-served == compacted-served == " +
+    "rebuild-with-current-values; max-generation wins; the crash window " +
+    "between the fold's append and the ledger delete serves one copy") {
+    import graft.ext.Similarity
+    import org.apache.hadoop.fs.FileUtil
+    val tmp = System.getProperty("java.io.tmpdir")
+    val defDir = s"$tmp/graft_r11_defer_idx"
+    val rebDir = s"$tmp/graft_r11_defreb_idx"
+    val basePred = col("vec_id") % 10 =!= 9
+    // batch 1: the appended slice re-embedded (reversed vectors);
+    // batch 2: a sub-slice updated AGAIN, back to the original vector
+    // — for those ids only the max-generation row may serve
+    val b1 = Tables.embeddings(spark, dir).filter(!basePred)
+      .withColumn("embedding", reverse(col("embedding")))
+    val b2 = Tables.embeddings(spark, dir)
+      .filter(!basePred && col("vec_id") % 20 === 19)
+    assert(b2.count() > 0, "vacuous: the twice-updated sub-slice is empty")
+    Similarity.buildIvfPqIndex(spark, dir, defDir, basePred, basePred)
+    Similarity.appendIvfPqIndex(spark, dir, defDir, !basePred)
+    Similarity.deferUpdateIvfPqIndex(spark, b1, defDir)
+    Similarity.deferUpdateIvfPqIndex(spark, b2, defDir)
+    val genServed = Similarity.queryIvfPqIndex(spark, dir, defDir).collect().toSeq
+    // crash-window simulation: compact, then RESTORE the ledger as if
+    // the process died between the append and the ledger delete —
+    // both copies are on disk and the overlay must still serve one
+    val genPath = new Path(s"$defDir/codes_gen")
+    val aside = new Path(s"$defDir/codes_gen.crashcopy")
+    val fs = FileSystem.get(genPath.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.delete(aside, true)
+    FileUtil.copy(fs, genPath, fs, aside, false,
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.compactIvfPqUpdates(spark, defDir)
+    val compacted = Similarity.queryIvfPqIndex(spark, dir, defDir).collect().toSeq
+    assert(genServed === compacted, "generation-served != compacted-served")
+    if (!fs.rename(aside, genPath)) fail("crash simulation rename failed")
+    assert(Similarity.queryIvfPqIndex(spark, dir, defDir).collect().toSeq
+      === compacted, "crash window (folded rows + ledger both on disk) double-served")
+    // the re-run converges: ledger folded again, gone, same answers
+    Similarity.compactIvfPqUpdates(spark, defDir)
+    assert(!fs.exists(genPath), "ledger survives compaction")
+    assert(Similarity.queryIvfPqIndex(spark, dir, defDir).collect().toSeq
+      === compacted, "crashed-fold re-run diverged")
+    // rebuild with current values: batch-2 ids at their original
+    // vectors, the rest of the slice at batch 1's reversed vectors
+    val current = b1.filter(col("vec_id") % 20 =!= 19).unionByName(b2)
+    Similarity.buildIvfPqIndex(spark, dir, rebDir, basePred, basePred)
+    Similarity.appendIvfPqIndexFrom(spark, current, rebDir)
+    assert(Similarity.queryIvfPqIndex(spark, dir, rebDir).collect().toSeq
+      === compacted, "compacted-served != rebuild-with-current-values")
+    // codes tables agree row-for-row (deferred path leaves no residue)
+    def codeRows(d: String): Set[(Long, Int, Long, Long)] =
+      spark.read.parquet(s"$d/codes")
+        .withColumn("ccid", col("ccid").cast("long")).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+          r.getAs[Long]("cid"), r.getAs[Long]("ccid"))).toSet
+    assert(codeRows(defDir) === codeRows(rebDir),
+      "deferred-then-compacted codes != rebuild codes")
+  }
+
   // ---------- 4. corpus fingerprint in the artifact tag ----------
 
   test("ArtifactRoots.tagged: stable for an unchanged dir, different for " +
