@@ -867,14 +867,21 @@ object Dedup {
     * pattern in the dedup domain. Truth = d3's exact 3-gram Jaccard
     * pairs at ≥ 0.8; each family contributes the PAIR SET its keep
     * decision implies: d4's verified MinHash-LSH pairs, d5's
-    * same-SimHash pairs, d8's sorted-neighborhood pairs, and d2's
-    * same-token-set-fingerprint pairs — plus the 'exact' row grading
-    * truth against itself (precision = recall = 1000 by construction,
-    * the harness's own non-vacuity check, and the row that carries
-    * n_truth without a second evaluation of the d3 pipeline). This is
-    * the measurement that picks a family at 100 TB: recall says what a
-    * cheaper family MISSES vs the quadratic-ish exact method, and
-    * precision says what over-merging it would inflict.
+    * same-SimHash pairs, d8's sorted-neighborhood pairs, d2's
+    * same-token-set-fingerprint pairs, d13's semantic
+    * (within-cluster embedding-cosine) pairs, and d14's
+    * character-level edit-distance pairs — plus the 'exact' row
+    * grading truth against itself (precision = recall = 1000 by
+    * construction, the harness's own non-vacuity check, and the row
+    * that carries n_truth without a second evaluation of the d3
+    * pipeline). This is the measurement that picks a family at
+    * 100 TB: recall says what a cheaper family MISSES vs the
+    * quadratic-ish exact method, and precision says what over-merging
+    * it would inflict. The semdedup row grades 0/0 on this corpus —
+    * the synthetic embeddings are uncorrelated with the text, and
+    * saying so is the row's value: semantic dedup measures a
+    * DIFFERENT duplication signal than 3-gram truth, and the matrix
+    * is where that shows up as a number instead of an assumption.
     *
     * Integer permille with truncating division — no float compare
     * anywhere. Scale shape: every family's pair set is already
@@ -904,8 +911,20 @@ object Dedup {
       .join(fpd.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(lit("fingerprint").as("family"),
         col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // the two remaining near-dup families, graded since r11: d13's
+    // semantic (embedding) pairs — vec_id IS doc_id, so the SEMANTIC
+    // evidence grades directly against the TEXT truth, measuring how
+    // much of the 3-gram duplication embedding-space dedup would see
+    // — and d14's character-level edit-distance pairs
+    val sem = Similarity.d13PairSet(spark, dir)
+      .select(lit("semdedup").as("family"), col("a_id"), col("b_id"))
+    val ed = d14EditDistance(spark, dir)
+      .select(lit("edit_distance").as("family"),
+        least(col("doc_id"), col("dup_id")).as("a_id"),
+        greatest(col("doc_id"), col("dup_id")).as("b_id"))
     val exact = truth.select(lit("exact").as("family"), col("a_id"), col("b_id"))
     val pred = mh.unionByName(sh).unionByName(snm).unionByName(fp)
+      .unionByName(sem).unionByName(ed)
       .unionByName(exact).distinct()
     val graded = pred
       .join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
@@ -1138,6 +1157,27 @@ object Dedup {
 
   private val wordsCte =
     "w AS (SELECT doc_id, text, string_split(trim(text), ' ') AS wa FROM documents)"
+
+  /** d14's SNM-blocked prefix chain as CTEs (ed-prefixed names, ends
+    * with `ednb` = (doc_id, px, nid, npx)) — ONE definition shared by
+    * the d14 oracle and d20's edit_distance family row. */
+  private lazy val d14ChainSql: String =
+    s"""edpre AS (
+           SELECT doc_id, text, substr(text, 1, $EditPrefixChars) AS px,
+                  $snmPrefixBlkSql AS blk
+           FROM w),
+         edcnts AS (SELECT blk, count(*) AS cnt FROM edpre GROUP BY 1),
+         edsalted AS (
+           SELECT p.doc_id, p.text, p.px, p.blk,
+                  ${H.duckdbHash64("CAST(p.doc_id AS VARCHAR)")}
+                    % CAST(ceil(c.cnt / $SnmMaxBlockDocs.0) AS BIGINT) AS sub
+           FROM edpre p JOIN edcnts c USING (blk)),
+         ednb AS (
+           SELECT doc_id, px,
+                  lead(doc_id) OVER win AS nid,
+                  lead(px) OVER win AS npx
+           FROM edsalted
+           WINDOW win AS (PARTITION BY blk, sub ORDER BY text, doc_id))"""
   private val snmPrefixBlkSql = "array_to_string(wa[1:2], ' ')"
   private val snmSuffixBlkSql = "array_to_string(wa[greatest(len(wa) - 1, 1):], ' ')"
 
@@ -1202,25 +1242,10 @@ object Dedup {
          ORDER BY src_a, src_b""",
     "d14_edit_distance" ->
       s"""WITH $wordsCte,
-         pre AS (
-           SELECT doc_id, text, substr(text, 1, $EditPrefixChars) AS px,
-                  $snmPrefixBlkSql AS blk
-           FROM w),
-         cnts AS (SELECT blk, count(*) AS cnt FROM pre GROUP BY 1),
-         salted AS (
-           SELECT p.doc_id, p.text, p.px, p.blk,
-                  ${H.duckdbHash64("CAST(p.doc_id AS VARCHAR)")}
-                    % CAST(ceil(c.cnt / $SnmMaxBlockDocs.0) AS BIGINT) AS sub
-           FROM pre p JOIN cnts c USING (blk)),
-         nb AS (
-           SELECT doc_id, px,
-                  lead(doc_id) OVER win AS nid,
-                  lead(px) OVER win AS npx
-           FROM salted
-           WINDOW win AS (PARTITION BY blk, sub ORDER BY text, doc_id))
+         $d14ChainSql
          SELECT doc_id, nid AS dup_id,
                 CAST(levenshtein(px, npx) AS INTEGER) AS edit_dist
-         FROM nb
+         FROM ednb
          WHERE nid IS NOT NULL AND levenshtein(px, npx) <= $EditMaxDist
          ORDER BY doc_id, dup_id""",
     "d8_snm" ->
@@ -1343,13 +1368,16 @@ object Dedup {
     },
     // d20: every family's pair-set SQL is its standalone operator's
     // fragment verbatim (d3 truth, d4 full SELECT, d5 sim CTEs, d8
-    // pass, d2 fingerprint); the grading is one pair-list left join
+    // pass, d2 fingerprint, d13's sd_sim chain, d14's ed chain); the
+    // grading is one pair-list left join
     "d20_dedup_quality" ->
       s"""WITH $wordsCte,
          ${snmPassSql("", snmPrefixBlkSql)},
+         $d14ChainSql,
          truth AS MATERIALIZED ($d3OracleSql),
          mhp AS MATERIALIZED ($d4OracleSql),
          $d5SimCtes,
+         ${Similarity.d13PairCtesSql},
          fpd AS (
            SELECT doc_id,
                   md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp
@@ -1365,6 +1393,11 @@ object Dedup {
            UNION
            SELECT 'fingerprint', a.doc_id, b.doc_id
            FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           UNION
+           SELECT 'semdedup', a_id, b_id FROM sd_sim
+           UNION
+           SELECT 'edit_distance', least(doc_id, nid), greatest(doc_id, nid)
+           FROM ednb WHERE nid IS NOT NULL AND levenshtein(px, npx) <= $EditMaxDist
            UNION
            SELECT 'exact', a_id, b_id FROM truth),
          g AS MATERIALIZED (

@@ -1729,6 +1729,21 @@ object Similarity {
     * double and the oracle hash-checks the whole decision, not just
     * counts. Output: per-cluster members / removed / kept. */
   def d13SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (asg, pairs) = d13AsgAndPairs(spark, dir)
+    val removed = pairs.select(col("cid"), col("b")).distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_removed"))
+    asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(removed, Seq("cid"), "left")
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_members") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** d13's assignment + within-cluster near-dup pair evidence —
+    * factored so the gate entry (cluster rollup) and d20's quality
+    * matrix (the pair set itself) share one derivation. */
+  private def d13AsgAndPairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val qv = quantVecs(spark, dir).cache()
     val cen = kmeansCentroids(spark, qv)
@@ -1745,15 +1760,15 @@ object Similarity {
       .withColumn("cos", dot.cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cos") >= SemDedupTau)
-    val removed = pairs.select(col("cid"), col("b")).distinct()
-      .groupBy(col("cid")).agg(count(lit(1)).as("n_removed"))
-    asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-      .join(removed, Seq("cid"), "left")
-      .select(col("cid").as("cluster_id"), col("n_members"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        (col("n_members") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
-      .orderBy(col("cluster_id"))
+    (asg, pairs)
   }
+
+  /** d13's pair SET (a_id < b_id) — the evidence d20 grades against
+    * d3's exact text truth (embeddings and documents share one id
+    * space: vec_id IS doc_id). */
+  private[ext] def d13PairSet(spark: SparkSession, dir: String): DataFrame =
+    d13AsgAndPairs(spark, dir)._2
+      .select(col("a").as("a_id"), col("b").as("b_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_filtered_knn"      -> (s9FilteredKnn _),
@@ -1881,6 +1896,29 @@ object Similarity {
          $rounds,
          lists AS (SELECT vec_id, cid FROM r$KmeansFin WHERE r = 1)"""
   }
+
+  /** d13's within-cluster near-dup pair evidence as CTEs (ends with
+    * `sd_sim` = (cid, a_id, b_id)) — ONE SQL definition shared by the
+    * d13 oracle's cluster rollup and d20's semdedup family row (the
+    * Spark twin is [[d13PairSet]]). Fragment-local CTEs are
+    * sd_-prefixed; the kmeans chain's own names (qv, nv, lists, …)
+    * are the shared vocabulary every embedding oracle composes. */
+  private[ext] lazy val d13PairCtesSql: String =
+    s"""${kmeansListsCtes()},
+         sd_pr AS (
+           SELECT l.cid, x.vec_id AS a, y.vec_id AS b, sum(x.q * y.q) AS dot
+           FROM lists l
+           JOIN qv x ON x.vec_id = l.vec_id
+           JOIN lists l2 ON l2.cid = l.cid AND l2.vec_id > l.vec_id
+           JOIN qv y ON y.vec_id = l2.vec_id AND y.i = x.i
+           GROUP BY 1, 2, 3),
+         sd_sim AS (
+           SELECT p.cid, p.a AS a_id, p.b AS b_id FROM sd_pr p
+           JOIN nv na ON na.vec_id = p.a
+           JOIN nv nb ON nb.vec_id = p.b
+           WHERE CAST(p.dot AS DOUBLE)
+                   / (sqrt(CAST(na.nv AS DOUBLE)) * sqrt(CAST(nb.nv AS DOUBLE)))
+                 >= $SemDedupTau)"""
 
   private lazy val s5OracleSql: String = {
     val fin = KmeansFin
@@ -2517,22 +2555,8 @@ object Similarity {
     // decides the final rank over the top-RescoreDepth survivors
     "s10_sq8_packed" -> s10OracleSql,
     "d13_semdedup" ->
-      s"""WITH ${kmeansListsCtes()},
-         pr AS (
-           SELECT l.cid, x.vec_id AS a, y.vec_id AS b, sum(x.q * y.q) AS dot
-           FROM lists l
-           JOIN qv x ON x.vec_id = l.vec_id
-           JOIN lists l2 ON l2.cid = l.cid AND l2.vec_id > l.vec_id
-           JOIN qv y ON y.vec_id = l2.vec_id AND y.i = x.i
-           GROUP BY 1, 2, 3),
-         sim AS (
-           SELECT p.cid, p.b FROM pr p
-           JOIN nv na ON na.vec_id = p.a
-           JOIN nv nb ON nb.vec_id = p.b
-           WHERE CAST(p.dot AS DOUBLE)
-                   / (sqrt(CAST(na.nv AS DOUBLE)) * sqrt(CAST(nb.nv AS DOUBLE)))
-                 >= $SemDedupTau),
-         rem AS (SELECT cid, count(DISTINCT b) AS n_removed FROM sim GROUP BY 1),
+      s"""WITH $d13PairCtesSql,
+         rem AS (SELECT cid, count(DISTINCT b_id) AS n_removed FROM sd_sim GROUP BY 1),
          mem AS (SELECT cid, count(*) AS n_members FROM lists GROUP BY 1)
          SELECT m.cid AS cluster_id, m.n_members,
                 CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
