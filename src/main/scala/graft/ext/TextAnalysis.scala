@@ -1057,10 +1057,11 @@ object TextAnalysis {
     * remaining merges driver-local, keeping the distributed encode
     * (t28) unchanged; (b) batch B non-overlapping argmax pairs per
     * round (merges whose symbols don't touch commute), cutting
-    * round-trips ~B×. Round10Spec also pins PREFIX STABILITY — a
-    * 2×-rounds run's first half equals the shorter run's merge table
-    * — which is what makes the batched/driver-local variants
-    * drop-in. */
+    * round-trips ~B× — LANDED as [[learnBpeMergesBatched]], pinned
+    * ≡ sequential where batches commute (Round11Spec). Round10Spec
+    * also pins PREFIX STABILITY — a 2×-rounds run's first half equals
+    * the shorter run's merge table — which is what makes the
+    * batched/driver-local variants drop-in. */
   val BpeRounds = 8
   /** Vocabulary cap for BPE training (freq desc, word asc tie-break —
     * deterministic on both engines). The 100 TB knob: BPE trains on
@@ -1164,6 +1165,86 @@ object TextAnalysis {
     }
     seq0.unpersist()
     (merges.result(), nRows)
+  }
+
+  /** BATCHED BPE training — the (b) mitigation the rounds-knob doc
+    * above names, landed behind a knob: each ROUND takes the top
+    * `batch` pairs from ONE pair-count snapshot, keeps the maximal
+    * rank-order PREFIX whose SYMBOL SETS are pairwise disjoint
+    * (stopping at the first conflicting candidate — skipping PAST a
+    * conflict would reorder the sequential learner's picks), and
+    * applies the whole prefix in one chained fold pass — one driver
+    * round-trip per batch instead of per merge, so a ~30k-merge
+    * production tokenizer runs ~30k/B round-trips (the
+    * rounds-to-merges ratio is exactly |merges| / |snapshots|;
+    * Round11Spec asserts the widened case uses ≤ ceil(merges/B)+1
+    * snapshots on this corpus).
+    *
+    * Why disjoint ⇒ safe: a merge (a,b) fuses adjacent sites of its
+    * own two symbols; a symbol-disjoint merge (c,d) neither destroys
+    * such a site (a and b don't participate) nor creates one (fusing
+    * c,d inserts `cd` BETWEEN its neighbors — two symbols become one,
+    * nothing is removed, so no new (a,b) adjacency can form). Disjoint
+    * merges therefore commute — in either order or one fused pass the
+    * symbol sequences agree — and each one's pair count is exactly
+    * what a sequential recount would have produced, so the recorded
+    * (rank, pair, count) table matches the sequential learner's
+    * whenever the snapshot's compatible prefix is what sequential
+    * would have picked (Round11Spec pins this on a constructed
+    * commuting vocab, on an overlapping vocab where batching must
+    * degenerate to sequential, and property-style on the real
+    * corpus). Incompatible candidates are NOT batched — they defer to
+    * the next snapshot, trading round-trips back for exactness. */
+  private[graft] def learnBpeMergesBatched(vocab: DataFrame, totalMerges: Int,
+                                           batch: Int): (Seq[(Int, String, String, Long)], Int) = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    var seq0 = vocab.cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var snapshots = 0
+    var exhausted = false
+    while (rank < totalMerges && !exhausted) {
+      val want = math.min(batch, totalMerges - rank)
+      // snapshot: the top `batch` candidates by (cnt desc, l, r) —
+      // bounded driver state, exactly the sequential learner's argmax
+      // widened to a prefix
+      val top = bpePairCounts(seq0)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(batch)
+        .collect()
+      snapshots += 1
+      if (top.isEmpty) exhausted = true // vocab fully fused
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val chosen = Seq.newBuilder[(String, String, Long)]
+        var n = 0
+        var conflicted = false
+        top.foreach { row =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          // a self-pair (l == r) occupies one symbol; compatibility is
+          // simply "none of my symbols used by an earlier pick"
+          if (!conflicted && n < want) {
+            if (!used(l) && !used(r)) {
+              used += l; used += r
+              chosen += ((l, r, c)); n += 1
+            } else conflicted = true
+          }
+        }
+        val picked = chosen.result()
+        picked.foreach { case (l, r, c) =>
+          rank += 1
+          merges += ((rank, l, r, c))
+        }
+        val next = seq0.select(col("word"), col("freq"),
+          picked.foldLeft(col("toks")) { case (t, (l, r, _)) =>
+            bpeApplyMerge(t, l, r)
+          }.as("toks")).cache()
+        next.count() // materialize before dropping the parent cache
+        seq0.unpersist()
+        seq0 = next
+      }
+    }
+    seq0.unpersist()
+    (merges.result(), snapshots)
   }
 
   def t27BpeMerges(spark: SparkSession, dir: String): DataFrame =

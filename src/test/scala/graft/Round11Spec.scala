@@ -181,6 +181,43 @@ class Round11Spec extends AnyFunSuite {
       "deferred-then-compacted codes != rebuild codes")
   }
 
+  // ---------- batched BPE merges ----------
+
+  test("t27 batched BPE: disjoint batches commute (== sequential, one " +
+    "snapshot), conflicts defer to the next snapshot, and the real-corpus " +
+    "widened case matches sequential with fewer round-trips") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    def asVocab(rows: Seq[(String, Long)]) =
+      rows.toDF("word", "freq").withColumn("toks",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    // fully commuting: four symbol-disjoint dominant pairs — one
+    // snapshot covers the whole batch, merge table identical
+    val commuting = asVocab(Seq("abab" -> 100L, "cdcd" -> 90L,
+      "efef" -> 80L, "ghgh" -> 70L))
+    val seqC = TextAnalysis.learnBpeMergesFrom(commuting, 4)._1
+    val (batC, snapC) = TextAnalysis.learnBpeMergesBatched(commuting, 4, batch = 4)
+    assert(batC === seqC, "commuting batch diverged from sequential")
+    assert(snapC === 1, "a fully-commuting batch must cost ONE snapshot")
+    // conflicting: (a,b) and (b,c) share b — the batch stops at the
+    // conflict (maximal compatible PREFIX, never skipping past), the
+    // rest defers, and the result still equals sequential
+    val conflicting = asVocab(Seq("ab" -> 60L, "bc" -> 50L, "de" -> 40L))
+    val seqX = TextAnalysis.learnBpeMergesFrom(conflicting, 3)._1
+    val (batX, snapX) = TextAnalysis.learnBpeMergesBatched(conflicting, 3, batch = 3)
+    assert(batX === seqX, "conflict deferral diverged from sequential")
+    assert(snapX === 2, "the conflicting case defers exactly once")
+    // the real corpus, widened: batch-4 over the gate's BpeRounds —
+    // the merge table matches sequential and the rounds-to-merges
+    // ratio actually drops (that ratio is what the knob exists for)
+    val vocab = TextAnalysis.bpeVocab(spark, dir)
+    val seqR = TextAnalysis.learnBpeMergesFrom(vocab, TextAnalysis.BpeRounds)._1
+    val (batR, snapR) =
+      TextAnalysis.learnBpeMergesBatched(vocab, TextAnalysis.BpeRounds, batch = 4)
+    assert(batR === seqR, "real-corpus batched merges diverged from sequential")
+    assert(snapR < TextAnalysis.BpeRounds, "batching saved no round-trips")
+  }
+
   // ---------- 4. corpus fingerprint in the artifact tag ----------
 
   test("ArtifactRoots.tagged: stable for an unchanged dir, different for " +
