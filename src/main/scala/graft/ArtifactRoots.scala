@@ -23,38 +23,58 @@ object ArtifactRoots {
     * marker-complete tree after the corpus is REGENERATED AT THE SAME
     * PATH (the code-semantics version constants cover code changes;
     * this covers data changes). Listing is a few dozen statuses per
-    * call at any corpus size — file counts, not file contents. An
-    * unreadable/missing dir fingerprints as "0" rather than failing:
-    * the artifact build itself is what should report a bad data dir. */
-  private def fingerprint(dir: String): String =
-    try {
-      val p = new Path(dir)
-      val conf = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
-      val fs = FileSystem.get(p.toUri, conf)
-      if (!fs.exists(p)) "0"
-      else {
-        val parts = Seq.newBuilder[String]
-        fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-          parts += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-          if (st.isDirectory)
-            fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach { c =>
-              parts += s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}"
-            }
-        }
-        java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.orderedHash(parts.result()).toLong & 0xffffffffL)
+    * call at any corpus size — file counts, not file contents. A
+    * MISSING dir fingerprints as "0" (two runs both seeing no content
+    * genuinely share identity); a listing ERROR propagates — mapping
+    * errors onto a shared fallback tag would let two different
+    * corpora collide on it and serve each other's artifacts, the
+    * exact staleness this fingerprint exists to prevent. */
+  private def fingerprint(dir: String): String = {
+    val p = new Path(dir)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
+    val fs = FileSystem.get(p.toUri, conf)
+    if (!fs.exists(p)) "0"
+    else {
+      val parts = Seq.newBuilder[String]
+      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        parts += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach { c =>
+            parts += s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}"
+          }
       }
-    } catch { case _: Exception => "0" }
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(parts.result()).toLong & 0xffffffffL)
+    }
+  }
 
   /** One FIXED location per (prefix, data dir, corpus fingerprint) —
     * repeated invocations over unchanged data overwrite in place, so
     * Verify/Bench loops never accumulate unbounded scratch (the s13
     * no-tmp-accumulation discipline), while a regenerated corpus gets
-    * a fresh tree instead of being served stale artifacts. */
+    * a fresh tree instead of being served stale artifacts. The
+    * no-accumulation half survives the fingerprint axis because stale
+    * SIBLING tags (same prefix+path hash, different fingerprint) are
+    * garbage-collected on the way in — a regenerate-then-run loop
+    * keeps exactly one live tree per (prefix, dir), never a graveyard
+    * of superseded ones. */
   def tagged(prefix: String, dir: String): String = {
     val tag = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    s"$root/${prefix}_${tag}_${fingerprint(dir)}"
+    val name = s"${prefix}_${tag}_${fingerprint(dir)}"
+    try {
+      val rootPath = new Path(root)
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
+      val fs = FileSystem.get(rootPath.toUri, conf)
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"${prefix}_${tag}_") && n != name)
+            fs.delete(st.getPath, true)
+        }
+    } catch { case _: Exception => () } // GC is best-effort, never fatal
+    s"$root/$name"
   }
 }

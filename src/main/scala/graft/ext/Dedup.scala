@@ -231,7 +231,7 @@ object Dedup {
     * the signatures from parquet; the shingle pass still runs here —
     * the verify stage needs the shingle SETS, which the signature
     * table deliberately does not carry). */
-  private[ext] def d4PairsFromSignatures(spark: SparkSession, dir: String,
+  private[graft] def d4PairsFromSignatures(spark: SparkSession, dir: String,
                                          mh: DataFrame): DataFrame =
     d4VerifiedPairs(shingleSet(spark, dir).cache(), mh)
 

@@ -103,7 +103,14 @@ object Pipeline {
     val ok = new Path(s"$path/_SUCCESS")
     val schemaFile = new Path(s"$path/_graft_schema.ddl")
     val fs = FileSystem.get(ok.toUri, spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ok)) {
+    // completeness = marker AND sidecar: the sidecar is written after
+    // Spark's job commit places _SUCCESS, so a crash between the two
+    // must read as incomplete — marker-only serving would reinstate
+    // the sticky empty-tree failure for exactly the crashed build the
+    // sidecar exists to survive. (Every tree under the current
+    // EArtifactVersion root was written by sidecar-aware code, so
+    // sidecar-absent ⇒ crashed, never legacy.)
+    if (!fs.exists(ok) || !fs.exists(schemaFile)) {
       val b = build
       val w = b.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -112,15 +119,11 @@ object Pipeline {
       try out.write(b.schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    // serve with the recorded schema when the sidecar exists (trees
-    // written before the sidecar landed still serve via inference)
-    if (fs.exists(schemaFile)) {
-      val in = fs.open(schemaFile)
-      val ddl =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(path)
-    } else spark.read.parquet(path)
+    val in = fs.open(schemaFile)
+    val ddl =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(path)
   }
 
   /** The MinHash signature table — the md5-dominated corpus pass at

@@ -858,16 +858,10 @@ object Similarity {
     // one.
     val genPath = new Path(s"$idxDir/codes_gen")
     val overlaid =
-      if (!delFs.exists(genPath)) codes0
+      if (!ledgerCommitted(delFs, genPath)) codes0
       else {
-        val gen = spark.read.parquet(genPath.toString)
-          .select(col("vec_id"), col("sub"), col("cid"),
-            col("ccid").cast("long").as("ccid"), col("gen").cast("long").as("gen"))
-        val maxGen = gen.groupBy(col("vec_id")).agg(max(col("gen")).as("gen"))
-        val genLive = gen.join(broadcast(maxGen), Seq("vec_id", "gen"))
-          .select(col("vec_id"), col("sub"), col("cid"), col("ccid"))
-        codes0.join(broadcast(gen.select(col("vec_id")).distinct()),
-            Seq("vec_id"), "left_anti")
+        val (ids, genLive) = ledgerLive(spark, genPath)
+        codes0.join(broadcast(ids), Seq("vec_id"), "left_anti")
           .unionByName(genLive)
       }
     // live view: un-compacted tombstones (if any) are excluded by a
@@ -1152,16 +1146,24 @@ object Similarity {
   def compactIvfPqDeletes(spark: SparkSession, idxDir: String): Unit = {
     val delPath = new Path(s"$idxDir/deletes")
     val fs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
-    val codesDir = s"$idxDir/codes"
-    // CRASH RECOVERY before anything reads the codes table: a crash
-    // inside the rename loop below leaves a list's partition in
-    // codes.del_old with nothing yet at codes/ccid=… — computing the
-    // delete set from that partial table would silently lose the
-    // stranded list's live rows. Restore every aside partition whose
-    // home slot is empty (rollback to the old copy; the tombstone
-    // table is only cleared AFTER the aside dir is deleted, so the
-    // tombstones are still present and the re-run reconverges), then
-    // clear the aside/staging trees and proceed normally.
+    recoverCompactScratch(fs, s"$idxDir/codes")
+    if (!fs.exists(delPath)) return
+    val del = spark.read.parquet(delPath.toString).select(col("vec_id")).distinct()
+    compactOutIds(spark, idxDir, del)
+    fs.delete(delPath, true) // tombstones applied
+  }
+
+  /** CRASH RECOVERY before anything reads the codes table: a crash
+    * inside compactOutIds' rename loop leaves a list's partition in
+    * codes.del_old with nothing yet at codes/ccid=… — computing the
+    * delete set from that partial table would silently lose the
+    * stranded list's live rows. Restore every aside partition whose
+    * home slot is empty (rollback to the old copy; the caller's
+    * bookkeeping — tombstone table, update ledger — is only cleared
+    * AFTER its compaction completes, so the re-run reconverges), then
+    * clear the aside/staging trees. Shared by the delete and the
+    * deferred-update compactions. */
+  private def recoverCompactScratch(fs: FileSystem, codesDir: String): Unit = {
     val oldRootIn = new Path(codesDir + ".del_old")
     if (fs.exists(oldRootIn)) {
       fs.listStatus(oldRootIn).foreach { st =>
@@ -1179,8 +1181,21 @@ object Similarity {
     // branch below that would clear tmpRoot never runs
     val tmpRootIn = new Path(codesDir + ".del_tmp")
     if (fs.exists(tmpRootIn)) fs.delete(tmpRootIn, true)
-    if (!fs.exists(delPath)) return
-    val del = spark.read.parquet(delPath.toString).select(col("vec_id")).distinct()
+  }
+
+  /** Physically drop every row whose vec_id is in `del` by rewriting
+    * ONLY the affected ccid partitions (aside-first swap per list) —
+    * the kernel shared by the tombstone compaction (ids from the
+    * deletes table) and the deferred-update fold (ids from the
+    * ledger). Precondition: [[recoverCompactScratch]] has run. The
+    * caller owns its own bookkeeping (clearing tombstones / the
+    * ledger) so that a crash anywhere in here re-derives the SAME id
+    * set on the next call. */
+  private def compactOutIds(spark: SparkSession, idxDir: String,
+                            del: DataFrame): Unit = {
+    val codesDir = s"$idxDir/codes"
+    val fs = FileSystem.get(new Path(codesDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
     val codes = spark.read.parquet(codesDir).withColumn("ccid", col("ccid").cast("long"))
     val affected = codes.join(broadcast(del), Seq("vec_id"), "left_semi")
       .select(col("ccid")).distinct().collect().map(_.getLong(0)).sorted
@@ -1215,7 +1230,6 @@ object Similarity {
       fs.delete(oldRoot, true)
       fs.delete(tmpRoot, true)
     }
-    fs.delete(delPath, true) // tombstones applied
   }
 
   private def s18IdxDir(dir: String): String =
@@ -1302,28 +1316,58 @@ object Similarity {
       .parquet(genPath.toString)
   }
 
-  /** Fold the deferred-update ledger into the codes table (the
-    * s18-cadence compaction): re-tombstone the ledger's ids, apply the
-    * tombstones physically (removes the superseded base rows — and,
-    * on a crashed re-run, any half-folded copies), append each id's
-    * max-generation rows, drop the ledger. Every step is idempotent,
-    * so a crash at ANY point re-converges on the next call — and the
-    * serve overlay keys base-exclusion on ledger membership, so the
-    * crash window between the append and the ledger delete (both
-    * copies on disk) still serves exactly one copy (Round11Spec). */
-  def compactIvfPqUpdates(spark: SparkSession, idxDir: String): Unit = {
-    val genPath = new Path(s"$idxDir/codes_gen")
-    val fs = FileSystem.get(genPath.toUri, spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(genPath)) return
+  /** A COMMITTED update ledger at `genPath`? Dir existence is not
+    * enough: a crashed FIRST deferUpdate leaves the directory with
+    * only write scratch (no data files, no root _SUCCESS), and a
+    * schema-less read of that would fail sticky. The root marker is
+    * rewritten by every committed append, so marker-present ⇔ at
+    * least one batch fully committed (an uncommitted later batch's
+    * files sit in write-temp paths the reader ignores — that batch
+    * simply isn't applied until its caller retries). */
+  private def ledgerCommitted(fs: FileSystem, genPath: Path): Boolean =
+    fs.exists(new Path(genPath, "_SUCCESS"))
+
+  /** The ledger's LIVE view — (distinct updated ids, max-generation
+    * rows) — ONE definition shared by the serve overlay and the fold
+    * so supersession can never disagree between them. */
+  private def ledgerLive(spark: SparkSession, genPath: Path): (DataFrame, DataFrame) = {
     val gen = spark.read.parquet(genPath.toString)
       .select(col("vec_id"), col("sub"), col("cid"),
         col("ccid").cast("long").as("ccid"), col("gen").cast("long").as("gen"))
-    deleteFromIvfPqIndex(spark, gen.select(col("vec_id")).distinct(), idxDir)
-    compactIvfPqDeletes(spark, idxDir)
     val maxGen = gen.groupBy(col("vec_id")).agg(max(col("gen")).as("gen"))
-    gen.join(broadcast(maxGen), Seq("vec_id", "gen"))
+    val live = gen.join(broadcast(maxGen), Seq("vec_id", "gen"))
       .select(col("vec_id"), col("sub"), col("cid"), col("ccid"))
-      .write.mode("append").partitionBy("ccid").parquet(s"$idxDir/codes")
+    (gen.select(col("vec_id")).distinct(), live)
+  }
+
+  /** Fold the deferred-update ledger into the codes table (the
+    * s18-cadence compaction): physically drop every ledger id's rows
+    * from the codes table (the superseded base copies — and, on a
+    * crashed re-run, any half-folded copies) via the shared
+    * [[compactOutIds]] kernel, append each id's max-generation rows,
+    * drop the ledger. The id set is re-derived FROM THE LEDGER on
+    * every call and the tombstone table is never touched (an earlier
+    * draft wrote the ids through the deletes table, which a crash
+    * before the fold would leave hiding BOTH copies at serve time —
+    * the deletes table is user intent, not fold scratch). Every step
+    * is idempotent, so a crash at ANY point re-converges on the next
+    * call — and the serve overlay keys base-exclusion on ledger
+    * membership, so the crash window between the append and the
+    * ledger delete (both copies on disk) still serves exactly one
+    * copy (Round11Spec). */
+  def compactIvfPqUpdates(spark: SparkSession, idxDir: String): Unit = {
+    val genPath = new Path(s"$idxDir/codes_gen")
+    val fs = FileSystem.get(genPath.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!ledgerCommitted(fs, genPath)) {
+      // nothing committed: clear any crashed-first-write scratch so
+      // the directory's existence can't confuse a later listing
+      if (fs.exists(genPath)) fs.delete(genPath, true)
+      return
+    }
+    recoverCompactScratch(fs, s"$idxDir/codes")
+    val (ids, live) = ledgerLive(spark, genPath)
+    compactOutIds(spark, idxDir, ids)
+    live.write.mode("append").partitionBy("ccid").parquet(s"$idxDir/codes")
     fs.delete(genPath, true)
   }
 

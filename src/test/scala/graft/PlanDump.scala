@@ -13,7 +13,8 @@ object PlanDump {
     "q18_scan_filter" -> "predicate pushdown + column pruning at the parquet scan",
     "q26_spend_deciles" -> "window-free decile assignment via broadcast percentile bounds",
     "q29_top_products_star" -> "join-free inline-key star fact; pruned cleaning pipeline",
-    "d4_minhash_lsh" -> "banded LSH: candidates only inside band buckets",
+    "d4_minhash_lsh" -> "SERVED from the persisted pairs artifact (pure parquet scan + order) — the candidate graph is a table, not a per-query derivation",
+    "pairs_build" -> "the pairs ARTIFACT BUILD (paid once per corpus version): banded LSH over the signatures artifact — candidates only inside band buckets, exact-Jaccard verify on candidates only",
     "s5_ivf_kmeans" -> "k-means IVF: broadcast centroid assignment, probe-2 rerank",
     "t10_decontaminate" -> "broadcast eval-gram semi-join; training corpus never shuffles",
     "s6_pq_adc" -> "PQ-ADC: packed-long argmin hash agg; broadcast distance-table join",
@@ -74,7 +75,10 @@ object PlanDump {
         graft.ext.Dedup.d21PlanFrame(s, d)),
       "p6_modularity" -> (graft.ext.Graph.p6PlanFrame _),
       "e12_two_level" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        graft.ext.Pipeline.e12Enforced(s, d, twoLevel = true)))
+        graft.ext.Pipeline.e12Enforced(s, d, twoLevel = true)),
+      "pairs_build" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.ext.Dedup.d4PairsFromSignatures(s, d,
+          graft.ext.Pipeline.signaturesArtifact(s, d))))
     Headline.foreach { case (name, why) =>
       val df = planFrame.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       df.collect() // let AQE finalize

@@ -332,6 +332,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the cumulative window must partition by source:\n$p")
   }
 
+  test("pairs artifact: the d4 gate entry is a pure artifact scan (no join, " +
+    "no shingle pipeline) and d17 reads pairs from parquet") {
+    val pd4 = plan(graft.ext.Dedup.d4MinhashLshServed(spark, dir))
+    assert(pd4.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("pairs")),
+      s"the d4 entry must serve from the persisted pairs artifact:\n$pd4")
+    assert(!pd4.contains("Join"),
+      s"the served d4 entry must be scan + sort only:\n$pd4")
+    val pd17 = plan(graft.ext.Dedup.d17CrossSourcePairs(spark, dir))
+    assert(pd17.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("pairs")),
+      s"d17 must read the pairs artifact, not re-derive the LSH build:\n$pd17")
+  }
+
+  test("e12 two-level: the running sum windows per (source, range) — no " +
+    "window partition spans a whole source") {
+    val p = plan(graft.ext.Pipeline.e12Enforced(spark, dir, twoLevel = true))
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(source") && l.contains("bucket")),
+      s"the two-level cum window must partition by (source, bucket):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product in the two-level form:\n$p")
+  }
+
   private def countOf(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 }

@@ -229,19 +229,23 @@ class Round11Spec extends AnyFunSuite {
     // same path string both times, different content
     val scratch = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_r11_fp_probe")
-    def writeProbe(content: String): Unit = {
+    def writeProbe(content: String, mtime: Long): Unit = {
       scratch.mkdirs()
       val f = new java.io.File(scratch, "t.parquet")
       java.nio.file.Files.writeString(f.toPath, content)
-      // force a distinct mtime axis too (content length already differs)
-      f.setLastModified(((content.length % 2) + 1) * 1000000000L)
+      f.setLastModified(mtime)
     }
     try {
-      writeProbe("one")
+      writeProbe("one", 1000000000000L)
       val a = ArtifactRoots.tagged("r11_fp", scratch.getPath)
-      writeProbe("regenerated")
+      writeProbe("regenerated", 2000000000000L)
       val b = ArtifactRoots.tagged("r11_fp", scratch.getPath)
       assert(a !== b, "a regenerated corpus at the same path must re-tag")
+      // the mtime axis ALONE must move the tag: same name, same length
+      // (an in-place rewrite of identical size — only mtime differs)
+      writeProbe("regenerated", 3000000000000L)
+      val c = ArtifactRoots.tagged("r11_fp", scratch.getPath)
+      assert(b !== c, "an mtime-only change must re-tag (size can tie)")
     } finally {
       new java.io.File(scratch, "t.parquet").delete()
       scratch.delete()

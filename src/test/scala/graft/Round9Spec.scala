@@ -332,7 +332,8 @@ class Round9Spec extends AnyFunSuite {
     val rows = Dedup.d20DedupQuality(spark, dir).collect()
     val byFam = rows.map(r => r.getAs[String]("family") -> r).toMap
     assert(byFam.keySet ===
-      Set("exact", "fingerprint", "minhash_lsh", "simhash", "snm"))
+      Set("exact", "fingerprint", "minhash_lsh", "simhash", "snm",
+        "semdedup", "edit_distance"))
     val ex = byFam("exact")
     assert(ex.getAs[Long]("precision_permille") === 1000L)
     assert(ex.getAs[Long]("recall_permille") === 1000L)
