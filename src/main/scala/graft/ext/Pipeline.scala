@@ -42,6 +42,10 @@ object Pipeline {
   //   signatures/ (doc_id, mh0..mh15)             — the MinHash signature
   //                                                 table (the md5-dominated
   //                                                 corpus pass)
+  //   truth_pairs/ (a_id, b_id, jaccard)          — d3's EXACT ground-truth
+  //                                                 pairs (sibling root: the
+  //                                                 expensive audit d20/d21
+  //                                                 grade against)
   //   pairs/     (a_id, b_id, jaccard)            — d4's VERIFIED near-dup
   //                                                 candidate pairs (banded
   //                                                 from signatures, exact-
@@ -139,6 +143,15 @@ object Pipeline {
   private[graft] def pairsArtifact(spark: SparkSession, dir: String): DataFrame =
     ensureArtifact(spark, dir, "pairs")(
       Dedup.d4PairsFromSignatures(spark, dir, signaturesArtifact(spark, dir)))
+
+  /** d3's exact 3-gram-Jaccard pair set — the GROUND-TRUTH table the
+    * d20/d21 quality harnesses grade against (and d3's own gate row).
+    * The exact pass is the expensive quadratic-ish audit: at 100 TB
+    * it runs rarely and is materialized, never re-derived per
+    * grading — the same posture as the pairs table, one level up in
+    * exactness. A sibling root-level table (parent = corpus). */
+  private[graft] def truthPairsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "truth_pairs")(Dedup.d3JaccardPairs(spark, dir))
 
   /** d7's global CC labeling FROM SCRATCH (no artifact tree touched) —
     * the spec-side twin Round10/11Spec compare the served tables

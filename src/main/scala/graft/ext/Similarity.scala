@@ -1511,6 +1511,40 @@ object Similarity {
     queryIvfPqIndex(spark, dir, idxDir)
   }
 
+  /** The twice-updated sub-slice digit for s23: ids ≡ 19 (mod 20) are
+    * HALF the re-embedded append slice (ids ≡ 9 mod 10), updated a
+    * SECOND time back to their original vectors — the ids for which
+    * only the ledger's max-generation row may serve. */
+  val S23TwiceDigit = 19
+
+  private def s23IdxDir(dir: String): String =
+    graft.ArtifactRoots.tagged("graft_s23_idx", dir)
+
+  /** S23 — the DEFERRED-update serve path AS a gate entry: s13's
+    * build-on-base + frozen-model append, then TWO deferred update
+    * batches land in the generation ledger (batch 1 re-embeds the
+    * whole appended slice as reversed vectors; batch 2 updates half
+    * of it AGAIN, back to the originals), and the standard query set
+    * is answered straight off the ledger overlay — NO compaction runs,
+    * so what the driver's hash gate pins is the max-generation serve
+    * itself (s21's gate covers the eager tombstone+compact path;
+    * Round11Spec separately pins generation-served ≡ compacted-served
+    * ≡ rebuild plus the crash windows). Oracle = the s13 chain over
+    * the post-update CURRENT view: batch-2 ids at original vectors,
+    * the rest of the slice reversed — rebuild-with-current-values
+    * under frozen models, s21's law read at ledger-serve time. */
+  def s23DeferredUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = s23IdxDir(dir)
+    // buildIvfPqIndex seals the generation (clears a stale ledger too)
+    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
+    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    deferUpdateIvfPqIndex(spark, s21NewEmbeddings(spark, dir), idxDir)
+    deferUpdateIvfPqIndex(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 20 === S23TwiceDigit),
+      idxDir)
+    queryIvfPqIndex(spark, dir, idxDir)
+  }
+
   val NearDupThreshold = 0.4 // synthetic corpus max pair cosine ≈ 0.51; real dedup uses ~0.95
 
   /** D6 — embedding-cosine near-dup detection (the dedup-side twin of
@@ -1827,6 +1861,7 @@ object Similarity {
     "s20_knn_graph"        -> (s20KnnGraph _),
     "s21_index_update"     -> (s21IndexUpdate _),
     "s22_index_retrain"    -> (s22IndexRetrain _),
+    "s23_deferred_update"  -> (s23DeferredUpdate _),
     "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
@@ -2213,6 +2248,22 @@ object Similarity {
          ${ivfPqTailSql()}"""
   }
 
+  /** s23's mirror: the s13 chain over the post-BOTH-batches current
+    * view — ids ≡ S23TwiceDigit (mod 20) back at their originals,
+    * the rest of the append slice at batch 1's reversed vectors. */
+  private lazy val s23OracleSql: String = {
+    val train = s"vec_id % 10 <> $S13AppendDigit"
+    s"""WITH embcur AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 10 = $S13AppendDigit
+                            AND vec_id % 20 <> $S23TwiceDigit
+                       THEN list_reverse(embedding) ELSE embedding END AS embedding
+           FROM embeddings),
+         ${kmeansListsCtes(train, "embcur")},
+         ${pqCtes(train, "embcur")},
+         ${ivfPqTailSql()}"""
+  }
+
   private lazy val s10OracleSql: String =
     s"""WITH $expandCtes,
          mm AS (SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
@@ -2540,6 +2591,7 @@ object Similarity {
     "s19_radius_search" -> s19OracleSql,
     "s20_knn_graph" -> s20OracleSql,
     "s21_index_update" -> s21OracleSql,
+    "s23_deferred_update" -> s23OracleSql,
     // s22's mirror IS s12's chain: a retrain on an undeleted corpus
     // trains on everything and codes everything — the equivalence the
     // gate states (the swap machinery itself is pinned in Round10Spec)

@@ -53,6 +53,9 @@ class Round11Spec extends AnyFunSuite {
     assert(rows(Pipeline.signaturesArtifact(spark, dir)) ===
       rows(Dedup.signaturesDerived(spark, dir)),
       "signatures artifact-served != derived")
+    assert(rows(Pipeline.truthPairsArtifact(spark, dir)) ===
+      rows(Dedup.d3JaccardPairs(spark, dir)),
+      "truth_pairs artifact-served != d3's exact derivation")
     // crashed write: data present, marker gone → rebuild, same rows
     val marker = new Path(s"${Pipeline.eArtifactRoot(dir)}/pairs/_SUCCESS")
     assert(fs.exists(marker))
