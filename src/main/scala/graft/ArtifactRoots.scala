@@ -4,7 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** One root for every persisted derived artifact — index trees
-  * (s13/s18/s21/s22), the e-family stage tables, st11's staging
+  * (s13/s18/s21/s22/s23), the e-family stage tables, st11's staging
   * scratch. Defaults to java.io.tmpdir; override with
   * SPARK_GRAFT_ARTIFACT_ROOT — the 100 TB knob: point it at the
   * warehouse filesystem the corpus lives on, and every build/append/
@@ -14,6 +14,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object ArtifactRoots {
   def root: String = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ROOT",
     System.getProperty("java.io.tmpdir"))
+
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
 
   /** Cheap corpus-identity fingerprint of a data dir: a 32-bit hash
     * over every entry's (name, length, mtime), one level deep (table
@@ -31,9 +35,7 @@ object ArtifactRoots {
     * exact staleness this fingerprint exists to prevent. */
   private def fingerprint(dir: String): String = {
     val p = new Path(dir)
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
-    val fs = FileSystem.get(p.toUri, conf)
+    val fs = FileSystem.get(p.toUri, hadoopConf)
     if (!fs.exists(p)) "0"
     else {
       val parts = Seq.newBuilder[String]
@@ -49,6 +51,19 @@ object ArtifactRoots {
     }
   }
 
+  /** Tags memoized per (prefix, dir) for the life of the JVM: the
+    * fingerprint listing and the sibling GC are filesystem work, and
+    * the serve hot path computes tags several times per query. A
+    * session assumes its corpus does not change underneath it — the
+    * same assumption Spark's own file-index caching makes; staleness
+    * detection is a CROSS-session property (fresh JVM, fresh tag). */
+  private val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Test seam: forget memoized tags, simulating a fresh session
+    * (the boundary at which regeneration detection is defined). */
+  private[graft] def resetTagCacheForTest(): Unit = tagCache.clear()
+
   /** One FIXED location per (prefix, data dir, corpus fingerprint) —
     * repeated invocations over unchanged data overwrite in place, so
     * Verify/Bench loops never accumulate unbounded scratch (the s13
@@ -58,23 +73,28 @@ object ArtifactRoots {
     * SIBLING tags (same prefix+path hash, different fingerprint) are
     * garbage-collected on the way in — a regenerate-then-run loop
     * keeps exactly one live tree per (prefix, dir), never a graveyard
-    * of superseded ones. */
-  def tagged(prefix: String, dir: String): String = {
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    val name = s"${prefix}_${tag}_${fingerprint(dir)}"
-    try {
-      val rootPath = new Path(root)
-      val conf = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
-      val fs = FileSystem.get(rootPath.toUri, conf)
-      if (fs.exists(rootPath))
-        fs.listStatus(rootPath).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith(s"${prefix}_${tag}_") && n != name)
-            fs.delete(st.getPath, true)
-        }
-    } catch { case _: Exception => () } // GC is best-effort, never fatal
-    s"$root/$name"
-  }
+    * of superseded ones. The GC is SKIPPED when the fingerprint is
+    * the missing-dir "0": a data dir transiently absent (mid-swap of
+    * a regeneration, an eventually-consistent store) must never cost
+    * the intact tree of the real corpus. */
+  def tagged(prefix: String, dir: String): String =
+    tagCache.computeIfAbsent((prefix, dir), { _ =>
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val fp = fingerprint(dir)
+      val name = s"${prefix}_${tag}_$fp"
+      if (fp != "0") {
+        try {
+          val rootPath = new Path(root)
+          val fs = FileSystem.get(rootPath.toUri, hadoopConf)
+          if (fs.exists(rootPath))
+            fs.listStatus(rootPath).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith(s"${prefix}_${tag}_") && n != name)
+                fs.delete(st.getPath, true)
+            }
+        } catch { case _: Exception => () } // GC is best-effort, never fatal
+      }
+      s"$root/$name"
+    })
 }

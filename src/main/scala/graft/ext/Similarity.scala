@@ -1300,11 +1300,21 @@ object Similarity {
                             idxDir: String): Unit = {
     val genPath = new Path(s"$idxDir/codes_gen")
     val fs = FileSystem.get(genPath.toUri, spark.sparkContext.hadoopConfiguration)
-    val nextGen =
-      if (!fs.exists(genPath)) 1L
-      else fs.listStatus(genPath).map(_.getPath.getName)
-        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
-        .foldLeft(0L)(math.max) + 1L
+    // clear any UNACKNOWLEDGED batch's scratch first: a crash during a
+    // previous batch's job commit can leave a gen=N directory with a
+    // PARTIAL row set (some task files moved into place, no batch
+    // marker) — reusing or serving that generation would mix or
+    // truncate codings. The batch was never acknowledged (the marker
+    // is written before deferUpdate returns), so deletion is the
+    // correct at-least-once outcome: the caller retries the batch.
+    val committed = committedGens(fs, genPath)
+    if (fs.exists(genPath))
+      fs.listStatus(genPath).map(_.getPath).filter(_.getName.startsWith("gen="))
+        .foreach { p =>
+          if (!committed.contains(p.getName.stripPrefix("gen=").toLong))
+            fs.delete(p, true)
+        }
+    val nextGen = (committed + 0L).max + 1L
     val cen = spark.read.parquet(s"$idxDir/coarse_centroids")
     val pcen = spark.read.parquet(s"$idxDir/pq_codebooks")
     val lists = rankCentroids(quantVecsOf(newEmb), cen).filter(col("r") === 1)
@@ -1314,26 +1324,49 @@ object Similarity {
         lit(nextGen).as("gen"))
       .write.mode("append").partitionBy("gen", "ccid")
       .parquet(genPath.toString)
+    // the batch's OWN commit marker, written after the append's job
+    // commit: Spark's root _SUCCESS cannot distinguish "this batch
+    // committed" from "an earlier batch committed" during a later
+    // batch's commit window, so completeness is tracked per
+    // generation (the serve overlay and the fold read only marked
+    // generations)
+    fs.create(new Path(genPath, s"_gen_${nextGen}_ok"), true).close()
   }
 
+  /** The set of generation numbers whose batches fully committed —
+    * the per-batch markers deferUpdate writes after each append's job
+    * commit. */
+  private def committedGens(fs: FileSystem, genPath: Path): Set[Long] =
+    if (!fs.exists(genPath)) Set.empty
+    else fs.listStatus(genPath).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_gen_") && n.endsWith("_ok") =>
+        n.stripPrefix("_gen_").stripSuffix("_ok").toLong }
+      .toSet
+
   /** A COMMITTED update ledger at `genPath`? Dir existence is not
-    * enough: a crashed FIRST deferUpdate leaves the directory with
-    * only write scratch (no data files, no root _SUCCESS), and a
-    * schema-less read of that would fail sticky. The root marker is
-    * rewritten by every committed append, so marker-present ⇔ at
-    * least one batch fully committed (an uncommitted later batch's
-    * files sit in write-temp paths the reader ignores — that batch
-    * simply isn't applied until its caller retries). */
+    * enough (a crashed FIRST deferUpdate leaves only write scratch —
+    * a schema-less read of that would fail sticky), and neither is
+    * the root _SUCCESS (an EARLIER batch's marker survives through a
+    * later batch's crash mid-job-commit, when some of the new
+    * generation's task files are already in place — serving that
+    * partial generation would truncate codings). Committed ⇔ at
+    * least one PER-BATCH marker exists. */
   private def ledgerCommitted(fs: FileSystem, genPath: Path): Boolean =
-    fs.exists(new Path(genPath, "_SUCCESS"))
+    committedGens(fs, genPath).nonEmpty
 
   /** The ledger's LIVE view — (distinct updated ids, max-generation
-    * rows) — ONE definition shared by the serve overlay and the fold
-    * so supersession can never disagree between them. */
+    * rows), restricted to generations whose batch COMMITTED — ONE
+    * definition shared by the serve overlay and the fold so
+    * supersession can never disagree between them. A generation
+    * without its marker is invisible here: its rows (possibly a
+    * partial commit) neither serve nor fold. */
   private def ledgerLive(spark: SparkSession, genPath: Path): (DataFrame, DataFrame) = {
+    val fs = FileSystem.get(genPath.toUri, spark.sparkContext.hadoopConfiguration)
+    val committed = committedGens(fs, genPath).toSeq.sorted
     val gen = spark.read.parquet(genPath.toString)
       .select(col("vec_id"), col("sub"), col("cid"),
         col("ccid").cast("long").as("ccid"), col("gen").cast("long").as("gen"))
+      .filter(col("gen").isin(committed: _*))
     val maxGen = gen.groupBy(col("vec_id")).agg(max(col("gen")).as("gen"))
     val live = gen.join(broadcast(maxGen), Seq("vec_id", "gen"))
       .select(col("vec_id"), col("sub"), col("cid"), col("ccid"))

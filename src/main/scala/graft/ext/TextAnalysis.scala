@@ -1190,11 +1190,18 @@ object TextAnalysis {
     * what a sequential recount would have produced, so the recorded
     * (rank, pair, count) table matches the sequential learner's
     * whenever the snapshot's compatible prefix is what sequential
-    * would have picked (Round11Spec pins this on a constructed
-    * commuting vocab, on an overlapping vocab where batching must
-    * degenerate to sequential, and property-style on the real
-    * corpus). Incompatible candidates are NOT batched — they defer to
-    * the next snapshot, trading round-trips back for exactness. */
+    * would have picked. Disjointness alone does NOT guarantee that
+    * last condition: a pair CREATED by an earlier in-batch merge
+    * (count bounded by its source merge's count, never above it) can
+    * still tie a later pick's count and win the lexicographic
+    * tie-break — batched BPE accepts that divergence as the price of
+    * the round-trips, exactly as production batched trainers do.
+    * Round11Spec pins equality where it is guaranteed (a constructed
+    * commuting vocab; an overlapping vocab where batching must
+    * degenerate to sequential) and pins the real-corpus batch-4 run
+    * as a DETERMINISTIC regression case for this corpus, not a law.
+    * Incompatible candidates are NOT batched — they defer to the
+    * next snapshot, trading round-trips back for exactness. */
   private[graft] def learnBpeMergesBatched(vocab: DataFrame, totalMerges: Int,
                                            batch: Int): (Seq[(Int, String, String, Long)], Int) = {
     require(batch >= 1, s"batch must be >= 1, got $batch")

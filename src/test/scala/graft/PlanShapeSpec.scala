@@ -334,15 +334,18 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("pairs artifact: the d4 gate entry is a pure artifact scan (no join, " +
     "no shingle pipeline) and d17 reads pairs from parquet") {
+    // the path SEGMENT "/pairs" — a bare "pairs" substring would also
+    // match the truth_pairs table, which shares the (a_id, b_id,
+    // jaccard) schema and would make a mis-wiring invisible
     val pd4 = plan(graft.ext.Dedup.d4MinhashLshServed(spark, dir))
     assert(pd4.linesIterator.exists(l =>
-      l.contains("FileScan") && l.contains("pairs")),
+      l.contains("FileScan") && l.contains("/pairs")),
       s"the d4 entry must serve from the persisted pairs artifact:\n$pd4")
     assert(!pd4.contains("Join"),
       s"the served d4 entry must be scan + sort only:\n$pd4")
     val pd17 = plan(graft.ext.Dedup.d17CrossSourcePairs(spark, dir))
     assert(pd17.linesIterator.exists(l =>
-      l.contains("FileScan") && l.contains("pairs")),
+      l.contains("FileScan") && l.contains("/pairs")),
       s"d17 must read the pairs artifact, not re-derive the LSH build:\n$pd17")
   }
 

@@ -212,7 +212,10 @@ class Round11Spec extends AnyFunSuite {
     assert(snapX === 2, "the conflicting case defers exactly once")
     // the real corpus, widened: batch-4 over the gate's BpeRounds —
     // the merge table matches sequential and the rounds-to-merges
-    // ratio actually drops (that ratio is what the knob exists for)
+    // ratio actually drops (that ratio is what the knob exists for).
+    // NOTE this equality is a DETERMINISTIC regression pin for THIS
+    // corpus, not a law: a created pair tying a later pick's count
+    // could legally reorder the table (see learnBpeMergesBatched doc)
     val vocab = TextAnalysis.bpeVocab(spark, dir)
     val seqR = TextAnalysis.learnBpeMergesFrom(vocab, TextAnalysis.BpeRounds)._1
     val (batR, snapR) =
@@ -224,10 +227,13 @@ class Round11Spec extends AnyFunSuite {
   // ---------- 4. corpus fingerprint in the artifact tag ----------
 
   test("ArtifactRoots.tagged: stable for an unchanged dir, different for " +
-    "same-path dirs whose content differs (regeneration detection)") {
+    "same-path dirs whose content differs (regeneration detection — a " +
+    "CROSS-session property; the per-JVM memo is reset to simulate " +
+    "fresh sessions)") {
     val t1 = ArtifactRoots.tagged("r11_fp", dir)
+    ArtifactRoots.resetTagCacheForTest()
     assert(t1 === ArtifactRoots.tagged("r11_fp", dir),
-      "an unchanged corpus dir must tag stably")
+      "an unchanged corpus dir must tag stably across sessions")
     // a scratch dir standing in for 'the corpus path after regeneration':
     // same path string both times, different content
     val scratch = new java.io.File(
@@ -242,11 +248,13 @@ class Round11Spec extends AnyFunSuite {
       writeProbe("one", 1000000000000L)
       val a = ArtifactRoots.tagged("r11_fp", scratch.getPath)
       writeProbe("regenerated", 2000000000000L)
+      ArtifactRoots.resetTagCacheForTest()
       val b = ArtifactRoots.tagged("r11_fp", scratch.getPath)
       assert(a !== b, "a regenerated corpus at the same path must re-tag")
       // the mtime axis ALONE must move the tag: same name, same length
       // (an in-place rewrite of identical size — only mtime differs)
       writeProbe("regenerated", 3000000000000L)
+      ArtifactRoots.resetTagCacheForTest()
       val c = ArtifactRoots.tagged("r11_fp", scratch.getPath)
       assert(b !== c, "an mtime-only change must re-tag (size can tie)")
     } finally {
