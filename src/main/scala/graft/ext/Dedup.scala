@@ -76,7 +76,7 @@ object Dedup {
     * of a corpus-wide dedup shuffle. Precondition: doc_id is the
     * table's key (one row per doc) — duplicated doc_id rows would
     * need the corpus-wide distinct back. */
-  private def shingleSet(spark: SparkSession, dir: String): DataFrame =
+  private[ext] def shingleSet(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("_w"))
       .select(col("doc_id"), explode(array_distinct(shinglesOf(col("_w")))).as("s"))
@@ -253,20 +253,24 @@ object Dedup {
   def d4MinhashLshServed(spark: SparkSession, dir: String): DataFrame =
     Pipeline.pairsArtifact(spark, dir).orderBy(col("a_id"), col("b_id"))
 
-  private def d4VerifiedPairs(sh: DataFrame, mh: DataFrame): DataFrame = {
+  /** Band rows (doc_id, band, sig) of a signature table — d4's LSH
+    * bucketing, factored so the incremental graph refresh (e13) can
+    * band a DELTA slice against an existing signature table. */
+  private[ext] def bandsOf(mh: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / Bands
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("sig"))
     }
-    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+  }
+
+  /** Exact-Jaccard verification of a candidate (a_id, b_id) list over
+    * a shingle table covering every involved id — d4's verify tail
+    * (pair-bounded: `sh` fans in only where a candidate exists).
+    * No output order imposed; callers order. */
+  private[ext] def verifyCandidates(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("x"), col("a_id") === col("x.doc_id"))
@@ -279,6 +283,17 @@ object Dedup {
       .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 3))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  private def d4VerifiedPairs(sh: DataFrame, mh: DataFrame): DataFrame = {
+    val bands = bandsOf(mh)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyCandidates(sh, cand)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1465,7 +1480,7 @@ object Dedup {
            FROM members m JOIN reach r ON r.node = m.node
            GROUP BY m.node)"""
 
-  private lazy val d7ComponentsOracleSql: String =
+  private[ext] lazy val d7ComponentsOracleSql: String =
     s"""WITH RECURSIVE $d7LabelCtes
          SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
 }

@@ -326,8 +326,13 @@ object Pipeline {
     * docs never arrive as training candidates: the eval set is frozen
     * at base by definition. */
   val E4DeltaDigit = 7
-  private[graft] def e4DeltaPred: Column =
-    expr(s"(doc_id div 20) % 10 = $E4DeltaDigit") && !TextAnalysis.isEvalDoc
+  /** The delta predicate over an arbitrary id column name — pure
+    * doc_id arithmetic, so it applies directly to artifact tables
+    * (signatures' doc_id, pairs' a_id/b_id) as well as doc rows. */
+  private[graft] def e4DeltaPredOn(idCol: String): Column =
+    expr(s"($idCol div 20) % 10 = $E4DeltaDigit") &&
+      !(col(idCol) % TextAnalysis.EvalStride === 0)
+  private[graft] def e4DeltaPred: Column = e4DeltaPredOn("doc_id")
 
   /** Per-delta-doc stage flags under FROZEN base-trained models —
     * factored so Round8Spec can pin (a) e4(all, all) ≡ e1⋈e2 and
@@ -1032,6 +1037,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e12_budget_enforce"   -> (e12BudgetEnforce _),
+    "e13_graph_refresh" -> (e13GraphRefresh _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -1043,6 +1049,69 @@ object Pipeline {
     "e4_delta_ingest"   -> (e4DeltaIngest _),
     "e5_new_source"     -> (e5NewSourceIngest _),
     "e6_leakage_split"  -> (e6LeakageSplit _))
+
+  /** E13 — incremental CANDIDATE-GRAPH refresh: the artifact DAG's
+    * lifecycle verb at the GRAPH layer (e10 refreshes the packed
+    * bins; this refreshes pairs + labels when e4's delta arrives —
+    * the "incremental path is d11's fold" the DAG doc names, landed
+    * as executed, gate-checked code). Steps, all delta-proportional
+    * beyond the pair-bounded verify:
+    *
+    *   1. delta band rows: the delta slice of the SIGNATURES artifact
+    *      banded (no md5 pass — per-doc signatures are arrival-
+    *      invariant, so the persisted table serves; a genuinely new
+    *      doc would pay its own signature pass, delta-sized);
+    *   2. new candidates: delta bands joined against the FULL band
+    *      table — exactly the full graph's pairs with ≥ 1 delta
+    *      endpoint (base×base buckets are untouched by arrivals);
+    *   3. exact-Jaccard verify on those candidates (pair-bounded);
+    *   4. labels: d11's fold — the BASE labeling entered as star
+    *      edges, unioned with the new pairs, re-converged in rounds
+    *      bounded by the NEW merge graph's diameter.
+    *
+    * The refresh law (base×base pairs unchanged + delta-endpoint
+    * candidates complete + per-pair verify identical) makes
+    * base-pairs ∪ new-pairs EQUAL the full-corpus d4 table, and
+    * d11's fold ≡ rebuild law lands the labeling on the full
+    * rebuild's fixpoint — so the ORACLE is d7's full-rebuild SQL
+    * verbatim, and the gate hash-checks the whole incremental chain
+    * against it. The base state here derives from the persisted
+    * full-corpus artifacts restricted to base ids (valid by the same
+    * law; in production it IS yesterday's pairs/labels tables).
+    *
+    * Scale shape: delta bands are delta-sized; the candidate join is
+    * band-bucket-bounded; verify is pair-bounded; the fold's rounds
+    * move node-sized label frames at edge-sized width. Nothing
+    * re-derives the base corpus. */
+  def e13GraphRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signaturesArtifact(spark, dir)
+    val bandsAll = Dedup.bandsOf(sigs)
+    val bandsDelta = Dedup.bandsOf(sigs.filter(e4DeltaPredOn("doc_id")))
+    val cand = bandsDelta.as("a")
+      .join(bandsAll.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+    val newPairs = Dedup.verifyCandidates(Dedup.shingleSet(spark, dir), cand)
+      .select(col("a_id"), col("b_id"))
+    val basePairs = pairsArtifact(spark, dir)
+      .filter(!e4DeltaPredOn("a_id") && !e4DeltaPredOn("b_id"))
+      .select(col("a_id"), col("b_id"))
+    // yesterday's labeling: CC over the base pair table (NOT the full
+    // labels artifact filtered to base nodes — a delta doc bridging
+    // two base components would have already merged their labels
+    // there, which is exactly the state the refresh must REACH, not
+    // start from)
+    val equiv = Dedup.connectedComponents(basePairs, "a_id", "b_id")
+      .select(col("node").as("a_id"), col("cluster_id").as("b_id"))
+    val out = Dedup.connectedComponents(equiv.union(newPairs), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+    org.apache.spark.sql.graftshim.CheckpointShim.unpersist(equiv)
+    out
+  }
 
   /** The e1 stage-1..3 CTE chain (labels → clean set), shared by the
     * e1/e2/e3 oracles so the funnel's SQL twin has one definition. */
@@ -1330,6 +1399,12 @@ object Pipeline {
                 CAST(sum(CASE WHEN d.keep THEN 0 ELSE d.n_tok END) AS BIGINT) AS spilled_tokens
          FROM wfalloc a JOIN dec d ON d.source = a.source
          GROUP BY 1, 2, 3, 4 ORDER BY a.source""",
+    // e13: refresh ≡ rebuild is the operator's LAW (base×base pairs
+    // arrival-invariant + delta-endpoint candidates complete + d11's
+    // fold ≡ rebuild), so the oracle is d7's full-rebuild transitive
+    // closure verbatim — the strongest possible statement of the
+    // incremental chain's correctness
+    "e13_graph_refresh" -> Dedup.d7ComponentsOracleSql,
     // e11: the e10 packing chain twice — the pre-delete world for the
     // per-shard removed mass, the retained world (mixed set minus the
     // retired source) for the post-delete manifest — emitted from the

@@ -80,6 +80,22 @@ class Round11Spec extends AnyFunSuite {
       "p1 artifact-served != pagerank over a fresh pair list")
   }
 
+  // ---------- e13 incremental graph refresh ≡ full rebuild ----------
+
+  test("e13: the incremental candidate-graph refresh (delta bands vs the " +
+    "signatures artifact + d11 fold) lands on the full rebuild's labeling") {
+    assert(rows(Pipeline.e13GraphRefresh(spark, dir)) ===
+      rows(Dedup.d7DedupComponents(spark, dir)),
+      "refresh != full rebuild")
+    // non-vacuity: the delta slice actually contributes pairs at this
+    // SF (measured: 3 delta-endpoint pairs at sf0.001), so the fold's
+    // merge branch runs — an empty delta would make the pin trivial
+    val deltaPairs = Pipeline.pairsArtifact(spark, dir)
+      .filter(Pipeline.e4DeltaPredOn("a_id") || Pipeline.e4DeltaPredOn("b_id"))
+      .count()
+    assert(deltaPairs > 0, "no delta-endpoint pairs — the refresh merge is vacuous")
+  }
+
   // ---------- e12 two-level enforcement ≡ the window form ----------
 
   test("e12: the two-level hot-source escape (range-bucketed partial sums + " +
