@@ -418,19 +418,29 @@ object Dedup {
     * rebuild law the incremental snapshot already obeys — so d11
     * shares d7's oracle verbatim. */
   def d11IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftshim.CheckpointShim
     // the persisted pairs artifact feeds both halves (pre-r11 this
     // localCheckpointed a fresh LSH build; a parquet table needs no
     // checkpoint to be read twice)
     val pairs = Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id"))
     val old = pairs.filter((col("a_id") + col("b_id")) % 2 === 0)
     val fresh = pairs.filter((col("a_id") + col("b_id")) % 2 === 1)
+    incrementalFold(old, fresh)
+  }
+
+  /** The incremental-CC fold itself — ONE definition shared by d11
+    * and the e13 graph refresh, so the fold ≡ rebuild mechanism
+    * (star-edge construction, union, re-converge, checkpoint release)
+    * cannot drift between the two verbs. `oldPairs` is yesterday's
+    * pair graph, `fresh` today's new pairs; output is the converged
+    * (doc_id, cluster_id) labeling, doc_id-ordered. */
+  private[graft] def incrementalFold(oldPairs: DataFrame, fresh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.CheckpointShim
     // label edges: includes the representatives' (x, x) self-edges,
     // which is what keeps nodes whose component gains no new pair
     // present in the merged graph
-    val equiv = connectedComponents(old, "a_id", "b_id")
+    val equiv = connectedComponents(oldPairs, "a_id", "b_id")
       .select(col("node").as("a_id"), col("cluster_id").as("b_id"))
-    val out = connectedComponents(equiv.union(fresh), "a_id", "b_id")
+    val out = connectedComponents(equiv.union(fresh.select(col("a_id"), col("b_id"))), "a_id", "b_id")
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
     // both CC calls have materialized their own checkpoints by now;

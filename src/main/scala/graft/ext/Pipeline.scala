@@ -331,7 +331,7 @@ object Pipeline {
     * (signatures' doc_id, pairs' a_id/b_id) as well as doc rows. */
   private[graft] def e4DeltaPredOn(idCol: String): Column =
     expr(s"($idCol div 20) % 10 = $E4DeltaDigit") &&
-      !(col(idCol) % TextAnalysis.EvalStride === 0)
+      !TextAnalysis.isEvalDocOn(idCol)
   private[graft] def e4DeltaPred: Column = e4DeltaPredOn("doc_id")
 
   /** Per-delta-doc stage flags under FROZEN base-trained models —
@@ -1094,7 +1094,18 @@ object Pipeline {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
               greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       .distinct()
-    val newPairs = Dedup.verifyCandidates(Dedup.shingleSet(spark, dir), cand)
+      .cache() // consumed 4× below (endpoint ids ×2, verify joins ×2)
+    // the verify shingle table is SEMI-JOINED to the candidate
+    // endpoints first, so the three verify-stage consumers (sizes,
+    // x-join, y-join) each scan an endpoint-bounded — i.e. delta-
+    // proportional — table, not the corpus (d4's from-scratch builder
+    // caches the full table instead because ITS candidates span the
+    // corpus; here they must not)
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sh = Dedup.shingleSet(spark, dir)
+      .join(candIds, Seq("doc_id"), "left_semi").cache()
+    val newPairs = Dedup.verifyCandidates(sh, cand)
       .select(col("a_id"), col("b_id"))
     val basePairs = pairsArtifact(spark, dir)
       .filter(!e4DeltaPredOn("a_id") && !e4DeltaPredOn("b_id"))
@@ -1103,13 +1114,13 @@ object Pipeline {
     // labels artifact filtered to base nodes — a delta doc bridging
     // two base components would have already merged their labels
     // there, which is exactly the state the refresh must REACH, not
-    // start from)
-    val equiv = Dedup.connectedComponents(basePairs, "a_id", "b_id")
-      .select(col("node").as("a_id"), col("cluster_id").as("b_id"))
-    val out = Dedup.connectedComponents(equiv.union(newPairs), "a_id", "b_id")
-      .select(col("node").as("doc_id"), col("cluster_id"))
-      .orderBy(col("doc_id"))
-    org.apache.spark.sql.graftshim.CheckpointShim.unpersist(equiv)
+    // start from). The fold is d11's, by construction: one shared
+    // definition (Dedup.incrementalFold).
+    val out = Dedup.incrementalFold(basePairs, newPairs)
+    // the fold's CC calls are eager (localCheckpoint-materialized),
+    // so newPairs — and with it cand/sh — are fully consumed here
+    cand.unpersist(false)
+    sh.unpersist(false)
     out
   }
 

@@ -261,8 +261,13 @@ object TextAnalysis {
   val EvalStride = 20
 
   /** The eval/train split predicate — ONE definition for t10, t19,
-    * and e1, so the stride can never desynchronize between them. */
-  private[ext] def isEvalDoc: Column = col("doc_id") % EvalStride === 0
+    * e1, and the e4 delta slice (via [[isEvalDocOn]]), so the rule
+    * can never desynchronize between them. The column-name-
+    * parameterized form exists because artifact tables carry the id
+    * under other names (pairs' a_id/b_id). */
+  private[ext] def isEvalDocOn(idCol: String): Column =
+    col(idCol) % EvalStride === 0
+  private[ext] def isEvalDoc: Column = isEvalDocOn("doc_id")
 
   /** Per-row distinct decontamination grams of a `_w` token array. */
   private[ext] def decontamGrams: Column =

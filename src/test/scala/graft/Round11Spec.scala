@@ -96,6 +96,27 @@ class Round11Spec extends AnyFunSuite {
     assert(deltaPairs > 0, "no delta-endpoint pairs — the refresh merge is vacuous")
   }
 
+  test("e13 fold: the CROSS-COMPONENT merge branch — a delta doc bridging two " +
+    "pre-existing base clusters — lands on the rebuild labeling (constructed graph)") {
+    // This corpus's delta pairs only ATTACH to single base components
+    // at sf0.001 (checked: zero rebuild clusters span two base
+    // components), so the one fold case that can diverge from rebuild
+    // — merging two pre-existing clusters through a new node — is
+    // pinned here on a constructed graph instead: base {1-2} {3-4},
+    // delta doc 10 pairing into BOTH.
+    import spark.implicits._
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val fresh = Seq((2L, 10L), (3L, 10L)).toDF("a_id", "b_id")
+    val folded = Dedup.incrementalFold(base, fresh)
+    val rebuilt = Dedup.connectedComponents(base.union(fresh), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+    assert(rows(folded) === rows(rebuilt),
+      "fold through a bridging delta doc != full rebuild")
+    assert(folded.select(countDistinct(col("cluster_id"))).head().getLong(0) === 1L,
+      "the two base components did not merge — the bridge was ignored")
+  }
+
   // ---------- e12 two-level enforcement ≡ the window form ----------
 
   test("e12: the two-level hot-source escape (range-bucketed partial sums + " +
