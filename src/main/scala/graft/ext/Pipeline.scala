@@ -1084,27 +1084,9 @@ object Pipeline {
     * move node-sized label frames at edge-sized width. Nothing
     * re-derives the base corpus. */
   def e13GraphRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signaturesArtifact(spark, dir)
-    val bandsAll = Dedup.bandsOf(sigs)
-    val bandsDelta = Dedup.bandsOf(sigs.filter(e4DeltaPredOn("doc_id")))
-    val cand = bandsDelta.as("a")
-      .join(bandsAll.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
-              greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
-      .distinct()
+    val cand = e13Candidates(spark, dir)
       .cache() // consumed 4× below (endpoint ids ×2, verify joins ×2)
-    // the verify shingle table is SEMI-JOINED to the candidate
-    // endpoints first, so the three verify-stage consumers (sizes,
-    // x-join, y-join) each scan an endpoint-bounded — i.e. delta-
-    // proportional — table, not the corpus (d4's from-scratch builder
-    // caches the full table instead because ITS candidates span the
-    // corpus; here they must not)
-    val candIds = cand.select(col("a_id").as("doc_id"))
-      .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val sh = Dedup.shingleSet(spark, dir)
-      .join(candIds, Seq("doc_id"), "left_semi").cache()
+    val sh = e13VerifyShingles(spark, dir, cand).cache()
     val newPairs = Dedup.verifyCandidates(sh, cand)
       .select(col("a_id"), col("b_id"))
     val basePairs = pairsArtifact(spark, dir)
@@ -1122,6 +1104,46 @@ object Pipeline {
     cand.unpersist(false)
     sh.unpersist(false)
     out
+  }
+
+  /** e13's candidate stage: the delta slice of the signatures
+    * artifact banded against the FULL band table — exactly the full
+    * graph's pairs with ≥ 1 delta endpoint (base×base buckets are
+    * untouched by arrivals). */
+  private[graft] def e13Candidates(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signaturesArtifact(spark, dir)
+    Dedup.bandsOf(sigs.filter(e4DeltaPredOn("doc_id"))).as("a")
+      .join(Dedup.bandsOf(sigs).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+  }
+
+  /** e13's verify input: the shingle table SEMI-JOINED to the
+    * candidate endpoints first, so the three verify-stage consumers
+    * (sizes, x-join, y-join) each scan an endpoint-bounded — i.e.
+    * delta-proportional — table, not the corpus (d4's from-scratch
+    * builder caches the full table instead because ITS candidates
+    * span the corpus; here they must not). */
+  private[graft] def e13VerifyShingles(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    Dedup.shingleSet(spark, dir).join(candIds, Seq("doc_id"), "left_semi")
+  }
+
+  /** The refresh's delta-verify stage as ONE uncached frame — the
+    * plan PlanDump/PlanShapeSpec inspect. The gate entry's own final
+    * plan roots at the fold's localCheckpoint (round-iterated CC), so
+    * the scale-bearing shape — banded candidate join + endpoint
+    * semi-join bounding the verify scans — is only visible here.
+    * Composes the same two stage builders the gate entry runs. */
+  private[graft] def e13NewPairsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val cand = e13Candidates(spark, dir)
+    Dedup.verifyCandidates(e13VerifyShingles(spark, dir, cand), cand)
+      .select(col("a_id"), col("b_id"))
   }
 
   /** The e1 stage-1..3 CTE chain (labels → clean set), shared by the

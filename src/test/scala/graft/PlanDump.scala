@@ -52,7 +52,9 @@ object PlanDump {
     "e10_artifact_refresh" -> "epoch-append refresh: one scan of the epoch-partitioned bins tree feeds both the per-epoch census and the combined-order checksum; the delta pack itself is marker-gated build work, delta-sized",
     "e11_retention_delete" -> "retention delete: pre-delete epoch scan (removed mass) left-joined with the retained generation's manifest; the repack is marker-gated build work, one docflags scan + per-shard windows",
     "e12_budget_enforce" -> "budget enforcement: |sources|-row water-filling spec + broadcast alloc table over ONE per-source cumulative window on the mixed set",
-    "e12_two_level" -> "e12's hot-source escape (q49's pattern, flag-selected): broadcast per-source doc_id decile boundaries + broadcast range offsets; the running sum windows per (source, range) — no single hot window partition, pinned row-equal to the window form")
+    "e12_two_level" -> "e12's hot-source escape (q49's pattern, flag-selected): broadcast per-source doc_id decile boundaries + broadcast range offsets; the running sum windows per (source, range) — no single hot window partition, pinned row-equal to the window form",
+    "e13_graph_refresh" -> "incremental candidate-graph refresh, DELTA-VERIFY stage (the fold's plan is round-iterated CC over checkpoints): delta slice of the signatures artifact banded against the full band table (base×base buckets untouched), verify scans endpoint-bounded by a semi-join — nothing re-derives the base corpus",
+    "s23_deferred_update" -> "deferred-update serve: s13's partition-pruned query plan overlaid with the generation ledger — max-generation per id resolved at read time, no compaction on the serve path")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
@@ -78,7 +80,8 @@ object PlanDump {
         graft.ext.Pipeline.e12Enforced(s, d, twoLevel = true)),
       "pairs_build" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.ext.Dedup.d4PairsFromSignatures(s, d,
-          graft.ext.Pipeline.signaturesArtifact(s, d))))
+          graft.ext.Pipeline.signaturesArtifact(s, d))),
+      "e13_graph_refresh" -> (graft.ext.Pipeline.e13NewPairsFrame _))
     Headline.foreach { case (name, why) =>
       val df = planFrame.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       df.collect() // let AQE finalize

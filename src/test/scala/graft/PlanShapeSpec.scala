@@ -349,6 +349,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"d17 must read the pairs artifact, not re-derive the LSH build:\n$pd17")
   }
 
+  test("e13 delta-verify: signatures served from the artifact and the " +
+    "verify shingle scan endpoint-bounded by a semi-join") {
+    val p = plan(graft.ext.Pipeline.e13NewPairsFrame(spark, dir))
+    // the path SEGMENT "/signatures" — the refresh must band the
+    // PERSISTED per-doc signatures, never re-run the md5 pass
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("/signatures")),
+      s"e13 must band the persisted signatures artifact:\n$p")
+    // the bounding that keeps the verify stage delta-proportional: a
+    // LeftSemi between the shingle table and the candidate endpoints
+    // (dropping it silently regresses verify to three corpus scans)
+    assert(p.contains("LeftSemi"),
+      s"the verify shingle input must be endpoint-semi-joined:\n$p")
+  }
+
   test("e12 two-level: the running sum windows per (source, range) — no " +
     "window partition spans a whole source") {
     val p = plan(graft.ext.Pipeline.e12Enforced(spark, dir, twoLevel = true))
