@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.RetailStar
 import graft.ext.{Dedup, Graph, Multimodal, Pipeline, Similarity, TextAnalysis}
 import graft.queries.{AdvancedQueries, CoreQueries, InventoryQueries}
-import graft.streaming.EventsStream
+import graft.streaming.{DocumentsStream, EventsStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ InventoryQueries.queries ++ AdvancedQueries.queries ++
       Dedup.queries ++ Graph.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ EventsStream.queries ++ RetailStar.queries ++ Pipeline.queries
+      Multimodal.queries ++ EventsStream.queries ++ DocumentsStream.queries ++
+      RetailStar.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ InventoryQueries.oracles ++ AdvancedQueries.oracles ++
       Dedup.oracles ++ Graph.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ EventsStream.oracles ++ RetailStar.oracles ++ Pipeline.oracles
+      Multimodal.oracles ++ EventsStream.oracles ++ DocumentsStream.oracles ++
+      RetailStar.oracles ++ Pipeline.oracles
 }

@@ -77,7 +77,13 @@ object Dedup {
     * table's key (one row per doc) — duplicated doc_id rows would
     * need the corpus-wide distinct back. */
   private[ext] def shingleSet(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shingleRows(Tables.documents(spark, dir))
+
+  /** The same shingle pass over a caller-supplied document frame —
+    * factored so the streaming arrival path (st13) shingles a
+    * micro-batch with the corpus pass's one definition. */
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words(col("text")).as("_w"))
       .select(col("doc_id"), explode(array_distinct(shinglesOf(col("_w")))).as("s"))
 
@@ -266,11 +272,29 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** ARRIVAL candidates: a new signature slice banded against the
+    * arrived signature state (base + earlier arrivals + the slice
+    * itself) — exactly the full graph's candidate pairs with ≥ 1
+    * new endpoint, because buckets among already-arrived docs are
+    * untouched by an arrival. ONE definition of the law shared by
+    * the batch refresh (e13, where arrived = the whole corpus and
+    * new = the whole delta) and the streaming maintenance path
+    * (st13, where each micro-batch is its own slice). */
+  private[graft] def arrivalCandidates(newSigs: DataFrame,
+                                       arrivedSigs: DataFrame): DataFrame =
+    bandsOf(newSigs).as("a")
+      .join(bandsOf(arrivedSigs).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+
   /** Exact-Jaccard verification of a candidate (a_id, b_id) list over
     * a shingle table covering every involved id — d4's verify tail
     * (pair-bounded: `sh` fans in only where a candidate exists).
     * No output order imposed; callers order. */
-  private[ext] def verifyCandidates(sh: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def verifyCandidates(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("x"), col("a_id") === col("x.doc_id"))
@@ -1490,7 +1514,7 @@ object Dedup {
            FROM members m JOIN reach r ON r.node = m.node
            GROUP BY m.node)"""
 
-  private[ext] lazy val d7ComponentsOracleSql: String =
+  private[graft] lazy val d7ComponentsOracleSql: String =
     s"""WITH RECURSIVE $d7LabelCtes
          SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
 }

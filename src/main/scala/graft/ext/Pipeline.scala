@@ -1112,13 +1112,10 @@ object Pipeline {
     * untouched by arrivals). */
   private[graft] def e13Candidates(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signaturesArtifact(spark, dir)
-    Dedup.bandsOf(sigs.filter(e4DeltaPredOn("doc_id"))).as("a")
-      .join(Dedup.bandsOf(sigs).as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
-              greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
-      .distinct()
+    // the arrival-candidate law's batch special case: arrived = the
+    // whole corpus, new = the whole delta (one shared definition with
+    // st13's per-micro-batch slices — Dedup.arrivalCandidates)
+    Dedup.arrivalCandidates(sigs.filter(e4DeltaPredOn("doc_id")), sigs)
   }
 
   /** e13's verify input: the shingle table SEMI-JOINED to the

@@ -299,4 +299,57 @@ class Round11Spec extends AnyFunSuite {
       scratch.delete()
     }
   }
+
+  // ---------- st13 streaming graph maintenance ----------
+
+  test("st13 arrival law: a wave-2 doc pairs with an ALREADY-ARRIVED wave-1 " +
+    "doc (constructed shingles — the cross-wave branch the corpus lacks at this SF)") {
+    // at sf0.001/sf0.01 every delta pair has a base endpoint, so the
+    // gate can't witness wave×wave discovery; pinned here instead:
+    // docs 100 and 300 arrive in wave 1 (unrelated shingle sets),
+    // doc 200 (≡ doc 100) arrives in wave 2 and must pair with 100
+    // through the arrived-signature union — found at wave 2's turn,
+    // found exactly once, verified at jaccard 1.0
+    import spark.implicits._
+    val sh = Seq(100L -> "x", 100L -> "y", 100L -> "z",
+                 200L -> "x", 200L -> "y", 200L -> "z",
+                 300L -> "p", 300L -> "q", 300L -> "r").toDF("doc_id", "s")
+    val sigs = Dedup.minhashSignatures(sh).cache()
+    val w1 = sigs.filter(col("doc_id") =!= 200L)
+    val w2 = sigs.filter(col("doc_id") === 200L)
+    assert(Dedup.verifyCandidates(sh, Dedup.arrivalCandidates(w1, w1)).count() === 0L,
+      "wave 1 alone must produce no pairs (100 and 300 share nothing)")
+    val p2 = Dedup.verifyCandidates(sh, Dedup.arrivalCandidates(w2, w1.unionByName(w2)))
+      .select(col("a_id"), col("b_id"), col("jaccard")).collect()
+    sigs.unpersist(false)
+    assert(p2.length === 1 && p2(0).getLong(0) === 100L && p2(0).getLong(1) === 200L,
+      s"wave 2 must discover exactly the cross-wave pair (100,200): ${p2.mkString(",")}")
+    assert(p2(0).getDouble(2) === 1.0, "identical shingle sets verify at jaccard 1.0")
+  }
+
+  test("st13: the gate's restart is real (two committed waves across a " +
+    "checkpoint resume), labels ≡ full rebuild, and a FRESH-checkpoint " +
+    "replay of both waves re-derives nothing") {
+    import graft.streaming.DocumentsStream
+    val maintained = rows(DocumentsStream.st13GraphMaintain(spark, dir))
+    val base = ArtifactRoots.tagged("graft_st13", dir)
+    val waves = DocumentsStream.committedBatches(spark, base)
+    assert(waves.size === 2, s"expected two committed wave dirs, got $waves")
+    val rebuilt = rows(Dedup.d7DedupComponents(spark, dir))
+    assert(maintained === rebuilt, "maintained labeling != full rebuild")
+    // fresh checkpoint: the file source re-delivers BOTH waves; the
+    // content-keyed commit gate must skip them without rewriting a
+    // byte (commit markers keep their mtimes) and the serve is
+    // unchanged
+    val hfs = FileSystem.get(new Path(base).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def markerTimes(): Seq[Long] = waves.map(w =>
+      hfs.getFileStatus(new Path(w, "_GRAFT_COMMIT")).getModificationTime)
+    val before = markerTimes()
+    DocumentsStream.runMaintain(spark, dir, base, s"$base/cp_replay").stop()
+    assert(markerTimes() === before,
+      "a committed wave was rewritten on fresh-checkpoint re-delivery")
+    assert(rows(DocumentsStream.labelsFromLedger(spark, dir, base)) === rebuilt,
+      "labels drifted after the idempotent replay")
+  }
 }
