@@ -42,16 +42,17 @@ import graft.ext.{Dedup, Pipeline}
   * corpus beyond the endpoint-bounded verify. */
 object DocumentsStream {
 
-  /** File-source stream of document rows. The harness stages wave
-    * files before (re)starting the query, so the schema is sniffed
-    * from the staged directory's parquet footers — metadata-only, no
-    * fallback schema to drift. */
-  def readDocumentsStream(spark: SparkSession, dir: String,
+  /** File-source stream of document rows. The schema comes from the
+    * CORPUS documents table — the authority the waves are slices of —
+    * not from sniffing the arrivals dir, so a (re)start against a
+    * still-empty arrivals dir idles for files like a production
+    * ingest job instead of failing schema inference. */
+  def readDocumentsStream(spark: SparkSession, corpusDir: String, inDir: String,
                           maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(dir).schema)
+      .schema(Tables.documents(spark, corpusDir).schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
+      .parquet(inDir)
 
   /** Written LAST into a ledger batch dir: its presence is the
     * batch's commit. (Parquet's own _SUCCESS is per-table; the batch
@@ -80,20 +81,25 @@ object DocumentsStream {
 
   /** One arrival micro-batch: the batch's signatures + its verified
     * new pairs, committed into a content-keyed, marker-gated ledger
-    * dir. Content-keyed — (count, min doc_id, max doc_id), one
-    * batch-bounded 1-row aggregate — rather than batchId-keyed, so
-    * the commit gate is honest under BOTH failure modes: a
-    * checkpoint replay re-delivers the same wave under the same
-    * batchId, a fresh-checkpoint rerun re-delivers it under a NEW
-    * numbering; either way the committed dir is found and the batch
-    * is skipped without re-deriving a single pair. A crashed partial
-    * (dir without marker) is deleted and rebuilt whole. */
+    * dir. Content-keyed — count plus an ORDER-INDEPENDENT xxhash64
+    * fold (bit_xor) over the batch's doc_ids, one batch-bounded
+    * 1-row aggregate; doc_id identifies the document's content in
+    * this pipeline (signatures are arrival-invariant functions of
+    * the corpus row), so the id-set hash keys the content, where a
+    * (count, min, max) summary would alias distinct batches sharing
+    * those stats. Keyed by content rather than batchId so the commit
+    * gate is honest under BOTH failure modes: a checkpoint replay
+    * re-delivers the same wave under the same batchId, a
+    * fresh-checkpoint rerun re-delivers it under a NEW numbering;
+    * either way the committed dir is found and the batch is skipped
+    * without re-deriving a single pair. A crashed partial (dir
+    * without marker) is deleted and rebuilt whole. */
   private[graft] def maintainBatch(spark: SparkSession, dir: String, base: String)
                                   (batch: DataFrame, batchId: Long): Unit = {
-    val st = batch.agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
-      max(col("doc_id")).as("hi")).collect()(0)
+    val st = batch.agg(count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("doc_id"))).as("ck")).collect()(0)
     if (st.getLong(0) == 0) return // an empty wave contributes nothing
-    val tag = s"b_${st.getLong(0)}_${st.getLong(1)}_${st.getLong(2)}"
+    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x"
     val bdir = new Path(s"$base/ledger/$tag")
     val f = fsOf(spark, bdir)
     if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
@@ -102,24 +108,36 @@ object DocumentsStream {
     // waves are read from the ledger (committed before this batch
     // ran — foreachBatch is sequential), the base from the persisted
     // signatures artifact; neither is re-derived.
-    val prior = committedBatches(spark, base).map(p =>
-      spark.read.parquet(new Path(p, "sigs").toString))
+    val priorDirs = committedBatches(spark, base)
+      .map(p => new Path(p, "sigs").toString)
     val sigsB = Dedup.minhashSignatures(Dedup.shingleRows(batch))
       .cache() // consumed by the ledger write, the band join, and `arrived`
-    val baseSigs = Pipeline.signaturesArtifact(spark, dir)
-      .filter(!Pipeline.e4DeltaPredOn("doc_id"))
-    val arrived = (baseSigs +: prior).reduce(_ unionByName _).unionByName(sigsB)
-    val cand = Dedup.arrivalCandidates(sigsB, arrived)
-      .cache() // endpoint ids ×2 + verify joins ×2 (e13's policy)
-    val sh = Pipeline.e13VerifyShingles(spark, dir, cand).cache()
-    sigsB.write.mode("overwrite").parquet(new Path(bdir, "sigs").toString)
-    Dedup.verifyCandidates(sh, cand)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
-    // marker LAST: a crash anywhere above leaves an uncommitted dir
-    // that the wave's re-delivery deletes and rebuilds
-    f.create(new Path(bdir, CommitMarker), true).close()
-    sigsB.unpersist(false); cand.unpersist(false); sh.unpersist(false)
+    var cand: DataFrame = null
+    var sh: DataFrame = null
+    try {
+      val baseSigs = Pipeline.signaturesArtifact(spark, dir)
+        .filter(!Pipeline.e4DeltaPredOn("doc_id"))
+      val prior =
+        if (priorDirs.isEmpty) baseSigs
+        else baseSigs.unionByName(spark.read.parquet(priorDirs: _*))
+      val arrived = prior.unionByName(sigsB)
+      cand = Dedup.arrivalCandidates(sigsB, arrived)
+        .cache() // endpoint ids ×2 + verify joins ×2 (e13's policy)
+      sh = Pipeline.e13VerifyShingles(spark, dir, cand).cache()
+      sigsB.write.mode("overwrite").parquet(new Path(bdir, "sigs").toString)
+      Dedup.verifyCandidates(sh, cand)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
+      // marker LAST: a crash anywhere above leaves an uncommitted dir
+      // that the wave's re-delivery deletes and rebuilds
+      f.create(new Path(bdir, CommitMarker), true).close()
+    } finally {
+      // release on failure too — a dying query must not strand cached
+      // frames in the long-lived session across its restart
+      sigsB.unpersist(false)
+      if (cand != null) cand.unpersist(false)
+      if (sh != null) sh.unpersist(false)
+    }
   }
 
   /** The converged labeling: d11's fold (ONE definition,
@@ -127,12 +145,14 @@ object DocumentsStream {
     * committed ledger wave — e13's law, read at serve time. */
   private[graft] def labelsFromLedger(spark: SparkSession, dir: String,
                                       base: String): DataFrame = {
-    val waves = committedBatches(spark, base).map(p =>
-      spark.read.schema(pairsSchema).parquet(new Path(p, "pairs").toString))
+    val waveDirs = committedBatches(spark, base)
+      .map(p => new Path(p, "pairs").toString)
+    // ONE multi-path relation (not N unions); the explicit schema
+    // keeps the zero-wave case a well-typed empty frame
     val fresh =
-      if (waves.isEmpty)
+      if (waveDirs.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), pairsSchema)
-      else waves.reduce(_ unionByName _)
+      else spark.read.schema(pairsSchema).parquet(waveDirs: _*)
     val basePairs = Pipeline.pairsArtifact(spark, dir)
       .filter(!Pipeline.e4DeltaPredOn("a_id") && !Pipeline.e4DeltaPredOn("b_id"))
       .select(col("a_id"), col("b_id"))
@@ -143,7 +163,7 @@ object DocumentsStream {
     * the staged arrivals dir and drain everything available. */
   private[graft] def runMaintain(spark: SparkSession, dir: String, base: String,
                                  checkpoint: String): StreamingQuery = {
-    val q = readDocumentsStream(spark, s"$base/in")
+    val q = readDocumentsStream(spark, dir, s"$base/in")
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(maintainBatch(spark, dir, base) _)
