@@ -1498,9 +1498,14 @@ object Dedup {
     "d7_dedup_components" -> d7ComponentsOracleSql)
 
   /** Transitive-closure labeling CTEs (ends with `labels` =
-    * (doc_id, cluster_id)), shared by the d7/d11 and d15 oracles. */
-  private[ext] lazy val d7LabelCtes: String =
-    s"""pairs AS ($d4OracleSql),
+    * (doc_id, cluster_id)) over a caller-supplied pairs SELECT — one
+    * SQL text of the closure law, parameterized over the pair table
+    * (the CTE-builder discipline: two verbatim copies would drift).
+    * Callers: the d7/d11/d15/e13/st13 oracles via [[d7LabelCtes]]
+    * (pairs = d4's full table) and e14's retraction oracle (pairs =
+    * d4's table minus retired-endpoint rows). */
+  private[ext] def d7LabelCtesFrom(pairsSql: String): String =
+    s"""pairs AS ($pairsSql),
          edges AS (
            SELECT a_id AS s, b_id AS d FROM pairs
            UNION SELECT b_id, a_id FROM pairs),
@@ -1513,6 +1518,8 @@ object Dedup {
            SELECT m.node AS doc_id, least(m.node, min(r.other)) AS cluster_id
            FROM members m JOIN reach r ON r.node = m.node
            GROUP BY m.node)"""
+
+  private[ext] lazy val d7LabelCtes: String = d7LabelCtesFrom(d4OracleSql)
 
   private[graft] lazy val d7ComponentsOracleSql: String =
     s"""WITH RECURSIVE $d7LabelCtes

@@ -1038,6 +1038,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e12_budget_enforce"   -> (e12BudgetEnforce _),
     "e13_graph_refresh" -> (e13GraphRefresh _),
+    "e14_graph_retract" -> (e14GraphRetract _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -1141,6 +1142,71 @@ object Pipeline {
     val cand = e13Candidates(spark, dir)
     Dedup.verifyCandidates(e13VerifyShingles(spark, dir, cand), cand)
       .select(col("a_id"), col("b_id"))
+  }
+
+  /** The feed whose offboarding e14 propagates — E11's, so the graph
+    * layer and the bins layer tell ONE retention story. */
+  val E14RetiredSource: String = E11RetiredSource
+
+  /** The retraction core, pure over its three inputs so the one
+    * branch the corpus can't witness at spec SFs — a retired BRIDGE
+    * doc splitting its cluster in two — is pinned on a constructed
+    * graph (Round11Spec). Law: pairs never cross clusters, so
+    * deleting retired-endpoint pairs can only change clusters that
+    * CONTAIN a retired doc; every other label is served as-is and
+    * only the affected subgraph re-converges.
+    *
+    * Scale shape: `affected` is |retired-clusters|-bounded, `members`
+    * affected-cluster-mass-bounded, the semi/anti joins run at edge
+    * width, and the CC re-converge touches only the affected
+    * subgraph — the corpus-sized labels/pairs tables are scanned
+    * once each and never re-derived. A doc whose every pair had a
+    * retired endpoint leaves the labeling, exactly as the rebuild
+    * drops it (labels cover pair-graph members only). */
+  private[graft] def retractFromGraph(pairs: DataFrame, labels: DataFrame,
+                                      retired: DataFrame): DataFrame = {
+    val affected = labels
+      .join(retired, labels("node") === retired("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val untouched = labels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val members = labels.join(affected, Seq("cluster_id"), "left_semi")
+      .select(col("node").as("a_id"))
+    // a-side membership selects the whole affected subgraph: a pair's
+    // endpoints always share a cluster
+    val affectedPairs = pairs.join(members, Seq("a_id"), "left_semi")
+      .select(col("a_id"), col("b_id"))
+    val survivors = affectedPairs
+      .join(retired.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(retired.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
+      .select(col("a_id"), col("b_id"))
+    val relabeled = Dedup.connectedComponents(survivors, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    untouched.unionByName(relabeled).orderBy(col("doc_id"))
+  }
+
+  /** E14 — GRAPH RETRACTION: e11's right-to-be-forgotten discipline
+    * at the pairs/labels layer (e11 removes the retired feed's docs
+    * from the packed bins; this removes them from the candidate
+    * graph). The graph's lifecycle is now closed like the bins':
+    * build (pairs artifact), arrive (e13 batch / st13 streaming),
+    * retract (this). Serve-side incremental: untouched clusters'
+    * labels pass through from the artifact, only clusters containing
+    * a retired doc re-converge over their surviving pairs — and the
+    * oracle is d7's closure chain over the pair table WITH the
+    * retired-endpoint rows removed (one CTE text, d7LabelCtesFrom),
+    * so the gate hash-checks incremental-retract ≡
+    * rebuild-without-retired every round. At sf0.01 the affected
+    * cluster dissolves entirely (its one pair had a retired
+    * endpoint); at sf0.001 it shrinks and survives; the SPLIT branch
+    * is Round11Spec's constructed pin. */
+  def e14GraphRetract(spark: SparkSession, dir: String): DataFrame = {
+    val retired = Tables.documents(spark, dir)
+      .filter(col("source") === lit(E14RetiredSource))
+      .select(col("doc_id"))
+    retractFromGraph(
+      pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
+      labelsArtifact(spark, dir), retired)
   }
 
   /** The e1 stage-1..3 CTE chain (labels → clean set), shared by the
@@ -1435,6 +1501,21 @@ object Pipeline {
     // closure verbatim — the strongest possible statement of the
     // incremental chain's correctness
     "e13_graph_refresh" -> Dedup.d7ComponentsOracleSql,
+    // e14: incremental retract ≡ rebuild-without-retired — d7's
+    // closure chain (ONE CTE text, d7LabelCtesFrom) over the d4 pair
+    // table with retired-endpoint rows removed via LEFT-JOIN
+    // membership (the binder-safe form of two NOT INs)
+    "e14_graph_retract" -> {
+      val retiredJoin =
+        s"""SELECT p.a_id, p.b_id FROM (${Dedup.d4OracleSql}) p
+            LEFT JOIN documents da
+              ON da.doc_id = p.a_id AND da.source = '$E14RetiredSource'
+            LEFT JOIN documents db
+              ON db.doc_id = p.b_id AND db.source = '$E14RetiredSource'
+            WHERE da.doc_id IS NULL AND db.doc_id IS NULL"""
+      s"""WITH RECURSIVE ${Dedup.d7LabelCtesFrom(retiredJoin)}
+          SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
+    },
     // e11: the e10 packing chain twice — the pre-delete world for the
     // per-shard removed mass, the retained world (mixed set minus the
     // retired source) for the post-delete manifest — emitted from the

@@ -364,6 +364,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the verify shingle input must be endpoint-semi-joined:\n$p")
   }
 
+  test("e14 retraction: untouched labels served straight off the labels " +
+    "artifact (scan + anti-join), never re-derived") {
+    val p = plan(graft.ext.Pipeline.e14GraphRetract(spark, dir))
+    // the relabeled side roots at the fold's checkpoint, but the
+    // untouched side stays visible: the labels ARTIFACT scan (path
+    // segment, not bare 'labels') under the affected-cluster anti-join
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("/labels")),
+      s"e14 must serve untouched labels from the artifact:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the affected-cluster exclusion must be an anti-join:\n$p")
+  }
+
   test("e12 two-level: the running sum windows per (source, range) — no " +
     "window partition spans a whole source") {
     val p = plan(graft.ext.Pipeline.e12Enforced(spark, dir, twoLevel = true))

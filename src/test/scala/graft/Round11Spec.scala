@@ -352,4 +352,48 @@ class Round11Spec extends AnyFunSuite {
     assert(rows(DocumentsStream.labelsFromLedger(spark, dir, base)) === rebuilt,
       "labels drifted after the idempotent replay")
   }
+
+  // ---------- e14 graph retraction ----------
+
+  test("e14 split branch: retiring a BRIDGE doc splits its cluster in two and " +
+    "the incremental relabel equals the rebuild-without-retired (constructed graph)") {
+    // corpus data can't witness this branch at spec SFs (sf0.01's
+    // affected cluster dissolves, sf0.001's shrinks but stays one
+    // component), so the split is pinned here: one cluster
+    // 1-2-3 with pendants 4 (on 1) and 5 (on 3); retiring bridge 2
+    // must yield TWO components {1,4} and {3,5} — doc 3's label
+    // moves off the old cluster min
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 5L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val retired = Seq(2L).toDF("doc_id")
+    val got = Pipeline.retractFromGraph(pairs, labels, retired)
+    val rebuilt = Dedup.connectedComponents(
+        Seq((1L, 4L), (3L, 5L)).toDF("a_id", "b_id"), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    assert(rows(got) === rows(rebuilt), "incremental retract != rebuild on the split")
+    assert(got.select(countDistinct(col("cluster_id"))).head().getLong(0) === 2L,
+      "the bridge retirement did not split the cluster")
+  }
+
+  test("e14: incremental retract ≡ rebuild-without-retired on the corpus, and " +
+    "the affected cluster actually changed (non-vacuity)") {
+    val got = rows(Pipeline.e14GraphRetract(spark, dir))
+    val retired = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === "src2").select(col("doc_id"))
+    val keptPairs = Pipeline.pairsArtifact(spark, dir)
+      .join(retired.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(retired.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
+      .select(col("a_id"), col("b_id"))
+    val rebuilt = Dedup.connectedComponents(keptPairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    assert(got === rows(rebuilt), "incremental retract != full rebuild without retired")
+    // non-vacuity: the retraction must touch something at this SF —
+    // sf0.001's cluster {0,50,82} loses retired doc 82 and survives
+    // as {0,50} (measured), so the output strictly shrinks
+    val before = Pipeline.pairsArtifact(spark, dir)
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct().count() // = the pre-retraction labeled-doc count
+    assert(got.size < before, "retraction removed nothing — the pin is vacuous")
+  }
 }
