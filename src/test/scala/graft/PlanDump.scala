@@ -54,7 +54,8 @@ object PlanDump {
     "e12_budget_enforce" -> "budget enforcement: |sources|-row water-filling spec + broadcast alloc table over ONE per-source cumulative window on the mixed set",
     "e12_two_level" -> "e12's hot-source escape (q49's pattern, flag-selected): broadcast per-source doc_id decile boundaries + broadcast range offsets; the running sum windows per (source, range) — no single hot window partition, pinned row-equal to the window form",
     "e13_graph_refresh" -> "incremental candidate-graph refresh, DELTA-VERIFY stage (the fold's plan is round-iterated CC over checkpoints): delta slice of the signatures artifact banded against the full band table (base×base buckets untouched), verify scans endpoint-bounded by a semi-join — nothing re-derives the base corpus",
-    "s23_deferred_update" -> "deferred-update serve: s13's partition-pruned query plan overlaid with the generation ledger — max-generation per id resolved at read time, no compaction on the serve path")
+    "s23_deferred_update" -> "deferred-update serve: s13's partition-pruned query plan overlaid with the generation ledger — max-generation per id resolved at read time, no compaction on the serve path",
+    "e14_graph_retract" -> "graph retraction: untouched clusters' labels pass through from the labels artifact (scan + broadcast anti-join on the |retired-clusters|-bounded affected set, visible here); only the affected subgraph re-converges (the checkpoint-rooted union branch)")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
