@@ -1156,25 +1156,36 @@ object Pipeline {
     * CONTAIN a retired doc; every other label is served as-is and
     * only the affected subgraph re-converges.
     *
-    * Scale shape: `affected` is |retired-clusters|-bounded, `members`
-    * affected-cluster-mass-bounded, the semi/anti joins run at edge
-    * width, and the CC re-converge touches only the affected
-    * subgraph — the corpus-sized labels/pairs tables are scanned
-    * once each and never re-derived. A doc whose every pair had a
-    * retired endpoint leaves the labeling, exactly as the rebuild
-    * drops it (labels cover pair-graph members only). */
+    * Scale shape: the pairs table is scanned ONCE; the two-column
+    * labels artifact is scanned three times at pruned width (the
+    * affected derivation, the members derivation, and the untouched
+    * PASS-THROUGH — which is the output itself); nothing is ever
+    * re-derived from the corpus. `members` (all docs of affected
+    * clusters — affected-cluster-mass-bounded) is materialized once
+    * with an eager localCheckpoint and feeds BOTH downstream
+    * consumers, so the affected-cluster subtree evaluates exactly
+    * once; the checkpoint's footprint is bounded by the retired
+    * slice's cluster mass and is the operator's working state. The
+    * CC re-converge touches only the affected subgraph. A doc whose
+    * every pair had a retired endpoint leaves the labeling, exactly
+    * as the rebuild drops it (labels cover pair-graph members
+    * only). */
   private[graft] def retractFromGraph(pairs: DataFrame, labels: DataFrame,
                                       retired: DataFrame): DataFrame = {
     val affected = labels
       .join(retired, labels("node") === retired("doc_id"), "left_semi")
       .select(col("cluster_id")).distinct()
-    val untouched = labels.join(affected, Seq("cluster_id"), "left_anti")
-      .select(col("node").as("doc_id"), col("cluster_id"))
+    // a doc is untouched iff it is NOT a member of an affected
+    // cluster, so `members` serves both the pass-through exclusion
+    // and the subgraph selection — one materialization, two readers
     val members = labels.join(affected, Seq("cluster_id"), "left_semi")
-      .select(col("node").as("a_id"))
+      .select(col("node")).localCheckpoint()
+    val untouched = labels.join(members, Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("cluster_id"))
     // a-side membership selects the whole affected subgraph: a pair's
     // endpoints always share a cluster
-    val affectedPairs = pairs.join(members, Seq("a_id"), "left_semi")
+    val affectedPairs = pairs
+      .join(members.select(col("node").as("a_id")), Seq("a_id"), "left_semi")
       .select(col("a_id"), col("b_id"))
     val survivors = affectedPairs
       .join(retired.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")

@@ -380,7 +380,7 @@ class Round11Spec extends AnyFunSuite {
     "the affected cluster actually changed (non-vacuity)") {
     val got = rows(Pipeline.e14GraphRetract(spark, dir))
     val retired = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("source") === "src2").select(col("doc_id"))
+      .filter(col("source") === Pipeline.E14RetiredSource).select(col("doc_id"))
     val keptPairs = Pipeline.pairsArtifact(spark, dir)
       .join(retired.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
       .join(retired.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
