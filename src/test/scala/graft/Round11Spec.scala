@@ -396,4 +396,30 @@ class Round11Spec extends AnyFunSuite {
       .distinct().count() // = the pre-retraction labeled-doc count
     assert(got.size < before, "retraction removed nothing — the pin is vacuous")
   }
+
+  test("e14 property: on randomized graphs with randomized retired sets, " +
+    "incremental retract ≡ rebuild-without-retired (d19's randomization " +
+    "discipline — dissolves, shrinks, splits and multi-cluster hits all at once)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 1031)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // retire ~1/6 of the ACTUAL node set (guaranteed non-vacuous)
+      // plus one id outside the graph (the no-op membership branch)
+      val retiredIds = rnd.shuffle(nodes).take(math.max(1, nodes.size / 6)) :+ 999L
+      val pairs = edges.toDF("a_id", "b_id")
+      val labels = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      val got = rows(Pipeline.retractFromGraph(
+        pairs, labels, retiredIds.toDF("doc_id")))
+      val kept = edges.filter { case (a, b) =>
+        !retiredIds.contains(a) && !retiredIds.contains(b) }
+      val rebuilt = rows(Dedup.connectedComponents(kept.toDF("a_id", "b_id"),
+          "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id")))
+      assert(got === rebuilt, s"seed $seed: incremental retract != rebuild " +
+        s"(retired ${retiredIds.size - 1}/${nodes.size} nodes)")
+    }
+  }
 }
