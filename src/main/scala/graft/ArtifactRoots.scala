@@ -19,35 +19,48 @@ object ArtifactRoots {
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
 
-  /** Cheap corpus-identity fingerprint of a data dir: a 32-bit hash
-    * over every entry's (name, length, mtime), one level deep (table
-    * dirs list their part files — Spark writes fresh part names on
-    * every overwrite, so a regenerated table always moves the hash).
-    * This is the artifact tag's defense against serving a stale
-    * marker-complete tree after the corpus is REGENERATED AT THE SAME
-    * PATH (the code-semantics version constants cover code changes;
-    * this covers data changes). Listing is a few dozen statuses per
-    * call at any corpus size — file counts, not file contents. A
-    * MISSING dir fingerprints as "0" (two runs both seeing no content
-    * genuinely share identity); a listing ERROR propagates — mapping
-    * errors onto a shared fallback tag would let two different
-    * corpora collide on it and serve each other's artifacts, the
-    * exact staleness this fingerprint exists to prevent. */
+  /** Cheap corpus-identity fingerprint of a data dir: a 64-bit hash
+    * (two independently-seeded 32-bit Murmur3 folds concatenated —
+    * collision odds 1 in 2^64, not the 1-in-4B a single 32-bit fold
+    * would give) over every entry's (name, length, mtime) two levels
+    * deep (table dirs list their part files — Spark writes fresh part
+    * names on every overwrite, so a regenerated table always moves
+    * the hash), plus the total entry count and byte size as explicit
+    * terms. This is the artifact tag's defense against serving a
+    * stale marker-complete tree after the corpus is REGENERATED AT
+    * THE SAME PATH (the code-semantics version constants cover code
+    * changes; this covers data changes). Two levels is the corpus
+    * layout's full depth (sf dir → table dirs → part files); data
+    * nested deeper than its table's part files would need the listing
+    * deepened with it. Listing is a few dozen statuses per call at
+    * any corpus size — file counts, not file contents. A MISSING dir
+    * fingerprints as "0" (two runs both seeing no content genuinely
+    * share identity); a listing ERROR propagates — mapping errors
+    * onto a shared fallback tag would let two different corpora
+    * collide on it and serve each other's artifacts, the exact
+    * staleness this fingerprint exists to prevent. */
   private def fingerprint(dir: String): String = {
     val p = new Path(dir)
     val fs = FileSystem.get(p.toUri, hadoopConf)
     if (!fs.exists(p)) "0"
     else {
       val parts = Seq.newBuilder[String]
+      var n = 0L
+      var bytes = 0L
       fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
         parts += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        n += 1; bytes += st.getLen
         if (st.isDirectory)
           fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach { c =>
             parts += s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}"
+            n += 1; bytes += c.getLen
           }
       }
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.orderedHash(parts.result()).toLong & 0xffffffffL)
+      parts += s"::$n:$bytes"
+      val ps = parts.result()
+      val hi = scala.util.hashing.MurmurHash3.orderedHash(ps, 0x9747b28c)
+      val lo = scala.util.hashing.MurmurHash3.orderedHash(ps, 0x85ebca6b)
+      java.lang.Long.toHexString((hi.toLong << 32) | (lo.toLong & 0xffffffffL))
     }
   }
 
@@ -76,7 +89,18 @@ object ArtifactRoots {
     * of superseded ones. The GC is SKIPPED when the fingerprint is
     * the missing-dir "0": a data dir transiently absent (mid-swap of
     * a regeneration, an eventually-consistent store) must never cost
-    * the intact tree of the real corpus. */
+    * the intact tree of the real corpus.
+    *
+    * CONCURRENCY caveat: tags are memoized per JVM, so a session that
+    * tagged BEFORE a corpus regeneration keeps serving its (now
+    * stale-fingerprinted) tree for its lifetime — and a fresh session
+    * starting after the regeneration would GC that tree out from
+    * under it. Concurrent sessions therefore must not straddle a
+    * corpus regeneration; where that cannot be ruled out, set
+    * SPARK_GRAFT_ARTIFACT_GC_GRACE_MS — stale siblings whose tree
+    * mtime is within the grace window are spared (deferred to a later
+    * session's GC), giving in-flight sessions time to drain. Default
+    * 0 keeps the eager single-session behavior. */
   def tagged(prefix: String, dir: String): String =
     tagCache.computeIfAbsent((prefix, dir), { _ =>
       val tag = java.lang.Long.toHexString(
@@ -85,12 +109,15 @@ object ArtifactRoots {
       val name = s"${prefix}_${tag}_$fp"
       if (fp != "0") {
         try {
+          val grace = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_GC_GRACE_MS", "0").toLong
+          val now = System.currentTimeMillis()
           val rootPath = new Path(root)
           val fs = FileSystem.get(rootPath.toUri, hadoopConf)
           if (fs.exists(rootPath))
             fs.listStatus(rootPath).foreach { st =>
               val n = st.getPath.getName
-              if (n.startsWith(s"${prefix}_${tag}_") && n != name)
+              if (n.startsWith(s"${prefix}_${tag}_") && n != name &&
+                  (grace <= 0L || now - st.getModificationTime > grace))
                 fs.delete(st.getPath, true)
             }
         } catch { case _: Exception => () } // GC is best-effort, never fatal

@@ -869,10 +869,10 @@ object Similarity {
     // compaction cadence, never corpus-sized (s18's serve contract).
     // Tombstones apply AFTER the generation overlay, so a delete
     // issued against an id with pending deferred updates hides every
-    // copy. (An id deleted and THEN re-updated before any compaction
-    // would stay hidden until the tombstone compacts — by contract
-    // callers compact between a delete and a re-insert of the same id,
-    // exactly as s21's eager update path does.)
+    // copy. The reverse order (delete, then re-update the same id) is
+    // ENFORCED, not contractual: deferUpdateIvfPqIndex compacts the
+    // tombstones first whenever its batch intersects them, so a
+    // pending tombstone here never masks a later re-insert.
     val codes =
       if (delFs.exists(delPath))
         overlaid.join(broadcast(spark.read.parquet(delPath.toString)
@@ -1146,6 +1146,16 @@ object Similarity {
   def compactIvfPqDeletes(spark: SparkSession, idxDir: String): Unit = {
     val delPath = new Path(s"$idxDir/deletes")
     val fs = FileSystem.get(delPath.toUri, spark.sparkContext.hadoopConfiguration)
+    // fold any COMMITTED update ledger first: compactOutIds rewrites
+    // only the codes table, so a tombstoned id whose latest coding
+    // still sits in codes_gen would survive the tombstone clear below
+    // and resurrect at the next serve (delete intent lost). Folding
+    // moves every ledger id's max-generation row into codes, where the
+    // tombstone pass removes it like any other row. Idempotent and
+    // crash-safe like the rest of the chain — a crash between the fold
+    // and the tombstone clear re-runs both.
+    if (ledgerCommitted(fs, new Path(s"$idxDir/codes_gen")))
+      compactIvfPqUpdates(spark, idxDir)
     recoverCompactScratch(fs, s"$idxDir/codes")
     if (!fs.exists(delPath)) return
     val del = spark.read.parquet(delPath.toString).select(col("vec_id")).distinct()
@@ -1300,6 +1310,26 @@ object Similarity {
                             idxDir: String): Unit = {
     val genPath = new Path(s"$idxDir/codes_gen")
     val fs = FileSystem.get(genPath.toUri, spark.sparkContext.hadoopConfiguration)
+    // A deferred update is semantically a RE-INSERT, so it must win
+    // over any PENDING tombstone of the same id. The serve overlay
+    // applies tombstones AFTER the generation overlay (a delete issued
+    // after an update must hide every copy), which would silently hide
+    // THIS batch's rows until the next compaction if a batch id were
+    // already tombstoned — so when the batch intersects the pending
+    // delete set, apply the tombstones physically first (the deletes
+    // compaction also folds the update ledger, clearing any stale
+    // ledger copies of the tombstoned ids) and then append the batch
+    // against a clean slate. The probe is one broadcast semi-join over
+    // the cadence-bounded delete set; the compaction only runs on
+    // genuine delete→re-update overlap, so the common disjoint batch
+    // stays O(updates).
+    val pendingDel = new Path(s"$idxDir/deletes")
+    if (fs.exists(pendingDel)) {
+      val overlap = spark.read.parquet(pendingDel.toString)
+        .join(broadcast(newEmb.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+        .limit(1).count() > 0
+      if (overlap) compactIvfPqDeletes(spark, idxDir)
+    }
     // clear any UNACKNOWLEDGED batch's scratch first: a crash during a
     // previous batch's job commit can leave a gen=N directory with a
     // PARTIAL row set (some task files moved into place, no batch

@@ -81,25 +81,32 @@ object DocumentsStream {
 
   /** One arrival micro-batch: the batch's signatures + its verified
     * new pairs, committed into a content-keyed, marker-gated ledger
-    * dir. Content-keyed — count plus an ORDER-INDEPENDENT xxhash64
-    * fold (bit_xor) over the batch's doc_ids, one batch-bounded
-    * 1-row aggregate; doc_id identifies the document's content in
-    * this pipeline (signatures are arrival-invariant functions of
-    * the corpus row), so the id-set hash keys the content, where a
-    * (count, min, max) summary would alias distinct batches sharing
-    * those stats. Keyed by content rather than batchId so the commit
-    * gate is honest under BOTH failure modes: a checkpoint replay
-    * re-delivers the same wave under the same batchId, a
-    * fresh-checkpoint rerun re-delivers it under a NEW numbering;
-    * either way the committed dir is found and the batch is skipped
-    * without re-deriving a single pair. A crashed partial (dir
-    * without marker) is deleted and rebuilt whole. */
+    * dir. Content-keyed — count plus TWO order-independent folds of
+    * xxhash64(doc_id, text), a bit_xor and a 40-bit-term sum, in one
+    * batch-bounded 1-row aggregate. The text rides in the hash so a
+    * wave whose documents were EDITED under unchanged doc_ids keys
+    * differently (an id-only fold would skip it as already-committed
+    * and serve stale pairs), and the sum fold backs the xor so plain
+    * XOR cancellation between equal-count id sets cannot alias two
+    * distinct waves on its own; sum terms are bounded to 2^40, so a
+    * wave stays int64-exact to ~2^23 rows — waves are micro-batches,
+    * orders of magnitude under that. A (count, min, max) summary
+    * would alias distinct batches sharing those stats. Keyed by
+    * content rather than batchId so the commit gate is honest under
+    * BOTH failure modes: a checkpoint replay re-delivers the same
+    * wave under the same batchId, a fresh-checkpoint rerun
+    * re-delivers it under a NEW numbering; either way the committed
+    * dir is found and the batch is skipped without re-deriving a
+    * single pair. A crashed partial (dir without marker) is deleted
+    * and rebuilt whole. */
   private[graft] def maintainBatch(spark: SparkSession, dir: String, base: String)
                                   (batch: DataFrame, batchId: Long): Unit = {
     val st = batch.agg(count(lit(1)).as("n"),
-      bit_xor(xxhash64(col("doc_id"))).as("ck")).collect()(0)
+      bit_xor(xxhash64(col("doc_id"), col("text"))).as("ck"),
+      sum(pmod(xxhash64(col("text"), col("doc_id")), lit(1L << 40))).as("cs"))
+      .collect()(0)
     if (st.getLong(0) == 0) return // an empty wave contributes nothing
-    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x"
+    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
     val bdir = new Path(s"$base/ledger/$tag")
     val f = fsOf(spark, bdir)
     if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Pipeline, Similarity}
+
+/** Round-12 pins — the r11 ADVICE hardenings plus the retirement
+  * lifecycle closure:
+  *
+  *  1. delete → deferred re-update of the SAME id serves the update
+  *     (previously hidden until the next compaction), while other
+  *     tombstoned ids — including ones whose stale coding lives only
+  *     in the update ledger — stay deleted through the compaction the
+  *     re-update triggers.
+  *  2. The st13 ledger key is text-sensitive: a wave whose documents
+  *     were edited under unchanged doc_ids commits as a NEW wave.
+  */
+class Round12Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  // ---------- 1. delete → deferred re-update ----------
+
+  test("deferred update after delete: the re-updated id serves its new " +
+    "coding; a tombstoned id whose only stale coding sat in the ledger " +
+    "stays deleted through the triggered compaction") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val defDir = s"$tmp/graft_r12_delupd_idx"
+    val rebDir = s"$tmp/graft_r12_delreb_idx"
+    val basePred = col("vec_id") % 10 =!= 9
+    val emb = Tables.embeddings(spark, dir)
+    // g1: deleted then deferred-re-updated (reversed vectors) — must
+    // serve the update. g2: deferred-updated FIRST (so its latest
+    // coding lives only in the ledger), then deleted, never
+    // re-updated — must stay deleted even though the g1 re-update
+    // triggers a tombstone compaction that clears the deletes table.
+    val g1 = col("vec_id") % 40 === 19
+    val g2 = col("vec_id") % 40 === 39
+    val g1New = emb.filter(g1).withColumn("embedding", reverse(col("embedding")))
+    val g2Led = emb.filter(g2).withColumn("embedding", reverse(col("embedding")))
+    assert(emb.filter(g1).count() > 0 && emb.filter(g2).count() > 0, "vacuous groups")
+    Similarity.buildIvfPqIndex(spark, dir, defDir, basePred, basePred)
+    Similarity.appendIvfPqIndex(spark, dir, defDir, !basePred)
+    Similarity.deferUpdateIvfPqIndex(spark, g2Led, defDir) // g2 now ledger-coded
+    Similarity.deleteFromIvfPqIndex(spark, emb.filter(g1 || g2).select(col("vec_id")), defDir)
+    Similarity.deferUpdateIvfPqIndex(spark, g1New, defDir) // overlap → compact first
+    val served = Similarity.queryIvfPqIndex(spark, dir, defDir).collect().toSeq
+    // rebuild-with-current-values: the whole append slice, g1 reversed,
+    // g2 absent (deleted), everything else at its original vector
+    Similarity.buildIvfPqIndex(spark, dir, rebDir, basePred, basePred)
+    Similarity.appendIvfPqIndexFrom(spark,
+      emb.filter(!basePred && !g1 && !g2).unionByName(g1New), rebDir)
+    assert(served === Similarity.queryIvfPqIndex(spark, dir, rebDir).collect().toSeq,
+      "delete→re-update serve != rebuild-with-current-values")
+    // physical state: g1 ids live (ledger), g2 ids in NEITHER codes nor
+    // the ledger's live view — the triggered compaction folded g2's
+    // stale ledger rows into codes and the tombstone pass removed them
+    def idsIn(path: String): Set[Long] = {
+      val p = new Path(path)
+      val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else spark.read.parquet(path).select(col("vec_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    val g1Ids = emb.filter(g1).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val g2Ids = emb.filter(g2).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val allServed = idsIn(s"$defDir/codes") ++ idsIn(s"$defDir/codes_gen")
+    assert(g1Ids.subsetOf(allServed), "re-updated ids missing from the index")
+    assert(allServed.intersect(g2Ids).isEmpty,
+      "deleted ids resurrected through the triggered compaction")
+  }
+
+  test("deletes compaction folds the update ledger first: a tombstoned id " +
+    "coded only in the ledger does not survive compactIvfPqDeletes") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val idxDir = s"$tmp/graft_r12_foldfirst_idx"
+    val basePred = col("vec_id") % 10 =!= 9
+    val emb = Tables.embeddings(spark, dir)
+    val g = col("vec_id") % 40 === 39
+    Similarity.buildIvfPqIndex(spark, dir, idxDir, basePred, basePred)
+    Similarity.appendIvfPqIndex(spark, dir, idxDir, !basePred)
+    Similarity.deferUpdateIvfPqIndex(spark,
+      emb.filter(g).withColumn("embedding", reverse(col("embedding"))), idxDir)
+    Similarity.deleteFromIvfPqIndex(spark, emb.filter(g).select(col("vec_id")), idxDir)
+    Similarity.compactIvfPqDeletes(spark, idxDir)
+    val p = new Path(s"$idxDir/codes_gen")
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(p), "ledger survives the deletes compaction")
+    val left = spark.read.parquet(s"$idxDir/codes")
+      .join(emb.filter(g).select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    assert(left === 0L, "tombstoned ledger-coded ids survived compaction")
+    // and the serve view equals a rebuild without the deleted slice
+    val rebDir = s"$tmp/graft_r12_foldfirst_reb"
+    Similarity.buildIvfPqIndex(spark, dir, rebDir, basePred, basePred)
+    Similarity.appendIvfPqIndexFrom(spark, emb.filter(!basePred && !g), rebDir)
+    assert(Similarity.queryIvfPqIndex(spark, dir, idxDir).collect().toSeq ===
+      Similarity.queryIvfPqIndex(spark, dir, rebDir).collect().toSeq,
+      "post-compaction serve != rebuild-without-deleted")
+  }
+
+  // ---------- 2. text-sensitive ledger key ----------
+
+  test("st13 ledger key: the same doc_ids with EDITED text commit as a new " +
+    "wave instead of aliasing the committed one") {
+    import graft.streaming.DocumentsStream
+    val tmp = System.getProperty("java.io.tmpdir")
+    val base = s"$tmp/graft_r12_ledgerkey"
+    val bp = new Path(base)
+    val fs = FileSystem.get(bp.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.delete(bp, true)
+    val wave = Tables.documents(spark, dir)
+      .filter(Pipeline.e4DeltaPred).limit(2).cache()
+    try {
+      DocumentsStream.maintainBatch(spark, dir, base)(wave, 0L)
+      assert(DocumentsStream.committedBatches(spark, base).size === 1)
+      // identical re-delivery: skipped (idempotence unchanged)
+      DocumentsStream.maintainBatch(spark, dir, base)(wave, 1L)
+      assert(DocumentsStream.committedBatches(spark, base).size === 1,
+        "identical wave re-committed")
+      // same ids, edited text: a DIFFERENT wave, must commit
+      val edited = wave.withColumn("text", concat(col("text"), lit(" edited")))
+      DocumentsStream.maintainBatch(spark, dir, base)(edited, 2L)
+      assert(DocumentsStream.committedBatches(spark, base).size === 2,
+        "edited wave aliased the committed one — stale pairs would serve")
+    } finally { wave.unpersist(); fs.delete(bp, true); () }
+  }
+}
