@@ -1120,10 +1120,12 @@ object Dedup {
                 ELSE [array_to_string(w, ' ')] END) AS s
               FROM words) u)"""
 
-  /** Full d4 SELECT, shared verbatim by the d4 entry, as the `pairs`
-    * CTE body of d7's closure, and by Graph's PageRank oracle (the
-    * same candidate graph feeds every downstream graph operator). */
-  private[ext] lazy val d4OracleSql: String = {
+  /** The d4 pipeline as SHARED CTE text — words→sh→sh0→mh→bands→cand→
+    * sz→inter, ending at per-candidate intersection counts — so one
+    * statement can read the SIGNATURE table from `mh` AND the verified
+    * pairs from [[d4PairsSelect]] without paying the md5/minhash chain
+    * twice (the e15 whole-DAG offboarding oracle does exactly that). */
+  private[ext] lazy val d4ChainCtes: String = {
     val mhCols = (0 until NumHashes)
       .map(k => s"min((${minhashA(k)} * h0 + ${minhashB(k)}) % $MinhashP) AS mh$k")
       .mkString(",\n                ")
@@ -1133,7 +1135,7 @@ object Dedup {
         .mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString("\n           UNION ALL ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
          sh0 AS (SELECT doc_id, ${H.duckdbHash64("s")} % $MinhashP AS h0 FROM sh),
          mh AS (SELECT doc_id,
                 $mhCols
@@ -1150,14 +1152,25 @@ object Dedup {
            FROM cand
            JOIN sh x ON x.doc_id = a_id
            JOIN sh y ON y.doc_id = b_id AND y.s = x.s
-           GROUP BY 1, 2)
-         SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+           GROUP BY 1, 2)"""
+  }
+
+  /** The verified-pair SELECT over [[d4ChainCtes]] (no ORDER BY —
+    * embedders order or aggregate themselves). */
+  private[ext] lazy val d4PairsSelect: String =
+    s"""SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
          FROM inter
          JOIN sz sa ON sa.doc_id = a_id
          JOIN sz sb ON sb.doc_id = b_id
-         WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5"""
+
+  /** Full d4 SELECT, shared verbatim by the d4 entry, as the `pairs`
+    * CTE body of d7's closure, and by Graph's PageRank oracle (the
+    * same candidate graph feeds every downstream graph operator). */
+  private[ext] lazy val d4OracleSql: String =
+    s"""WITH $d4ChainCtes
+         $d4PairsSelect
          ORDER BY a_id, b_id"""
-  }
 
   /** d3's full SELECT — the exact-Jaccard ground truth, shared by the
     * d3 entry and nested as d20's `truth` CTE body. */

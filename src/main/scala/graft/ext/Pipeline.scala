@@ -1039,6 +1039,9 @@ object Pipeline {
     "e12_budget_enforce"   -> (e12BudgetEnforce _),
     "e13_graph_refresh" -> (e13GraphRefresh _),
     "e14_graph_retract" -> (e14GraphRetract _),
+    "e15_source_offboard" -> (e15SourceOffboard _),
+    "e16_offboard_split" -> (e16OffboardSplit _),
+    "e17_retract_then_arrive" -> (e17RetractThenArrive _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -1211,19 +1214,348 @@ object Pipeline {
     * cluster dissolves entirely (its one pair had a retired
     * endpoint); at sf0.001 it shrinks and survives; the SPLIT branch
     * is Round11Spec's constructed pin. */
-  def e14GraphRetract(spark: SparkSession, dir: String): DataFrame = {
-    val retired = Tables.documents(spark, dir)
-      .filter(col("source") === lit(E14RetiredSource))
-      .select(col("doc_id"))
+  def e14GraphRetract(spark: SparkSession, dir: String): DataFrame =
+    // served from the PERSISTED retraction (the offboarded generation's
+    // labels table) since r12 — the retraction is an artifact, not a
+    // per-query recompute; [[e14Derived]] keeps the from-scratch
+    // incremental path as the spec twin (Round12Spec pins served ≡
+    // derived), and the oracle still hash-checks the content against
+    // rebuild-without-retired every round.
+    offboardLabels(spark, dir).orderBy(col("doc_id"))
+
+  /** The from-scratch incremental retraction — the offboard labels
+    * artifact's builder and the spec-side twin. */
+  private[graft] def e14Derived(spark: SparkSession, dir: String): DataFrame =
     retractFromGraph(
       pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
-      labelsArtifact(spark, dir), retired)
+      labelsArtifact(spark, dir), retiredDocs(spark, dir))
+
+  // ---------------------------------------------------------------
+  // E15/E16/E17 — the OFFBOARDED GENERATION of the artifact DAG.
+  // e11 removes a retired feed's rows from the packed bins under
+  // FROZEN flags (the serve-side fast path: "their rows leave the
+  // shipped artifact NOW"), and e14 computes the retracted labeling —
+  // but r11 left retirement split across layers: the pairs/labels
+  // artifacts still carried the retired rows on disk, every later
+  // arrival banded against the FULL signatures table (so a near-dup
+  // of a retired doc could re-enter the graph and resurrect the
+  // feed), and no single verb said "the feed is gone" across the
+  // whole DAG. The offboarded generation closes all three: ONE
+  // marker-gated subtree beside the live DAG —
+  //
+  //   offboard_<src>/signatures   live sigs minus retired (the
+  //                               tombstone-applied banding base every
+  //                               post-offboard arrival joins against)
+  //   offboard_<src>/pairs        pairs minus retired-endpoint rows
+  //   offboard_<src>/labels       e14's incremental retraction,
+  //                               PERSISTED (untouched clusters pass
+  //                               through, affected ones re-converge)
+  //   offboard_<src>/docflags     the funnel RE-DERIVED from the
+  //                               retracted labels (a doc whose only
+  //                               canonical was retired re-enters
+  //                               dedup-survival — the cascade e11's
+  //                               frozen-flag filter deliberately
+  //                               skips), retired rows gone
+  //   offboard_<src>/bins         e10's epoch packing over the
+  //                               offboarded docflags
+  //   offboard_<src>/manifest     e9's restart manifest over them
+  //
+  // The law at EVERY layer is e11's, cascaded: offboarded ≡ the
+  // pipeline rebuilt on a corpus whose GRAPH never contained the
+  // retired docs, under frozen scoring models (DSIR buckets/cut, mix
+  // rates, eval grams keep their full-corpus-trained values — models
+  // forget on the retrain cadence, rows leave now; that is e4/e5's
+  // frozen posture and the only honest one, since the alternative
+  // silently retrains every model as a side effect of a takedown).
+  // e15 gate-checks the whole claim as one row per layer (count +
+  // order-independent content fold) against a single DuckDB statement
+  // that rebuilds every layer from scratch without the source; e16
+  // proves a downstream consumer (the e6 leakage split) serves the
+  // retracted state; e17 proves the retract-then-arrive composition:
+  // arrivals folded over the offboarded base — with the retired
+  // exclusion on both the arriving slice and the banding state —
+  // land on rebuild-without-retired-plus-delta exactly.
+  //
+  // 100 TB shape: every builder is a filter/anti-join over an
+  // existing artifact or the same one-window-per-shard packing as
+  // e3/e10; the only graph work is the affected-cluster re-converge
+  // (retractFromGraph — retired-cluster-mass-bounded, never a global
+  // CC). The census folds are one narrow scan + 1-row agg per layer;
+  // terms are bounded to 2^40, int64-exact to ~2^23 rows per layer —
+  // past that, fold partials modulo 2^61−1 (e9's documented knob).
+  // Production cutover swaps the offboarded subtree over the live one
+  // with s22's aside-first discipline; the gate keeps both so entries
+  // stay order-independent and re-runnable.
+  // ---------------------------------------------------------------
+
+  private[graft] def offboardTag: String = s"offboard_$E14RetiredSource"
+
+  private[graft] def retiredDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("source") === lit(E14RetiredSource))
+      .select(col("doc_id"))
+
+  /** The tombstone-applied signature table — the banding base for
+    * every post-offboard arrival (e17; the production e13/st13 after
+    * a retirement read THIS, not the live signatures). */
+  private[graft] def offboardSignatures(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, s"$offboardTag/signatures")(
+      signaturesArtifact(spark, dir)
+        .join(retiredDocs(spark, dir), Seq("doc_id"), "left_anti"))
+
+  private[graft] def offboardPairs(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, s"$offboardTag/pairs") {
+      val r = retiredDocs(spark, dir)
+      pairsArtifact(spark, dir)
+        .join(r.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+        .join(r.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
+    }
+
+  /** e14's retraction persisted: built ONCE by the incremental path
+    * (untouched labels pass through, affected clusters re-converge),
+    * then every consumer — e14's own gate row, e16's split, e17's
+    * arrival fold — reads the table. */
+  private[graft] def offboardLabels(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, s"$offboardTag/labels")(e14Derived(spark, dir))
+
+  private[graft] def offboardDocflags(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, s"$offboardTag/docflags")(
+      docFlagsDerived(spark, dir,
+        offboardLabels(spark, dir)
+          .select(col("doc_id").as("node"), col("cluster_id")))
+        .filter(col("source") =!= E14RetiredSource))
+
+  private[graft] def offboardBins(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureArtifact(spark, dir, s"$offboardTag/bins/epoch=0", Seq("shard"))(
+      binsFrom(offboardDocflags(spark, dir).filter(!e4DeltaPred)))
+    ensureArtifact(spark, dir, s"$offboardTag/bins/epoch=1", Seq("shard"))(
+      appendEpochBins(offboardDocflags(spark, dir).filter(e4DeltaPred), base))
+    spark.read.parquet(s"${eArtifactRoot(dir)}/$offboardTag/bins")
+      .select(col("epoch").cast("int").as("epoch"),
+        col("shard").cast("long").as("shard"),
+        col("bin"), col("n_docs"), col("n_tokens"))
+  }
+
+  private[graft] def offboardManifest(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, s"$offboardTag/manifest")(
+      manifestOf(offboardBins(spark, dir)
+        .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))))
+
+  /** One layer's census row: count + an order-independent content
+    * fold (sum of 2^40-bounded StableHash terms over a canonical
+    * per-row string — the same fold the oracle computes, so the gate
+    * hash-checks every layer's CONTENT, not just its cardinality). */
+  private def layerCensus(layer: String, df: DataFrame, canonical: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(sum(pmod(StableHash.hash64(canonical), lit(1L << 40))), lit(0L))
+        .as("content_sum"))
+      .select(lit(layer).as("layer"), col("n_rows"), col("content_sum"))
+
+  private def b01(c: Column): Column = when(c, "1").otherwise("0")
+
+  /** E15 — SOURCE OFFBOARDING as one gate-checked claim: the whole
+    * offboarded generation, layer by layer, equals the pipeline
+    * rebuilt without the retired source (frozen models). Six rows:
+    * (layer, n_rows, content_sum), layer-ordered. */
+  def e15SourceOffboard(spark: SparkSession, dir: String): DataFrame = {
+    val sigStr = concat_ws(":",
+      col("doc_id") +: (0 until Dedup.NumHashes).map(k => col(s"mh$k")): _*)
+    val flg = offboardDocflags(spark, dir)
+    Seq(
+      layerCensus("signatures", offboardSignatures(spark, dir), sigStr),
+      layerCensus("pairs", offboardPairs(spark, dir),
+        concat_ws(":", col("a_id"), col("b_id"),
+          round(col("jaccard") * 1000).cast("long"))),
+      layerCensus("labels", offboardLabels(spark, dir),
+        concat_ws(":", col("doc_id"), col("cluster_id"))),
+      layerCensus("docflags", flg,
+        concat_ws(":", col("doc_id"), col("source"), col("n_tok"),
+          b01(col("s1")), b01(col("s2")), b01(col("s3")), b01(col("s4")),
+          b01(col("s5")), coalesce(col("rate_ppm"), lit(-1L)))),
+      layerCensus("bins", offboardBins(spark, dir),
+        concat_ws(":", col("epoch"), col("shard"), col("bin"),
+          col("n_docs"), col("n_tokens"))),
+      layerCensus("manifest", offboardManifest(spark, dir),
+        concat_ws(":", col("shard"), col("n_bins"), col("n_docs"),
+          col("n_tokens"), col("order_checksum"))))
+      .reduce(_ unionByName _)
+      .orderBy(col("layer"))
+  }
+
+  /** E16 — the downstream proof: the e6 leakage split drawn AFTER the
+    * offboarding serves the retracted state (cluster tickets from the
+    * offboarded labels, retired rows gone). Same census shape as e6;
+    * the oracle rebuilds the chain without the source. */
+  def e16OffboardSplit(spark: SparkSession, dir: String): DataFrame =
+    e6DocSplitsFrom(spark, dir,
+      offboardLabels(spark, dir)
+        .select(col("doc_id").as("node"), col("cluster_id")))
+      .filter(col("source") =!= E14RetiredSource)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+
+  /** E17 — RETRACT THEN ARRIVE: the composition that closes the r11
+    * resurrection hole. The e13/st13 arrival law banded new docs
+    * against the FULL signatures artifact, so a doc arriving after a
+    * retirement could band into a retired doc's bucket, verify, and
+    * mint a pair with a retired endpoint — undoing the retraction.
+    * Here the arrival runs against the OFFBOARDED generation: the
+    * delta slice of the tombstone-applied signature table (a retired
+    * feed's own arrivals are excluded with it) bands against that
+    * same table, verifies endpoint-bounded, and folds into the
+    * offboarded base pairs — and the oracle (e14's verbatim) pins
+    * the result to rebuild-without-retired EXACTLY, every round.
+    * Scale shape is e13's unchanged: delta-sized bands, bucket-
+    * bounded candidates, endpoint-bounded verify, d11's fold. */
+  def e17RetractThenArrive(spark: SparkSession, dir: String): DataFrame = {
+    val offSigs = offboardSignatures(spark, dir)
+    val cand = Dedup.arrivalCandidates(
+        offSigs.filter(e4DeltaPredOn("doc_id")), offSigs)
+      .cache() // endpoint ids ×2 + verify joins ×2 (e13's policy)
+    val sh = e13VerifyShingles(spark, dir, cand).cache()
+    val newPairs = Dedup.verifyCandidates(sh, cand)
+      .select(col("a_id"), col("b_id"))
+    val basePairs = offboardPairs(spark, dir)
+      .filter(!e4DeltaPredOn("a_id") && !e4DeltaPredOn("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val out = Dedup.incrementalFold(basePairs, newPairs)
+    cand.unpersist(false)
+    sh.unpersist(false)
+    out
+  }
+
+  /** The offboarded pair table's SQL twin: d4's full pair SELECT with
+    * retired-endpoint rows removed via LEFT-JOIN membership (the
+    * binder-safe form of two NOT INs) — the `pairs` body of every
+    * retracted-labeling oracle. */
+  private lazy val offboardPairsSql: String =
+    s"""SELECT p.a_id, p.b_id FROM (${Dedup.d4OracleSql}) p
+        LEFT JOIN documents da
+          ON da.doc_id = p.a_id AND da.source = '$E14RetiredSource'
+        LEFT JOIN documents db
+          ON db.doc_id = p.b_id AND db.source = '$E14RetiredSource'
+        WHERE da.doc_id IS NULL AND db.doc_id IS NULL"""
+
+  /** Rebuild-without-retired as one SELECT — the shared oracle of
+    * e14 (incremental retraction) and e17 (retract-then-arrive). */
+  private lazy val retractedLabelsOracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.d7LabelCtesFrom(offboardPairsSql)}
+        SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
+
+  /** e15's oracle: ONE statement rebuilding every offboarded layer
+    * from scratch without the retired source — one shared minhash
+    * chain (signatures read from `mh`, pairs from the verified-pair
+    * select), d7's closure over the filtered pairs, the funnel with
+    * drops from the RETRACTED labels and frozen full-corpus models,
+    * e10's epoch packing, e9's manifest — each folded with the same
+    * 2^40-bounded content hash the Spark census computes. */
+  private lazy val e15OracleSql: String = {
+    val mod = 1L << 40
+    def hsum(expr: String): String =
+      s"CAST(COALESCE(sum(${StableHash.duckdbHash64(expr)} % $mod), 0) AS BIGINT)"
+    def census(layer: String, from: String, expr: String): String =
+      s"SELECT '$layer' AS layer, count(*) AS n_rows, ${hsum(expr)} AS content_sum FROM $from"
+    val keep = s"source <> '$E14RetiredSource'"
+    val sigStr = (Seq("CAST(doc_id AS VARCHAR)") ++
+      (0 until Dedup.NumHashes).map(k => s"CAST(mh$k AS VARCHAR)"))
+      .mkString(" || ':' || ")
+    def i01(c: String): String = s"(CASE WHEN $c THEN '1' ELSE '0' END)"
+    s"""WITH RECURSIVE ${Dedup.d4ChainCtes},
+         oret AS (SELECT doc_id FROM documents WHERE source = '$E14RetiredSource'),
+         offsig AS (
+           SELECT mh.* FROM mh LEFT JOIN oret ON oret.doc_id = mh.doc_id
+           WHERE oret.doc_id IS NULL),
+         offpairs AS MATERIALIZED (
+           SELECT p.a_id, p.b_id, p.jaccard FROM (${Dedup.d4PairsSelect}) p
+           LEFT JOIN oret ra ON ra.doc_id = p.a_id
+           LEFT JOIN oret rb ON rb.doc_id = p.b_id
+           WHERE ra.doc_id IS NULL AND rb.doc_id IS NULL),
+         ${cleanCtesFrom(
+           Dedup.d7LabelCtesFrom("SELECT a_id, b_id FROM offpairs"))},
+         ${TextAnalysis.dsirCtes},
+         ${TextAnalysis.mixRateCtes},
+         oflj AS (
+           SELECT q.doc_id, q.source, q.n_tok,
+                  (dr.doc_id IS NULL) AS s1,
+                  (dr.doc_id IS NULL
+                    AND q.dfrac <= ${TextAnalysis.RepetitionThreshold}) AS s2,
+                  (dr.doc_id IS NULL
+                    AND q.dfrac <= ${TextAnalysis.RepetitionThreshold}
+                    AND c3.doc_id IS NULL) AS s3
+           FROM q
+           LEFT JOIN drops dr ON dr.doc_id = q.doc_id
+           LEFT JOIN contam c3 ON c3.doc_id = q.doc_id
+           WHERE q.doc_id % ${TextAnalysis.EvalStride} <> 0 AND (q.$keep)),
+         ofl AS (
+           SELECT j.doc_id, j.source, j.n_tok, j.s1, j.s2, j.s3,
+                  (j.s3 AND (j.source = '${TextAnalysis.DsirTarget}'
+                     OR pd.logw > ct.cut)) AS s4,
+                  (j.s3 AND (j.source = '${TextAnalysis.DsirTarget}'
+                     OR pd.logw > ct.cut)
+                    AND (${TextAnalysis.mixKeepSql("j.doc_id")}) < r.rate_ppm) AS s5,
+                  r.rate_ppm
+           FROM oflj j
+           LEFT JOIN perdoc pd ON pd.doc_id = j.doc_id
+           CROSS JOIN cut ct
+           LEFT JOIN mixr r ON r.source = j.source),
+         mx AS (SELECT doc_id, source, n_tok,
+                       CASE WHEN s5 THEN 1 ELSE 0 END AS s5
+                FROM ofl),
+         ${epochPackSql("o", "TRUE")},
+         omhb AS (
+           SELECT shard, bin, n_docs, n_tokens,
+                  (${StableHash.duckdbHash64(
+                    "'e7:1:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)")}) AS h,
+                  (${StableHash.duckdbHash64(
+                    "'e9:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)" +
+                      " || ':' || CAST(n_docs AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)")})
+                    % $E9HashMod AS c
+           FROM oallb),
+         omp AS (
+           SELECT shard, n_docs, n_tokens, c,
+                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, bin) AS BIGINT) AS pos
+           FROM omhb),
+         oman AS (
+           SELECT shard, count(*) AS n_bins,
+                  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                  CAST(sum(pos * c) AS BIGINT) AS order_checksum
+           FROM omp GROUP BY 1)
+         ${census("signatures", "offsig", sigStr)}
+         UNION ALL ${census("pairs", "offpairs",
+      "CAST(a_id AS VARCHAR) || ':' || CAST(b_id AS VARCHAR) || ':' || " +
+        "CAST(CAST(round(jaccard * 1000) AS BIGINT) AS VARCHAR)")}
+         UNION ALL ${census("labels", "labels",
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(cluster_id AS VARCHAR)")}
+         UNION ALL ${census("docflags", "ofl",
+      "CAST(doc_id AS VARCHAR) || ':' || source || ':' || CAST(n_tok AS VARCHAR)" +
+        s" || ':' || ${i01("s1")} || ':' || ${i01("s2")} || ':' || ${i01("s3")}" +
+        s" || ':' || ${i01("s4")} || ':' || ${i01("s5")}" +
+        " || ':' || CAST(COALESCE(rate_ppm, -1) AS VARCHAR)")}
+         UNION ALL ${census("bins", "oallb",
+      "CAST(epoch AS VARCHAR) || ':' || CAST(shard AS VARCHAR) || ':' || " +
+        "CAST(bin AS VARCHAR) || ':' || CAST(n_docs AS VARCHAR) || ':' || " +
+        "CAST(n_tokens AS VARCHAR)")}
+         UNION ALL ${census("manifest", "oman",
+      "CAST(shard AS VARCHAR) || ':' || CAST(n_bins AS VARCHAR) || ':' || " +
+        "CAST(n_docs AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR) || ':' || " +
+        "CAST(order_checksum AS VARCHAR)")}
+         ORDER BY layer"""
   }
 
   /** The e1 stage-1..3 CTE chain (labels → clean set), shared by the
-    * e1/e2/e3 oracles so the funnel's SQL twin has one definition. */
-  private lazy val cleanCtes: String =
-    s"""${Dedup.d7LabelCtes},
+    * e1/e2/e3 oracles so the funnel's SQL twin has one definition —
+    * parameterized over the LABELS source so the offboarded world
+    * (e15: drops from the RETRACTED labeling) states the same funnel
+    * with one text. Only `drops` depends on the labeling; the
+    * eval-gram set stays the frozen full-corpus one in both worlds
+    * (eval docs are doc_id % ${TextAnalysis.EvalStride} = 0, never
+    * the retired source in this corpus — and model freezing is the
+    * documented offboard posture: models forget on retrain cadence,
+    * rows leave now). */
+  private def cleanCtesFrom(labelCtes: String): String =
+    s"""$labelCtes,
          w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
          drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
          q AS (SELECT doc_id, source, len(w) AS n_tok,
@@ -1236,6 +1568,8 @@ object Pipeline {
          ev AS (SELECT DISTINCT g FROM u WHERE doc_id % ${TextAnalysis.EvalStride} = 0),
          contam AS (SELECT DISTINCT u.doc_id FROM u JOIN ev USING (g)
                     WHERE u.doc_id % ${TextAnalysis.EvalStride} <> 0)"""
+
+  private lazy val cleanCtes: String = cleanCtesFrom(Dedup.d7LabelCtes)
 
   /** e2's selection+mixing flags over the clean set — the s4/s5 CTE
     * tail shared by the e2 and e3 oracles. Composes the standalone
@@ -1362,13 +1696,16 @@ object Pipeline {
     * fragments: d7's transitive-closure labeling, t9's dup-fraction
     * formula, t10's eval-gram overlap. */
   /** e6's twin: the same d7 transitive-closure labels, the same
-    * cluster-representative key, the same md5-derived lottery. */
-  private lazy val e6OracleSql: String =
-    s"""WITH RECURSIVE ${Dedup.d7LabelCtes},
+    * cluster-representative key, the same md5-derived lottery —
+    * parameterized over the labeling and the document filter so e16
+    * can state the identical split census over the OFFBOARDED world
+    * (retracted labels, retired rows gone). */
+  private def e6CensusSql(labelCtes: String, keep: String): String =
+    s"""WITH RECURSIVE $labelCtes,
          docs AS (
            SELECT doc_id, source,
                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
-           FROM documents),
+           FROM documents WHERE ($keep)),
          keyed AS (
            SELECT d.doc_id, d.source, d.n_tok,
                   COALESCE(l.cluster_id, d.doc_id) AS split_key
@@ -1385,6 +1722,8 @@ object Pipeline {
          SELECT split, source, count(*) AS n_docs,
                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM sp GROUP BY 1, 2 ORDER BY split, source"""
+
+  private lazy val e6OracleSql: String = e6CensusSql(Dedup.d7LabelCtes, "TRUE")
 
   /** waterFill's oracle chain — the spec ladder, exact-ratio sort,
     * prefix sums, cross-multiply cut (sentinel row for the B ≥ total
@@ -1516,17 +1855,19 @@ object Pipeline {
     // closure chain (ONE CTE text, d7LabelCtesFrom) over the d4 pair
     // table with retired-endpoint rows removed via LEFT-JOIN
     // membership (the binder-safe form of two NOT INs)
-    "e14_graph_retract" -> {
-      val retiredJoin =
-        s"""SELECT p.a_id, p.b_id FROM (${Dedup.d4OracleSql}) p
-            LEFT JOIN documents da
-              ON da.doc_id = p.a_id AND da.source = '$E14RetiredSource'
-            LEFT JOIN documents db
-              ON db.doc_id = p.b_id AND db.source = '$E14RetiredSource'
-            WHERE da.doc_id IS NULL AND db.doc_id IS NULL"""
-      s"""WITH RECURSIVE ${Dedup.d7LabelCtesFrom(retiredJoin)}
-          SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
-    },
+    "e14_graph_retract" -> retractedLabelsOracleSql,
+    // e17: retract-then-arrive ≡ rebuild-without-retired — the SAME
+    // oracle as e14 states the composition law: arrivals folded over
+    // the offboarded base, with the retired exclusion on both the
+    // arriving slice and the banding state, land on exactly the
+    // labeling a full rebuild without the retired source reaches
+    "e17_retract_then_arrive" -> retractedLabelsOracleSql,
+    "e15_source_offboard" -> e15OracleSql,
+    // e16: the split census a user draws AFTER offboarding — the e6
+    // chain over the retracted labeling with the retired rows gone
+    "e16_offboard_split" -> e6CensusSql(
+      Dedup.d7LabelCtesFrom(offboardPairsSql),
+      s"source <> '$E14RetiredSource'"),
     // e11: the e10 packing chain twice — the pre-delete world for the
     // per-shard removed mass, the retained world (mixed set minus the
     // retired source) for the post-delete manifest — emitted from the

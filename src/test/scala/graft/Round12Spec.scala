@@ -111,6 +111,85 @@ class Round12Spec extends AnyFunSuite {
       "post-compaction serve != rebuild-without-deleted")
   }
 
+  // ---------- offboarded generation (e15/e16/e17) ----------
+
+  test("offboard: e14 serves the persisted retraction, which equals both " +
+    "the from-scratch incremental retraction and a rebuild-CC over the " +
+    "retired-filtered pair table") {
+    assert(rows(Pipeline.e14GraphRetract(spark, dir)) ===
+      rows(Pipeline.e14Derived(spark, dir)),
+      "e14 artifact-served != incremental derivation")
+    val rebuilt = Dedup.connectedComponents(
+        Pipeline.offboardPairs(spark, dir), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    assert(rows(Pipeline.offboardLabels(spark, dir)) === rows(rebuilt),
+      "persisted retraction != rebuild-without-retired")
+  }
+
+  test("offboard layers: tombstone-applied signatures equal live-minus-" +
+    "retired (non-vacuously), and no layer carries a retired row") {
+    val retired = Pipeline.retiredDocs(spark, dir)
+    val live = Pipeline.signaturesArtifact(spark, dir)
+    assert(live.join(retired, Seq("doc_id"), "left_semi").count() > 0,
+      "vacuous: the retired source has no signatures at this SF")
+    assert(rows(Pipeline.offboardSignatures(spark, dir)) ===
+      rows(live.join(retired, Seq("doc_id"), "left_anti")),
+      "offboard signatures != live minus retired")
+    val op = Pipeline.offboardPairs(spark, dir)
+    assert(op.join(retired.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+      .count() === 0L)
+    assert(op.join(retired.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+      .count() === 0L)
+    assert(Pipeline.offboardDocflags(spark, dir)
+      .filter(col("source") === Pipeline.E14RetiredSource).count() === 0L)
+  }
+
+  test("offboard cascade: a doc dropped only because its canonical was " +
+    "retired RE-ENTERS dedup survival (constructed — the branch e11's " +
+    "frozen-flag filter deliberately skips; live at sf0.1, probed 10 docs)") {
+    import spark.implicits._
+    // cluster {2 (retired, canonical), 5} via pair (2,5); {7,8} untouched
+    val pairs = Seq((2L, 5L), (7L, 8L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    assert(labels.filter(col("node") === 5L && col("cluster_id") === 2L).count() === 1L,
+      "precondition: 5 is dropped under the live labeling (canonical 2)")
+    val out = Pipeline.retractFromGraph(pairs, labels, Seq(2L).toDF("doc_id"))
+    // 5's only pair had a retired endpoint: it leaves the labeling
+    // entirely — downstream dropsOf() no longer drops it (s1 true)
+    assert(out.filter(col("doc_id") === 5L).count() === 0L,
+      "5 still labeled — its drop would persist after the retraction")
+    assert(rows(out) === Set("[7,7]", "[8,7]"),
+      "untouched cluster must pass through unchanged")
+  }
+
+  test("e17 exclusion: an arrival sharing a band with a retired doc mints " +
+    "a retired-endpoint pair WITHOUT the exclusion and none WITH it " +
+    "(constructed signatures; live at sf0.1 — 10 hazard candidates probed)") {
+    import spark.implicits._
+    def sig(id: Long, v: Long) =
+      (id, v, v, v, v, v, v, v, v, v, v, v, v, v, v, v, v)
+    val cols = "doc_id" +: (0 until Dedup.NumHashes).map(k => s"mh$k")
+    // retired doc 2 and the arriving doc 42 share EVERY minhash (same
+    // band buckets); base doc 1 differs
+    val full = Seq(sig(1L, 11L), sig(2L, 99L), sig(42L, 99L)).toDF(cols: _*)
+    val newSigs = full.filter(col("doc_id") === 42L)
+    val candFull = Dedup.arrivalCandidates(newSigs, full)
+    assert(rows(candFull) === Set("[2,42]"),
+      "the unexcluded banding must surface the retired-endpoint candidate")
+    val off = full.filter(col("doc_id") =!= 2L) // the offboarded base
+    assert(Dedup.arrivalCandidates(off.filter(col("doc_id") === 42L), off)
+      .count() === 0L,
+      "the exclusion failed: a retired doc still banded with the arrival")
+    // fold level: the unexcluded pair would RESURRECT doc 2 in the
+    // labeling; the excluded fold equals rebuild-without-retired
+    val basePairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val bad = Dedup.incrementalFold(basePairs, Seq((2L, 42L)).toDF("a_id", "b_id"))
+    assert(bad.filter(col("doc_id") === 2L).count() === 1L,
+      "sanity: the unexcluded fold resurrects the retired doc")
+    val good = Dedup.incrementalFold(basePairs, basePairs)
+    assert(good.count() === 0L, "excluded fold != rebuild-without-retired")
+  }
+
   // ---------- 2. text-sensitive ledger key ----------
 
   test("st13 ledger key: the same doc_ids with EDITED text commit as a new " +
