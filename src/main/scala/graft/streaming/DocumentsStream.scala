@@ -79,6 +79,93 @@ object DocumentsStream {
       .sortBy(_.getName)
   }
 
+  // ---------------------------------------------------------------
+  // Ledger COMPACTION — the fold verb: without it the ledger
+  // accumulates one dir per wave forever and every serve (and every
+  // batch's banding base) re-folds all of it. compactLedger merges
+  // the committed waves into a cumulative, marker-gated COMPACTED
+  // GENERATION (`compact/gen_N/{sigs,pairs,folded}` — gen N folds
+  // gen N−1 plus the live tail, so readers only ever open the latest
+  // gen) and then clears the folded wave dirs; pairs are unioned,
+  // never re-derived (e13's refresh law — signatures are arrival-
+  // invariant, so the fold IS the merge). Crash windows, in order:
+  //   - mid-gen-write: unmarked gen dir; deleted and rebuilt by the
+  //     next compact (source waves still present — nothing lost);
+  //   - after the marker, BEFORE the wave delete: the gen AND its
+  //     source waves both exist — every reader filters waves through
+  //     the gen's FOLDED tag set, so each sig/pair serves exactly
+  //     once; the next compact GCs the leftovers;
+  //   - a wave re-delivered AFTER its dir was cleared: its content
+  //     tag is in the folded set, so maintainBatch skips it without
+  //     re-deriving a pair — the marker's exactly-once promise kept
+  //     across the compaction.
+  // The folded set rides IN the generation (cumulative), so its size
+  // is wave-count-bounded — a compaction-cadence quantity, never
+  // corpus-sized; at 100 TB the driver-side tag set is the same few
+  // hundred strings the ledger listing already was.
+  // ---------------------------------------------------------------
+
+  /** Committed compacted generations, name-ordered (zero-padded
+    * indices, so the latest is last). */
+  private[graft] def committedGens(spark: SparkSession, base: String): Seq[Path] = {
+    val root = new Path(s"$base/compact")
+    val f = fsOf(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => f.exists(new Path(p, CommitMarker)))
+      .sortBy(_.getName)
+  }
+
+  /** The arrived ledger state every reader folds over: the latest
+    * committed generation (if any), its folded tag set (outlives the
+    * wave dirs it covers), and the live wave tail the set does NOT
+    * cover. `dirs(sub)` is the exactly-once read plan: gen first,
+    * then live waves. */
+  private[graft] final case class LedgerState(gen: Option[Path],
+      folded: Set[String], waves: Seq[Path]) {
+    def dirs(sub: String): Seq[String] =
+      (gen.toSeq ++ waves).map(p => new Path(p, sub).toString)
+  }
+
+  private[graft] def ledgerState(spark: SparkSession, base: String): LedgerState = {
+    val gen = committedGens(spark, base).lastOption
+    val folded = gen.map(g =>
+      spark.read.parquet(new Path(g, "folded").toString)
+        .collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
+    LedgerState(gen, folded,
+      committedBatches(spark, base).filterNot(p => folded(p.getName)))
+  }
+
+  /** Fold the committed live waves into the next compacted
+    * generation and clear them. Marker-gated and idempotent: with no
+    * live waves it only GCs crash-window leftovers and returns. */
+  private[graft] def compactLedger(spark: SparkSession, base: String): Unit = {
+    val st = ledgerState(spark, base)
+    val f = fsOf(spark, new Path(base))
+    // leftovers of the marker→delete crash window: waves the latest
+    // gen already covers (readers were already excluding them)
+    committedBatches(spark, base).filter(p => st.folded(p.getName))
+      .foreach(p => f.delete(p, true))
+    if (st.waves.isEmpty) return
+    val next = new Path(f"$base/compact/gen_${committedGens(spark, base).size}%05d")
+    f.delete(next, true) // unmarked scratch from a crashed compact
+    spark.read.parquet(st.dirs("sigs"): _*)
+      .write.mode("overwrite").parquet(new Path(next, "sigs").toString)
+    spark.read.schema(pairsSchema).parquet(st.dirs("pairs"): _*)
+      .write.mode("overwrite").parquet(new Path(next, "pairs").toString)
+    val folded = (st.folded ++ st.waves.map(_.getName)).toSeq.sorted
+    import spark.implicits._
+    folded.toDF("tag").coalesce(1)
+      .write.mode("overwrite").parquet(new Path(next, "folded").toString)
+    // marker LAST: the gen is live only once all three tables exist
+    f.create(new Path(next, CommitMarker), true).close()
+    // cleanup AFTER the commit — the crash window readers tolerate
+    st.waves.foreach(p => f.delete(p, true))
+    committedGens(spark, base).filter(_.getName != next.getName)
+      .foreach(p => f.delete(p, true)) // superseded cumulative gens
+  }
+
   /** One arrival micro-batch: the batch's signatures + its verified
     * new pairs, committed into a content-keyed, marker-gated ledger
     * dir. Content-keyed — count plus TWO order-independent folds of
@@ -110,13 +197,17 @@ object DocumentsStream {
     val bdir = new Path(s"$base/ledger/$tag")
     val f = fsOf(spark, bdir)
     if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
+    val led = ledgerState(spark, base)
+    if (led.folded(tag)) return // replay of a COMPACTED wave: its dir
+    // is gone but the folded set still vouches for it — skip without
+    // re-deriving a pair
     f.delete(bdir, true)
     // arrived = base + committed earlier waves + this wave. Earlier
-    // waves are read from the ledger (committed before this batch
-    // ran — foreachBatch is sequential), the base from the persisted
+    // waves are read from the ledger (the latest compacted generation
+    // plus the live tail — committed before this batch ran,
+    // foreachBatch is sequential), the base from the persisted
     // signatures artifact; neither is re-derived.
-    val priorDirs = committedBatches(spark, base)
-      .map(p => new Path(p, "sigs").toString)
+    val priorDirs = led.dirs("sigs")
     val sigsB = Dedup.minhashSignatures(Dedup.shingleRows(batch))
       .cache() // consumed by the ledger write, the band join, and `arrived`
     var cand: DataFrame = null
@@ -148,12 +239,12 @@ object DocumentsStream {
   }
 
   /** The converged labeling: d11's fold (ONE definition,
-    * Dedup.incrementalFold) over the base pair graph + every
-    * committed ledger wave — e13's law, read at serve time. */
+    * Dedup.incrementalFold) over the base pair graph + the arrived
+    * ledger state (latest compacted generation + live wave tail) —
+    * e13's law, read at serve time. */
   private[graft] def labelsFromLedger(spark: SparkSession, dir: String,
                                       base: String): DataFrame = {
-    val waveDirs = committedBatches(spark, base)
-      .map(p => new Path(p, "pairs").toString)
+    val waveDirs = ledgerState(spark, base).dirs("pairs")
     // ONE multi-path relation (not N unions); the explicit schema
     // keeps the zero-wave case a well-typed empty frame
     val fresh =
@@ -222,11 +313,40 @@ object DocumentsStream {
     labelsFromLedger(spark, dir, base)
   }
 
+  /** The ST14 gate entry — st13's maintenance loop WITH the fold verb
+    * exercised for real on the gate path: wave A arrives and is
+    * COMPACTED into generation 0 (ledger cleared), wave B then
+    * arrives — its banding base is the gen's sigs, not wave dirs —
+    * across the same checkpoint restart as st13, and a second compact
+    * folds it into the cumulative generation 1; the serve reads ONE
+    * compacted generation and zero ledger dirs. Oracle = d7's
+    * full-rebuild SQL verbatim, so the driver hash-checks
+    * fold∘maintain ≡ rebuild every round. Round12Spec separately pins
+    * the crash window (marker present, waves not yet deleted — no
+    * double-serve) and the post-compaction replay skip. */
+  def st14LedgerCompact(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st14", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    f.mkdirs(new Path(s"$base/in"))
+    stageWave(spark, dir, base, 0)
+    runMaintain(spark, dir, base, s"$base/cp").stop()
+    compactLedger(spark, base) // wave A → gen 0, ledger cleared
+    stageWave(spark, dir, base, 1)
+    runMaintain(spark, dir, base, s"$base/cp").stop()
+    compactLedger(spark, base) // gen 0 + wave B → gen 1 (cumulative)
+    labelsFromLedger(spark, dir, base)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("st13_graph_maintain" -> (st13GraphMaintain _))
+    Map("st13_graph_maintain" -> (st13GraphMaintain _),
+        "st14_ledger_compact" -> (st14LedgerCompact _))
 
   // the maintained graph's labeling must equal the full rebuild —
-  // e13's law held across micro-batches and a restart
+  // e13's law held across micro-batches and a restart (st13), and
+  // additionally across two ledger compactions (st14)
   val oracles: Map[String, String] =
-    Map("st13_graph_maintain" -> Dedup.d7ComponentsOracleSql)
+    Map("st13_graph_maintain" -> Dedup.d7ComponentsOracleSql,
+        "st14_ledger_compact" -> Dedup.d7ComponentsOracleSql)
 }

@@ -216,4 +216,105 @@ class Round12Spec extends AnyFunSuite {
         "edited wave aliased the committed one — stale pairs would serve")
     } finally { wave.unpersist(); fs.delete(bp, true); () }
   }
+
+  // ---------- 3. st14 ledger compaction ----------
+
+  test("st14: compaction folds the waves into ONE cumulative generation " +
+    "(ledger cleared), serve ≡ rebuild, a fresh-checkpoint replay of " +
+    "COMPACTED waves re-derives nothing, and the marker→delete crash " +
+    "window double-serves nothing") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    val maintained = rows(DocumentsStream.st14LedgerCompact(spark, dir))
+    val rebuilt = rows(Dedup.d7DedupComponents(spark, dir))
+    assert(maintained === rebuilt, "compacted serve != full rebuild")
+    val base = ArtifactRoots.tagged("graft_st14", dir)
+    assert(DocumentsStream.committedBatches(spark, base).isEmpty,
+      "compaction must clear the folded wave dirs")
+    assert(DocumentsStream.committedGens(spark, base).size === 1,
+      "cumulative compaction keeps exactly one live generation")
+    val st = DocumentsStream.ledgerState(spark, base)
+    assert(st.folded.size === 2, s"both wave tags must be folded: ${st.folded}")
+
+    // fresh-checkpoint replay: the file source re-delivers BOTH waves;
+    // their ledger dirs are GONE but the folded set vouches for them —
+    // zero dirs recreated, zero pairs re-derived, serve unchanged
+    DocumentsStream.runMaintain(spark, dir, base, s"$base/cp_replay").stop()
+    assert(DocumentsStream.committedBatches(spark, base).isEmpty,
+      "a compacted wave was re-derived on fresh-checkpoint re-delivery")
+    assert(rows(DocumentsStream.labelsFromLedger(spark, dir, base)) === rebuilt,
+      "serve drifted after the post-compaction replay")
+
+    // crash window: marker written, wave dirs not yet deleted. Restore
+    // a covered wave dir with POISON pairs — if any reader opened it,
+    // the labeling would change — then assert serve excludes it and the
+    // next compact GCs it without minting a new generation.
+    val hfs = FileSystem.get(new Path(base).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val ghost = new Path(s"$base/ledger/${st.folded.head}")
+    Seq((999998L, 999999L, 1.0)).toDF("a_id", "b_id", "jaccard")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(ghost, "pairs").toString)
+    hfs.create(new Path(ghost, "_GRAFT_COMMIT"), true).close()
+    assert(DocumentsStream.committedBatches(spark, base).size === 1,
+      "precondition: the ghost wave is marker-committed")
+    assert(DocumentsStream.ledgerState(spark, base).waves.isEmpty,
+      "a folded wave leaked back into the live tail")
+    assert(rows(DocumentsStream.labelsFromLedger(spark, dir, base)) === rebuilt,
+      "the crash-window leftover was double-served (poison pair read)")
+    DocumentsStream.compactLedger(spark, base)
+    assert(DocumentsStream.committedBatches(spark, base).isEmpty,
+      "the crash-window leftover was not GC'd")
+    assert(DocumentsStream.committedGens(spark, base).size === 1 &&
+      DocumentsStream.ledgerState(spark, base).folded.size === 2,
+      "a GC-only compact must not mint a new generation")
+  }
+
+  test("st14 fold content: the compacted generation carries exactly the " +
+    "waves' sigs and pairs, cumulatively across two compactions, and the " +
+    "superseded generation is GC'd (constructed)") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    val tmp = System.getProperty("java.io.tmpdir")
+    val base = s"$tmp/graft_r12_compactfold"
+    val bp = new Path(base)
+    val fs = FileSystem.get(bp.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.delete(bp, true)
+    try {
+      def commitWave(tag: String, ids: Seq[Long], pair: (Long, Long)): Unit = {
+        val sh = ids.flatMap(i => Seq((i, s"x$i"), (i, s"y$i"))).toDF("doc_id", "s")
+        val w = new Path(s"$base/ledger/$tag")
+        Dedup.minhashSignatures(sh)
+          .write.mode("overwrite").parquet(new Path(w, "sigs").toString)
+        Seq((pair._1, pair._2, 1.0)).toDF("a_id", "b_id", "jaccard")
+          .write.mode("overwrite").parquet(new Path(w, "pairs").toString)
+        fs.create(new Path(w, "_GRAFT_COMMIT"), true).close()
+      }
+      commitWave("b_wave_a", Seq(100L, 200L), (100L, 200L))
+      DocumentsStream.compactLedger(spark, base)
+      val s1 = DocumentsStream.ledgerState(spark, base)
+      assert(s1.gen.isDefined && s1.waves.isEmpty && s1.folded === Set("b_wave_a"))
+      assert(spark.read.parquet(s1.dirs("sigs"): _*)
+        .select("doc_id").as[Long].collect().toSet === Set(100L, 200L),
+        "gen 0 must carry wave A's sigs (the post-compaction banding base)")
+      commitWave("b_wave_b", Seq(300L), (200L, 300L))
+      DocumentsStream.compactLedger(spark, base)
+      val s2 = DocumentsStream.ledgerState(spark, base)
+      assert(s2.folded === Set("b_wave_a", "b_wave_b"),
+        "the folded set must be cumulative")
+      assert(DocumentsStream.committedGens(spark, base).size === 1,
+        "the superseded generation must be GC'd")
+      assert(spark.read.parquet(s2.dirs("sigs"): _*)
+        .select("doc_id").as[Long].collect().toSet === Set(100L, 200L, 300L),
+        "gen 1 must carry BOTH waves' sigs")
+      assert(rows(spark.read.parquet(s2.dirs("pairs"): _*)
+        .select(col("a_id"), col("b_id"))) === Set("[100,200]", "[200,300]"),
+        "gen 1 must carry both waves' pairs exactly once")
+      // idempotent third compact: nothing live — no new generation
+      val before = DocumentsStream.committedGens(spark, base).map(_.getName)
+      DocumentsStream.compactLedger(spark, base)
+      assert(DocumentsStream.committedGens(spark, base).map(_.getName) === before,
+        "a no-op compact minted or renamed a generation")
+    } finally { fs.delete(bp, true); () }
+  }
 }
