@@ -153,6 +153,22 @@ object Pipeline {
   private[graft] def truthPairsArtifact(spark: SparkSession, dir: String): DataFrame =
     ensureArtifact(spark, dir, "truth_pairs")(Dedup.d3JaccardPairs(spark, dir))
 
+  /** t21's DSIR model PERSISTED — the scored pool (doc_id, source,
+    * logw) with its 1-row selection cut beside it: the standalone t21
+    * row and the docflags builder both read ONE tokenize+bucket pass
+    * instead of re-deriving it per query (the d-family's serve law at
+    * the model layer), and the frozen-model posture every offboard/
+    * retention verb documents ("models forget on the retrain cadence,
+    * rows leave now") becomes literal — the frozen model IS this
+    * table. e4/e5's delta scorings keep the parameterized derivation:
+    * their train/score predicate splits are not the full-pool model. */
+  private[graft] def dsirPerDocArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "dsir_perdoc")(TextAnalysis.dsirPerDoc(spark, dir))
+
+  private[graft] def dsirCutArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "dsir_cut")(
+      TextAnalysis.dsirCut(dsirPerDocArtifact(spark, dir)))
+
   /** d7's global CC labeling FROM SCRATCH (no artifact tree touched) —
     * the spec-side twin Round10/11Spec compare the served tables
     * against; the artifact build itself goes through [[pairsArtifact]]
@@ -255,9 +271,8 @@ object Pipeline {
     * reach the final mix. */
   private[graft] def docFlagsDerived(spark: SparkSession, dir: String,
                                      labels: DataFrame): DataFrame = {
-    val perDocFull = TextAnalysis.dsirPerDoc(spark, dir)
-    val perDoc = perDocFull.select(col("doc_id"), col("logw"))
-    val cut = TextAnalysis.dsirCut(perDocFull)
+    val perDoc = dsirPerDocArtifact(spark, dir).select(col("doc_id"), col("logw"))
+    val cut = dsirCutArtifact(spark, dir)
     val rates = TextAnalysis.mixRates(spark, dir)
     funnelFrame(spark, dir, labels)
       .join(perDoc, Seq("doc_id"), "left")

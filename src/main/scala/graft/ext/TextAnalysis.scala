@@ -818,7 +818,7 @@ object TextAnalysis {
   /** t21's model, factored for reuse by the e2 pipeline stage: per
     * non-target-doc DSIR log importance weight (doc_id, source,
     * logw) from the hashed-unigram bucket model. */
-  private[ext] def dsirPerDoc(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def dsirPerDoc(spark: SparkSession, dir: String): DataFrame =
     dsirPerDocOn(spark, dir, lit(true), lit(true))
 
   /** Parameterized form: the bucket model (target/raw counts +
@@ -855,19 +855,33 @@ object TextAnalysis {
 
   /** Pool-wide selection cut: a 1-row exact-percentile aggregate
     * broadcast back (t8's pattern) — never a global sort/rank. */
-  private[ext] def dsirCut(perDoc: DataFrame): DataFrame =
+  private[graft] def dsirCut(perDoc: DataFrame): DataFrame =
     perDoc.agg(percentile(col("logw"), lit(DsirSelectQuantile)).as("cut"))
 
-  def t21DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+  def t21DsirSelect(spark: SparkSession, dir: String): DataFrame =
+    // served from the PERSISTED model (Pipeline.dsirPerDocArtifact +
+    // its cut) since r12 — one tokenize+bucket pass per corpus, not
+    // per query; [[t21Derived]] keeps the from-scratch path as the
+    // spec twin and the builder, and the DuckDB oracle still rebuilds
+    // the whole model per round, so the artifact's CONTENT stays
+    // hash-pinned to the derivation.
+    t21RollupFrom(Pipeline.dsirPerDocArtifact(spark, dir),
+      Pipeline.dsirCutArtifact(spark, dir))
+
+  /** The from-scratch t21 — the model artifact's builder shape and
+    * the spec-side twin (Round12Spec pins served ≡ derived). */
+  private[graft] def t21Derived(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = dsirPerDoc(spark, dir)
-    val cut = dsirCut(perDoc)
+    t21RollupFrom(perDoc, dsirCut(perDoc))
+  }
+
+  private def t21RollupFrom(perDoc: DataFrame, cut: DataFrame): DataFrame =
     perDoc.crossJoin(broadcast(cut))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            round(avg(col("logw")), 3).as("avg_logw"),
            sum(when(col("logw") > col("cut"), 1L).otherwise(0L)).as("n_selected"))
       .orderBy(col("source"))
-  }
 
   val HeavyK = 64 // heavy = tokens with count·K > corpus total (freq > 1/K)
 

@@ -217,6 +217,21 @@ class Round12Spec extends AnyFunSuite {
     } finally { wave.unpersist(); fs.delete(bp, true); () }
   }
 
+  // ---------- t21 model serve ----------
+
+  test("t21 serves from the persisted DSIR model and equals the " +
+    "from-scratch derivation; the cut artifact equals the derived cut") {
+    import graft.ext.TextAnalysis
+    assert(rows(TextAnalysis.t21DsirSelect(spark, dir)) ===
+      rows(TextAnalysis.t21Derived(spark, dir)),
+      "t21 artifact-served != from-scratch derivation")
+    val servedCut = Pipeline.dsirCutArtifact(spark, dir)
+      .collect()(0).getDouble(0)
+    val derivedCut = TextAnalysis.dsirCut(
+      TextAnalysis.dsirPerDoc(spark, dir)).collect()(0).getDouble(0)
+    assert(servedCut === derivedCut, "persisted cut != derived cut")
+  }
+
   // ---------- 3. st14 ledger compaction ----------
 
   test("st14: compaction folds the waves into ONE cumulative generation " +
