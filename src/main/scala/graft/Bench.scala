@@ -92,6 +92,14 @@ object Bench {
     // mini-pass treatment before it ships.
     val retryFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR", "2.0").toDouble
     val retryMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    // second retry tier (r11 hygiene): rows drifting 1.2–1.5× on
+    // unchanged code under contention stayed below the 2× line and
+    // shipped noisy. A milder ratio with a LARGER absolute gap (>1.5s
+    // — sub-1.5s drift is ambient noise on this VM, retrying it burns
+    // passes for nothing) catches exactly the q28/s-lifecycle class
+    // without retrying the whole suite.
+    val retryFactor2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR2", "1.5").toDouble
+    val retryGap2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_GAP2", "1.5").toDouble
     // ---- floor work-versioning ---------------------------------------
     // A floor is meaningful only while the operator does the SAME WORK
     // it did when the floor was set: min-merge can only ratchet down,
@@ -105,7 +113,9 @@ object Bench {
     //   s20@v2: the NN-Descent refinement round (r10) is ~2x the
     //   pre-descent build by design (recall@10 0.72 -> 0.89 at
     //   unchanged probes); its 2.647s floor predates that contract.
-    val workVersion: Map[String, Int] = Map("s20_knn_graph" -> 2)
+    //   @v3 (r12): s20 runs a SECOND NN-Descent round (the recall
+    //   curve's next point); its @v2 floor predates that contract.
+    val workVersion: Map[String, Int] = Map("s20_knn_graph" -> 3)
     def floorKey(name: String): String =
       workVersion.get(name).map(v => s"$name@v$v").getOrElse(name)
     val dirName = new java.io.File(sfDir).getName
@@ -140,7 +150,9 @@ object Bench {
         Map.empty
       }
     def isOutlier(name: String, t: Double, status: String): Boolean =
-      status == "ok" && priorFloor.get(floorKey(name)).exists(fl => t > fl * retryFactor && t - fl > 1.0)
+      status == "ok" && priorFloor.get(floorKey(name)).exists(fl =>
+        (t > fl * retryFactor && t - fl > 1.0) ||
+        (t > fl * retryFactor2 && t - fl > retryGap2))
     val byName = qs.toMap
     var results = firstResults
     var retriesUsed = 0

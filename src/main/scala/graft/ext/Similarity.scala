@@ -987,35 +987,59 @@ object Similarity {
     knnRankTopK(cand, qv)
   }
 
-  def s20KnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val qv = quantVecs(spark, dir)
-    // round 1 is read three times below (both sides of the two-hop
-    // self-join + the union floor) — cache it for the call; the final
-    // graph itself stays DISTRIBUTED and lazy (corpus×k — collecting
-    // or checkpointing it would be a scale bug), and the harness's
-    // clearCache releases the round-1 block after the action
-    val g1 = s20Round1Graph(spark, dir, qv).cache()
-    // ONE NN-Descent refinement round (Dong et al., WWW'11): a
-    // vector's improved candidates are its neighbors' neighbors over
-    // the SYMMETRIZED round-1 graph (forward + reverse edges — the
-    // reverse direction is what lets a vector escape its own probed
-    // lists), unioned with its round-1 answer so the refinement is
-    // monotone (exact re-rank over a superset can only improve
-    // recall). Candidate volume is O(n·(2k)²) — linear in n at fixed
-    // k, independent of list sizes; measured recall@10 at sf0.001:
-    // 0.72 → 0.89 at unchanged probe count (Round10Spec).
-    val sym = g1.select(col("vec_id"), col("nb_id"))
-      .union(g1.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
-    val cand2 = sym.select(col("vec_id"), col("nb_id").as("mid"))
+  /** NN-Descent round count for the s20 gate. The convergence curve
+    * measured at sf0.001, recall@10 vs the brute-force graph at
+    * unchanged probe count: blocked round-1 0.721 → one round 0.886 →
+    * two rounds 0.912 (Round12Spec pins the curve; it flattens fast,
+    * as Dong et al.'s empirical curves do — most of the lift is in
+    * iteration 1, and round 2's +2.6 points is the knee). Each round
+    * costs one O(n·(2k)²) candidate join + exact re-rank; floors
+    * re-key on this knob (Bench.workVersion: @v2 = 1 round, @v3 = 2
+    * rounds). Past the knee, recall is probe-bound — widen
+    * [[S20Probes]] before adding round 3. */
+  val S20DescentRounds = 2
+
+  /** ONE NN-Descent refinement round (Dong et al., WWW'11): a
+    * vector's improved candidates are its neighbors' neighbors over
+    * the SYMMETRIZED current graph (forward + reverse edges — the
+    * reverse direction is what lets a vector escape its own probed
+    * lists), unioned with its current answer so the refinement is
+    * monotone (exact re-rank over a superset can only improve
+    * recall). Candidate volume is O(n·(2k)²) — linear in n at fixed
+    * k, independent of list sizes. */
+  private def s20DescentRound(g: DataFrame, qv: DataFrame): DataFrame = {
+    val sym = g.select(col("vec_id"), col("nb_id"))
+      .union(g.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
+    val cand = sym.select(col("vec_id"), col("nb_id").as("mid"))
       .join(sym.select(col("vec_id").as("mid"), col("nb_id")), Seq("mid"))
       .filter(col("vec_id") =!= col("nb_id"))
       .select(col("vec_id"), col("nb_id"))
-      .union(g1.select(col("vec_id"), col("nb_id")))
+      .union(g.select(col("vec_id"), col("nb_id")))
       .distinct()
-    knnRankTopK(cand2, qv)
-      .select(col("vec_id"), col("nb_id").as("neighbor_id"), col("d2_fp"), col("rank"))
+    knnRankTopK(cand, qv)
+  }
+
+  /** The graph at an arbitrary descent depth — Round12Spec sweeps the
+    * rounds axis for the recall curve; the gate serves
+    * [[S20DescentRounds]]. */
+  private[graft] def s20KnnGraphRounds(spark: SparkSession, dir: String,
+                                       rounds: Int): DataFrame = {
+    val qv = quantVecs(spark, dir)
+    // each round's graph is read three times by the next (both sides
+    // of the two-hop self-join + the union floor) — cache it for the
+    // call; the final graph itself stays DISTRIBUTED and lazy
+    // (corpus×k — collecting or checkpointing it would be a scale
+    // bug), and the harness's clearCache releases the blocks after
+    // the action
+    var g = s20Round1Graph(spark, dir, qv).cache()
+    for (_ <- 1 to rounds)
+      g = s20DescentRound(g.select(col("vec_id"), col("nb_id")), qv).cache()
+    g.select(col("vec_id"), col("nb_id").as("neighbor_id"), col("d2_fp"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
   }
+
+  def s20KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    s20KnnGraphRounds(spark, dir, S20DescentRounds)
 
   /** S19 — RADIUS search from the persisted index (FAISS
     * `range_search`, Milvus `search` with `radius`): the other query
@@ -2208,14 +2232,45 @@ object Similarity {
     * "deletes never retrain, they only shrink the lists". Filtering
     * candidates alone suffices: a deleted row in the codes table can
     * only reach the answer through the candidate join. */
+  /** One oracle-side descent round: two-hop candidates over the
+    * symmetrized g$i, unioned with g$i, re-scored with the same exact
+    * distance and re-ranked into rk${i+1}/g${i+1} — the CTE twin of
+    * [[s20DescentRound]], unrolled [[S20DescentRounds]] times. */
+  private def s20DescentCtes(i: Int): String =
+    s"""sym$i AS (SELECT vec_id, nb_id FROM g$i
+                 UNION SELECT nb_id, vec_id FROM g$i),
+         cand${i + 1} AS (
+           SELECT a.vec_id, b.nb_id
+           FROM sym$i a JOIN sym$i b ON b.vec_id = a.nb_id
+           WHERE a.vec_id <> b.nb_id
+           UNION SELECT vec_id, nb_id FROM g$i),
+         dots${i + 1} AS (
+           SELECT c.vec_id, c.nb_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+           FROM cand${i + 1} c
+           JOIN qv a ON a.vec_id = c.vec_id
+           JOIN qv b ON b.vec_id = c.nb_id AND b.i = a.i
+           GROUP BY 1, 2),
+         sc${i + 1} AS (
+           SELECT d.vec_id, d.nb_id,
+                  CAST(na.nv + nb.nv - 2 * d.dot AS BIGINT) AS d2_fp
+           FROM dots${i + 1} d
+           JOIN nv na ON na.vec_id = d.vec_id
+           JOIN nv nb ON nb.vec_id = d.nb_id),
+         rk${i + 1} AS (
+           SELECT vec_id, nb_id, d2_fp,
+                  CAST(row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2_fp, nb_id) AS INTEGER) AS rank
+           FROM sc${i + 1}),
+         g${i + 1} AS (SELECT vec_id, nb_id FROM rk${i + 1} WHERE rank <= $TopK)"""
+
   /** s20's mirror: the k-means chain's ranks for ALL vectors (probe =
     * r ≤ S20Probes, membership = r = 1), pair candidates inside the
     * shared lists, exact integer d2 = na + nb − 2·dot via the
-    * expanded qv join, per-vector rank — then ONE NN-Descent round:
-    * two-hop candidates over the symmetrized round-1 top-k, unioned
-    * with round 1, re-scored with the same exact distance and
-    * re-ranked. */
-  private lazy val s20OracleSql: String =
+    * expanded qv join, per-vector rank — then [[S20DescentRounds]]
+    * NN-Descent rounds via [[s20DescentCtes]]. */
+  private lazy val s20OracleSql: String = {
+    val fin = S20DescentRounds + 1
+    val descent = (1 to S20DescentRounds).map(s20DescentCtes).mkString(",\n         ")
     s"""WITH ${kmeansListsCtes()},
          probe AS (SELECT vec_id, cid FROM r$KmeansFin WHERE r <= $S20Probes),
          cand AS (
@@ -2240,32 +2295,10 @@ object Similarity {
                     ORDER BY d2_fp, nb_id) AS INTEGER) AS rank
            FROM sc),
          g1 AS (SELECT vec_id, nb_id FROM rk WHERE rank <= $TopK),
-         sym AS (SELECT vec_id, nb_id FROM g1
-                 UNION SELECT nb_id, vec_id FROM g1),
-         cand2 AS (
-           SELECT a.vec_id, b.nb_id
-           FROM sym a JOIN sym b ON b.vec_id = a.nb_id
-           WHERE a.vec_id <> b.nb_id
-           UNION SELECT vec_id, nb_id FROM g1),
-         dots2 AS (
-           SELECT c.vec_id, c.nb_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
-           FROM cand2 c
-           JOIN qv a ON a.vec_id = c.vec_id
-           JOIN qv b ON b.vec_id = c.nb_id AND b.i = a.i
-           GROUP BY 1, 2),
-         sc2 AS (
-           SELECT d.vec_id, d.nb_id,
-                  CAST(na.nv + nb.nv - 2 * d.dot AS BIGINT) AS d2_fp
-           FROM dots2 d
-           JOIN nv na ON na.vec_id = d.vec_id
-           JOIN nv nb ON nb.vec_id = d.nb_id),
-         rk2 AS (
-           SELECT vec_id, nb_id, d2_fp,
-                  CAST(row_number() OVER (PARTITION BY vec_id
-                    ORDER BY d2_fp, nb_id) AS INTEGER) AS rank
-           FROM sc2)
-         SELECT vec_id, nb_id AS neighbor_id, d2_fp, rank FROM rk2
+         $descent
+         SELECT vec_id, nb_id AS neighbor_id, d2_fp, rank FROM rk$fin
          WHERE rank <= $TopK ORDER BY vec_id, rank"""
+  }
 
   /** s19's mirror: s13's chain up to `approx` (all candidate
     * distances), the radius as the same 1-row integer aggregate over

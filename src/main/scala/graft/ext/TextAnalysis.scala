@@ -1176,9 +1176,14 @@ object TextAnalysis {
         .collect()(0) // 1 row per round — bounded driver state
       val (l, rr, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((r, l, rr, cnt))
+      // eager localCheckpoint, not cache: cache keeps the full logical
+      // lineage, so a widened rounds axis (t29's 32-merge oracle twin,
+      // Round10Spec's sweep) accumulates a linearly deeper chained-HOF
+      // plan whose rendering alone can OOM the driver; the checkpoint
+      // pins each vocab-bounded round as an RDD scan (plan depth 1).
       val next = seq0.select(col("word"), col("freq"),
-        bpeApplyMerge(col("toks"), l, rr).as("toks")).cache()
-      nRows = next.count() // materialize before dropping the parent cache
+        bpeApplyMerge(col("toks"), l, rr).as("toks")).localCheckpoint()
+      nRows = next.count()
       seq0.unpersist()
       seq0 = next
     }
@@ -1260,11 +1265,16 @@ object TextAnalysis {
           rank += 1
           merges += ((rank, l, r, c))
         }
+        // eager localCheckpoint, not cache: it TRUNCATES the lineage.
+        // 17 snapshots × ≤8 chained `aggregate` HOF lambdas otherwise
+        // accumulate a ~136-deep expression tree whose explain-string
+        // rendering alone OOMs the driver at sf0.1 — each round's
+        // frame is vocab-bounded (≤ BpeVocabCap rows), so pinning it
+        // as an RDD scan is cheap and resets plan depth to 1.
         val next = seq0.select(col("word"), col("freq"),
           picked.foldLeft(col("toks")) { case (t, (l, r, _)) =>
             bpeApplyMerge(t, l, r)
-          }.as("toks")).cache()
-        next.count() // materialize before dropping the parent cache
+          }.as("toks")).localCheckpoint()
         seq0.unpersist()
         seq0 = next
       }
@@ -1277,6 +1287,47 @@ object TextAnalysis {
     spark.createDataFrame(learnBpeMerges(spark, dir))
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
       .orderBy(col("merge_rank"))
+
+  /** t29's depth: 4× t27's merge count, learned at batch width
+    * [[BpeBatch]] — the gate path itself runs with strictly fewer
+    * snapshots than merges (measured 17 for 32 on this corpus at both
+    * spec SFs: its frequent pairs form CHAINS — colu→colum→column —
+    * and a chained merge consumes the symbol its predecessor created,
+    * so the compatible-prefix rule defers it; symbol-diverse corpora
+    * approach the merges/B ideal), the production round-trip claim
+    * made driver-visible. */
+  val BpeBatchedMerges = 32
+  val BpeBatch = 8
+
+  /** T29 — the BATCHED BPE learner under the hash gate: the first
+    * [[BpeBatchedMerges]] merges learned via [[learnBpeMergesBatched]]
+    * at width [[BpeBatch]], oracle = the SEQUENTIAL learn chain at the
+    * same depth. The entry asserts snapshots < merges in-path (the
+    * whole point of batching). Both sides emit the CANONICAL
+    * (pair_count desc, lhs, rhs) view of the merge table — the one
+    * lawful batched-vs-sequential divergence is a pair CREATED
+    * mid-batch tying an existing candidate's count (live on this
+    * corpus: merge 26 creates 'colum', and ('colum','n') ties
+    * ('cu','st') at 934 — sequential interleaves them one way, the
+    * batched learner sees the creation one snapshot later), which
+    * permutes equal-count neighbors without changing the SET, so the
+    * canonical view is the strongest order both learners share; the
+    * gate hash-pins every merge's symbols and exact count against the
+    * sequential rebuild each round, and learned-ORDER equality stays
+    * pinned in Round11Spec where disjointness guarantees it. Bounded
+    * driver state: ≤ batch rows per snapshot, |merges| rows total. */
+  def t29BpeBatched(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, snapshots) =
+      learnBpeMergesBatched(bpeVocab(spark, dir), BpeBatchedMerges, BpeBatch)
+    require(snapshots < merges.size,
+      s"batching bought nothing: $snapshots snapshots for ${merges.size} merges")
+    val canon = merges.map { case (_, l, r, c) => (l, r, c) }
+      .sortBy { case (l, r, c) => (-c, l, r) }
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1, l, r, c) }
+    spark.createDataFrame(canon)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
 
   /** T28 — ENCODE the corpus with the tokenizer t27 trained: the
     * apply side of BPE, the step that turns "we have a merge table"
@@ -1339,6 +1390,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_bpe_merges"       -> (t27BpeMerges _),
+    "t29_bpe_batched"      -> (t29BpeBatched _),
     "t28_bpe_encode"       -> (t28BpeEncode _),
     "t25_ngram_novelty"    -> (t25NgramNovelty _),
     "t26_source_drift"     -> (t26SourceDrift _),
@@ -1591,9 +1643,14 @@ object TextAnalysis {
          GROUP BY 1 ORDER BY source"""
   }
 
-  private lazy val t27OracleSql: String = {
-    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n         ")
-    val out = (1 to BpeRounds).map(r =>
+  /** The sequential BPE learn chain as one SELECT, parameterized over
+    * the merge count — t27's oracle at [[BpeRounds]] and t29's at
+    * [[BpeBatchedMerges]] (the batched learner's ground truth IS the
+    * sequential table wherever its compatible prefixes hold, which
+    * t29's gate row certifies on this corpus every round). */
+  private def bpeLearnOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n         ")
+    val out = (1 to nMerges).map(r =>
       s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM best$r")
       .mkString("\n           UNION ALL ")
     s"""WITH v0 AS (
@@ -1612,8 +1669,18 @@ object TextAnalysis {
          ORDER BY merge_rank"""
   }
 
+  private lazy val t27OracleSql: String = bpeLearnOracleSql(BpeRounds)
+
   val oracles: Map[String, String] = Map(
     "t27_bpe_merges" -> t27OracleSql,
+    // t29: the sequential chain at batched depth, re-ranked to the
+    // canonical (count, lhs, rhs) order both learners share — see
+    // t29BpeBatched's creation-tie note
+    "t29_bpe_batched" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, lhs, rhs)
+                 AS INTEGER) AS merge_rank, lhs, rhs, pair_count
+          FROM (${bpeLearnOracleSql(BpeBatchedMerges)}) s
+          ORDER BY merge_rank""",
     "t28_bpe_encode" -> t28OracleSql,
     "t24_gopher_rules" -> {
       val stopList = GopherStopwords.map(s => s"'$s'").mkString("[", ", ", "]")

@@ -364,17 +364,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the verify shingle input must be endpoint-semi-joined:\n$p")
   }
 
-  test("e14 retraction: untouched labels served straight off the labels " +
-    "artifact (scan + anti-join), never re-derived") {
+  test("e14 retraction: the gate row SERVES the persisted offboarded labels " +
+    "(one artifact FileScan, nothing re-derived); the builder keeps the " +
+    "anti-join pass-through shape") {
+    // since r12 e14 reads the offboarded generation's labels table —
+    // the retraction is an artifact, so the serve plan is a scan
     val p = plan(graft.ext.Pipeline.e14GraphRetract(spark, dir))
-    // the relabeled side roots at the fold's checkpoint, but the
-    // untouched side stays visible: the labels ARTIFACT scan (path
-    // segment, not bare 'labels') under the affected-cluster anti-join
+    // the location string truncates mid-path ("…/offboard_src2…"), so
+    // the pin matches the generation segment; content ≡ labels is the
+    // gate's hash check
     assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("/offboard_")),
+      s"e14 must serve the persisted offboarded labels artifact:\n$p")
+    // the BUILDER (the incremental retraction) keeps the r11 shape:
+    // untouched labels off the live artifact under the affected-cluster
+    // anti-join; the relabeled side roots at the fold's checkpoint
+    val b = plan(graft.ext.Pipeline.e14Derived(spark, dir))
+    assert(b.linesIterator.exists(l =>
       l.contains("FileScan") && l.contains("/labels")),
-      s"e14 must serve untouched labels from the artifact:\n$p")
-    assert(p.contains("LeftAnti"),
-      s"the affected-cluster exclusion must be an anti-join:\n$p")
+      s"the builder must pass untouched labels through from the artifact:\n$b")
+    assert(b.contains("LeftAnti"),
+      s"the affected-cluster exclusion must be an anti-join:\n$b")
   }
 
   test("e12 two-level: the running sum windows per (source, range) — no " +

@@ -232,6 +232,85 @@ class Round12Spec extends AnyFunSuite {
     assert(servedCut === derivedCut, "persisted cut != derived cut")
   }
 
+  // ---------- s20 descent round 2 ----------
+
+  test("s20: the recall curve across NN-Descent rounds at sf0.001 is " +
+    "monotone and round 2 (the gate's depth since r12) lands the expected " +
+    "convergence point") {
+    // brute-force ground truth on the same quantized-L2 metric
+    // (Round10Spec's harness, re-run here for the rounds sweep)
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val norms = raw.map { case (v, a) => v -> a.map(x => x * x).sum }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val exact = raw.map { case (vi, a) =>
+      vi -> raw.filter(_._1 != vi)
+        .map { case (vj, b) => (norms(vi) + norms(vj) - 2L * dot(a, b), vj) }
+        .sortBy(x => (x._1, x._2)).take(Similarity.TopK).map(_._2).toSet
+    }.toMap
+    def recallAt(rounds: Int): Double = {
+      val edges = Similarity.s20KnnGraphRounds(spark, dir, rounds).collect()
+      spark.catalog.clearCache()
+      edges.count(e => exact(e.getAs[Long]("vec_id"))
+        .contains(e.getAs[Long]("neighbor_id")))
+        .toDouble / (raw.length * Similarity.TopK)
+    }
+    val curve = (0 to Similarity.S20DescentRounds).map(recallAt)
+    info(s"s20 recall@${Similarity.TopK} by descent rounds: " +
+      curve.zipWithIndex.map { case (r, i) => f"$i:$r%.3f" }.mkString(" "))
+    assert(curve.sliding(2).forall(w => w(1) >= w(0) - 1e-12),
+      s"descent re-ranks a candidate SUPERSET — the curve must be monotone: $curve")
+    assert(curve.last > curve(1),
+      s"round 2 bought nothing over round 1: $curve — drop S20DescentRounds to 1")
+    // measured at sf0.001: 0.721 → 0.886 → 0.912 — round 2's lift is
+    // real (+2.6 points) but the curve is flattening, short of the
+    // textbook ~0.95 (this corpus's blocked round-1 graph starts from
+    // sparser lists than NN-Descent's random init, so two-hop closure
+    // saturates earlier); the band pins the measured point
+    assert(curve.last >= 0.90, s"round-2 recall under the measured band: $curve")
+  }
+
+  // ---------- t29 batched BPE gate depth ----------
+
+  test("t29: the batched learner reaches the full merge depth in ~merges/B " +
+    "snapshots at sf0.001, and the sequential-vs-batched divergence the gate " +
+    "doc names is LIVE at this SF (the sf0.01 gate match is a per-corpus " +
+    "certification, not a law)") {
+    import graft.ext.TextAnalysis
+    val vocab = TextAnalysis.bpeVocab(spark, dir)
+    val (batched, snapshots) = TextAnalysis.learnBpeMergesBatched(
+      vocab, TextAnalysis.BpeBatchedMerges, TextAnalysis.BpeBatch)
+    assert(batched.size === TextAnalysis.BpeBatchedMerges,
+      "batched learning stopped short of the requested depth")
+    // measured 17 snapshots for 32 merges at BOTH sf0.001 and sf0.01:
+    // this corpus's frequent pairs form CHAINS (colu→colum→column),
+    // and a chained merge consumes the symbol its predecessor just
+    // created, so the compatible-prefix rule defers it — a structural
+    // sequentiality, not a batching defect; the ~merges/B ideal needs
+    // symbol-DIVERSE top candidates (real multi-domain corpora), and
+    // the invariant the gate enforces is strict round-trip improvement.
+    assert(snapshots < batched.size,
+      s"round-trip claim failed: $snapshots snapshots for ${batched.size} merges")
+    assert(snapshots === 17, // regression pin for this corpus
+      s"snapshot count moved ($snapshots) — re-measure the SURVEY ratio note")
+    val (sequential, _) = TextAnalysis.learnBpeMergesFrom(
+      vocab, TextAnalysis.BpeBatchedMerges)
+    assert(batched !== sequential,
+      "vacuous: sf0.001 was expected to witness the creation-tie divergence " +
+        "(if regenerated data made them equal, move this pin, don't weaken it)")
+    // the shared prefix BEFORE the first divergence must be verbatim —
+    // batching reorders/bends only from the first creation-tie on
+    val firstDiff = batched.zip(sequential).indexWhere { case (a, b) => a != b }
+    assert(firstDiff > 0, "the learners must agree on an initial prefix")
+    assert(batched.take(firstDiff) === sequential.take(firstDiff))
+  }
+
   // ---------- 3. st14 ledger compaction ----------
 
   test("st14: compaction folds the waves into ONE cumulative generation " +
