@@ -22,7 +22,8 @@ object PlanDump {
     "q44_profile" -> "column-parallel profile: one pruned single-column scan per branch, no Expand",
     "t19_bloom_decontaminate" -> "broadcast packed-bitset bloom probe in front of the exact verify join",
     "q46_concurrency" -> "day-partitioned interval sweep: every window carries a partition spec",
-    "t21_dsir_select" -> "B-row bucket model + 1-row percentile cut, both broadcast",
+    "t21_dsir_select" -> "SERVED from the persisted dsir_perdoc/dsir_cut model artifacts: pruned scan + broadcast 1-row cut + one rollup",
+    "dsir_model_build" -> "the DSIR model ARTIFACT BUILD (paid once per corpus version): one tokenize+bucket pass, B-row bucket model + totals broadcast back over the pool",
     "q49_pareto" -> "global cumulative as a two-level scan: broadcast sketch boundaries + bucket-partitioned running sum",
     "d18_sketch_overlap" -> "KMV overlap: one O(k)-state sketch pass; |sources|·k bounded tail",
     "s11_recall_matrix" -> "four ANN families union'd into one |Q|·k membership grade",
@@ -47,7 +48,7 @@ object PlanDump {
     "t28_bpe_encode" -> "BPE encode: merge fold over the vocab-sized distinct-word table; corpus pays one (source,word) groupBy",
     "e8_token_budget" -> "water-filling: |sources|-row spec windows + 1-row broadcast cut; corpus-sized work stays inside t28's census",
     "s14_index_health" -> "index health: two full index pipelines graded by one |Q|·k membership join keyed on (query_id, neighbor_id)",
-    "s20_knn_graph" -> "kNN graph: IVF-blocked candidates + one NN-Descent two-hop round, codegen'd integer distances, rank window partitioned per vector",
+    "s20_knn_graph" -> "kNN graph: IVF-blocked candidates + two NN-Descent two-hop rounds (recall 0.721→0.886→0.912), codegen'd integer distances, rank window partitioned per vector",
     "e9_order_manifest" -> "order manifest SERVED from its persisted artifact (built once beside the bins: shard-partitioned position window, |shards|-row rollup)",
     "e10_artifact_refresh" -> "epoch-append refresh: one scan of the epoch-partitioned bins tree feeds both the per-epoch census and the combined-order checksum; the delta pack itself is marker-gated build work, delta-sized",
     "e11_retention_delete" -> "retention delete: pre-delete epoch scan (removed mass) left-joined with the retained generation's manifest; the repack is marker-gated build work, one docflags scan + per-shard windows",
@@ -55,7 +56,9 @@ object PlanDump {
     "e12_two_level" -> "e12's hot-source escape (q49's pattern, flag-selected): broadcast per-source doc_id decile boundaries + broadcast range offsets; the running sum windows per (source, range) — no single hot window partition, pinned row-equal to the window form",
     "e13_graph_refresh" -> "incremental candidate-graph refresh, DELTA-VERIFY stage (the fold's plan is round-iterated CC over checkpoints): delta slice of the signatures artifact banded against the full band table (base×base buckets untouched), verify scans endpoint-bounded by a semi-join — nothing re-derives the base corpus",
     "s23_deferred_update" -> "deferred-update serve: s13's partition-pruned query plan overlaid with the generation ledger — max-generation per id resolved at read time, no compaction on the serve path",
-    "e14_graph_retract" -> "graph retraction: untouched clusters' labels pass through from the labels artifact (scan + broadcast anti-join on the |retired-clusters|-bounded affected set, visible here); only the affected subgraph re-converges (the checkpoint-rooted union branch)")
+    "e14_graph_retract" -> "graph retraction SERVED from the persisted offboarded labels artifact (pure scan + order; the incremental pass-through/re-converge is its marker-gated builder — retract_build below)",
+    "retract_build" -> "the offboarded-labels ARTIFACT BUILD: untouched clusters' labels pass through from the live labels artifact (scan + broadcast anti-join on the |retired-clusters|-bounded affected set); only the affected subgraph re-converges (the checkpoint-rooted union branch)",
+    "e16_offboard_split" -> "the leakage split drawn AFTER offboarding: e6's cluster-atomic shape verbatim — doc left-join the OFFBOARDED labels artifact + row-local hash lottery, retired rows filtered at the scan")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
@@ -82,7 +85,9 @@ object PlanDump {
       "pairs_build" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.ext.Dedup.d4PairsFromSignatures(s, d,
           graft.ext.Pipeline.signaturesArtifact(s, d))),
-      "e13_graph_refresh" -> (graft.ext.Pipeline.e13NewPairsFrame _))
+      "e13_graph_refresh" -> (graft.ext.Pipeline.e13NewPairsFrame _),
+      "dsir_model_build" -> (graft.ext.TextAnalysis.t21Derived _),
+      "retract_build" -> (graft.ext.Pipeline.e14Derived _))
     Headline.foreach { case (name, why) =>
       val df = planFrame.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       df.collect() // let AQE finalize
