@@ -97,10 +97,16 @@ object ArtifactRoots {
     * starting after the regeneration would GC that tree out from
     * under it. Concurrent sessions therefore must not straddle a
     * corpus regeneration; where that cannot be ruled out, set
-    * SPARK_GRAFT_ARTIFACT_GC_GRACE_MS — stale siblings whose tree
-    * mtime is within the grace window are spared (deferred to a later
-    * session's GC), giving in-flight sessions time to drain. Default
-    * 0 keeps the eager single-session behavior. */
+    * SPARK_GRAFT_ARTIFACT_GC_GRACE_MS — while the REGENERATION itself
+    * is younger than the grace window, stale siblings are spared
+    * wholesale (deferred to a later session's GC), giving sessions
+    * that straddled it time to drain. Staleness age is measured from
+    * when the data last CHANGED (the regeneration is what orphaned
+    * the tree), never from the tree's own mtime — that records when
+    * the tree was BUILT, so a long-lived session's 3-hour-old tree
+    * would be deleted out from under it seconds after a regeneration,
+    * the exact straddle the knob exists to survive. Default 0 keeps
+    * the eager single-session behavior. */
   def tagged(prefix: String, dir: String): String =
     tagCache.computeIfAbsent((prefix, dir), { _ =>
       val tag = java.lang.Long.toHexString(
@@ -111,17 +117,28 @@ object ArtifactRoots {
         try {
           val grace = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_GC_GRACE_MS", "0").toLong
           val now = System.currentTimeMillis()
-          val rootPath = new Path(root)
-          val fs = FileSystem.get(rootPath.toUri, hadoopConf)
-          if (fs.exists(rootPath))
-            fs.listStatus(rootPath).foreach { st =>
-              val n = st.getPath.getName
-              if (n.startsWith(s"${prefix}_${tag}_") && n != name &&
-                  (grace <= 0L || now - st.getModificationTime > grace))
-                fs.delete(st.getPath, true)
-            }
+          if (grace <= 0L || now - lastDataChangeMs(dir) > grace) {
+            val rootPath = new Path(root)
+            val fs = FileSystem.get(rootPath.toUri, hadoopConf)
+            if (fs.exists(rootPath))
+              fs.listStatus(rootPath).foreach { st =>
+                val n = st.getPath.getName
+                if (n.startsWith(s"${prefix}_${tag}_") && n != name)
+                  fs.delete(st.getPath, true)
+              }
+          }
         } catch { case _: Exception => () } // GC is best-effort, never fatal
       }
       s"$root/$name"
     })
+
+  /** Newest mtime in the data dir's level-1 listing — when the corpus
+    * last CHANGED (a regeneration rewrites the table dirs, bumping
+    * their mtimes). The GC grace window is anchored here. */
+  private def lastDataChangeMs(dir: String): Long = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, hadoopConf)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getModificationTime).maxOption.getOrElse(0L)
+  }
 }

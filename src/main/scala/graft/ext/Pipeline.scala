@@ -1490,30 +1490,7 @@ object Pipeline {
            Dedup.d7LabelCtesFrom("SELECT a_id, b_id FROM offpairs"))},
          ${TextAnalysis.dsirCtes},
          ${TextAnalysis.mixRateCtes},
-         oflj AS (
-           SELECT q.doc_id, q.source, q.n_tok,
-                  (dr.doc_id IS NULL) AS s1,
-                  (dr.doc_id IS NULL
-                    AND q.dfrac <= ${TextAnalysis.RepetitionThreshold}) AS s2,
-                  (dr.doc_id IS NULL
-                    AND q.dfrac <= ${TextAnalysis.RepetitionThreshold}
-                    AND c3.doc_id IS NULL) AS s3
-           FROM q
-           LEFT JOIN drops dr ON dr.doc_id = q.doc_id
-           LEFT JOIN contam c3 ON c3.doc_id = q.doc_id
-           WHERE q.doc_id % ${TextAnalysis.EvalStride} <> 0 AND (q.$keep)),
-         ofl AS (
-           SELECT j.doc_id, j.source, j.n_tok, j.s1, j.s2, j.s3,
-                  (j.s3 AND (j.source = '${TextAnalysis.DsirTarget}'
-                     OR pd.logw > ct.cut)) AS s4,
-                  (j.s3 AND (j.source = '${TextAnalysis.DsirTarget}'
-                     OR pd.logw > ct.cut)
-                    AND (${TextAnalysis.mixKeepSql("j.doc_id")}) < r.rate_ppm) AS s5,
-                  r.rate_ppm
-           FROM oflj j
-           LEFT JOIN perdoc pd ON pd.doc_id = j.doc_id
-           CROSS JOIN cut ct
-           LEFT JOIN mixr r ON r.source = j.source),
+         ${fullFlagCtes(keep)},
          mx AS (SELECT doc_id, source, n_tok,
                        CASE WHEN s5 THEN 1 ELSE 0 END AS s5
                 FROM ofl),
@@ -1589,7 +1566,9 @@ object Pipeline {
   /** e2's selection+mixing flags over the clean set — the s4/s5 CTE
     * tail shared by the e2 and e3 oracles. Composes the standalone
     * models verbatim: t21's dsirCtes (perdoc, cut) and t16's
-    * mixRateCtes (mixr). */
+    * mixRateCtes (mixr). The same flag algebra in full-width boolean
+    * form lives in [[fullFlagCtes]] (the docflags row shape, e15's
+    * census) — edit s4/s5 semantics in BOTH. */
   private lazy val selectedCtes: String =
     s"""$cleanCtes,
          clean AS (
@@ -1616,6 +1595,45 @@ object Pipeline {
                         AND (${TextAnalysis.mixKeepSql("s.doc_id")}) < r.rate_ppm
                        THEN 1 ELSE 0 END AS s5
            FROM sel s JOIN mixr r ON r.source = s.source)"""
+
+  /** The FULL-WIDTH boolean twin of [[selectedCtes]]' survivor-form
+    * sel/mx — the docflags artifact's row shape (every pool doc,
+    * cumulative boolean s1..s5, LEFT-joined rate_ppm), consumed by
+    * the e15 layer census. ONE flag algebra stated in two shapes
+    * (survivor-only ints with a rated-inner-join there; all-docs
+    * booleans with left-join rates here): edit the s1–s5 definitions
+    * in BOTH, or the docflags census drifts from the funnel censuses.
+    * The drift is not silent — both texts hash-compare against the
+    * SAME Spark flag code (docFlagsDerived) at the gate, so a
+    * one-sided edit fails e15 or e1–e3 loudly — but keep them
+    * adjacent and named so it never gets that far. Expects
+    * cleanCtesFrom's q/drops/contam and the dsir/mixRate model CTEs
+    * in scope; `keep` filters the pool (e15: the retired source). */
+  private def fullFlagCtes(keep: String): String =
+    s"""oflj AS (
+           SELECT q.doc_id, q.source, q.n_tok,
+                  (dr.doc_id IS NULL) AS s1,
+                  (dr.doc_id IS NULL
+                    AND q.dfrac <= ${TextAnalysis.RepetitionThreshold}) AS s2,
+                  (dr.doc_id IS NULL
+                    AND q.dfrac <= ${TextAnalysis.RepetitionThreshold}
+                    AND c3.doc_id IS NULL) AS s3
+           FROM q
+           LEFT JOIN drops dr ON dr.doc_id = q.doc_id
+           LEFT JOIN contam c3 ON c3.doc_id = q.doc_id
+           WHERE q.doc_id % ${TextAnalysis.EvalStride} <> 0 AND (q.$keep)),
+         ofl AS (
+           SELECT j.doc_id, j.source, j.n_tok, j.s1, j.s2, j.s3,
+                  (j.s3 AND (j.source = '${TextAnalysis.DsirTarget}'
+                     OR pd.logw > ct.cut)) AS s4,
+                  (j.s3 AND (j.source = '${TextAnalysis.DsirTarget}'
+                     OR pd.logw > ct.cut)
+                    AND (${TextAnalysis.mixKeepSql("j.doc_id")}) < r.rate_ppm) AS s5,
+                  r.rate_ppm
+           FROM oflj j
+           LEFT JOIN perdoc pd ON pd.doc_id = j.doc_id
+           CROSS JOIN cut ct
+           LEFT JOIN mixr r ON r.source = j.source)"""
 
   /** e4/e5's mirror: the same stages with every model CTE
     * train-filtered to the base slice and every scoring/report CTE

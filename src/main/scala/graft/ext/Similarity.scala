@@ -1032,8 +1032,14 @@ object Similarity {
     // bug), and the harness's clearCache releases the blocks after
     // the action
     var g = s20Round1Graph(spark, dir, qv).cache()
-    for (_ <- 1 to rounds)
-      g = s20DescentRound(g.select(col("vec_id"), col("nb_id")), qv).cache()
+    for (r <- 1 to rounds) {
+      val next = s20DescentRound(g.select(col("vec_id"), col("nb_id")), qv)
+      // cache INTERMEDIATE rounds only (each is read three times by
+      // the next); the FINAL graph is consumed once by the caller's
+      // action — caching it would pin a third corpus×k copy for
+      // nothing, the exact scale note above
+      g = if (r < rounds) next.cache() else next
+    }
     g.select(col("vec_id"), col("nb_id").as("neighbor_id"), col("d2_fp"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
   }

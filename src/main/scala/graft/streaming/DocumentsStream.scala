@@ -143,12 +143,24 @@ object DocumentsStream {
   private[graft] def compactLedger(spark: SparkSession, base: String): Unit = {
     val st = ledgerState(spark, base)
     val f = fsOf(spark, new Path(base))
-    // leftovers of the marker→delete crash window: waves the latest
-    // gen already covers (readers were already excluding them)
+    // crash-window GC FIRST, and before the no-work return so both
+    // leftover classes self-heal on every compact: waves the latest
+    // gen already covers (readers were already excluding them), and
+    // superseded older generations (a crash between wave-delete and
+    // gen-delete leaves gen N−1 beside gen N)
     committedBatches(spark, base).filter(p => st.folded(p.getName))
       .foreach(p => f.delete(p, true))
+    st.gen.foreach(g => committedGens(spark, base).filter(_.getName != g.getName)
+      .foreach(p => f.delete(p, true)))
     if (st.waves.isEmpty) return
-    val next = new Path(f"$base/compact/gen_${committedGens(spark, base).size}%05d")
+    // next index = latest gen's suffix + 1, NEVER the committed-gen
+    // COUNT: superseded gens are deleted above, so the count resets to
+    // 1 and a count-derived name would collide with the LIVE
+    // generation from the third compaction on — the scratch-delete
+    // below would then destroy the live gen's sigs/pairs/folded set
+    // (data loss: its source waves are long cleared)
+    val nextIdx = st.gen.map(_.getName.stripPrefix("gen_").toInt + 1).getOrElse(0)
+    val next = new Path(f"$base/compact/gen_$nextIdx%05d")
     f.delete(next, true) // unmarked scratch from a crashed compact
     spark.read.parquet(st.dirs("sigs"): _*)
       .write.mode("overwrite").parquet(new Path(next, "sigs").toString)
@@ -164,6 +176,7 @@ object DocumentsStream {
     st.waves.foreach(p => f.delete(p, true))
     committedGens(spark, base).filter(_.getName != next.getName)
       .foreach(p => f.delete(p, true)) // superseded cumulative gens
+    ()
   }
 
   /** One arrival micro-batch: the batch's signatures + its verified

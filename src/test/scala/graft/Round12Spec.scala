@@ -409,6 +409,30 @@ class Round12Spec extends AnyFunSuite {
       DocumentsStream.compactLedger(spark, base)
       assert(DocumentsStream.committedGens(spark, base).map(_.getName) === before,
         "a no-op compact minted or renamed a generation")
+      // THIRD compaction WITH live waves — the generation-numbering
+      // collision case: superseded gens were GC'd, so a count-derived
+      // next name would equal the LIVE gen (gen_00001) and the scratch
+      // delete would destroy it (every folded wave lost — their ledger
+      // dirs are long cleared); suffix+1 numbering must mint gen_00002
+      commitWave("b_wave_d", Seq(400L), (300L, 400L))
+      DocumentsStream.compactLedger(spark, base)
+      val s3 = DocumentsStream.ledgerState(spark, base)
+      assert(DocumentsStream.committedGens(spark, base).map(_.getName) ===
+        Seq("gen_00002"), "third compaction must mint gen_00002, not collide")
+      assert(s3.folded === Set("b_wave_a", "b_wave_b", "b_wave_d"))
+      assert(spark.read.parquet(s3.dirs("sigs"): _*)
+        .select("doc_id").as[Long].collect().toSet === Set(100L, 200L, 300L, 400L),
+        "a folded wave's sigs were lost across the third compaction")
+      // superseded-gen leak self-heals: plant a stale committed older
+      // gen (the crash window between wave-delete and gen-delete) and
+      // assert a NO-WORK compact still GCs it
+      val stale = new Path(s"$base/compact/gen_00001")
+      Seq((0L, 0L, 0.0)).toDF("a_id", "b_id", "jaccard")
+        .write.mode("overwrite").parquet(new Path(stale, "pairs").toString)
+      fs.create(new Path(stale, "_GRAFT_COMMIT"), true).close()
+      DocumentsStream.compactLedger(spark, base)
+      assert(DocumentsStream.committedGens(spark, base).map(_.getName) ===
+        Seq("gen_00002"), "a no-work compact must GC superseded generations")
     } finally { fs.delete(bp, true); () }
   }
 }
