@@ -1057,6 +1057,7 @@ object Pipeline {
     "e15_source_offboard" -> (e15SourceOffboard _),
     "e16_offboard_split" -> (e16OffboardSplit _),
     "e17_retract_then_arrive" -> (e17RetractThenArrive _),
+    "e18_offboard_cutover" -> (e18OffboardCutover _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -1438,6 +1439,104 @@ object Pipeline {
     cand.unpersist(false)
     sh.unpersist(false)
     out
+  }
+
+  /** The six layers of the artifact DAG in dependency order — the
+    * cutover's swap list (the offboarded generation carries exactly
+    * these). */
+  private[graft] val DagLayers =
+    Seq("signatures", "pairs", "labels", "docflags", "bins", "manifest")
+
+  /** PRODUCTION CUTOVER — the verb the e15 docs named ("production
+    * swaps the offboarded subtree over the live one with s22's
+    * aside-first discipline") made executable: every layer of
+    * `$root/$fromTag/` is promoted over the live table under `root`,
+    * aside-first and RESUMABLE at every crash window. The protocol
+    * keeps each layer in exactly one of {offboard, live, aside} at
+    * all times (renames are same-filesystem moves; a layer's offboard
+    * tree is consumed only by its own promote rename), so a re-run
+    * after any crash completes forward: offboard present → promote it
+    * (aside the live copy first); offboard gone + live present →
+    * already promoted, skip; all three present is protocol-impossible
+    * and throws rather than guessing which copy is authoritative.
+    * Cleanup (aside + the emptied generation dir) happens only after
+    * every layer landed. Exclusivity is s22's posture: the cutover is
+    * an operator action on the serving root — readers must not race
+    * it. Note the promoted bins tree is epoch-partitioned (e10's
+    * shape): production readers follow it the way e10's combined read
+    * does; the flat pre-offboard bins table leaves with the old
+    * generation. */
+  private[graft] def cutoverSubtree(spark: SparkSession, root: String,
+                                    fromTag: String): Unit = {
+    val rp = new Path(root)
+    val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
+    val aside = new Path(s"$root/cutover_old_$fromTag")
+    fs.mkdirs(aside)
+    DagLayers.foreach { layer =>
+      val live = new Path(s"$root/$layer")
+      val off = new Path(s"$root/$fromTag/$layer")
+      val old = new Path(aside, layer)
+      if (fs.exists(off)) {
+        if (fs.exists(live)) {
+          if (fs.exists(old))
+            throw new java.io.IOException(
+              s"cutover: $layer present in live AND aside AND offboard — " +
+                "protocol-impossible state, refusing to guess; intervene manually")
+          if (!fs.rename(live, old))
+            throw new java.io.IOException(s"cutover aside failed: $layer")
+        }
+        if (!fs.rename(off, live))
+          throw new java.io.IOException(s"cutover promote failed: $layer")
+      } else if (!fs.exists(live) && fs.exists(old)) {
+        // defensive restore: unreachable under the protocol (promote's
+        // rename is atomic), kept so a manually-mangled tree heals
+        // toward the old world rather than serving a missing layer
+        if (!fs.rename(old, live))
+          throw new java.io.IOException(s"cutover restore failed: $layer")
+      } // else: already promoted by a previous attempt — skip
+    }
+    fs.delete(aside, true)
+    fs.delete(new Path(s"$root/$fromTag"), true) // the emptied generation
+    ()
+  }
+
+  /** E18 — the cutover run for real and served: both generations are
+    * forced, the twelve tables are CLONED into a scratch root (the
+    * gate must not mutate the shared tree the other entries serve
+    * from — production runs the verb on the serving root itself,
+    * exclusively), the cutover promotes the offboarded generation,
+    * and the entry serves the cutover root's LIVE labels table —
+    * oracle = e14's rebuild-without-retired verbatim, so the gate
+    * hash-checks "after the swap, the live path IS the retracted
+    * state" every round. Round12Spec pins the crash windows (resume
+    * mid-swap, already-promoted skip) and the bins/manifest layer
+    * content. */
+  def e18OffboardCutover(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = stageCutoverClone(spark, dir)
+    cutoverSubtree(spark, scratch, offboardTag)
+    spark.read.parquet(s"$scratch/labels").orderBy(col("doc_id"))
+  }
+
+  /** Clone the live + offboarded layer tables into the e18 scratch
+    * root (rebuilt per invocation — st11's no-accumulation
+    * discipline), forcing both generations to exist first. */
+  private[graft] def stageCutoverClone(spark: SparkSession, dir: String): String = {
+    offboardManifest(spark, dir) // forces the whole offboard chain
+    manifestArtifact(spark, dir) // forces the whole live chain
+    val src = eArtifactRoot(dir)
+    val scratch = graft.ArtifactRoots.tagged("graft_e18_cutover", dir)
+    val sp = new Path(scratch)
+    val fs = FileSystem.get(sp.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sp)) fs.delete(sp, true)
+    fs.mkdirs(sp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    DagLayers.foreach { layer =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$src/$layer"),
+        fs, new Path(s"$scratch/$layer"), false, conf)
+    }
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$src/$offboardTag"),
+      fs, new Path(s"$scratch/$offboardTag"), false, conf)
+    scratch
   }
 
   /** The offboarded pair table's SQL twin: d4's full pair SELECT with
@@ -1895,6 +1994,10 @@ object Pipeline {
     // arriving slice and the banding state, land on exactly the
     // labeling a full rebuild without the retired source reaches
     "e17_retract_then_arrive" -> retractedLabelsOracleSql,
+    // e18: after the cutover, the LIVE labels path serves the
+    // retracted state — the same rebuild-without-retired law, now
+    // stated about the post-swap serving root
+    "e18_offboard_cutover" -> retractedLabelsOracleSql,
     "e15_source_offboard" -> e15OracleSql,
     // e16: the split census a user draws AFTER offboarding — the e6
     // chain over the retracted labeling with the retired rows gone

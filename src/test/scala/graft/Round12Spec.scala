@@ -190,6 +190,48 @@ class Round12Spec extends AnyFunSuite {
     assert(good.count() === 0L, "excluded fold != rebuild-without-retired")
   }
 
+  // ---------- e18 offboard cutover ----------
+
+  test("e18 cutover: resumes forward from mid-swap crash windows (layer " +
+    "asided but not promoted; layer already promoted), the post-swap LIVE " +
+    "layers are the offboarded generation, re-running is a no-op, and the " +
+    "protocol-impossible state throws instead of guessing") {
+    val scratch = Pipeline.stageCutoverClone(spark, dir)
+    val fs = FileSystem.get(new Path(scratch).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tag = Pipeline.offboardTag
+    val offLabels = rows(spark.read.parquet(s"$scratch/$tag/labels"))
+    val offPairs = spark.read.parquet(s"$scratch/$tag/pairs").count()
+    val aside = s"$scratch/cutover_old_$tag"
+    // CRASH WINDOW A: signatures asided, not yet promoted
+    fs.mkdirs(new Path(aside))
+    assert(fs.rename(new Path(s"$scratch/signatures"),
+      new Path(s"$aside/signatures")))
+    // CRASH WINDOW B: pairs fully promoted (aside done, offboard consumed)
+    assert(fs.rename(new Path(s"$scratch/pairs"), new Path(s"$aside/pairs")))
+    assert(fs.rename(new Path(s"$scratch/$tag/pairs"), new Path(s"$scratch/pairs")))
+    // resume completes forward
+    Pipeline.cutoverSubtree(spark, scratch, tag)
+    assert(rows(spark.read.parquet(s"$scratch/labels")) === offLabels,
+      "post-swap live labels != offboarded labels")
+    assert(spark.read.parquet(s"$scratch/pairs").count() === offPairs)
+    val retired = Pipeline.retiredDocs(spark, dir)
+    assert(spark.read.parquet(s"$scratch/signatures")
+      .join(retired, Seq("doc_id"), "left_semi").count() === 0L,
+      "a retired doc survived the cutover in the live signatures")
+    assert(!fs.exists(new Path(aside)) && !fs.exists(new Path(s"$scratch/$tag")),
+      "cutover must clean the aside and the emptied generation")
+    // idempotent re-run over the completed state: a no-op
+    Pipeline.cutoverSubtree(spark, scratch, tag)
+    assert(rows(spark.read.parquet(s"$scratch/labels")) === offLabels)
+    // protocol-impossible state (layer in live AND aside AND offboard)
+    fs.mkdirs(new Path(s"$aside/labels"))
+    fs.mkdirs(new Path(s"$scratch/$tag/labels"))
+    intercept[java.io.IOException] {
+      Pipeline.cutoverSubtree(spark, scratch, tag)
+    }
+  }
+
   // ---------- 2. text-sensitive ledger key ----------
 
   test("st13 ledger key: the same doc_ids with EDITED text commit as a new " +
@@ -230,6 +272,56 @@ class Round12Spec extends AnyFunSuite {
     val derivedCut = TextAnalysis.dsirCut(
       TextAnalysis.dsirPerDoc(spark, dir)).collect()(0).getDouble(0)
     assert(servedCut === derivedCut, "persisted cut != derived cut")
+  }
+
+  test("st14 property: random wave/compact interleavings serve the same " +
+    "arrived state as the uncompacted ledger (3 seeds x 6 waves), with one " +
+    "live generation and a cumulative folded set at every step") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    val tmp = System.getProperty("java.io.tmpdir")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val base = s"$tmp/graft_r12_compactprop_$seed"
+      val bp = new Path(base)
+      val fs = FileSystem.get(bp.toUri, spark.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      try {
+        val all = scala.collection.mutable.Set.empty[String]
+        for (w <- 1 to 6) {
+          // wave-disjoint id ranges: an exactly-once check needs each
+          // committed pair to be distinguishable from every other wave's
+          val ids = Seq.fill(rnd.nextInt(3) + 1)(
+            rnd.nextInt(900).toLong + 1000L * w).distinct
+          val tag = f"b_s${seed}_w$w"
+          val sh = ids.flatMap(i => Seq((i, s"x$i"), (i, s"y$i"))).toDF("doc_id", "s")
+          val wp = new Path(s"$base/ledger/$tag")
+          Dedup.minhashSignatures(sh)
+            .write.mode("overwrite").parquet(new Path(wp, "sigs").toString)
+          Seq((ids.min, ids.max, 1.0)).toDF("a_id", "b_id", "jaccard")
+            .write.mode("overwrite").parquet(new Path(wp, "pairs").toString)
+          fs.create(new Path(wp, "_GRAFT_COMMIT"), true).close()
+          all += s"${ids.min}:${ids.max}"
+          if (rnd.nextBoolean()) {
+            DocumentsStream.compactLedger(spark, base)
+            assert(DocumentsStream.committedGens(spark, base).size === 1,
+              s"seed $seed wave $w: more than one live generation")
+          }
+          // the INVARIANT every reader depends on: gen + live tail
+          // serves each committed pair exactly once, at every step
+          val served = spark.read
+            .parquet(DocumentsStream.ledgerState(spark, base).dirs("pairs"): _*)
+            .select(concat_ws(":", col("a_id"), col("b_id")))
+            .as[String].collect()
+          assert(served.sorted.toSeq === all.toSeq.sorted,
+            s"seed $seed wave $w: served pairs != committed pairs (dup or loss)")
+        }
+        DocumentsStream.compactLedger(spark, base)
+        val st = DocumentsStream.ledgerState(spark, base)
+        assert(st.waves.isEmpty && st.folded.size === 6,
+          s"seed $seed: final compact must fold all six waves")
+      } finally { fs.delete(bp, true); () }
+    }
   }
 
   // ---------- s20 descent round 2 ----------
