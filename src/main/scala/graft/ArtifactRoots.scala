@@ -39,28 +39,41 @@ object ArtifactRoots {
     * onto a shared fallback tag would let two different corpora
     * collide on it and serve each other's artifacts, the exact
     * staleness this fingerprint exists to prevent. */
-  private def fingerprint(dir: String): String = {
+  private def fingerprint(dir: String): String = fingerprintWalk(dir)._1
+
+  /** One 2-level walk yielding BOTH the identity hash and the newest
+    * mtime seen. The GC grace anchor must come from the SAME listing
+    * the fingerprint hashes: a level-1-only max-mtime misses exactly
+    * the regenerations the fingerprint detects (in-place part-file
+    * rewrites under stable names, a rename-swapped snapshot whose
+    * child mtimes are old), and a bypassed anchor deletes the tree a
+    * straddling session still serves. */
+  private def fingerprintWalk(dir: String): (String, Long) = {
     val p = new Path(dir)
     val fs = FileSystem.get(p.toUri, hadoopConf)
-    if (!fs.exists(p)) "0"
+    if (!fs.exists(p)) ("0", 0L)
     else {
       val parts = Seq.newBuilder[String]
       var n = 0L
       var bytes = 0L
+      var newest = 0L
       fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
         parts += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
         n += 1; bytes += st.getLen
+        newest = math.max(newest, st.getModificationTime)
         if (st.isDirectory)
           fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach { c =>
             parts += s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}"
             n += 1; bytes += c.getLen
+            newest = math.max(newest, c.getModificationTime)
           }
       }
       parts += s"::$n:$bytes"
       val ps = parts.result()
       val hi = scala.util.hashing.MurmurHash3.orderedHash(ps, 0x9747b28c)
       val lo = scala.util.hashing.MurmurHash3.orderedHash(ps, 0x85ebca6b)
-      java.lang.Long.toHexString((hi.toLong << 32) | (lo.toLong & 0xffffffffL))
+      (java.lang.Long.toHexString((hi.toLong << 32) | (lo.toLong & 0xffffffffL)),
+        newest)
     }
   }
 
@@ -99,46 +112,51 @@ object ArtifactRoots {
     * corpus regeneration; where that cannot be ruled out, set
     * SPARK_GRAFT_ARTIFACT_GC_GRACE_MS — while the REGENERATION itself
     * is younger than the grace window, stale siblings are spared
-    * wholesale (deferred to a later session's GC), giving sessions
-    * that straddled it time to drain. Staleness age is measured from
-    * when the data last CHANGED (the regeneration is what orphaned
-    * the tree), never from the tree's own mtime — that records when
-    * the tree was BUILT, so a long-lived session's 3-hour-old tree
-    * would be deleted out from under it seconds after a regeneration,
-    * the exact straddle the knob exists to survive. Default 0 keeps
-    * the eager single-session behavior. */
+    * (deferred to a later session's GC), giving sessions that
+    * straddled it time to drain. Staleness age is measured from when
+    * the data last CHANGED (the same 2-level walk the fingerprint
+    * hashes — the regeneration is what orphaned the tree), never from
+    * the tree's own mtime — that records when the tree was BUILT, so
+    * a long-lived session's 3-hour-old tree would be deleted out from
+    * under it seconds after a regeneration, the exact straddle the
+    * knob exists to survive. Bounded: trees untouched for 4× the
+    * grace are collected even mid-straddle, so continuous
+    * regeneration (a CI loop) cannot accumulate trees forever —
+    * sessions serving one tree longer than that must pin their own
+    * artifact root. Default 0 keeps the eager single-session
+    * behavior. */
   def tagged(prefix: String, dir: String): String =
     tagCache.computeIfAbsent((prefix, dir), { _ =>
       val tag = java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-      val fp = fingerprint(dir)
+      val (fp, dataChangedAt) = fingerprintWalk(dir)
       val name = s"${prefix}_${tag}_$fp"
       if (fp != "0") {
         try {
           val grace = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_GC_GRACE_MS", "0").toLong
           val now = System.currentTimeMillis()
-          if (grace <= 0L || now - lastDataChangeMs(dir) > grace) {
-            val rootPath = new Path(root)
-            val fs = FileSystem.get(rootPath.toUri, hadoopConf)
-            if (fs.exists(rootPath))
-              fs.listStatus(rootPath).foreach { st =>
-                val n = st.getPath.getName
-                if (n.startsWith(s"${prefix}_${tag}_") && n != name)
-                  fs.delete(st.getPath, true)
-              }
-          }
+          val regenFresh = grace > 0L && now - dataChangedAt <= grace
+          val rootPath = new Path(root)
+          val fs = FileSystem.get(rootPath.toUri, hadoopConf)
+          if (fs.exists(rootPath))
+            fs.listStatus(rootPath).foreach { st =>
+              val n = st.getPath.getName
+              // While the latest regeneration is younger than the
+              // grace, stale siblings are spared — EXCEPT trees
+              // untouched for 4× grace: under continuous regeneration
+              // (a CI loop) the fresh-regen condition never clears and
+              // sparing alone would accumulate one tree per
+              // regeneration forever. The bound states the contract:
+              // a straddling session is assumed to drain within the
+              // grace of ITS regeneration; sessions that serve one
+              // tree for longer than 4× grace must pin their own
+              // SPARK_GRAFT_ARTIFACT_ROOT.
+              if (n.startsWith(s"${prefix}_${tag}_") && n != name &&
+                  (!regenFresh || now - st.getModificationTime > 4L * grace))
+                fs.delete(st.getPath, true)
+            }
         } catch { case _: Exception => () } // GC is best-effort, never fatal
       }
       s"$root/$name"
     })
-
-  /** Newest mtime in the data dir's level-1 listing — when the corpus
-    * last CHANGED (a regeneration rewrites the table dirs, bumping
-    * their mtimes). The GC grace window is anchored here. */
-  private def lastDataChangeMs(dir: String): Long = {
-    val p = new Path(dir)
-    val fs = FileSystem.get(p.toUri, hadoopConf)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).map(_.getModificationTime).maxOption.getOrElse(0L)
-  }
 }

@@ -1470,6 +1470,20 @@ object Pipeline {
                                     fromTag: String): Unit = {
     val rp = new Path(root)
     val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
+    val done = new Path(s"$root/cutover_done_$fromTag")
+    // a MISSING generation is ambiguous without a witness: either this
+    // cutover already completed (the generation dir is consumed) or it
+    // was never built / the tag is a typo — and "report success, serve
+    // the unretracted tree" is the one wrong answer. The done marker
+    // disambiguates: re-runs of a completed cutover return here;
+    // anything else with no generation present throws.
+    if (!fs.exists(new Path(s"$root/$fromTag"))) {
+      if (fs.exists(done)) return
+      throw new java.io.IOException(
+        s"cutover: no generation at $root/$fromTag and no completion marker — " +
+          "nothing to promote (unbuilt generation or mistyped tag?)")
+    }
+    fs.delete(done, false) // a re-cutover of a REBUILT generation starts fresh
     val aside = new Path(s"$root/cutover_old_$fromTag")
     fs.mkdirs(aside)
     DagLayers.foreach { layer =>
@@ -1494,9 +1508,29 @@ object Pipeline {
         if (!fs.rename(old, live))
           throw new java.io.IOException(s"cutover restore failed: $layer")
       } // else: already promoted by a previous attempt — skip
+      // root completeness witness for the promoted layer: the bins
+      // generation is built as per-epoch ensureArtifact tables, so its
+      // markers/sidecars live INSIDE the epoch subdirs — a promoted
+      // tree without a root _SUCCESS+sidecar would read as incomplete
+      // to the next ensureArtifact consumer, whose overwrite-rebuild
+      // would FLATTEN the epoch tree while the promoted manifest keeps
+      // the epoch-order checksums (silent layer desync). Witness it
+      // here: marker touch + sidecar derived from the promoted tree.
+      if (fs.exists(live)) {
+        val ok = new Path(live, "_SUCCESS")
+        val sc = new Path(live, "_graft_schema.ddl")
+        if (!fs.exists(ok)) fs.create(ok, true).close()
+        if (!fs.exists(sc)) {
+          val ddl = spark.read.parquet(live.toString).schema.toDDL
+          val out = fs.create(sc, true)
+          try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
     }
     fs.delete(aside, true)
     fs.delete(new Path(s"$root/$fromTag"), true) // the emptied generation
+    fs.create(done, true).close() // the completion witness, LAST
     ()
   }
 
@@ -1521,8 +1555,14 @@ object Pipeline {
     * root (rebuilt per invocation — st11's no-accumulation
     * discipline), forcing both generations to exist first. */
   private[graft] def stageCutoverClone(spark: SparkSession, dir: String): String = {
-    offboardManifest(spark, dir) // forces the whole offboard chain
-    manifestArtifact(spark, dir) // forces the whole live chain
+    // force EVERY layer of both generations: the manifest chain pulls
+    // manifest→bins→docflags→labels, but signatures/pairs are PARALLEL
+    // branches of the offboard DAG (bins don't depend on them), so a
+    // partially-rebuilt tree would otherwise clone incomplete
+    offboardSignatures(spark, dir)
+    offboardPairs(spark, dir)
+    offboardManifest(spark, dir)
+    manifestArtifact(spark, dir) // live chain is linear down to signatures
     val src = eArtifactRoot(dir)
     val scratch = graft.ArtifactRoots.tagged("graft_e18_cutover", dir)
     val sp = new Path(scratch)

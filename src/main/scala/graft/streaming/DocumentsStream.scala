@@ -105,15 +105,18 @@ object DocumentsStream {
   // hundred strings the ledger listing already was.
   // ---------------------------------------------------------------
 
-  /** Committed compacted generations, name-ordered (zero-padded
-    * indices, so the latest is last). */
+  /** Committed compacted generations, ordered by NUMERIC suffix (not
+    * name: zero-padding runs out at gen_100000, where a string sort
+    * would rank it before gen_99999 and the superseded-gen GC would
+    * delete the true latest generation — the only copy of its folded
+    * waves). */
   private[graft] def committedGens(spark: SparkSession, base: String): Seq[Path] = {
     val root = new Path(s"$base/compact")
     val f = fsOf(spark, root)
     if (!f.exists(root)) Seq.empty
     else f.listStatus(root).toSeq.map(_.getPath)
       .filter(p => f.exists(new Path(p, CommitMarker)))
-      .sortBy(_.getName)
+      .sortBy(_.getName.stripPrefix("gen_").toLong)
   }
 
   /** The arrived ledger state every reader folds over: the latest

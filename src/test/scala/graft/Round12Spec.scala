@@ -221,9 +221,23 @@ class Round12Spec extends AnyFunSuite {
       "a retired doc survived the cutover in the live signatures")
     assert(!fs.exists(new Path(aside)) && !fs.exists(new Path(s"$scratch/$tag")),
       "cutover must clean the aside and the emptied generation")
-    // idempotent re-run over the completed state: a no-op
+    // root completeness witness on the promoted epoch-partitioned bins
+    // (its generation markers live inside the epoch subdirs): without
+    // it the next ensureArtifact consumer would overwrite-rebuild the
+    // tree flat while the promoted manifest keeps epoch checksums
+    assert(fs.exists(new Path(s"$scratch/bins/_SUCCESS")) &&
+      fs.exists(new Path(s"$scratch/bins/_graft_schema.ddl")),
+      "promoted bins tree lacks a root completeness witness")
+    // idempotent re-run over the completed state: a no-op via the
+    // completion marker (the consumed generation alone is ambiguous)
+    assert(fs.exists(new Path(s"$scratch/cutover_done_$tag")))
     Pipeline.cutoverSubtree(spark, scratch, tag)
     assert(rows(spark.read.parquet(s"$scratch/labels")) === offLabels)
+    // a missing generation WITHOUT the completion witness throws —
+    // "report success, serve the unretracted tree" is the wrong answer
+    intercept[java.io.IOException] {
+      Pipeline.cutoverSubtree(spark, scratch, "offboard_no_such_src")
+    }
     // protocol-impossible state (layer in live AND aside AND offboard)
     fs.mkdirs(new Path(s"$aside/labels"))
     fs.mkdirs(new Path(s"$scratch/$tag/labels"))
