@@ -169,6 +169,22 @@ object Pipeline {
     ensureArtifact(spark, dir, "dsir_cut")(
       TextAnalysis.dsirCut(dsirPerDocArtifact(spark, dir)))
 
+  /** The FROZEN model generation — e4's world persisted: the bucket
+    * model trains on the BASE slice only, scores the whole pool, and
+    * the cut is the quantile of the BASE-scored docs (a quantile over
+    * the full pool would let the arriving delta move the selection
+    * bar — the drift the frozen posture exists to prevent). The
+    * refreshed generation is [[dsirPerDocArtifact]] (full retrain);
+    * t30 serves the transition between the two. */
+  private[graft] def frozenDsirPerDocArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "model_frozen/dsir_perdoc")(
+      TextAnalysis.dsirPerDocOn(spark, dir, !e4DeltaPred, lit(true)))
+
+  private[graft] def frozenDsirCutArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "model_frozen/dsir_cut")(
+      TextAnalysis.dsirCut(
+        frozenDsirPerDocArtifact(spark, dir).filter(!e4DeltaPredOn("doc_id"))))
+
   /** d7's global CC labeling FROM SCRATCH (no artifact tree touched) —
     * the spec-side twin Round10/11Spec compare the served tables
     * against; the artifact build itself goes through [[pairsArtifact]]
@@ -1847,7 +1863,7 @@ object Pipeline {
 
   /** e4's concrete predicates: delta = every 10th row-block per
     * source minus eval-rule docs; base = its complement. */
-  private def e4DeltaSqlOf(id: String): String =
+  private[ext] def e4DeltaSqlOf(id: String): String =
     s"(($id // 20) % 10 = $E4DeltaDigit AND $id % ${TextAnalysis.EvalStride} <> 0)"
   private lazy val e4OracleSql: String =
     ingestOracleSql(id => s"NOT ${e4DeltaSqlOf(id)}", e4DeltaSqlOf)

@@ -476,6 +476,63 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** t30's retrain trigger: a source whose round-4 KL(delta ‖ base)
+    * exceeds this retrains its selection models. Corpus-calibrated
+    * (the knob, not the value, is the operator surface — production
+    * tunes it per ingest window): measured spreads put 0.15 inside a
+    * real gap at both spec SFs — sf0.001 tops out 0.1295 → 0.2035
+    * (fires src7 alone, margin 0.02+), sf0.01 0.1332 → 0.16/0.164/
+    * 0.1836 (fires three, margin 0.01) — and both engines compare the
+    * SAME hash-pinned round(·,4) value, so the compare cannot drift
+    * between them even at a margin of one ulp. At sf0.1 drift
+    * flattens (max 0.019) and nothing fires — more data, less
+    * sampling noise, which is itself the measurement working. */
+  val DriftRetrainKl = 0.15
+
+  /** T30 — the MODEL lifecycle's refresh verb, drift-gated: e4/e5
+    * score deltas under FROZEN base-trained models ("models forget on
+    * the retrain cadence, rows leave now"), t26 measures when the
+    * delta stops looking like the base, and this entry runs the
+    * TRANSITION those two postures imply. Both model generations are
+    * PERSISTED artifacts: the frozen one (bucket counts trained on
+    * base, cut = quantile of base-scored docs —
+    * Pipeline.frozenDsir*Artifact) and the refreshed one (the full
+    * retrain — the live dsir_perdoc/dsir_cut t21 serves). Output, per
+    * pool source: the drift measurement, the retrain decision
+    * ([[DriftRetrainKl]]), and the selection census under EACH
+    * generation — the operator-facing "what changes if we retrain
+    * now" row. Oracle rebuilds both generations + the drift chain in
+    * one statement (prefixed CTE families), so the whole transition
+    * is hash-checked every round. Production swap of the refreshed
+    * generation over the frozen root is e18's cutover verb — this
+    * entry is the decision + both-worlds serve that precedes it.
+    *
+    * Scale: the drift chain is t26's (K-row vocab broadcast, dense
+    * |sources|×K grid); each census is one narrow artifact scan + a
+    * broadcast 1-row cut; nothing re-tokenizes the corpus (both
+    * perdoc generations serve from parquet). */
+  def t30ModelRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val drift = t26SourceDrift(spark, dir).select(col("source"), col("kl_nats"))
+    val frozen = Pipeline.frozenDsirPerDocArtifact(spark, dir)
+      .crossJoin(broadcast(Pipeline.frozenDsirCutArtifact(spark, dir)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scored"),
+           sum(when(col("logw") > col("cut"), 1L).otherwise(0L))
+             .as("n_frozen_selected"))
+    val refreshed = Pipeline.dsirPerDocArtifact(spark, dir)
+      .crossJoin(broadcast(Pipeline.dsirCutArtifact(spark, dir)))
+      .groupBy(col("source"))
+      .agg(sum(when(col("logw") > col("cut"), 1L).otherwise(0L))
+             .as("n_refreshed_selected"))
+    frozen.join(refreshed, Seq("source")) // pool sources (perdoc excludes target)
+      .join(drift, Seq("source"))
+      .withColumn("retrain",
+        when(col("kl_nats") > lit(DriftRetrainKl), 1L).otherwise(0L))
+      .select(col("source"), col("kl_nats"), col("retrain"), col("n_scored"),
+        col("n_frozen_selected"), col("n_refreshed_selected"))
+      .orderBy(col("source"))
+  }
+
   val MixSeed = 7
   val MixPpm = 1000000L
 
@@ -825,7 +882,7 @@ object TextAnalysis {
     * totals) trains on `trainPred` docs only; `scorePred` selects the
     * pool docs that receive a log weight — e4's frozen-model delta
     * scoring (train = base slice, score = newly-arrived slice). */
-  private[ext] def dsirPerDocOn(spark: SparkSession, dir: String,
+  private[graft] def dsirPerDocOn(spark: SparkSession, dir: String,
                                 trainPred: Column, scorePred: Column): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -1391,6 +1448,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_bpe_merges"       -> (t27BpeMerges _),
     "t29_bpe_batched"      -> (t29BpeBatched _),
+    "t30_model_refresh"    -> (t30ModelRefresh _),
     "t28_bpe_encode"       -> (t28BpeEncode _),
     "t25_ngram_novelty"    -> (t25NgramNovelty _),
     "t26_source_drift"     -> (t26SourceDrift _),
@@ -1457,38 +1515,43 @@ object TextAnalysis {
     * never drift apart. */
   /** DSIR bucket-model CTEs (toks → tf → ctc/crc → spine → tot) with
     * the TRAINING population restricted to `train` — the SQL twin of
-    * dsirPerDocOn's trainPred. */
-  private[ext] def dsirModelCtes(train: String = "TRUE"): String =
-    s"""toks AS (
+    * dsirPerDocOn's trainPred. CTE names take prefix `p` so one
+    * statement can hold TWO model generations (t30 composes the
+    * frozen base-trained model and the full retrain); the default ""
+    * keeps every existing oracle text byte-identical. */
+  private[ext] def dsirModelCtes(train: String = "TRUE", p: String = ""): String =
+    s"""${p}toks AS (
            SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t
            FROM documents),
-         tf AS (
+         ${p}tf AS (
            SELECT doc_id, source,
                   (${graft.functions.StableHash.duckdbHash64(DsirSeed, "t")}) % $DsirBuckets AS b,
                   count(*) AS k
-           FROM toks GROUP BY 1, 2, 3),
-         ctc AS (SELECT b, sum(k) AS ct FROM tf
+           FROM ${p}toks GROUP BY 1, 2, 3),
+         ${p}ctc AS (SELECT b, sum(k) AS ct FROM ${p}tf
                  WHERE source = '$DsirTarget' AND ($train) GROUP BY 1),
-         crc AS (SELECT b, sum(k) AS cr FROM tf
+         ${p}crc AS (SELECT b, sum(k) AS cr FROM ${p}tf
                  WHERE source <> '$DsirTarget' AND ($train) GROUP BY 1),
-         spine AS (
+         ${p}spine AS (
            SELECT CAST(r.range AS BIGINT) AS b,
-                  COALESCE(ctc.ct, 0) AS ct, COALESCE(crc.cr, 0) AS cr
+                  COALESCE(${p}ctc.ct, 0) AS ct, COALESCE(${p}crc.cr, 0) AS cr
            FROM range($DsirBuckets) r
-           LEFT JOIN ctc ON ctc.b = r.range
-           LEFT JOIN crc ON crc.b = r.range),
-         tot AS (SELECT CAST(sum(ct) + $DsirBuckets AS DOUBLE) AS nt,
+           LEFT JOIN ${p}ctc ON ${p}ctc.b = r.range
+           LEFT JOIN ${p}crc ON ${p}crc.b = r.range),
+         ${p}tot AS (SELECT CAST(sum(ct) + $DsirBuckets AS DOUBLE) AS nt,
                         CAST(sum(cr) + $DsirBuckets AS DOUBLE) AS nr
-                 FROM spine)"""
+                 FROM ${p}spine)"""
 
   /** A perdoc-shaped scoring CTE over the model above, restricted to
     * `score` pool docs — named so e4 can emit two (base for the cut,
-    * delta for the flags). */
-  private[ext] def dsirPerdocCte(name: String, score: String = "TRUE"): String =
+    * delta for the flags); `p` selects which model generation's
+    * tf/spine/tot it scores against. */
+  private[ext] def dsirPerdocCte(name: String, score: String = "TRUE",
+                                 p: String = ""): String =
     s"""$name AS (
            SELECT f.doc_id, f.source,
                   sum(f.k * (ln((s.ct + 1) / t.nt) - ln((s.cr + 1) / t.nr))) AS logw
-           FROM tf f JOIN spine s USING (b) CROSS JOIN tot t
+           FROM ${p}tf f JOIN ${p}spine s USING (b) CROSS JOIN ${p}tot t
            WHERE f.source <> '$DsirTarget' AND ($score)
            GROUP BY 1, 2)"""
 
@@ -1513,6 +1576,45 @@ object TextAnalysis {
                       CAST(floor($MixPpm.0 * sqrt(CAST(tok_min AS DOUBLE) / tok_src)) AS BIGINT)
                         AS rate_ppm
                FROM mixc, mixm)"""
+
+  /** t26's whole drift chain as prefixable CTEs ending in
+    * `${p}drift(source, base_tokens, delta_tokens, kl_nats)` — shared
+    * by the t26 oracle and t30's refresh-decision oracle (which also
+    * holds two DSIR model generations, hence the prefix axis). */
+  private[ext] def t26DriftCtes(p: String = ""): String =
+    s"""${p}ktoks AS (
+           SELECT source,
+                  CASE WHEN ((doc_id // 20) % 10 = ${Pipeline.E4DeltaDigit}
+                             AND doc_id % $EvalStride <> 0)
+                       THEN 'delta' ELSE 'base' END AS side,
+                  unnest(string_split(trim(text), ' ')) AS t
+           FROM documents),
+         ${p}kvocab AS (
+           SELECT t FROM (
+             SELECT t, count(*) AS cnt FROM ${p}ktoks WHERE side = 'base'
+             GROUP BY 1 ORDER BY cnt DESC, t LIMIT $VocabK) v),
+         ${p}kcnt AS (
+           SELECT source, t,
+                  sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS kb,
+                  sum(CASE WHEN side = 'delta' THEN 1 ELSE 0 END) AS kd
+           FROM ${p}ktoks JOIN ${p}kvocab USING (t) GROUP BY 1, 2),
+         ${p}kgrid AS (
+           SELECT s.source, v.t
+           FROM (SELECT DISTINCT source FROM ${p}ktoks) s CROSS JOIN ${p}kvocab v),
+         ${p}kdense AS (
+           SELECT g.source, g.t, COALESCE(c.kb, 0) AS kb, COALESCE(c.kd, 0) AS kd
+           FROM ${p}kgrid g LEFT JOIN ${p}kcnt c ON c.source = g.source AND c.t = g.t),
+         ${p}ktot AS (SELECT source, sum(kb) AS nb, sum(kd) AS nd FROM ${p}kdense GROUP BY 1),
+         ${p}kp AS (
+           SELECT d.source, t2.nb, t2.nd,
+                  CAST(d.kd + 1 AS DOUBLE) / (t2.nd + $VocabK) AS pd,
+                  CAST(d.kb + 1 AS DOUBLE) / (t2.nb + $VocabK) AS pb
+           FROM ${p}kdense d JOIN ${p}ktot t2 USING (source)),
+         ${p}drift AS (
+           SELECT source, CAST(min(nb) AS BIGINT) AS base_tokens,
+                  CAST(min(nd) AS BIGINT) AS delta_tokens,
+                  round(sum(pd * ln(pd / pb)), 4) AS kl_nats
+           FROM ${p}kp GROUP BY 1)"""
 
   /** SQL twin of [[mixKeepHash]] for an arbitrary doc_id expression. */
   private[ext] def mixKeepSql(docId: String): String =
@@ -1716,38 +1818,40 @@ object TextAnalysis {
          FROM f GROUP BY 1 ORDER BY source"""
     },
     "t26_source_drift" ->
-      s"""WITH toks AS (
-           SELECT source,
-                  CASE WHEN ((doc_id // 20) % 10 = ${Pipeline.E4DeltaDigit}
-                             AND doc_id % $EvalStride <> 0)
-                       THEN 'delta' ELSE 'base' END AS side,
-                  unnest(string_split(trim(text), ' ')) AS t
-           FROM documents),
-         vocab AS (
-           SELECT t FROM (
-             SELECT t, count(*) AS cnt FROM toks WHERE side = 'base'
-             GROUP BY 1 ORDER BY cnt DESC, t LIMIT $VocabK) v),
-         cnt AS (
-           SELECT source, t,
-                  sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS kb,
-                  sum(CASE WHEN side = 'delta' THEN 1 ELSE 0 END) AS kd
-           FROM toks JOIN vocab USING (t) GROUP BY 1, 2),
-         grid AS (
-           SELECT s.source, v.t
-           FROM (SELECT DISTINCT source FROM toks) s CROSS JOIN vocab v),
-         dense AS (
-           SELECT g.source, g.t, COALESCE(c.kb, 0) AS kb, COALESCE(c.kd, 0) AS kd
-           FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.t = g.t),
-         tot AS (SELECT source, sum(kb) AS nb, sum(kd) AS nd FROM dense GROUP BY 1),
-         p AS (
-           SELECT d.source, t2.nb, t2.nd,
-                  CAST(d.kd + 1 AS DOUBLE) / (t2.nd + $VocabK) AS pd,
-                  CAST(d.kb + 1 AS DOUBLE) / (t2.nb + $VocabK) AS pb
-           FROM dense d JOIN tot t2 USING (source))
-         SELECT source, CAST(min(nb) AS BIGINT) AS base_tokens,
-                CAST(min(nd) AS BIGINT) AS delta_tokens,
-                round(sum(pd * ln(pd / pb)), 4) AS kl_nats
-         FROM p GROUP BY 1 ORDER BY source""",
+      s"""WITH ${t26DriftCtes()}
+         SELECT source, base_tokens, delta_tokens, kl_nats
+         FROM drift ORDER BY source""",
+    // t30: both model generations + the drift chain in ONE statement —
+    // frozen (f-prefixed, trained on base, cut over base-scored docs)
+    // and refreshed (r-prefixed, the full retrain), censused under
+    // their own cuts, joined to t26's drift and the retrain decision
+    "t30_model_refresh" -> {
+      val base = s"NOT ${Pipeline.e4DeltaSqlOf("doc_id")}"
+      val baseF = s"NOT ${Pipeline.e4DeltaSqlOf("f.doc_id")}"
+      s"""WITH ${t26DriftCtes()},
+         ${dsirModelCtes(base, "f")},
+         ${dsirPerdocCte("fperdoc", "TRUE", "f")},
+         fcut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut
+                  FROM fperdoc f WHERE ($baseF)),
+         ${dsirModelCtes("TRUE", "r")},
+         ${dsirPerdocCte("rperdoc", "TRUE", "r")},
+         rcut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut
+                  FROM rperdoc),
+         fc AS (SELECT p.source, count(*) AS n_scored,
+                       CAST(sum(CASE WHEN p.logw > c.cut THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_frozen_selected
+                FROM fperdoc p CROSS JOIN fcut c GROUP BY 1),
+         rc AS (SELECT p.source,
+                       CAST(sum(CASE WHEN p.logw > c.cut THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_refreshed_selected
+                FROM rperdoc p CROSS JOIN rcut c GROUP BY 1)
+         SELECT fc.source, d.kl_nats,
+                CAST(CASE WHEN d.kl_nats > $DriftRetrainKl THEN 1 ELSE 0 END
+                     AS BIGINT) AS retrain,
+                fc.n_scored, fc.n_frozen_selected, rc.n_refreshed_selected
+         FROM fc JOIN rc USING (source) JOIN drift d USING (source)
+         ORDER BY source"""
+    },
     "t25_ngram_novelty" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
          u AS (SELECT doc_id, source, unnest(list_distinct(${sqlGrams(NoveltyGramK)})) AS g

@@ -382,6 +382,29 @@ class Round12Spec extends AnyFunSuite {
     assert(curve.last >= 0.90, s"round-2 recall under the measured band: $curve")
   }
 
+  // ---------- t30 drift-gated model refresh ----------
+
+  test("t30: the retrain trigger fires non-vacuously (src7 at sf0.001), the " +
+    "frozen and refreshed censuses genuinely differ, and the persisted " +
+    "frozen cut equals e4's law (quantile of base-scored docs under the " +
+    "base-trained model)") {
+    import graft.ext.TextAnalysis
+    val rows30 = TextAnalysis.t30ModelRefresh(spark, dir).collect()
+    val fired = rows30.filter(_.getAs[Long]("retrain") == 1L).map(_.getString(0))
+    assert(fired.toSeq === Seq("src7"),
+      s"expected exactly src7 above DriftRetrainKl at sf0.001: ${fired.toSeq}")
+    assert(rows30.exists(r => r.getAs[Long]("n_frozen_selected") !=
+      r.getAs[Long]("n_refreshed_selected")),
+      "vacuous: the two model generations select identically everywhere")
+    val servedCut = Pipeline.frozenDsirCutArtifact(spark, dir)
+      .collect()(0).getDouble(0)
+    val derivedCut = TextAnalysis.dsirCut(
+      TextAnalysis.dsirPerDocOn(spark, dir, !Pipeline.e4DeltaPred, !Pipeline.e4DeltaPred))
+      .collect()(0).getDouble(0)
+    assert(servedCut === derivedCut,
+      "persisted frozen cut != e4's base-trained base-scored quantile")
+  }
+
   // ---------- t29 batched BPE gate depth ----------
 
   test("t29: the batched learner reaches the full merge depth in ~merges/B " +
