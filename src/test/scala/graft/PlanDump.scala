@@ -24,6 +24,7 @@ object PlanDump {
     "q46_concurrency" -> "day-partitioned interval sweep: every window carries a partition spec",
     "t21_dsir_select" -> "SERVED from the persisted dsir_perdoc/dsir_cut model artifacts: pruned scan + broadcast 1-row cut + one rollup",
     "dsir_model_build" -> "the DSIR model ARTIFACT BUILD (paid once per corpus version): one tokenize+bucket pass, B-row bucket model + totals broadcast back over the pool",
+    "t30_model_refresh" -> "drift-gated model refresh: t26's drift chain (K-row vocab broadcast, dense |sources|xK grid) + BOTH model generations' selection censuses as narrow artifact scans under broadcast 1-row cuts — no corpus re-tokenize on the census side",
     "q49_pareto" -> "global cumulative as a two-level scan: broadcast sketch boundaries + bucket-partitioned running sum",
     "d18_sketch_overlap" -> "KMV overlap: one O(k)-state sketch pass; |sources|·k bounded tail",
     "s11_recall_matrix" -> "four ANN families union'd into one |Q|·k membership grade",
