@@ -88,7 +88,40 @@ object ArtifactRoots {
 
   /** Test seam: forget memoized tags, simulating a fresh session
     * (the boundary at which regeneration detection is defined). */
-  private[graft] def resetTagCacheForTest(): Unit = tagCache.clear()
+  private[graft] def resetTagCacheForTest(): Unit = {
+    tagCache.clear()
+    hbThrottle.clear()
+  }
+
+  /** Per-JVM throttle for [[touchServed]] — serve hot paths resolve
+    * their artifact root several times per query; one mtime bump a
+    * minute is plenty for a grace window measured in minutes+. */
+  private val hbThrottle =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val HeartbeatThrottleMs = 60000L
+
+  /** Record that `tree` is being actively SERVED: touch a heartbeat
+    * file in its root (throttled per JVM). The 4×-grace GC bound in
+    * [[tagged]] keys on max(root mtime, heartbeat mtime), so with
+    * serve paths calling this, the bound measures time-since-last-USE
+    * rather than time-since-BUILD — a long-lived session actively
+    * serving a tree across a corpus regeneration no longer loses it
+    * at 4× grace merely because the tree was built long ago. Best
+    * effort (a failed touch just leaves the weaker built-time bound);
+    * never creates the tree (a heartbeat must not make an unbuilt
+    * root look real to exists-checks). The file is underscore-
+    * prefixed, so Spark's readers treat it as hidden. */
+  def touchServed(tree: String): Unit = {
+    val now = System.currentTimeMillis()
+    val last = hbThrottle.get(tree)
+    if (last != null && now - last < HeartbeatThrottleMs) return
+    hbThrottle.put(tree, now)
+    try {
+      val p = new Path(tree)
+      val fs = FileSystem.get(p.toUri, hadoopConf)
+      if (fs.exists(p)) fs.create(new Path(p, "_graft_heartbeat"), true).close()
+    } catch { case _: Exception => () }
+  }
 
   /** One FIXED location per (prefix, data dir, corpus fingerprint) —
     * repeated invocations over unchanged data overwrite in place, so
@@ -133,7 +166,11 @@ object ArtifactRoots {
       val name = s"${prefix}_${tag}_$fp"
       if (fp != "0") {
         try {
-          val grace = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_GC_GRACE_MS", "0").toLong
+          // env knob; the system property is the spec seam (tests
+          // cannot set env vars on their own JVM)
+          val grace = sys.props.get("graft.test.gcGraceMs")
+            .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_GC_GRACE_MS"))
+            .getOrElse("0").toLong
           val now = System.currentTimeMillis()
           val regenFresh = grace > 0L && now - dataChangedAt <= grace
           val rootPath = new Path(root)
@@ -151,8 +188,21 @@ object ArtifactRoots {
               // grace of ITS regeneration; sessions that serve one
               // tree for longer than 4× grace must pin their own
               // SPARK_GRAFT_ARTIFACT_ROOT.
+              // Last-USE bound, not last-build: the root dir's own
+              // mtime only moves when the tree is (re)written, so it
+              // measures time-since-build — but a straddling session
+              // that merely READS the tree advertises liveness via
+              // the serve-time heartbeat ([[touchServed]]); honor it.
+              val lastUse =
+                try {
+                  val hb = new Path(st.getPath, "_graft_heartbeat")
+                  if (fs.exists(hb))
+                    math.max(st.getModificationTime,
+                      fs.getFileStatus(hb).getModificationTime)
+                  else st.getModificationTime
+                } catch { case _: Exception => st.getModificationTime }
               if (n.startsWith(s"${prefix}_${tag}_") && n != name &&
-                  (!regenFresh || now - st.getModificationTime > 4L * grace))
+                  (!regenFresh || now - lastUse > 4L * grace))
                 fs.delete(st.getPath, true)
             }
         } catch { case _: Exception => () } // GC is best-effort, never fatal

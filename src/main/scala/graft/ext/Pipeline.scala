@@ -103,7 +103,9 @@ object Pipeline {
   private[graft] def ensureArtifact(spark: SparkSession, dir: String, table: String,
                              partitionCols: Seq[String] = Nil)
                             (build: => DataFrame): DataFrame = {
-    val path = s"${eArtifactRoot(dir)}/$table"
+    val root = eArtifactRoot(dir)
+    graft.ArtifactRoots.touchServed(root) // last-use heartbeat for the GC bound
+    val path = s"$root/$table"
     val ok = new Path(s"$path/_SUCCESS")
     val schemaFile = new Path(s"$path/_graft_schema.ddl")
     val fs = FileSystem.get(ok.toUri, spark.sparkContext.hadoopConfiguration)
@@ -1508,10 +1510,22 @@ object Pipeline {
       val old = new Path(aside, layer)
       if (fs.exists(off)) {
         if (fs.exists(live)) {
-          if (fs.exists(old))
+          // live AND aside AND offboard is REACHABLE, not impossible:
+          // a run that crashed after promoting this layer leaves its
+          // pre-promotion live copy in the aside slot (aside is only
+          // cleaned after ALL layers land), and if the operator then
+          // REBUILDS the offboard generation and re-runs, all three
+          // are present. The aside copy is safe to clear because
+          // live+aside together pin live's identity: aside(L) only
+          // comes into existence by renaming live away, and live(L)
+          // only reappears via a promote — so live IS a previously
+          // promoted generation and the aside copy is two generations
+          // old, exactly what this fresh re-cutover (the done-marker
+          // delete above) supersedes.
+          if (fs.exists(old) && !fs.delete(old, true))
             throw new java.io.IOException(
-              s"cutover: $layer present in live AND aside AND offboard — " +
-                "protocol-impossible state, refusing to guess; intervene manually")
+              s"cutover: could not clear stale aside copy of $layer " +
+                "(leftover of a crashed run superseded by this re-cutover)")
           if (!fs.rename(live, old))
             throw new java.io.IOException(s"cutover aside failed: $layer")
         }

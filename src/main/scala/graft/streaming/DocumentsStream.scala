@@ -201,7 +201,24 @@ object DocumentsStream {
     * re-delivers it under a NEW numbering; either way the committed
     * dir is found and the batch is skipped without re-deriving a
     * single pair. A crashed partial (dir without marker) is deleted
-    * and rebuilt whole. */
+    * and rebuilt whole.
+    *
+    * KEY-FORMAT MIGRATION (production-ledger upgrade hazard): the tag
+    * gained the text-folding `_<sum>` term in the b_<n>_<xor> →
+    * b_<n>_<xor>_<sum> upgrade, so wave dirs committed by a
+    * pre-upgrade build never match post-upgrade tags — a checkpoint
+    * replay after deploying re-derives the same wave and commits it
+    * under the new tag while the old dir still serves, duplicating
+    * its sigs/pairs in the fold (harmless for CC labels — duplicate
+    * edges don't move components — but it inflates banding-candidate
+    * volume until compaction). Before deploying a build that changes
+    * the tag format, COMPACT the live ledger (the folded-tag set
+    * vouches by tag string, so compaction alone doesn't help a format
+    * change) or, cleaner, drain + clear the ledger and let the next
+    * wave start fresh; gate paths rebuild scratch per run and are
+    * unaffected. Old-prefix dirs are deliberately NOT treated as
+    * folded-equivalent: recognizing the text-blind legacy key would
+    * reintroduce exactly the edited-wave aliasing the sum term fixed. */
   private[graft] def maintainBatch(spark: SparkSession, dir: String, base: String)
                                   (batch: DataFrame, batchId: Long): Unit = {
     val st = batch.agg(count(lit(1)).as("n"),

@@ -238,12 +238,29 @@ class Round12Spec extends AnyFunSuite {
     intercept[java.io.IOException] {
       Pipeline.cutoverSubtree(spark, scratch, "offboard_no_such_src")
     }
-    // protocol-impossible state (layer in live AND aside AND offboard)
-    fs.mkdirs(new Path(s"$aside/labels"))
-    fs.mkdirs(new Path(s"$scratch/$tag/labels"))
-    intercept[java.io.IOException] {
-      Pipeline.cutoverSubtree(spark, scratch, tag)
-    }
+    // three-way state (layer in live AND aside AND offboard) is the
+    // crash+rebuild+rerun path: a run crashed after promoting labels
+    // (aside holds the pre-promotion live), the offboard generation
+    // was rebuilt, the cutover re-run. live+aside pins live as the
+    // previously-promoted copy, so the heal clears the stale aside
+    // and promotes the REBUILT generation (r13: was a refusing throw)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val liveLabels = rows(spark.read.parquet(s"$scratch/labels"))
+    // stale aside copy := the (old) pre-promotion live labels
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$scratch/labels"),
+      fs, new Path(s"$aside/labels"), false, conf)
+    // rebuilt offboard labels := distinct content (the pairs table
+    // stands in — any well-formed parquet distinct from live labels)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$scratch/pairs"),
+      fs, new Path(s"$scratch/$tag/labels"), false, conf)
+    val rebuilt = rows(spark.read.parquet(s"$scratch/$tag/labels"))
+    assert(rebuilt !== liveLabels, "construction must be distinguishable")
+    Pipeline.cutoverSubtree(spark, scratch, tag)
+    assert(rows(spark.read.parquet(s"$scratch/labels")) === rebuilt,
+      "heal must promote the REBUILT offboard generation over live")
+    assert(!fs.exists(new Path(aside)) && !fs.exists(new Path(s"$scratch/$tag")),
+      "heal must clear the stale aside copy and the emptied generation")
+    assert(fs.exists(new Path(s"$scratch/cutover_done_$tag")))
   }
 
   // ---------- 2. text-sensitive ledger key ----------
