@@ -453,12 +453,41 @@ object Similarity {
   }
 
   /** Run `KmeansIters` Lloyd rounds from the stride-seeded start and
-    * return the final centroid sums as a local-relation DataFrame.
-    * Each round's new sums are a |C|×dims aggregate collected to the
-    * driver (tiny — the same bounded-driver-state pattern as the CC
-    * convergence counter) and re-broadcast as literals, keeping every
-    * per-round plan flat. */
+    * return the final centroid sums — FULLY DISTRIBUTED. Centroids
+    * stay a DataFrame across rounds: each round is assignment
+    * (rankCentroids' broadcast of the centroid frame) → per-(cid, dim)
+    * integer re-sum with map-side partials → array re-assembly via
+    * sort_array(collect_list(struct(i, s))) (i is unique per cid, so
+    * the assembly is deterministic regardless of collect_list's
+    * arrival order), eagerly localCheckpoint'ed so per-round lineage
+    * is cut (the IterativeGraph discipline) and nothing larger than a
+    * task's own partition ever reaches the driver. |C| is
+    * stride-seeded and grows with the corpus — the previous form
+    * collected the |C|×dims sums to the driver each round and
+    * re-seeded via a local relation, a driver-state growth path on
+    * every index family's build/retrain (s5/s6/s12/s13/s22).
+    * Bit-equality with that collected form is pinned in Round13Spec
+    * (integer sums are associative, so the partial-aggregation
+    * re-grouping cannot move a low bit). */
   private def kmeansCentroids(spark: SparkSession, v: DataFrame): DataFrame = {
+    var cen = v.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("qv").as("sarr"), col("nv").as("nc"))
+    for (_ <- 1 to KmeansIters) {
+      cen = rankCentroids(v, cen).filter(col("r") === 1)
+        .groupBy(col("cid"))
+        .agg(graft.functions.LongVecSum.vecsum(col("qv")).as("sv"))
+        .select(col("cid"), col("sv.v").as("sarr"))
+        .withColumn("nc", aggregate(col("sarr"), lit(0L), (a, s) => a + s * s))
+        .coalesce(1).localCheckpoint(false)
+    }
+    cen
+  }
+
+  /** The pre-r13 COLLECTED form of [[kmeansCentroids]] — kept solely
+    * as Round13Spec's bit-equality reference for the distributed
+    * rewrite (never called from any query path). */
+  private[graft] def kmeansCentroidsCollectedForSpec(
+      spark: SparkSession, v: DataFrame): DataFrame = {
     import spark.implicits._
     var cen = v.filter(col("vec_id") % IvfCentroidStride === 0)
       .select(col("vec_id").as("cid"), col("qv").as("sarr"), col("nv").as("nc"))
@@ -617,7 +646,37 @@ object Similarity {
   private def pqStride(pop: DataFrame): DataFrame =
     pop.agg(greatest(lit(1L), expr(s"count(1) div $PqTargetK")).as("seed_stride"))
 
+  /** FULLY DISTRIBUTED Lloyd rounds for the PQ codebooks — the same
+    * rewrite as [[kmeansCentroids]]: the codebook stays a DataFrame
+    * across rounds (per-(sub, cid, dim) integer sums with map-side
+    * partials → sort_array(collect_list) re-assembly → eager
+    * localCheckpoint lineage cut), nothing reaches the driver. The
+    * per-dim mean is floor(sum/count) on doubles — the identical IEEE
+    * division + floor the collected form ran on the driver, so the
+    * codebooks are bit-equal (pinned in Round13Spec; the oracle's
+    * unrolled SQL is untouched). */
   private def pqCodebooksOn(spark: SparkSession, v: DataFrame, strideDf: DataFrame): DataFrame = {
+    var cen = v.crossJoin(broadcast(strideDf))
+      .filter(pmod(col("vec_id"), col("seed_stride")) === 0)
+      .select(col("sub"), col("vec_id").as("cid"), col("qa").as("ma"), col("na").as("nc"))
+    for (_ <- 1 to PqIters) {
+      cen = pqCodes(v, cen).join(v, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(graft.functions.LongVecSum.vecsum(col("qa")).as("sv"),
+          count(lit(1)).as("cnt"))
+        .select(col("sub"), col("cid"),
+          transform(col("sv.v"),
+            s => floor(s.cast("double") / col("cnt").cast("double"))).as("ma"))
+        .withColumn("nc", aggregate(col("ma"), lit(0L), (a, m) => a + m * m))
+        .coalesce(1).localCheckpoint(false)
+    }
+    cen
+  }
+
+  /** The pre-r13 COLLECTED form of [[pqCodebooksOn]] — Round13Spec's
+    * bit-equality reference only. */
+  private[graft] def pqCodebooksCollectedForSpec(
+      spark: SparkSession, v: DataFrame, strideDf: DataFrame): DataFrame = {
     import spark.implicits._
     var cen = v.crossJoin(broadcast(strideDf))
       .filter(pmod(col("vec_id"), col("seed_stride")) === 0)
@@ -637,6 +696,19 @@ object Similarity {
       cen = next.toDF("sub", "cid", "ma", "nc")
     }
     cen
+  }
+
+  /** Round13Spec seam: both Lloyd implementations (distributed and
+    * the pre-r13 collected reference) over the corpus at `dir`, for
+    * the bit-equality pin — (kmeans distributed, kmeans collected,
+    * pq distributed, pq collected). */
+  private[graft] def lloydFormsForSpec(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val qv = quantVecs(spark, dir)
+    val v = pqSubVecs(spark, dir)
+    val stride = pqStride(Tables.embeddings(spark, dir))
+    (kmeansCentroids(spark, qv), kmeansCentroidsCollectedForSpec(spark, qv),
+      pqCodebooksOn(spark, v, stride), pqCodebooksCollectedForSpec(spark, v, stride))
   }
 
   /** S6 — PQ-ADC approximate nearest neighbors: top-10 per query by
@@ -912,8 +984,17 @@ object Similarity {
     * codes table before the append re-adds the held-out slice), so
     * Verify/Bench loops no longer accumulate unbounded /tmp disk —
     * one index per scale factor, ever. */
-  private def s13IdxDir(dir: String): String =
-    graft.ArtifactRoots.tagged("graft_s13_idx", dir)
+  /** Resolve a persisted-index root AND advertise it as actively
+    * served (heartbeat for the 4×-grace GC bound — every lifecycle
+    * verb resolves its root through here, so a session serving an
+    * index keeps its tree's last-use mtime fresh). */
+  private def servedIdxDir(prefix: String, dir: String): String = {
+    val r = graft.ArtifactRoots.tagged(prefix, dir)
+    graft.ArtifactRoots.touchServed(r)
+    r
+  }
+
+  private def s13IdxDir(dir: String): String = servedIdxDir("graft_s13_idx", dir)
 
   def s13PersistedIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = s13IdxDir(dir)
@@ -1273,7 +1354,7 @@ object Similarity {
   }
 
   private def s18IdxDir(dir: String): String =
-    graft.ArtifactRoots.tagged("graft_s18_idx", dir)
+    servedIdxDir("graft_s18_idx", dir)
 
   /** S18 — the full delete lifecycle as the gate entry: s13's
     * build-on-base + frozen-model append, then a slice of the corpus
@@ -1478,7 +1559,7 @@ object Similarity {
       .withColumn("embedding", reverse(col("embedding")))
 
   private def s21IdxDir(dir: String): String =
-    graft.ArtifactRoots.tagged("graft_s21_idx", dir)
+    servedIdxDir("graft_s21_idx", dir)
 
   /** S21 — the full update lifecycle as the gate entry: s13's
     * build-on-base + frozen-model append, then the appended slice is
@@ -1585,7 +1666,7 @@ object Similarity {
   }
 
   private def s22IdxDir(dir: String): String =
-    graft.ArtifactRoots.tagged("graft_s22_idx", dir)
+    servedIdxDir("graft_s22_idx", dir)
 
   /** S22 — the retrain lifecycle as the gate entry: the drifted state
     * s14 measures (base-trained model, frozen-coded append slice) is
@@ -1611,7 +1692,7 @@ object Similarity {
   val S23TwiceDigit = 19
 
   private def s23IdxDir(dir: String): String =
-    graft.ArtifactRoots.tagged("graft_s23_idx", dir)
+    servedIdxDir("graft_s23_idx", dir)
 
   /** S23 — the DEFERRED-update serve path AS a gate entry: s13's
     * build-on-base + frozen-model append, then TWO deferred update

@@ -90,4 +90,25 @@ class Round13Spec extends AnyFunSuite {
       ArtifactRoots.resetTagCacheForTest()
     }
   }
+
+  // ---------- 2. distributed Lloyd rounds ----------
+
+  test("distributed Lloyd rounds are bit-equal to the collected form: " +
+    "kmeansCentroids and pqCodebooksOn produce identical centroid sums / " +
+    "codebook means (integer sums are associative; the floor-mean is the " +
+    "same IEEE division)") {
+    val (kd, kc, pd, pc) = Similarity.lloydFormsForSpec(spark, dir)
+    def kRows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("cid"), col("sarr").cast("string"), col("nc"))
+        .collect().map(_.toString).toSet
+    def pRows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("sub"), col("cid"), col("ma").cast("string"), col("nc"))
+        .collect().map(_.toString).toSet
+    val kdr = kRows(kd)
+    assert(kdr.nonEmpty, "vacuous: no centroids")
+    assert(kdr === kRows(kc), "kmeans centroid sums diverged from the collected form")
+    val pdr = pRows(pd)
+    assert(pdr.nonEmpty, "vacuous: no codebook rows")
+    assert(pdr === pRows(pc), "PQ codebook means diverged from the collected form")
+  }
 }
