@@ -102,8 +102,15 @@ object Pipeline {
     * this run and every later one. */
   private[graft] def ensureArtifact(spark: SparkSession, dir: String, table: String,
                              partitionCols: Seq[String] = Nil)
+                            (build: => DataFrame): DataFrame =
+    ensureArtifactAtRoot(spark, eArtifactRoot(dir), table, partitionCols)(build)
+
+  /** The marker+sidecar ensure discipline over an EXPLICIT artifact
+    * root — shared by the e-family DAG above and the kNN-graph
+    * artifact family (ext/Similarity's graft_knng root). */
+  private[graft] def ensureArtifactAtRoot(spark: SparkSession, root: String,
+                             table: String, partitionCols: Seq[String] = Nil)
                             (build: => DataFrame): DataFrame = {
-    val root = eArtifactRoot(dir)
     graft.ArtifactRoots.touchServed(root) // last-use heartbeat for the GC bound
     val path = s"$root/$table"
     val ok = new Path(s"$path/_SUCCESS")
@@ -1076,6 +1083,7 @@ object Pipeline {
     "e16_offboard_split" -> (e16OffboardSplit _),
     "e17_retract_then_arrive" -> (e17RetractThenArrive _),
     "e18_offboard_cutover" -> (e18OffboardCutover _),
+    "e19_model_cutover" -> (e19ModelCutover _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -1505,63 +1513,71 @@ object Pipeline {
     val aside = new Path(s"$root/cutover_old_$fromTag")
     fs.mkdirs(aside)
     DagLayers.foreach { layer =>
-      val live = new Path(s"$root/$layer")
-      val off = new Path(s"$root/$fromTag/$layer")
-      val old = new Path(aside, layer)
-      if (fs.exists(off)) {
-        if (fs.exists(live)) {
-          // live AND aside AND offboard is REACHABLE, not impossible:
-          // a run that crashed after promoting this layer leaves its
-          // pre-promotion live copy in the aside slot (aside is only
-          // cleaned after ALL layers land), and if the operator then
-          // REBUILDS the offboard generation and re-runs, all three
-          // are present. The aside copy is safe to clear because
-          // live+aside together pin live's identity: aside(L) only
-          // comes into existence by renaming live away, and live(L)
-          // only reappears via a promote — so live IS a previously
-          // promoted generation and the aside copy is two generations
-          // old, exactly what this fresh re-cutover (the done-marker
-          // delete above) supersedes.
-          if (fs.exists(old) && !fs.delete(old, true))
-            throw new java.io.IOException(
-              s"cutover: could not clear stale aside copy of $layer " +
-                "(leftover of a crashed run superseded by this re-cutover)")
-          if (!fs.rename(live, old))
-            throw new java.io.IOException(s"cutover aside failed: $layer")
-        }
-        if (!fs.rename(off, live))
-          throw new java.io.IOException(s"cutover promote failed: $layer")
-      } else if (!fs.exists(live) && fs.exists(old)) {
-        // defensive restore: unreachable under the protocol (promote's
-        // rename is atomic), kept so a manually-mangled tree heals
-        // toward the old world rather than serving a missing layer
-        if (!fs.rename(old, live))
-          throw new java.io.IOException(s"cutover restore failed: $layer")
-      } // else: already promoted by a previous attempt — skip
-      // root completeness witness for the promoted layer: the bins
-      // generation is built as per-epoch ensureArtifact tables, so its
-      // markers/sidecars live INSIDE the epoch subdirs — a promoted
-      // tree without a root _SUCCESS+sidecar would read as incomplete
-      // to the next ensureArtifact consumer, whose overwrite-rebuild
-      // would FLATTEN the epoch tree while the promoted manifest keeps
-      // the epoch-order checksums (silent layer desync). Witness it
-      // here: marker touch + sidecar derived from the promoted tree.
-      if (fs.exists(live)) {
-        val ok = new Path(live, "_SUCCESS")
-        val sc = new Path(live, "_graft_schema.ddl")
-        if (!fs.exists(ok)) fs.create(ok, true).close()
-        if (!fs.exists(sc)) {
-          val ddl = spark.read.parquet(live.toString).schema.toDDL
-          val out = fs.create(sc, true)
-          try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        }
-      }
+      promoteLayer(spark, fs, new Path(s"$root/$fromTag/$layer"),
+        new Path(s"$root/$layer"), new Path(aside, layer))
     }
     fs.delete(aside, true)
     fs.delete(new Path(s"$root/$fromTag"), true) // the emptied generation
     fs.create(done, true).close() // the completion witness, LAST
     ()
+  }
+
+  /** ONE layer's aside-first promotion — the shared kernel of the
+    * e18 offboard cutover and the e19 model cutover: offboard present
+    * → promote it (aside the live copy first; a stale aside copy from
+    * a crashed run superseded by this re-cutover is cleared — see the
+    * three-way note below); offboard gone + live present → already
+    * promoted, skip; both gone + aside present → defensive restore.
+    * Ends by witnessing the promoted layer's root completeness
+    * (marker + schema sidecar — the bins generation keeps its
+    * markers INSIDE epoch subdirs, and a promoted tree without a root
+    * witness would read as incomplete to the next ensureArtifact
+    * consumer, whose overwrite-rebuild would FLATTEN the epoch tree
+    * while the promoted manifest keeps the epoch-order checksums). */
+  private def promoteLayer(spark: SparkSession, fs: FileSystem,
+                           off: Path, live: Path, old: Path): Unit = {
+    val layer = live.getName
+    if (fs.exists(off)) {
+      if (fs.exists(live)) {
+        // live AND aside AND offboard is REACHABLE, not impossible:
+        // a run that crashed after promoting this layer leaves its
+        // pre-promotion live copy in the aside slot (aside is only
+        // cleaned after ALL layers land), and if the operator then
+        // REBUILDS the offboard generation and re-runs, all three
+        // are present. The aside copy is safe to clear because
+        // live+aside together pin live's identity: aside(L) only
+        // comes into existence by renaming live away, and live(L)
+        // only reappears via a promote — so live IS a previously
+        // promoted generation and the aside copy is two generations
+        // old, exactly what this fresh re-cutover (the done-marker
+        // delete above) supersedes.
+        if (fs.exists(old) && !fs.delete(old, true))
+          throw new java.io.IOException(
+            s"cutover: could not clear stale aside copy of $layer " +
+              "(leftover of a crashed run superseded by this re-cutover)")
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"cutover aside failed: $layer")
+      }
+      if (!fs.rename(off, live))
+        throw new java.io.IOException(s"cutover promote failed: $layer")
+    } else if (!fs.exists(live) && fs.exists(old)) {
+      // defensive restore: unreachable under the protocol (promote's
+      // rename is atomic), kept so a manually-mangled tree heals
+      // toward the old world rather than serving a missing layer
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(s"cutover restore failed: $layer")
+    } // else: already promoted by a previous attempt — skip
+    if (fs.exists(live)) {
+      val ok = new Path(live, "_SUCCESS")
+      val sc = new Path(live, "_graft_schema.ddl")
+      if (!fs.exists(ok)) fs.create(ok, true).close()
+      if (!fs.exists(sc)) {
+        val ddl = spark.read.parquet(live.toString).schema.toDDL
+        val out = fs.create(sc, true)
+        try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
   }
 
   /** E18 — the cutover run for real and served: both generations are
@@ -1607,6 +1623,142 @@ object Pipeline {
     org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$src/$offboardTag"),
       fs, new Path(s"$scratch/$offboardTag"), false, conf)
     scratch
+  }
+
+  /** The model layer's two tables — the e19 cutover's swap list. */
+  private[graft] val ModelLayers = Seq("dsir_perdoc", "dsir_cut")
+
+  /** PRODUCTION MODEL CUTOVER — the verb t30's retrain decision
+    * implies, executable: the REFRESHED model generation (the
+    * root-level dsir_perdoc/dsir_cut full-retrain tables) is promoted
+    * over the FROZEN root (the model_frozen subtree) with the same aside-first,
+    * crash-resumable discipline as e18 ([[promoteLayer]] — offboard
+    * position is played by the refreshed tables, which the promotion
+    * CONSUMES; the next ensureArtifact of the refreshed generation
+    * rebuilds it from the corpus, which is exactly the "models forget
+    * on the retrain cadence" law: post-cutover, frozen ≡ the retrain,
+    * and the next delta epoch accumulates against it). A re-run after
+    * any crash completes forward; a re-cutover of a REBUILT refreshed
+    * generation starts fresh (done-marker delete); exclusivity is
+    * e18's (operator action on the serving root — readers must not
+    * race it). */
+  private[graft] def modelCutover(spark: SparkSession, root: String): Unit = {
+    val rp = new Path(root)
+    val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
+    val done = new Path(s"$root/model_cutover_done")
+    if (!ModelLayers.exists(l => fs.exists(new Path(s"$root/$l")))) {
+      if (fs.exists(done)) return
+      throw new java.io.IOException(
+        s"model cutover: no refreshed generation under $root and no " +
+          "completion marker — nothing to promote")
+    }
+    fs.delete(done, false)
+    val aside = new Path(s"$root/model_cutover_old")
+    fs.mkdirs(aside)
+    ModelLayers.foreach { layer =>
+      promoteLayer(spark, fs, new Path(s"$root/$layer"),
+        new Path(s"$root/model_frozen/$layer"), new Path(aside, layer))
+    }
+    fs.delete(aside, true)
+    fs.create(done, true).close()
+    ()
+  }
+
+  /** Clone BOTH model generations into the e19 scratch root (rebuilt
+    * per invocation — the gate must not mutate the shared tree the
+    * other entries serve from; production runs [[modelCutover]] on
+    * the serving root itself). */
+  private[graft] def stageModelClone(spark: SparkSession, dir: String): String = {
+    dsirPerDocArtifact(spark, dir)
+    dsirCutArtifact(spark, dir)
+    frozenDsirPerDocArtifact(spark, dir)
+    frozenDsirCutArtifact(spark, dir)
+    val src = eArtifactRoot(dir)
+    val scratch = graft.ArtifactRoots.tagged("graft_e19_model", dir)
+    val sp = new Path(scratch)
+    val fs = FileSystem.get(sp.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sp)) fs.delete(sp, true)
+    fs.mkdirs(sp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    ModelLayers.foreach { layer =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$src/$layer"),
+        fs, new Path(s"$scratch/$layer"), false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$src/model_frozen/$layer"),
+        fs, new Path(s"$scratch/model_frozen/$layer"), false, conf)
+    }
+    scratch
+  }
+
+  /** E19 — the drift-gated MODEL-GENERATION CUTOVER run for real and
+    * served: t30 emits the retrain decision, e18 proved the subtree
+    * swap — this entry composes them. Both model generations are
+    * forced and CLONED to scratch; if ANY pool source's drift exceeds
+    * [[TextAnalysis.DriftRetrainKl]] (a 1-row bounded aggregate —
+    * fires three sources at sf0.01, src7 at sf0.001, nothing at
+    * sf0.1), [[modelCutover]] promotes the refreshed generation over
+    * the frozen root; the entry then serves the per-source selection
+    * census FROM THE POST-VERB FROZEN ROOT next to the decision —
+    * so the gate hash-checks "after the swap, the frozen path IS the
+    * retrain" (and on quiet corpora, "no swap, the frozen path is
+    * untouched") every round. Oracle composes the drift chain, both
+    * DSIR generations, and the fired CASE in one statement.
+    * Round13Spec pins the crash windows (e18's pattern) and
+    * frozen-after-cutover ≡ fresh full retrain. */
+  def e19ModelCutover(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = stageModelClone(spark, dir)
+    val dec = TextAnalysis.t30Decisions(spark, dir)
+    val fired =
+      dec.agg(max(col("retrain")).as("f")).collect()(0).getLong(0) == 1L
+    if (fired) modelCutover(spark, scratch)
+    val perdoc = spark.read.parquet(s"$scratch/model_frozen/dsir_perdoc")
+    val cut = spark.read.parquet(s"$scratch/model_frozen/dsir_cut")
+    val census = perdoc.crossJoin(broadcast(cut))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("logw") > col("cut"), 1L).otherwise(0L)).as("n_selected"))
+    dec.withColumn("fired", lit(if (fired) 1L else 0L))
+      .join(census, Seq("source"))
+      .select(col("source"), col("kl_nats"), col("retrain"), col("fired"),
+        col("n_scored"), col("n_selected"))
+      .orderBy(col("source"))
+  }
+
+  /** e19's oracle: the drift decisions, the global fired flag, and
+    * the census under the PROMOTED-OR-KEPT model — frozen when quiet,
+    * the full retrain when any source fires. */
+  private lazy val e19OracleSql: String = {
+    val base = s"NOT ${e4DeltaSqlOf("doc_id")}"
+    val baseF = s"NOT ${e4DeltaSqlOf("f.doc_id")}"
+    s"""WITH ${TextAnalysis.t26DriftCtes()},
+         ${TextAnalysis.dsirModelCtes(base, "f")},
+         ${TextAnalysis.dsirPerdocCte("fperdoc", "TRUE", "f")},
+         fcut AS (SELECT quantile_cont(logw, ${TextAnalysis.DsirSelectQuantile})
+                    AS cut FROM fperdoc f WHERE ($baseF)),
+         ${TextAnalysis.dsirModelCtes("TRUE", "r")},
+         ${TextAnalysis.dsirPerdocCte("rperdoc", "TRUE", "r")},
+         rcut AS (SELECT quantile_cont(logw, ${TextAnalysis.DsirSelectQuantile})
+                    AS cut FROM rperdoc),
+         dec AS (SELECT source, kl_nats,
+                        CAST(CASE WHEN kl_nats > ${TextAnalysis.DriftRetrainKl}
+                             THEN 1 ELSE 0 END AS BIGINT) AS retrain
+                 FROM drift),
+         fired AS (SELECT max(retrain) AS f FROM dec),
+         fc AS (SELECT p.source, count(*) AS n_scored,
+                       CAST(sum(CASE WHEN p.logw > c.cut THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_selected
+                FROM fperdoc p CROSS JOIN fcut c GROUP BY 1),
+         rc AS (SELECT p.source, count(*) AS n_scored,
+                       CAST(sum(CASE WHEN p.logw > c.cut THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_selected
+                FROM rperdoc p CROSS JOIN rcut c GROUP BY 1)
+         SELECT d.source, d.kl_nats, d.retrain, fi.f AS fired,
+                CASE WHEN fi.f = 1 THEN rc.n_scored ELSE fc.n_scored END
+                  AS n_scored,
+                CASE WHEN fi.f = 1 THEN rc.n_selected ELSE fc.n_selected END
+                  AS n_selected
+         FROM dec d JOIN fc USING (source) JOIN rc USING (source)
+         CROSS JOIN fired fi
+         ORDER BY source"""
   }
 
   /** The offboarded pair table's SQL twin: d4's full pair SELECT with
@@ -2068,6 +2220,7 @@ object Pipeline {
     // retracted state — the same rebuild-without-retired law, now
     // stated about the post-swap serving root
     "e18_offboard_cutover" -> retractedLabelsOracleSql,
+    "e19_model_cutover" -> e19OracleSql,
     "e15_source_offboard" -> e15OracleSql,
     // e16: the split census a user draws AFTER offboarding — the e6
     // chain over the retracted labeling with the retired rows gone

@@ -511,6 +511,13 @@ object TextAnalysis {
     * |sources|×K grid); each census is one narrow artifact scan + a
     * broadcast 1-row cut; nothing re-tokenizes the corpus (both
     * perdoc generations serve from parquet). */
+  /** The decision table t30 emits and e19 acts on: per pool source,
+    * the round-4 drift measurement and the retrain verdict. */
+  private[ext] def t30Decisions(spark: SparkSession, dir: String): DataFrame =
+    t26SourceDrift(spark, dir).select(col("source"), col("kl_nats"))
+      .withColumn("retrain",
+        when(col("kl_nats") > lit(DriftRetrainKl), 1L).otherwise(0L))
+
   def t30ModelRefresh(spark: SparkSession, dir: String): DataFrame = {
     val drift = t26SourceDrift(spark, dir).select(col("source"), col("kl_nats"))
     val frozen = Pipeline.frozenDsirPerDocArtifact(spark, dir)

@@ -111,4 +111,120 @@ class Round13Spec extends AnyFunSuite {
     assert(pdr.nonEmpty, "vacuous: no codebook rows")
     assert(pdr === pRows(pc), "PQ codebook means diverged from the collected form")
   }
+
+  // ---------- 3. persisted kNN graph: append vs rebuild ----------
+
+  /** recall@k of `g` against the exact brute-force graph `x`, both as
+    * (vec_id, neighbor) sets — integer hit count over integer truth. */
+  private def graphRecall(g: Set[(Long, Long)], x: Set[(Long, Long)]): Double =
+    if (x.isEmpty) 1.0 else g.intersect(x).size.toDouble / x.size
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame,
+                      nbCol: String): Set[(Long, Long)] =
+    df.select(col("vec_id"), col(nbCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("graph append: the appended graph's recall vs the exact graph is " +
+    "within the envelope of the full rebuild's; untouched base rows pass " +
+    "through verbatim; every vector has rows and arrivals are covered") {
+    import graft.ext.Similarity
+    val qvCnt = Tables.embeddings(spark, dir).count()
+    // exact graph on the same integer metric (all-pairs at spec SF)
+    val exact = edgeSet(Similarity.exactKnnGraphForSpec(spark, dir), "nb_id")
+    val rebuilt = edgeSet(
+      Similarity.s20KnnGraphRounds(spark, dir, Similarity.S20DescentRounds),
+      "neighbor_id")
+    val appended = Similarity.s25GraphAppend(spark, dir)
+    val appendedSet = edgeSet(appended, "neighbor_id")
+    val rRecall = graphRecall(rebuilt, exact)
+    val aRecall = graphRecall(appendedSet, exact)
+    info(f"recall@10 vs exact: rebuilt=$rRecall%.4f appended=$aRecall%.4f")
+    // measured at sf0.001: rebuilt 0.9118, appended 0.9272 — the
+    // appended path's frozen-centroid blocking plus the localized
+    // descent hop lands WITHIN (here: above) the rebuild's envelope;
+    // pin a 0.05 floor-margin so corpus regeneration noise can't flap
+    assert(aRecall >= rRecall - 0.05,
+      f"appended graph fell out of the rebuild's recall envelope: $aRecall%.4f vs $rRecall%.4f")
+    assert(rRecall >= 0.85, "rebuild recall collapsed — blocking/descent broken")
+    // coverage: every vector (base + arrival) answers with >= 1 row
+    assert(appended.select(col("vec_id")).distinct().count() === qvCnt,
+      "appended graph must cover every vector")
+    val arrivals = appended.filter(col("vec_id") % 10 === Similarity.S13AppendDigit)
+    assert(arrivals.count() > 0, "vacuous: no arrival rows")
+    // untouched base rows are the artifact's very rows: re-deriving the
+    // base graph and joining on (vec_id, rank) must agree bit-for-bit
+    // wherever the appended graph kept a base vector untouched
+    val base = Similarity.knngBaseGraph(spark, dir)
+      .select(col("vec_id"), col("nb_id").as("b_nb"), col("d2_fp").as("b_d2"),
+        col("rank"))
+    val joined = appended.filter(col("vec_id") % 10 =!= Similarity.S13AppendDigit)
+      .join(base, Seq("vec_id", "rank"), "left")
+    val diverged = joined.filter(col("b_nb").isNull).count()
+    // touched vectors may legitimately differ; assert SOME base vector
+    // stayed verbatim (untouched pass-through is live, not vacuous)
+    val verbatim = joined.filter(col("neighbor_id") === col("b_nb") &&
+      col("d2_fp") === col("b_d2")).count()
+    assert(verbatim > 0, "no untouched base row passed through verbatim")
+    assert(diverged === 0L, "a base vec_id/rank pair missing from the base graph")
+  }
+
+  // ---------- 4. e19 model cutover ----------
+
+  test("e19 model cutover: resumes forward from mid-swap crash windows, " +
+    "frozen-after-cutover == fresh full retrain, re-run is a no-op, missing " +
+    "generation without the marker throws, and the sf0.001 decision fires") {
+    val scratch = Pipeline.stageModelClone(spark, dir)
+    val fs = FileSystem.get(new Path(scratch).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val refreshedPerdoc = rows(spark.read.parquet(s"$scratch/dsir_perdoc"))
+    val refreshedCut = rows(spark.read.parquet(s"$scratch/dsir_cut"))
+    val aside = s"$scratch/model_cutover_old"
+    // CRASH WINDOW A: dsir_perdoc asided, not yet promoted
+    fs.mkdirs(new Path(aside))
+    assert(fs.rename(new Path(s"$scratch/model_frozen/dsir_perdoc"),
+      new Path(s"$aside/dsir_perdoc")))
+    // CRASH WINDOW B: dsir_cut fully promoted (aside done, refreshed consumed)
+    assert(fs.rename(new Path(s"$scratch/model_frozen/dsir_cut"),
+      new Path(s"$aside/dsir_cut")))
+    assert(fs.rename(new Path(s"$scratch/dsir_cut"),
+      new Path(s"$scratch/model_frozen/dsir_cut")))
+    Pipeline.modelCutover(spark, scratch)
+    assert(rows(spark.read.parquet(s"$scratch/model_frozen/dsir_perdoc"))
+      === refreshedPerdoc, "post-swap frozen perdoc != refreshed generation")
+    assert(rows(spark.read.parquet(s"$scratch/model_frozen/dsir_cut"))
+      === refreshedCut, "post-swap frozen cut != refreshed generation")
+    assert(!fs.exists(new Path(aside)), "aside must be cleaned")
+    assert(fs.exists(new Path(s"$scratch/model_cutover_done")))
+    // the literal law: frozen-after-cutover == a fresh full retrain
+    val derived = graft.ext.TextAnalysis.dsirPerDoc(spark, dir)
+    assert(rows(spark.read.parquet(s"$scratch/model_frozen/dsir_perdoc"))
+      === rows(derived), "promoted frozen model != from-scratch full retrain")
+    // idempotent re-run over the completed state (generation consumed)
+    Pipeline.modelCutover(spark, scratch)
+    assert(rows(spark.read.parquet(s"$scratch/model_frozen/dsir_perdoc"))
+      === refreshedPerdoc)
+    // missing generation WITHOUT the completion witness throws
+    fs.delete(new Path(s"$scratch/model_cutover_done"), false)
+    intercept[java.io.IOException] {
+      Pipeline.modelCutover(spark, scratch)
+    }
+    // the gate path is non-vacuous at sf0.001: src7's drift fires the
+    // promotion, and the served census is the refreshed generation's
+    val e19 = Pipeline.e19ModelCutover(spark, dir).collect()
+    assert(e19.exists(_.getAs[Long]("retrain") == 1L),
+      "no source fired at sf0.001 — the cutover path is vacuous")
+    assert(e19.forall(_.getAs[Long]("fired") == 1L))
+  }
+
+  test("graph serve: s24 answers from the artifact with k = TopK per query " +
+    "and sane recall") {
+    import graft.ext.Similarity
+    val served = Similarity.s24GraphServed(spark, dir).collect()
+    assert(served.nonEmpty, "vacuous: no served queries")
+    served.foreach { r =>
+      assert(r.getAs[Long]("k") === Similarity.TopK.toLong)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
 }
