@@ -113,9 +113,12 @@ object Bench {
     //   s20@v2: the NN-Descent refinement round (r10) is ~2x the
     //   pre-descent build by design (recall@10 0.72 -> 0.89 at
     //   unchanged probes); its 2.647s floor predates that contract.
+    //   @v4 (r13): S20Probes widened 3 -> 4 (the measured frontier:
+    //   0.9118 -> 0.9492 recall@10 at rounds=2; a third round bought
+    //   only 0.9144, so probes dominate) — wider round-1 candidates.
     //   @v3 (r12): s20 runs a SECOND NN-Descent round (the recall
     //   curve's next point); its @v2 floor predates that contract.
-    val workVersion: Map[String, Int] = Map("s20_knn_graph" -> 3)
+    val workVersion: Map[String, Int] = Map("s20_knn_graph" -> 4)
     def floorKey(name: String): String =
       workVersion.get(name).map(v => s"$name@v$v").getOrElse(name)
     val dirName = new java.io.File(sfDir).getName

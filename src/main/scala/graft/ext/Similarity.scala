@@ -1021,11 +1021,18 @@ object Similarity {
     * analysis; Round9Spec measures recall vs the brute-force graph on
     * the same metric. */
   /** s20's own probe width: the recall/cost knob of graph
-    * construction (measured at sf0.001: 2 probes → 0.56 recall@10,
-    * 3 probes → 0.72 before the descent round). Wider than the
-    * query-path [[IvfProbes]] because construction is offline and
-    * pays once. */
-  val S20Probes = 3
+    * construction. Wider than the query-path [[IvfProbes]] because
+    * construction is offline and pays once — and since r13, persisted
+    * once per corpus version. r13 measured the FULL frontier at
+    * sf0.001 (rounds=2 unless noted): probes=3 → 0.9118, probes=4 →
+    * 0.9492, probes=5 → 0.9754, while a THIRD descent round at
+    * probes=3 bought only 0.9144 — recall is probe-bound past the
+    * round-2 knee, exactly as the r12 curve predicted, so the knob
+    * widened 3→4 (floor re-keyed @v4). probes=5 measures higher
+    * still but is 5 of 6 lists at spec SFs — blocking would be
+    * near-degenerate in the gate corpus (at 100 TB, |C| grows with
+    * the corpus and 5 stays a sliver; re-widen when |C| ≫ probes). */
+  val S20Probes = 4
 
   /** Exact top-k per vector over an arbitrary candidate pair frame —
     * the shared rank tail of s20's blocking round and its descent
@@ -1060,9 +1067,11 @@ object Similarity {
 
   /** Round 1 against an EXPLICIT centroid frame — the graph-append
     * lifecycle builds its base graph against the PERSISTED frozen
-    * centroids rather than retraining. */
-  private def s20Round1GraphFrom(cen: DataFrame, qv: DataFrame): DataFrame = {
-    val rc = rankCentroids(qv, cen).filter(col("r") <= S20Probes)
+    * centroids rather than retraining; `probes` defaults to the gate
+    * knob (Round13Spec sweeps it for the recall/cost frontier). */
+  private def s20Round1GraphFrom(cen: DataFrame, qv: DataFrame,
+                                 probes: Int = S20Probes): DataFrame = {
+    val rc = rankCentroids(qv, cen).filter(col("r") <= probes)
       .select(col("vec_id"), col("cid"), col("r"))
     val cand = rc // every probed list of u ...
       .select(col("vec_id"), col("cid"))
@@ -1140,7 +1149,7 @@ object Similarity {
   // treatment at the vector layer), served from parquet by every
   // consumer, appended to by localized NN-Descent around arrivals.
   //
-  //   graft_knng_v1/<fingerprint>/
+  //   graft_knng_v2/<fingerprint>/   (v2: S20Probes widened 3 -> 4)
   //     graph_full/      — s20's full-corpus graph (build = the s20
   //                        chain verbatim; s20's gate row serves it)
   //     base_centroids/  — frozen coarse quantizer trained on the
@@ -1157,7 +1166,7 @@ object Similarity {
   // written distributed and never collected or broadcast.
   // ---------------------------------------------------------------
 
-  private def knngRoot(dir: String): String = servedIdxDir("graft_knng_v1", dir)
+  private def knngRoot(dir: String): String = servedIdxDir("graft_knng_v2", dir)
 
   private def ensureKnng(spark: SparkSession, dir: String, table: String)
                         (build: => DataFrame): DataFrame =
@@ -1252,6 +1261,16 @@ object Similarity {
         .select(col("vec_id"), col("nb_id"), col("d2_fp"), col("rank"))
       untouched.unionByName(updated).unionByName(arrEdges)
     }
+
+  /** Spec-only: the graph at an arbitrary (probes, rounds) operating
+    * point — Round13Spec's recall/cost frontier sweep (the SURVEY
+    * note "past the knee, widen probes before round 3" measured). */
+  private[graft] def s20GraphAtForSpec(spark: SparkSession, dir: String,
+                                       probes: Int, rounds: Int): DataFrame = {
+    val qv = quantVecs(spark, dir)
+    val g0 = s20Round1GraphFrom(kmeansCentroids(spark, qv), qv, probes)
+    s20DescentLoop(g0, qv, rounds)
+  }
 
   /** Spec-only: the EXACT brute-force kNN graph on the same integer
     * metric (all-pairs — fine at spec SF, never a gate/production

@@ -139,7 +139,8 @@ class Round13Spec extends AnyFunSuite {
     val rRecall = graphRecall(rebuilt, exact)
     val aRecall = graphRecall(appendedSet, exact)
     info(f"recall@10 vs exact: rebuilt=$rRecall%.4f appended=$aRecall%.4f")
-    // measured at sf0.001: rebuilt 0.9118, appended 0.9272 — the
+    // measured at sf0.001 (probes=4 since r13): rebuilt 0.9492,
+    // appended 0.9592 — the
     // appended path's frozen-centroid blocking plus the localized
     // descent hop lands WITHIN (here: above) the rebuild's envelope;
     // pin a 0.05 floor-margin so corpus regeneration noise can't flap
@@ -166,6 +167,20 @@ class Round13Spec extends AnyFunSuite {
       col("d2_fp") === col("b_d2")).count()
     assert(verbatim > 0, "no untouched base row passed through verbatim")
     assert(diverged === 0L, "a base vec_id/rank pair missing from the base graph")
+  }
+
+  test("s20 probe/round frontier: measured recall@10 at sf0.001") {
+    import graft.ext.Similarity
+    val exact = edgeSet(Similarity.exactKnnGraphForSpec(spark, dir), "nb_id")
+    val pts = for ((p, r) <- Seq((3, 2), (4, 2), (5, 2), (3, 3))) yield {
+      val g = edgeSet(Similarity.s20GraphAtForSpec(spark, dir, p, r), "nb_id")
+      val rec = graphRecall(g, exact)
+      info(f"probes=$p rounds=$r recall@10=$rec%.4f")
+      (p, r, rec)
+    }
+    val rec = pts.map { case (p, r, v) => (p, r) -> v }.toMap
+    assert(rec((4, 2)) >= rec((3, 2)), "widening probes must not lose recall")
+    assert(rec((5, 2)) >= rec((4, 2)), "widening probes must not lose recall")
   }
 
   // ---------- 4. e19 model cutover ----------
