@@ -667,10 +667,21 @@ object Pipeline {
       .orderBy(col("shard"))
 
   /** Factored over an arbitrary bins frame so the spec can doctor the
-    * input and watch the checksum catch it. */
-  private[graft] def manifestOf(bins: DataFrame): DataFrame = {
+    * input and watch the checksum catch it. `mersenne` is the
+    * IMPLEMENTED million-bins-per-shard escape the [[E9HashMod]] doc
+    * names: the position-weighted fold reduces per partial modulo
+    * 2^61−1 instead of relying on the 2^60 int64 headroom — equal to
+    * the exact checksum verbatim while that headroom holds (pinned in
+    * Round13Spec with the property tests). Gate default stays exact
+    * (the oracle computes the plain sum). */
+  private[graft] def manifestOf(bins: DataFrame,
+                                mersenne: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("bin"))
+    val term = col("pos") * col("c")
+    val fold =
+      if (mersenne) graft.functions.MersenneModSum.msum(term)
+      else sum(term)
     bins.withColumn("h", e7OrderHash(lit(1)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .withColumn("c", pmod(StableHash.hash64(concat(lit("e9:"),
@@ -680,7 +691,7 @@ object Pipeline {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        sum(col("pos") * col("c")).as("order_checksum"))
+        fold.as("order_checksum"))
       .orderBy(col("shard"))
   }
 
@@ -1386,12 +1397,26 @@ object Pipeline {
   /** One layer's census row: count + an order-independent content
     * fold (sum of 2^40-bounded StableHash terms over a canonical
     * per-row string — the same fold the oracle computes, so the gate
-    * hash-checks every layer's CONTENT, not just its cardinality). */
+    * hash-checks every layer's CONTENT, not just its cardinality).
+    * Exact to ~2^23 rows/layer; `mersenne` is the IMPLEMENTED escape
+    * past that (the e8-wide precedent): the fold reduces per partial
+    * modulo 2^61−1, overflow-free at any layer size, and equals the
+    * exact fold verbatim while the exact fold is in-range (both
+    * pinned in Round13Spec). The gate keeps exact — the oracle
+    * hash-checks the plain sum. */
   private def layerCensus(layer: String, df: DataFrame, canonical: Column): DataFrame =
+    layerCensusOn(layer, df, canonical, mersenne = false)
+
+  private[graft] def layerCensusOn(layer: String, df: DataFrame, canonical: Column,
+                                   mersenne: Boolean): DataFrame = {
+    val term = pmod(StableHash.hash64(canonical), lit(1L << 40))
+    val fold =
+      if (mersenne) graft.functions.MersenneModSum.msum(term)
+      else sum(term)
     df.agg(count(lit(1)).as("n_rows"),
-      coalesce(sum(pmod(StableHash.hash64(canonical), lit(1L << 40))), lit(0L))
-        .as("content_sum"))
+      coalesce(fold, lit(0L)).as("content_sum"))
       .select(lit(layer).as("layer"), col("n_rows"), col("content_sum"))
+  }
 
   private def b01(c: Column): Column = when(c, "1").otherwise("0")
 

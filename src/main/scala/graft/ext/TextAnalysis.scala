@@ -834,16 +834,30 @@ object TextAnalysis {
     * signature of recombined boilerplate): per (source, n), unique
     * n-grams over total n-grams. One exploded pass per n, each a
     * map-side-combined count + a distinct count keyed by the gram —
-    * shuffle bounded by corpus token volume. At 100 TB swap the exact
-    * distinct for approx_count_distinct exactly as q44's NDV notes. */
-  def t20DistinctNgrams(spark: SparkSession, dir: String): DataFrame = {
+    * shuffle bounded by corpus token volume. At 100 TB flip
+    * `approxNdv` (IMPLEMENTED, not just named — e8's wide-flag
+    * precedent): the exact distinct becomes approx_count_distinct
+    * (HLL, rsd 0.02 — one pass, sketch-sized shuffle, no per-gram
+    * dedup shuffle at all); Round13Spec measures the relative-error
+    * envelope vs exact at both spec SFs. The GATE keeps the exact
+    * default — the oracle hash-checks exact counts. */
+  def t20DistinctNgrams(spark: SparkSession, dir: String): DataFrame =
+    t20DistinctNgramsOn(spark, dir, approxNdv = false)
+
+  val ApproxNdvRsd = 0.02
+
+  private[graft] def t20DistinctNgramsOn(spark: SparkSession, dir: String,
+                                         approxNdv: Boolean): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("source"), words(col("text")).as("_w"))
+    val ndv: Column => Column =
+      if (approxNdv) c => approx_count_distinct(c, ApproxNdvRsd)
+      else c => countDistinct(c)
     (1 to DistinctNMax).map { n =>
       d.select(col("source"), explode(Dedup.shinglesOf(col("_w"), n)).as("g"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("total_grams"),
-             countDistinct(col("g")).as("distinct_grams"))
+             ndv(col("g")).as("distinct_grams"))
         .select(col("source"), lit(n).as("n"), col("total_grams"),
           col("distinct_grams"),
           round(col("distinct_grams") / col("total_grams"), 4).as("distinct_ratio"))
@@ -1291,7 +1305,9 @@ object TextAnalysis {
     * Incompatible candidates are NOT batched — they defer to the
     * next snapshot, trading round-trips back for exactness. */
   private[graft] def learnBpeMergesBatched(vocab: DataFrame, totalMerges: Int,
-                                           batch: Int): (Seq[(Int, String, String, Long)], Int) = {
+                                           batch: Int,
+                                           boundaries: scala.collection.mutable.Buffer[Int] = null)
+      : (Seq[(Int, String, String, Long)], Int) = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     var seq0 = vocab.cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -1307,6 +1323,12 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(batch)
         .collect()
       snapshots += 1
+      // spec seam: record each snapshot's first merge index, so
+      // Round13Spec can pin "every snapshot's first pick IS the
+      // sequential argmax of that state" (the order law no lawful
+      // creation-tie can bend — rank 1 of the shared (cnt desc, l, r)
+      // ordering is tie-break-identical in both learners)
+      if (boundaries != null && top.nonEmpty) boundaries += rank
       if (top.isEmpty) exhausted = true // vocab fully fused
       else {
         val used = scala.collection.mutable.Set.empty[String]

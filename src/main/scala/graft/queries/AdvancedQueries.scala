@@ -617,16 +617,25 @@ object AdvancedQueries {
     * column-parallel union is also the right 100 TB shape — branches
     * schedule independently and the bytes read are identical
     * (columnar store: 11 one-column scans = one 11-column scan). The
-    * production swap for NDV stays approx_count_distinct (HLL, one
-    * pass, no per-value shuffle); exact counts are kept because the
-    * oracle hash-checks them. */
-  def q44Profile(spark: SparkSession, dir: String): DataFrame = {
+    * production swap for NDV is approx_count_distinct (HLL, one
+    * pass, no per-value shuffle) — IMPLEMENTED behind `approxNdv`
+    * (e8's wide-flag precedent; Round13Spec measures the relative
+    * error vs exact at both spec SFs); exact counts stay the gate
+    * default because the oracle hash-checks them. */
+  def q44Profile(spark: SparkSession, dir: String): DataFrame =
+    q44ProfileOn(spark, dir, approxNdv = false)
+
+  private[graft] def q44ProfileOn(spark: SparkSession, dir: String,
+                                  approxNdv: Boolean): DataFrame = {
     val df = Tables.lineitem(spark, dir)
+    val ndv: Column => Column =
+      if (approxNdv) c => approx_count_distinct(c, graft.ext.TextAnalysis.ApproxNdvRsd)
+      else c => countDistinct(c)
     ProfileCols.map { case (name, kind) =>
       df.agg(
           count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col(name))).as("n_nulls"),
-          countDistinct(col(name)).as("n_distinct"),
+          ndv(col(name)).as("n_distinct"),
           profileFmt(kind, min(col(name))).as("min_value"),
           profileFmt(kind, max(col(name))).as("max_value"))
         .select(lit(name).as("column_name"), col("n_rows"), col("n_nulls"),

@@ -183,6 +183,122 @@ class Round13Spec extends AnyFunSuite {
     assert(rec((5, 2)) >= rec((4, 2)), "widening probes must not lose recall")
   }
 
+  // ---------- t29 batched-BPE merge-ORDER laws ----------
+
+  test("t29 order laws: batch=1 degenerates to the sequential learner " +
+    "VERBATIM at batched depth, and every snapshot's first pick is the " +
+    "sequential argmax of that state (the order no lawful tie can bend)") {
+    import graft.ext.TextAnalysis
+    val vocab = TextAnalysis.bpeVocab(spark, dir)
+    // law 1: width 1 IS sequential — order, symbols, counts, all of it,
+    // at the full batched depth on the real corpus (Round11Spec pinned
+    // this on constructed vocabs; this is the live-corpus closure)
+    val (b1, snaps1) = TextAnalysis.learnBpeMergesBatched(
+      vocab, TextAnalysis.BpeBatchedMerges, 1)
+    val (seq, _) = TextAnalysis.learnBpeMergesFrom(
+      vocab, TextAnalysis.BpeBatchedMerges)
+    assert(snaps1 === TextAnalysis.BpeBatchedMerges)
+    assert(b1 === seq, "batch=1 must be the sequential learner verbatim")
+    // law 2: each snapshot's FIRST chosen merge equals the sequential
+    // argmax over the state the snapshot saw — both learners rank by
+    // the identical (cnt desc, l, r), and rank 1 cannot be blocked by
+    // the compatible-prefix rule, so no creation-tie can displace it
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val (batched, _) = TextAnalysis.learnBpeMergesBatched(
+      vocab, TextAnalysis.BpeBatchedMerges, TextAnalysis.BpeBatch, bounds)
+    assert(bounds.nonEmpty && bounds.head === 0)
+    for (k <- bounds; if k < batched.size) {
+      val folded = vocab.select(col("word"), col("freq"),
+        batched.take(k).foldLeft(col("toks")) { case (t, (_, l, r, _)) =>
+          TextAnalysis.bpeApplyMerge(t, l, r)
+        }.as("toks")).localCheckpoint()
+      val (one, _) = TextAnalysis.learnBpeMergesFrom(folded, 1)
+      assert(one.nonEmpty)
+      val (_, gl, gr, gc) = batched(k)
+      val (_, sl, sr, sc) = one.head
+      assert((gl, gr, gc) === ((sl, sr, sc)),
+        s"snapshot starting at merge $k picked (${gl},${gr},$gc) but the " +
+          s"sequential argmax of that state is (${sl},${sr},$sc)")
+    }
+  }
+
+  // ---------- approx-NDV flag (q44/t20) ----------
+
+  test("approx NDV flag: the sketch path stays inside the HLL error " +
+    "envelope vs exact at both spec SFs (gate default remains exact)") {
+    import graft.queries.AdvancedQueries
+    import graft.ext.TextAnalysis
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ex44 = AdvancedQueries.q44ProfileOn(spark, d, approxNdv = false)
+        .select(col("column_name"), col("n_distinct").as("exact_ndv"))
+      val ap44 = AdvancedQueries.q44ProfileOn(spark, d, approxNdv = true)
+        .select(col("column_name"), col("n_distinct").as("approx_ndv"))
+      val errs44 = ex44.join(ap44, Seq("column_name")).collect().map { r =>
+        val e = r.getAs[Long]("exact_ndv").toDouble
+        (r.getString(0), math.abs(r.getAs[Long]("approx_ndv") - e) / math.max(e, 1.0))
+      }
+      val worst44 = errs44.maxBy(_._2)
+      info(f"$d q44 worst NDV rel-err: ${worst44._1} ${worst44._2}%.4f")
+      // HLL at rsd 0.02: 3σ ≈ 6%; the pin leaves measured headroom
+      assert(worst44._2 <= 0.10, s"q44 approx NDV out of envelope: $worst44")
+      val ex20 = TextAnalysis.t20DistinctNgramsOn(spark, d, approxNdv = false)
+        .select(col("source"), col("n"), col("distinct_grams").as("exact_ndv"))
+      val ap20 = TextAnalysis.t20DistinctNgramsOn(spark, d, approxNdv = true)
+        .select(col("source"), col("n"), col("distinct_grams").as("approx_ndv"))
+      val errs20 = ex20.join(ap20, Seq("source", "n")).collect().map { r =>
+        val e = r.getAs[Long]("exact_ndv").toDouble
+        ((r.getString(0), r.getAs[Int]("n")),
+          math.abs(r.getAs[Long]("approx_ndv") - e) / math.max(e, 1.0))
+      }
+      val worst20 = errs20.maxBy(_._2)
+      info(f"$d t20 worst NDV rel-err: ${worst20._1} ${worst20._2}%.4f")
+      assert(worst20._2 <= 0.10, s"t20 approx NDV out of envelope: $worst20")
+    }
+  }
+
+  // ---------- Mersenne fold escape (e15 census / e9 checksum) ----------
+
+  test("Mersenne mod-sum: equals a BigInt reference at the int64-overflow " +
+    "edge (any partial order), normalizes out-of-range inputs, and the " +
+    "flagged census/manifest folds equal the exact folds while in-range") {
+    import spark.implicits._
+    val M = graft.functions.MersenneModSum.M
+    def ref(ts: Seq[Long]): Long =
+      (ts.map(t => ((BigInt(t) % M) + M) % M).sum % M).toLong
+    // adversarial terms: int64 sum overflows many times over; includes
+    // t >= M and negatives (normalization), zero, and random bulk
+    val rnd = new scala.util.Random(13)
+    val terms = Seq.fill(2000)(rnd.nextLong() & Long.MaxValue) ++
+      Seq.fill(50)(M - 1) ++ Seq(0L, 1L, M, M + 7, -1L, -M, -(M + 5))
+    val got = terms.toDF("t").repartition(16)
+      .agg(graft.functions.MersenneModSum.msum(col("t")).as("s"))
+      .collect()(0).getLong(0)
+    assert(got === ref(terms), "Mersenne fold diverged from the BigInt law")
+    // partial-order independence: a different partitioning, same value
+    val got1 = terms.reverse.toDF("t").repartition(3)
+      .agg(graft.functions.MersenneModSum.msum(col("t")).as("s"))
+      .collect()(0).getLong(0)
+    assert(got1 === got)
+    // flagged layer census == exact census while the int64 sum is
+    // in-range (every spec SF is; the flag only changes the algebra
+    // PAST 2^23 rows/layer)
+    val sigs = Pipeline.signaturesArtifact(spark, dir)
+    val canon = col("doc_id").cast("string")
+    val ex = Pipeline.layerCensusOn("sig", sigs, canon, mersenne = false)
+      .collect()(0)
+    val ms = Pipeline.layerCensusOn("sig", sigs, canon, mersenne = true)
+      .collect()(0)
+    assert(ex.toString === ms.toString,
+      "mersenne census != exact census on in-range data")
+    // flagged manifest checksum == exact on a synthetic bins frame
+    val bins = Seq((0L, 1L, 10L, 100L), (0L, 2L, 20L, 200L),
+      (1L, 1L, 5L, 50L)).toDF("shard", "bin", "n_docs", "n_tokens")
+    val mEx = Pipeline.manifestOf(bins).collect().map(_.toString).toSet
+    val mMs = Pipeline.manifestOf(bins, mersenne = true)
+      .collect().map(_.toString).toSet
+    assert(mEx === mMs, "mersenne manifest != exact manifest on in-range data")
+  }
+
   // ---------- 4. e19 model cutover ----------
 
   test("e19 model cutover: resumes forward from mid-swap crash windows, " +
