@@ -113,8 +113,21 @@ object ArtifactRoots {
     * prefixed, so Spark's readers treat it as hidden. */
   def touchServed(tree: String): Unit = {
     val now = System.currentTimeMillis()
+    // grace-aware throttle: with a small GC grace configured, a fixed
+    // 60s cadence could leave the heartbeat up to ~59s stale — enough
+    // for the 4×grace bound to collect an ACTIVELY served tree (the
+    // exact failure this heartbeat exists to prevent). Cap the
+    // staleness at grace/8 so the heartbeat always leads the bound.
+    val grace = try {
+      sys.props.get("graft.test.gcGraceMs")
+        .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_GC_GRACE_MS"))
+        .getOrElse("0").toLong
+    } catch { case _: Exception => 0L }
+    val throttle =
+      if (grace > 0L) math.min(HeartbeatThrottleMs, math.max(1L, grace / 8))
+      else HeartbeatThrottleMs
     val last = hbThrottle.get(tree)
-    if (last != null && now - last < HeartbeatThrottleMs) return
+    if (last != null && now - last < throttle) return
     hbThrottle.put(tree, now)
     try {
       val p = new Path(tree)

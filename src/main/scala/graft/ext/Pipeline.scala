@@ -1522,28 +1522,35 @@ object Pipeline {
     val rp = new Path(root)
     val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
     val done = new Path(s"$root/cutover_done_$fromTag")
+    val aside = new Path(s"$root/cutover_old_$fromTag")
+    val gen = new Path(s"$root/$fromTag")
     // a MISSING generation is ambiguous without a witness: either this
     // cutover already completed (the generation dir is consumed) or it
     // was never built / the tag is a typo — and "report success, serve
     // the unretracted tree" is the one wrong answer. The done marker
-    // disambiguates: re-runs of a completed cutover return here;
-    // anything else with no generation present throws.
-    if (!fs.exists(new Path(s"$root/$fromTag"))) {
-      if (fs.exists(done)) return
-      throw new java.io.IOException(
-        s"cutover: no generation at $root/$fromTag and no completion marker — " +
-          "nothing to promote (unbuilt generation or mistyped tag?)")
+    // disambiguates; a LEFTOVER ASIDE dir with neither marker nor
+    // generation is the tail crash window (every layer consumed, the
+    // marker not yet written) and resumes forward through the same
+    // loop rather than throwing — the marker is written BEFORE the
+    // cleanup below precisely so a crash during cleanup reads as
+    // complete, never as nothing-to-promote.
+    if (!fs.exists(gen)) {
+      if (fs.exists(done)) { fs.delete(aside, true); return }
+      if (!fs.exists(aside))
+        throw new java.io.IOException(
+          s"cutover: no generation at $root/$fromTag and no completion marker — " +
+            "nothing to promote (unbuilt generation or mistyped tag?)")
+    } else {
+      fs.delete(done, false) // a re-cutover of a REBUILT generation starts fresh
     }
-    fs.delete(done, false) // a re-cutover of a REBUILT generation starts fresh
-    val aside = new Path(s"$root/cutover_old_$fromTag")
     fs.mkdirs(aside)
     DagLayers.foreach { layer =>
       promoteLayer(spark, fs, new Path(s"$root/$fromTag/$layer"),
         new Path(s"$root/$layer"), new Path(aside, layer))
     }
+    fs.create(done, true).close() // the completion witness, BEFORE cleanup
     fs.delete(aside, true)
-    fs.delete(new Path(s"$root/$fromTag"), true) // the emptied generation
-    fs.create(done, true).close() // the completion witness, LAST
+    fs.delete(gen, true) // the emptied generation
     ()
   }
 
@@ -1671,21 +1678,30 @@ object Pipeline {
     val rp = new Path(root)
     val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
     val done = new Path(s"$root/model_cutover_done")
-    if (!ModelLayers.exists(l => fs.exists(new Path(s"$root/$l")))) {
-      if (fs.exists(done)) return
-      throw new java.io.IOException(
-        s"model cutover: no refreshed generation under $root and no " +
-          "completion marker — nothing to promote")
-    }
-    fs.delete(done, false)
     val aside = new Path(s"$root/model_cutover_old")
+    // same resume discipline as cutoverSubtree: the refreshed tables
+    // play the generation's role, and since there is no generation
+    // DIR to outlive the per-layer renames, the tail crash window
+    // (every layer consumed, marker not yet written) is recognized by
+    // the leftover aside dir and completes forward; the marker is
+    // written BEFORE the aside cleanup so a crash during cleanup
+    // reads as complete.
+    if (!ModelLayers.exists(l => fs.exists(new Path(s"$root/$l")))) {
+      if (fs.exists(done)) { fs.delete(aside, true); return }
+      if (!fs.exists(aside))
+        throw new java.io.IOException(
+          s"model cutover: no refreshed generation under $root and no " +
+            "completion marker — nothing to promote")
+    } else {
+      fs.delete(done, false) // a rebuilt refreshed generation starts fresh
+    }
     fs.mkdirs(aside)
     ModelLayers.foreach { layer =>
       promoteLayer(spark, fs, new Path(s"$root/$layer"),
         new Path(s"$root/model_frozen/$layer"), new Path(aside, layer))
     }
+    fs.create(done, true).close() // the completion witness, BEFORE cleanup
     fs.delete(aside, true)
-    fs.create(done, true).close()
     ()
   }
 
@@ -1731,9 +1747,16 @@ object Pipeline {
     * frozen-after-cutover ≡ fresh full retrain. */
   def e19ModelCutover(spark: SparkSession, dir: String): DataFrame = {
     val scratch = stageModelClone(spark, dir)
-    val dec = TextAnalysis.t30Decisions(spark, dir)
-    val fired =
-      dec.agg(max(col("retrain")).as("f")).collect()(0).getLong(0) == 1L
+    // collect the decision table ONCE (|sources| rows — bounded driver
+    // state) and serve the output from the local relation: deciding
+    // via a separate aggregate and re-embedding the lazy plan would
+    // run the t26 drift chain — the entry's one corpus-tokenizing
+    // scan — twice per invocation
+    val decPlan = TextAnalysis.t30Decisions(spark, dir)
+    val decRows = decPlan.collect()
+    val fired = decRows.exists(_.getAs[Long]("retrain") == 1L)
+    val dec = spark.createDataFrame(
+      java.util.Arrays.asList(decRows: _*), decPlan.schema)
     if (fired) modelCutover(spark, scratch)
     val perdoc = spark.read.parquet(s"$scratch/model_frozen/dsir_perdoc")
     val cut = spark.read.parquet(s"$scratch/model_frozen/dsir_cut")
@@ -1752,17 +1775,8 @@ object Pipeline {
     * the census under the PROMOTED-OR-KEPT model — frozen when quiet,
     * the full retrain when any source fires. */
   private lazy val e19OracleSql: String = {
-    val base = s"NOT ${e4DeltaSqlOf("doc_id")}"
-    val baseF = s"NOT ${e4DeltaSqlOf("f.doc_id")}"
     s"""WITH ${TextAnalysis.t26DriftCtes()},
-         ${TextAnalysis.dsirModelCtes(base, "f")},
-         ${TextAnalysis.dsirPerdocCte("fperdoc", "TRUE", "f")},
-         fcut AS (SELECT quantile_cont(logw, ${TextAnalysis.DsirSelectQuantile})
-                    AS cut FROM fperdoc f WHERE ($baseF)),
-         ${TextAnalysis.dsirModelCtes("TRUE", "r")},
-         ${TextAnalysis.dsirPerdocCte("rperdoc", "TRUE", "r")},
-         rcut AS (SELECT quantile_cont(logw, ${TextAnalysis.DsirSelectQuantile})
-                    AS cut FROM rperdoc),
+         ${TextAnalysis.dsirTwoGenCtes},
          dec AS (SELECT source, kl_nats,
                         CAST(CASE WHEN kl_nats > ${TextAnalysis.DriftRetrainKl}
                              THEN 1 ELSE 0 END AS BIGINT) AS retrain

@@ -453,21 +453,25 @@ object Similarity {
   }
 
   /** Run `KmeansIters` Lloyd rounds from the stride-seeded start and
-    * return the final centroid sums — FULLY DISTRIBUTED. Centroids
+    * return the final centroid sums — DISTRIBUTED training. Centroids
     * stay a DataFrame across rounds: each round is assignment
-    * (rankCentroids' broadcast of the centroid frame) → per-(cid, dim)
-    * integer re-sum with map-side partials → array re-assembly via
-    * sort_array(collect_list(struct(i, s))) (i is unique per cid, so
-    * the assembly is deterministic regardless of collect_list's
-    * arrival order), eagerly localCheckpoint'ed so per-round lineage
-    * is cut (the IterativeGraph discipline) and nothing larger than a
-    * task's own partition ever reaches the driver. |C| is
-    * stride-seeded and grows with the corpus — the previous form
-    * collected the |C|×dims sums to the driver each round and
-    * re-seeded via a local relation, a driver-state growth path on
-    * every index family's build/retrain (s5/s6/s12/s13/s22).
-    * Bit-equality with that collected form is pinned in Round13Spec
-    * (integer sums are associative, so the partial-aggregation
+    * (rankCentroids' broadcast of the centroid frame) → ONE groupBy
+    * shuffle whose element-wise int64 array sum is the LongVecSum
+    * aggregate (map-side partials, O(dims) state per group — no
+    * posexplode row blow-up, no second shuffle) → a LAZY
+    * localCheckpoint that cuts per-round lineage (the IterativeGraph
+    * discipline; lazy so the materialization job merges into the next
+    * round's first use). No TRAINING state round-trips the driver as
+    * Scala objects any more — the previous form collected the
+    * |C|×dims sums each round and re-seeded via a local relation, a
+    * driver-state growth path on every index family's build/retrain
+    * (s5/s6/s12/s13/s22). What REMAINS driver-routed is assignment's
+    * broadcast of the centroid frame itself (Spark's BroadcastExchange
+    * collects to the driver to build the relation) — the documented
+    * 100 TB bound of broadcast-assignment IVF; past it, swap
+    * rankCentroids' broadcast join for a shuffle join (a knob, not a
+    * redesign). Bit-equality with the collected form is pinned in
+    * Round13Spec (integer sums are associative, so partial-aggregation
     * re-grouping cannot move a low bit). */
   private def kmeansCentroids(spark: SparkSession, v: DataFrame): DataFrame = {
     var cen = v.filter(col("vec_id") % IvfCentroidStride === 0)
@@ -646,15 +650,16 @@ object Similarity {
   private def pqStride(pop: DataFrame): DataFrame =
     pop.agg(greatest(lit(1L), expr(s"count(1) div $PqTargetK")).as("seed_stride"))
 
-  /** FULLY DISTRIBUTED Lloyd rounds for the PQ codebooks — the same
-    * rewrite as [[kmeansCentroids]]: the codebook stays a DataFrame
-    * across rounds (per-(sub, cid, dim) integer sums with map-side
-    * partials → sort_array(collect_list) re-assembly → eager
-    * localCheckpoint lineage cut), nothing reaches the driver. The
-    * per-dim mean is floor(sum/count) on doubles — the identical IEEE
-    * division + floor the collected form ran on the driver, so the
-    * codebooks are bit-equal (pinned in Round13Spec; the oracle's
-    * unrolled SQL is untouched). */
+  /** DISTRIBUTED Lloyd rounds for the PQ codebooks — the same rewrite
+    * as [[kmeansCentroids]]: the codebook stays a DataFrame across
+    * rounds (one groupBy shuffle per round, LongVecSum element-wise
+    * array sums with map-side partials, lazy localCheckpoint lineage
+    * cut); training state no longer round-trips the driver (the
+    * broadcast-assignment caveat in [[kmeansCentroids]]'s doc applies
+    * here too). The per-dim mean is floor(sum/count) on doubles — the
+    * identical IEEE division + floor the collected form ran on the
+    * driver, so the codebooks are bit-equal (pinned in Round13Spec;
+    * the oracle's unrolled SQL is untouched). */
   private def pqCodebooksOn(spark: SparkSession, v: DataFrame, strideDf: DataFrame): DataFrame = {
     var cen = v.crossJoin(broadcast(strideDf))
       .filter(pmod(col("vec_id"), col("seed_stride")) === 0)
@@ -1305,7 +1310,9 @@ object Similarity {
     val ann = g.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("neighbor_id"))
       .withColumn("hit", lit(1L))
-    val qv = quantVecs(spark, dir)
+    // four consumers (qIds, the candidate build, both knnRankTopK
+    // sides) — cache one quantize pass (the s5/s6 policy)
+    val qv = quantVecs(spark, dir).cache()
     val qIds = qv.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"))
     val cand = qv.select(col("vec_id").as("nb_id"))

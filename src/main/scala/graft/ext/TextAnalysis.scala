@@ -1589,6 +1589,24 @@ object TextAnalysis {
          ${dsirPerdocCte("perdoc")},
          cut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut FROM perdoc)"""
 
+  /** BOTH persisted DSIR model generations as one CTE prelude —
+    * frozen (f-prefixed: base-trained, cut = quantile of base-scored
+    * docs) and refreshed (r-prefixed: full retrain) with their cuts —
+    * shared by the t30 and e19 oracles so the two gate rows can never
+    * desynchronize on the generation definitions. */
+  private[ext] lazy val dsirTwoGenCtes: String = {
+    val base = s"NOT ${Pipeline.e4DeltaSqlOf("doc_id")}"
+    val baseF = s"NOT ${Pipeline.e4DeltaSqlOf("f.doc_id")}"
+    s"""${dsirModelCtes(base, "f")},
+         ${dsirPerdocCte("fperdoc", "TRUE", "f")},
+         fcut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut
+                  FROM fperdoc f WHERE ($baseF)),
+         ${dsirModelCtes("TRUE", "r")},
+         ${dsirPerdocCte("rperdoc", "TRUE", "r")},
+         rcut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut
+                  FROM rperdoc)"""
+  }
+
   /** t16's full-corpus rate table as CTEs (mixd → mixr), names
     * prefixed so the fragment composes into the e2 oracle without
     * CTE collisions. */
@@ -1855,17 +1873,8 @@ object TextAnalysis {
     // and refreshed (r-prefixed, the full retrain), censused under
     // their own cuts, joined to t26's drift and the retrain decision
     "t30_model_refresh" -> {
-      val base = s"NOT ${Pipeline.e4DeltaSqlOf("doc_id")}"
-      val baseF = s"NOT ${Pipeline.e4DeltaSqlOf("f.doc_id")}"
       s"""WITH ${t26DriftCtes()},
-         ${dsirModelCtes(base, "f")},
-         ${dsirPerdocCte("fperdoc", "TRUE", "f")},
-         fcut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut
-                  FROM fperdoc f WHERE ($baseF)),
-         ${dsirModelCtes("TRUE", "r")},
-         ${dsirPerdocCte("rperdoc", "TRUE", "r")},
-         rcut AS (SELECT quantile_cont(logw, $DsirSelectQuantile) AS cut
-                  FROM rperdoc),
+         $dsirTwoGenCtes,
          fc AS (SELECT p.source, count(*) AS n_scored,
                        CAST(sum(CASE WHEN p.logw > c.cut THEN 1 ELSE 0 END)
                             AS BIGINT) AS n_frozen_selected

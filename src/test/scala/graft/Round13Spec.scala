@@ -339,6 +339,16 @@ class Round13Spec extends AnyFunSuite {
     intercept[java.io.IOException] {
       Pipeline.modelCutover(spark, scratch)
     }
+    // TAIL crash window: every layer consumed, marker not yet written —
+    // recognized by the leftover aside dir, resumes forward (marker
+    // restored, aside cleaned, promoted tables untouched)
+    fs.mkdirs(new Path(aside))
+    Pipeline.modelCutover(spark, scratch)
+    assert(fs.exists(new Path(s"$scratch/model_cutover_done")),
+      "tail-crash resume must restore the completion witness")
+    assert(!fs.exists(new Path(aside)))
+    assert(rows(spark.read.parquet(s"$scratch/model_frozen/dsir_perdoc"))
+      === refreshedPerdoc)
     // the gate path is non-vacuous at sf0.001: src7's drift fires the
     // promotion, and the served census is the refreshed generation's
     val e19 = Pipeline.e19ModelCutover(spark, dir).collect()
