@@ -100,6 +100,17 @@ object ArtifactRoots {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val HeartbeatThrottleMs = 60000L
 
+  /** The GC grace window (ms): env knob, with the system property as
+    * the spec seam (tests cannot set env vars on their own JVM). ONE
+    * definition — the heartbeat cadence and the GC bound must agree
+    * on what the grace is. */
+  private def gcGraceMs: Long =
+    try {
+      sys.props.get("graft.test.gcGraceMs")
+        .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_GC_GRACE_MS"))
+        .getOrElse("0").toLong
+    } catch { case _: Exception => 0L }
+
   /** Record that `tree` is being actively SERVED: touch a heartbeat
     * file in its root (throttled per JVM). The 4×-grace GC bound in
     * [[tagged]] keys on max(root mtime, heartbeat mtime), so with
@@ -118,11 +129,7 @@ object ArtifactRoots {
     // for the 4×grace bound to collect an ACTIVELY served tree (the
     // exact failure this heartbeat exists to prevent). Cap the
     // staleness at grace/8 so the heartbeat always leads the bound.
-    val grace = try {
-      sys.props.get("graft.test.gcGraceMs")
-        .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_GC_GRACE_MS"))
-        .getOrElse("0").toLong
-    } catch { case _: Exception => 0L }
+    val grace = gcGraceMs
     val throttle =
       if (grace > 0L) math.min(HeartbeatThrottleMs, math.max(1L, grace / 8))
       else HeartbeatThrottleMs
@@ -179,11 +186,7 @@ object ArtifactRoots {
       val name = s"${prefix}_${tag}_$fp"
       if (fp != "0") {
         try {
-          // env knob; the system property is the spec seam (tests
-          // cannot set env vars on their own JVM)
-          val grace = sys.props.get("graft.test.gcGraceMs")
-            .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_GC_GRACE_MS"))
-            .getOrElse("0").toLong
+          val grace = gcGraceMs
           val now = System.currentTimeMillis()
           val regenFresh = grace > 0L && now - dataChangedAt <= grace
           val rootPath = new Path(root)

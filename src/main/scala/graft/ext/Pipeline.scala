@@ -1528,21 +1528,23 @@ object Pipeline {
     // cutover already completed (the generation dir is consumed) or it
     // was never built / the tag is a typo — and "report success, serve
     // the unretracted tree" is the one wrong answer. The done marker
-    // disambiguates; a LEFTOVER ASIDE dir with neither marker nor
-    // generation is the tail crash window (every layer consumed, the
-    // marker not yet written) and resumes forward through the same
-    // loop rather than throwing — the marker is written BEFORE the
-    // cleanup below precisely so a crash during cleanup reads as
-    // complete, never as nothing-to-promote.
+    // disambiguates. The generation DIR itself outlives every layer
+    // promote (only the post-marker cleanup removes it), so there is
+    // no marker-less tail state to resume from here — the marker is
+    // written BEFORE the cleanup below precisely so a crash during
+    // cleanup reads as complete, and the completed-path early return
+    // finishes any cleanup that crash skipped. (modelCutover differs:
+    // its "generation" is the refreshed tables themselves, consumed by
+    // the promotes, so IT accepts a leftover aside as the tail
+    // witness; accepting one here would let a manually-mangled tree
+    // defensively restore the OLD generation and then stamp it done.)
     if (!fs.exists(gen)) {
       if (fs.exists(done)) { fs.delete(aside, true); return }
-      if (!fs.exists(aside))
-        throw new java.io.IOException(
-          s"cutover: no generation at $root/$fromTag and no completion marker — " +
-            "nothing to promote (unbuilt generation or mistyped tag?)")
-    } else {
-      fs.delete(done, false) // a re-cutover of a REBUILT generation starts fresh
+      throw new java.io.IOException(
+        s"cutover: no generation at $root/$fromTag and no completion marker — " +
+          "nothing to promote (unbuilt generation or mistyped tag?)")
     }
+    fs.delete(done, false) // a re-cutover of a REBUILT generation starts fresh
     fs.mkdirs(aside)
     DagLayers.foreach { layer =>
       promoteLayer(spark, fs, new Path(s"$root/$fromTag/$layer"),
