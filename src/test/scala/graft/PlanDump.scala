@@ -49,7 +49,11 @@ object PlanDump {
     "t28_bpe_encode" -> "BPE encode: merge fold over the vocab-sized distinct-word table; corpus pays one (source,word) groupBy",
     "e8_token_budget" -> "water-filling: |sources|-row spec windows + 1-row broadcast cut; corpus-sized work stays inside t28's census",
     "s14_index_health" -> "index health: two full index pipelines graded by one |Q|·k membership join keyed on (query_id, neighbor_id)",
-    "s20_knn_graph" -> "kNN graph: IVF-blocked candidates + two NN-Descent two-hop rounds (recall 0.721→0.886→0.912), codegen'd integer distances, rank window partitioned per vector",
+    "s20_knn_graph" -> "kNN graph SERVED from the persisted knng artifact (pure scan + order; r13 — the build is knng_build below, paid once per corpus version)",
+    "knng_build" -> "the kNN-graph ARTIFACT BUILD: IVF-blocked candidates at probes=4 (the r13-measured frontier knob, recall@10 0.9492) + two NN-Descent two-hop rounds, codegen'd integer distances, rank window partitioned per vector; Lloyd training fully distributed (LongVecSum one-shuffle re-sums over checkpoint-rooted centroid frames — no LocalTableScan, no driver re-seed)",
+    "s24_graph_served" -> "graph-served kNN grading: |Q| rows read from the graph artifact membership-joined against the exact brute-force rank — the corpus contributes one cached quantize pass",
+    "s25_graph_append" -> "graph append SERVED from the appended artifact (arrival-sized localized-descent integration is its marker-gated builder: frozen-centroid blocking + one descent hop through the base graph + touched-only re-rank)",
+    "e19_model_cutover" -> "drift-gated model cutover: the decision is a |sources|-row local relation (t26 chain runs ONCE); the served census is a narrow post-swap frozen-root scan under a broadcast 1-row cut",
     "e9_order_manifest" -> "order manifest SERVED from its persisted artifact (built once beside the bins: shard-partitioned position window, |shards|-row rollup)",
     "e10_artifact_refresh" -> "epoch-append refresh: one scan of the epoch-partitioned bins tree feeds both the per-epoch census and the combined-order checksum; the delta pack itself is marker-gated build work, delta-sized",
     "e11_retention_delete" -> "retention delete: pre-delete epoch scan (removed mass) left-joined with the retained generation's manifest; the repack is marker-gated build work, one docflags scan + per-shard windows",
@@ -88,6 +92,9 @@ object PlanDump {
           graft.ext.Pipeline.signaturesArtifact(s, d))),
       "e13_graph_refresh" -> (graft.ext.Pipeline.e13NewPairsFrame _),
       "dsir_model_build" -> (graft.ext.TextAnalysis.t21Derived _),
+      "knng_build" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.ext.Similarity.s20KnnGraphRounds(s, d,
+          graft.ext.Similarity.S20DescentRounds)),
       "retract_build" -> (graft.ext.Pipeline.e14Derived _))
     Headline.foreach { case (name, why) =>
       val df = planFrame.getOrElse(name, SparkEntry.queries(name))(spark, dir)
