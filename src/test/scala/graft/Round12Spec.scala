@@ -261,6 +261,14 @@ class Round12Spec extends AnyFunSuite {
     assert(!fs.exists(new Path(aside)) && !fs.exists(new Path(s"$scratch/$tag")),
       "heal must clear the stale aside copy and the emptied generation")
     assert(fs.exists(new Path(s"$scratch/cutover_done_$tag")))
+    // r13: crash BETWEEN the completion marker and the cleanup —
+    // the marker is written first, so a re-run takes the completed
+    // path and finishes the cleanup instead of throwing or re-swapping
+    fs.mkdirs(new Path(aside))
+    Pipeline.cutoverSubtree(spark, scratch, tag)
+    assert(!fs.exists(new Path(aside)),
+      "completed-path re-run must finish the crashed cleanup")
+    assert(rows(spark.read.parquet(s"$scratch/labels")) === rebuilt)
   }
 
   // ---------- 2. text-sensitive ledger key ----------
