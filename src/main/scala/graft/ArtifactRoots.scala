@@ -135,11 +135,16 @@ object ArtifactRoots {
       else HeartbeatThrottleMs
     val last = hbThrottle.get(tree)
     if (last != null && now - last < throttle) return
-    hbThrottle.put(tree, now)
     try {
       val p = new Path(tree)
       val fs = FileSystem.get(p.toUri, hadoopConf)
       if (fs.exists(p)) fs.create(new Path(p, "_graft_heartbeat"), true).close()
+      // record the throttle timestamp only AFTER a successful touch
+      // (or a clean not-built probe): stamping before the write would
+      // leave a transiently FAILED heartbeat unretried for a full
+      // throttle window, eroding the grace/8 staleness lead the
+      // heartbeat promises the 4×-grace GC bound
+      hbThrottle.put(tree, now)
     } catch { case _: Exception => () }
   }
 

@@ -440,13 +440,29 @@ object Similarity {
     * nc: long = |sarr|²). The dot runs through the codegen'd
     * LongDotProduct (int64 accumulation is order-independent, so
     * fusing it changes nothing) — the interpreted zip_with/aggregate
-    * fold was the dominant cost of every assignment pass. */
-  private def rankCentroids(v: DataFrame, cen: DataFrame): DataFrame = {
+    * fold was the dominant cost of every assignment pass.
+    *
+    * `broadcastCen` is the 100 TB escape hatch of broadcast-assignment
+    * IVF: |C| grows with the corpus under stride seeding, and the
+    * broadcast routes the whole centroid frame through the driver
+    * (BroadcastExchange collects to build the relation). `false` keeps
+    * the centroids DISTRIBUTED via a SHUFFLE_REPLICATE_NL cartesian —
+    * both sides shuffle-replicate, nothing is ever collected — at the
+    * cost of shuffling v, which is why broadcast stays the default
+    * while |C|×dims fits an executor. Content is identical either way
+    * (the join is the same all-pairs set; int64 sums don't care about
+    * row order) — Round14Spec pins trained-centroid bit-equality
+    * across the flag. */
+  private def rankCentroids(v: DataFrame, cen: DataFrame,
+                            broadcastCen: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
     val dot = ColumnShim.column(graft.functions.LongDotProduct(
       ColumnShim.expression(col("qv")), ColumnShim.expression(col("sarr"))))
-    v.crossJoin(broadcast(cen))
+    val joined =
+      if (broadcastCen) v.crossJoin(broadcast(cen))
+      else v.hint("shuffle_replicate_nl").crossJoin(cen.hint("shuffle_replicate_nl"))
+    joined
       .withColumn("ccos",
         dot.cast("double") / (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
       .withColumn("r", row_number().over(w))
@@ -469,23 +485,40 @@ object Similarity {
     * broadcast of the centroid frame itself (Spark's BroadcastExchange
     * collects to the driver to build the relation) — the documented
     * 100 TB bound of broadcast-assignment IVF; past it, swap
-    * rankCentroids' broadcast join for a shuffle join (a knob, not a
-    * redesign). Bit-equality with the collected form is pinned in
+    * rankCentroids' broadcast join for a shuffle join — that knob is
+    * now CODE: `broadcastAssign = false` routes every assignment pass
+    * through rankCentroids' SHUFFLE_REPLICATE_NL form (centroids never
+    * leave the cluster) and skips the small-count coalesce so the
+    * centroid frame keeps its natural shuffle partitioning (|C| rows
+    * spread over the agg's partitions — no single-task funnel as |C|
+    * grows). Round14Spec pins trained-centroid bit-equality across the
+    * flag. Bit-equality with the collected form is pinned in
     * Round13Spec (integer sums are associative, so partial-aggregation
-    * re-grouping cannot move a low bit). */
-  private def kmeansCentroids(spark: SparkSession, v: DataFrame): DataFrame = {
+    * re-grouping cannot move a low bit). The broadcast form coalesces
+    * to a SMALL MULTI-partition count, not 1 — a single-partition
+    * re-sum is a single reduce task, the same growth-bound funnel the
+    * distributed rewrite removed from the driver. */
+  private def kmeansCentroids(spark: SparkSession, v: DataFrame,
+                              broadcastAssign: Boolean = true): DataFrame = {
     var cen = v.filter(col("vec_id") % IvfCentroidStride === 0)
       .select(col("vec_id").as("cid"), col("qv").as("sarr"), col("nv").as("nc"))
     for (_ <- 1 to KmeansIters) {
-      cen = rankCentroids(v, cen).filter(col("r") === 1)
+      val resummed = rankCentroids(v, cen, broadcastAssign).filter(col("r") === 1)
         .groupBy(col("cid"))
         .agg(graft.functions.LongVecSum.vecsum(col("qv")).as("sv"))
         .select(col("cid"), col("sv.v").as("sarr"))
         .withColumn("nc", aggregate(col("sarr"), lit(0L), (a, s) => a + s * s))
-        .coalesce(1).localCheckpoint(false)
+      cen = (if (broadcastAssign) resummed.coalesce(CentroidCoalesce) else resummed)
+        .localCheckpoint(false)
     }
     cen
   }
+
+  /** Partition count for the per-round centroid frame in the
+    * broadcast-assignment form: small (the frame is |C| rows, and the
+    * next round broadcasts it anyway) but > 1 — the re-sum's final
+    * merge stays parallel as |C| grows with the corpus. */
+  private val CentroidCoalesce = 8
 
   /** The pre-r13 COLLECTED form of [[kmeansCentroids]] — kept solely
     * as Round13Spec's bit-equality reference for the distributed
@@ -659,7 +692,10 @@ object Similarity {
     * here too). The per-dim mean is floor(sum/count) on doubles — the
     * identical IEEE division + floor the collected form ran on the
     * driver, so the codebooks are bit-equal (pinned in Round13Spec;
-    * the oracle's unrolled SQL is untouched). */
+    * the oracle's unrolled SQL is untouched). Per-round frame coalesces
+    * to [[CentroidCoalesce]], not 1 — same funnel argument as
+    * [[kmeansCentroids]] (|sub|×K rows grow with the corpus under
+    * stride seeding). */
   private def pqCodebooksOn(spark: SparkSession, v: DataFrame, strideDf: DataFrame): DataFrame = {
     var cen = v.crossJoin(broadcast(strideDf))
       .filter(pmod(col("vec_id"), col("seed_stride")) === 0)
@@ -673,7 +709,7 @@ object Similarity {
           transform(col("sv.v"),
             s => floor(s.cast("double") / col("cnt").cast("double"))).as("ma"))
         .withColumn("nc", aggregate(col("ma"), lit(0L), (a, m) => a + m * m))
-        .coalesce(1).localCheckpoint(false)
+        .coalesce(CentroidCoalesce).localCheckpoint(false)
     }
     cen
   }
@@ -714,6 +750,18 @@ object Similarity {
     val stride = pqStride(Tables.embeddings(spark, dir))
     (kmeansCentroids(spark, qv), kmeansCentroidsCollectedForSpec(spark, qv),
       pqCodebooksOn(spark, v, stride), pqCodebooksCollectedForSpec(spark, v, stride))
+  }
+
+  /** Round14Spec seam: the trained centroids under BOTH assignment
+    * routes — broadcast (default) and the SHUFFLE_REPLICATE_NL escape
+    * — for the bit-equality pin that makes the 100 TB knob safe to
+    * flip (same all-pairs join, associative integer sums ⇒ identical
+    * centroids regardless of physical join strategy). */
+  private[graft] def kmeansAssignFormsForSpec(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val qv = quantVecs(spark, dir)
+    (kmeansCentroids(spark, qv, broadcastAssign = true),
+      kmeansCentroids(spark, qv, broadcastAssign = false))
   }
 
   /** S6 — PQ-ADC approximate nearest neighbors: top-10 per query by

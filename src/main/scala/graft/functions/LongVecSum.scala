@@ -26,6 +26,12 @@ class LongVecSum extends Aggregator[Seq[Long], LongVecState, LongVecState] {
     if (b.v.isEmpty) LongVecState(t.toArray)
     else {
       val a = b.v
+      // fail loudly on ragged input: iterating a.length alone would
+      // silently DROP a longer row's trailing dims (truncation-direction
+      // corruption of the centroid sums) and throw a context-free
+      // IndexOutOfBounds on a shorter one
+      require(t.length == a.length,
+        s"LongVecSum: ragged input — row has ${t.length} dims, buffer has ${a.length}")
       var i = 0
       while (i < a.length) { a(i) += t(i); i += 1 }
       b
@@ -37,6 +43,8 @@ class LongVecSum extends Aggregator[Seq[Long], LongVecState, LongVecState] {
     else {
       val a = x.v
       val b = y.v
+      require(b.length == a.length,
+        s"LongVecSum: ragged partials — ${b.length} dims vs ${a.length}")
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       x
