@@ -60,6 +60,17 @@ object Pipeline {
   //               n_tokens, order_checksum)       — e9's restart-integrity
   //                                                 artifact, written BESIDE
   //                                                 the bins as its doc promises
+  //   bpe_merges/ (merge_rank, lhs, rhs,
+  //               pair_count)                     — t27's learned tokenizer
+  //                                                 (the model table; trained
+  //                                                 once per corpus version)
+  //   bpe_merges_batched/ (merge_rank, lhs, rhs,
+  //               pair_count, snapshots)          — t29's batched-learner canon
+  //                                                 view + its round-trip count
+  //   bpe_encoded_words/ (word, toks)             — the distinct-word table
+  //                                                 folded through bpe_merges
+  //                                                 (vocabulary-sized; t28/e8's
+  //                                                 encode joins read it)
   //
   // Each table is built on demand from its PARENT table's parquet
   // (never recomputed from scratch), gated on Spark's _SUCCESS marker
@@ -193,6 +204,34 @@ object Pipeline {
     ensureArtifact(spark, dir, "model_frozen/dsir_cut")(
       TextAnalysis.dsirCut(
         frozenDsirPerDocArtifact(spark, dir).filter(!e4DeltaPredOn("doc_id"))))
+
+  /** t27's BPE merge table PERSISTED — the tokenizer is a MODEL: it
+    * trains once per corpus version (8.6s/round of gate time went to
+    * re-learning it in t27/t28/t29/e8 before r14) and every consumer
+    * serves the 8-row parquet table. The t21 DSIR precedent at the
+    * tokenizer layer; Round14Spec pins serve ≡ learn. */
+  private[graft] def bpeMergesArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "bpe_merges")(TextAnalysis.bpeMergesDerived(spark, dir))
+
+  /** t29's batched-learner canonical merge view, with the training
+    * run's snapshot count alongside (the served row re-asserts
+    * snapshots < merges from it). */
+  private[graft] def bpeBatchedMergesArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "bpe_merges_batched")(
+      TextAnalysis.bpeBatchedDerived(spark, dir))
+
+  /** The distinct-word table folded through the persisted merges —
+    * built FROM the bpe_merges artifact (parent-table discipline; the
+    * merge list is ≤BpeRounds rows of bounded driver state), so the
+    * encode side of the tokenizer (t28's census, e8's budget) joins a
+    * vocabulary-sized parquet table instead of re-folding per query. */
+  private[graft] def bpeEncodedWordsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "bpe_encoded_words") {
+      val merges = bpeMergesArtifact(spark, dir)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.encodedWordsFrom(spark, dir, merges)
+    }
 
   /** d7's global CC labeling FROM SCRATCH (no artifact tree touched) —
     * the spec-side twin Round10/11Spec compare the served tables

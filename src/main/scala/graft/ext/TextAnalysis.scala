@@ -1369,9 +1369,25 @@ object TextAnalysis {
     (merges.result(), snapshots)
   }
 
-  def t27BpeMerges(spark: SparkSession, dir: String): DataFrame =
+  /** The FRESH merge-table derivation — the artifact BUILDER and the
+    * Round14Spec serve≡learn twin (the t21 DSIR split: derived = the
+    * from-scratch chain, the artifact = that chain persisted once per
+    * corpus version). */
+  private[graft] def bpeMergesDerived(spark: SparkSession, dir: String): DataFrame =
     spark.createDataFrame(learnBpeMerges(spark, dir))
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
+
+  /** T27 now SERVES the persisted tokenizer: a production tokenizer is
+    * trained once, versioned, and served — every budget/packing
+    * decision upstream is denominated in its tokens — so the merge
+    * table is a marker-gated artifact under the e-family root
+    * (t21's DSIR precedent at the tokenizer layer), learned on first
+    * touch per corpus version and read from parquet ever after.
+    * Content is identical to the from-scratch learn (the artifact IS
+    * the learner's output), so the gate hash is unchanged;
+    * Round14Spec pins serve ≡ learn. */
+  def t27BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.bpeMergesArtifact(spark, dir)
       .orderBy(col("merge_rank"))
 
   /** t29's depth: 4× t27's merge count, learned at batch width
@@ -1402,7 +1418,12 @@ object TextAnalysis {
     * sequential rebuild each round, and learned-ORDER equality stays
     * pinned in Round11Spec where disjointness guarantees it. Bounded
     * driver state: ≤ batch rows per snapshot, |merges| rows total. */
-  def t29BpeBatched(spark: SparkSession, dir: String): DataFrame = {
+  /** The fresh batched derivation (builder + spec twin): the canonical
+    * merge view with the training run's snapshot count carried as a
+    * constant column, so the served row can keep asserting the
+    * round-trip claim (snapshots < merges — the whole point of
+    * batching) without re-training. */
+  private[graft] def bpeBatchedDerived(spark: SparkSession, dir: String): DataFrame = {
     val (merges, snapshots) =
       learnBpeMergesBatched(bpeVocab(spark, dir), BpeBatchedMerges, BpeBatch)
     require(snapshots < merges.size,
@@ -1412,6 +1433,20 @@ object TextAnalysis {
       .zipWithIndex.map { case ((l, r, c), i) => (i + 1, l, r, c) }
     spark.createDataFrame(canon)
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .withColumn("snapshots", lit(snapshots))
+  }
+
+  def t29BpeBatched(spark: SparkSession, dir: String): DataFrame = {
+    val a = Pipeline.bpeBatchedMergesArtifact(spark, dir)
+    // re-assert the batching claim from the PERSISTED snapshot count
+    // (2 longs of driver state) — the artifact carries the training
+    // run's round-trip economics, and the served row must keep the
+    // in-path guarantee the learner made
+    val stats = a.agg(max(col("snapshots")).cast("long"),
+      count(lit(1))).collect()(0)
+    require(stats.getLong(0) < stats.getLong(1),
+      s"batching bought nothing: ${stats.getLong(0)} snapshots for ${stats.getLong(1)} merges")
+    a.select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count"))
       .orderBy(col("merge_rank"))
   }
 
@@ -1442,18 +1477,33 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
 
-  /** The distinct-word table folded through all learned merges in
-    * rank order — one lazy column pipeline, (word, toks) out.
-    * Exposed for Round9Spec's conservation/monotonicity pins. */
-  private[graft] def t28EncodedWords(spark: SparkSession, dir: String): DataFrame = {
-    val merges = learnBpeMerges(spark, dir)
+  /** The distinct-word table folded through an explicit merge list in
+    * rank order — one lazy column pipeline, (word, toks) out. This is
+    * the artifact BUILDER's kernel: Pipeline.bpeEncodedWordsArtifact
+    * feeds it the persisted merge table (the DAG discipline — each
+    * artifact builds from its PARENT table, never from scratch), and
+    * the fresh-merges form below is Round14Spec's serve≡learn twin. */
+  private[graft] def encodedWordsFrom(spark: SparkSession, dir: String,
+                                      merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(
         sourceWordFreq(spark, dir).select(col("word")).distinct().withColumn("toks",
           expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      ) { case (df, (_, l, r, _)) =>
+      ) { case (df, (l, r)) =>
         df.select(col("word"), bpeApplyMerge(col("toks"), l, r).as("toks"))
       }
-  }
+
+  /** Fresh end-to-end derivation (learn + fold) — the Round14Spec
+    * twin of the served table. */
+  private[graft] def encodedWordsDerived(spark: SparkSession, dir: String): DataFrame =
+    encodedWordsFrom(spark, dir, learnBpeMerges(spark, dir).map(m => (m._2, m._3)))
+
+  /** The encoded distinct-word table SERVED from its artifact —
+    * Heaps-law vocabulary-sized, the tokenizer's second persisted
+    * table (merges = the model, this = the model applied to the
+    * vocabulary, the memoized form every encode pass joins against).
+    * Exposed for Round9Spec's conservation/monotonicity pins. */
+  private[graft] def t28EncodedWords(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.bpeEncodedWordsArtifact(spark, dir)
 
   def t28BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val ws = sourceWordFreq(spark, dir)
