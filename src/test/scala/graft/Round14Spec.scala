@@ -63,4 +63,95 @@ class Round14Spec extends AnyFunSuite {
       .filter(size(col("toks")) < length(col("word"))).count()
     assert(fused > 0, "at least one word must actually fuse under the learned merges")
   }
+
+  // ---------- 3. the kNN-graph DELETE verb (s26) ----------
+
+  test("s26: compacted graph drops every deleted endpoint, passes untouched " +
+    "lists through verbatim, and tombstone-serve is a rank-order prefix " +
+    "restriction of the compacted lists") {
+    val (g, del, tomb, comp) = Similarity.s26FormsForSpec(spark, dir)
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty, "the delete slice must be non-empty")
+    // 1. no deleted endpoint survives compaction
+    val offenders = comp.filter(col("vec_id").isInCollection(delIds) ||
+      col("nb_id").isInCollection(delIds)).count()
+    assert(offenders === 0L, "no compacted row may touch a deleted id")
+    // 2. untouched survivor lists are VERBATIM artifact rows
+    val touched = g.filter(!col("vec_id").isInCollection(delIds) &&
+      col("nb_id").isInCollection(delIds))
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.nonEmpty, "some surviving list must have held a deleted id")
+    val untouchedComp = rows(comp.filter(!col("vec_id").isInCollection(touched))
+      .orderBy(col("vec_id"), col("rank")))
+    val untouchedOrig = rows(g.filter(!col("vec_id").isInCollection(delIds) &&
+      !col("vec_id").isInCollection(touched)).orderBy(col("vec_id"), col("rank")))
+    assert(untouchedComp === untouchedOrig, "untouched lists must pass through verbatim")
+    // 3. prefix law: comp(u) restricted to tombstone-served members, in
+    //    comp rank order, IS the tombstone-served nb sequence's prefix
+    //    (both orders are d2-asc over the same surviving edges, and
+    //    included survivors are necessarily the closest ones)
+    val tombByU = tomb.collect().groupBy(_.getAs[Long]("vec_id"))
+      .map { case (u, rs) => u -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("nb_id")).toSeq }
+    val compByU = comp.collect().groupBy(_.getAs[Long]("vec_id"))
+      .map { case (u, rs) => u -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("nb_id")).toSeq }
+    touched.foreach { u =>
+      val t = tombByU.getOrElse(u, Seq.empty)
+      val c = compByU(u)
+      val restricted = c.filter(t.toSet)
+      assert(restricted === t.take(restricted.size),
+        s"vec $u: surviving members of the compacted list must be the tombstone list's prefix")
+    }
+    // non-vacuity for the prefix law: at least one touched list actually
+    // admitted a replacement (compacted members beyond the tombstone set)
+    val replaced = touched.count(u => compByU(u).exists(n => !tombByU.getOrElse(u, Seq.empty).contains(n)))
+    assert(replaced > 0, "at least one touched list must gain a replacement neighbor")
+  }
+
+  test("s26: compacted-graph recall stays within the drift trigger of a " +
+    "genuine rebuild over survivors") {
+    val (_, del, _, comp) = Round14Support.s26(spark, dir)
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    val keep = !col("vec_id").isInCollection(delIds)
+    val exact = Similarity.exactKnnGraphForSpec(spark, dir, keep)
+      .select(col("vec_id"), col("nb_id")).withColumn("t", lit(1L))
+    val rebuild = Similarity.s20RebuildOverForSpec(spark, dir, keep)
+    def recall(gr: org.apache.spark.sql.DataFrame): Double = {
+      val j = exact.join(gr.select(col("vec_id"), col("nb_id")).withColumn("h", lit(1L)),
+        Seq("vec_id", "nb_id"), "left")
+      val r = j.agg(sum(coalesce(col("h"), lit(0L))).cast("double") / count(lit(1))).collect()(0)
+      r.getDouble(0)
+    }
+    val rComp = recall(comp)
+    val rReb = recall(rebuild)
+    info(f"compacted recall $rComp%.4f vs survivor-rebuild $rReb%.4f")
+    assert(rComp > 0.5, "compacted graph must retain real recall")
+    assert(rReb - rComp < Similarity.S27GraphRetrainDrift,
+      f"compacted recall $rComp%.4f must stay within the trigger of rebuild $rReb%.4f")
+  }
+
+  // ---------- 4. graph drift health (s27) ----------
+
+  test("s27: appended and rebuilt graphs genuinely differ, and the live " +
+    "drift sits under the named retrain trigger") {
+    val health = Similarity.s27GraphHealth(spark, dir).collect()
+    val byState = health.groupBy(_.getAs[String]("state"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Double]("recall")).sum / rs.length }
+    assert(byState.keySet === Set("appended", "rebuilt"))
+    // the trigger law: appended recall within S27GraphRetrainDrift of rebuilt
+    assert(byState("rebuilt") - byState("appended") < Similarity.S27GraphRetrainDrift,
+      s"drift ${byState("rebuilt") - byState("appended")} must sit under the trigger")
+    // non-vacuity: the two graphs differ as edge sets (the health row is
+    // a real measurement, not two reads of the same table)
+    val (gFull, _, _, _) = Round14Support.s26(spark, dir)
+    val app = graft.ext.Similarity.s25GraphAppend(spark, dir)
+      .select(col("vec_id"), col("neighbor_id").as("nb_id"))
+    val diff = gFull.select(col("vec_id"), col("nb_id")).exceptAll(app).count() +
+      app.exceptAll(gFull.select(col("vec_id"), col("nb_id"))).count()
+    assert(diff > 0, "appended and rebuilt graphs must genuinely differ")
+  }
+}
+
+/** Shared seam access (keeps the test bodies terse). */
+private object Round14Support {
+  def s26(spark: SparkSession, dir: String) = Similarity.s26FormsForSpec(spark, dir)
 }
