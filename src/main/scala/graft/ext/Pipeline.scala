@@ -425,9 +425,18 @@ object Pipeline {
   /** Flags plus the cached `scored` handle, so the gate-entry rollups
     * can release the cache themselves once their bounded report is
     * collected (d18's self-contained discipline) instead of relying
-    * on the harness-level clearCache between queries. */
+    * on the harness-level clearCache between queries.
+    *
+    * `model` optionally REPLACES the inline stage-4/5 derivation with
+    * explicit (per-doc scores, cut) frames — the seam that lets a
+    * delta pass consume the PROMOTED post-e19 frozen tables, and
+    * Round14Spec pin the composition law e19 ∘ e4: a delta ingest
+    * served from the promoted model ≡ e4 computed on a from-scratch
+    * retrained base. */
   private def e4FlagsScored(spark: SparkSession, dir: String,
-                            basePred: Column, deltaPred: Column): (DataFrame, DataFrame) = {
+                            basePred: Column, deltaPred: Column,
+                            model: Option[(DataFrame, DataFrame)] = None)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("_w"))
     val frozenEval = TextAnalysis.isEvalDoc && basePred
@@ -450,9 +459,10 @@ object Pipeline {
     // docs score in ONE pass (scoring is per-doc independent — the
     // property the report-slice-independence spec pins), so the
     // tokenize+bucket scan isn't paid twice for cut vs flags.
-    val scored = TextAnalysis
-      .dsirPerDocOn(spark, dir, basePred, basePred || deltaPred).cache()
-    val cut = TextAnalysis.dsirCut(scored.filter(basePred))
+    val scored = model.map(_._1).getOrElse(TextAnalysis
+      .dsirPerDocOn(spark, dir, basePred, basePred || deltaPred)).cache()
+    val cut = model.map(_._2)
+      .getOrElse(TextAnalysis.dsirCut(scored.filter(basePred)))
     val perDocDelta = scored.filter(deltaPred)
       .select(col("doc_id"), col("logw"))
     val rates = TextAnalysis.mixRatesOn(spark, dir, basePred)
@@ -551,6 +561,20 @@ object Pipeline {
 
   def e4DeltaIngest(spark: SparkSession, dir: String): DataFrame =
     ingestReport(spark, dir, !e4DeltaPred, e4DeltaPred)
+
+  /** Round14Spec seam — the e19 ∘ e4 composition: a delta pass whose
+    * stage-4/5 model inputs are explicit frames (the PROMOTED
+    * model_frozen tables of a cut-over clone) under a full-pool base
+    * (what the promoted model was trained on). */
+  private[graft] def e4FlagsFromModelForSpec(spark: SparkSession, dir: String,
+                                             perdoc: DataFrame,
+                                             cut: DataFrame): DataFrame =
+    e4FlagsScored(spark, dir, lit(true), e4DeltaPred, Some((perdoc, cut)))._1
+
+  /** The reference side of the composition pin: e4's flags with the
+    * model DERIVED from a from-scratch full-pool retrain. */
+  private[graft] def e4FlagsRetrainedForSpec(spark: SparkSession, dir: String): DataFrame =
+    e4FlagsScored(spark, dir, lit(true), e4DeltaPred)._1
 
   /** The NEW-feed scenario e4's block-slice deliberately avoids: one
     * whole source arrives with ZERO base history. Its docs are vetted

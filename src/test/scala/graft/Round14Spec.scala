@@ -129,6 +129,21 @@ class Round14Spec extends AnyFunSuite {
       f"compacted recall $rComp%.4f must stay within the trigger of rebuild $rReb%.4f")
   }
 
+  // ---------- 3b. e19 ∘ e4 composition ----------
+
+  test("e19 then e4: a delta pass served from the PROMOTED frozen model " +
+    "equals e4 computed on a from-scratch retrained base") {
+    val scratch = Pipeline.stageModelClone(spark, dir)
+    Pipeline.modelCutover(spark, scratch)
+    val perdoc = spark.read.parquet(s"$scratch/model_frozen/dsir_perdoc")
+    val cut = spark.read.parquet(s"$scratch/model_frozen/dsir_cut")
+    val served = rows(Pipeline.e4FlagsFromModelForSpec(spark, dir, perdoc, cut))
+    val fresh = rows(Pipeline.e4FlagsRetrainedForSpec(spark, dir))
+    assert(served.nonEmpty, "the composed delta pass must see delta docs")
+    assert(served === fresh,
+      "e4 over the promoted frozen tables must equal e4 on a fresh full retrain")
+  }
+
   // ---------- 4. graph drift health (s27) ----------
 
   test("s27: appended and rebuilt graphs genuinely differ, and the live " +
