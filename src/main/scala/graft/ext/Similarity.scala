@@ -1289,8 +1289,6 @@ object Similarity {
     ensureKnng(spark, dir, "graph_appended") {
       val qv = quantVecs(spark, dir).cache()
       val cen = knngBaseCentroids(spark, dir)
-      val gB = knngBaseGraph(spark, dir).select(col("vec_id"), col("nb_id"),
-        col("d2_fp"), col("rank"))
       val rc = rankCentroids(qv, cen)
       val probe = rc.filter(col("r") <= S20Probes).select(col("vec_id"), col("cid"))
       val prim = rc.filter(col("r") === 1)
@@ -1299,29 +1297,97 @@ object Similarity {
         .filter(col("vec_id") =!= col("nb_id"))
         .filter(knngArr(col("vec_id")) || knngArr(col("nb_id")))
         .select(col("vec_id"), col("nb_id")).distinct()
-      val psym = c1
-        .union(c1.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
-        .distinct().cache()
-      val symB = gB.select(col("vec_id"), col("nb_id"))
-        .union(gB.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
-      val cand2 = psym.filter(knngArr(col("vec_id")))
-        .select(col("vec_id"), col("nb_id").as("mid"))
-        .join(symB.select(col("vec_id").as("mid"), col("nb_id")), Seq("mid"))
-        .filter(col("vec_id") =!= col("nb_id"))
-        .select(col("vec_id"), col("nb_id"))
-      val arrCand = psym.filter(knngArr(col("vec_id")))
-        .union(cand2).distinct()
-      val arrEdges = knnRankTopK(arrCand, qv)
-      val touched = psym.filter(!knngArr(col("vec_id"))) // nb_id ∈ arrivals
-      val tIds = touched.select(col("vec_id")).distinct()
-      val baseCand = gB.join(tIds, Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("nb_id"))
-        .union(touched).distinct()
-      val updated = knnRankTopK(baseCand, qv)
-      val untouched = gB.join(tIds, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("nb_id"), col("d2_fp"), col("rank"))
-      untouched.unionByName(updated).unionByName(arrEdges)
+      val arrIds = qv.filter(knngArr(col("vec_id"))).select(col("vec_id"))
+      appendedGraphFromParts(spark, dir, c1, arrIds, qv)
     }
+
+  /** The append INTEGRATION kernel above the blocked-candidate set:
+    * symmetrize c1, one localized descent hop through the base graph,
+    * arrival top-k, touched-base re-rank, untouched pass-through —
+    * everything downstream of "which pairs did blocking propose".
+    * Factored out of [[knngAppendedGraph]] so the STREAMING arrival
+    * path (st15) can fold its per-wave committed candidate pairs
+    * through the IDENTICAL integration — the stream-fold ≡ batch-
+    * append law is structural above this seam (per-vector assignments
+    * against the frozen centroids don't depend on what else has
+    * arrived, so the per-wave c1 contributions union to the one-shot
+    * c1 exactly). Arrival membership is a JOIN against `arrIds`
+    * (append-cadence-bounded — broadcastable), not a hard-coded
+    * slice predicate: production arrivals are arbitrary ids. */
+  private[graft] def appendedGraphFromParts(spark: SparkSession, dir: String,
+                                            c1: DataFrame, arrIds: DataFrame,
+                                            qvIn: DataFrame = null): DataFrame = {
+    val qv = if (qvIn != null) qvIn else quantVecs(spark, dir).cache()
+    val gB = knngBaseGraph(spark, dir).select(col("vec_id"), col("nb_id"),
+      col("d2_fp"), col("rank"))
+    val arr = broadcast(arrIds.select(col("vec_id")).distinct())
+    val psym = c1
+      .union(c1.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
+      .distinct().cache()
+    val symB = gB.select(col("vec_id"), col("nb_id"))
+      .union(gB.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
+    val psymArr = psym.join(arr, Seq("vec_id"), "left_semi")
+    val cand2 = psymArr
+      .select(col("vec_id"), col("nb_id").as("mid"))
+      .join(symB.select(col("vec_id").as("mid"), col("nb_id")), Seq("mid"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id"))
+    val arrCand = psymArr.union(cand2).distinct()
+    val arrEdges = knnRankTopK(arrCand, qv)
+    val touched = psym.join(arr, Seq("vec_id"), "left_anti") // nb_id ∈ arrivals
+    val tIds = touched.select(col("vec_id")).distinct()
+    val baseCand = gB.join(tIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("nb_id"))
+      .union(touched).distinct()
+    val updated = knnRankTopK(baseCand, qv)
+    val untouched = gB.join(tIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("nb_id"), col("d2_fp"), col("rank"))
+    untouched.unionByName(updated).unionByName(arrEdges)
+  }
+
+  /** BASE assignments against the frozen centroids PERSISTED
+    * (`base_assign`: vec_id, cid, r ≤ [[S20Probes]]) — the streaming
+    * arrival path's blocking base: assignments against a frozen model
+    * are static, so the corpus-sized ranking pass is paid once per
+    * corpus version and every arrival wave joins a parquet table
+    * instead of re-ranking the corpus (the 100 TB posture: wave cost
+    * is wave-sized). */
+  private[graft] def knngBaseAssignArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureKnng(spark, dir, "base_assign") {
+      val qvB = quantVecs(spark, dir).filter(!knngArr(col("vec_id")))
+      rankCentroids(qvB, knngBaseCentroids(spark, dir))
+        .filter(col("r") <= S20Probes)
+        .select(col("vec_id"), col("cid"), col("r"))
+    }
+
+  /** One arrival WAVE's ledger contribution: the wave's assignments
+    * against the frozen centroids (wave-sized ranking) and its
+    * blocked-candidate pairs with ≥1 THIS-WAVE endpoint over
+    * base ∪ previously-committed arrivals ∪ this wave. Per-vector
+    * assignments don't depend on what else has arrived, so the union
+    * of every wave's pairs IS the one-shot append's c1 exactly (the
+    * later endpoint's wave commits each cross-wave pair) — the law
+    * that makes st15's stream-fold hash-equal to s25's batch append. */
+  private[graft] def knngArriveWaveTables(spark: SparkSession, dir: String,
+                                          waveEmb: DataFrame,
+                                          priorArrAssign: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val cen = knngBaseCentroids(spark, dir)
+    val waveAssign = rankCentroids(quantVecsOf(waveEmb), cen)
+      .filter(col("r") <= S20Probes)
+      .select(col("vec_id"), col("cid"), col("r"))
+      .localCheckpoint() // consumed 4x below + written to the ledger
+    val allAssign = knngBaseAssignArtifact(spark, dir)
+      .unionByName(priorArrAssign).unionByName(waveAssign)
+    def probes(a: DataFrame) = a.select(col("vec_id"), col("cid"))
+    def prims(a: DataFrame) = a.filter(col("r") === 1)
+      .select(col("vec_id").as("nb_id"), col("cid"))
+    val pairs = probes(waveAssign).join(prims(allAssign), Seq("cid"))
+      .union(probes(allAssign).join(prims(waveAssign), Seq("cid")))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id")).distinct()
+    (waveAssign, pairs)
+  }
 
   /** Spec-only: the graph at an arbitrary (probes, rounds) operating
     * point — Round13Spec's recall/cost frontier sweep (the SURVEY

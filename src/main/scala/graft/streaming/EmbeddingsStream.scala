@@ -1,0 +1,181 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+import graft.Tables
+import graft.ext.Similarity
+
+/** ST15 — STREAMING arrival for the kNN-graph tier: st13's
+  * file-stream maintenance loop composed with s25's localized-descent
+  * append. Vector waves land as a file-source stream; each
+  * micro-batch codes its arrivals against the FROZEN base centroids
+  * (wave-sized ranking — the corpus-sized blocking base is the
+  * persisted `base_assign` artifact) and commits its assignments plus
+  * its blocked-candidate pairs into a content-keyed, marker-gated
+  * ledger (st13's exactly-once discipline: idempotent under both
+  * checkpoint replays and fresh-checkpoint re-delivery); the serve
+  * folds the committed pairs through the IDENTICAL integration kernel
+  * the batch append uses ([[Similarity.appendedGraphFromParts]]).
+  *
+  * The stream-fold ≡ batch-append law is EXACT, not an envelope:
+  * per-vector assignments against a frozen model don't depend on what
+  * else has arrived, so each cross-wave candidate pair is committed by
+  * its later endpoint's wave and the union over waves is the one-shot
+  * append's c1 verbatim — the gate's oracle is s25's appended-graph
+  * chain UNCHANGED, and the restart inside the entry (wave A, stop,
+  * wave B, resume from the same checkpoint) is what the driver
+  * hash-checks every round.
+  *
+  * Scale: each micro-batch pays wave-sized work (rank |wave|×|C|
+  * against broadcast frozen centroids; candidate join bounded by the
+  * wave's probed lists against the persisted assignment table); the
+  * serve integration is arrival-sized (s25's bound). The ledger is
+  * append-cadence-bounded — the fold that clears it is the next full
+  * graph rebuild (s27's retrain trigger), the graph tier's analog of
+  * st14's compaction cadence. */
+object EmbeddingsStream {
+
+  private val CommitMarker = "_GRAFT_COMMIT"
+
+  private val assignSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cid", LongType),
+    StructField("r", IntegerType)))
+  private val pairSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("nb_id", LongType)))
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** File-source stream of (vec_id, embedding) rows; schema from the
+    * corpus embeddings table (the authority the waves are slices of). */
+  def readEmbeddingsStream(spark: SparkSession, corpusDir: String,
+                           inDir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.embeddings(spark, corpusDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+
+  private[graft] def committedBatches(spark: SparkSession, base: String): Seq[Path] = {
+    val ledger = new Path(s"$base/ledger")
+    val f = fsOf(spark, ledger)
+    if (!f.exists(ledger)) Seq.empty
+    else f.listStatus(ledger).toSeq.map(_.getPath)
+      .filter(p => f.exists(new Path(p, CommitMarker)))
+      .sortBy(_.getName)
+  }
+
+  private def readOrEmpty(spark: SparkSession, dirs: Seq[String],
+                          schema: StructType): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+
+  /** One arrival micro-batch: content-keyed (st13's count + xor + sum
+    * folds, the embedding riding in the hash so a re-embedded wave
+    * under unchanged ids keys differently), marker-gated, skipped
+    * verbatim on any re-delivery. The wave's work: rank against the
+    * frozen centroids, block against base_assign ∪ committed arrivals
+    * ∪ itself, commit (assign, pairs, marker-last). */
+  private[graft] def arriveBatch(spark: SparkSession, dir: String, base: String)
+                                (batch: DataFrame, batchId: Long): Unit = {
+    val st = batch.agg(count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("vec_id"), col("embedding"))).as("ck"),
+      sum(pmod(xxhash64(col("embedding"), col("vec_id")), lit(1L << 40))).as("cs"))
+      .collect()(0)
+    if (st.getLong(0) == 0) return
+    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
+    val bdir = new Path(s"$base/ledger/$tag")
+    val f = fsOf(spark, bdir)
+    if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
+    f.delete(bdir, true) // crashed partial: rebuild whole
+    val priorAssign = readOrEmpty(spark,
+      committedBatches(spark, base).map(p => new Path(p, "assign").toString),
+      assignSchema)
+    val (assign, pairs) =
+      Similarity.knngArriveWaveTables(spark, dir, batch, priorAssign)
+    assign.write.mode("overwrite").parquet(new Path(bdir, "assign").toString)
+    pairs.write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
+    // marker LAST: the batch is committed only once both tables exist
+    f.create(new Path(bdir, CommitMarker), true).close(); ()
+  }
+
+  /** The appended graph served FROM the ledger: committed pairs +
+    * arrival ids folded through the batch append's own integration
+    * kernel. */
+  private[graft] def appendedFromLedger(spark: SparkSession, dir: String,
+                                        base: String): DataFrame = {
+    val batches = committedBatches(spark, base)
+    val c1 = readOrEmpty(spark,
+      batches.map(p => new Path(p, "pairs").toString), pairSchema)
+    val arrIds = readOrEmpty(spark,
+      batches.map(p => new Path(p, "assign").toString), assignSchema)
+      .select(col("vec_id")).distinct()
+    Similarity.appendedGraphFromParts(spark, dir, c1, arrIds)
+  }
+
+  private[graft] def runArrive(spark: SparkSession, dir: String, base: String,
+                               checkpoint: String): StreamingQuery = {
+    val q = readEmbeddingsStream(spark, dir, s"$base/in")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(arriveBatch(spark, dir, base) _)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Stage one wave of the arrival slice (s25's vec_id%10=9, split by
+    * %3 — coprime to every power-of-2 shard split; mtimes force the
+    * file source's deterministic wave order). */
+  private[graft] def stageWave(spark: SparkSession, dir: String, base: String,
+                               wave: Int): Unit = {
+    val part = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === Similarity.S13AppendDigit)
+      .filter(if (wave == 0) col("vec_id") % 3 === 0 else col("vec_id") % 3 =!= 0)
+    val scratch = s"$base/w$wave"
+    part.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val f = fsOf(spark, new Path(scratch))
+    val src = f.listStatus(new Path(scratch)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new Path(s"$base/in/wave$wave.parquet")
+    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
+    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+  }
+
+  /** The ST15 gate entry — restart inside the entry, st13's shape:
+    * wave A is processed by a query that STOPS; wave B arrives; a
+    * second query resumes from the same checkpoint and processes only
+    * the new wave; the serve folds the ledger through the batch
+    * append's integration kernel. Oracle = s25's appended-graph chain
+    * VERBATIM (the stream-fold ≡ batch-append law, hash-checked every
+    * round). Scratch lives at one fixed location per corpus, rebuilt
+    * per invocation (st11's no-accumulation discipline). */
+  def st15GraphArrive(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st15", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    f.mkdirs(new Path(s"$base/in"))
+    stageWave(spark, dir, base, 0)
+    runArrive(spark, dir, base, s"$base/cp").stop()
+    stageWave(spark, dir, base, 1)
+    runArrive(spark, dir, base, s"$base/cp").stop()
+    appendedFromLedger(spark, dir, base)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"),
+        col("d2_fp"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("st15_graph_arrive" -> (st15GraphArrive _))
+
+  // the streamed-in graph must equal the one-shot batch append —
+  // s25's oracle chain verbatim
+  val oracles: Map[String, String] =
+    Map("st15_graph_arrive" -> Similarity.oracles("s25_graph_append"))
+}

@@ -164,6 +164,30 @@ class Round14Spec extends AnyFunSuite {
       app.exceptAll(gFull.select(col("vec_id"), col("nb_id"))).count()
     assert(diff > 0, "appended and rebuilt graphs must genuinely differ")
   }
+  // ---------- 5. streaming graph arrival (st15) ----------
+
+  test("st15: stream-fold equals the batch append bit-for-bit, and a " +
+    "fresh-checkpoint re-delivery of both waves commits nothing new and " +
+    "serves the same graph") {
+    import graft.streaming.EmbeddingsStream
+    val first = rows(EmbeddingsStream.st15GraphArrive(spark, dir))
+    // the law the oracle also checks, pinned engine-side: the streamed
+    // fold IS the one-shot batch append
+    val batch = rows(Similarity.s25GraphAppend(spark, dir))
+    assert(first === batch, "stream-fold must equal the batch append")
+    // fresh-checkpoint replay: both waves re-delivered under a NEW
+    // batch numbering — the content-keyed ledger skips them whole
+    val base = ArtifactRoots.tagged("graft_st15", dir)
+    val n0 = EmbeddingsStream.committedBatches(spark, base).size
+    assert(n0 === 2, s"two committed waves expected, saw $n0")
+    EmbeddingsStream.runArrive(spark, dir, base, s"$base/cp_fresh").stop()
+    val n1 = EmbeddingsStream.committedBatches(spark, base).size
+    assert(n1 === n0, "re-delivered waves must not commit new ledger dirs")
+    val served = rows(EmbeddingsStream.appendedFromLedger(spark, dir, base)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"), col("d2_fp"), col("rank"))
+      .orderBy(col("vec_id"), col("rank")))
+    assert(served === first, "replayed ledger must serve the identical graph")
+  }
 }
 
 /** Shared seam access (keeps the test bodies terse). */
