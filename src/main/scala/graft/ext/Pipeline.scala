@@ -565,16 +565,19 @@ object Pipeline {
   /** Round14Spec seam — the e19 ∘ e4 composition: a delta pass whose
     * stage-4/5 model inputs are explicit frames (the PROMOTED
     * model_frozen tables of a cut-over clone) under a full-pool base
-    * (what the promoted model was trained on). */
+    * (what the promoted model was trained on). Returns (flags, scored)
+    * so the spec can release the scored cache after comparing (the
+    * d18 self-release discipline the tuple exists for). */
   private[graft] def e4FlagsFromModelForSpec(spark: SparkSession, dir: String,
-                                             perdoc: DataFrame,
-                                             cut: DataFrame): DataFrame =
-    e4FlagsScored(spark, dir, lit(true), e4DeltaPred, Some((perdoc, cut)))._1
+                                             perdoc: DataFrame, cut: DataFrame)
+      : (DataFrame, DataFrame) =
+    e4FlagsScored(spark, dir, lit(true), e4DeltaPred, Some((perdoc, cut)))
 
   /** The reference side of the composition pin: e4's flags with the
     * model DERIVED from a from-scratch full-pool retrain. */
-  private[graft] def e4FlagsRetrainedForSpec(spark: SparkSession, dir: String): DataFrame =
-    e4FlagsScored(spark, dir, lit(true), e4DeltaPred)._1
+  private[graft] def e4FlagsRetrainedForSpec(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    e4FlagsScored(spark, dir, lit(true), e4DeltaPred)
 
   /** The NEW-feed scenario e4's block-slice deliberately avoids: one
     * whole source arrives with ZERO base history. Its docs are vetted

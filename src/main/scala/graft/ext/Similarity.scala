@@ -500,16 +500,26 @@ object Similarity {
     * distributed rewrite removed from the driver. */
   private def kmeansCentroids(spark: SparkSession, v: DataFrame,
                               broadcastAssign: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graftshim.CheckpointShim
     var cen = v.filter(col("vec_id") % IvfCentroidStride === 0)
       .select(col("vec_id").as("cid"), col("qv").as("sarr"), col("nv").as("nc"))
+    var prev: DataFrame = null
     for (_ <- 1 to KmeansIters) {
       val resummed = rankCentroids(v, cen, broadcastAssign).filter(col("r") === 1)
         .groupBy(col("cid"))
         .agg(graft.functions.LongVecSum.vecsum(col("qv")).as("sv"))
         .select(col("cid"), col("sv.v").as("sarr"))
         .withColumn("nc", aggregate(col("sarr"), lit(0L), (a, s) => a + s * s))
+      // EAGER checkpoint so the PREDECESSOR round's blocks release
+      // immediately (r14: the lazy form left rounds-many pinned frames
+      // floating until the ContextCleaner got to them, and the
+      // asynchronous cleanup made the suite's cache-hygiene deltas
+      // non-monotone); the frame is |C| rows, the extra per-round job
+      // is noise against the assignment pass
       cen = (if (broadcastAssign) resummed.coalesce(CentroidCoalesce) else resummed)
-        .localCheckpoint(false)
+        .localCheckpoint()
+      if (prev != null) CheckpointShim.unpersist(prev)
+      prev = cen
     }
     cen
   }
@@ -697,9 +707,11 @@ object Similarity {
     * [[kmeansCentroids]] (|sub|×K rows grow with the corpus under
     * stride seeding). */
   private def pqCodebooksOn(spark: SparkSession, v: DataFrame, strideDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.CheckpointShim
     var cen = v.crossJoin(broadcast(strideDf))
       .filter(pmod(col("vec_id"), col("seed_stride")) === 0)
       .select(col("sub"), col("vec_id").as("cid"), col("qa").as("ma"), col("na").as("nc"))
+    var prev: DataFrame = null
     for (_ <- 1 to PqIters) {
       cen = pqCodes(v, cen).join(v, Seq("vec_id", "sub"))
         .groupBy(col("sub"), col("cid"))
@@ -709,7 +721,9 @@ object Similarity {
           transform(col("sv.v"),
             s => floor(s.cast("double") / col("cnt").cast("double"))).as("ma"))
         .withColumn("nc", aggregate(col("ma"), lit(0L), (a, m) => a + m * m))
-        .coalesce(CentroidCoalesce).localCheckpoint(false)
+        .coalesce(CentroidCoalesce).localCheckpoint() // eager — see kmeansCentroids
+      if (prev != null) CheckpointShim.unpersist(prev)
+      prev = cen
     }
     cen
   }
@@ -901,9 +915,15 @@ object Similarity {
       overwrite = true)
     // the writes above are actions — the caches have served their
     // multi-use purpose (k-means iterations + coding) once the codes
-    // land; release them here so the build is self-contained
+    // land; release them here so the build is self-contained. The
+    // final training checkpoints release too: everything the index
+    // serves is on disk (coarse_centroids/pq_codebooks/codes), so the
+    // build leaves ZERO pinned state (the r9 hygiene discipline).
     qv.unpersist()
     v.unpersist()
+    import org.apache.spark.sql.graftshim.CheckpointShim
+    CheckpointShim.unpersist(cen)
+    CheckpointShim.unpersist(pcen)
   }
 
   /** Append `appendPred` vectors into the EXISTING index: read the
@@ -1229,6 +1249,10 @@ object Similarity {
   // serve a compacted table built by the hop-less kernel)
   private def knngRoot(dir: String): String = servedIdxDir("graft_knng_v3", dir)
 
+  /** Round14Spec seam: the resolved knng artifact root (the delete
+    * verbs are root-addressed). */
+  private[graft] def knngRootForSpec(dir: String): String = knngRoot(dir)
+
   private def ensureKnng(spark: SparkSession, dir: String, table: String)
                         (build: => DataFrame): DataFrame =
     Pipeline.ensureArtifactAtRoot(spark, knngRoot(dir), table)(build)
@@ -1422,16 +1446,20 @@ object Similarity {
       qv, S20DescentRounds)
   }
 
+  /** PlanDump seam: the compaction BUILD's distributed frame (the gate
+    * serves the marker-gated artifact, a pure scan — the interesting
+    * plan is the touched-list re-rank the builder pays once). */
+  private[graft] def s26CompactBuildFrame(spark: SparkSession, dir: String): DataFrame =
+    knngCompactKernel(knngGraphFrame(spark, dir), s26DeleteIds(spark, dir),
+      quantVecs(spark, dir).cache())
+
   /** Spec seams for the s26 pins: (graph artifact normalized to nb_id,
     * deleted-slice ids, quantized vectors, tombstone-served overlay,
     * compacted artifact). */
   private[graft] def s26FormsForSpec(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val g = knngGraphArtifact(spark, dir)
-      .select(col("vec_id"), col("neighbor_id").as("nb_id"),
-        col("d2_fp"), col("rank"))
-    val del = Tables.embeddings(spark, dir).filter(s18DeletePred)
-      .select(col("vec_id"))
+    val g = knngGraphFrame(spark, dir)
+    val del = s26DeleteIds(spark, dir)
     (g, del, knngAntiJoinDeleted(g, del), knngCompactedGraph(spark, dir))
   }
 
@@ -1541,36 +1569,126 @@ object Similarity {
     untouched.unionByName(refilled)
   }
 
-  /** The compacted graph as an artifact table: the delete + compact
-    * verbs run inside the once-per-corpus-version builder (the ledger
-    * write is the verb's real API — arbitrary ids in production; the
-    * gate exercises it with the deterministic [[S18DeleteDigit]]
-    * slice, disjoint from the query set and straddling the base/
-    * arrival split like s18's). */
+  /** The graph_full artifact normalized to the kernel's nb_id
+    * vocabulary — shared by the compacted builder, the PlanDump build
+    * frame, and the spec seams. */
+  private def knngGraphFrame(spark: SparkSession, dir: String): DataFrame =
+    knngGraphArtifact(spark, dir)
+      .select(col("vec_id"), col("neighbor_id").as("nb_id"),
+        col("d2_fp"), col("rank"))
+
+  /** The gate's deterministic delete slice (s18's digit — disjoint
+    * from the query set, straddling the base/arrival split). */
+  private def s26DeleteIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(s18DeletePred).select(col("vec_id"))
+
+  /** The compacted graph as an artifact table: the first delete +
+    * compact run inside the once-per-corpus-version builder (the
+    * ledger write is the verb's real API — arbitrary ids in
+    * production; the gate exercises it with the deterministic
+    * [[S18DeleteDigit]] slice). LATER delete batches fold in via
+    * [[compactKnnGraphDeletes]]' aside-first artifact swap — the
+    * marker does NOT freeze the table against subsequent verbs. */
   private[graft] def knngCompactedGraph(spark: SparkSession, dir: String): DataFrame =
     ensureKnng(spark, dir, "graph_compacted") {
       val root = knngRoot(dir)
-      deleteFromKnnGraph(spark,
-        Tables.embeddings(spark, dir).filter(s18DeletePred), root)
+      deleteFromKnnGraph(spark, s26DeleteIds(spark, dir), root)
       val del = spark.read.parquet(s"$root/graph_deletes")
         .select(col("vec_id")).distinct()
-      val g = knngGraphArtifact(spark, dir)
-        .select(col("vec_id"), col("neighbor_id").as("nb_id"),
-          col("d2_fp"), col("rank"))
-      knngCompactKernel(g, del, quantVecs(spark, dir).cache())
+      knngCompactKernel(knngGraphFrame(spark, dir), del,
+        quantVecs(spark, dir).cache())
     }
 
-  /** S26 — graph DELETE served: the compacted graph artifact. The
-    * ledger clears only AFTER the compacted table's marker+sidecar
-    * committed (a crash mid-build re-appends the same deterministic
-    * ids — the ledger read distincts — and reconverges); the clear is
-    * idempotent across invocations. */
+  /** CRASH RECOVERY for the compaction swap: a crash between
+    * "live renamed aside" and "next renamed in" leaves the live slot
+    * empty — without this, the ensure would REBUILD from the builder
+    * (the gate-slice compaction of graph_full), silently discarding
+    * every later delete batch the aside copy had folded. Restore the
+    * aside when the live slot is empty; clear a stale aside when the
+    * live slot is present (the rename-in happens only after the next
+    * tree is complete, so live-present means the swap finished). */
+  private def recoverKnngCompactSwap(fs: FileSystem, live: Path): Unit = {
+    val aside = new Path(live.toString + ".old")
+    if (fs.exists(aside)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(aside, live))
+          throw new java.io.IOException(s"compact-swap recovery failed: $aside")
+      } else fs.delete(aside, true)
+    }
+  }
+
+  /** Apply any PENDING tombstone ledger to the compacted artifact —
+    * s18's compaction discipline at the graph tier: the kernel runs
+    * against the CURRENT compacted table (deletion composes: ids the
+    * table already dropped touch nothing), the new table lands in a
+    * staging dir and swaps in aside-first (marker + schema sidecar
+    * preserved so the ensure keeps serving, never rebuilding), and
+    * the ledger clears only AFTER the swap. Idempotent at every
+    * crash window: a re-run re-derives the same fold (already-applied
+    * ids find zero offenders and only clear the ledger). */
+  private[graft] def compactKnnGraphDeletes(spark: SparkSession, dir: String): Unit = {
+    val root = knngRoot(dir)
+    val live = new Path(s"$root/graph_compacted")
+    val ledger = new Path(s"$root/graph_deletes")
+    val fs = FileSystem.get(live.toUri, spark.sparkContext.hadoopConfiguration)
+    recoverKnngCompactSwap(fs, live)
+    if (!fs.exists(ledger)) return
+    val comp = knngCompactedGraph(spark, dir) // ensure (recovery above ran)
+    val del = spark.read.parquet(ledger.toString).select(col("vec_id")).distinct()
+    // already-applied ids (a crash between swap and ledger clear, or
+    // the builder's own first batch) leave no endpoint behind — skip
+    // the rewrite, just clear
+    val delNb = del.select(col("vec_id").as("nb_id"))
+    val offenders = comp.join(broadcast(del), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"))
+      .unionAll(comp.join(broadcast(delNb), Seq("nb_id"), "left_semi")
+        .select(col("vec_id")))
+      .limit(1).count()
+    if (offenders > 0) {
+      val next = new Path(live.toString + ".next")
+      fs.delete(next, true)
+      knngCompactKernel(comp, del, quantVecs(spark, dir).cache())
+        .write.mode("overwrite").parquet(next.toString)
+      // carry the schema sidecar (schema unchanged by the fold) so the
+      // ensure's marker+sidecar completeness check keeps serving the
+      // swapped tree instead of rebuilding
+      val sc = new Path(live, "_graft_schema.ddl")
+      org.apache.hadoop.fs.FileUtil.copy(fs, sc, fs,
+        new Path(next, "_graft_schema.ddl"), false,
+        spark.sparkContext.hadoopConfiguration)
+      val aside = new Path(live.toString + ".old")
+      fs.delete(aside, true)
+      if (!fs.rename(live, aside))
+        throw new java.io.IOException(s"compact swap failed: $live aside")
+      if (!fs.rename(next, live)) {
+        fs.rename(aside, live)
+        throw new java.io.IOException(s"compact swap failed: $next -> $live")
+      }
+      fs.delete(aside, true)
+    }
+    fs.delete(ledger, true) // tombstones applied
+  }
+
+  /** S26 — graph DELETE served: ensure the compacted artifact, fold
+    * any pending ledger (the builder's own first batch on first
+    * touch; later delete batches on every serve — s18's cadence is
+    * the caller's choice, the gate compacts eagerly), and serve. A
+    * still-pending ledger between delete and compact is masked by the
+    * tombstone overlay ([[knngAntiJoinDeleted]]), which after the
+    * eager compact above is a no-op by construction. */
   def s26GraphDelete(spark: SparkSession, dir: String): DataFrame = {
-    val out = knngCompactedGraph(spark, dir)
-    val ledger = new Path(s"${knngRoot(dir)}/graph_deletes")
+    val root = knngRoot(dir)
+    knngCompactedGraph(spark, dir)
+    compactKnnGraphDeletes(spark, dir)
+    val ledger = new Path(s"$root/graph_deletes")
     val fs = FileSystem.get(ledger.toUri, spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(ledger)) fs.delete(ledger, true) // tombstones applied
-    out.select(col("vec_id"), col("nb_id").as("neighbor_id"),
+    val comp = knngCompactedGraph(spark, dir)
+    val served =
+      if (fs.exists(ledger))
+        knngAntiJoinDeleted(comp,
+          spark.read.parquet(ledger.toString).select(col("vec_id")).distinct())
+      else comp
+    served.select(col("vec_id"), col("nb_id").as("neighbor_id"),
         col("d2_fp"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
   }

@@ -41,7 +41,7 @@ object PlanDump {
     "t26_source_drift" -> "frozen top-K vocab broadcast; |sources|xK dense model grid; one tokenize pass",
     "d20_dedup_quality" -> "five pair-set families graded in one pair-bounded membership join",
     "d21_lsh_tuning" -> "one MinHash signature table banded three ways; candidates only inside each config's buckets",
-    "t27_bpe_merges" -> "BPE round: corpus-size-independent vocab pair count + 1-row TakeOrdered argmax",
+    "t27_bpe_merges" -> "BPE training round (the bpe_merges ARTIFACT BUILD's shape, paid once per corpus version; the gate row now serves the 8-row merge table from parquet): corpus-size-independent vocab pair count + 1-row TakeOrdered argmax",
     "e7_training_order" -> "epoch-shuffle census over the bins artifact: row-local hash-range quartiles — no rank, no window, no global sort",
     "m8_scene_segmentation" -> "codegen'd SegmentSums scan; lag/cumsum windows partitioned per media (16 rows each)",
     "s18_index_delete" -> "post-compaction serve: s13's partition-pruned query plan over the shrunken survivor lists",
@@ -51,7 +51,7 @@ object PlanDump {
     "s14_index_health" -> "index health: two full index pipelines graded by one |Q|·k membership join keyed on (query_id, neighbor_id)",
     "s20_knn_graph" -> "kNN graph SERVED from the persisted knng artifact (pure scan + order; r13 — the build is knng_build below, paid once per corpus version)",
     "knng_build" -> "the kNN-graph ARTIFACT BUILD: IVF-blocked candidates at probes=4 (the r13-measured frontier knob, recall@10 0.9492) + two NN-Descent two-hop rounds, codegen'd integer distances, rank window partitioned per vector; Lloyd training fully distributed (LongVecSum one-shuffle re-sums over checkpoint-rooted centroid frames — no LocalTableScan, no driver re-seed)",
-    "s24_graph_served" -> "graph-served kNN grading: |Q| rows read from the graph artifact membership-joined against the exact brute-force rank — the corpus contributes one cached quantize pass",
+    "s24_graph_served" -> "graph-served kNN grading: |Q| rows read from the graph artifact membership-joined against the PERSISTED exact_q truth (r14 — both grading sides are artifact reads; the brute-force pass moved into the once-per-corpus-version truth build)",
     "s25_graph_append" -> "graph append SERVED from the appended artifact (arrival-sized localized-descent integration is its marker-gated builder: frozen-centroid blocking + one descent hop through the base graph + touched-only re-rank)",
     "e19_model_cutover" -> "drift-gated model cutover: the decision is a |sources|-row local relation (t26 chain runs ONCE); the served census is a narrow post-swap frozen-root scan under a broadcast 1-row cut",
     "e9_order_manifest" -> "order manifest SERVED from its persisted artifact (built once beside the bins: shard-partitioned position window, |shards|-row rollup)",
@@ -63,7 +63,11 @@ object PlanDump {
     "s23_deferred_update" -> "deferred-update serve: s13's partition-pruned query plan overlaid with the generation ledger — max-generation per id resolved at read time, no compaction on the serve path",
     "e14_graph_retract" -> "graph retraction SERVED from the persisted offboarded labels artifact (pure scan + order; the incremental pass-through/re-converge is its marker-gated builder — retract_build below)",
     "retract_build" -> "the offboarded-labels ARTIFACT BUILD: untouched clusters' labels pass through from the live labels artifact (scan + broadcast anti-join on the |retired-clusters|-bounded affected set); only the affected subgraph re-converges (the checkpoint-rooted union branch)",
-    "e16_offboard_split" -> "the leakage split drawn AFTER offboarding: e6's cluster-atomic shape verbatim — doc left-join the OFFBOARDED labels artifact + row-local hash lottery, retired rows filtered at the scan")
+    "e16_offboard_split" -> "the leakage split drawn AFTER offboarding: e6's cluster-atomic shape verbatim — doc left-join the OFFBOARDED labels artifact + row-local hash lottery, retired rows filtered at the scan",
+    "s26_graph_delete" -> "graph delete SERVED from the compacted artifact (pure scan + order; the touched-list compaction is graph_compact_build below, paid once per delete batch)",
+    "graph_compact_build" -> "the graph-delete COMPACTION BUILD: untouched survivor lists pass through verbatim (broadcast anti-joins on the bounded tombstone set); only touched lists re-rank, over surviving edges ∪ 2-hop replacements ∪ one localized descent hop — candidate volume O(|D|·k²), never a rebuild",
+    "s27_graph_health" -> "graph drift health: THREE artifact reads (appended, rebuilt, persisted exact truth) into one |Q|·k·2 membership-grading join — no brute force, no rebuild on the serve path",
+    "st15_graph_arrive" -> "streamed graph arrival SERVED: committed wave pairs + arrival ids (ledger scans) folded through the batch append's integration kernel — arrival-sized candidate joins against the persisted base graph")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
@@ -95,7 +99,8 @@ object PlanDump {
       "knng_build" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.ext.Similarity.s20KnnGraphRounds(s, d,
           graft.ext.Similarity.S20DescentRounds)),
-      "retract_build" -> (graft.ext.Pipeline.e14Derived _))
+      "retract_build" -> (graft.ext.Pipeline.e14Derived _),
+      "graph_compact_build" -> (graft.ext.Similarity.s26CompactBuildFrame _))
     Headline.foreach { case (name, why) =>
       val df = planFrame.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       df.collect() // let AQE finalize

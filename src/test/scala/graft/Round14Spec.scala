@@ -107,6 +107,44 @@ class Round14Spec extends AnyFunSuite {
     assert(replaced > 0, "at least one touched list must gain a replacement neighbor")
   }
 
+  test("s26: a SECOND delete batch after the artifact exists folds in via " +
+    "the compaction swap (marker does not freeze the table), and the " +
+    "re-run with an empty ledger is a no-op") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import spark.implicits._
+    val root = Similarity.knngRootForSpec(dir)
+    val fs = FileSystem.get(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val comp0 = rows(Similarity.s26GraphDelete(spark, dir)) // ensure + ledger drained
+    try {
+      // a survivor that actually appears in the compacted graph
+      val x = Similarity.knngCompactedGraph(spark, dir)
+        .filter(col("nb_id") % 10 =!= 6 && col("vec_id") % 10 =!= 6)
+        .select(col("nb_id")).limit(1).collect()(0).getLong(0)
+      Similarity.deleteFromKnnGraph(spark, Seq(x).toDF("vec_id"), root)
+      val after = Similarity.s26GraphDelete(spark, dir).collect()
+      assert(!after.exists(r => r.getAs[Long]("vec_id") == x ||
+        r.getAs[Long]("neighbor_id") == x),
+        s"second-batch deleted id $x must leave the served graph entirely")
+      assert(!fs.exists(new Path(s"$root/graph_deletes")),
+        "the ledger must clear after the fold commits")
+      // artifact itself updated (not just an overlay): a direct read drops x
+      val direct = Similarity.knngCompactedGraph(spark, dir)
+        .filter(col("vec_id") === x || col("nb_id") === x).count()
+      assert(direct === 0L, "the fold must rewrite the artifact, not overlay it")
+      // no-op re-compact with an empty ledger
+      Similarity.compactKnnGraphDeletes(spark, dir)
+      assert(rows(Similarity.knngCompactedGraph(spark, dir)).nonEmpty)
+    } finally {
+      // restore the shared sf0.001 tree: drop the mutated table (and
+      // any scratch) so the next ensure rebuilds the gate-slice state
+      Seq("graph_compacted", "graph_compacted.next", "graph_compacted.old",
+        "graph_deletes").foreach(t => fs.delete(new Path(s"$root/$t"), true))
+    }
+    val rebuilt = rows(Similarity.s26GraphDelete(spark, dir))
+    assert(rebuilt === comp0, "restored tree must rebuild the gate-slice state")
+  }
+
   test("s26: compacted-graph recall stays within the drift trigger of a " +
     "genuine rebuild over survivors") {
     val (_, del, _, comp) = Round14Support.s26(spark, dir)
@@ -137,8 +175,11 @@ class Round14Spec extends AnyFunSuite {
     Pipeline.modelCutover(spark, scratch)
     val perdoc = spark.read.parquet(s"$scratch/model_frozen/dsir_perdoc")
     val cut = spark.read.parquet(s"$scratch/model_frozen/dsir_cut")
-    val served = rows(Pipeline.e4FlagsFromModelForSpec(spark, dir, perdoc, cut))
-    val fresh = rows(Pipeline.e4FlagsRetrainedForSpec(spark, dir))
+    val (servedF, servedScored) = Pipeline.e4FlagsFromModelForSpec(spark, dir, perdoc, cut)
+    val (freshF, freshScored) = Pipeline.e4FlagsRetrainedForSpec(spark, dir)
+    val served = rows(servedF)
+    val fresh = rows(freshF)
+    servedScored.unpersist(); freshScored.unpersist()
     assert(served.nonEmpty, "the composed delta pass must see delta docs")
     assert(served === fresh,
       "e4 over the promoted frozen tables must equal e4 on a fresh full retrain")
