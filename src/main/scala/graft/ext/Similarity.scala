@@ -1340,10 +1340,15 @@ object Similarity {
     * slice predicate: production arrivals are arbitrary ids. */
   private[graft] def appendedGraphFromParts(spark: SparkSession, dir: String,
                                             c1: DataFrame, arrIds: DataFrame,
-                                            qvIn: DataFrame = null): DataFrame = {
+                                            qvIn: DataFrame = null,
+                                            gBIn: DataFrame = null): DataFrame = {
     val qv = if (qvIn != null) qvIn else quantVecs(spark, dir).cache()
-    val gB = knngBaseGraph(spark, dir).select(col("vec_id"), col("nb_id"),
-      col("d2_fp"), col("rank"))
+    // the graph the arrivals integrate INTO: the persisted base graph
+    // by default (s25/st15); the s28 update verb passes the
+    // post-delete compacted state instead (insert-after-delete)
+    val gB = if (gBIn != null) gBIn
+      else knngBaseGraph(spark, dir).select(col("vec_id"), col("nb_id"),
+        col("d2_fp"), col("rank"))
     val arr = broadcast(arrIds.select(col("vec_id")).distinct())
     val psym = c1
       .union(c1.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
@@ -1428,8 +1433,10 @@ object Similarity {
     * path) — the truth table Round13Spec grades rebuild vs append
     * against. */
   private[graft] def exactKnnGraphForSpec(spark: SparkSession, dir: String,
-                                          keep: Column = lit(true)): DataFrame = {
-    val qv = quantVecs(spark, dir).filter(keep).cache()
+                                          keep: Column = lit(true),
+                                          qvIn: DataFrame = null): DataFrame = {
+    val qv = (if (qvIn != null) qvIn else quantVecs(spark, dir))
+      .filter(keep).cache()
     val ids = qv.select(col("vec_id"))
     val cand = ids.crossJoin(ids.select(col("vec_id").as("nb_id")))
       .filter(col("vec_id") =!= col("nb_id"))
@@ -1437,11 +1444,14 @@ object Similarity {
   }
 
   /** Spec-only: a genuine s20 REBUILD over a corpus slice (retrained
-    * centroids, full descent) — the reference side of the s26
-    * compacted-graph recall envelope (rebuild-without-deleted). */
+    * centroids, full descent) — the reference side of the s26/s28
+    * recall envelopes (rebuild-without-deleted / rebuild-with-current-
+    * values); `qvIn` swaps in the s28 current view. */
   private[graft] def s20RebuildOverForSpec(spark: SparkSession, dir: String,
-                                           keep: Column): DataFrame = {
-    val qv = quantVecs(spark, dir).filter(keep).cache()
+                                           keep: Column,
+                                           qvIn: DataFrame = null): DataFrame = {
+    val qv = (if (qvIn != null) qvIn else quantVecs(spark, dir))
+      .filter(keep).cache()
     s20DescentLoop(s20Round1GraphFrom(kmeansCentroids(spark, qv), qv),
       qv, S20DescentRounds)
   }
@@ -1713,6 +1723,74 @@ object Similarity {
         .select(col("query_id").as("vec_id"), col("nb_id"))
       knnRankTopK(cand, qv)
     }
+
+  // ---------------------------------------------------------------
+  // S28 — the UPDATE verb of the kNN-graph artifact: a re-embedded
+  // vector (same id, new embedding) must serve with its NEW
+  // neighborhood, and leave every OLD neighborhood it no longer
+  // belongs to. Exactly s21's upsert = delete ∘ insert, composed from
+  // the graph tier's own verbs:
+  //   1. DELETE: the updated ids leave as nodes and neighbors via the
+  //      s26 compaction kernel (touched survivor lists re-fill over
+  //      survivor candidates — distances among survivors are
+  //      update-invariant, so the kernel sees identical values);
+  //   2. INSERT: the updated ids re-enter as ARRIVALS with their new
+  //      vectors via the s25 integration kernel, blocked against
+  //      FROZEN centroids (trained on the NON-updated slice — same
+  //      ids, original values; updates never retrain, s14/s27 own the
+  //      drift) and integrating into the post-delete compacted state.
+  // Both kernels are deterministic given (graph, ids, vectors), so
+  // the oracle replays the composition step for step. Gate instance
+  // re-embeds the vec_id%10=8 slice as REVERSED vectors (same norm,
+  // maximally different direction, exactly expressible in both
+  // engines — s21's trick).
+  // ---------------------------------------------------------------
+
+  val S28UpdateDigit = 8
+  private def s28UpdPred: Column = col("vec_id") % 10 === S28UpdateDigit
+
+  /** The post-update CURRENT view of the embeddings (updated slice
+    * reversed), quantized. */
+  private[graft] def s28CurrentQv(spark: SparkSession, dir: String): DataFrame =
+    quantVecsOf(Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        when(s28UpdPred, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding")))
+
+  /** The updated graph as an artifact table: delete ∘ insert over
+    * graph_full under the current view. */
+  private[graft] def knngUpdatedGraph(spark: SparkSession, dir: String): DataFrame =
+    ensureKnng(spark, dir, "graph_updated") {
+      val qvCur = s28CurrentQv(spark, dir).cache()
+      val updIds = Tables.embeddings(spark, dir).filter(s28UpdPred)
+        .select(col("vec_id"))
+      // 1. delete: survivors' distances are update-invariant, so the
+      //    current view feeds the kernel directly
+      val g1 = knngCompactKernel(knngGraphFrame(spark, dir), updIds, qvCur)
+        .cache() // three consumers inside the integration (symB, semi, anti)
+      // 2. insert: frozen centroids = trained on the non-updated slice
+      //    (original values under the current view), arrivals blocked
+      //    and integrated by the append kernel into the compacted state
+      val cen = kmeansCentroids(spark, qvCur.filter(!s28UpdPred))
+      val rc = rankCentroids(qvCur, cen)
+      val probe = rc.filter(col("r") <= S20Probes).select(col("vec_id"), col("cid"))
+      val prim = rc.filter(col("r") === 1)
+        .select(col("vec_id").as("nb_id"), col("cid"))
+      val c1 = probe.join(prim, Seq("cid"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .filter(s28UpdPred || s28UpdPredOn("nb_id"))
+        .select(col("vec_id"), col("nb_id")).distinct()
+      appendedGraphFromParts(spark, dir, c1, updIds, qvCur, g1)
+    }
+
+  private def s28UpdPredOn(c: String): Column = col(c) % 10 === S28UpdateDigit
+
+  /** S28 — graph UPDATE served: the updated graph artifact. */
+  def s28GraphUpdate(spark: SparkSession, dir: String): DataFrame =
+    knngUpdatedGraph(spark, dir)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"),
+        col("d2_fp"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
 
   /** S24 — the persisted graph LOAD-BEARING: kNN queries answered
     * from the graph artifact alone (a graph row IS the query answer —
@@ -2691,6 +2769,7 @@ object Similarity {
     "s25_graph_append"     -> (s25GraphAppend _),
     "s26_graph_delete"     -> (s26GraphDelete _),
     "s27_graph_health"     -> (s27GraphHealth _),
+    "s28_graph_update"     -> (s28GraphUpdate _),
     "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
@@ -3101,14 +3180,16 @@ object Similarity {
     * select over the `uni` CTE (= the appended graph: vec_id, nb_id,
     * d2_fp, rank) — shared by the s25 oracle and s27's appended-world
     * subquery (nested WITH keeps the two worlds' CTE names apart). */
-  private def s25AppendedSql(fin: String): String = {
-    val baseOf: String => String = c => s"$c % 10 <> $S13AppendDigit"
-    val arrOf: String => String = c => s"$c % 10 = $S13AppendDigit"
-    s"""WITH ${s20ChainCtes(baseOf("vec_id"), baseOf)},
-         rkfin AS MATERIALIZED (
-           SELECT vec_id, nb_id, d2_fp, rank FROM rk$s20Fin WHERE rank <= $TopK),
-         gb AS MATERIALIZED (SELECT vec_id, nb_id FROM rkfin),
-         aprobe AS (SELECT vec_id, cid FROM r$KmeansFin WHERE r <= $S20Probes),
+  /** The s25/s28-shared INTEGRATION TAIL as CTEs ending at `uni` (the
+    * integrated graph) — the SQL twin of [[appendedGraphFromParts]],
+    * parameterized over the arrival predicate and the base-graph CTE
+    * `gb` (vec_id, nb_id, d2_fp, rank). Assumes the enclosing chain
+    * defines r$KmeansFin/lists (assignments of EVERY vector) and
+    * qv/nv (the distance vocabulary). */
+  private def knngIntegrateTailCtes(arrOf: String => String,
+                                    notArrOf: String => String,
+                                    gb: String): String =
+    s"""aprobe AS (SELECT vec_id, cid FROM r$KmeansFin WHERE r <= $S20Probes),
          ac1 AS (
            SELECT DISTINCT p.vec_id, l.vec_id AS nb_id
            FROM aprobe p JOIN lists l ON l.cid = p.cid
@@ -3116,8 +3197,8 @@ object Similarity {
              AND ((${arrOf("p.vec_id")}) OR (${arrOf("l.vec_id")}))),
          psym AS MATERIALIZED (SELECT vec_id, nb_id FROM ac1
                   UNION SELECT nb_id, vec_id FROM ac1),
-         symb AS MATERIALIZED (SELECT vec_id, nb_id FROM gb
-                  UNION SELECT nb_id, vec_id FROM gb),
+         symb AS MATERIALIZED (SELECT vec_id, nb_id FROM $gb
+                  UNION SELECT nb_id, vec_id FROM $gb),
          acand2 AS (
            SELECT a.vec_id, s.nb_id FROM psym a JOIN symb s ON s.vec_id = a.nb_id
            WHERE (${arrOf("a.vec_id")}) AND a.vec_id <> s.nb_id),
@@ -3125,19 +3206,27 @@ object Similarity {
                    UNION SELECT vec_id, nb_id FROM acand2),
          ${knnRankCtes("ar", "acand")},
          aedge AS (SELECT vec_id, nb_id, d2_fp, rank FROM arrk WHERE rank <= $TopK),
-         tids AS MATERIALIZED (SELECT DISTINCT vec_id FROM psym WHERE ${baseOf("vec_id")}),
+         tids AS MATERIALIZED (SELECT DISTINCT vec_id FROM psym WHERE ${notArrOf("vec_id")}),
          bcand AS (
-           SELECT g.vec_id, g.nb_id FROM gb g JOIN tids t ON t.vec_id = g.vec_id
-           UNION SELECT vec_id, nb_id FROM psym WHERE ${baseOf("vec_id")}),
+           SELECT g.vec_id, g.nb_id FROM $gb g JOIN tids t ON t.vec_id = g.vec_id
+           UNION SELECT vec_id, nb_id FROM psym WHERE ${notArrOf("vec_id")}),
          ${knnRankCtes("br", "bcand")},
          bedge AS (SELECT vec_id, nb_id, d2_fp, rank FROM brrk WHERE rank <= $TopK),
          unt AS (
-           SELECT r.vec_id, r.nb_id, r.d2_fp, r.rank FROM rkfin r
+           SELECT r.vec_id, r.nb_id, r.d2_fp, r.rank FROM $gb r
            LEFT JOIN tids t ON t.vec_id = r.vec_id
            WHERE t.vec_id IS NULL),
          uni AS (
            SELECT * FROM unt UNION ALL SELECT * FROM bedge
-           UNION ALL SELECT * FROM aedge)
+           UNION ALL SELECT * FROM aedge)"""
+
+  private def s25AppendedSql(fin: String): String = {
+    val baseOf: String => String = c => s"$c % 10 <> $S13AppendDigit"
+    val arrOf: String => String = c => s"$c % 10 = $S13AppendDigit"
+    s"""WITH ${s20ChainCtes(baseOf("vec_id"), baseOf)},
+         rkfin AS MATERIALIZED (
+           SELECT vec_id, nb_id, d2_fp, rank FROM rk$s20Fin WHERE rank <= $TopK),
+         ${knngIntegrateTailCtes(arrOf, baseOf, "rkfin")}
          $fin"""
   }
 
@@ -3150,17 +3239,18 @@ object Similarity {
     * untouched survivor lists pass through verbatim, touched lists
     * re-rank exact top-k over (surviving edges ∪ 2-hop replacements
     * through each deleted neighbor's symmetrized neighborhood). */
-  private lazy val s26OracleSql: String = {
-    val delOf: String => String = c => s"$c % 10 = $S18DeleteDigit"
-    s"""WITH ${s20ChainCtes()},
-         gf AS MATERIALIZED (
-           SELECT vec_id, nb_id, d2_fp, rank FROM rk$s20Fin WHERE rank <= $TopK),
-         liv AS (SELECT * FROM gf WHERE NOT (${delOf("vec_id")})),
+  /** The s26/s28-shared COMPACTION CTEs ending at `dcomp` (the graph
+    * with `delOf` ids removed and touched lists re-filled) — the SQL
+    * twin of [[knngCompactKernel]], parameterized over the deleted
+    * predicate and the input-graph CTE `gf`. Assumes the enclosing
+    * chain defines qv/nv. */
+  private def knngCompactCtes(delOf: String => String, gf: String): String =
+    s"""liv AS (SELECT * FROM $gf WHERE NOT (${delOf("vec_id")})),
          tch AS MATERIALIZED (
            SELECT DISTINCT vec_id FROM liv WHERE ${delOf("nb_id")}),
          srv AS (SELECT * FROM liv WHERE NOT (${delOf("nb_id")})),
-         symf AS MATERIALIZED (SELECT vec_id, nb_id FROM gf
-                  UNION SELECT nb_id, vec_id FROM gf),
+         symf AS MATERIALIZED (SELECT vec_id, nb_id FROM $gf
+                  UNION SELECT nb_id, vec_id FROM $gf),
          rpl AS (
            SELECT l.vec_id, s.nb_id
            FROM liv l JOIN symf s ON s.vec_id = l.nb_id
@@ -3181,9 +3271,43 @@ object Similarity {
          ${knnRankCtes("dc", "dcand")},
          dedge AS (SELECT vec_id, nb_id, d2_fp, rank FROM dcrk WHERE rank <= $TopK),
          duntc AS (SELECT s.vec_id, s.nb_id, s.d2_fp, s.rank FROM srv s
-                   LEFT JOIN tch t ON t.vec_id = s.vec_id WHERE t.vec_id IS NULL)
-         SELECT vec_id, nb_id AS neighbor_id, d2_fp, rank FROM
-           (SELECT * FROM duntc UNION ALL SELECT * FROM dedge)
+                   LEFT JOIN tch t ON t.vec_id = s.vec_id WHERE t.vec_id IS NULL),
+         dcomp AS MATERIALIZED (
+           SELECT * FROM duntc UNION ALL SELECT * FROM dedge)"""
+
+  private lazy val s26OracleSql: String = {
+    val delOf: String => String = c => s"$c % 10 = $S18DeleteDigit"
+    s"""WITH ${s20ChainCtes()},
+         gf AS MATERIALIZED (
+           SELECT vec_id, nb_id, d2_fp, rank FROM rk$s20Fin WHERE rank <= $TopK),
+         ${knngCompactCtes(delOf, "gf")}
+         SELECT vec_id, nb_id AS neighbor_id, d2_fp, rank FROM dcomp
+         ORDER BY vec_id, rank"""
+  }
+
+  /** s28's mirror: delete ∘ insert replayed under the CURRENT view —
+    * the ORIGINAL-corpus world builds graph_full in a nested WITH;
+    * the current world (updated slice reversed) trains the frozen
+    * centroids on the NON-updated ids, assigns everyone, compacts the
+    * updated ids out, and integrates them back as arrivals with their
+    * new vectors. */
+  private lazy val s28OracleSql: String = {
+    val updOf: String => String = c => s"$c % 10 = $S28UpdateDigit"
+    val notUpdOf: String => String = c => s"$c % 10 <> $S28UpdateDigit"
+    s"""WITH gfw AS MATERIALIZED (
+           SELECT vec_id, nb_id, d2_fp, rank FROM (
+             WITH ${s20ChainCtes()}
+             SELECT vec_id, nb_id, d2_fp, rank FROM rk$s20Fin
+             WHERE rank <= $TopK) t),
+         embcur AS (
+           SELECT vec_id,
+                  CASE WHEN ${updOf("vec_id")}
+                       THEN list_reverse(embedding) ELSE embedding END AS embedding
+           FROM embeddings),
+         ${kmeansListsCtes(notUpdOf("vec_id"), "embcur")},
+         ${knngCompactCtes(updOf, "gfw")},
+         ${knngIntegrateTailCtes(updOf, notUpdOf, "dcomp")}
+         SELECT vec_id, nb_id AS neighbor_id, d2_fp, rank FROM uni
          ORDER BY vec_id, rank"""
   }
 
@@ -3617,6 +3741,7 @@ object Similarity {
     "s25_graph_append" -> s25OracleSql,
     "s26_graph_delete" -> s26OracleSql,
     "s27_graph_health" -> s27OracleSql,
+    "s28_graph_update" -> s28OracleSql,
     // s22's mirror IS s12's chain: a retrain on an undeleted corpus
     // trains on everything and codes everything — the equivalence the
     // gate states (the swap machinery itself is pinned in Round10Spec)

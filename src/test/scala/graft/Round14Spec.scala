@@ -205,6 +205,62 @@ class Round14Spec extends AnyFunSuite {
       app.exceptAll(gFull.select(col("vec_id"), col("nb_id"))).count()
     assert(diff > 0, "appended and rebuilt graphs must genuinely differ")
   }
+  // ---------- 4b. graph update verb (s28) ----------
+
+  test("s28: every updated-graph edge carries the exact current-view " +
+    "distance (no stale vectors), ranks are dense, updated lists genuinely " +
+    "moved, and recall stays within the trigger of a current-view rebuild") {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val qvCur = Similarity.s28CurrentQv(spark, dir).cache()
+    val upd = Similarity.s28GraphUpdate(spark, dir)
+      .select(col("vec_id"), col("neighbor_id").as("nb_id"), col("d2_fp"), col("rank"))
+      .cache()
+    // 1. no stale distances: recompute every edge's d2 under the
+    //    CURRENT view and compare bit-for-bit
+    val dot = ColumnShim.column(graft.functions.LongDotProduct(
+      ColumnShim.expression(col("va")), ColumnShim.expression(col("vb"))))
+    val recomputed = upd
+      .join(qvCur.select(col("vec_id"), col("qv").as("va"), col("nv").as("na")), Seq("vec_id"))
+      .join(qvCur.select(col("vec_id").as("nb_id"), col("qv").as("vb"),
+        col("nv").as("nb")), Seq("nb_id"))
+      .withColumn("d2_cur", col("na") + col("nb") - lit(2L) * dot)
+    assert(recomputed.filter(col("d2_cur") =!= col("d2_fp")).count() === 0L,
+      "an edge served a distance not derived from the current vectors")
+    // 2. dense ranks per list
+    val lists = upd.collect().groupBy(_.getAs[Long]("vec_id"))
+    lists.foreach { case (v, es) =>
+      assert(es.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to es.length),
+        s"vec $v has gappy ranks after the update")
+    }
+    // 3. non-vacuity: updated ids' neighborhoods genuinely moved vs
+    //    graph_full (reversed vectors land elsewhere)
+    val (gFull, _, _, _) = Similarity.s26FormsForSpec(spark, dir)
+    val updIds = lists.keySet.filter(_ % 10 == Similarity.S28UpdateDigit)
+    assert(updIds.nonEmpty, "the update slice must own lists")
+    val before = gFull.filter(col("vec_id") % 10 === Similarity.S28UpdateDigit)
+      .select(col("vec_id"), col("nb_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = upd.filter(col("vec_id") % 10 === Similarity.S28UpdateDigit)
+      .select(col("vec_id"), col("nb_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((before -- after).nonEmpty && (after -- before).nonEmpty,
+      "re-embedding must move the updated ids' neighborhoods")
+    // 4. recall envelope vs a genuine rebuild over the CURRENT view
+    val exact = Similarity.exactKnnGraphForSpec(spark, dir, lit(true), qvCur)
+      .select(col("vec_id"), col("nb_id")).withColumn("t", lit(1L))
+    def recall(gr: org.apache.spark.sql.DataFrame): Double =
+      exact.join(gr.select(col("vec_id"), col("nb_id")).withColumn("h", lit(1L)),
+          Seq("vec_id", "nb_id"), "left")
+        .agg(sum(coalesce(col("h"), lit(0L))).cast("double") / count(lit(1)))
+        .collect()(0).getDouble(0)
+    val rUpd = recall(upd)
+    val rReb = recall(Similarity.s20RebuildOverForSpec(spark, dir, lit(true), qvCur))
+    info(f"updated-graph recall $rUpd%.4f vs current-view rebuild $rReb%.4f")
+    assert(rReb - rUpd < Similarity.S27GraphRetrainDrift,
+      f"updated recall $rUpd%.4f must stay within the trigger of rebuild $rReb%.4f")
+    upd.unpersist(); qvCur.unpersist()
+  }
+
   // ---------- 5. streaming graph arrival (st15) ----------
 
   test("st15: stream-fold equals the batch append bit-for-bit, and a " +
