@@ -1235,7 +1235,12 @@ object Similarity {
   //     exact_q/         — the query slice's exact brute-force top-k
   //                        (the persisted grading truth; s24/s27 read it)
   //     graph_compacted/ — the graph after the s26 delete verb's
-  //                        touched-list compaction
+  //                        touched-list compaction (later delete
+  //                        batches fold in via the aside-first swap)
+  //     graph_updated/   — the graph after the s28 update verb
+  //                        (delete ∘ insert under the current view)
+  //     base_assign/     — base assignments vs the frozen centroids
+  //                        (st15's wave-blocking base)
   //
   // 100 TB posture: build cost is paid once per corpus version (the
   // t21 persisted-model precedent — the bench row drops to the serve
@@ -1435,8 +1440,9 @@ object Similarity {
   private[graft] def exactKnnGraphForSpec(spark: SparkSession, dir: String,
                                           keep: Column = lit(true),
                                           qvIn: DataFrame = null): DataFrame = {
-    val qv = (if (qvIn != null) qvIn else quantVecs(spark, dir))
-      .filter(keep).cache()
+    // a caller-supplied qvIn is the caller's cache — don't pin a second copy
+    val qv = if (qvIn != null) qvIn.filter(keep)
+      else quantVecs(spark, dir).filter(keep).cache()
     val ids = qv.select(col("vec_id"))
     val cand = ids.crossJoin(ids.select(col("vec_id").as("nb_id")))
       .filter(col("vec_id") =!= col("nb_id"))
@@ -1450,8 +1456,8 @@ object Similarity {
   private[graft] def s20RebuildOverForSpec(spark: SparkSession, dir: String,
                                            keep: Column,
                                            qvIn: DataFrame = null): DataFrame = {
-    val qv = (if (qvIn != null) qvIn else quantVecs(spark, dir))
-      .filter(keep).cache()
+    val qv = if (qvIn != null) qvIn.filter(keep)
+      else quantVecs(spark, dir).filter(keep).cache()
     s20DescentLoop(s20Round1GraphFrom(kmeansCentroids(spark, qv), qv),
       qv, S20DescentRounds)
   }
@@ -1747,7 +1753,8 @@ object Similarity {
   // ---------------------------------------------------------------
 
   val S28UpdateDigit = 8
-  private def s28UpdPred: Column = col("vec_id") % 10 === S28UpdateDigit
+  private def s28UpdPredOn(c: String): Column = col(c) % 10 === S28UpdateDigit
+  private def s28UpdPred: Column = s28UpdPredOn("vec_id")
 
   /** The post-update CURRENT view of the embeddings (updated slice
     * reversed), quantized. */
@@ -1762,8 +1769,7 @@ object Similarity {
   private[graft] def knngUpdatedGraph(spark: SparkSession, dir: String): DataFrame =
     ensureKnng(spark, dir, "graph_updated") {
       val qvCur = s28CurrentQv(spark, dir).cache()
-      val updIds = Tables.embeddings(spark, dir).filter(s28UpdPred)
-        .select(col("vec_id"))
+      val updIds = qvCur.filter(s28UpdPred).select(col("vec_id"))
       // 1. delete: survivors' distances are update-invariant, so the
       //    current view feeds the kernel directly
       val g1 = knngCompactKernel(knngGraphFrame(spark, dir), updIds, qvCur)
@@ -1782,8 +1788,6 @@ object Similarity {
         .select(col("vec_id"), col("nb_id")).distinct()
       appendedGraphFromParts(spark, dir, c1, updIds, qvCur, g1)
     }
-
-  private def s28UpdPredOn(c: String): Column = col(c) % 10 === S28UpdateDigit
 
   /** S28 — graph UPDATE served: the updated graph artifact. */
   def s28GraphUpdate(spark: SparkSession, dir: String): DataFrame =
@@ -3171,15 +3175,6 @@ object Similarity {
          LEFT JOIN ann a ON a.query_id = e.vec_id AND a.neighbor_id = e.nb_id
          GROUP BY 1 ORDER BY 1"""
 
-  /** s25's mirror: the BASE graph chain (train + membership base-
-    * restricted), then the append replayed step for step — arrival
-    * blocking over the shared assignment ranks, the localized descent
-    * hop through the base graph, arrival top-k, touched-base re-rank,
-    * untouched pass-through. */
-  /** The append chain as a FULL STATEMENT with a parameterized final
-    * select over the `uni` CTE (= the appended graph: vec_id, nb_id,
-    * d2_fp, rank) — shared by the s25 oracle and s27's appended-world
-    * subquery (nested WITH keeps the two worlds' CTE names apart). */
   /** The s25/s28-shared INTEGRATION TAIL as CTEs ending at `uni` (the
     * integrated graph) — the SQL twin of [[appendedGraphFromParts]],
     * parameterized over the arrival predicate and the base-graph CTE
@@ -3220,6 +3215,11 @@ object Similarity {
            SELECT * FROM unt UNION ALL SELECT * FROM bedge
            UNION ALL SELECT * FROM aedge)"""
 
+  /** s25's mirror as a FULL STATEMENT with a parameterized final
+    * select over the `uni` CTE: the BASE graph chain (train +
+    * membership base-restricted) + the integration tail — shared by
+    * the s25 oracle and s27's appended-world subquery (nested WITH
+    * keeps the two worlds' CTE names apart). */
   private def s25AppendedSql(fin: String): String = {
     val baseOf: String => String = c => s"$c % 10 <> $S13AppendDigit"
     val arrOf: String => String = c => s"$c % 10 = $S13AppendDigit"
@@ -3234,11 +3234,6 @@ object Similarity {
     s"""SELECT vec_id, nb_id AS neighbor_id, d2_fp, rank FROM uni
          ORDER BY vec_id, rank""")
 
-  /** s26's mirror: the s20 build chain, then the deterministic
-    * compaction replayed step for step — deleted nodes' lists drop,
-    * untouched survivor lists pass through verbatim, touched lists
-    * re-rank exact top-k over (surviving edges ∪ 2-hop replacements
-    * through each deleted neighbor's symmetrized neighborhood). */
   /** The s26/s28-shared COMPACTION CTEs ending at `dcomp` (the graph
     * with `delOf` ids removed and touched lists re-filled) — the SQL
     * twin of [[knngCompactKernel]], parameterized over the deleted
@@ -3275,6 +3270,8 @@ object Similarity {
          dcomp AS MATERIALIZED (
            SELECT * FROM duntc UNION ALL SELECT * FROM dedge)"""
 
+  /** s26's mirror: the s20 build chain, then the deterministic
+    * compaction replayed step for step via the shared CTE builder. */
   private lazy val s26OracleSql: String = {
     val delOf: String => String = c => s"$c % 10 = $S18DeleteDigit"
     s"""WITH ${s20ChainCtes()},

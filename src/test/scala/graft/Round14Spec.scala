@@ -248,6 +248,7 @@ class Round14Spec extends AnyFunSuite {
     // 4. recall envelope vs a genuine rebuild over the CURRENT view
     val exact = Similarity.exactKnnGraphForSpec(spark, dir, lit(true), qvCur)
       .select(col("vec_id"), col("nb_id")).withColumn("t", lit(1L))
+      .cache() // two recall grades below
     def recall(gr: org.apache.spark.sql.DataFrame): Double =
       exact.join(gr.select(col("vec_id"), col("nb_id")).withColumn("h", lit(1L)),
           Seq("vec_id", "nb_id"), "left")
@@ -258,7 +259,7 @@ class Round14Spec extends AnyFunSuite {
     info(f"updated-graph recall $rUpd%.4f vs current-view rebuild $rReb%.4f")
     assert(rReb - rUpd < Similarity.S27GraphRetrainDrift,
       f"updated recall $rUpd%.4f must stay within the trigger of rebuild $rReb%.4f")
-    upd.unpersist(); qvCur.unpersist()
+    upd.unpersist(); qvCur.unpersist(); exact.unpersist()
   }
 
   // ---------- 5. streaming graph arrival (st15) ----------
