@@ -1466,7 +1466,17 @@ object Similarity {
     * serves the marker-gated artifact, a pure scan — the interesting
     * plan is the touched-list re-rank the builder pays once). */
   private[graft] def s26CompactBuildFrame(spark: SparkSession, dir: String): DataFrame =
-    knngCompactKernel(knngGraphFrame(spark, dir), s26DeleteIds(spark, dir),
+    knngCompactOver(spark, dir, s26DeleteIds(spark, dir))
+
+  /** The one-shot compaction fold over the PERSISTED full graph for an
+    * arbitrary tombstone set — st16's serve seam. The stream-fold ≡
+    * batch-compaction law is exact here because the kernel is
+    * deterministic in (graph, deleted ids) and a retract wave carries
+    * no per-wave compute — the committed ledger ids union to the
+    * one-shot set verbatim. */
+  private[graft] def knngCompactOver(spark: SparkSession, dir: String,
+                                     ids: DataFrame): DataFrame =
+    knngCompactKernel(knngGraphFrame(spark, dir), ids,
       quantVecs(spark, dir).cache())
 
   /** Spec seams for the s26 pins: (graph artifact normalized to nb_id,
@@ -1859,6 +1869,145 @@ object Similarity {
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .withColumn("recall", round(col("n_hit") * 1.0 / col("k"), 4))
       .orderBy(col("state"), col("query_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // S29 — the graph tier's RETRAIN verb, drift-gated and run for
+  // real (e19's model-cutover pattern at the vector layer; s22's
+  // lifecycle position): s27 MEASURES the appended graph's drift
+  // against a full rebuild, and this entry EXECUTES the decision.
+  // Both graph generations are persisted artifacts — the serving one
+  // (graph_appended: base build + integrated arrivals, the state
+  // every append window leaves behind) and the refreshed one
+  // (graph_full: the fresh all-corpus build the corpus version
+  // already owns) — so the retrain is a GENERATION PROMOTION, not a
+  // recompute: when the trigger fires, the refreshed generation is
+  // promoted over the serve slot aside-first with crash-resumable
+  // windows. The drift compare is carried in EXACT INTEGERS (total
+  // truth-hits over the query slice; the trigger in basis points) so
+  // the two engines can never disagree at a float margin (t15's OOV
+  // rule). Closes the graph family's verb set: build s20 / serve s24
+  // / append s25 / delete s26 / health s27 / update s28 / stream
+  // st15 / retrain THIS.
+  // ---------------------------------------------------------------
+
+  /** [[S27GraphRetrainDrift]] in exact basis points — the integer
+    * trigger form both engines compare: fired iff
+    * (hits_rebuilt − hits_appended) · 10000 > S29DriftBp · |Q| · k.
+    * Round14Spec pins the two forms equal. */
+  val S29DriftBp: Long = math.round(S27GraphRetrainDrift * 10000)
+
+  /** Clone BOTH graph generations into the s29 scratch root (rebuilt
+    * per invocation — the gate must not mutate the shared knng tree
+    * the other entries serve from; production runs
+    * [[graphGenerationCutover]] on its serving root, exclusively).
+    * The `serve` slot starts as the APPENDED generation (the live
+    * state), `refreshed` as the full rebuild; both normalized to one
+    * schema so the slot's readers are generation-agnostic. */
+  private[graft] def stageS29Clone(spark: SparkSession, dir: String): String = {
+    val app = knngAppendedGraph(spark, dir)
+    val full = knngGraphArtifact(spark, dir)
+    knngExactTruth(spark, dir) // the drift grade's truth, ensured up front
+    val scratch = graft.ArtifactRoots.tagged("graft_s29_graph", dir)
+    val sp = new Path(scratch)
+    val fs = FileSystem.get(sp.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sp)) fs.delete(sp, true)
+    app.select(col("vec_id"), col("nb_id").as("neighbor_id"), col("d2_fp"),
+        col("rank"))
+      .write.mode("overwrite").parquet(s"$scratch/serve")
+    full.select(col("vec_id"), col("neighbor_id"), col("d2_fp"), col("rank"))
+      .write.mode("overwrite").parquet(s"$scratch/refreshed")
+    scratch
+  }
+
+  /** PRODUCTION GRAPH-GENERATION CUTOVER — the verb s27's trigger
+    * implies, executable: promote the `refreshed` graph generation
+    * over the `serve` slot under `root`, aside-first and
+    * crash-resumable (modelCutover's discipline at one layer: the
+    * promotion CONSUMES the refreshed table; the done marker is
+    * written BEFORE aside cleanup so a crash during cleanup reads as
+    * complete and every earlier window re-runs forward; a re-cutover
+    * of a REBUILT refreshed generation starts fresh via the marker
+    * delete; exclusivity is the operator's — readers must not race
+    * the verb). */
+  private[graft] def graphGenerationCutover(spark: SparkSession, root: String): Unit = {
+    val fs = FileSystem.get(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val refreshed = new Path(s"$root/refreshed")
+    val live = new Path(s"$root/serve")
+    val done = new Path(s"$root/graph_cutover_done")
+    val old = new Path(s"$root/graph_cutover_old")
+    if (!fs.exists(refreshed)) {
+      if (fs.exists(done)) { fs.delete(old, true); return }
+      // tail-crash window (refreshed consumed, marker unwritten) is
+      // recognized by the leftover aside and completes forward below;
+      // anything else is an operator error — nothing to promote
+      if (!fs.exists(old))
+        throw new java.io.IOException(
+          s"graph cutover: no refreshed generation under $root and no " +
+            "completion marker — nothing to promote")
+    } else {
+      fs.delete(done, false) // a rebuilt refreshed generation starts fresh
+    }
+    if (fs.exists(refreshed)) {
+      if (fs.exists(live)) {
+        if (fs.exists(old) && !fs.delete(old, true))
+          throw new java.io.IOException(
+            "graph cutover: could not clear stale aside copy (leftover " +
+              "of a crashed run superseded by this re-cutover)")
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"graph cutover aside failed: $live")
+      }
+      if (!fs.rename(refreshed, live))
+        throw new java.io.IOException(s"graph cutover promote failed: $refreshed")
+    } else if (!fs.exists(live) && fs.exists(old)) {
+      // defensive restore: heal a manually-mangled tree toward the
+      // old world rather than serve a missing slot
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(s"graph cutover restore failed: $old")
+    } // else: already promoted by a previous attempt — complete forward
+    fs.create(done, true).close() // the completion witness, BEFORE cleanup
+    fs.delete(old, true)
+    ()
+  }
+
+  /** The s29 decision in bounded integers: total truth-hits of the
+    * appended and rebuilt generations over the query slice (one 2-row
+    * aggregate of s27's grading plan — |Q|·k·2 rows, driver state is
+    * two longs). */
+  private[graft] def s29DriftHits(spark: SparkSession, dir: String): (Long, Long) = {
+    val hits = s27GraphHealth(spark, dir)
+      .groupBy(col("state")).agg(sum(col("n_hit")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (hits("appended"), hits("rebuilt"))
+  }
+
+  /** S29 — the drift-gated graph RETRAIN run for real and served:
+    * both generations are cloned to scratch, s27's drift measurement
+    * is reduced to its integer decision, and if the trigger fires the
+    * refreshed generation is promoted over the serve slot
+    * ([[graphGenerationCutover]] — on this corpus the appended graph
+    * answers within the trigger, so the quiet branch serves and the
+    * spec forces the fire branch). The entry serves the query slice
+    * FROM THE POST-VERB SLOT next to the decision, so the gate
+    * hash-checks "after the swap, the served graph IS the rebuild;
+    * when quiet, the appended generation serves untouched" every
+    * round. Oracle replays both worlds, the integer decision, and the
+    * CASE-selected serve in one statement. Scale: the decision is a
+    * |Q|·k·2-row grade over persisted artifacts; the promotion is two
+    * renames. */
+  def s29GraphRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = stageS29Clone(spark, dir)
+    val (hitApp, hitReb) = s29DriftHits(spark, dir)
+    val gap = hitReb - hitApp
+    val fired = gap * 10000L > S29DriftBp * QueryCount * TopK
+    if (fired) graphGenerationCutover(spark, scratch)
+    spark.read.parquet(s"$scratch/serve")
+      .filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("neighbor_id"), col("d2_fp"),
+        col("rank"), lit(gap).as("hit_gap"),
+        lit(if (fired) 1L else 0L).as("fired"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** S19 — RADIUS search from the persisted index (FAISS
@@ -2418,6 +2567,66 @@ object Similarity {
     queryIvfPqIndex(spark, dir, idxDir)
   }
 
+  /** [[S14RetrainDrift]] in exact basis points — s29's integer-trigger
+    * discipline at the IVF tier: fired iff (hits_retrained −
+    * hits_appended) · 10000 > S30DriftBp · |Q| · k. Round14Spec pins
+    * the two forms pick the same side at every reachable gap. */
+  val S30DriftBp: Long = math.round(S14RetrainDrift * 10000)
+
+  private def s30IdxDir(dir: String): String =
+    servedIdxDir("graft_s30_idx", dir)
+
+  /** Round14Spec seam: the s30 serving root (the forced-fire pin runs
+    * the verb on it directly; the gate's build overwrites, so the
+    * mutation cannot leak into the next invocation). */
+  private[graft] def s30IdxDirForSpec(dir: String): String = s30IdxDir(dir)
+
+  /** S30 — the IVF lifecycle's drift-gated CUTOVER run for real and
+    * served (e19's pattern at the index tier — the composition s14
+    * and s22 stated only in prose: s14 MEASURES, s22 RETRAINS
+    * unconditionally, this entry executes the decision): the drifted
+    * state s14 measures is built on this entry's own root
+    * (base-trained model, frozen-coded append — deterministic each
+    * invocation: the build overwrites, so a previous fired run cannot
+    * leak state), the drift measurement is reduced to its
+    * exact-integer decision (total truth-hits of the drifted index vs
+    * a full retrain over the query slice, trigger in basis points —
+    * no float compare can diverge between engines), and when it fires
+    * [[retrainIvfPqIndex]] executes s22's staged aside-first swap on
+    * the serving root. The standard query set is answered FROM THE
+    * POST-VERB tree next to the decision, so the gate hash-checks
+    * "after the swap, the served index IS the retrain; when quiet,
+    * the drifted index serves untouched" every round. Oracle replays
+    * both index worlds (s13's drifted chain, s12's retrained chain),
+    * the exact answer, the integer decision, and the CASE-selected
+    * serve in one statement. Scale: the decision grade is |Q|·k-row
+    * joins (the retrained answers cost one s12 train — the grade's
+    * price, s14's posture: at 100 TB this runs on the sampled audit
+    * query set at audit cadence); the retrain, when it fires, is
+    * s22's staged rebuild, paid at retrain cadence. */
+  def s30IndexCutover(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = s30IdxDir(dir)
+    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
+    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    // the decision in bounded integers: |Q|·k truth rows, two hits
+    // counts (driver state = two longs)
+    val ex = s1KnnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    def hitsOf(ans: DataFrame): Long =
+      ex.join(ans.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val hitApp = hitsOf(queryIvfPqIndex(spark, dir, idxDir))
+    val hitReb = hitsOf(s12IvfPq(spark, dir))
+    ex.unpersist()
+    val gap = hitReb - hitApp
+    val fired = gap * 10000L > S30DriftBp * QueryCount * TopK
+    if (fired) retrainIvfPqIndex(spark, dir, idxDir)
+    queryIvfPqIndex(spark, dir, idxDir)
+      .select(col("query_id"), col("neighbor_id"), col("d2_fp"), col("rank"),
+        lit(gap).as("hit_gap"), lit(if (fired) 1L else 0L).as("fired"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The twice-updated sub-slice digit for s23: ids ≡ 19 (mod 20) are
     * HALF the re-embedded append slice (ids ≡ 9 mod 10), updated a
     * SECOND time back to their original vectors — the ids for which
@@ -2774,6 +2983,8 @@ object Similarity {
     "s26_graph_delete"     -> (s26GraphDelete _),
     "s27_graph_health"     -> (s27GraphHealth _),
     "s28_graph_update"     -> (s28GraphUpdate _),
+    "s29_graph_retrain"    -> (s29GraphRetrain _),
+    "s30_index_cutover"    -> (s30IndexCutover _),
     "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
@@ -3346,6 +3557,80 @@ object Similarity {
          GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
+  /** s29's mirror: s27's three nested worlds (full rows for the two
+    * generations this time), the drift decision in exact integers,
+    * and the CASE-selected served generation over the query slice —
+    * the whole retrain transition hash-checked in one statement. */
+  private lazy val s29OracleSql: String = {
+    val exactWorld =
+      s"""WITH ${quantCtes()},
+           xc AS (SELECT q.vec_id, v.vec_id AS nb_id
+                  FROM (SELECT vec_id FROM embeddings WHERE vec_id < $QueryCount) q
+                  JOIN embeddings v ON v.vec_id <> q.vec_id),
+           ${knnRankCtes("x", "xc")}
+           SELECT vec_id, nb_id FROM xrk WHERE rank <= $TopK"""
+    s"""WITH reb AS MATERIALIZED (
+           SELECT vec_id, nb_id, d2_fp, rank FROM (
+             WITH ${s20ChainCtes()}
+             SELECT vec_id, nb_id, d2_fp, rank FROM rk$s20Fin
+             WHERE rank <= $TopK AND vec_id < $QueryCount) t),
+         app AS MATERIALIZED (
+           SELECT vec_id, nb_id, d2_fp, rank FROM (
+             ${s25AppendedSql(
+               s"SELECT vec_id, nb_id, d2_fp, rank FROM uni WHERE vec_id < $QueryCount")}) t),
+         ex AS MATERIALIZED ($exactWorld),
+         ha AS (SELECT count(*) AS h FROM app a
+                JOIN ex e ON e.vec_id = a.vec_id AND e.nb_id = a.nb_id),
+         hr AS (SELECT count(*) AS h FROM reb r
+                JOIN ex e ON e.vec_id = r.vec_id AND e.nb_id = r.nb_id),
+         dec AS (SELECT CAST(hr.h - ha.h AS BIGINT) AS hit_gap,
+                        CAST(CASE WHEN (hr.h - ha.h) * 10000 >
+                               $S29DriftBp * $QueryCount * $TopK
+                             THEN 1 ELSE 0 END AS BIGINT) AS fired
+                 FROM ha, hr),
+         sel AS (
+           SELECT a.vec_id, a.nb_id, a.d2_fp, a.rank FROM app a, dec d
+           WHERE d.fired = 0
+           UNION ALL
+           SELECT r.vec_id, r.nb_id, r.d2_fp, r.rank FROM reb r, dec d
+           WHERE d.fired = 1)
+         SELECT s.vec_id AS query_id, s.nb_id AS neighbor_id, s.d2_fp, s.rank,
+                d.hit_gap, d.fired
+         FROM sel s, dec d
+         ORDER BY query_id, rank"""
+  }
+
+  /** s30's mirror: the two index worlds + the exact answer (s14's
+    * nested derived tables), the integer drift decision, and the
+    * CASE-selected served index over the query slice. */
+  private lazy val s30OracleSql: String =
+    s"""WITH ex AS MATERIALIZED (
+           SELECT query_id, neighbor_id FROM ($s1OracleSql) tex),
+         appw AS MATERIALIZED (
+           SELECT query_id, neighbor_id, d2_fp, rank FROM ($s13OracleSql) t1),
+         rebw AS MATERIALIZED (
+           SELECT query_id, neighbor_id, d2_fp, rank FROM ($s12OracleSql) t2),
+         ha AS (SELECT count(*) AS h FROM appw a
+                JOIN ex e ON e.query_id = a.query_id
+                         AND e.neighbor_id = a.neighbor_id),
+         hr AS (SELECT count(*) AS h FROM rebw r
+                JOIN ex e ON e.query_id = r.query_id
+                         AND e.neighbor_id = r.neighbor_id),
+         dec AS (SELECT CAST(hr.h - ha.h AS BIGINT) AS hit_gap,
+                        CAST(CASE WHEN (hr.h - ha.h) * 10000 >
+                               $S30DriftBp * $QueryCount * $TopK
+                             THEN 1 ELSE 0 END AS BIGINT) AS fired
+                 FROM ha, hr),
+         sel AS (
+           SELECT a.query_id, a.neighbor_id, a.d2_fp, a.rank FROM appw a, dec d
+           WHERE d.fired = 0
+           UNION ALL
+           SELECT r.query_id, r.neighbor_id, r.d2_fp, r.rank FROM rebw r, dec d
+           WHERE d.fired = 1)
+         SELECT s.query_id, s.neighbor_id, s.d2_fp, s.rank, d.hit_gap, d.fired
+         FROM sel s, dec d
+         ORDER BY query_id, rank"""
+
   /** s19's mirror: s13's chain up to `approx` (all candidate
     * distances), the radius as the same 1-row integer aggregate over
     * the top-k subset, then the per-query census under the exact
@@ -3739,6 +4024,8 @@ object Similarity {
     "s26_graph_delete" -> s26OracleSql,
     "s27_graph_health" -> s27OracleSql,
     "s28_graph_update" -> s28OracleSql,
+    "s29_graph_retrain" -> s29OracleSql,
+    "s30_index_cutover" -> s30OracleSql,
     // s22's mirror IS s12's chain: a retrain on an undeleted corpus
     // trains on everything and codes everything — the equivalence the
     // gate states (the swap machinery itself is pinned in Round10Spec)

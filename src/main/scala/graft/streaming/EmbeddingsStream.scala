@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
 import graft.Tables
 import graft.ext.Similarity
 
-/** ST15 — STREAMING arrival for the kNN-graph tier: st13's
+/** ST15/ST16 — STREAMING maintenance for the kNN-graph tier: st13's
   * file-stream maintenance loop composed with s25's localized-descent
   * append. Vector waves land as a file-source stream; each
   * micro-batch codes its arrivals against the FROZEN base centroids
@@ -36,7 +36,18 @@ import graft.ext.Similarity
   * serve integration is arrival-sized (s25's bound). The ledger is
   * append-cadence-bounded — the fold that clears it is the next full
   * graph rebuild (s27's retrain trigger), the graph tier's analog of
-  * st14's compaction cadence. */
+  * st14's compaction cadence.
+  *
+  * ST16 is the RETRACT side of the same loop: tombstone waves land as
+  * a file stream of ids, each micro-batch commits its id set into the
+  * same content-keyed marker-gated ledger shape (a retract wave
+  * carries NO per-wave compute — the ledger IS the work, s18/s26's
+  * O(deletes) tombstone discipline), and the serve runs ONE
+  * application of the s26 compaction kernel over the persisted graph
+  * with the union of committed ids (compaction cadence = serve; the
+  * kernel is deterministic in (graph, ids), so stream-fold ≡ the
+  * one-shot batch compaction EXACTLY and the oracle is s26's chain
+  * verbatim). */
 object EmbeddingsStream {
 
   private val CommitMarker = "_GRAFT_COMMIT"
@@ -171,11 +182,104 @@ object EmbeddingsStream {
       .orderBy(col("vec_id"), col("rank"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("st15_graph_arrive" -> (st15GraphArrive _))
+  // ------------------- ST16: streaming retract -------------------
 
-  // the streamed-in graph must equal the one-shot batch append —
-  // s25's oracle chain verbatim
+  private val idSchema = StructType(Seq(StructField("vec_id", LongType)))
+
+  /** One tombstone micro-batch: content-keyed over the id set (st13's
+    * count + xor + sum folds), marker-gated, skipped verbatim on any
+    * re-delivery — checkpoint replay or fresh-checkpoint redelivery
+    * alike. A retract wave commits ONLY its id set: delete stays
+    * O(deletes) (s18's law); the fold runs at serve cadence. */
+  private[graft] def retractBatch(spark: SparkSession, base: String)
+                                 (batch: DataFrame, batchId: Long): Unit = {
+    val ids = batch.select(col("vec_id"))
+    val st = ids.agg(count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("vec_id"))).as("ck"),
+      sum(pmod(xxhash64(col("vec_id"), lit(16L)), lit(1L << 40))).as("cs"))
+      .collect()(0)
+    if (st.getLong(0) == 0) return
+    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
+    val bdir = new Path(s"$base/ledger/$tag")
+    val f = fsOf(spark, bdir)
+    if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
+    f.delete(bdir, true) // crashed partial: rebuild whole
+    ids.distinct().write.mode("overwrite").parquet(new Path(bdir, "ids").toString)
+    f.create(new Path(bdir, CommitMarker), true).close(); ()
+  }
+
+  private[graft] def runRetract(spark: SparkSession, base: String,
+                                checkpoint: String): StreamingQuery = {
+    val q = spark.readStream.schema(idSchema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(retractBatch(spark, base) _)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** The compacted graph served FROM the ledger: one application of
+    * the s26 compaction kernel over the persisted graph with the
+    * union of every committed wave's ids. */
+  private[graft] def retractedFromLedger(spark: SparkSession, dir: String,
+                                         base: String): DataFrame = {
+    val ids = readOrEmpty(spark,
+      committedBatches(spark, base).map(p => new Path(p, "ids").toString),
+      idSchema).distinct()
+    Similarity.knngCompactOver(spark, dir, ids)
+  }
+
+  /** Stage one tombstone wave (s26's vec_id%10=6 delete slice, split
+    * by %3 — st15's coprime wave split and mtime-forced order). */
+  private[graft] def stageRetractWave(spark: SparkSession, dir: String,
+                                      base: String, wave: Int): Unit = {
+    val part = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .filter(col("vec_id") % 10 === Similarity.S18DeleteDigit)
+      .filter(if (wave == 0) col("vec_id") % 3 === 0 else col("vec_id") % 3 =!= 0)
+    val scratch = s"$base/w$wave"
+    part.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val f = fsOf(spark, new Path(scratch))
+    val src = f.listStatus(new Path(scratch)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new Path(s"$base/in/wave$wave.parquet")
+    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
+    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+  }
+
+  /** The ST16 gate entry — st15's lifecycle shape on the DELETE side:
+    * tombstone wave A is processed by a query that STOPS; wave B
+    * arrives; a second query resumes from the same checkpoint and
+    * commits only the new wave; the serve folds the union of
+    * committed ids through the s26 compaction kernel in one
+    * application. Oracle = s26's compaction chain VERBATIM (the
+    * stream-fold ≡ batch-compaction law, hash-checked every round).
+    * Scratch lives at one fixed location per corpus, rebuilt per
+    * invocation (st11's no-accumulation discipline). */
+  def st16GraphRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st16", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    f.mkdirs(new Path(s"$base/in"))
+    stageRetractWave(spark, dir, base, 0)
+    runRetract(spark, base, s"$base/cp").stop()
+    stageRetractWave(spark, dir, base, 1)
+    runRetract(spark, base, s"$base/cp").stop()
+    retractedFromLedger(spark, dir, base)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"),
+        col("d2_fp"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("st15_graph_arrive" -> (st15GraphArrive _),
+      "st16_graph_retract" -> (st16GraphRetract _))
+
+  // the streamed-in graph must equal the one-shot batch verb on the
+  // same slice — s25's / s26's oracle chains verbatim
   val oracles: Map[String, String] =
-    Map("st15_graph_arrive" -> Similarity.oracles("s25_graph_append"))
+    Map("st15_graph_arrive" -> Similarity.oracles("s25_graph_append"),
+      "st16_graph_retract" -> Similarity.oracles("s26_graph_delete"))
 }

@@ -67,7 +67,11 @@ object PlanDump {
     "s26_graph_delete" -> "graph delete SERVED from the compacted artifact (pure scan + order; the touched-list compaction is graph_compact_build below, paid once per delete batch)",
     "graph_compact_build" -> "the graph-delete COMPACTION BUILD: untouched survivor lists pass through verbatim (broadcast anti-joins on the bounded tombstone set); only touched lists re-rank, over surviving edges ∪ 2-hop replacements ∪ one localized descent hop — candidate volume O(|D|·k²), never a rebuild",
     "s27_graph_health" -> "graph drift health: THREE artifact reads (appended, rebuilt, persisted exact truth) into one |Q|·k·2 membership-grading join — no brute force, no rebuild on the serve path",
-    "st15_graph_arrive" -> "streamed graph arrival SERVED: committed wave pairs + arrival ids (ledger scans) folded through the batch append's integration kernel — arrival-sized candidate joins against the persisted base graph")
+    "st15_graph_arrive" -> "streamed graph arrival SERVED: committed wave pairs + arrival ids (ledger scans) folded through the batch append's integration kernel — arrival-sized candidate joins against the persisted base graph",
+    "s28_graph_update" -> "graph update SERVED from the graph_updated artifact (pure scan + order; its builder composes the s26 compaction kernel with the s25 integration kernel under the current view — |U|-bounded, never a rebuild)",
+    "s29_graph_retrain" -> "drift-gated graph retrain: the decision is a |Q|·k·2 membership grade over three persisted artifacts (driver state = two longs); the serve is a pure post-verb slot scan with the decision as literals — the promotion itself is two renames",
+    "s30_index_cutover" -> "drift-gated IVF cutover: the serve is s13's partition-pruned query plan over the post-verb tree with the decision as literals; the decision grade is |Q|·k membership joins (the retrained answers cost one s12 train — the audit-cadence price)",
+    "st16_graph_retract" -> "streamed graph retract SERVED: committed tombstone ids (ledger scans) folded through the s26 compaction kernel in ONE application — touched-list-bounded re-rank, untouched survivor lists verbatim")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)

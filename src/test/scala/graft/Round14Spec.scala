@@ -262,6 +262,111 @@ class Round14Spec extends AnyFunSuite {
     upd.unpersist(); qvCur.unpersist(); exact.unpersist()
   }
 
+  // ---------- 4c. graph retrain verb (s29) ----------
+
+  test("s29: integer trigger form is exactly the float trigger at every " +
+    "reachable gap, the quiet branch serves the appended generation, and " +
+    "the CASE is non-vacuous (the two generations' query slices differ)") {
+    val qk = Similarity.QueryCount * Similarity.TopK
+    // exhaustive sweep of every reachable integer gap: the basis-point
+    // inequality and the float inequality must pick the same side
+    (-qk to qk).foreach { g =>
+      val intFired = g.toLong * 10000L > Similarity.S29DriftBp * qk
+      val fltFired = g.toDouble / qk > Similarity.S27GraphRetrainDrift
+      assert(intFired === fltFired, s"trigger forms disagree at gap $g")
+    }
+    val out = Similarity.s29GraphRetrain(spark, dir).cache()
+    val fired = out.select(col("fired")).distinct().collect().map(_.getLong(0))
+    assert(fired.toSeq === Seq(0L), "the spec corpus must take the quiet branch")
+    // quiet branch serves the appended generation's query slice verbatim
+    val served = rows(out.select(col("query_id").as("vec_id"), col("neighbor_id"),
+      col("d2_fp"), col("rank")))
+    val app = rows(Similarity.s25GraphAppend(spark, dir)
+      .filter(col("vec_id") < Similarity.QueryCount))
+    assert(served === app, "quiet branch must serve the appended generation")
+    // non-vacuity: the refreshed generation's query slice differs, so the
+    // fired CASE genuinely selects between two different answers
+    val full = rows(Similarity.s20KnnGraph(spark, dir)
+      .filter(col("vec_id") < Similarity.QueryCount)
+      .select(col("vec_id"), col("neighbor_id"), col("d2_fp"), col("rank")))
+    assert(full !== served, "the two generations must differ on the query slice")
+    out.unpersist()
+  }
+
+  test("s29: forced promotion serves graph_full bit-for-bit, the re-run is " +
+    "a no-op, and both crash windows complete forward") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val full = rows(Similarity.s20KnnGraph(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"), col("d2_fp"), col("rank")))
+    def serveRows(root: String): Set[String] =
+      rows(spark.read.parquet(s"$root/serve")
+        .select(col("vec_id"), col("neighbor_id"), col("d2_fp"), col("rank")))
+    // 1. forced promotion (the fire branch, trigger-independent)
+    val root = Similarity.stageS29Clone(spark, dir)
+    val fs = FileSystem.get(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.graphGenerationCutover(spark, root)
+    assert(serveRows(root) === full, "promoted slot must serve the full rebuild")
+    assert(!fs.exists(new Path(s"$root/refreshed")), "promotion consumes refreshed")
+    assert(fs.exists(new Path(s"$root/graph_cutover_done")), "done marker written")
+    // 2. no-op re-run (refreshed gone, marker present)
+    Similarity.graphGenerationCutover(spark, root)
+    assert(serveRows(root) === full, "re-run must not disturb the promoted slot")
+    // 3. crash window A: live set aside, promote not yet run
+    val rootA = Similarity.stageS29Clone(spark, dir)
+    assert(fs.rename(new Path(s"$rootA/serve"), new Path(s"$rootA/graph_cutover_old")))
+    Similarity.graphGenerationCutover(spark, rootA)
+    assert(serveRows(rootA) === full, "window-A re-run must complete the promotion")
+    assert(!fs.exists(new Path(s"$rootA/graph_cutover_old")), "aside cleaned up")
+    // 4. crash window B (tail): refreshed consumed, marker unwritten
+    val rootB = Similarity.stageS29Clone(spark, dir)
+    assert(fs.rename(new Path(s"$rootB/serve"), new Path(s"$rootB/graph_cutover_old")))
+    assert(fs.rename(new Path(s"$rootB/refreshed"), new Path(s"$rootB/serve")))
+    Similarity.graphGenerationCutover(spark, rootB)
+    assert(serveRows(rootB) === full, "window-B re-run must read as complete")
+    assert(fs.exists(new Path(s"$rootB/graph_cutover_done")), "done marker written")
+    // 5. empty root (no refreshed, no marker, no aside) throws
+    val rootC = s"$rootB.empty"
+    fs.mkdirs(new Path(rootC))
+    intercept[java.io.IOException] {
+      Similarity.graphGenerationCutover(spark, rootC)
+    }
+    Seq(root, rootA, rootB, rootC).foreach(r => fs.delete(new Path(r), true))
+  }
+
+  // ---------- 4d. IVF drift-gated cutover (s30) ----------
+
+  test("s30: integer trigger form is exactly the float trigger at every " +
+    "reachable gap, the quiet branch serves the drifted index, the CASE is " +
+    "non-vacuous, and the forced-fire branch serves the retrain") {
+    val qk = Similarity.QueryCount * Similarity.TopK
+    (-qk to qk).foreach { g =>
+      val intFired = g.toLong * 10000L > Similarity.S30DriftBp * qk
+      val fltFired = g.toDouble / qk > Similarity.S14RetrainDrift
+      assert(intFired === fltFired, s"trigger forms disagree at gap $g")
+    }
+    val out = Similarity.s30IndexCutover(spark, dir).cache()
+    val fired = out.select(col("fired")).distinct().collect().map(_.getLong(0))
+    assert(fired.toSeq === Seq(0L), "the spec corpus must take the quiet branch")
+    // quiet branch serves the drifted (base-trained, frozen-append) index
+    val served = rows(out.select(col("query_id"), col("neighbor_id"),
+      col("d2_fp"), col("rank")))
+    val drifted = rows(Similarity.s13PersistedIvfPq(spark, dir))
+    assert(served === drifted, "quiet branch must serve the drifted index")
+    // non-vacuity: the retrained world answers differently, so the fired
+    // CASE genuinely selects between two different worlds
+    val retrained = rows(Similarity.s12IvfPq(spark, dir))
+    assert(retrained !== served, "the two index worlds must differ")
+    out.unpersist()
+    // forced-fire: executing the verb on the entry's own tree serves the
+    // retrain (s22's law); the next gate invocation's build overwrites,
+    // so no restore is needed
+    val idxDir = Similarity.s30IdxDirForSpec(dir)
+    Similarity.retrainIvfPqIndex(spark, dir, idxDir)
+    val promoted = rows(Similarity.queryIvfPqIndex(spark, dir, idxDir))
+    assert(promoted === retrained, "forced-fire must serve the retrained world")
+  }
+
   // ---------- 5. streaming graph arrival (st15) ----------
 
   test("st15: stream-fold equals the batch append bit-for-bit, and a " +
@@ -282,6 +387,32 @@ class Round14Spec extends AnyFunSuite {
     val n1 = EmbeddingsStream.committedBatches(spark, base).size
     assert(n1 === n0, "re-delivered waves must not commit new ledger dirs")
     val served = rows(EmbeddingsStream.appendedFromLedger(spark, dir, base)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"), col("d2_fp"), col("rank"))
+      .orderBy(col("vec_id"), col("rank")))
+    assert(served === first, "replayed ledger must serve the identical graph")
+  }
+
+  // ---------- 6. streaming graph retract (st16) ----------
+
+  test("st16: stream-folded retract equals the batch compaction bit-for-bit, " +
+    "and a fresh-checkpoint re-delivery of both tombstone waves commits " +
+    "nothing new and serves the same graph") {
+    import graft.streaming.EmbeddingsStream
+    val first = rows(EmbeddingsStream.st16GraphRetract(spark, dir))
+    // the law the oracle also checks, pinned engine-side: the streamed
+    // tombstone fold IS the one-shot batch delete+compact (s26's serve)
+    val batch = rows(Similarity.s26GraphDelete(spark, dir))
+    assert(first.nonEmpty)
+    assert(first === batch, "stream-folded retract must equal the batch compaction")
+    // fresh-checkpoint replay: both waves re-delivered under a NEW
+    // batch numbering — the content-keyed ledger skips them whole
+    val base = ArtifactRoots.tagged("graft_st16", dir)
+    val n0 = EmbeddingsStream.committedBatches(spark, base).size
+    assert(n0 === 2, s"two committed tombstone waves expected, saw $n0")
+    EmbeddingsStream.runRetract(spark, base, s"$base/cp_fresh").stop()
+    val n1 = EmbeddingsStream.committedBatches(spark, base).size
+    assert(n1 === n0, "re-delivered waves must not commit new ledger dirs")
+    val served = rows(EmbeddingsStream.retractedFromLedger(spark, dir, base)
       .select(col("vec_id"), col("nb_id").as("neighbor_id"), col("d2_fp"), col("rank"))
       .orderBy(col("vec_id"), col("rank")))
     assert(served === first, "replayed ledger must serve the identical graph")
