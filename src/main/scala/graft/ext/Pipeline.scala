@@ -233,6 +233,25 @@ object Pipeline {
       TextAnalysis.encodedWordsFrom(spark, dir, merges)
     }
 
+  /** The FROZEN tokenizer generation's merge table — learned on the
+    * BASE slice only (the tokenizer version that existed before the
+    * delta arrived; the model_frozen/dsir_* posture at the tokenizer
+    * layer). t31 measures its fertility drift. */
+  private[graft] def frozenBpeMergesArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "model_frozen/bpe_merges")(
+      TextAnalysis.frozenBpeMergesDerived(spark, dir))
+
+  /** The full vocabulary encoded under the FROZEN merges — the frozen
+    * generation's memoized model application (the serve-time encode a
+    * production store does when new words meet an old tokenizer). */
+  private[graft] def frozenBpeEncodedWordsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "model_frozen/bpe_encoded_words") {
+      val merges = frozenBpeMergesArtifact(spark, dir)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.encodedWordsFrom(spark, dir, merges)
+    }
+
   /** d7's global CC labeling FROM SCRATCH (no artifact tree touched) —
     * the spec-side twin Round10/11Spec compare the served tables
     * against; the artifact build itself goes through [[pairsArtifact]]
@@ -1161,6 +1180,7 @@ object Pipeline {
     "e17_retract_then_arrive" -> (e17RetractThenArrive _),
     "e18_offboard_cutover" -> (e18OffboardCutover _),
     "e19_model_cutover" -> (e19ModelCutover _),
+    "e20_tokenizer_cutover" -> (e20TokenizerCutover _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -1742,7 +1762,8 @@ object Pipeline {
     * generation starts fresh (done-marker delete); exclusivity is
     * e18's (operator action on the serving root — readers must not
     * race it). */
-  private[graft] def modelCutover(spark: SparkSession, root: String): Unit = {
+  private[graft] def modelCutover(spark: SparkSession, root: String,
+                                  layers: Seq[String] = ModelLayers): Unit = {
     val rp = new Path(root)
     val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
     val done = new Path(s"$root/model_cutover_done")
@@ -1754,7 +1775,7 @@ object Pipeline {
     // the leftover aside dir and completes forward; the marker is
     // written BEFORE the aside cleanup so a crash during cleanup
     // reads as complete.
-    if (!ModelLayers.exists(l => fs.exists(new Path(s"$root/$l")))) {
+    if (!layers.exists(l => fs.exists(new Path(s"$root/$l")))) {
       if (fs.exists(done)) { fs.delete(aside, true); return }
       if (!fs.exists(aside))
         throw new java.io.IOException(
@@ -1764,7 +1785,7 @@ object Pipeline {
       fs.delete(done, false) // a rebuilt refreshed generation starts fresh
     }
     fs.mkdirs(aside)
-    ModelLayers.foreach { layer =>
+    layers.foreach { layer =>
       promoteLayer(spark, fs, new Path(s"$root/$layer"),
         new Path(s"$root/model_frozen/$layer"), new Path(aside, layer))
     }
@@ -1772,6 +1793,11 @@ object Pipeline {
     fs.delete(aside, true)
     ()
   }
+
+  /** The tokenizer model layer's two tables — the e20 cutover's swap
+    * list (the generalized [[modelCutover]] runs the same aside-first
+    * per-layer promotion over it). */
+  private[graft] val BpeModelLayers = Seq("bpe_merges", "bpe_encoded_words")
 
   /** Clone BOTH model generations into the e19 scratch root (rebuilt
     * per invocation — the gate must not mutate the shared tree the
@@ -1867,6 +1893,93 @@ object Pipeline {
          CROSS JOIN fired fi
          ORDER BY source"""
   }
+
+  /** Clone BOTH tokenizer generations into the e20 scratch root
+    * (e19's gate discipline at the tokenizer layer — rebuilt per
+    * invocation; production runs [[modelCutover]] with
+    * [[BpeModelLayers]] on the serving root itself). */
+  private[graft] def stageBpeModelClone(spark: SparkSession, dir: String): String = {
+    bpeMergesArtifact(spark, dir)
+    bpeEncodedWordsArtifact(spark, dir)
+    frozenBpeMergesArtifact(spark, dir)
+    frozenBpeEncodedWordsArtifact(spark, dir)
+    val src = eArtifactRoot(dir)
+    val scratch = graft.ArtifactRoots.tagged("graft_e20_model", dir)
+    val sp = new Path(scratch)
+    val fs = FileSystem.get(sp.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sp)) fs.delete(sp, true)
+    fs.mkdirs(sp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    BpeModelLayers.foreach { layer =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$src/$layer"),
+        fs, new Path(s"$scratch/$layer"), false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$src/model_frozen/$layer"),
+        fs, new Path(s"$scratch/model_frozen/$layer"), false, conf)
+    }
+    scratch
+  }
+
+  /** E20 — the drift-gated TOKENIZER-GENERATION CUTOVER run for real
+    * and served (e19's verb at the tokenizer layer — t31 measures,
+    * this entry executes): both tokenizer generations are forced and
+    * cloned to scratch; if ANY pool source's generation gap exceeds
+    * [[TextAnalysis.T31RetrainTpk]] (a |sources|-row bounded decision
+    * — quiet at every spec SF, the measured frontier is 12 tpk), the
+    * generalized [[modelCutover]] promotes the current generation
+    * over the frozen root ([[BpeModelLayers]] — same aside-first
+    * crash-resumable per-layer promotion, Round13Spec's pinned
+    * windows); the entry then serves the per-source delta fertility
+    * FROM THE POST-VERB FROZEN encoded table next to the decision, so
+    * the gate hash-checks "after the swap, the frozen tokenizer IS
+    * the retrain; on quiet corpora, the frozen generation is
+    * untouched" every round. Oracle = the shared t31 fertility body +
+    * the fired CASE. Scale: the fertility decision is t31's (two
+    * censuses against vocabulary-sized persisted tables); the
+    * promotion is per-layer renames. A tokenizer swap invalidates
+    * every downstream token count — which is exactly why the verb is
+    * drift-GATED rather than cadence-scheduled: it fires only when
+    * the frozen generation's inflation on new data exceeds what a
+    * retrain would buy back. */
+  def e20TokenizerCutover(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = stageBpeModelClone(spark, dir)
+    // collect the decision ONCE (|sources| rows — bounded driver
+    // state; e19's discipline): re-embedding the lazy plan would run
+    // the two corpus censuses twice per invocation
+    val decPlan = TextAnalysis.t31TokenizerHealth(spark, dir)
+      .select(col("source"), col("gen_gap_tpk"), col("retrain"))
+    val decRows = decPlan.collect()
+    val fired = decRows.exists(_.getAs[Long]("retrain") == 1L)
+    val dec = spark.createDataFrame(
+      java.util.Arrays.asList(decRows: _*), decPlan.schema)
+    if (fired) modelCutover(spark, scratch, BpeModelLayers)
+    val encPost = spark.read.parquet(s"$scratch/model_frozen/bpe_encoded_words")
+      .select(col("word"), size(col("toks")).cast("long").as("ptok1"))
+    val census = TextAnalysis.sourceWordFreqOn(spark, dir, e4DeltaPred)
+      .join(encPost, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq") * length(col("word")).cast("long")).as("n_delta_chars"),
+        sum(col("freq") * col("ptok1")).as("ptok"))
+      .withColumn("tpk_served", expr("(1000 * ptok) div n_delta_chars"))
+    dec.withColumn("fired", lit(if (fired) 1L else 0L))
+      .join(census, Seq("source"))
+      .select(col("source"), col("gen_gap_tpk"), col("retrain"), col("fired"),
+        col("n_delta_chars"), col("tpk_served"))
+      .orderBy(col("source"))
+  }
+
+  /** e20's oracle: the shared t31 fertility body, the global fired
+    * flag, and the served fertility under the PROMOTED-OR-KEPT frozen
+    * tokenizer — base-trained when quiet, the full retrain when any
+    * source fires. */
+  private lazy val e20OracleSql: String =
+    s"""WITH ${TextAnalysis.t31BodyCtes},
+         fired AS (SELECT max(retrain) AS f FROM fert)
+         SELECT t.source, t.gen_gap_tpk, t.retrain, fi.f AS fired,
+                t.n_delta_chars,
+                CASE WHEN fi.f = 1 THEN t.tpk_current ELSE t.tpk_frozen END
+                  AS tpk_served
+         FROM fert t CROSS JOIN fired fi
+         ORDER BY source"""
 
   /** The offboarded pair table's SQL twin: d4's full pair SELECT with
     * retired-endpoint rows removed via LEFT-JOIN membership (the
@@ -2328,6 +2441,7 @@ object Pipeline {
     // stated about the post-swap serving root
     "e18_offboard_cutover" -> retractedLabelsOracleSql,
     "e19_model_cutover" -> e19OracleSql,
+    "e20_tokenizer_cutover" -> e20OracleSql,
     "e15_source_offboard" -> e15OracleSql,
     // e16: the split census a user draws AFTER offboarding — the e6
     // chain over the retracted labeling with the retired rows gone

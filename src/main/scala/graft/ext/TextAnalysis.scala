@@ -1206,7 +1206,14 @@ object TextAnalysis {
   /** The capped (word, freq, toks) vocabulary — BPE's whole view of
     * the corpus after the one corpus-sized groupBy. */
   private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    bpeVocabOn(spark, dir, lit(true))
+
+  /** The training vocabulary over a document slice — t31's frozen
+    * generation learns on the BASE slice only (the tokenizer version
+    * that existed before the delta arrived). */
+  private[graft] def bpeVocabOn(spark: SparkSession, dir: String,
+                                learnPred: Column): DataFrame =
+    Tables.documents(spark, dir).filter(learnPred)
       .select(explode(words(col("text"))).as("word"))
       // empty tokens (doubled separators) are not words — and
       // sequence(1, length('')) would DESCEND (the m2 lesson)
@@ -1472,7 +1479,13 @@ object TextAnalysis {
     * groupBy — same shape as t27's stage 1. */
   /** The per-(source, word) frequency table t28 censuses. */
   private def sourceWordFreq(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    sourceWordFreqOn(spark, dir, lit(true))
+
+  /** The same census over a document slice — t31 censuses the delta
+    * and base slices separately. */
+  private[graft] def sourceWordFreqOn(spark: SparkSession, dir: String,
+                                      pred: Column): DataFrame =
+    Tables.documents(spark, dir).filter(pred)
       .select(col("source"), explode(words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
@@ -1524,10 +1537,90 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The frozen tokenizer generation's merge table DERIVED — learned
+    * on the BASE slice only (the builder of
+    * Pipeline.frozenBpeMergesArtifact and its serve ≡ learn spec
+    * twin). */
+  private[graft] def frozenBpeMergesDerived(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(
+        learnBpeMergesFrom(bpeVocabOn(spark, dir, !Pipeline.e4DeltaPred), BpeRounds)._1)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+
+  /** t31's retrain trigger, in tokens-per-1000-chars: a source whose
+    * delta slice needs more than this many EXTRA tokens per 1000
+    * chars under the frozen tokenizer (vs a full retrain) flags for
+    * retrain. Corpus-calibrated (t30's discipline — the knob is the
+    * operator surface): measured per-source generation gaps top out
+    * at 12 tpk at sf0.01 (src8; the two generations' merge tables
+    * genuinely diverge there — rank 7 is 'a·t' vs 't·a') and 0 at
+    * sf0.001 (the 8-merge tables coincide on the small corpus), so 20
+    * sits above the live frontier with real margin; both engines
+    * compare the SAME exact integers, so the margin protects the
+    * claim, not the hash. */
+  val T31RetrainTpk = 20L
+
+  /** T31 — TOKENIZER HEALTH, the model-health verb the BPE family
+    * lacked (the DSIR model has t26 drift + t30 refresh + e19
+    * cutover): FERTILITY drift of the persisted tokenizer, the
+    * measurement production tokenizer owners watch (tokens per unit
+    * text — budgets, packing, and serving cost are all denominated in
+    * tokens, and a tokenizer that inflates on new data silently taxes
+    * every downstream consumer). Two persisted generations — FROZEN
+    * (merges learned on the base slice only: the tokenizer version
+    * that existed before the delta arrived, e4's frozen-model posture
+    * at the tokenizer layer) and CURRENT (the full-corpus bpe_merges
+    * artifact t27 serves) — each applied to the full vocabulary as a
+    * persisted encoded-word table. Per pool source, on the DELTA
+    * slice: tokens-per-1000-chars under each generation (exact
+    * integer division), the GENERATION GAP (frozen − current: what a
+    * retrain would buy, the retrain trigger [[T31RetrainTpk]]'s
+    * subject), and the NEW-DATA DRIFT (the frozen tokenizer's
+    * fertility on the delta vs on its own training slice — non-zero
+    * even when the two generations coincide, so the measurement can
+    * never go vacuous). Oracle replays both learn+encode worlds
+    * (nested WITH keeps their CTE vocabularies apart) + both censuses
+    * in one statement.
+    *
+    * Scale: the two corpus-sized passes are the (source, word)
+    * censuses (t27 stage-1's shape); encoding joins the persisted
+    * vocabulary-sized encoded tables; the learns are the artifacts'
+    * builders, paid once per corpus version. */
+  def t31TokenizerHealth(spark: SparkSession, dir: String): DataFrame = {
+    val encF = Pipeline.frozenBpeEncodedWordsArtifact(spark, dir)
+      .select(col("word"), size(col("toks")).cast("long").as("ftok1"))
+    val encC = Pipeline.bpeEncodedWordsArtifact(spark, dir)
+      .select(col("word"), size(col("toks")).cast("long").as("ctok1"))
+    val wsD = sourceWordFreqOn(spark, dir, Pipeline.e4DeltaPred)
+    val wsB = sourceWordFreqOn(spark, dir, !Pipeline.e4DeltaPred)
+    val d = wsD.join(encF, Seq("word")).join(encC, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_delta_words"),
+        sum(col("freq") * length(col("word")).cast("long")).as("n_delta_chars"),
+        sum(col("freq") * col("ftok1")).as("ftok"),
+        sum(col("freq") * col("ctok1")).as("ctok"))
+    val b = wsB.join(encF, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq") * length(col("word")).cast("long")).as("bchars"),
+        sum(col("freq") * col("ftok1")).as("bftok"))
+    d.join(b, Seq("source"))
+      .withColumn("tpk_frozen", expr("(1000 * ftok) div n_delta_chars"))
+      .withColumn("tpk_current", expr("(1000 * ctok) div n_delta_chars"))
+      .withColumn("gen_gap_tpk", col("tpk_frozen") - col("tpk_current"))
+      .withColumn("tpk_base", expr("(1000 * bftok) div bchars"))
+      .withColumn("newdata_drift_tpk", col("tpk_frozen") - col("tpk_base"))
+      .withColumn("retrain",
+        when(col("gen_gap_tpk") > lit(T31RetrainTpk), 1L).otherwise(0L))
+      .select(col("source"), col("n_delta_words"), col("n_delta_chars"),
+        col("tpk_frozen"), col("tpk_current"), col("gen_gap_tpk"),
+        col("tpk_base"), col("newdata_drift_tpk"), col("retrain"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_bpe_merges"       -> (t27BpeMerges _),
     "t29_bpe_batched"      -> (t29BpeBatched _),
     "t30_model_refresh"    -> (t30ModelRefresh _),
+    "t31_tokenizer_health" -> (t31TokenizerHealth _),
     "t28_bpe_encode"       -> (t28BpeEncode _),
     "t25_ngram_novelty"    -> (t25NgramNovelty _),
     "t26_source_drift"     -> (t26SourceDrift _),
@@ -1842,6 +1935,95 @@ object TextAnalysis {
          GROUP BY 1 ORDER BY source"""
   }
 
+  /** A self-contained encode WORLD for t31's oracle: learn
+    * [[BpeRounds]] merges over `learnFilter`'s documents, fold the
+    * FULL corpus's distinct words through them — `SELECT word, n_tok`
+    * (t28's machinery with the training slice parameterized; nested
+    * by the t31 statement so two worlds' identical CTE names stay
+    * apart). */
+  private def bpeEncWorldSql(learnFilter: String): String = {
+    val learnRounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n         ")
+    val applyRounds = (1 to BpeRounds).map(bpeApplyRoundSql).mkString(",\n         ")
+    s"""WITH v0 AS (
+           SELECT w AS word, count(*) AS freq
+           FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+                 WHERE $learnFilter)
+           WHERE w <> '' GROUP BY 1),
+         vcap AS (SELECT word, freq FROM v0 ORDER BY freq DESC, word LIMIT $BpeVocabCap),
+         seq1 AS MATERIALIZED (
+           SELECT word, CAST(freq AS BIGINT) AS freq,
+                  list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, CAST(i AS INTEGER), 1)) AS toks
+           FROM vcap),
+         $learnRounds,
+         fseq1 AS MATERIALIZED (
+           SELECT word,
+                  list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, CAST(i AS INTEGER), 1)) AS toks
+           FROM (SELECT DISTINCT w AS word
+                 FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+                       FROM documents) u
+                 WHERE w <> '') dw),
+         $applyRounds
+         SELECT word, CAST(len(toks) AS BIGINT) AS n_tok FROM fseq${BpeRounds + 1}"""
+  }
+
+  /** t31's CTE body through `cd`/`cb` (the per-source delta and base
+    * fertility censuses under both generations) — shared by the t31
+    * oracle and e20's cutover oracle so the two gate rows can never
+    * diverge on the measurement. */
+  private[ext] lazy val t31BodyCtes: String = {
+    val delta = Pipeline.e4DeltaSqlOf("doc_id")
+    s"""fenc AS MATERIALIZED (
+           SELECT word, n_tok FROM (${bpeEncWorldSql(s"NOT $delta")}) tf),
+         cenc AS MATERIALIZED (
+           SELECT word, n_tok FROM (${bpeEncWorldSql("TRUE")}) tc),
+         wsd AS MATERIALIZED (
+           SELECT source, w AS word, count(*) AS freq
+           FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS w
+                 FROM documents WHERE $delta) u
+           WHERE w <> '' GROUP BY 1, 2),
+         wsb AS MATERIALIZED (
+           SELECT source, w AS word, count(*) AS freq
+           FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS w
+                 FROM documents WHERE NOT $delta) u
+           WHERE w <> '' GROUP BY 1, 2),
+         cd AS (
+           SELECT s.source,
+                  CAST(sum(s.freq) AS BIGINT) AS n_delta_words,
+                  CAST(sum(s.freq * length(s.word)) AS BIGINT) AS n_delta_chars,
+                  CAST(sum(s.freq * f.n_tok) AS BIGINT) AS ftok,
+                  CAST(sum(s.freq * c.n_tok) AS BIGINT) AS ctok
+           FROM wsd s JOIN fenc f USING (word) JOIN cenc c USING (word)
+           GROUP BY 1),
+         cb AS (
+           SELECT s.source,
+                  CAST(sum(s.freq * length(s.word)) AS BIGINT) AS bchars,
+                  CAST(sum(s.freq * f.n_tok) AS BIGINT) AS bftok
+           FROM wsb s JOIN fenc f USING (word)
+           GROUP BY 1),
+         fert AS (
+           SELECT d.source, d.n_delta_words, d.n_delta_chars,
+                  CAST((1000 * d.ftok) // d.n_delta_chars AS BIGINT) AS tpk_frozen,
+                  CAST((1000 * d.ctok) // d.n_delta_chars AS BIGINT) AS tpk_current,
+                  CAST((1000 * d.ftok) // d.n_delta_chars
+                       - (1000 * d.ctok) // d.n_delta_chars AS BIGINT) AS gen_gap_tpk,
+                  CAST((1000 * b.bftok) // b.bchars AS BIGINT) AS tpk_base,
+                  CAST((1000 * d.ftok) // d.n_delta_chars
+                       - (1000 * b.bftok) // b.bchars AS BIGINT) AS newdata_drift_tpk,
+                  CAST(CASE WHEN (1000 * d.ftok) // d.n_delta_chars
+                               - (1000 * d.ctok) // d.n_delta_chars > $T31RetrainTpk
+                       THEN 1 ELSE 0 END AS BIGINT) AS retrain
+           FROM cd d JOIN cb b USING (source))"""
+  }
+
+  /** t31's mirror: the shared fertility body, served in full. */
+  private lazy val t31OracleSql: String =
+    s"""WITH $t31BodyCtes
+         SELECT source, n_delta_words, n_delta_chars, tpk_frozen,
+                tpk_current, gen_gap_tpk, tpk_base, newdata_drift_tpk, retrain
+         FROM fert ORDER BY source"""
+
   /** The sequential BPE learn chain as one SELECT, parameterized over
     * the merge count — t27's oracle at [[BpeRounds]] and t29's at
     * [[BpeBatchedMerges]] (the batched learner's ground truth IS the
@@ -1918,6 +2100,7 @@ object TextAnalysis {
       s"""WITH ${t26DriftCtes()}
          SELECT source, base_tokens, delta_tokens, kl_nats
          FROM drift ORDER BY source""",
+    "t31_tokenizer_health" -> t31OracleSql,
     // t30: both model generations + the drift chain in ONE statement —
     // frozen (f-prefixed, trained on base, cut over base-scored docs)
     // and refreshed (r-prefixed, the full retrain), censused under

@@ -25,7 +25,7 @@ class CatalystExtensionSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   test("rule fuses the zip_with/aggregate pattern in a real query plan") {
-    val analyzed = Similarity.s1KnnBrute(spark, dir).queryExecution.analyzed
+    val analyzed = Similarity.s1KnnBruteDerived(spark, dir).queryExecution.analyzed
     val before = analyzed.toString
     assert(before.contains("aggregate(zip_with"), before.take(2000))
     val fused = FuseDotProduct(analyzed)

@@ -70,8 +70,10 @@ object PlanDump {
     "st15_graph_arrive" -> "streamed graph arrival SERVED: committed wave pairs + arrival ids (ledger scans) folded through the batch append's integration kernel — arrival-sized candidate joins against the persisted base graph",
     "s28_graph_update" -> "graph update SERVED from the graph_updated artifact (pure scan + order; its builder composes the s26 compaction kernel with the s25 integration kernel under the current view — |U|-bounded, never a rebuild)",
     "s29_graph_retrain" -> "drift-gated graph retrain: the decision is a |Q|·k·2 membership grade over three persisted artifacts (driver state = two longs); the serve is a pure post-verb slot scan with the decision as literals — the promotion itself is two renames",
-    "s30_index_cutover" -> "drift-gated IVF cutover: the serve is s13's partition-pruned query plan over the post-verb tree with the decision as literals; the decision grade is |Q|·k membership joins (the retrained answers cost one s12 train — the audit-cadence price)",
-    "st16_graph_retract" -> "streamed graph retract SERVED: committed tombstone ids (ledger scans) folded through the s26 compaction kernel in ONE application — touched-list-bounded re-rank, untouched survivor lists verbatim")
+    "s30_index_cutover" -> "drift-gated IVF cutover: the serve is s13's partition-pruned query plan over the post-verb tree with the decision as literals; the decision grade is |Q|·k membership joins over the persisted grading-truth tier (exact_cos/appended_q/retrained_q), the verb itself marker-gated once per corpus version",
+    "st16_graph_retract" -> "streamed graph retract SERVED: committed tombstone ids (ledger scans) folded through the s26 compaction kernel in ONE application — touched-list-bounded re-rank, untouched survivor lists verbatim",
+    "t31_tokenizer_health" -> "tokenizer fertility health: two (source, word) corpus censuses joined against BOTH persisted vocabulary-sized encoded-word tables (frozen + current generations) — no learn, no fold, no corpus re-tokenize on the serve path",
+    "e20_tokenizer_cutover" -> "drift-gated tokenizer cutover: the decision is a |sources|-row local relation (t31's census chain runs ONCE); the served fertility is one delta census against the post-verb frozen encoded table — promotion itself is per-layer renames")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)

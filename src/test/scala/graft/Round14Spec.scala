@@ -359,12 +359,108 @@ class Round14Spec extends AnyFunSuite {
     assert(retrained !== served, "the two index worlds must differ")
     out.unpersist()
     // forced-fire: executing the verb on the entry's own tree serves the
-    // retrain (s22's law); the next gate invocation's build overwrites,
-    // so no restore is needed
+    // retrain (s22's law)
+    import org.apache.hadoop.fs.{FileSystem, Path}
     val idxDir = Similarity.s30IdxDirForSpec(dir)
-    Similarity.retrainIvfPqIndex(spark, dir, idxDir)
-    val promoted = rows(Similarity.queryIvfPqIndex(spark, dir, idxDir))
-    assert(promoted === retrained, "forced-fire must serve the retrained world")
+    val fs = FileSystem.get(new Path(idxDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.retrainIvfPqIndex(spark, dir, idxDir)
+      val promoted = rows(Similarity.queryIvfPqIndex(spark, dir, idxDir))
+      assert(promoted === retrained, "forced-fire must serve the retrained world")
+    } finally {
+      // restore: drop the mutated tree AND its verb marker so the next
+      // invocation's marker-gated verb rebuilds the quiet state
+      fs.delete(new Path(idxDir), true)
+    }
+    val again = rows(Similarity.s30IndexCutover(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("d2_fp"), col("rank")))
+    assert(again === served, "restored tree must rebuild the quiet-branch state")
+  }
+
+  test("s30 grading tier: each persisted truth table serves exactly what " +
+    "its builder derives, and the marker-gated verb is serve-idempotent") {
+    assert(rows(Similarity.exactCosTruth(spark, dir)) ===
+      rows(Similarity.s1KnnBruteDerived(spark, dir)),
+      "exact_cos must equal a fresh brute-force derivation")
+    assert(rows(Similarity.appendedAnswers(spark, dir)) ===
+      rows(Similarity.s13PersistedIvfPq(spark, dir)),
+      "appended_q must equal the s13 lifecycle chain")
+    assert(rows(Similarity.retrainedAnswers(spark, dir)) ===
+      rows(Similarity.s12IvfPq(spark, dir)),
+      "retrained_q must equal the all-trained s12 chain")
+    val a = rows(Similarity.s30IndexCutover(spark, dir))
+    val b = rows(Similarity.s30IndexCutover(spark, dir))
+    assert(a === b, "a marker-served re-run must emit identical rows")
+  }
+
+  // ---------- 4e. tokenizer fertility health (t31) ----------
+
+  test("t31: frozen merges serve what a base-slice learn derives, the " +
+    "sf0.001 generation coincidence holds (gen_gap 0 — the corpus fact), " +
+    "the new-data drift column keeps the measurement non-vacuous, and the " +
+    "trigger stays quiet") {
+    // serve ≡ learn for the frozen generation
+    val served = rows(Pipeline.frozenBpeMergesArtifact(spark, dir))
+    val fresh = rows(TextAnalysis.frozenBpeMergesDerived(spark, dir))
+    assert(served.nonEmpty && served === fresh,
+      "frozen merge table must equal a fresh base-slice learn")
+    val out = TextAnalysis.t31TokenizerHealth(spark, dir).collect()
+    assert(out.nonEmpty)
+    // measured corpus fact at sf0.001: the 8-merge tables coincide, so
+    // the generation gap is 0 for every source (at sf0.01 they diverge
+    // — the driver's gate hashes that world every round)
+    assert(out.forall(_.getAs[Long]("gen_gap_tpk") == 0L),
+      "sf0.001's generations coincide — gen_gap must be 0")
+    assert(rows(Pipeline.frozenBpeMergesArtifact(spark, dir)
+        .select(col("lhs"), col("rhs"))) ===
+      rows(Pipeline.bpeMergesArtifact(spark, dir).select(col("lhs"), col("rhs"))),
+      "coincidence must hold at the merge-table level too")
+    // non-vacuity survives the coincidence: the frozen tokenizer's
+    // fertility on NEW data differs from its training slice
+    assert(out.exists(_.getAs[Long]("newdata_drift_tpk") != 0L),
+      "some source must show real new-data fertility drift")
+    // trigger quiet with margin
+    assert(out.forall(_.getAs[Long]("retrain") == 0L),
+      "the spec corpus must stay under the retrain trigger")
+    assert(out.forall(r => math.abs(r.getAs[Long]("gen_gap_tpk")) <=
+      TextAnalysis.T31RetrainTpk), "measured gaps must sit under the trigger")
+  }
+
+  // ---------- 4f. tokenizer cutover (e20) ----------
+
+  test("e20: the quiet branch serves the frozen generation's fertility " +
+    "untouched, and a forced promotion makes the frozen tokenizer the " +
+    "current generation bit-for-bit (no-op re-run included)") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val out = Pipeline.e20TokenizerCutover(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("fired") == 0L), "spec corpus stays quiet")
+    // quiet serve == t31's frozen-generation fertility per source
+    val t31 = TextAnalysis.t31TokenizerHealth(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("tpk_frozen")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("tpk_served") === t31(r.getAs[String]("source")),
+        s"quiet branch must serve the frozen fertility for ${r.getAs[String]("source")}")
+    }
+    // forced promotion on a fresh scratch clone
+    val scratch = Pipeline.stageBpeModelClone(spark, dir)
+    val fs = FileSystem.get(new Path(scratch).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    Pipeline.modelCutover(spark, scratch, Pipeline.BpeModelLayers)
+    val cur = rows(Pipeline.bpeMergesArtifact(spark, dir))
+    val post = rows(spark.read.parquet(s"$scratch/model_frozen/bpe_merges"))
+    assert(post === cur, "promoted frozen merges must equal the current generation")
+    val curEnc = rows(Pipeline.bpeEncodedWordsArtifact(spark, dir))
+    val postEnc = rows(spark.read.parquet(s"$scratch/model_frozen/bpe_encoded_words"))
+    assert(postEnc === curEnc, "promoted frozen encode table must equal current")
+    Pipeline.BpeModelLayers.foreach { l =>
+      assert(!fs.exists(new Path(s"$scratch/$l")), s"promotion consumes $l")
+    }
+    // no-op re-run (layers consumed, marker present)
+    Pipeline.modelCutover(spark, scratch, Pipeline.BpeModelLayers)
+    assert(rows(spark.read.parquet(s"$scratch/model_frozen/bpe_merges")) === cur)
+    fs.delete(new Path(scratch), true)
   }
 
   // ---------- 5. streaming graph arrival (st15) ----------
