@@ -220,16 +220,20 @@ object EmbeddingsStream {
     q
   }
 
+  /** The union of every committed tombstone wave's ids — st16's and
+    * st18's serve input. */
+  private[graft] def retractIdsFromLedger(spark: SparkSession,
+                                          base: String): DataFrame =
+    readOrEmpty(spark,
+      committedBatches(spark, base).map(p => new Path(p, "ids").toString),
+      idSchema).distinct()
+
   /** The compacted graph served FROM the ledger: one application of
     * the s26 compaction kernel over the persisted graph with the
     * union of every committed wave's ids. */
   private[graft] def retractedFromLedger(spark: SparkSession, dir: String,
-                                         base: String): DataFrame = {
-    val ids = readOrEmpty(spark,
-      committedBatches(spark, base).map(p => new Path(p, "ids").toString),
-      idSchema).distinct()
-    Similarity.knngCompactOver(spark, dir, ids)
-  }
+                                         base: String): DataFrame =
+    Similarity.knngCompactOver(spark, dir, retractIdsFromLedger(spark, base))
 
   /** Stage one tombstone wave (s26's vec_id%10=6 delete slice, split
     * by %3 — st15's coprime wave split and mtime-forced order). */
@@ -273,13 +277,125 @@ object EmbeddingsStream {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  // ----------------- ST17/ST18: streaming IVF tier -----------------
+  // The same arrive/retract pair at the IVF index (st15/st16 cover
+  // the graph tier): arrivals flow through the store's OWN
+  // generation-ledger upsert (deferUpdateIvfPqIndex — LSM-style
+  // wave-sized coding against the frozen model, no list rewrites,
+  // the serve overlay resolves max-generation per id); tombstones
+  // flow through the content-keyed wave ledger and MATERIALIZE as
+  // the index's tombstone table at serve (overwrite of a distinct
+  // union — idempotent under any replay). Both entries restart their
+  // stream inside the gate row and answer the standard query set
+  // from the post-stream index; the oracles are s13's / s18's chains
+  // VERBATIM (stream-fold ≡ the batch lifecycle verb).
+  // -----------------------------------------------------------------
+
+  private def s13BaseCol = col("vec_id") % 10 =!= Similarity.S13AppendDigit
+
+  /** One vector-arrival micro-batch at the IVF tier: content-keyed
+    * marker gate (st15's — re-delivery commits NOTHING), then the
+    * wave lands through [[Similarity.deferUpdateIvfPqIndex]]. The
+    * crash window between the generation commit and the wave marker
+    * is VALUE-idempotent even before the gate: a re-run re-codes the
+    * identical wave against the same frozen model into a newer
+    * generation, and the max-generation overlay serves the same
+    * rows. */
+  private[graft] def ingestBatch(spark: SparkSession, base: String,
+                                 idxDir: String)
+                                (batch: DataFrame, batchId: Long): Unit = {
+    val st = batch.agg(count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("vec_id"), col("embedding"))).as("ck"),
+      sum(pmod(xxhash64(col("embedding"), col("vec_id")), lit(1L << 40))).as("cs"))
+      .collect()(0)
+    if (st.getLong(0) == 0) return
+    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
+    val bdir = new Path(s"$base/ledger/$tag")
+    val f = fsOf(spark, bdir)
+    if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
+    f.delete(bdir, true)
+    f.mkdirs(bdir)
+    Similarity.deferUpdateIvfPqIndex(spark, batch, idxDir)
+    f.create(new Path(bdir, CommitMarker), true).close(); ()
+  }
+
+  private[graft] def runIngest(spark: SparkSession, dir: String, base: String,
+                               idxDir: String,
+                               checkpoint: String): StreamingQuery = {
+    val q = readEmbeddingsStream(spark, dir, s"$base/in")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(ingestBatch(spark, base, idxDir) _)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** The ST17 gate entry — streaming UPSERT ingest for the persisted
+    * IVF index, restart inside the entry (st13's shape): the index is
+    * built on the BASE slice only, the arrival slice streams in as
+    * two waves (wave A, stop, wave B, resume from the same
+    * checkpoint), each wave committing through the deferred
+    * generation ledger, and the standard query set is answered from
+    * the post-stream index — ledger overlay, no compaction. Oracle =
+    * s13's build+append chain VERBATIM (wave coding ≡ append coding
+    * under the frozen model; the overlay serves exactly the appended
+    * rows). Scratch (index tree included) lives at one fixed location
+    * per corpus, rebuilt per invocation. */
+  def st17IndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st17", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    f.mkdirs(new Path(s"$base/in"))
+    val idxDir = s"$base/idx"
+    Similarity.buildIvfPqIndex(spark, dir, idxDir, s13BaseCol, s13BaseCol)
+    stageWave(spark, dir, base, 0)
+    runIngest(spark, dir, base, idxDir, s"$base/cp").stop()
+    stageWave(spark, dir, base, 1)
+    runIngest(spark, dir, base, idxDir, s"$base/cp").stop()
+    Similarity.queryIvfPqIndex(spark, dir, idxDir)
+  }
+
+  /** The ST18 gate entry — streaming RETRACT for the persisted IVF
+    * index: the full drifted index (base build + frozen append) takes
+    * two tombstone waves through the content-keyed ledger with a
+    * restart in between; the serve MATERIALIZES the committed union
+    * as the index's tombstone table (overwrite of a distinct set —
+    * idempotent under any replay) and answers through the existing
+    * tombstone-aware query path. No compaction runs — what the gate
+    * pins is the tombstone SERVE itself (s18's law makes it equal the
+    * compacted answers, and s18's own row covers that path). Oracle =
+    * s18's chain VERBATIM. */
+  def st18IndexRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st18", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    f.mkdirs(new Path(s"$base/in"))
+    val idxDir = s"$base/idx"
+    Similarity.buildIvfPqIndex(spark, dir, idxDir, s13BaseCol, s13BaseCol)
+    Similarity.appendIvfPqIndex(spark, dir, idxDir, !s13BaseCol)
+    stageRetractWave(spark, dir, base, 0)
+    runRetract(spark, base, s"$base/cp").stop()
+    stageRetractWave(spark, dir, base, 1)
+    runRetract(spark, base, s"$base/cp").stop()
+    retractIdsFromLedger(spark, base)
+      .write.mode("overwrite").parquet(s"$idxDir/deletes")
+    Similarity.queryIvfPqIndex(spark, dir, idxDir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st15_graph_arrive" -> (st15GraphArrive _),
-      "st16_graph_retract" -> (st16GraphRetract _))
+      "st16_graph_retract" -> (st16GraphRetract _),
+      "st17_index_ingest" -> (st17IndexIngest _),
+      "st18_index_retract" -> (st18IndexRetract _))
 
-  // the streamed-in graph must equal the one-shot batch verb on the
-  // same slice — s25's / s26's oracle chains verbatim
+  // the streamed-in state must equal the one-shot batch verb on the
+  // same slice — s25's / s26's / s13's / s18's oracle chains verbatim
   val oracles: Map[String, String] =
     Map("st15_graph_arrive" -> Similarity.oracles("s25_graph_append"),
-      "st16_graph_retract" -> Similarity.oracles("s26_graph_delete"))
+      "st16_graph_retract" -> Similarity.oracles("s26_graph_delete"),
+      "st17_index_ingest" -> Similarity.oracles("s13_persisted_index"),
+      "st18_index_retract" -> Similarity.oracles("s18_index_delete"))
 }

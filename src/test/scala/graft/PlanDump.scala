@@ -73,7 +73,9 @@ object PlanDump {
     "s30_index_cutover" -> "drift-gated IVF cutover: the serve is s13's partition-pruned query plan over the post-verb tree with the decision as literals; the decision grade is |Q|·k membership joins over the persisted grading-truth tier (exact_cos/appended_q/retrained_q), the verb itself marker-gated once per corpus version",
     "st16_graph_retract" -> "streamed graph retract SERVED: committed tombstone ids (ledger scans) folded through the s26 compaction kernel in ONE application — touched-list-bounded re-rank, untouched survivor lists verbatim",
     "t31_tokenizer_health" -> "tokenizer fertility health: two (source, word) corpus censuses joined against BOTH persisted vocabulary-sized encoded-word tables (frozen + current generations) — no learn, no fold, no corpus re-tokenize on the serve path",
-    "e20_tokenizer_cutover" -> "drift-gated tokenizer cutover: the decision is a |sources|-row local relation (t31's census chain runs ONCE); the served fertility is one delta census against the post-verb frozen encoded table — promotion itself is per-layer renames")
+    "e20_tokenizer_cutover" -> "drift-gated tokenizer cutover: the decision is a |sources|-row local relation (t31's census chain runs ONCE); the served fertility is one delta census against the post-verb frozen encoded table — promotion itself is per-layer renames",
+    "st17_index_ingest" -> "streamed IVF ingest SERVED: the partition-pruned query plan with the generation-ledger overlay (max-gen per id over the committed waves) — wave coding never rewrites a list",
+    "st18_index_retract" -> "streamed IVF retract SERVED: the partition-pruned query plan with the materialized tombstone set anti-joined broadcast — no compaction on the serve path")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)

@@ -513,6 +513,46 @@ class Round14Spec extends AnyFunSuite {
       .orderBy(col("vec_id"), col("rank")))
     assert(served === first, "replayed ledger must serve the identical graph")
   }
+
+  // ---------- 7. streaming IVF ingest + retract (st17/st18) ----------
+
+  test("st17: streamed upsert ingest equals the batch build+append chain " +
+    "bit-for-bit, and a fresh-checkpoint re-delivery commits nothing new " +
+    "and serves the same answers") {
+    import graft.streaming.EmbeddingsStream
+    val first = rows(EmbeddingsStream.st17IndexIngest(spark, dir))
+    val batch = rows(Similarity.s13PersistedIvfPq(spark, dir))
+    assert(first.nonEmpty)
+    assert(first === batch, "stream-ingested index must answer like the batch chain")
+    val base = ArtifactRoots.tagged("graft_st17", dir)
+    val n0 = EmbeddingsStream.committedBatches(spark, base).size
+    assert(n0 === 2, s"two committed arrival waves expected, saw $n0")
+    EmbeddingsStream.runIngest(spark, dir, base, s"$base/idx", s"$base/cp_fresh").stop()
+    assert(EmbeddingsStream.committedBatches(spark, base).size === n0,
+      "re-delivered waves must not commit new ledger dirs")
+    val again = rows(Similarity.queryIvfPqIndex(spark, dir, s"$base/idx"))
+    assert(again === first, "replayed stream must serve the identical answers")
+  }
+
+  test("st18: streamed retract equals the batch delete+compact chain's " +
+    "answers, and a fresh-checkpoint re-delivery commits nothing new") {
+    import graft.streaming.EmbeddingsStream
+    val first = rows(EmbeddingsStream.st18IndexRetract(spark, dir))
+    val batch = rows(Similarity.s18IndexDelete(spark, dir))
+    assert(first.nonEmpty)
+    assert(first === batch,
+      "tombstone-served answers must equal the compacted batch chain's")
+    val base = ArtifactRoots.tagged("graft_st18", dir)
+    val n0 = EmbeddingsStream.committedBatches(spark, base).size
+    assert(n0 === 2, s"two committed tombstone waves expected, saw $n0")
+    EmbeddingsStream.runRetract(spark, base, s"$base/cp_fresh").stop()
+    assert(EmbeddingsStream.committedBatches(spark, base).size === n0,
+      "re-delivered waves must not commit new ledger dirs")
+    EmbeddingsStream.retractIdsFromLedger(spark, base)
+      .write.mode("overwrite").parquet(s"$base/idx/deletes")
+    val again = rows(Similarity.queryIvfPqIndex(spark, dir, s"$base/idx"))
+    assert(again === first, "replayed ledger must serve the identical answers")
+  }
 }
 
 /** Shared seam access (keeps the test bodies terse). */
