@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileUtil, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -86,34 +86,46 @@ object EmbeddingsStream {
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else spark.read.schema(schema).parquet(dirs: _*)
 
-  /** One arrival micro-batch: content-keyed (st13's count + xor + sum
-    * folds, the embedding riding in the hash so a re-embedded wave
-    * under unchanged ids keys differently), marker-gated, skipped
-    * verbatim on any re-delivery. The wave's work: rank against the
-    * frozen centroids, block against base_assign ∪ committed arrivals
-    * ∪ itself, commit (assign, pairs, marker-last). */
-  private[graft] def arriveBatch(spark: SparkSession, dir: String, base: String)
-                                (batch: DataFrame, batchId: Long): Unit = {
-    val st = batch.agg(count(lit(1)).as("n"),
-      bit_xor(xxhash64(col("vec_id"), col("embedding"))).as("ck"),
-      sum(pmod(xxhash64(col("embedding"), col("vec_id")), lit(1L << 40))).as("cs"))
-      .collect()(0)
+  /** The content-keyed wave gate shared by every ledger'd micro-batch
+    * in this object (st13's exactly-once discipline): compute the
+    * batch's (count, xor, sum) content tag, skip committed
+    * re-deliveries whole, clear a crashed partial, run `work` on the
+    * wave's ledger dir, mark LAST (the batch is committed only once
+    * its tables exist). `ck`/`cs` feed the content key — id-only
+    * waves key on the id, embedding waves fold the vector in so a
+    * re-embedded wave under unchanged ids keys differently. */
+  private def waveCommit(spark: SparkSession, base: String, batch: DataFrame,
+                         ck: Column, cs: Column)(work: Path => Unit): Unit = {
+    val st = batch.agg(count(lit(1)).as("n"), bit_xor(ck).as("ck"),
+      sum(pmod(cs, lit(1L << 40))).as("cs")).collect()(0)
     if (st.getLong(0) == 0) return
     val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
     val bdir = new Path(s"$base/ledger/$tag")
     val f = fsOf(spark, bdir)
     if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
     f.delete(bdir, true) // crashed partial: rebuild whole
-    val priorAssign = readOrEmpty(spark,
-      committedBatches(spark, base).map(p => new Path(p, "assign").toString),
-      assignSchema)
-    val (assign, pairs) =
-      Similarity.knngArriveWaveTables(spark, dir, batch, priorAssign)
-    assign.write.mode("overwrite").parquet(new Path(bdir, "assign").toString)
-    pairs.write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
-    // marker LAST: the batch is committed only once both tables exist
+    work(bdir)
     f.create(new Path(bdir, CommitMarker), true).close(); ()
   }
+
+  private def embWaveKey(c: Column*): Column = xxhash64(c: _*)
+
+  /** One arrival micro-batch: the wave's work under the content gate —
+    * rank against the frozen centroids, block against base_assign ∪
+    * committed arrivals ∪ itself, commit (assign, pairs). */
+  private[graft] def arriveBatch(spark: SparkSession, dir: String, base: String)
+                                (batch: DataFrame, batchId: Long): Unit =
+    waveCommit(spark, base, batch,
+      embWaveKey(col("vec_id"), col("embedding")),
+      embWaveKey(col("embedding"), col("vec_id"))) { bdir =>
+      val priorAssign = readOrEmpty(spark,
+        committedBatches(spark, base).map(p => new Path(p, "assign").toString),
+        assignSchema)
+      val (assign, pairs) =
+        Similarity.knngArriveWaveTables(spark, dir, batch, priorAssign)
+      assign.write.mode("overwrite").parquet(new Path(bdir, "assign").toString)
+      pairs.write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
+    }
 
   /** The appended graph served FROM the ledger: committed pairs +
     * arrival ids folded through the batch append's own integration
@@ -192,21 +204,12 @@ object EmbeddingsStream {
     * alike. A retract wave commits ONLY its id set: delete stays
     * O(deletes) (s18's law); the fold runs at serve cadence. */
   private[graft] def retractBatch(spark: SparkSession, base: String)
-                                 (batch: DataFrame, batchId: Long): Unit = {
-    val ids = batch.select(col("vec_id"))
-    val st = ids.agg(count(lit(1)).as("n"),
-      bit_xor(xxhash64(col("vec_id"))).as("ck"),
-      sum(pmod(xxhash64(col("vec_id"), lit(16L)), lit(1L << 40))).as("cs"))
-      .collect()(0)
-    if (st.getLong(0) == 0) return
-    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
-    val bdir = new Path(s"$base/ledger/$tag")
-    val f = fsOf(spark, bdir)
-    if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
-    f.delete(bdir, true) // crashed partial: rebuild whole
-    ids.distinct().write.mode("overwrite").parquet(new Path(bdir, "ids").toString)
-    f.create(new Path(bdir, CommitMarker), true).close(); ()
-  }
+                                 (batch: DataFrame, batchId: Long): Unit =
+    waveCommit(spark, base, batch.select(col("vec_id")),
+      embWaveKey(col("vec_id")), embWaveKey(col("vec_id"), lit(16L))) { bdir =>
+      batch.select(col("vec_id")).distinct()
+        .write.mode("overwrite").parquet(new Path(bdir, "ids").toString)
+    }
 
   private[graft] def runRetract(spark: SparkSession, base: String,
                                 checkpoint: String): StreamingQuery = {
@@ -303,21 +306,13 @@ object EmbeddingsStream {
     * rows. */
   private[graft] def ingestBatch(spark: SparkSession, base: String,
                                  idxDir: String)
-                                (batch: DataFrame, batchId: Long): Unit = {
-    val st = batch.agg(count(lit(1)).as("n"),
-      bit_xor(xxhash64(col("vec_id"), col("embedding"))).as("ck"),
-      sum(pmod(xxhash64(col("embedding"), col("vec_id")), lit(1L << 40))).as("cs"))
-      .collect()(0)
-    if (st.getLong(0) == 0) return
-    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
-    val bdir = new Path(s"$base/ledger/$tag")
-    val f = fsOf(spark, bdir)
-    if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
-    f.delete(bdir, true)
-    f.mkdirs(bdir)
-    Similarity.deferUpdateIvfPqIndex(spark, batch, idxDir)
-    f.create(new Path(bdir, CommitMarker), true).close(); ()
-  }
+                                (batch: DataFrame, batchId: Long): Unit =
+    waveCommit(spark, base, batch,
+      embWaveKey(col("vec_id"), col("embedding")),
+      embWaveKey(col("embedding"), col("vec_id"))) { bdir =>
+      fsOf(spark, bdir).mkdirs(bdir)
+      Similarity.deferUpdateIvfPqIndex(spark, batch, idxDir)
+    }
 
   private[graft] def runIngest(spark: SparkSession, dir: String, base: String,
                                idxDir: String,

@@ -532,6 +532,16 @@ class Round14Spec extends AnyFunSuite {
       "re-delivered waves must not commit new ledger dirs")
     val again = rows(Similarity.queryIvfPqIndex(spark, dir, s"$base/idx"))
     assert(again === first, "replayed stream must serve the identical answers")
+    // the gen-commit/marker crash window: re-running a wave's ledger
+    // verb directly (as if the wave marker were lost) double-commits a
+    // generation with identical codings — the max-generation overlay
+    // must serve the same answers (value-idempotence)
+    val wave1 = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === Similarity.S13AppendDigit)
+      .filter(col("vec_id") % 3 === 0)
+    Similarity.deferUpdateIvfPqIndex(spark, wave1, s"$base/idx")
+    val crashed = rows(Similarity.queryIvfPqIndex(spark, dir, s"$base/idx"))
+    assert(crashed === first, "a double-committed wave must serve identically")
   }
 
   test("st18: streamed retract equals the batch delete+compact chain's " +
