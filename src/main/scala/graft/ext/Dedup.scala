@@ -1534,6 +1534,16 @@ object Dedup {
 
   private[ext] lazy val d7LabelCtes: String = d7LabelCtesFrom(d4OracleSql)
 
+  /** st19's mirror: rebuild-without-slice — d7's closure chain over
+    * the d4 pair table with slice-endpoint rows removed (e14's
+    * retracted-labeling oracle shape with digit arithmetic in place
+    * of the source match). */
+  private[graft] def d7RetractSliceOracleSql(digit: Int): String =
+    s"""WITH RECURSIVE ${d7LabelCtesFrom(
+           s"""SELECT p.a_id, p.b_id FROM ($d4OracleSql) p
+               WHERE p.a_id % 10 <> $digit AND p.b_id % 10 <> $digit""")}
+         SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
+
   private[graft] lazy val d7ComponentsOracleSql: String =
     s"""WITH RECURSIVE $d7LabelCtes
          SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""

@@ -259,7 +259,7 @@ object Pipeline {
   private[graft] def labelsDerived(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(Dedup.d4MinhashLsh(spark, dir), "a_id", "b_id")
 
-  private[ext] def labelsArtifact(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def labelsArtifact(spark: SparkSession, dir: String): DataFrame =
     ensureArtifact(spark, dir, "labels")(
       Dedup.connectedComponents(pairsArtifact(spark, dir), "a_id", "b_id"))
 

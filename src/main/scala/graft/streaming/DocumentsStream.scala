@@ -372,14 +372,116 @@ object DocumentsStream {
     labelsFromLedger(spark, dir, base)
   }
 
+  // ------------- ST19: streaming pair-graph retract -------------
+
+  /** st19's deterministic takedown slice (a doc_id digit — disjoint
+    * from the e-family's source-keyed retirement and the delta/eval
+    * arithmetic; hits live graph clusters at every spec SF, so the
+    * retraction is never vacuous). */
+  val St19RetractDigit = 3
+
+  private val retractIdSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  /** One takedown micro-batch: content-keyed over the id set,
+    * marker-gated, skipped verbatim on any re-delivery (st13's
+    * exactly-once discipline). A retract wave commits ONLY its id set
+    * — takedown intake stays O(ids); the retraction itself folds at
+    * serve through e14's incremental kernel. */
+  private[graft] def docRetractBatch(spark: SparkSession, base: String)
+                                    (batch: DataFrame, batchId: Long): Unit = {
+    val ids = batch.select(col("doc_id"))
+    val st = ids.agg(count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("doc_id"))).as("ck"),
+      sum(pmod(xxhash64(col("doc_id"), lit(19L)), lit(1L << 40))).as("cs"))
+      .collect()(0)
+    if (st.getLong(0) == 0) return
+    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
+    val bdir = new Path(s"$base/ledger/$tag")
+    val f = fsOf(spark, bdir)
+    if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
+    f.delete(bdir, true) // crashed partial: rebuild whole
+    ids.distinct().write.mode("overwrite").parquet(new Path(bdir, "ids").toString)
+    f.create(new Path(bdir, CommitMarker), true).close(); ()
+  }
+
+  private[graft] def runDocRetract(spark: SparkSession, base: String,
+                                   checkpoint: String): StreamingQuery = {
+    val q = spark.readStream.schema(retractIdSchema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(docRetractBatch(spark, base) _)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Stage one takedown wave (the [[St19RetractDigit]] slice, %3
+    * split — st13's coprime wave split and mtime-forced order). */
+  private[graft] def stageDocRetractWave(spark: SparkSession, dir: String,
+                                         base: String, wave: Int): Unit = {
+    val part = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === St19RetractDigit)
+      .filter(if (wave == 0) col("doc_id") % 3 === 0 else col("doc_id") % 3 =!= 0)
+    val scratch = s"$base/w$wave"
+    part.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val f = fsOf(spark, new Path(scratch))
+    val src = f.listStatus(new Path(scratch)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new Path(s"$base/in/wave$wave.parquet")
+    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
+    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+  }
+
+  /** The union of every committed takedown wave's ids. */
+  private[graft] def retiredFromLedger(spark: SparkSession,
+                                       base: String): DataFrame = {
+    val dirs = committedBatches(spark, base).map(p => new Path(p, "ids").toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), retractIdSchema)
+    else spark.read.schema(retractIdSchema).parquet(dirs: _*).distinct()
+  }
+
+  /** The ST19 gate entry — streaming RETRACT for the candidate-pair
+    * graph, closing the third tier's stream pair (st13 arrive / THIS
+    * retract; the kNN graph has st15/st16, the IVF index st17/st18):
+    * takedown id waves land as a file stream with a REAL restart
+    * between them, each committing only its id set to the
+    * content-keyed ledger; the serve folds the committed union
+    * through e14's incremental retraction kernel over the persisted
+    * pairs/labels artifacts (untouched clusters pass through
+    * verbatim, only clusters holding a retired doc re-converge over
+    * their surviving pairs). Oracle = d7's closure chain over the
+    * pair table with slice-endpoint rows removed — stream-fold ≡
+    * rebuild-without-retired, e14's law under streaming intake. */
+  def st19PairRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st19", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    f.mkdirs(new Path(s"$base/in"))
+    stageDocRetractWave(spark, dir, base, 0)
+    runDocRetract(spark, base, s"$base/cp").stop()
+    stageDocRetractWave(spark, dir, base, 1)
+    runDocRetract(spark, base, s"$base/cp").stop()
+    Pipeline.retractFromGraph(
+      Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
+      Pipeline.labelsArtifact(spark, dir),
+      retiredFromLedger(spark, base))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st13_graph_maintain" -> (st13GraphMaintain _),
-        "st14_ledger_compact" -> (st14LedgerCompact _))
+        "st14_ledger_compact" -> (st14LedgerCompact _),
+        "st19_pair_retract" -> (st19PairRetract _))
 
   // the maintained graph's labeling must equal the full rebuild —
-  // e13's law held across micro-batches and a restart (st13), and
-  // additionally across two ledger compactions (st14)
+  // e13's law held across micro-batches and a restart (st13),
+  // additionally across two ledger compactions (st14), and the
+  // retraction's stream-fold must equal rebuild-without-retired (st19)
   val oracles: Map[String, String] =
     Map("st13_graph_maintain" -> Dedup.d7ComponentsOracleSql,
-        "st14_ledger_compact" -> Dedup.d7ComponentsOracleSql)
+        "st14_ledger_compact" -> Dedup.d7ComponentsOracleSql,
+        "st19_pair_retract" -> Dedup.d7RetractSliceOracleSql(St19RetractDigit))
 }

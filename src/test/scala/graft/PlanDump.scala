@@ -75,7 +75,8 @@ object PlanDump {
     "t31_tokenizer_health" -> "tokenizer fertility health: two (source, word) corpus censuses joined against BOTH persisted vocabulary-sized encoded-word tables (frozen + current generations) — no learn, no fold, no corpus re-tokenize on the serve path",
     "e20_tokenizer_cutover" -> "drift-gated tokenizer cutover: the decision is a |sources|-row local relation (t31's census chain runs ONCE); the served fertility is one delta census against the post-verb frozen encoded table — promotion itself is per-layer renames",
     "st17_index_ingest" -> "streamed IVF ingest SERVED: the partition-pruned query plan with the generation-ledger overlay (max-gen per id over the committed waves) — wave coding never rewrites a list",
-    "st18_index_retract" -> "streamed IVF retract SERVED: the partition-pruned query plan with the materialized tombstone set anti-joined broadcast — no compaction on the serve path")
+    "st18_index_retract" -> "streamed IVF retract SERVED: the partition-pruned query plan with the materialized tombstone set anti-joined broadcast — no compaction on the serve path",
+    "st19_pair_retract" -> "streamed pair-graph retract SERVED: e14's incremental retraction kernel over the persisted pairs/labels artifacts — untouched clusters pass through (anti-join on the affected-member set), only the affected subgraph re-converges")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)

@@ -563,6 +563,40 @@ class Round14Spec extends AnyFunSuite {
     val again = rows(Similarity.queryIvfPqIndex(spark, dir, s"$base/idx"))
     assert(again === first, "replayed ledger must serve the identical answers")
   }
+
+  test("st19: streamed pair-graph retract equals the batch incremental " +
+    "retraction, genuinely removes graph members, and a fresh-checkpoint " +
+    "re-delivery commits nothing new") {
+    import graft.streaming.DocumentsStream
+    val first = DocumentsStream.st19PairRetract(spark, dir).collect()
+    assert(first.nonEmpty)
+    // stream-fold == the batch incremental retraction over the same slice
+    val sliceIds = Pipeline.labelsArtifact(spark, dir)
+      .filter(col("node") % 10 === DocumentsStream.St19RetractDigit)
+      .select(col("node").as("doc_id")).distinct()
+    assert(sliceIds.count() > 0, "the takedown slice must hit live graph members")
+    val batch = Pipeline.retractFromGraph(
+      Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
+      Pipeline.labelsArtifact(spark, dir),
+      graft.Tables.documents(spark, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === DocumentsStream.St19RetractDigit))
+      .collect()
+    assert(first.map(_.toString).toSet === batch.map(_.toString).toSet,
+      "stream-folded retraction must equal the batch kernel")
+    // the retraction is real: no retired id survives, and the labeling
+    // genuinely changed vs the live artifact
+    assert(!first.exists(_.getAs[Long]("doc_id") % 10 ==
+      DocumentsStream.St19RetractDigit), "no retired doc may keep a label")
+    val live = Pipeline.labelsArtifact(spark, dir).count()
+    assert(first.length < live, "the retraction must shrink the labeling")
+    // fresh-checkpoint re-delivery: content-keyed skip
+    val base = ArtifactRoots.tagged("graft_st19", dir)
+    val n0 = DocumentsStream.committedBatches(spark, base).size
+    assert(n0 === 2, s"two committed takedown waves expected, saw $n0")
+    DocumentsStream.runDocRetract(spark, base, s"$base/cp_fresh").stop()
+    assert(DocumentsStream.committedBatches(spark, base).size === n0,
+      "re-delivered waves must not commit new ledger dirs")
+  }
 }
 
 /** Shared seam access (keeps the test bodies terse). */
