@@ -118,7 +118,22 @@ object Bench {
     //   only 0.9144, so probes dominate) — wider round-1 candidates.
     //   @v3 (r12): s20 runs a SECOND NN-Descent round (the recall
     //   curve's next point); its @v2 floor predates that contract.
-    val workVersion: Map[String, Int] = Map("s20_knn_graph" -> 4)
+    //   IVF lifecycle rows @v2 (r15): the drifted substrate (base
+    //   build + frozen append) moved into a shared once-per-corpus-
+    //   version artifact — these rows now pay clone+verb+serve (or
+    //   serve alone for the read-only s17/s19), not a full rebuild;
+    //   their pre-substrate floors measured the old contract. The
+    //   answers are pinned unchanged (clone ≡ build, Round15Spec).
+    val workVersion: Map[String, Int] = Map(
+      "s20_knn_graph" -> 4,
+      "s17_hybrid_indexed" -> 2,
+      "s18_index_delete" -> 2,
+      "s19_radius_search" -> 2,
+      "s21_index_update" -> 2,
+      "s23_deferred_update" -> 2,
+      "s30_index_cutover" -> 2,
+      "st17_index_ingest" -> 2,
+      "st18_index_retract" -> 2)
     def floorKey(name: String): String =
       workVersion.get(name).map(v => s"$name@v$v").getOrElse(name)
     val dirName = new java.io.File(sfDir).getName

@@ -100,9 +100,13 @@ object Similarity {
 
   /** The drifted (base-trained, frozen-append) index's standard
     * answers PERSISTED (`appended_q`) — the appended side of the
-    * s14/s30 grades; builder = s13's lifecycle chain. */
+    * s14/s30 grades; builder = the standard query set over the
+    * shared drifted substrate (content-identical to s13's lifecycle
+    * chain — clone ≡ build, Round15Spec — without re-paying s13's
+    * per-invocation tree). */
   private[graft] def appendedAnswers(spark: SparkSession, dir: String): DataFrame =
-    ensureIvfq(spark, dir, "appended_q")(s13PersistedIvfPq(spark, dir))
+    ensureIvfq(spark, dir, "appended_q")(
+      queryIvfPqIndex(spark, dir, driftedSubstrate(spark, dir)))
 
   /** The fully-retrained index's standard answers PERSISTED
     * (`retrained_q`) — the retrained side of the s14/s30 grades;
@@ -233,9 +237,9 @@ object Similarity {
     * into the identical tail — the production migration path when the
     * corpus outgrows brute force, under the same hash gate. */
   def s17HybridIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val idxDir = s13IdxDir(dir)
-    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
-    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    // read-only consumer: serve straight from the shared substrate
+    // (r15 — no per-invocation rebuild; clone not even needed)
+    val idxDir = driftedSubstrate(spark, dir)
     val dense = queryIvfPqIndex(spark, dir, idxDir, HybridDepth)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("d_rank"))
@@ -1122,6 +1126,87 @@ object Similarity {
     buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
     appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
     queryIvfPqIndex(spark, dir, idxDir)
+  }
+
+  // ---------------------------------------------------------------
+  // The SHARED IVF SUBSTRATE (r15): every lifecycle gate entry used
+  // to rebuild the same drifted index (base-trained model + frozen-
+  // coded append) inside its own scratch root per invocation —
+  // ~52s/round of repeated derivation of a pure function of the
+  // corpus. The substrate is that index built ONCE per corpus
+  // version behind a completion marker (the artifact ensure
+  // discipline at tree granularity — s30's verb-marker precedent);
+  // read-only entries (s17 hybrid, s19 radius) serve straight from
+  // it, and every MUTATING verb entry (s18 delete, s21 update, s23
+  // deferred, st17/st18 stream ingest/retract) CLONES it into its
+  // own root (s29's clone-to-scratch precedent) and runs only its
+  // verb — the substrate itself is never mutated. s13 (the build
+  // benchmark) and s22 (the retrain benchmark) still pay the full
+  // chain honestly on their own roots.
+  //
+  // Two tiers so training is paid once: `base` = base-trained model
+  // + base codes (st17's starting state); `full` = base cloned +
+  // the frozen-model append slice (everyone else's). Staleness is
+  // ArtifactRoots' corpus fingerprint (a regenerated corpus re-keys
+  // the root); a crash before the marker rebuilds from scratch on
+  // the next ensure (buildIvfPqIndex overwrites).
+  // ---------------------------------------------------------------
+
+  private val SubstrateMarker = "_GRAFT_SUBSTRATE_OK"
+
+  /** Clone a persisted index tree's three tables (model + codes)
+    * into `dstRoot`, clearing any previous occupant. The copy is
+    * driver-routed FileUtil bytes — gate-scale posture (the trees
+    * are MB-sized parquet at spec SFs; s29/e19's precedent); at
+    * 100 TB the clone is a distcp-style parallel copy, or the verb
+    * runs directly on the serving root under operator exclusivity
+    * (the production posture the s30/e18 entries document). Sidecar
+    * state (markers, heartbeats, deletes/codes_gen ledgers) is NOT
+    * copied — a clone starts as a clean, sealed generation. */
+  private[graft] def cloneIndexTree(spark: SparkSession, srcRoot: String,
+                                    dstRoot: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(dstRoot)
+    val fs = FileSystem.get(dst.toUri, conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.mkdirs(dst)
+    Seq("coarse_centroids", "pq_codebooks", "codes").foreach { t =>
+      val s = new Path(s"$srcRoot/$t")
+      val sfs = FileSystem.get(s.toUri, conf)
+      if (!org.apache.hadoop.fs.FileUtil.copy(sfs, s, fs, new Path(dst, t),
+          false, conf))
+        throw new java.io.IOException(s"substrate clone failed: $s -> $dstRoot/$t")
+    }
+  }
+
+  /** The BASE substrate: model trained on the ~90% base slice, base
+    * slice coded — the state a streaming ingest starts from. */
+  private[graft] def baseSubstrate(spark: SparkSession, dir: String): String = {
+    val root = servedIdxDir("graft_ivfsub_base", dir)
+    val done = new Path(s"$root/$SubstrateMarker")
+    val fs = FileSystem.get(done.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      buildIvfPqIndex(spark, dir, root, s13BasePred, s13BasePred)
+      fs.create(done, true).close()
+    }
+    root
+  }
+
+  /** The DRIFTED substrate: the base substrate plus the held-out
+    * slice coded against the frozen model — s13's post-lifecycle
+    * state, the starting point of every delete/update/retract verb
+    * and of the s14/s30 drift measurements. Built by cloning base
+    * (training paid once across both tiers) and appending. */
+  private[graft] def driftedSubstrate(spark: SparkSession, dir: String): String = {
+    val root = servedIdxDir("graft_ivfsub_full", dir)
+    val done = new Path(s"$root/$SubstrateMarker")
+    val fs = FileSystem.get(done.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      cloneIndexTree(spark, baseSubstrate(spark, dir), root)
+      appendIvfPqIndex(spark, dir, root, !s13BasePred)
+      fs.create(done, true).close()
+    }
+    root
   }
 
   /** S20 — approximate kNN-GRAPH construction: every vector's top-k
@@ -2081,9 +2166,9 @@ object Similarity {
     * the pair list itself stays distributed for callers that want
     * it. */
   def s19RadiusSearch(spark: SparkSession, dir: String): DataFrame = {
-    val idxDir = s13IdxDir(dir)
-    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
-    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    // read-only consumer: serve straight from the shared substrate
+    // (r15 — no per-invocation rebuild; clone not even needed)
+    val idxDir = driftedSubstrate(spark, dir)
     val cand = ivfPqCandidateDistances(spark, dir, idxDir).cache()
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2_fp"), col("vec_id"))
     // coalesce/greatest: an empty candidate frame (every probed list
@@ -2301,10 +2386,10 @@ object Similarity {
     * the tombstone table is empty after compaction. */
   def s18IndexDelete(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = s18IdxDir(dir)
-    // buildIvfPqIndex seals the generation: stale tombstones and
-    // compaction scratch from a crashed prior run are cleared there
-    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
-    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    // clone the shared drifted substrate (r15) — the clone clears the
+    // previous occupant wholesale, so stale tombstones and compaction
+    // scratch from a crashed prior run are gone with it
+    cloneIndexTree(spark, driftedSubstrate(spark, dir), idxDir)
     deleteFromIvfPqIndex(spark,
       Tables.embeddings(spark, dir).filter(s18DeletePred), idxDir)
     compactIvfPqDeletes(spark, idxDir)
@@ -2504,9 +2589,9 @@ object Similarity {
     * models. */
   def s21IndexUpdate(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = s21IdxDir(dir)
-    // buildIvfPqIndex seals the generation (clears stale tombstones)
-    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
-    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    // clone the shared drifted substrate (r15); the clone is a clean
+    // sealed generation, so no stale-tombstone hazard
+    cloneIndexTree(spark, driftedSubstrate(spark, dir), idxDir)
     updateIvfPqIndex(spark, s21NewEmbeddings(spark, dir), idxDir)
     queryIvfPqIndex(spark, dir, idxDir)
   }
@@ -2689,8 +2774,10 @@ object Similarity {
     val donep = new Path(s"$idxDir/_GRAFT_S30_VERB")
     val fs = FileSystem.get(donep.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(donep)) {
-      buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
-      appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+      // the drifted starting state comes from the shared substrate
+      // (r15): clone, don't rebuild — the clone also clears any
+      // crashed prior occupant of this root wholesale
+      cloneIndexTree(spark, driftedSubstrate(spark, dir), idxDir)
       if (fired) retrainIvfPqIndex(spark, dir, idxDir)
       fs.create(donep, true).close()
     }
@@ -2724,9 +2811,9 @@ object Similarity {
     * under frozen models, s21's law read at ledger-serve time. */
   def s23DeferredUpdate(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = s23IdxDir(dir)
-    // buildIvfPqIndex seals the generation (clears a stale ledger too)
-    buildIvfPqIndex(spark, dir, idxDir, s13BasePred, s13BasePred)
-    appendIvfPqIndex(spark, dir, idxDir, !s13BasePred)
+    // clone the shared drifted substrate (r15); the clone is a clean
+    // sealed generation, so no stale-ledger hazard
+    cloneIndexTree(spark, driftedSubstrate(spark, dir), idxDir)
     deferUpdateIvfPqIndex(spark, s21NewEmbeddings(spark, dir), idxDir)
     deferUpdateIvfPqIndex(spark,
       Tables.embeddings(spark, dir).filter(col("vec_id") % 20 === S23TwiceDigit),

@@ -294,8 +294,6 @@ object EmbeddingsStream {
   // VERBATIM (stream-fold ≡ the batch lifecycle verb).
   // -----------------------------------------------------------------
 
-  private def s13BaseCol = col("vec_id") % 10 =!= Similarity.S13AppendDigit
-
   /** One vector-arrival micro-batch at the IVF tier: content-keyed
     * marker gate (st15's — re-delivery commits NOTHING), then the
     * wave lands through [[Similarity.deferUpdateIvfPqIndex]]. The
@@ -344,7 +342,9 @@ object EmbeddingsStream {
     if (f.exists(bp)) f.delete(bp, true)
     f.mkdirs(new Path(s"$base/in"))
     val idxDir = s"$base/idx"
-    Similarity.buildIvfPqIndex(spark, dir, idxDir, s13BaseCol, s13BaseCol)
+    // the base-only starting state comes from the shared substrate
+    // (r15): clone, don't rebuild per invocation
+    Similarity.cloneIndexTree(spark, Similarity.baseSubstrate(spark, dir), idxDir)
     stageWave(spark, dir, base, 0)
     runIngest(spark, dir, base, idxDir, s"$base/cp").stop()
     stageWave(spark, dir, base, 1)
@@ -369,8 +369,9 @@ object EmbeddingsStream {
     if (f.exists(bp)) f.delete(bp, true)
     f.mkdirs(new Path(s"$base/in"))
     val idxDir = s"$base/idx"
-    Similarity.buildIvfPqIndex(spark, dir, idxDir, s13BaseCol, s13BaseCol)
-    Similarity.appendIvfPqIndex(spark, dir, idxDir, !s13BaseCol)
+    // the drifted (base build + frozen append) starting state comes
+    // from the shared substrate (r15): clone, don't rebuild
+    Similarity.cloneIndexTree(spark, Similarity.driftedSubstrate(spark, dir), idxDir)
     stageRetractWave(spark, dir, base, 0)
     runRetract(spark, base, s"$base/cp").stop()
     stageRetractWave(spark, dir, base, 1)
