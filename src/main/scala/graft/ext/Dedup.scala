@@ -309,6 +309,14 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** From-scratch d4 pairs over an arbitrary document frame — the
+    * d22 spec twin's rebuild-with-current-text path (Round15Spec
+    * pins the incremental verb against CC over exactly this). */
+  private[graft] def d4PairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs).cache()
+    d4VerifiedPairs(sh, minhashSignatures(sh))
+  }
+
   private def d4VerifiedPairs(sh: DataFrame, mh: DataFrame): DataFrame = {
     val bands = bandsOf(mh)
     val cand = bands.as("a")
@@ -470,6 +478,101 @@ object Dedup {
     // both CC calls have materialized their own checkpoints by now;
     // the first run's labels can go
     CheckpointShim.unpersist(equiv)
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // D22 — document UPDATE at the pair/dedup tier (r15): the verb the
+  // two vector tiers already had (s21/s23 upsert, s28 graph update)
+  // and the pair graph did not. A re-edited document (same doc_id,
+  // new text) must LEAVE its old shingle buckets and pairs and
+  // RE-ENTER as an arrival, with affected clusters re-converging —
+  // update ≡ retract ∘ arrive, composed from the two existing
+  // kernels (e14's retractFromGraph, e13's arrivalCandidates) plus
+  // d11's fold law, all shared definitions. Nothing here is new
+  // machinery; the operator is the COMPOSITION, gate-hash-checked
+  // against rebuild-with-current-text every round.
+  //
+  // Scale shape: retraction is affected-cluster-mass-bounded (e14's
+  // bound); the arrival candidate join is batch-sized bands against
+  // the persisted signature state (e13's bound); verification scans
+  // an endpoint-bounded shingle view; the re-converge folds the
+  // retracted labeling as star edges (d11's bound — rounds scale
+  // with the NEW merge graph's diameter, state linear in docs).
+  // Nothing rebuilds corpus-sized state.
+  // ---------------------------------------------------------------
+
+  /** The edited slice for the d22 gate entry: doc_id % 10 = 7 (free
+    * of st19's retract digit 3 and e4's div-20 delta pattern, so the
+    * verbs stay independently observable). */
+  val D22EditDigit = 7
+  private def d22EditedOn(c: String): Column = col(c) % 10 === D22EditDigit
+
+  /** The deterministic re-edit stand-in (s21's reversed-vector
+    * discipline at the text tier): each edited doc's new text is the
+    * PRECEDING doc's original text — exactly expressible on both
+    * engines, and it guarantees the edited doc genuinely changes
+    * cluster membership (jaccard 1.0 with its predecessor). A doc
+    * with no predecessor keeps its text (the oracle's NULL guard). */
+  private[graft] def d22EditedBatch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.filter(d22EditedOn("doc_id")).select(col("doc_id"), col("text"))
+      .join(d.select((col("doc_id") + 1).as("doc_id"), col("text").as("_new")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_new"), col("text")).as("text"))
+  }
+
+  /** The post-edit CURRENT view of the corpus — the world the update
+    * must be indistinguishable from rebuilding against. */
+  private[graft] def d22CurrentDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.join(d22EditedBatch(spark, dir).select(col("doc_id"), col("text").as("_new")),
+        Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("_new"), col("text")))
+      .drop("_new")
+  }
+
+  /** D22 — the update verb: retract the edited docs from the pair
+    * graph (e14's kernel over the persisted pairs/labels artifacts —
+    * only clusters CONTAINING an edited doc re-converge), re-admit
+    * the batch with its new text through the arrival law (e13's
+    * candidate kernel against the survivor signature state ∪ the
+    * batch itself, exact-Jaccard verified over the post-edit shingle
+    * view), then fold the new pairs into the retracted labeling
+    * (d11's star-edge fold). Oracle = d7's closure chain over the d4
+    * pair table derived from the post-edit corpus view — update ≡
+    * rebuild-with-current-text, hash-checked every round; Round15Spec
+    * additionally pins the Spark-side equivalence and the
+    * changed-doc-moves / untouched-clusters-verbatim laws. */
+  def d22DocUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val edited = Tables.documents(spark, dir).filter(d22EditedOn("doc_id"))
+      .select(col("doc_id"))
+    // RETRACT: the edited docs leave their pairs; affected clusters
+    // re-converge over survivors, untouched labels pass through
+    val retracted = Pipeline.retractFromGraph(
+      Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
+      Pipeline.labelsArtifact(spark, dir), edited)
+    // ARRIVE: the batch re-enters with its new text — candidates are
+    // batch bands against the post-edit signature state (survivor
+    // signatures from the artifact ∪ the batch's fresh signatures)
+    val newSigs = minhashSignatures(shingleRows(d22EditedBatch(spark, dir)))
+    val survivorSigs = Pipeline.signaturesArtifact(spark, dir)
+      .filter(!d22EditedOn("doc_id"))
+    val cand = arrivalCandidates(newSigs, survivorSigs.unionByName(newSigs))
+      .cache() // consumed 3×: endpoint ids ×2, verify join
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sh = shingleRows(d22CurrentDocs(spark, dir))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val newPairs = verifyCandidates(sh, cand).select(col("a_id"), col("b_id"))
+    // FOLD: the retracted labeling collapses to star edges and the
+    // new pairs merge in — d11's fold ≡ rebuild law
+    val labelEdges = retracted
+      .select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+    val out = connectedComponents(labelEdges.unionByName(newPairs), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+    cand.unpersist() // CC is eager (checkpointed rounds): cand is consumed
     out
   }
 
@@ -1108,24 +1211,35 @@ object Dedup {
     "d9_containment"       -> (d9Containment _),
     "d10_snm_multipass"    -> (d10SnmMultipass _),
     "d11_incremental_cc"   -> (d11IncrementalCc _),
-    "d19_cc_bigstar"       -> (d19CcBigstar _))
+    "d19_cc_bigstar"       -> (d19CcBigstar _),
+    "d22_doc_update"       -> (d22DocUpdate _))
 
   private val H = StableHash // brevity in SQL builders below
 
-  private val shingleCte =
-    """words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+  /** The shingle CTE chain over a caller-named document view — the
+    * d22 update oracle swaps in the post-edit CURRENT view (s21's
+    * `embcur` discipline at the text tier); everyone else reads the
+    * base `documents` table via [[shingleCte]]. */
+  private def shingleCteFrom(docsTbl: String) =
+    s"""words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM $docsTbl),
        sh AS (SELECT DISTINCT doc_id, s FROM (
               SELECT doc_id, unnest(CASE WHEN len(w) >= 3
                 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                 ELSE [array_to_string(w, ' ')] END) AS s
               FROM words) u)"""
 
+  private val shingleCte = shingleCteFrom("documents")
+
   /** The d4 pipeline as SHARED CTE text — words→sh→sh0→mh→bands→cand→
     * sz→inter, ending at per-candidate intersection counts — so one
     * statement can read the SIGNATURE table from `mh` AND the verified
     * pairs from [[d4PairsSelect]] without paying the md5/minhash chain
     * twice (the e15 whole-DAG offboarding oracle does exactly that). */
-  private[ext] lazy val d4ChainCtes: String = {
+  private[ext] lazy val d4ChainCtes: String = d4ChainCtesFrom("documents")
+
+  /** [[d4ChainCtes]] over a caller-named document view (d22's
+    * post-edit corpus; the base chain is the "documents" instance). */
+  private[ext] def d4ChainCtesFrom(docsTbl: String): String = {
     val mhCols = (0 until NumHashes)
       .map(k => s"min((${minhashA(k)} * h0 + ${minhashB(k)}) % $MinhashP) AS mh$k")
       .mkString(",\n                ")
@@ -1135,7 +1249,7 @@ object Dedup {
         .mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString("\n           UNION ALL ")
-    s"""$shingleCte,
+    s"""${shingleCteFrom(docsTbl)},
          sh0 AS (SELECT doc_id, ${H.duckdbHash64("s")} % $MinhashP AS h0 FROM sh),
          mh AS (SELECT doc_id,
                 $mhCols
@@ -1508,7 +1622,21 @@ object Dedup {
     // transitive closure over the SAME pair list d4 produces (its full
     // SELECT nests as the `pairs` CTE body); component label = min
     // reachable doc_id, mirroring the label-propagation fixpoint
-    "d7_dedup_components" -> d7ComponentsOracleSql)
+    "d7_dedup_components" -> d7ComponentsOracleSql,
+    // d22: rebuild-with-current-text — d7's closure chain over the d4
+    // pair table derived from the POST-EDIT corpus view (the edited
+    // slice's text swapped for its predecessor's; NULL guard keeps a
+    // predecessor-less doc unchanged). The `doccur` CTE is the s21
+    // `embcur` discipline at the text tier.
+    "d22_doc_update" ->
+      s"""WITH RECURSIVE doccur AS (
+           SELECT d.doc_id,
+                  CASE WHEN d.doc_id % 10 = $D22EditDigit AND s.text IS NOT NULL
+                       THEN s.text ELSE d.text END AS text
+           FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id - 1),
+         ${d4ChainCtesFrom("doccur")},
+         ${d7LabelCtesFrom(d4PairsSelect)}
+         SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""")
 
   /** Transitive-closure labeling CTEs (ends with `labels` =
     * (doc_id, cluster_id)) over a caller-supplied pairs SELECT — one

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.Similarity
+import graft.ext.{Dedup, Pipeline, Similarity}
 
 /** Round-15 pins — the shared-IVF-substrate refactor (VERDICT r14
   * item 1) and the round's structural additions:
@@ -75,5 +75,65 @@ class Round15Spec extends AnyFunSuite {
       rows(Similarity.queryIvfPqIndex(spark, dir, sub)),
       "a clone must serve bit-for-bit like its source tree")
     fs.delete(new Path(clone), true)
+  }
+
+  // ---------- 2. d22 — document UPDATE at the pair tier ----------
+
+  test("d22: incremental update (retract ∘ arrive ∘ fold) equals the " +
+    "rebuild-with-current-text labeling exactly") {
+    val updated = rows(Dedup.d22DocUpdate(spark, dir))
+    val rebuilt = rows(
+      Dedup.connectedComponents(
+        Dedup.d4PairsOf(Dedup.d22CurrentDocs(spark, dir))
+          .select(col("a_id"), col("b_id")), "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id")))
+    assert(updated.nonEmpty, "the post-update labeling must be non-empty")
+    assert(updated === rebuilt,
+      "incremental update must equal rebuild over the post-edit corpus")
+  }
+
+  test("d22: an edited doc joins its predecessor's cluster, the edited " +
+    "slice genuinely moves, and untouched clusters serve verbatim") {
+    val upd = Dedup.d22DocUpdate(spark, dir).cache()
+    val old = Pipeline.labelsArtifact(spark, dir)
+      .select(col("node").as("doc_id"), col("cluster_id")).cache()
+    // joins the new cluster: each edited doc's text IS its
+    // predecessor's, so (d-1, d) must share a cluster for every edited
+    // doc that appears in the labeling at all
+    val together = upd.as("a").join(upd.as("b"),
+        col("a.doc_id") === col("b.doc_id") + 1 &&
+        col("a.doc_id") % 10 === Dedup.D22EditDigit &&
+        col("a.cluster_id") === col("b.cluster_id"))
+      .count()
+    assert(together > 0,
+      "at least one edited doc must share a cluster with its predecessor")
+    // the labeling genuinely changed
+    assert(rows(upd) !== rows(old.orderBy(col("doc_id"))),
+      "the update must change the labeling (else the pin is vacuous)")
+    // untouched clusters verbatim: docs whose OLD cluster contains no
+    // edited doc and none of whose members touches a new (edited-
+    // endpoint) pair keep their exact labels
+    val editedPred = col("doc_id") % 10 === Dedup.D22EditDigit
+    val newPairs = Dedup.d4PairsOf(Dedup.d22CurrentDocs(spark, dir))
+      .filter(col("a_id") % 10 === Dedup.D22EditDigit ||
+              col("b_id") % 10 === Dedup.D22EditDigit)
+    val touchedDocs = newPairs.select(col("a_id").as("doc_id"))
+      .union(newPairs.select(col("b_id").as("doc_id")))
+      .union(old.filter(editedPred).select(col("doc_id")))
+      .distinct()
+    val touchedClusters = old.join(touchedDocs, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val untouched = old.join(touchedClusters, Seq("cluster_id"), "left_anti")
+    val mismatched = untouched.as("u")
+      .join(upd.as("n"), Seq("doc_id"), "left")
+      .filter(col("u.cluster_id") =!= col("n.cluster_id") ||
+        col("n.cluster_id").isNull)
+      .count()
+    assert(untouched.count() > 0,
+      "the corpus must have untouched clusters (else the pin is vacuous)")
+    assert(mismatched === 0L,
+      "untouched clusters' labels must pass through verbatim")
+    upd.unpersist(); old.unpersist()
   }
 }
