@@ -371,6 +371,55 @@ object Pipeline {
         col("s1"), col("s2"), col("s3"), col("s4"), col("s5"), col("rate_ppm"))
   }
 
+  /** Per-WAVE docflags under the persisted model tables — st20's
+    * micro-batch kernel: the [[docFlagsDerived]] chain restricted to
+    * an arrived wave of document rows. Every stage is per-doc given
+    * the persisted global tables (labels artifact for s1 canonicality,
+    * dsir_perdoc/dsir_cut for s4, the rate table for s5; s2 is
+    * row-local and s3 joins the stationary eval-gram set — eval docs
+    * never arrive as training candidates by definition), so the union
+    * over waves equals the batch delta slice VERBATIM — the
+    * stream-fold ≡ batch-refresh law st20's gate pins (expressions
+    * copied stage-for-stage from docFlagsDerived/funnelFrame;
+    * Round15Spec pins frame equality so they cannot drift).
+    *
+    * Scale: the wave side is micro-batch-sized; drops/perDoc joins
+    * broadcast the wave against the persisted tables; the eval-gram
+    * set is tiny and broadcast (t10's argument); model tables are the
+    * same bounded broadcasts as e2. Nothing corpus-sized recomputes
+    * per wave. */
+  private[graft] def docFlagsForWave(spark: SparkSession, dir: String,
+                                     wave: DataFrame): DataFrame = {
+    val w = wave.filter(!TextAnalysis.isEvalDoc)
+      .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("_w"))
+    val drops = dropsOf(labelsArtifact(spark, dir)).withColumn("dup", lit(1L))
+    val total = greatest(size(Dedup.shinglesOf(col("_w"))), lit(1))
+    val dupFrac = (total - size(array_distinct(Dedup.shinglesOf(col("_w")))))
+      .cast("double") / total.cast("double")
+    val evalDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("_w"))
+    val contaminated = w.select(col("doc_id"), TextAnalysis.decontamGrams)
+      .join(broadcast(TextAnalysis.evalGramsOf(evalDocs)), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("contam", lit(1L))
+    val perDoc = dsirPerDocArtifact(spark, dir).select(col("doc_id"), col("logw"))
+    val cut = dsirCutArtifact(spark, dir)
+    val rates = TextAnalysis.mixRates(spark, dir)
+    w.join(drops, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("n_tok", size(col("_w")).cast("long"))
+      .withColumn("s1", col("dup").isNull)
+      .withColumn("s2", col("s1") && dupFrac <= TextAnalysis.RepetitionThreshold)
+      .withColumn("s3", col("s2") && col("contam").isNull)
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cut))
+      .withColumn("s4", col("s3") &&
+        (col("source") === TextAnalysis.DsirTarget || col("logw") > col("cut")))
+      .join(broadcast(rates), Seq("source"), "left")
+      .withColumn("s5", col("s4") && TextAnalysis.mixKeepHash < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("s1"), col("s2"), col("s3"), col("s4"), col("s5"), col("rate_ppm"))
+  }
+
   /** E2 — the pipeline COMPLETED: e1's clean set → t21 DSIR
     * selection → t16 temperature mixing, per-source funnel with the
     * final token mass a training run actually consumes. Served from
@@ -839,9 +888,15 @@ object Pipeline {
   /** Build both epochs of the epoch-partitioned bins tree (marker-
     * gated via ensureArtifact, idempotent) and return the combined
     * frame. */
-  private[graft] def e10Bins(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureArtifact(spark, dir, "bins_epochs/epoch=0", Seq("shard"))(
+  /** The BASE (epoch-0) packing alone, marker-gated — factored so
+    * st20's streaming arrival appends its committed wave union above
+    * the same base watermark e10's batch refresh uses. */
+  private[graft] def e10BaseBins(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "bins_epochs/epoch=0", Seq("shard"))(
       binsFrom(docFlagsArtifact(spark, dir).filter(!e4DeltaPred)))
+
+  private[graft] def e10Bins(spark: SparkSession, dir: String): DataFrame = {
+    val base = e10BaseBins(spark, dir)
     ensureArtifact(spark, dir, "bins_epochs/epoch=1", Seq("shard"))(
       appendEpochBins(docFlagsArtifact(spark, dir).filter(e4DeltaPred), base))
     spark.read.parquet(e10Root(dir))
@@ -855,8 +910,13 @@ object Pipeline {
     * COMBINED bin order (offsets make epoch-1 bin ids disjoint, so the
     * combined order is well-defined and a resume after the refresh
     * verifies against THIS manifest). */
-  def e10ArtifactRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val bins = e10Bins(spark, dir)
+  def e10ArtifactRefresh(spark: SparkSession, dir: String): DataFrame =
+    e10Report(e10Bins(spark, dir))
+
+  /** The refresh census over an arbitrary epoch'd bins frame —
+    * factored so st20's streaming serve emits the identical report
+    * shape over (persisted epoch-0 ∪ ledger-appended epoch-1). */
+  private[graft] def e10Report(bins: DataFrame): DataFrame = {
     val perEpoch = bins.groupBy(col("shard"))
       .agg(sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("n_bins_base"),
            sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("n_bins_new"))

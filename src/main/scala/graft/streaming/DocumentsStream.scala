@@ -55,11 +55,11 @@ object DocumentsStream {
       .parquet(inDir)
 
   /** Written LAST into a ledger batch dir: its presence is the
-    * batch's commit. (Parquet's own _SUCCESS is per-table; the batch
-    * writes TWO tables, so completeness needs one marker after both
-    * — the per-batch commit rule, not a root marker vouching for
-    * later batches.) */
-  private val CommitMarker = "_GRAFT_COMMIT"
+    * batch's commit. (Parquet's own _SUCCESS is per-table; a batch
+    * may write TWO tables, so completeness needs one marker after
+    * both — the per-batch commit rule, not a root marker vouching
+    * for later batches.) ONE shared protocol, [[WaveLedger]]. */
+  private val CommitMarker = WaveLedger.CommitMarker
 
   private val pairsSchema = StructType(Seq(
     StructField("a_id", LongType), StructField("b_id", LongType),
@@ -70,14 +70,8 @@ object DocumentsStream {
 
   /** Committed (marker-present) ledger batch dirs, name-ordered so
     * every reader sees one deterministic sequence. */
-  private[graft] def committedBatches(spark: SparkSession, base: String): Seq[Path] = {
-    val ledger = new Path(s"$base/ledger")
-    val f = fsOf(spark, ledger)
-    if (!f.exists(ledger)) Seq.empty
-    else f.listStatus(ledger).toSeq.map(_.getPath)
-      .filter(p => f.exists(new Path(p, CommitMarker)))
-      .sortBy(_.getName)
-  }
+  private[graft] def committedBatches(spark: SparkSession, base: String): Seq[Path] =
+    WaveLedger.committedBatches(spark, base)
 
   // ---------------------------------------------------------------
   // Ledger COMPACTION — the fold verb: without it the ledger
@@ -220,56 +214,46 @@ object DocumentsStream {
     * folded-equivalent: recognizing the text-blind legacy key would
     * reintroduce exactly the edited-wave aliasing the sum term fixed. */
   private[graft] def maintainBatch(spark: SparkSession, dir: String, base: String)
-                                  (batch: DataFrame, batchId: Long): Unit = {
-    val st = batch.agg(count(lit(1)).as("n"),
-      bit_xor(xxhash64(col("doc_id"), col("text"))).as("ck"),
-      sum(pmod(xxhash64(col("text"), col("doc_id")), lit(1L << 40))).as("cs"))
-      .collect()(0)
-    if (st.getLong(0) == 0) return // an empty wave contributes nothing
-    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
-    val bdir = new Path(s"$base/ledger/$tag")
-    val f = fsOf(spark, bdir)
-    if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
-    val led = ledgerState(spark, base)
-    if (led.folded(tag)) return // replay of a COMPACTED wave: its dir
-    // is gone but the folded set still vouches for it — skip without
-    // re-deriving a pair
-    f.delete(bdir, true)
-    // arrived = base + committed earlier waves + this wave. Earlier
-    // waves are read from the ledger (the latest compacted generation
-    // plus the live tail — committed before this batch ran,
-    // foreachBatch is sequential), the base from the persisted
-    // signatures artifact; neither is re-derived.
-    val priorDirs = led.dirs("sigs")
-    val sigsB = Dedup.minhashSignatures(Dedup.shingleRows(batch))
-      .cache() // consumed by the ledger write, the band join, and `arrived`
-    var cand: DataFrame = null
-    var sh: DataFrame = null
-    try {
-      val baseSigs = Pipeline.signaturesArtifact(spark, dir)
-        .filter(!Pipeline.e4DeltaPredOn("doc_id"))
-      val prior =
-        if (priorDirs.isEmpty) baseSigs
-        else baseSigs.unionByName(spark.read.parquet(priorDirs: _*))
-      val arrived = prior.unionByName(sigsB)
-      cand = Dedup.arrivalCandidates(sigsB, arrived)
-        .cache() // endpoint ids ×2 + verify joins ×2 (e13's policy)
-      sh = Pipeline.e13VerifyShingles(spark, dir, cand).cache()
-      sigsB.write.mode("overwrite").parquet(new Path(bdir, "sigs").toString)
-      Dedup.verifyCandidates(sh, cand)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
-        .write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
-      // marker LAST: a crash anywhere above leaves an uncommitted dir
-      // that the wave's re-delivery deletes and rebuilds
-      f.create(new Path(bdir, CommitMarker), true).close()
-    } finally {
-      // release on failure too — a dying query must not strand cached
-      // frames in the long-lived session across its restart
-      sigsB.unpersist(false)
-      if (cand != null) cand.unpersist(false)
-      if (sh != null) sh.unpersist(false)
+                                  (batch: DataFrame, batchId: Long): Unit =
+    // the folded-tag set vouches for waves whose dirs a compaction
+    // cleared — their re-delivery must skip without re-deriving a pair
+    WaveLedger.waveCommit(spark, base, batch,
+      xxhash64(col("doc_id"), col("text")),
+      xxhash64(col("text"), col("doc_id")),
+      alsoCommitted = tag => ledgerState(spark, base).folded(tag)) { bdir =>
+      // arrived = base + committed earlier waves + this wave. Earlier
+      // waves are read from the ledger (the latest compacted generation
+      // plus the live tail — committed before this batch ran,
+      // foreachBatch is sequential), the base from the persisted
+      // signatures artifact; neither is re-derived.
+      val priorDirs = ledgerState(spark, base).dirs("sigs")
+      val sigsB = Dedup.minhashSignatures(Dedup.shingleRows(batch))
+        .cache() // consumed by the ledger write, the band join, and `arrived`
+      var cand: DataFrame = null
+      var sh: DataFrame = null
+      try {
+        val baseSigs = Pipeline.signaturesArtifact(spark, dir)
+          .filter(!Pipeline.e4DeltaPredOn("doc_id"))
+        val prior =
+          if (priorDirs.isEmpty) baseSigs
+          else baseSigs.unionByName(spark.read.parquet(priorDirs: _*))
+        val arrived = prior.unionByName(sigsB)
+        cand = Dedup.arrivalCandidates(sigsB, arrived)
+          .cache() // endpoint ids ×2 + verify joins ×2 (e13's policy)
+        sh = Pipeline.e13VerifyShingles(spark, dir, cand).cache()
+        sigsB.write.mode("overwrite").parquet(new Path(bdir, "sigs").toString)
+        Dedup.verifyCandidates(sh, cand)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
+        // WaveLedger writes the marker LAST, after this body returns
+      } finally {
+        // release on failure too — a dying query must not strand cached
+        // frames in the long-lived session across its restart
+        sigsB.unpersist(false)
+        if (cand != null) cand.unpersist(false)
+        if (sh != null) sh.unpersist(false)
+      }
     }
-  }
 
   /** The converged labeling: d11's fold (ONE definition,
     * Dedup.incrementalFold) over the base pair graph + the arrived
@@ -390,18 +374,11 @@ object DocumentsStream {
   private[graft] def docRetractBatch(spark: SparkSession, base: String)
                                     (batch: DataFrame, batchId: Long): Unit = {
     val ids = batch.select(col("doc_id"))
-    val st = ids.agg(count(lit(1)).as("n"),
-      bit_xor(xxhash64(col("doc_id"))).as("ck"),
-      sum(pmod(xxhash64(col("doc_id"), lit(19L)), lit(1L << 40))).as("cs"))
-      .collect()(0)
-    if (st.getLong(0) == 0) return
-    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
-    val bdir = new Path(s"$base/ledger/$tag")
-    val f = fsOf(spark, bdir)
-    if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
-    f.delete(bdir, true) // crashed partial: rebuild whole
-    ids.distinct().write.mode("overwrite").parquet(new Path(bdir, "ids").toString)
-    f.create(new Path(bdir, CommitMarker), true).close(); ()
+    WaveLedger.waveCommit(spark, base, ids,
+      xxhash64(col("doc_id")), xxhash64(col("doc_id"), lit(19L))) { bdir =>
+      ids.distinct().write.mode("overwrite")
+        .parquet(new Path(bdir, "ids").toString)
+    }
   }
 
   private[graft] def runDocRetract(spark: SparkSession, base: String,
@@ -471,10 +448,94 @@ object DocumentsStream {
       .orderBy(col("doc_id"))
   }
 
+  // ------------- ST20: streaming bins-tier arrival -------------
+
+  private val flagsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source",
+      org.apache.spark.sql.types.StringType), StructField("n_tok", LongType),
+    StructField("s1", org.apache.spark.sql.types.BooleanType),
+    StructField("s2", org.apache.spark.sql.types.BooleanType),
+    StructField("s3", org.apache.spark.sql.types.BooleanType),
+    StructField("s4", org.apache.spark.sql.types.BooleanType),
+    StructField("s5", org.apache.spark.sql.types.BooleanType),
+    StructField("rate_ppm", LongType)))
+
+  /** One arrival micro-batch at the BINS tier: content-keyed marker
+    * gate (st13's — text folded into the key, so a re-edited wave
+    * under unchanged ids keys differently), then the wave's docflags
+    * are derived through the persisted-model funnel
+    * ([[Pipeline.docFlagsForWave]] — every stage per-doc given the
+    * persisted global tables) and committed as the wave's `flags`
+    * table. */
+  private[graft] def flagsBatch(spark: SparkSession, dir: String, base: String)
+                               (batch: DataFrame, batchId: Long): Unit =
+    WaveLedger.waveCommit(spark, base, batch,
+      xxhash64(col("doc_id"), col("text")),
+      xxhash64(col("text"), col("doc_id"))) { bdir =>
+      Pipeline.docFlagsForWave(spark, dir, batch)
+        .write.mode("overwrite").parquet(new Path(bdir, "flags").toString)
+    }
+
+  private[graft] def runFlags(spark: SparkSession, dir: String, base: String,
+                              checkpoint: String): StreamingQuery = {
+    val q = readDocumentsStream(spark, dir, s"$base/in")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(flagsBatch(spark, dir, base) _)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** The union of every committed wave's flags — st20's serve input
+    * (the streamed equivalent of `docflags.filter(e4DeltaPred)`). */
+  private[graft] def flagsFromLedger(spark: SparkSession,
+                                     base: String): DataFrame = {
+    val dirs = committedBatches(spark, base).map(p => new Path(p, "flags").toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), flagsSchema)
+    else spark.read.schema(flagsSchema).parquet(dirs: _*)
+  }
+
+  /** The ST20 gate entry — streaming ARRIVAL for the docflags→bins
+    * artifact tier, closing the pipeline DAG's stream verb (the pair
+    * graph has st13/st19, the kNN graph st15/st16, the IVF index
+    * st17/st18; the bins tier had only e10's batch refresh): the e4
+    * delta streams in as two document waves with a REAL restart
+    * between them, each micro-batch deriving its docs' stage flags
+    * through the persisted-model funnel and committing them under the
+    * content-keyed wave ledger; the serve packs the committed union
+    * as epoch 1 above the persisted epoch-0 watermark (e10's
+    * append-only packing law — [[Pipeline.appendEpochBins]], ONE
+    * definition) and emits e10's refresh census. Oracle = e10's chain
+    * VERBATIM — stream-fold ≡ batch-refresh, hash-checked every
+    * round; Round15Spec pins the flags union ≡ the batch delta slice
+    * frame-for-frame. Scratch lives at one fixed location per corpus,
+    * rebuilt per invocation (st11's no-accumulation discipline). */
+  def st20BinsArrive(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st20", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    f.mkdirs(new Path(s"$base/in"))
+    stageWave(spark, dir, base, 0)
+    runFlags(spark, dir, base, s"$base/cp").stop()
+    stageWave(spark, dir, base, 1)
+    runFlags(spark, dir, base, s"$base/cp").stop()
+    val b0 = Pipeline.e10BaseBins(spark, dir)
+      .select(col("shard").cast("long").as("shard"),
+        col("bin"), col("n_docs"), col("n_tokens"))
+    val streamed = Pipeline.appendEpochBins(flagsFromLedger(spark, base), b0)
+    Pipeline.e10Report(
+      b0.withColumn("epoch", lit(0))
+        .unionByName(streamed.withColumn("epoch", lit(1))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st13_graph_maintain" -> (st13GraphMaintain _),
         "st14_ledger_compact" -> (st14LedgerCompact _),
-        "st19_pair_retract" -> (st19PairRetract _))
+        "st19_pair_retract" -> (st19PairRetract _),
+        "st20_bins_arrive" -> (st20BinsArrive _))
 
   // the maintained graph's labeling must equal the full rebuild —
   // e13's law held across micro-batches and a restart (st13),
@@ -483,5 +544,8 @@ object DocumentsStream {
   val oracles: Map[String, String] =
     Map("st13_graph_maintain" -> Dedup.d7ComponentsOracleSql,
         "st14_ledger_compact" -> Dedup.d7ComponentsOracleSql,
-        "st19_pair_retract" -> Dedup.d7RetractSliceOracleSql(St19RetractDigit))
+        "st19_pair_retract" -> Dedup.d7RetractSliceOracleSql(St19RetractDigit),
+        // the streamed epoch-append must equal the batch refresh —
+        // e10's law held across micro-batches and a restart
+        "st20_bins_arrive" -> Pipeline.oracles("e10_artifact_refresh"))
 }

@@ -50,8 +50,6 @@ import graft.ext.Similarity
   * verbatim). */
 object EmbeddingsStream {
 
-  private val CommitMarker = "_GRAFT_COMMIT"
-
   private val assignSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("cid", LongType),
     StructField("r", IntegerType)))
@@ -71,14 +69,8 @@ object EmbeddingsStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
 
-  private[graft] def committedBatches(spark: SparkSession, base: String): Seq[Path] = {
-    val ledger = new Path(s"$base/ledger")
-    val f = fsOf(spark, ledger)
-    if (!f.exists(ledger)) Seq.empty
-    else f.listStatus(ledger).toSeq.map(_.getPath)
-      .filter(p => f.exists(new Path(p, CommitMarker)))
-      .sortBy(_.getName)
-  }
+  private[graft] def committedBatches(spark: SparkSession, base: String): Seq[Path] =
+    WaveLedger.committedBatches(spark, base)
 
   private def readOrEmpty(spark: SparkSession, dirs: Seq[String],
                           schema: StructType): DataFrame =
@@ -86,27 +78,14 @@ object EmbeddingsStream {
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else spark.read.schema(schema).parquet(dirs: _*)
 
-  /** The content-keyed wave gate shared by every ledger'd micro-batch
-    * in this object (st13's exactly-once discipline): compute the
-    * batch's (count, xor, sum) content tag, skip committed
-    * re-deliveries whole, clear a crashed partial, run `work` on the
-    * wave's ledger dir, mark LAST (the batch is committed only once
-    * its tables exist). `ck`/`cs` feed the content key — id-only
-    * waves key on the id, embedding waves fold the vector in so a
-    * re-embedded wave under unchanged ids keys differently. */
+  /** The content-keyed wave gate (st13's exactly-once discipline) —
+    * ONE shared definition for every ledger family, [[WaveLedger]].
+    * `ck`/`cs` feed the content key — id-only waves key on the id,
+    * embedding waves fold the vector in so a re-embedded wave under
+    * unchanged ids keys differently. */
   private def waveCommit(spark: SparkSession, base: String, batch: DataFrame,
-                         ck: Column, cs: Column)(work: Path => Unit): Unit = {
-    val st = batch.agg(count(lit(1)).as("n"), bit_xor(ck).as("ck"),
-      sum(pmod(cs, lit(1L << 40))).as("cs")).collect()(0)
-    if (st.getLong(0) == 0) return
-    val tag = f"b_${st.getLong(0)}%d_${st.getLong(1)}%016x_${st.getLong(2)}%x"
-    val bdir = new Path(s"$base/ledger/$tag")
-    val f = fsOf(spark, bdir)
-    if (f.exists(new Path(bdir, CommitMarker))) return // committed replay: skip
-    f.delete(bdir, true) // crashed partial: rebuild whole
-    work(bdir)
-    f.create(new Path(bdir, CommitMarker), true).close(); ()
-  }
+                         ck: Column, cs: Column)(work: Path => Unit): Unit =
+    WaveLedger.waveCommit(spark, base, batch, ck, cs)(work)
 
   private def embWaveKey(c: Column*): Column = xxhash64(c: _*)
 

@@ -136,4 +136,28 @@ class Round15Spec extends AnyFunSuite {
       "untouched clusters' labels must pass through verbatim")
     upd.unpersist(); old.unpersist()
   }
+
+  // ---------- 3. st20 — streaming bins-tier arrival ----------
+
+  test("st20: the wave kernel's flags equal the batch docflags delta " +
+    "slice frame-for-frame, and the served census equals e10's batch " +
+    "refresh") {
+    // kernel law: docFlagsForWave over the whole delta doc frame must
+    // equal the docflags chain's delta slice (stage expressions cannot
+    // drift between the batch builder and the wave kernel)
+    val deltaDocs = graft.Tables.documents(spark, dir)
+      .filter(Pipeline.e4DeltaPredOn("doc_id"))
+    val waveFlags = rows(Pipeline.docFlagsForWave(spark, dir, deltaDocs))
+    val batchFlags = rows(Pipeline.docFlagsDerived(spark, dir,
+        Pipeline.labelsArtifact(spark, dir))
+      .filter(Pipeline.e4DeltaPredOn("doc_id")))
+    assert(waveFlags.nonEmpty, "the delta slice must be non-empty")
+    assert(waveFlags === batchFlags,
+      "wave-kernel flags must equal the batch docflags delta slice")
+    // serve law: the streamed epoch-append census ≡ e10's batch refresh
+    val streamed = rows(graft.streaming.DocumentsStream.st20BinsArrive(spark, dir))
+    val batch = rows(Pipeline.e10ArtifactRefresh(spark, dir))
+    assert(streamed === batch,
+      "stream-fold must equal the batch epoch-append refresh")
+  }
 }
