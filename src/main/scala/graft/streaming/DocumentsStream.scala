@@ -531,11 +531,169 @@ object DocumentsStream {
         .unionByName(streamed.withColumn("epoch", lit(1))))
   }
 
+  // ------------- ST21: streaming pair-tier update -------------
+  // The retract ∘ arrive composition of d22 under the wave ledger,
+  // closing the stream verb matrix (arrive / retract / update at the
+  // pair tier; the IVF tier's update is st17's deferred upsert). The
+  // protocol mirrors a production re-ingest: the update's TOMBSTONE
+  // MANIFEST (the edited ids) streams first — st19's retract intake,
+  // O(ids) per wave — then the re-edited documents stream as content
+  // waves, each blocking against the POST-RETRACT signature state
+  // (survivor artifact rows ∪ committed earlier arrivals ∪ itself,
+  // d22's arrival law per wave) and verifying over the post-edit
+  // shingle view (survivors keep corpus text; arrived docs carry
+  // their wave text, earlier waves' read from the ledger). The serve
+  // is d22's fold verbatim: e14's retraction over the persisted
+  // artifacts, then the committed pair union folded as star edges.
+  // Declaring the tombstones before the content is what keeps each
+  // wave's work exact without clairvoyance — pairs against a
+  // later-edited doc's STALE text can never form, because every
+  // edited doc's old signatures left the blocking state up front.
+
+  private val updateDocSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", org.apache.spark.sql.types.StringType)))
+
+  /** One re-edited-content micro-batch (phase 2): content-keyed gate
+    * (text folded in — the whole point of an update wave), then the
+    * wave's signatures, its docs (later waves and the serve need the
+    * new text for verification), and its verified new pairs commit
+    * together. */
+  private[graft] def updateArriveBatch(spark: SparkSession, dir: String,
+                                       base: String)
+                                      (batch: DataFrame, batchId: Long): Unit =
+    WaveLedger.waveCommit(spark, s"$base/arrive", batch,
+      xxhash64(col("doc_id"), col("text")),
+      xxhash64(col("text"), col("doc_id"))) { bdir =>
+      val retired = retiredFromLedger(spark, s"$base/retract")
+      val prior = committedBatches(spark, s"$base/arrive")
+      val sigsB = Dedup.minhashSignatures(Dedup.shingleRows(batch)).cache()
+      var cand: DataFrame = null
+      try {
+        val survivorSigs = Pipeline.signaturesArtifact(spark, dir)
+          .join(retired, Seq("doc_id"), "left_anti")
+        val priorSigDirs = prior.map(p => new Path(p, "sigs").toString)
+        val arrived = (if (priorSigDirs.isEmpty) survivorSigs
+          else survivorSigs.unionByName(spark.read.parquet(priorSigDirs: _*)))
+          .unionByName(sigsB)
+        cand = Dedup.arrivalCandidates(sigsB, arrived)
+          .cache() // endpoint ids ×2 + verify joins ×2
+        val candIds = cand.select(col("a_id").as("doc_id"))
+          .union(cand.select(col("b_id").as("doc_id"))).distinct()
+        // the post-edit CURRENT view at this wave: survivors keep
+        // corpus text, arrived docs (earlier waves + this one) carry
+        // their NEW text
+        val priorDocDirs = prior.map(p => new Path(p, "docs").toString)
+        val arrivedDocs = (if (priorDocDirs.isEmpty)
+            batch.select(col("doc_id"), col("text"))
+          else batch.select(col("doc_id"), col("text"))
+            .unionByName(spark.read.schema(updateDocSchema)
+              .parquet(priorDocDirs: _*)))
+        val curDocs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+          .join(retired, Seq("doc_id"), "left_anti")
+          .unionByName(arrivedDocs)
+        val sh = Dedup.shingleRows(curDocs)
+          .join(candIds, Seq("doc_id"), "left_semi")
+        batch.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(new Path(bdir, "docs").toString)
+        sigsB.write.mode("overwrite").parquet(new Path(bdir, "sigs").toString)
+        Dedup.verifyCandidates(sh, cand)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
+      } finally {
+        sigsB.unpersist(false)
+        if (cand != null) cand.unpersist(false)
+      }
+    }
+
+  private[graft] def runUpdateArrive(spark: SparkSession, dir: String,
+                                     base: String,
+                                     checkpoint: String): StreamingQuery = {
+    val q = spark.readStream.schema(updateDocSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/arrive/in")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(updateArriveBatch(spark, dir, base) _)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Stage one single-file wave of `part` into `inDir` (the shared
+    * coalesce-copy-mtime shape of every stager in this object). */
+  private def stageFrameWave(spark: SparkSession, part: DataFrame,
+                             base: String, inDir: String, wave: Int): Unit = {
+    val scratch = s"$base/w$wave"
+    part.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val f = fsOf(spark, new Path(scratch))
+    val src = f.listStatus(new Path(scratch)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new Path(s"$inDir/wave$wave.parquet")
+    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
+    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+  }
+
+  /** The ST21 gate entry — streaming UPDATE for the candidate-pair
+    * graph: d22's verb under the wave ledger with REAL restarts. The
+    * edited slice's tombstone manifest streams as two id waves
+    * (restart between), then the re-edited documents stream as two
+    * content waves (restart between), and the serve runs d22's fold —
+    * e14's retraction over the persisted pairs/labels artifacts, the
+    * committed pair union folded in as star edges. Oracle = d22's
+    * rebuild-with-current-text chain VERBATIM; Round15Spec pins
+    * stream-fold ≡ the batch d22 verb engine-side. */
+  def st21PairUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st21", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    val rBase = s"$base/retract"
+    f.mkdirs(new Path(s"$rBase/in"))
+    f.mkdirs(new Path(s"$base/arrive/in"))
+    val editedIds = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === Dedup.D22EditDigit)
+    // phase 1 — the tombstone manifest (st19's intake), restart inside
+    stageFrameWave(spark, editedIds.filter(col("doc_id") % 3 === 0),
+      base, s"$rBase/in", 0)
+    runDocRetract(spark, rBase, s"$rBase/cp").stop()
+    stageFrameWave(spark, editedIds.filter(col("doc_id") % 3 =!= 0),
+      base, s"$rBase/in", 1)
+    runDocRetract(spark, rBase, s"$rBase/cp").stop()
+    // phase 2 — the re-edited content (d22's batch, new text), restart
+    val newDocs = Dedup.d22EditedBatch(spark, dir)
+    stageFrameWave(spark, newDocs.filter(col("doc_id") % 3 === 0),
+      base, s"$base/arrive/in", 2)
+    runUpdateArrive(spark, dir, base, s"$base/arrive/cp").stop()
+    stageFrameWave(spark, newDocs.filter(col("doc_id") % 3 =!= 0),
+      base, s"$base/arrive/in", 3)
+    runUpdateArrive(spark, dir, base, s"$base/arrive/cp").stop()
+    // serve — d22's fold over the committed ledgers
+    val retracted = Pipeline.retractFromGraph(
+      Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
+      Pipeline.labelsArtifact(spark, dir),
+      retiredFromLedger(spark, rBase))
+    val pairDirs = committedBatches(spark, s"$base/arrive")
+      .map(p => new Path(p, "pairs").toString)
+    val newPairs =
+      if (pairDirs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), pairsSchema)
+          .select(col("a_id"), col("b_id"))
+      else spark.read.schema(pairsSchema).parquet(pairDirs: _*)
+        .select(col("a_id"), col("b_id"))
+    Dedup.connectedComponents(
+      retracted.select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+        .unionByName(newPairs), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st13_graph_maintain" -> (st13GraphMaintain _),
         "st14_ledger_compact" -> (st14LedgerCompact _),
         "st19_pair_retract" -> (st19PairRetract _),
-        "st20_bins_arrive" -> (st20BinsArrive _))
+        "st20_bins_arrive" -> (st20BinsArrive _),
+        "st21_pair_update" -> (st21PairUpdate _))
 
   // the maintained graph's labeling must equal the full rebuild —
   // e13's law held across micro-batches and a restart (st13),
@@ -547,5 +705,8 @@ object DocumentsStream {
         "st19_pair_retract" -> Dedup.d7RetractSliceOracleSql(St19RetractDigit),
         // the streamed epoch-append must equal the batch refresh —
         // e10's law held across micro-batches and a restart
-        "st20_bins_arrive" -> Pipeline.oracles("e10_artifact_refresh"))
+        "st20_bins_arrive" -> Pipeline.oracles("e10_artifact_refresh"),
+        // the streamed retract∘arrive must equal the batch update —
+        // d22's rebuild-with-current-text law under streaming intake
+        "st21_pair_update" -> Dedup.oracles("d22_doc_update"))
 }

@@ -160,4 +160,16 @@ class Round15Spec extends AnyFunSuite {
     assert(streamed === batch,
       "stream-fold must equal the batch epoch-append refresh")
   }
+
+  // ---------- 4. st21 — streaming pair-tier update ----------
+
+  test("st21: the streamed retract∘arrive (tombstone manifest waves, " +
+    "then re-edited content waves, restarts inside both) equals the " +
+    "batch d22 update verb exactly") {
+    val streamed = rows(graft.streaming.DocumentsStream.st21PairUpdate(spark, dir))
+    val batch = rows(Dedup.d22DocUpdate(spark, dir))
+    assert(streamed.nonEmpty, "the streamed labeling must be non-empty")
+    assert(streamed === batch,
+      "stream-fold must equal the batch update verb")
+  }
 }
