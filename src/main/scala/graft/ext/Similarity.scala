@@ -551,13 +551,21 @@ object Similarity {
     * re-sum is a single reduce task, the same growth-bound funnel the
     * distributed rewrite removed from the driver. */
   private def kmeansCentroids(spark: SparkSession, v: DataFrame,
-                              broadcastAssign: Boolean = true): DataFrame = {
+                              broadcastAssign: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.CheckpointShim
     var cen = v.filter(col("vec_id") % IvfCentroidStride === 0)
       .select(col("vec_id").as("cid"), col("qv").as("sarr"), col("nv").as("nc"))
+    // SIZE-GATED form selection (r15): production flips to the
+    // shuffle-assignment form automatically once the centroid frame
+    // outgrows the session's broadcast threshold — the manual flag
+    // remains the spec seam (bit-equality across forms is pinned, so
+    // the gate can never change an answer, only a plan). The count is
+    // a vec_id-only pruned scan of the seed slice.
+    val bcast = broadcastAssign.getOrElse(
+      autoBroadcastAssign(spark, cen.count()))
     var prev: DataFrame = null
     for (_ <- 1 to KmeansIters) {
-      val resummed = rankCentroids(v, cen, broadcastAssign).filter(col("r") === 1)
+      val resummed = rankCentroids(v, cen, bcast).filter(col("r") === 1)
         .groupBy(col("cid"))
         .agg(graft.functions.LongVecSum.vecsum(col("qv")).as("sv"))
         .select(col("cid"), col("sv.v").as("sarr"))
@@ -568,12 +576,34 @@ object Similarity {
       // asynchronous cleanup made the suite's cache-hygiene deltas
       // non-monotone); the frame is |C| rows, the extra per-round job
       // is noise against the assignment pass
-      cen = (if (broadcastAssign) resummed.coalesce(CentroidCoalesce) else resummed)
+      cen = (if (bcast) resummed.coalesce(CentroidCoalesce) else resummed)
         .localCheckpoint()
       if (prev != null) CheckpointShim.unpersist(prev)
       prev = cen
     }
     cen
+  }
+
+  /** The auto gate: broadcast-assignment while |C| centroid rows
+    * (Dims int64 components + row overhead) fit the session's
+    * `spark.sql.autoBroadcastJoinThreshold`; the shuffle form past it
+    * (or when the threshold is disabled with -1). Decision bytes are
+    * [[assignBytesOf]] — a named formula, not a heuristic buried in a
+    * call site. */
+  private[graft] def assignBytesOf(nCentroids: Long): Long =
+    nCentroids * (Dims.toLong * 8 + 64)
+
+  private[graft] def autoBroadcastAssign(spark: SparkSession,
+                                         nCentroids: Long): Boolean = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val thresh =
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.trim)
+          catch { case _: Exception => 10485760L }
+      }
+    thresh > 0 && assignBytesOf(nCentroids) <= thresh
   }
 
   /** Partition count for the per-round centroid frame in the
@@ -826,8 +856,8 @@ object Similarity {
   private[graft] def kmeansAssignFormsForSpec(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val qv = quantVecs(spark, dir)
-    (kmeansCentroids(spark, qv, broadcastAssign = true),
-      kmeansCentroids(spark, qv, broadcastAssign = false))
+    (kmeansCentroids(spark, qv, broadcastAssign = Some(true)),
+      kmeansCentroids(spark, qv, broadcastAssign = Some(false)))
   }
 
   /** S6 — PQ-ADC approximate nearest neighbors: top-10 per query by
@@ -942,7 +972,17 @@ object Similarity {
     * codebooks on `trainPred` vectors, code `codePred` vectors into
     * the inverted-list layout. */
   def buildIvfPqIndex(spark: SparkSession, dir: String, idxDir: String,
-                      trainPred: Column, codePred: Column): Unit = {
+                      trainPred: Column, codePred: Column): Unit =
+    buildIvfPqIndexOn(spark, Tables.embeddings(spark, dir), idxDir,
+      trainPred, codePred)
+
+  /** The build over an arbitrary (vec_id, embedding) frame — the seam
+    * that lets the retrain express its live set as an ANTI-JOIN
+    * against the tombstone table (r15; the predicate form cannot,
+    * and a collected `isin` list grows with the delete cadence). */
+  private[graft] def buildIvfPqIndexOn(spark: SparkSession, emb: DataFrame,
+                                       idxDir: String, trainPred: Column,
+                                       codePred: Column): Unit = {
     // building at idxDir STARTS a new index generation: clear every
     // sibling artifact a previous generation may have left (tombstone
     // table, compaction aside/staging trees), or a later compaction's
@@ -956,12 +996,12 @@ object Similarity {
         if (fs.exists(p)) fs.delete(p, true)
       }
     }
-    val qv = quantVecs(spark, dir).cache()
+    val qv = quantVecsOf(emb).cache()
     val cen = kmeansCentroids(spark, qv.filter(trainPred))
     cen.write.mode("overwrite").parquet(s"$idxDir/coarse_centroids")
-    val v = pqSubVecs(spark, dir).cache()
+    val v = pqSubVecsOf(emb).cache()
     val pcen = pqCodebooksOn(spark, v.filter(trainPred),
-      pqStride(Tables.embeddings(spark, dir).filter(trainPred)))
+      pqStride(emb.filter(trainPred)))
     pcen.write.mode("overwrite").parquet(s"$idxDir/pq_codebooks")
     writeCodes(qv.filter(codePred), v.filter(codePred), cen, pcen, idxDir,
       overwrite = true)
@@ -2653,13 +2693,17 @@ object Similarity {
         throw new java.io.IOException(s"retrain recovery failed: $oldRoot")
     }
     if (fs.exists(staging)) fs.delete(staging, true)
+    // the live set as a broadcast ANTI-JOIN against the tombstone
+    // table (r15) — the delete set is compaction-cadence-bounded
+    // (s18's argument) but never round-trips the driver as a literal
+    // list the way the earlier `isin` form did
     val delPath = new Path(s"$idxDir/deletes")
-    val delIds: Array[Long] =
-      if (!fs.exists(delPath)) Array.empty
-      else spark.read.parquet(delPath.toString)
-        .select(col("vec_id")).distinct().collect().map(_.getLong(0))
-    val live = if (delIds.isEmpty) lit(true) else !col("vec_id").isin(delIds: _*)
-    buildIvfPqIndex(spark, dir, staging.toString, live, live)
+    val liveEmb =
+      if (!fs.exists(delPath)) Tables.embeddings(spark, dir)
+      else Tables.embeddings(spark, dir)
+        .join(broadcast(spark.read.parquet(delPath.toString)
+          .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+    buildIvfPqIndexOn(spark, liveEmb, staging.toString, lit(true), lit(true))
     // atomic root swap, aside-first: a crash at any point leaves a
     // recoverable state (see the recovery block above). A missing live
     // root is NOT an error — retrain doubles as CREATE (no prior index

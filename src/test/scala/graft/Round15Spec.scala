@@ -172,4 +172,32 @@ class Round15Spec extends AnyFunSuite {
     assert(streamed === batch,
       "stream-fold must equal the batch update verb")
   }
+
+  // ---------- 5. size-gated assignment form ----------
+
+  test("kmeans assignment auto-gate: broadcast under the session " +
+    "threshold, shuffle past it, -1 (disabled) forces shuffle, and " +
+    "byte-string thresholds parse") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "10485760")
+      assert(Similarity.autoBroadcastAssign(spark, 100),
+        "a 100-centroid frame must broadcast under 10MB")
+      assert(!Similarity.autoBroadcastAssign(spark, 1000000),
+        "a 1M-centroid frame (~576MB) must take the shuffle form")
+      // the boundary is the named formula, not a fuzzy margin
+      val edge = 10485760L / Similarity.assignBytesOf(1)
+      assert(Similarity.autoBroadcastAssign(spark, edge))
+      assert(!Similarity.autoBroadcastAssign(spark, edge + 1))
+      spark.conf.set(key, "-1")
+      assert(!Similarity.autoBroadcastAssign(spark, 1),
+        "a disabled broadcast threshold must force the shuffle form")
+      spark.conf.set(key, "10m")
+      assert(Similarity.autoBroadcastAssign(spark, 100),
+        "byte-string threshold values must parse")
+    } finally {
+      orig.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
 }
