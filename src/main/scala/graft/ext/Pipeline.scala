@@ -1826,8 +1826,17 @@ object Pipeline {
                                   layers: Seq[String] = ModelLayers): Unit = {
     val rp = new Path(root)
     val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
-    val done = new Path(s"$root/model_cutover_done")
-    val aside = new Path(s"$root/model_cutover_old")
+    // the done marker and aside dir are KEYED BY LAYER SET (r15
+    // ADVICE): on a shared serving root the DSIR and BPE cutovers are
+    // independent verbs, and a shared marker let one verb's
+    // crashed-tail state (aside present, marker unwritten) be read by
+    // the OTHER verb's "nothing to promote" guard — which would then
+    // no-op-promote, write a done marker for a cutover that never ran,
+    // and delete the first verb's aside rollback copies. Keying by the
+    // layer set makes each verb's crash state invisible to the other.
+    val tag = if (layers == BpeModelLayers) "bpe" else "model"
+    val done = new Path(s"$root/${tag}_cutover_done")
+    val aside = new Path(s"$root/${tag}_cutover_old")
     // same resume discipline as cutoverSubtree: the refreshed tables
     // play the generation's role, and since there is no generation
     // DIR to outlive the per-layer renames, the tail crash window
@@ -2001,27 +2010,40 @@ object Pipeline {
     * the frozen generation's inflation on new data exceeds what a
     * retrain would buy back. */
   def e20TokenizerCutover(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = stageBpeModelClone(spark, dir)
     // collect the decision ONCE (|sources| rows — bounded driver
     // state; e19's discipline): re-embedding the lazy plan would run
-    // the two corpus censuses twice per invocation
+    // the two corpus censuses twice per invocation. The decision rows
+    // carry n_delta_chars and BOTH generations' fertility, so the
+    // QUIET branch serves straight from them (r15 ADVICE): the verb
+    // touched nothing, hence the frozen fertility t31 just measured
+    // IS the served fertility — no second delta census, no clone.
     val decPlan = TextAnalysis.t31TokenizerHealth(spark, dir)
-      .select(col("source"), col("gen_gap_tpk"), col("retrain"))
+      .select(col("source"), col("gen_gap_tpk"), col("retrain"),
+        col("n_delta_chars"), col("tpk_frozen"))
     val decRows = decPlan.collect()
     val fired = decRows.exists(_.getAs[Long]("retrain") == 1L)
     val dec = spark.createDataFrame(
       java.util.Arrays.asList(decRows: _*), decPlan.schema)
-    if (fired) modelCutover(spark, scratch, BpeModelLayers)
+    if (!fired)
+      return dec.withColumn("fired", lit(0L))
+        .select(col("source"), col("gen_gap_tpk"), col("retrain"),
+          col("fired"), col("n_delta_chars"),
+          col("tpk_frozen").as("tpk_served"))
+        .orderBy(col("source"))
+    // FIRED: stage the clone, execute the swap, and re-census FROM
+    // THE POST-VERB frozen tree — the swap itself must be witnessed
+    // by the served rows, not inferred from the decision
+    val scratch = stageBpeModelClone(spark, dir)
+    modelCutover(spark, scratch, BpeModelLayers)
     val encPost = spark.read.parquet(s"$scratch/model_frozen/bpe_encoded_words")
       .select(col("word"), size(col("toks")).cast("long").as("ptok1"))
     val census = TextAnalysis.sourceWordFreqOn(spark, dir, e4DeltaPred)
       .join(encPost, Seq("word"))
       .groupBy(col("source"))
-      .agg(sum(col("freq") * length(col("word")).cast("long")).as("n_delta_chars"),
-        sum(col("freq") * col("ptok1")).as("ptok"))
-      .withColumn("tpk_served", expr("(1000 * ptok) div n_delta_chars"))
-    dec.withColumn("fired", lit(if (fired) 1L else 0L))
+      .agg(sum(col("freq") * col("ptok1")).as("ptok"))
+    dec.withColumn("fired", lit(1L))
       .join(census, Seq("source"))
+      .withColumn("tpk_served", expr("(1000 * ptok) div n_delta_chars"))
       .select(col("source"), col("gen_gap_tpk"), col("retrain"), col("fired"),
         col("n_delta_chars"), col("tpk_served"))
       .orderBy(col("source"))

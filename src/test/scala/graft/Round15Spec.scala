@@ -200,4 +200,41 @@ class Round15Spec extends AnyFunSuite {
       orig.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
     }
   }
+
+  // ---------- 6. layer-keyed cutover crash state ----------
+
+  test("cutover crash state is keyed by layer set: a BPE tail-crash " +
+    "aside is invisible to the DSIR verb, and the BPE verb completes " +
+    "its own window forward") {
+    val scratch = Pipeline.stageBpeModelClone(spark, dir)
+    val fs = FileSystem.get(new Path(scratch).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      Pipeline.modelCutover(spark, scratch, Pipeline.BpeModelLayers)
+      assert(fs.exists(new Path(s"$scratch/bpe_cutover_done")),
+        "the BPE cutover must write its OWN done marker")
+      assert(!fs.exists(new Path(s"$scratch/model_cutover_done")),
+        "the BPE cutover must not write the DSIR verb's marker")
+      // simulate the BPE tail-crash window: marker unwritten, aside
+      // rollback copies still present
+      fs.delete(new Path(s"$scratch/bpe_cutover_done"), false)
+      fs.mkdirs(new Path(s"$scratch/bpe_cutover_old/bpe_merges"))
+      // the DSIR verb (no DSIR layers staged on this clone) must
+      // REFUSE — before the layer-keyed fix it adopted the shared
+      // aside as its own crash state, no-op-promoted, marked a
+      // cutover that never ran, and deleted the BPE rollback copies
+      intercept[java.io.IOException] {
+        Pipeline.modelCutover(spark, scratch)
+      }
+      assert(!fs.exists(new Path(s"$scratch/model_cutover_done")),
+        "the refused DSIR verb must not leave a done marker")
+      assert(fs.exists(new Path(s"$scratch/bpe_cutover_old")),
+        "the BPE rollback copies must survive the other verb's refusal")
+      // the BPE verb itself completes its window forward
+      Pipeline.modelCutover(spark, scratch, Pipeline.BpeModelLayers)
+      assert(fs.exists(new Path(s"$scratch/bpe_cutover_done")))
+      assert(!fs.exists(new Path(s"$scratch/bpe_cutover_old")),
+        "forward completion cleans the aside")
+    } finally fs.delete(new Path(scratch), true)
+  }
 }
