@@ -201,7 +201,46 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
-  // ---------- 6. layer-keyed cutover crash state ----------
+  // ---------- 6. s20 probes frontier at sf0.1 ----------
+
+  private def graphRecall(g: Set[(Long, Long)], x: Set[(Long, Long)]): Double =
+    if (x.isEmpty) 0.0 else g.intersect(x).size.toDouble / x.size
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame,
+                      nbCol: String): Set[(Long, Long)] =
+    df.select(col("vec_id"), col(nbCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("s20 probe frontier at sf0.1 (|C|≈21 — blocking non-degenerate, " +
+    "unlike the spec SFs' 5-6 lists): measured recall@10 per probe " +
+    "count, monotone in probes, production point above the floor") {
+    // r15 measurement (full grid, rounds=2 unless noted): probes=3 →
+    // 0.6915, 4 → 0.7478, 5 → 0.7807, 6 → 0.8069, 8 → 0.8450, 10 →
+    // 0.8792; a THIRD descent round buys ≤ 0.01 at every width. No
+    // knee: recall is ~linear in probes (~0.033/probe) because the
+    // synthetic embeddings are unclustered (d20's measured fact) —
+    // neighbors spread uniformly across lists, so recall tracks the
+    // probed-list FRACTION, and the spec-SF 0.9492 reflected probing
+    // 4 of ~6 lists, not a property of the algorithm. The knob doc
+    // (SURVEY s20 row) carries these numbers; the production posture
+    // is "probe to a measured recall target on the sampled truth
+    // audit", not a universal constant.
+    val bigDir = "/root/testdata/sf0.1"
+    val exact = edgeSet(Similarity.exactKnnGraphForSpec(spark, bigDir), "nb_id")
+    val rec = (for (p <- Seq(3, 4, 5)) yield {
+      val g = edgeSet(Similarity.s20GraphAtForSpec(spark, bigDir, p, 2), "nb_id")
+      val r = graphRecall(g, exact)
+      info(f"sf0.1 probes=$p rounds=2 recall@10=$r%.4f")
+      p -> r
+    }).toMap
+    assert(rec(4) >= rec(3), "widening probes must not lose recall")
+    assert(rec(5) >= rec(4), "widening probes must not lose recall")
+    // floor with regeneration margin under the measured 0.7478
+    assert(rec(Similarity.S20Probes) >= 0.65,
+      f"production operating point collapsed at sf0.1: ${rec(Similarity.S20Probes)}%.4f")
+  }
+
+  // ---------- 7. layer-keyed cutover crash state ----------
 
   test("cutover crash state is keyed by layer set: a BPE tail-crash " +
     "aside is invisible to the DSIR verb, and the BPE verb completes " +
