@@ -532,6 +532,25 @@ object Dedup {
       .drop("_new")
   }
 
+  /** The update's arrival-verify stage as ONE uncached frame — the
+    * plan PlanDump inspects (e13NewPairsFrame's pattern: the gate
+    * entry's own final plan roots at the fold's checkpointed CC
+    * rounds, so the scale-bearing shape — batch bands against the
+    * post-edit signature state + endpoint-bounded verify over the
+    * current view — is only visible here). */
+  private[graft] def d22NewPairsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val newSigs = minhashSignatures(shingleRows(d22EditedBatch(spark, dir)))
+    val survivorSigs = Pipeline.signaturesArtifact(spark, dir)
+      .filter(!d22EditedOn("doc_id"))
+    val cand = arrivalCandidates(newSigs, survivorSigs.unionByName(newSigs))
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    verifyCandidates(
+      shingleRows(d22CurrentDocs(spark, dir))
+        .join(candIds, Seq("doc_id"), "left_semi"), cand)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** D22 — the update verb: retract the edited docs from the pair
     * graph (e14's kernel over the persisted pairs/labels artifacts —
     * only clusters CONTAINING an edited doc re-converge), re-admit

@@ -76,7 +76,9 @@ object PlanDump {
     "e20_tokenizer_cutover" -> "drift-gated tokenizer cutover: the decision is a |sources|-row local relation (t31's census chain runs ONCE); the served fertility is one delta census against the post-verb frozen encoded table — promotion itself is per-layer renames",
     "st17_index_ingest" -> "streamed IVF ingest SERVED: the partition-pruned query plan with the generation-ledger overlay (max-gen per id over the committed waves) — wave coding never rewrites a list",
     "st18_index_retract" -> "streamed IVF retract SERVED: the partition-pruned query plan with the materialized tombstone set anti-joined broadcast — no compaction on the serve path",
-    "st19_pair_retract" -> "streamed pair-graph retract SERVED: e14's incremental retraction kernel over the persisted pairs/labels artifacts — untouched clusters pass through (anti-join on the affected-member set), only the affected subgraph re-converges")
+    "st19_pair_retract" -> "streamed pair-graph retract SERVED: e14's incremental retraction kernel over the persisted pairs/labels artifacts — untouched clusters pass through (anti-join on the affected-member set), only the affected subgraph re-converges",
+    "d22_update_verify" -> "d22's arrival-verify stage (the fold's own plan is checkpoint-rooted CC): edit-batch bands against the post-edit signature state (survivor artifact rows ∪ the batch), exact-Jaccard verify over the current-view shingle table endpoint-bounded by a semi-join — batch-sized, never a corpus rebuild",
+    "st20_wave_flags" -> "st20's per-wave docflags kernel: the wave joined broadcast against the persisted global tables (labels drops, dsir model + 1-row cut, |sources| rates, tiny eval-gram set) — every stage per-doc, nothing corpus-sized recomputed per wave")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
@@ -109,7 +111,11 @@ object PlanDump {
         graft.ext.Similarity.s20KnnGraphRounds(s, d,
           graft.ext.Similarity.S20DescentRounds)),
       "retract_build" -> (graft.ext.Pipeline.e14Derived _),
-      "graph_compact_build" -> (graft.ext.Similarity.s26CompactBuildFrame _))
+      "graph_compact_build" -> (graft.ext.Similarity.s26CompactBuildFrame _),
+      "d22_update_verify" -> (graft.ext.Dedup.d22NewPairsFrame _),
+      "st20_wave_flags" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.ext.Pipeline.docFlagsForWave(s, d,
+          graft.Tables.documents(s, d).filter(graft.ext.Pipeline.e4DeltaPredOn("doc_id")))))
     Headline.foreach { case (name, why) =>
       val df = planFrame.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       df.collect() // let AQE finalize
