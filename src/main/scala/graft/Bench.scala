@@ -124,8 +124,14 @@ object Bench {
     //   serve alone for the read-only s17/s19), not a full rebuild;
     //   their pre-substrate floors measured the old contract. The
     //   answers are pinned unchanged (clone ≡ build, Round15Spec).
+    //   s7/s11 @v2 (r15): the recall grades serve every ANN family's
+    //   answers from the persisted grading tier (lsh_q/ivf_q/pq_q/
+    //   sq8_q + retrained_q) instead of re-running all five pipelines
+    //   per invocation; serve ≡ derive pinned in Round15Spec.
     val workVersion: Map[String, Int] = Map(
       "s20_knn_graph" -> 4,
+      "s7_recall_eval" -> 2,
+      "s11_recall_matrix" -> 2,
       "s17_hybrid_indexed" -> 2,
       "s18_index_delete" -> 2,
       "s19_radius_search" -> 2,

@@ -566,9 +566,12 @@ object Dedup {
   def d22DocUpdate(spark: SparkSession, dir: String): DataFrame = {
     val edited = Tables.documents(spark, dir).filter(d22EditedOn("doc_id"))
       .select(col("doc_id"))
-    // RETRACT: the edited docs leave their pairs; affected clusters
-    // re-converge over survivors, untouched labels pass through
-    val retracted = Pipeline.retractFromGraph(
+    // RETRACT (pre-converge): the edited docs leave their pairs —
+    // untouched labels pass through as star edges, affected clusters'
+    // survivors enter the ONE fold below as raw pairs (r15: the
+    // intermediate survivor-only CC was a second labeling pass whose
+    // fixpoint the combined CC reaches anyway)
+    val (untouched, survivors) = Pipeline.retractParts(
       Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
       Pipeline.labelsArtifact(spark, dir), edited)
     // ARRIVE: the batch re-enters with its new text — candidates are
@@ -584,11 +587,12 @@ object Dedup {
     val sh = shingleRows(d22CurrentDocs(spark, dir))
       .join(candIds, Seq("doc_id"), "left_semi")
     val newPairs = verifyCandidates(sh, cand).select(col("a_id"), col("b_id"))
-    // FOLD: the retracted labeling collapses to star edges and the
-    // new pairs merge in — d11's fold ≡ rebuild law
-    val labelEdges = retracted
+    // FOLD: one labeling pass over untouched star edges ∪ surviving
+    // pairs ∪ new pairs — d11's fold ≡ rebuild law
+    val labelEdges = untouched
       .select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
-    val out = connectedComponents(labelEdges.unionByName(newPairs), "a_id", "b_id")
+    val out = connectedComponents(
+      labelEdges.unionByName(survivors).unionByName(newPairs), "a_id", "b_id")
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
     cand.unpersist() // CC is eager (checkpointed rounds): cand is consumed

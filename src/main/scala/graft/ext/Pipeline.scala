@@ -1374,6 +1374,22 @@ object Pipeline {
     * only). */
   private[graft] def retractFromGraph(pairs: DataFrame, labels: DataFrame,
                                       retired: DataFrame): DataFrame = {
+    val (untouched, survivors) = retractParts(pairs, labels, retired)
+    val relabeled = Dedup.connectedComponents(survivors, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    untouched.unionByName(relabeled).orderBy(col("doc_id"))
+  }
+
+  /** The retraction's PRE-CONVERGE decomposition — (untouched labels
+    * to pass through, affected clusters' surviving pairs) — shared by
+    * [[retractFromGraph]] (which re-converges the survivors alone)
+    * and the update verbs' single-CC fold (d22/st21, r15: survivors
+    * converge TOGETHER with the arrival pairs in ONE labeling pass —
+    * collapsing the survivor subgraph to component stars first and
+    * re-converging was a second CC whose fixpoint the combined CC
+    * reaches anyway, d11's star-collapse law). */
+  private[graft] def retractParts(pairs: DataFrame, labels: DataFrame,
+                                  retired: DataFrame): (DataFrame, DataFrame) = {
     val affected = labels
       .join(retired, labels("node") === retired("doc_id"), "left_semi")
       .select(col("cluster_id")).distinct()
@@ -1393,9 +1409,7 @@ object Pipeline {
       .join(retired.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
       .join(retired.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
       .select(col("a_id"), col("b_id"))
-    val relabeled = Dedup.connectedComponents(survivors, "a_id", "b_id")
-      .select(col("node").as("doc_id"), col("cluster_id"))
-    untouched.unionByName(relabeled).orderBy(col("doc_id"))
+    (untouched, survivors)
   }
 
   /** E14 — GRAPH RETRACTION: e11's right-to-be-forgotten discipline

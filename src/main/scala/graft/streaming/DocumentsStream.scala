@@ -668,8 +668,10 @@ object DocumentsStream {
     stageFrameWave(spark, newDocs.filter(col("doc_id") % 3 =!= 0),
       base, s"$base/arrive/in", 3)
     runUpdateArrive(spark, dir, base, s"$base/arrive/cp").stop()
-    // serve — d22's fold over the committed ledgers
-    val retracted = Pipeline.retractFromGraph(
+    // serve — d22's single-CC fold over the committed ledgers:
+    // untouched labels as star edges, affected survivors and the
+    // committed arrival pairs converge in ONE labeling pass
+    val (untouched, survivors) = Pipeline.retractParts(
       Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
       Pipeline.labelsArtifact(spark, dir),
       retiredFromLedger(spark, rBase))
@@ -682,8 +684,8 @@ object DocumentsStream {
       else spark.read.schema(pairsSchema).parquet(pairDirs: _*)
         .select(col("a_id"), col("b_id"))
     Dedup.connectedComponents(
-      retracted.select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
-        .unionByName(newPairs), "a_id", "b_id")
+      untouched.select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+        .unionByName(survivors).unionByName(newPairs), "a_id", "b_id")
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
   }

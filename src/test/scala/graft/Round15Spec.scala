@@ -201,6 +201,19 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  // ---------- 5b. the ANN-family grading tier ----------
+
+  test("each persisted ANN-family answer table serves exactly what a " +
+    "fresh derivation produces (serve ≡ derive, per family)") {
+    Similarity.annFamilyFormsForSpec(spark, dir).foreach {
+      case (fam, served, derived) =>
+        val s = rows(served)
+        assert(s.nonEmpty, s"family $fam: served answers must be non-empty")
+        assert(s === rows(derived),
+          s"family $fam: persisted answers must equal a fresh derivation")
+    }
+  }
+
   // ---------- 6. s20 probes frontier at sf0.1 ----------
 
   private def graphRecall(g: Set[(Long, Long)], x: Set[(Long, Long)]): Double =
