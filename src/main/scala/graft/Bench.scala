@@ -132,6 +132,7 @@ object Bench {
       "s20_knn_graph" -> 4,
       "s7_recall_eval" -> 2,
       "s11_recall_matrix" -> 2,
+      "d20_dedup_quality" -> 2,
       "s17_hybrid_indexed" -> 2,
       "s18_index_delete" -> 2,
       "s19_radius_search" -> 2,

@@ -1077,7 +1077,15 @@ object Dedup {
     * |families| rows. The one cache is that 5-row aggregate —
     * referenced twice (per-family rows + the n_truth broadcast) and
     * bounded by the family count at any corpus size. */
-  def d20DedupQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Every graded family's predicted pair set in ONE frame
+    * (family, a_id, b_id), distinct — the d20 matrix's grading INPUT,
+    * persisted since r15 as the `family_pairs` artifact (s11's
+    * lsh_q precedent in the dedup domain): the six cheap-family
+    * derivations run once per corpus version as the artifact's
+    * builder, while each family's own gate row keeps benchmarking its
+    * derivation per invocation. */
+  private[graft] def d20FamilyPairsDerived(spark: SparkSession,
+                                           dir: String): DataFrame = {
     val truth = Pipeline.truthPairsArtifact(spark, dir)
       .select(col("a_id"), col("b_id"))
     val mh = Pipeline.pairsArtifact(spark, dir)
@@ -1110,9 +1118,17 @@ object Dedup {
         least(col("doc_id"), col("dup_id")).as("a_id"),
         greatest(col("doc_id"), col("dup_id")).as("b_id"))
     val exact = truth.select(lit("exact").as("family"), col("a_id"), col("b_id"))
-    val pred = mh.unionByName(sh).unionByName(snm).unionByName(fp)
+    mh.unionByName(sh).unionByName(snm).unionByName(fp)
       .unionByName(sem).unionByName(ed)
       .unionByName(exact).distinct()
+  }
+
+  def d20DedupQuality(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Pipeline.truthPairsArtifact(spark, dir)
+      .select(col("a_id"), col("b_id"))
+    // served from the persisted family_pairs artifact (r15): the
+    // grade is a pure parquet membership join
+    val pred = Pipeline.familyPairsArtifact(spark, dir)
     val graded = pred
       .join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
       .groupBy(col("family"))

@@ -173,6 +173,13 @@ object Pipeline {
   private[graft] def truthPairsArtifact(spark: SparkSession, dir: String): DataFrame =
     ensureArtifact(spark, dir, "truth_pairs")(Dedup.d3JaccardPairs(spark, dir))
 
+  /** d20's grading input — every cheap family's predicted pair set in
+    * one table (r15; the family gate rows keep benchmarking their own
+    * derivations, this is the once-per-corpus-version grading copy). */
+  private[graft] def familyPairsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "family_pairs")(
+      Dedup.d20FamilyPairsDerived(spark, dir))
+
   /** t21's DSIR model PERSISTED — the scored pool (doc_id, source,
     * logw) with its 1-row selection cut beside it: the standalone t21
     * row and the docflags builder both read ONE tokenize+bucket pass

@@ -214,6 +214,14 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("the persisted family_pairs grading table serves exactly what " +
+    "the six family derivations produce (serve ≡ derive)") {
+    val served = rows(Pipeline.familyPairsArtifact(spark, dir))
+    assert(served.nonEmpty)
+    assert(served === rows(Dedup.d20FamilyPairsDerived(spark, dir)),
+      "family_pairs must equal the fresh six-family derivation")
+  }
+
   // ---------- 6. s20 probes frontier at sf0.1 ----------
 
   private def graphRecall(g: Set[(Long, Long)], x: Set[(Long, Long)]): Double =
