@@ -635,10 +635,11 @@ object DocumentsStream {
   }
 
   /** The ST21 gate entry — streaming UPDATE for the candidate-pair
-    * graph: d22's verb under the wave ledger with REAL restarts. The
-    * edited slice's tombstone manifest streams as two id waves
-    * (restart between), then the re-edited documents stream as two
-    * content waves (restart between), and the serve runs d22's fold —
+    * graph: d22's verb under the wave ledger with a REAL restart. The
+    * edited slice's tombstone manifest streams as two id waves under
+    * one query (restart coverage for retract intake is st19's own
+    * pin), then the re-edited documents stream as two content waves
+    * with a restart between them, and the serve runs d22's fold —
     * e14's retraction over the persisted pairs/labels artifacts, the
     * committed pair union folded in as star edges. Oracle = d22's
     * rebuild-with-current-text chain VERBATIM; Round15Spec pins
@@ -653,10 +654,14 @@ object DocumentsStream {
     f.mkdirs(new Path(s"$base/arrive/in"))
     val editedIds = Tables.documents(spark, dir).select(col("doc_id"))
       .filter(col("doc_id") % 10 === Dedup.D22EditDigit)
-    // phase 1 — the tombstone manifest (st19's intake), restart inside
+    // phase 1 — the tombstone manifest (st19's intake): both id waves
+    // drain under ONE query as separate micro-batches
+    // (maxFilesPerTrigger=1, mtime-ordered) — the restart-across-
+    // checkpoint law for retract intake is st19's own pinned
+    // coverage; this entry's REAL restart lives in the content phase
+    // below, the composition's novel ledger
     stageFrameWave(spark, editedIds.filter(col("doc_id") % 3 === 0),
       base, s"$rBase/in", 0)
-    runDocRetract(spark, rBase, s"$rBase/cp").stop()
     stageFrameWave(spark, editedIds.filter(col("doc_id") % 3 =!= 0),
       base, s"$rBase/in", 1)
     runDocRetract(spark, rBase, s"$rBase/cp").stop()
