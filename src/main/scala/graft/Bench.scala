@@ -133,6 +133,9 @@ object Bench {
       "s7_recall_eval" -> 2,
       "s11_recall_matrix" -> 2,
       "d20_dedup_quality" -> 2,
+      "e13_graph_refresh" -> 2,
+      "st13_graph_maintain" -> 2,
+      "st14_ledger_compact" -> 2,
       "s17_hybrid_indexed" -> 2,
       "s18_index_delete" -> 2,
       "s19_radius_search" -> 2,

@@ -467,18 +467,32 @@ object Dedup {
     * (doc_id, cluster_id) labeling, doc_id-ordered. */
   private[graft] def incrementalFold(oldPairs: DataFrame, fresh: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftshim.CheckpointShim
-    // label edges: includes the representatives' (x, x) self-edges,
-    // which is what keeps nodes whose component gains no new pair
-    // present in the merged graph
     val equiv = connectedComponents(oldPairs, "a_id", "b_id")
-      .select(col("node").as("a_id"), col("cluster_id").as("b_id"))
-    val out = connectedComponents(equiv.union(fresh.select(col("a_id"), col("b_id"))), "a_id", "b_id")
-      .select(col("node").as("doc_id"), col("cluster_id"))
-      .orderBy(col("doc_id"))
+    val out = incrementalFoldFrom(equiv, fresh)
     // both CC calls have materialized their own checkpoints by now;
     // the first run's labels can go
     CheckpointShim.unpersist(equiv)
     out
+  }
+
+  /** The fold with YESTERDAY'S LABELING supplied directly — the form
+    * d11's law actually states ("the historical pair list never needs
+    * to be kept, only the labeling"): label edges include the
+    * representatives' (x, x) self-edges, which is what keeps nodes
+    * whose component gains no new pair present in the merged graph.
+    * Since r15 the e13/st13/st14 serves pass the PERSISTED base
+    * labeling (Pipeline.baseLabelsArtifact) here instead of
+    * re-converging the base pair graph per invocation;
+    * [[incrementalFold]] remains the derive-from-pairs form (d11's
+    * own benchmark row). */
+  private[graft] def incrementalFoldFrom(oldLabels: DataFrame,
+                                         fresh: DataFrame): DataFrame = {
+    val equiv = oldLabels
+      .select(col("node").as("a_id"), col("cluster_id").as("b_id"))
+    connectedComponents(equiv.union(fresh.select(col("a_id"), col("b_id"))),
+        "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------

@@ -270,6 +270,21 @@ object Pipeline {
     ensureArtifact(spark, dir, "labels")(
       Dedup.connectedComponents(pairsArtifact(spark, dir), "a_id", "b_id"))
 
+  /** YESTERDAY'S labeling — CC over the BASE-only pair graph (both
+    * endpoints outside the e4 delta), persisted (r15): the fold
+    * starting state every arrival serve (e13 batch, st13/st14
+    * streaming) previously re-converged per invocation. NOT the full
+    * labels artifact filtered to base nodes — a delta doc bridging
+    * two base components would have already merged their labels
+    * there, which is exactly the state the refresh must REACH, not
+    * start from (e13's law). */
+  private[graft] def baseLabelsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "labels_base")(
+      Dedup.connectedComponents(
+        pairsArtifact(spark, dir)
+          .filter(!e4DeltaPredOn("a_id") && !e4DeltaPredOn("b_id"))
+          .select(col("a_id"), col("b_id")), "a_id", "b_id"))
+
   /** Non-canonical members of a labeling = the docs dedup drops (one
     * definition with Dedup.nonCanonicalDocs' semantics, over an
     * already-materialized labels table). */
@@ -1299,16 +1314,11 @@ object Pipeline {
     val sh = e13VerifyShingles(spark, dir, cand).cache()
     val newPairs = Dedup.verifyCandidates(sh, cand)
       .select(col("a_id"), col("b_id"))
-    val basePairs = pairsArtifact(spark, dir)
-      .filter(!e4DeltaPredOn("a_id") && !e4DeltaPredOn("b_id"))
-      .select(col("a_id"), col("b_id"))
-    // yesterday's labeling: CC over the base pair table (NOT the full
-    // labels artifact filtered to base nodes — a delta doc bridging
-    // two base components would have already merged their labels
-    // there, which is exactly the state the refresh must REACH, not
-    // start from). The fold is d11's, by construction: one shared
-    // definition (Dedup.incrementalFold).
-    val out = Dedup.incrementalFold(basePairs, newPairs)
+    // yesterday's labeling served from the PERSISTED base labeling
+    // (r15 — see baseLabelsArtifact's doc for why it is NOT the full
+    // labels artifact filtered). The fold is d11's, by construction:
+    // one shared definition (Dedup.incrementalFoldFrom).
+    val out = Dedup.incrementalFoldFrom(baseLabelsArtifact(spark, dir), newPairs)
     // the fold's CC calls are eager (localCheckpoint-materialized),
     // so newPairs — and with it cand/sh — are fully consumed here
     cand.unpersist(false)

@@ -268,10 +268,10 @@ object DocumentsStream {
       if (waveDirs.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), pairsSchema)
       else spark.read.schema(pairsSchema).parquet(waveDirs: _*)
-    val basePairs = Pipeline.pairsArtifact(spark, dir)
-      .filter(!Pipeline.e4DeltaPredOn("a_id") && !Pipeline.e4DeltaPredOn("b_id"))
-      .select(col("a_id"), col("b_id"))
-    Dedup.incrementalFold(basePairs, fresh.select(col("a_id"), col("b_id")))
+    // yesterday's labeling served from the persisted base labeling
+    // (r15 — one CC per serve, not two)
+    Dedup.incrementalFoldFrom(Pipeline.baseLabelsArtifact(spark, dir),
+      fresh.select(col("a_id"), col("b_id")))
   }
 
   /** Start (or RESUME — same checkpoint) the maintenance stream over

@@ -214,6 +214,20 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("the persisted base labeling serves exactly what a fresh CC over " +
+    "the base-only pair graph derives (serve ≡ derive)") {
+    val basePairs = Pipeline.pairsArtifact(spark, dir)
+      .filter(!Pipeline.e4DeltaPredOn("a_id") && !Pipeline.e4DeltaPredOn("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val derived = rows(Dedup.connectedComponents(basePairs, "a_id", "b_id")
+      .select(col("node"), col("cluster_id")))
+    val served = rows(Pipeline.baseLabelsArtifact(spark, dir)
+      .select(col("node"), col("cluster_id")))
+    assert(served.nonEmpty)
+    assert(served === derived,
+      "labels_base must equal a fresh base-only convergence")
+  }
+
   test("the persisted family_pairs grading table serves exactly what " +
     "the six family derivations produce (serve ≡ derive)") {
     val served = rows(Pipeline.familyPairsArtifact(spark, dir))
