@@ -1008,12 +1008,21 @@ object Pipeline {
     * Emitted from the PRE-delete shard set (left join + coalesce), so
     * a shard whose every doc belonged to the retired source still
     * reports its removal instead of vanishing from the census. */
-  def e11RetentionDelete(spark: SparkSession, dir: String): DataFrame = {
-    val before = e10Bins(spark, dir).groupBy(col("shard"))
+  def e11RetentionDelete(spark: SparkSession, dir: String): DataFrame =
+    retentionReport(e10Bins(spark, dir), e11RetainedBins(spark, dir))
+
+  /** The post-delete census shape — pre-delete per-shard mass joined
+    * with the retained packing's manifest, removal emitted from the
+    * PRE-delete shard set (a shard fully emptied by the deletion
+    * still reports) — ONE definition shared by the batch retention
+    * verb (e11) and the streaming takedown retract (st22). */
+  private[graft] def retentionReport(before: DataFrame,
+                                     retained: DataFrame): DataFrame = {
+    val b = before.groupBy(col("shard"))
       .agg(sum(col("n_docs")).as("b_docs"), sum(col("n_tokens")).as("b_tokens"))
-    val after = manifestOf(e11RetainedBins(spark, dir)
+    val after = manifestOf(retained
       .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens")))
-    before.join(after, Seq("shard"), "left")
+    b.join(after, Seq("shard"), "left")
       .select(col("shard"),
         coalesce(col("n_bins"), lit(0L)).as("n_bins"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
@@ -1022,6 +1031,22 @@ object Pipeline {
         (col("b_tokens") - coalesce(col("n_tokens"), lit(0L))).as("n_tokens_removed"),
         coalesce(col("order_checksum"), lit(0L)).as("order_checksum"))
       .orderBy(col("shard"))
+  }
+
+  /** The retained epoch packing WITHOUT the given doc ids — the
+    * TAKEDOWN form of e11's repack (id-frame-keyed retirement instead
+    * of source-keyed), computed in-flight: both epochs repacked under
+    * the same watermark law. The id set is takedown-cadence-bounded
+    * (s18's tombstone argument), so it broadcasts; the repack is one
+    * docflags scan + the per-shard packing windows — e11's cost
+    * shape, delta of which is the removed rows. */
+  private[graft] def retainedBinsWithout(spark: SparkSession, dir: String,
+                                         retiredIds: DataFrame): DataFrame = {
+    val keep = docFlagsArtifact(spark, dir)
+      .join(broadcast(retiredIds.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val b0 = binsFrom(keep.filter(!e4DeltaPred))
+    val b1 = appendEpochBins(keep.filter(e4DeltaPred), b0)
+    b0.unionByName(b1)
   }
 
   /** e8's budget: (3/4)·total available BPE tokens — a real
@@ -2094,6 +2119,47 @@ object Pipeline {
          FROM fert t CROSS JOIN fired fi
          ORDER BY source"""
 
+  /** The retention-delete census as SQL, parameterized over the KEEP
+    * predicate (e11 retires a source, st22 a streamed takedown id
+    * slice — one statement of delete ∘ repack ≡
+    * rebuild-without-deleted for both). */
+  private[graft] def retentionOracleSql(keepSql: String): String =
+    s"""WITH RECURSIVE $selectedCtes,
+         ${epochPackSql("b", "TRUE")},
+         bsum AS (
+           SELECT shard, CAST(sum(n_docs) AS BIGINT) AS b_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS b_tokens
+           FROM ballb GROUP BY 1),
+         ${epochPackSql("r", keepSql)},
+         rhb AS (
+           SELECT shard, bin, n_docs, n_tokens,
+                  (${StableHash.duckdbHash64(
+                    "'e7:1:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)")}) AS h,
+                  (${StableHash.duckdbHash64(
+                    "'e9:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)" +
+                      " || ':' || CAST(n_docs AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)")})
+                    % $E9HashMod AS c
+           FROM rallb),
+         rp AS (
+           SELECT shard, n_docs, n_tokens, c,
+                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, bin) AS BIGINT) AS pos
+           FROM rhb),
+         aft AS (
+           SELECT shard, count(*) AS n_bins,
+                  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                  CAST(sum(pos * c) AS BIGINT) AS order_checksum
+           FROM rp GROUP BY 1)
+         SELECT b.shard,
+                COALESCE(a.n_bins, 0) AS n_bins,
+                COALESCE(a.n_docs, 0) AS n_docs,
+                COALESCE(a.n_tokens, 0) AS n_tokens,
+                b.b_docs - COALESCE(a.n_docs, 0) AS n_docs_removed,
+                b.b_tokens - COALESCE(a.n_tokens, 0) AS n_tokens_removed,
+                COALESCE(a.order_checksum, 0) AS order_checksum
+         FROM bsum b LEFT JOIN aft a ON a.shard = b.shard
+         ORDER BY b.shard"""
+
   /** The offboarded pair table's SQL twin: d4's full pair SELECT with
     * retired-endpoint rows removed via LEFT-JOIN membership (the
     * binder-safe form of two NOT INs) — the `pairs` body of every
@@ -2565,42 +2631,7 @@ object Pipeline {
     // per-shard removed mass, the retained world (mixed set minus the
     // retired source) for the post-delete manifest — emitted from the
     // pre-delete shard set so fully-retired shards still report
-    "e11_retention_delete" ->
-      s"""WITH RECURSIVE $selectedCtes,
-         ${epochPackSql("b", "TRUE")},
-         bsum AS (
-           SELECT shard, CAST(sum(n_docs) AS BIGINT) AS b_docs,
-                  CAST(sum(n_tokens) AS BIGINT) AS b_tokens
-           FROM ballb GROUP BY 1),
-         ${epochPackSql("r", s"source <> '$E11RetiredSource'")},
-         rhb AS (
-           SELECT shard, bin, n_docs, n_tokens,
-                  (${StableHash.duckdbHash64(
-                    "'e7:1:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)")}) AS h,
-                  (${StableHash.duckdbHash64(
-                    "'e9:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)" +
-                      " || ':' || CAST(n_docs AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)")})
-                    % $E9HashMod AS c
-           FROM rallb),
-         rp AS (
-           SELECT shard, n_docs, n_tokens, c,
-                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, bin) AS BIGINT) AS pos
-           FROM rhb),
-         aft AS (
-           SELECT shard, count(*) AS n_bins,
-                  CAST(sum(n_docs) AS BIGINT) AS n_docs,
-                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-                  CAST(sum(pos * c) AS BIGINT) AS order_checksum
-           FROM rp GROUP BY 1)
-         SELECT b.shard,
-                COALESCE(a.n_bins, 0) AS n_bins,
-                COALESCE(a.n_docs, 0) AS n_docs,
-                COALESCE(a.n_tokens, 0) AS n_tokens,
-                b.b_docs - COALESCE(a.n_docs, 0) AS n_docs_removed,
-                b.b_tokens - COALESCE(a.n_tokens, 0) AS n_tokens_removed,
-                COALESCE(a.order_checksum, 0) AS order_checksum
-         FROM bsum b LEFT JOIN aft a ON a.shard = b.shard
-         ORDER BY b.shard""",
+    "e11_retention_delete" -> retentionOracleSql(s"source <> '$E11RetiredSource'"),
     // e10: e3's packing CTE run twice — once over the base slice of
     // the mixed set, once over the delta slice with each shard's bin
     // ids offset past the base watermark — then e9's manifest chain

@@ -695,12 +695,55 @@ object DocumentsStream {
       .orderBy(col("doc_id"))
   }
 
+  // ------------- ST22: streaming bins-tier retract -------------
+
+  /** st22's deterministic takedown slice — a doc_id digit disjoint
+    * from st19's (3) and d22's edit digit (7); carries packed (s5)
+    * mass at the driver SFs so the removal census is non-vacuous
+    * (spec-asserted). */
+  val St22RetireDigit = 1
+
+  /** The ST22 gate entry — streaming RETENTION RETRACT for the bins
+    * tier, closing the arrive/retract pair st20 opened (e11 is the
+    * batch verb, source-keyed; this is the TAKEDOWN form — an id
+    * manifest streams in, and every id's packed rows must leave):
+    * takedown id waves drain through the content-keyed wave ledger
+    * (both waves under one query as separate micro-batches — the
+    * intake-restart law is st19's own pinned coverage of the same
+    * WaveLedger protocol; st20 carries this tier's restart on the
+    * arrive side), and the serve repacks both epochs WITHOUT the
+    * committed union under the watermark law, reporting e11's census
+    * (per-shard retained mass + removed mass from the pre-delete
+    * shard set). Oracle = e11's delete ∘ repack ≡
+    * rebuild-without-deleted statement with the id-slice keep
+    * predicate. Scale: intake is O(ids) per wave; the repack is one
+    * docflags scan + per-shard packing windows (e11's shape) at
+    * takedown cadence. */
+  def st22BinsRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st22", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    f.mkdirs(new Path(s"$base/in"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === St22RetireDigit)
+    stageFrameWave(spark, ids.filter(col("doc_id") % 3 === 0),
+      base, s"$base/in", 0)
+    stageFrameWave(spark, ids.filter(col("doc_id") % 3 =!= 0),
+      base, s"$base/in", 1)
+    runDocRetract(spark, base, s"$base/cp").stop()
+    Pipeline.retentionReport(
+      Pipeline.e10Bins(spark, dir),
+      Pipeline.retainedBinsWithout(spark, dir, retiredFromLedger(spark, base)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st13_graph_maintain" -> (st13GraphMaintain _),
         "st14_ledger_compact" -> (st14LedgerCompact _),
         "st19_pair_retract" -> (st19PairRetract _),
         "st20_bins_arrive" -> (st20BinsArrive _),
-        "st21_pair_update" -> (st21PairUpdate _))
+        "st21_pair_update" -> (st21PairUpdate _),
+        "st22_bins_retract" -> (st22BinsRetract _))
 
   // the maintained graph's labeling must equal the full rebuild —
   // e13's law held across micro-batches and a restart (st13),
@@ -715,5 +758,9 @@ object DocumentsStream {
         "st20_bins_arrive" -> Pipeline.oracles("e10_artifact_refresh"),
         // the streamed retract∘arrive must equal the batch update —
         // d22's rebuild-with-current-text law under streaming intake
-        "st21_pair_update" -> Dedup.oracles("d22_doc_update"))
+        "st21_pair_update" -> Dedup.oracles("d22_doc_update"),
+        // the streamed takedown repack must equal rebuild-without-
+        // deleted — e11's law with the id-slice keep predicate
+        "st22_bins_retract" ->
+          Pipeline.retentionOracleSql(s"doc_id % 10 <> $St22RetireDigit"))
 }

@@ -173,6 +173,27 @@ class Round15Spec extends AnyFunSuite {
       "stream-fold must equal the batch update verb")
   }
 
+  // ---------- 4b. st22 — streaming bins-tier retract ----------
+
+  test("st22: the streamed takedown census equals the direct " +
+    "repack-without-ids, and the removal is non-vacuous (real packed " +
+    "mass leaves)") {
+    val streamed = graft.streaming.DocumentsStream.st22BinsRetract(spark, dir)
+      .cache()
+    val removed = streamed.agg(sum(col("n_docs_removed"))).collect()(0).getLong(0)
+    assert(removed > 0,
+      "the takedown slice must remove real packed mass (vacuous census)")
+    val ids = graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 ===
+        graft.streaming.DocumentsStream.St22RetireDigit)
+    val direct = Pipeline.retentionReport(
+      Pipeline.e10Bins(spark, dir),
+      Pipeline.retainedBinsWithout(spark, dir, ids))
+    assert(rows(streamed) === rows(direct),
+      "stream-fold must equal the direct repack-without-ids census")
+    streamed.unpersist()
+  }
+
   // ---------- 5. size-gated assignment form ----------
 
   test("kmeans assignment auto-gate: broadcast under the session " +
