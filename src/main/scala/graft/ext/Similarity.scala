@@ -1578,13 +1578,23 @@ object Similarity {
   private[graft] def knngArriveWaveTables(spark: SparkSession, dir: String,
                                           waveEmb: DataFrame,
                                           priorArrAssign: DataFrame)
+      : (DataFrame, DataFrame) =
+    knngArriveWaveTablesOn(knngBaseCentroids(spark, dir),
+      knngBaseAssignArtifact(spark, dir), waveEmb, priorArrAssign)
+
+  /** The wave kernel over a caller-supplied frozen model — ONE
+    * definition shared by the append stream (st15: base centroids +
+    * base assignments) and the update stream (st23: the s28-frozen
+    * model, non-updated assignments). */
+  private[graft] def knngArriveWaveTablesOn(cen: DataFrame, baseAssign: DataFrame,
+                                            waveEmb: DataFrame,
+                                            priorArrAssign: DataFrame)
       : (DataFrame, DataFrame) = {
-    val cen = knngBaseCentroids(spark, dir)
     val waveAssign = rankCentroids(quantVecsOf(waveEmb), cen)
       .filter(col("r") <= S20Probes)
       .select(col("vec_id"), col("cid"), col("r"))
       .localCheckpoint() // consumed 4x below + written to the ledger
-    val allAssign = knngBaseAssignArtifact(spark, dir)
+    val allAssign = baseAssign
       .unionByName(priorArrAssign).unionByName(waveAssign)
     def probes(a: DataFrame) = a.select(col("vec_id"), col("cid"))
     def prims(a: DataFrame) = a.filter(col("r") === 1)
@@ -1947,6 +1957,42 @@ object Similarity {
         when(s28UpdPred, reverse(col("embedding")))
           .otherwise(col("embedding")).as("embedding")))
 
+  /** The s28-FROZEN model PERSISTED (r15): centroids trained on the
+    * non-updated slice of the current view, and the non-updated
+    * vectors' assignments against them — the stationary blocking
+    * state the streaming update's waves join (base_assign's posture
+    * at the update tier), and the batch s28 builder's own model
+    * (shared — one derivation per corpus version). */
+  private[graft] def knngUpdCentroids(spark: SparkSession, dir: String): DataFrame =
+    ensureKnng(spark, dir, "upd_centroids")(
+      kmeansCentroids(spark, s28CurrentQv(spark, dir).filter(!s28UpdPred)))
+
+  private[graft] def knngUpdAssignArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureKnng(spark, dir, "upd_assign")(
+      rankCentroids(s28CurrentQv(spark, dir).filter(!s28UpdPred),
+          knngUpdCentroids(spark, dir))
+        .filter(col("r") <= S20Probes)
+        .select(col("vec_id"), col("cid"), col("r")))
+
+  /** The update FOLD — the s28 composition over caller-supplied
+    * tombstone ids and arrival content (st23's serve; the batch
+    * builder passes the gate slice): compact graph_full without the
+    * ids, then integrate the given candidate pairs into the
+    * compacted state under the current view (non-updated corpus rows
+    * ∪ the new vectors). */
+  private[graft] def knngUpdateFold(spark: SparkSession, dir: String,
+                                    updIds: DataFrame, c1: DataFrame,
+                                    newEmb: DataFrame): DataFrame = {
+    val qvCur = quantVecsOf(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .join(broadcast(updIds.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+        .unionByName(newEmb.select(col("vec_id"), col("embedding"))))
+      .cache()
+    val g1 = knngCompactKernel(knngGraphFrame(spark, dir), updIds, qvCur)
+      .cache() // three consumers inside the integration (symB, semi, anti)
+    appendedGraphFromParts(spark, dir, c1, updIds, qvCur, g1)
+  }
+
   /** The updated graph as an artifact table: delete ∘ insert over
     * graph_full under the current view. */
   private[graft] def knngUpdatedGraph(spark: SparkSession, dir: String): DataFrame =
@@ -1957,10 +2003,10 @@ object Similarity {
       //    current view feeds the kernel directly
       val g1 = knngCompactKernel(knngGraphFrame(spark, dir), updIds, qvCur)
         .cache() // three consumers inside the integration (symB, semi, anti)
-      // 2. insert: frozen centroids = trained on the non-updated slice
-      //    (original values under the current view), arrivals blocked
-      //    and integrated by the append kernel into the compacted state
-      val cen = kmeansCentroids(spark, qvCur.filter(!s28UpdPred))
+      // 2. insert: the frozen model read from its artifacts (r15 —
+      //    shared with st23's stream path), arrivals blocked and
+      //    integrated by the append kernel into the compacted state
+      val cen = knngUpdCentroids(spark, dir)
       val rc = rankCentroids(qvCur, cen)
       val probe = rc.filter(col("r") <= S20Probes).select(col("vec_id"), col("cid"))
       val prim = rc.filter(col("r") === 1)

@@ -360,11 +360,137 @@ object EmbeddingsStream {
     Similarity.queryIvfPqIndex(spark, dir, idxDir)
   }
 
+  // ------------- ST23: streaming kNN-graph update -------------
+  // The retract ∘ arrive composition of s28 under the wave ledger —
+  // the last open cell of the stream verb matrix (pair tier has
+  // st13/st19/st21, IVF st17/st18, bins st20/st22; the kNN graph had
+  // arrive st15 + retract st16 but no streamed update). st21's
+  // protocol at the vector tier: the update's TOMBSTONE MANIFEST (the
+  // re-embedded ids) streams first as id waves, then the new vectors
+  // stream as content waves, each blocking against the s28-FROZEN
+  // model (upd_centroids/upd_assign artifacts — the stationary
+  // non-updated assignment state) ∪ committed earlier arrivals ∪
+  // itself; the serve runs s28's fold verbatim — compact graph_full
+  // without the ids, integrate the committed pair union into the
+  // compacted state under the current view.
+
+  /** One update-content micro-batch: content-keyed gate (the vector
+    * folded into the key — a re-re-embedded wave under unchanged ids
+    * keys differently), then the wave's assignments + blocked pairs
+    * against the s28-frozen model commit to the ledger. */
+  private[graft] def updArriveBatch(spark: SparkSession, dir: String,
+                                    base: String)
+                                   (batch: DataFrame, batchId: Long): Unit =
+    waveCommit(spark, s"$base/arrive", batch,
+      embWaveKey(col("vec_id"), col("embedding")),
+      embWaveKey(col("embedding"), col("vec_id"))) { bdir =>
+      val priorAssign = readOrEmpty(spark,
+        committedBatches(spark, s"$base/arrive")
+          .map(p => new Path(p, "assign").toString),
+        assignSchema)
+      val (assign, pairs) = Similarity.knngArriveWaveTablesOn(
+        Similarity.knngUpdCentroids(spark, dir),
+        Similarity.knngUpdAssignArtifact(spark, dir),
+        batch, priorAssign)
+      assign.write.mode("overwrite").parquet(new Path(bdir, "assign").toString)
+      pairs.write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
+      batch.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(new Path(bdir, "emb").toString)
+    }
+
+  private[graft] def runUpdArrive(spark: SparkSession, dir: String, base: String,
+                                  checkpoint: String): StreamingQuery = {
+    val q = readEmbeddingsStream(spark, dir, s"$base/arrive/in")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(updArriveBatch(spark, dir, base) _)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Stage one single-file wave of `part` into `inDir` (the shared
+    * coalesce-copy-mtime stager shape). */
+  private def stageFrameWave(spark: SparkSession, part: DataFrame,
+                             base: String, inDir: String, wave: Int): Unit = {
+    val scratch = s"$base/w$wave"
+    part.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val f = fsOf(spark, new Path(scratch))
+    val src = f.listStatus(new Path(scratch)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new Path(s"$inDir/wave$wave.parquet")
+    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
+    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+  }
+
+  /** The ST23 gate entry — streaming UPDATE for the kNN graph: s28's
+    * verb under the wave ledger with a REAL restart in the content
+    * phase. The re-embedded slice's tombstone manifest drains as two
+    * id waves under one query (intake-restart coverage is the shared
+    * protocol's, st16/st19), then the new vectors (the s28 reversed
+    * slice) stream as two content waves with a restart between them;
+    * the serve folds the committed state through s28's own kernels —
+    * compact without the manifest ids, integrate the committed pair
+    * union under the current view. Oracle = s28's
+    * update ≡ rebuild-with-current-values chain VERBATIM; Round15Spec
+    * pins stream-fold ≡ the batch verb engine-side. Scale: per-wave
+    * work is wave-sized ranking + blocking against broadcast/persisted
+    * model tables; the serve's compact+integrate is |U|-bounded
+    * (s28's bound), paid at update cadence. */
+  def st23GraphUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ArtifactRoots.tagged("graft_st23", dir)
+    val bp = new Path(base)
+    val f = fsOf(spark, bp)
+    if (f.exists(bp)) f.delete(bp, true)
+    f.mkdirs(new Path(s"$base/retract/in"))
+    f.mkdirs(new Path(s"$base/arrive/in"))
+    val slice = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === Similarity.S28UpdateDigit)
+    // phase 1 — the tombstone manifest: both id waves, one query
+    stageFrameWave(spark,
+      slice.select(col("vec_id")).filter(col("vec_id") % 3 === 0),
+      base, s"$base/retract/in", 0)
+    stageFrameWave(spark,
+      slice.select(col("vec_id")).filter(col("vec_id") % 3 =!= 0),
+      base, s"$base/retract/in", 1)
+    locally {
+      val q = spark.readStream.schema(idSchema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/retract/in")
+        .writeStream
+        .option("checkpointLocation", s"$base/retract/cp")
+        .foreachBatch(retractBatch(spark, s"$base/retract") _)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // phase 2 — the re-embedded content (reversed vectors), restart
+    val newEmb = slice.select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    stageFrameWave(spark, newEmb.filter(col("vec_id") % 3 === 0),
+      base, s"$base/arrive/in", 2)
+    runUpdArrive(spark, dir, base, s"$base/arrive/cp").stop()
+    stageFrameWave(spark, newEmb.filter(col("vec_id") % 3 =!= 0),
+      base, s"$base/arrive/in", 3)
+    runUpdArrive(spark, dir, base, s"$base/arrive/cp").stop()
+    // serve — s28's fold over the committed ledgers
+    val arriveBatches = committedBatches(spark, s"$base/arrive")
+    val c1 = readOrEmpty(spark,
+      arriveBatches.map(p => new Path(p, "pairs").toString), pairSchema)
+    val ledgerEmb = spark.read
+      .schema(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).schema)
+      .parquet(arriveBatches.map(p => new Path(p, "emb").toString): _*)
+    Similarity.knngUpdateFold(spark, dir,
+        retractIdsFromLedger(spark, s"$base/retract"), c1, ledgerEmb)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"),
+        col("d2_fp"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st15_graph_arrive" -> (st15GraphArrive _),
       "st16_graph_retract" -> (st16GraphRetract _),
       "st17_index_ingest" -> (st17IndexIngest _),
-      "st18_index_retract" -> (st18IndexRetract _))
+      "st18_index_retract" -> (st18IndexRetract _),
+      "st23_graph_update" -> (st23GraphUpdate _))
 
   // the streamed-in state must equal the one-shot batch verb on the
   // same slice — s25's / s26's / s13's / s18's oracle chains verbatim
@@ -372,5 +498,8 @@ object EmbeddingsStream {
     Map("st15_graph_arrive" -> Similarity.oracles("s25_graph_append"),
       "st16_graph_retract" -> Similarity.oracles("s26_graph_delete"),
       "st17_index_ingest" -> Similarity.oracles("s13_persisted_index"),
-      "st18_index_retract" -> Similarity.oracles("s18_index_delete"))
+      "st18_index_retract" -> Similarity.oracles("s18_index_delete"),
+      // the streamed retract∘arrive must equal the batch update —
+      // s28's rebuild-with-current-values law under streaming intake
+      "st23_graph_update" -> Similarity.oracles("s28_graph_update"))
 }

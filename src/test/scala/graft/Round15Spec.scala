@@ -173,7 +173,19 @@ class Round15Spec extends AnyFunSuite {
       "stream-fold must equal the batch update verb")
   }
 
-  // ---------- 4b. st22 — streaming bins-tier retract ----------
+  // ---------- 4b. st23 — streaming kNN-graph update ----------
+
+  test("st23: the streamed retract∘arrive (tombstone manifest, then " +
+    "re-embedded vector waves with a restart) equals the batch s28 " +
+    "update verb exactly") {
+    val streamed = rows(graft.streaming.EmbeddingsStream
+      .st23GraphUpdate(spark, dir))
+    val batch = rows(Similarity.s28GraphUpdate(spark, dir))
+    assert(streamed.nonEmpty, "the streamed graph must be non-empty")
+    assert(streamed === batch, "stream-fold must equal the batch update verb")
+  }
+
+  // ---------- 4c. st22 — streaming bins-tier retract ----------
 
   test("st22: the streamed takedown census equals the direct " +
     "repack-without-ids, and the removal is non-vacuous (real packed " +
