@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -299,14 +299,7 @@ object DocumentsStream {
     val part = Tables.documents(spark, dir)
       .filter(Pipeline.e4DeltaPredOn("doc_id"))
       .filter(if (wave == 0) col("doc_id") % 3 === 0 else col("doc_id") % 3 =!= 0)
-    val scratch = s"$base/w$wave"
-    part.coalesce(1).write.mode("overwrite").parquet(scratch)
-    val f = fsOf(spark, new Path(scratch))
-    val src = f.listStatus(new Path(scratch)).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).get
-    val dst = new Path(s"$base/in/wave$wave.parquet")
-    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
-    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+    WaveLedger.stageFrameWave(spark, part, base, s"$base/in", wave)
   }
 
   /** The ST13 gate entry. The restart is real: wave A is processed
@@ -400,14 +393,7 @@ object DocumentsStream {
     val part = Tables.documents(spark, dir).select(col("doc_id"))
       .filter(col("doc_id") % 10 === St19RetractDigit)
       .filter(if (wave == 0) col("doc_id") % 3 === 0 else col("doc_id") % 3 =!= 0)
-    val scratch = s"$base/w$wave"
-    part.coalesce(1).write.mode("overwrite").parquet(scratch)
-    val f = fsOf(spark, new Path(scratch))
-    val src = f.listStatus(new Path(scratch)).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).get
-    val dst = new Path(s"$base/in/wave$wave.parquet")
-    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
-    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+    WaveLedger.stageFrameWave(spark, part, base, s"$base/in", wave)
   }
 
   /** The union of every committed takedown wave's ids. */
@@ -620,19 +606,11 @@ object DocumentsStream {
     q
   }
 
-  /** Stage one single-file wave of `part` into `inDir` (the shared
-    * coalesce-copy-mtime shape of every stager in this object). */
+  /** Stage one single-file wave of `part` into `inDir` — the shared
+    * [[WaveLedger.stageFrameWave]] stager. */
   private def stageFrameWave(spark: SparkSession, part: DataFrame,
-                             base: String, inDir: String, wave: Int): Unit = {
-    val scratch = s"$base/w$wave"
-    part.coalesce(1).write.mode("overwrite").parquet(scratch)
-    val f = fsOf(spark, new Path(scratch))
-    val src = f.listStatus(new Path(scratch)).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).get
-    val dst = new Path(s"$inDir/wave$wave.parquet")
-    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
-    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
-  }
+                             base: String, inDir: String, wave: Int): Unit =
+    WaveLedger.stageFrameWave(spark, part, base, inDir, wave)
 
   /** The ST21 gate entry — streaming UPDATE for the candidate-pair
     * graph: d22's verb under the wave ledger with a REAL restart. The

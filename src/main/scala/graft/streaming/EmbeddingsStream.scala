@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -139,14 +139,7 @@ object EmbeddingsStream {
     val part = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 10 === Similarity.S13AppendDigit)
       .filter(if (wave == 0) col("vec_id") % 3 === 0 else col("vec_id") % 3 =!= 0)
-    val scratch = s"$base/w$wave"
-    part.coalesce(1).write.mode("overwrite").parquet(scratch)
-    val f = fsOf(spark, new Path(scratch))
-    val src = f.listStatus(new Path(scratch)).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).get
-    val dst = new Path(s"$base/in/wave$wave.parquet")
-    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
-    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+    WaveLedger.stageFrameWave(spark, part, base, s"$base/in", wave)
   }
 
   /** The ST15 gate entry — restart inside the entry, st13's shape:
@@ -224,14 +217,7 @@ object EmbeddingsStream {
     val part = Tables.embeddings(spark, dir).select(col("vec_id"))
       .filter(col("vec_id") % 10 === Similarity.S18DeleteDigit)
       .filter(if (wave == 0) col("vec_id") % 3 === 0 else col("vec_id") % 3 =!= 0)
-    val scratch = s"$base/w$wave"
-    part.coalesce(1).write.mode("overwrite").parquet(scratch)
-    val f = fsOf(spark, new Path(scratch))
-    val src = f.listStatus(new Path(scratch)).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).get
-    val dst = new Path(s"$base/in/wave$wave.parquet")
-    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
-    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+    WaveLedger.stageFrameWave(spark, part, base, s"$base/in", wave)
   }
 
   /** The ST16 gate entry — st15's lifecycle shape on the DELETE side:
@@ -409,19 +395,11 @@ object EmbeddingsStream {
     q
   }
 
-  /** Stage one single-file wave of `part` into `inDir` (the shared
-    * coalesce-copy-mtime stager shape). */
+  /** Stage one single-file wave of `part` into `inDir` — the shared
+    * [[WaveLedger.stageFrameWave]] stager. */
   private def stageFrameWave(spark: SparkSession, part: DataFrame,
-                             base: String, inDir: String, wave: Int): Unit = {
-    val scratch = s"$base/w$wave"
-    part.coalesce(1).write.mode("overwrite").parquet(scratch)
-    val f = fsOf(spark, new Path(scratch))
-    val src = f.listStatus(new Path(scratch)).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).get
-    val dst = new Path(s"$inDir/wave$wave.parquet")
-    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
-    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
-  }
+                             base: String, inDir: String, wave: Int): Unit =
+    WaveLedger.stageFrameWave(spark, part, base, inDir, wave)
 
   /** The ST23 gate entry — streaming UPDATE for the kNN graph: s28's
     * verb under the wave ledger with a REAL restart in the content

@@ -51,6 +51,25 @@ private[streaming] object WaveLedger {
       .sortBy(_.getName)
   }
 
+  /** Stage one single-file wave of `part` into `inDir` for a
+    * file-source stream — the gate entries' shared stager: coalesce
+    * to one parquet file, copy it in, and force the mtime to the wave
+    * index so maxFilesPerTrigger=1 delivers waves in a deterministic
+    * order when several are staged at once. (Gate staging only — a
+    * production stream's files arrive from the ingest system.) */
+  def stageFrameWave(spark: SparkSession, part: org.apache.spark.sql.DataFrame,
+                     base: String, inDir: String, wave: Int): Unit = {
+    val scratch = s"$base/w$wave"
+    part.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val f = fsOf(spark, new Path(scratch))
+    val src = f.listStatus(new Path(scratch)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new Path(s"$inDir/wave$wave.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    f.setTimes(dst, 1000000L * (wave + 1), -1); ()
+  }
+
   /** Run `work` for this wave exactly once (see object doc). An
     * empty wave contributes nothing and is not committed. */
   def waveCommit(spark: SparkSession, base: String, batch: DataFrame,
