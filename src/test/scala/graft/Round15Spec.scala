@@ -206,6 +206,29 @@ class Round15Spec extends AnyFunSuite {
     streamed.unpersist()
   }
 
+  test("st20/st22: a fresh-checkpoint re-delivery of every wave commits " +
+    "nothing new — the shared ledger's content gate holds for the bins " +
+    "tier's entries") {
+    import graft.streaming.DocumentsStream
+    // arrive side: entry leaves a 2-wave ledger; re-deliver both waves
+    // under a NEW checkpoint numbering
+    DocumentsStream.st20BinsArrive(spark, dir).collect()
+    val aBase = ArtifactRoots.tagged("graft_st20", dir)
+    val a0 = DocumentsStream.committedBatches(spark, aBase).size
+    assert(a0 === 2, s"two committed flag waves expected, saw $a0")
+    DocumentsStream.runFlags(spark, dir, aBase, s"$aBase/cp_fresh").stop()
+    assert(DocumentsStream.committedBatches(spark, aBase).size === a0,
+      "fresh-checkpoint re-delivery must commit no new flag wave")
+    // retract side: same law on the takedown ledger
+    DocumentsStream.st22BinsRetract(spark, dir).collect()
+    val rBase = ArtifactRoots.tagged("graft_st22", dir)
+    val r0 = DocumentsStream.committedBatches(spark, rBase).size
+    assert(r0 === 2, s"two committed id waves expected, saw $r0")
+    DocumentsStream.runDocRetract(spark, rBase, s"$rBase/cp_fresh").stop()
+    assert(DocumentsStream.committedBatches(spark, rBase).size === r0,
+      "fresh-checkpoint re-delivery must commit no new id wave")
+  }
+
   // ---------- 5. size-gated assignment form ----------
 
   test("kmeans assignment auto-gate: broadcast under the session " +
