@@ -1890,7 +1890,17 @@ object Pipeline {
     // no-op-promote, write a done marker for a cutover that never ran,
     // and delete the first verb's aside rollback copies. Keying by the
     // layer set makes each verb's crash state invisible to the other.
-    val tag = if (layers == BpeModelLayers) "bpe" else "model"
+    // the tag derives from the layer set's CONTENT (r15 ADVICE): the
+    // two shipped sets keep their historical names (markers already on
+    // serving roots must keep resolving), and any FUTURE layer set
+    // gets its own content-keyed namespace instead of silently
+    // aliasing the DSIR verb's crash state — String.hashCode is
+    // JVM-spec-stable, masked to an unsigned hex so the dir name is
+    // filesystem-clean
+    val tag =
+      if (layers == BpeModelLayers) "bpe"
+      else if (layers == ModelLayers) "model"
+      else f"ls_${layers.mkString(" ").hashCode & 0xffffffffL}%08x"
     val done = new Path(s"$root/${tag}_cutover_done")
     val aside = new Path(s"$root/${tag}_cutover_old")
     // same resume discipline as cutoverSubtree: the refreshed tables

@@ -593,9 +593,23 @@ object Similarity {
   private[graft] def assignBytesOf(nCentroids: Long): Long =
     nCentroids * (Dims.toLong * 8 + 64)
 
+  /** Dedicated knob for the k-means assignment form (r15 ADVICE): the
+    * gate reads THIS key first and falls back to the session's
+    * `spark.sql.autoBroadcastJoinThreshold` only when it is unset —
+    * so a session that sets the SQL threshold to -1 to suppress
+    * broadcast JOINS elsewhere no longer silently flips every
+    * centroid build (all index builders, s5, d13, s20) onto the
+    * shuffle-assignment form. Forms are pinned bit-equal
+    * (Round14Spec), so either setting is a plan choice, never an
+    * answer change. */
+  private[graft] val KmeansBroadcastThresholdKey =
+    "spark.graft.kmeans.broadcastThreshold"
+
   private[graft] def autoBroadcastAssign(spark: SparkSession,
                                          nCentroids: Long): Boolean = {
-    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val raw = spark.conf.getOption(KmeansBroadcastThresholdKey)
+      .getOrElse(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+        "10485760"))
     val thresh =
       try raw.trim.toLong
       catch {
@@ -1222,7 +1236,10 @@ object Similarity {
   /** The BASE substrate: model trained on the ~90% base slice, base
     * slice coded — the state a streaming ingest starts from. */
   private[graft] def baseSubstrate(spark: SparkSession, dir: String): String = {
-    val root = servedIdxDir("graft_ivfsub_base", dir)
+    // _v1-suffixed like graft_ivfq_v1/graft_knng_v3 (r15 ADVICE): a
+    // builder-semantics change re-keys by bumping the suffix, the
+    // same named trigger every other versioned root has
+    val root = servedIdxDir("graft_ivfsub_base_v1", dir)
     val done = new Path(s"$root/$SubstrateMarker")
     val fs = FileSystem.get(done.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
@@ -1238,7 +1255,7 @@ object Similarity {
     * and of the s14/s30 drift measurements. Built by cloning base
     * (training paid once across both tiers) and appending. */
   private[graft] def driftedSubstrate(spark: SparkSession, dir: String): String = {
-    val root = servedIdxDir("graft_ivfsub_full", dir)
+    val root = servedIdxDir("graft_ivfsub_full_v1", dir)
     val done = new Path(s"$root/$SubstrateMarker")
     val fs = FileSystem.get(done.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {

@@ -214,19 +214,24 @@ object DocumentsStream {
     * folded-equivalent: recognizing the text-blind legacy key would
     * reintroduce exactly the edited-wave aliasing the sum term fixed. */
   private[graft] def maintainBatch(spark: SparkSession, dir: String, base: String)
-                                  (batch: DataFrame, batchId: Long): Unit =
+                                  (batch: DataFrame, batchId: Long): Unit = {
+    // ONE ledger-state read per micro-batch (r15 ADVICE): the folded
+    // set and the prior-wave dirs come from the same listing —
+    // foreachBatch is sequential and compaction never runs inside a
+    // batch, so the state cannot move between the vouch and the work
+    val st = ledgerState(spark, base)
     // the folded-tag set vouches for waves whose dirs a compaction
     // cleared — their re-delivery must skip without re-deriving a pair
     WaveLedger.waveCommit(spark, base, batch,
       xxhash64(col("doc_id"), col("text")),
       xxhash64(col("text"), col("doc_id")),
-      alsoCommitted = tag => ledgerState(spark, base).folded(tag)) { bdir =>
+      alsoCommitted = st.folded) { bdir =>
       // arrived = base + committed earlier waves + this wave. Earlier
       // waves are read from the ledger (the latest compacted generation
       // plus the live tail — committed before this batch ran,
       // foreachBatch is sequential), the base from the persisted
       // signatures artifact; neither is re-derived.
-      val priorDirs = ledgerState(spark, base).dirs("sigs")
+      val priorDirs = st.dirs("sigs")
       val sigsB = Dedup.minhashSignatures(Dedup.shingleRows(batch))
         .cache() // consumed by the ledger write, the band join, and `arrived`
       var cand: DataFrame = null
@@ -254,6 +259,7 @@ object DocumentsStream {
         if (sh != null) sh.unpersist(false)
       }
     }
+  }
 
   /** The converged labeling: d11's fold (ONE definition,
     * Dedup.incrementalFold) over the base pair graph + the arrived

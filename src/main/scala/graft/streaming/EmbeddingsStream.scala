@@ -453,9 +453,14 @@ object EmbeddingsStream {
     val arriveBatches = committedBatches(spark, s"$base/arrive")
     val c1 = readOrEmpty(spark,
       arriveBatches.map(p => new Path(p, "pairs").toString), pairSchema)
-    val ledgerEmb = spark.read
-      .schema(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).schema)
-      .parquet(arriveBatches.map(p => new Path(p, "emb").toString): _*)
+    // readOrEmpty (not a bare parquet(paths: _*)) so an all-empty
+    // update slice serves the no-op fold instead of throwing on a
+    // zero-path read — the same guard the c1 read above uses (r15
+    // ADVICE)
+    val ledgerEmb = readOrEmpty(spark,
+      arriveBatches.map(p => new Path(p, "emb").toString),
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).schema)
     Similarity.knngUpdateFold(spark, dir,
         retractIdsFromLedger(spark, s"$base/retract"), c1, ledgerEmb)
       .select(col("vec_id"), col("nb_id").as("neighbor_id"),
