@@ -76,105 +76,30 @@ object DocumentsStream {
   // ---------------------------------------------------------------
   // Ledger COMPACTION — the fold verb: without it the ledger
   // accumulates one dir per wave forever and every serve (and every
-  // batch's banding base) re-folds all of it. compactLedger merges
-  // the committed waves into a cumulative, marker-gated COMPACTED
-  // GENERATION (`compact/gen_N/{sigs,pairs,folded}` — gen N folds
-  // gen N−1 plus the live tail, so readers only ever open the latest
-  // gen) and then clears the folded wave dirs; pairs are unioned,
-  // never re-derived (e13's refresh law — signatures are arrival-
-  // invariant, so the fold IS the merge). Crash windows, in order:
-  //   - mid-gen-write: unmarked gen dir; deleted and rebuilt by the
-  //     next compact (source waves still present — nothing lost);
-  //   - after the marker, BEFORE the wave delete: the gen AND its
-  //     source waves both exist — every reader filters waves through
-  //     the gen's FOLDED tag set, so each sig/pair serves exactly
-  //     once; the next compact GCs the leftovers;
-  //   - a wave re-delivered AFTER its dir was cleared: its content
-  //     tag is in the folded set, so maintainBatch skips it without
-  //     re-deriving a pair — the marker's exactly-once promise kept
-  //     across the compaction.
-  // The folded set rides IN the generation (cumulative), so its size
-  // is wave-count-bounded — a compaction-cadence quantity, never
-  // corpus-sized; at 100 TB the driver-side tag set is the same few
-  // hundred strings the ledger listing already was.
+  // batch's banding base) re-folds all of it. Since r16 the whole
+  // mechanism (cumulative marker-gated generations + folded-tag
+  // vouching + crash-window GC) lives in [[WaveLedger]], shared by
+  // every ledger tier; this tier folds {sigs, pairs} — pairs are
+  // unioned, never re-derived (e13's refresh law — signatures are
+  // arrival-invariant, so the fold IS the merge). The thin names
+  // below keep this tier's call sites (and Round12Spec's pins) on
+  // the one shared definition.
   // ---------------------------------------------------------------
 
-  /** Committed compacted generations, ordered by NUMERIC suffix (not
-    * name: zero-padding runs out at gen_100000, where a string sort
-    * would rank it before gen_99999 and the superseded-gen GC would
-    * delete the true latest generation — the only copy of its folded
-    * waves). */
-  private[graft] def committedGens(spark: SparkSession, base: String): Seq[Path] = {
-    val root = new Path(s"$base/compact")
-    val f = fsOf(spark, root)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => f.exists(new Path(p, CommitMarker)))
-      .sortBy(_.getName.stripPrefix("gen_").toLong)
-  }
+  private[graft] def committedGens(spark: SparkSession, base: String): Seq[Path] =
+    WaveLedger.committedGens(spark, base)
 
-  /** The arrived ledger state every reader folds over: the latest
-    * committed generation (if any), its folded tag set (outlives the
-    * wave dirs it covers), and the live wave tail the set does NOT
-    * cover. `dirs(sub)` is the exactly-once read plan: gen first,
-    * then live waves. */
-  private[graft] final case class LedgerState(gen: Option[Path],
-      folded: Set[String], waves: Seq[Path]) {
-    def dirs(sub: String): Seq[String] =
-      (gen.toSeq ++ waves).map(p => new Path(p, sub).toString)
-  }
+  private[graft] type LedgerState = WaveLedger.LedgerState
 
-  private[graft] def ledgerState(spark: SparkSession, base: String): LedgerState = {
-    val gen = committedGens(spark, base).lastOption
-    val folded = gen.map(g =>
-      spark.read.parquet(new Path(g, "folded").toString)
-        .collect().map(_.getString(0)).toSet)
-      .getOrElse(Set.empty[String])
-    LedgerState(gen, folded,
-      committedBatches(spark, base).filterNot(p => folded(p.getName)))
-  }
+  private[graft] def ledgerState(spark: SparkSession, base: String): LedgerState =
+    WaveLedger.ledgerState(spark, base)
 
   /** Fold the committed live waves into the next compacted
     * generation and clear them. Marker-gated and idempotent: with no
     * live waves it only GCs crash-window leftovers and returns. */
-  private[graft] def compactLedger(spark: SparkSession, base: String): Unit = {
-    val st = ledgerState(spark, base)
-    val f = fsOf(spark, new Path(base))
-    // crash-window GC FIRST, and before the no-work return so both
-    // leftover classes self-heal on every compact: waves the latest
-    // gen already covers (readers were already excluding them), and
-    // superseded older generations (a crash between wave-delete and
-    // gen-delete leaves gen N−1 beside gen N)
-    committedBatches(spark, base).filter(p => st.folded(p.getName))
-      .foreach(p => f.delete(p, true))
-    st.gen.foreach(g => committedGens(spark, base).filter(_.getName != g.getName)
-      .foreach(p => f.delete(p, true)))
-    if (st.waves.isEmpty) return
-    // next index = latest gen's suffix + 1, NEVER the committed-gen
-    // COUNT: superseded gens are deleted above, so the count resets to
-    // 1 and a count-derived name would collide with the LIVE
-    // generation from the third compaction on — the scratch-delete
-    // below would then destroy the live gen's sigs/pairs/folded set
-    // (data loss: its source waves are long cleared)
-    val nextIdx = st.gen.map(_.getName.stripPrefix("gen_").toInt + 1).getOrElse(0)
-    val next = new Path(f"$base/compact/gen_$nextIdx%05d")
-    f.delete(next, true) // unmarked scratch from a crashed compact
-    spark.read.parquet(st.dirs("sigs"): _*)
-      .write.mode("overwrite").parquet(new Path(next, "sigs").toString)
-    spark.read.schema(pairsSchema).parquet(st.dirs("pairs"): _*)
-      .write.mode("overwrite").parquet(new Path(next, "pairs").toString)
-    val folded = (st.folded ++ st.waves.map(_.getName)).toSeq.sorted
-    import spark.implicits._
-    folded.toDF("tag").coalesce(1)
-      .write.mode("overwrite").parquet(new Path(next, "folded").toString)
-    // marker LAST: the gen is live only once all three tables exist
-    f.create(new Path(next, CommitMarker), true).close()
-    // cleanup AFTER the commit — the crash window readers tolerate
-    st.waves.foreach(p => f.delete(p, true))
-    committedGens(spark, base).filter(_.getName != next.getName)
-      .foreach(p => f.delete(p, true)) // superseded cumulative gens
-    ()
-  }
+  private[graft] def compactLedger(spark: SparkSession, base: String): Unit =
+    WaveLedger.compactLedger(spark, base,
+      Seq("sigs" -> None, "pairs" -> Some(pairsSchema)))
 
   /** One arrival micro-batch: the batch's signatures + its verified
     * new pairs, committed into a content-keyed, marker-gated ledger
@@ -553,18 +478,24 @@ object DocumentsStream {
     * together. */
   private[graft] def updateArriveBatch(spark: SparkSession, dir: String,
                                        base: String)
-                                      (batch: DataFrame, batchId: Long): Unit =
+                                      (batch: DataFrame, batchId: Long): Unit = {
+    // ledger state read ONCE per micro-batch: prior sig/doc dirs are
+    // the latest compacted generation + live tail (r16 — before this
+    // the kernel re-unioned every prior wave's dirs per wave, an
+    // unbounded list between full rebuilds), and the folded set
+    // vouches for compacted re-deliveries
+    val st = ledgerState(spark, s"$base/arrive")
     WaveLedger.waveCommit(spark, s"$base/arrive", batch,
       xxhash64(col("doc_id"), col("text")),
-      xxhash64(col("text"), col("doc_id"))) { bdir =>
+      xxhash64(col("text"), col("doc_id")),
+      alsoCommitted = st.folded) { bdir =>
       val retired = retiredFromLedger(spark, s"$base/retract")
-      val prior = committedBatches(spark, s"$base/arrive")
       val sigsB = Dedup.minhashSignatures(Dedup.shingleRows(batch)).cache()
       var cand: DataFrame = null
       try {
         val survivorSigs = Pipeline.signaturesArtifact(spark, dir)
           .join(retired, Seq("doc_id"), "left_anti")
-        val priorSigDirs = prior.map(p => new Path(p, "sigs").toString)
+        val priorSigDirs = st.dirs("sigs")
         val arrived = (if (priorSigDirs.isEmpty) survivorSigs
           else survivorSigs.unionByName(spark.read.parquet(priorSigDirs: _*)))
           .unionByName(sigsB)
@@ -575,7 +506,7 @@ object DocumentsStream {
         // the post-edit CURRENT view at this wave: survivors keep
         // corpus text, arrived docs (earlier waves + this one) carry
         // their NEW text
-        val priorDocDirs = prior.map(p => new Path(p, "docs").toString)
+        val priorDocDirs = st.dirs("docs")
         val arrivedDocs = (if (priorDocDirs.isEmpty)
             batch.select(col("doc_id"), col("text"))
           else batch.select(col("doc_id"), col("text"))
@@ -598,6 +529,17 @@ object DocumentsStream {
         if (cand != null) cand.unpersist(false)
       }
     }
+  }
+
+  /** st21's compaction verb: fold {docs, sigs, pairs} waves — docs
+    * ride the gen so later waves' verify views and the serve keep the
+    * post-edit text after the wave dirs are cleared (r16 — st14's
+    * verb at the update-arrive ledger). */
+  private[graft] def compactUpdateArriveLedger(spark: SparkSession,
+                                               base: String): Unit =
+    WaveLedger.compactLedger(spark, s"$base/arrive",
+      Seq("docs" -> Some(updateDocSchema), "sigs" -> None,
+        "pairs" -> Some(pairsSchema)))
 
   private[graft] def runUpdateArrive(spark: SparkSession, dir: String,
                                      base: String,
@@ -657,15 +599,23 @@ object DocumentsStream {
     stageFrameWave(spark, newDocs.filter(col("doc_id") % 3 =!= 0),
       base, s"$base/arrive/in", 3)
     runUpdateArrive(spark, dir, base, s"$base/arrive/cp").stop()
-    // serve — d22's single-CC fold over the committed ledgers:
-    // untouched labels as star edges, affected survivors and the
-    // committed arrival pairs converge in ONE labeling pass
+    st21Serve(spark, dir, base)
+  }
+
+  /** st21's serve, callable on an existing ledger base (Round16Spec
+    * re-serves across compactions) — d22's single-CC fold over the
+    * committed ledgers: untouched labels as star edges, affected
+    * survivors and the committed arrival pairs converge in ONE
+    * labeling pass. */
+  private[graft] def st21Serve(spark: SparkSession, dir: String,
+                               base: String): DataFrame = {
     val (untouched, survivors) = Pipeline.retractParts(
       Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
       Pipeline.labelsArtifact(spark, dir),
-      retiredFromLedger(spark, rBase))
-    val pairDirs = committedBatches(spark, s"$base/arrive")
-      .map(p => new Path(p, "pairs").toString)
+      retiredFromLedger(spark, s"$base/retract"))
+    // gen + tail (r16): the serve reads ONE compacted generation plus
+    // the live wave tail, never an unbounded per-wave dir list
+    val pairDirs = ledgerState(spark, s"$base/arrive").dirs("pairs")
     val newPairs =
       if (pairDirs.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), pairsSchema)

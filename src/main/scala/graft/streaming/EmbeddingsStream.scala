@@ -84,38 +84,53 @@ object EmbeddingsStream {
     * embedding waves fold the vector in so a re-embedded wave under
     * unchanged ids keys differently. */
   private def waveCommit(spark: SparkSession, base: String, batch: DataFrame,
-                         ck: Column, cs: Column)(work: Path => Unit): Unit =
-    WaveLedger.waveCommit(spark, base, batch, ck, cs)(work)
+                         ck: Column, cs: Column,
+                         alsoCommitted: String => Boolean = _ => false)
+                        (work: Path => Unit): Unit =
+    WaveLedger.waveCommit(spark, base, batch, ck, cs, alsoCommitted)(work)
 
   private def embWaveKey(c: Column*): Column = xxhash64(c: _*)
 
   /** One arrival micro-batch: the wave's work under the content gate —
     * rank against the frozen centroids, block against base_assign ∪
-    * committed arrivals ∪ itself, commit (assign, pairs). */
+    * committed arrivals ∪ itself, commit (assign, pairs). Prior
+    * arrivals are the LEDGER STATE (latest compacted generation +
+    * live tail — r16: st14's compaction verb generalized to this
+    * tier), read once per micro-batch; the folded-tag set vouches for
+    * waves whose dirs a compaction cleared. */
   private[graft] def arriveBatch(spark: SparkSession, dir: String, base: String)
-                                (batch: DataFrame, batchId: Long): Unit =
+                                (batch: DataFrame, batchId: Long): Unit = {
+    val st = WaveLedger.ledgerState(spark, base)
     waveCommit(spark, base, batch,
       embWaveKey(col("vec_id"), col("embedding")),
-      embWaveKey(col("embedding"), col("vec_id"))) { bdir =>
-      val priorAssign = readOrEmpty(spark,
-        committedBatches(spark, base).map(p => new Path(p, "assign").toString),
-        assignSchema)
+      embWaveKey(col("embedding"), col("vec_id")),
+      alsoCommitted = st.folded) { bdir =>
+      val priorAssign = readOrEmpty(spark, st.dirs("assign"), assignSchema)
       val (assign, pairs) =
         Similarity.knngArriveWaveTables(spark, dir, batch, priorAssign)
       assign.write.mode("overwrite").parquet(new Path(bdir, "assign").toString)
       pairs.write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
     }
+  }
+
+  /** Fold the committed arrival waves into the next cumulative
+    * compacted generation (the st14 verb at the kNN-graph tier, r16
+    * — before this the ledger only cleared on the next full graph
+    * rebuild, an unbounded dir list at append cadence). Serves then
+    * read ONE generation + the live tail. */
+  private[graft] def compactArriveLedger(spark: SparkSession,
+                                         base: String): Unit =
+    WaveLedger.compactLedger(spark, base,
+      Seq("assign" -> Some(assignSchema), "pairs" -> Some(pairSchema)))
 
   /** The appended graph served FROM the ledger: committed pairs +
-    * arrival ids folded through the batch append's own integration
-    * kernel. */
+    * arrival ids (latest compacted generation + live tail) folded
+    * through the batch append's own integration kernel. */
   private[graft] def appendedFromLedger(spark: SparkSession, dir: String,
                                         base: String): DataFrame = {
-    val batches = committedBatches(spark, base)
-    val c1 = readOrEmpty(spark,
-      batches.map(p => new Path(p, "pairs").toString), pairSchema)
-    val arrIds = readOrEmpty(spark,
-      batches.map(p => new Path(p, "assign").toString), assignSchema)
+    val st = WaveLedger.ledgerState(spark, base)
+    val c1 = readOrEmpty(spark, st.dirs("pairs"), pairSchema)
+    val arrIds = readOrEmpty(spark, st.dirs("assign"), assignSchema)
       .select(col("vec_id")).distinct()
     Similarity.appendedGraphFromParts(spark, dir, c1, arrIds)
   }
@@ -150,6 +165,15 @@ object EmbeddingsStream {
     * VERBATIM (the stream-fold ≡ batch-append law, hash-checked every
     * round). Scratch lives at one fixed location per corpus, rebuilt
     * per invocation (st11's no-accumulation discipline). */
+  /** st15's serve, callable on an existing ledger base (Round16Spec
+    * re-serves across compactions). */
+  private[graft] def st15Serve(spark: SparkSession, dir: String,
+                               base: String): DataFrame =
+    appendedFromLedger(spark, dir, base)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"),
+        col("d2_fp"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+
   def st15GraphArrive(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.ArtifactRoots.tagged("graft_st15", dir)
     val bp = new Path(base)
@@ -160,10 +184,7 @@ object EmbeddingsStream {
     runArrive(spark, dir, base, s"$base/cp").stop()
     stageWave(spark, dir, base, 1)
     runArrive(spark, dir, base, s"$base/cp").stop()
-    appendedFromLedger(spark, dir, base)
-      .select(col("vec_id"), col("nb_id").as("neighbor_id"),
-        col("d2_fp"), col("rank"))
-      .orderBy(col("vec_id"), col("rank"))
+    st15Serve(spark, dir, base)
   }
 
   // ------------------- ST16: streaming retract -------------------
@@ -363,17 +384,18 @@ object EmbeddingsStream {
   /** One update-content micro-batch: content-keyed gate (the vector
     * folded into the key — a re-re-embedded wave under unchanged ids
     * keys differently), then the wave's assignments + blocked pairs
-    * against the s28-frozen model commit to the ledger. */
+    * against the s28-frozen model commit to the ledger. Prior
+    * arrivals come from the ledger STATE (gen + tail, r16) and the
+    * folded set vouches for compacted re-deliveries. */
   private[graft] def updArriveBatch(spark: SparkSession, dir: String,
                                     base: String)
-                                   (batch: DataFrame, batchId: Long): Unit =
+                                   (batch: DataFrame, batchId: Long): Unit = {
+    val st = WaveLedger.ledgerState(spark, s"$base/arrive")
     waveCommit(spark, s"$base/arrive", batch,
       embWaveKey(col("vec_id"), col("embedding")),
-      embWaveKey(col("embedding"), col("vec_id"))) { bdir =>
-      val priorAssign = readOrEmpty(spark,
-        committedBatches(spark, s"$base/arrive")
-          .map(p => new Path(p, "assign").toString),
-        assignSchema)
+      embWaveKey(col("embedding"), col("vec_id")),
+      alsoCommitted = st.folded) { bdir =>
+      val priorAssign = readOrEmpty(spark, st.dirs("assign"), assignSchema)
       val (assign, pairs) = Similarity.knngArriveWaveTablesOn(
         Similarity.knngUpdCentroids(spark, dir),
         Similarity.knngUpdAssignArtifact(spark, dir),
@@ -383,6 +405,18 @@ object EmbeddingsStream {
       batch.select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(new Path(bdir, "emb").toString)
     }
+  }
+
+  /** st23's compaction verb: fold {assign, pairs, emb} waves — emb
+    * rides the gen so later waves and the serve keep reading the
+    * NEW vectors after the wave dirs are cleared. Wave tables are
+    * non-empty by the commit gate's own guard, so emb's schema can
+    * come from the parquet footers. */
+  private[graft] def compactUpdArriveLedger(spark: SparkSession,
+                                            base: String): Unit =
+    WaveLedger.compactLedger(spark, s"$base/arrive",
+      Seq("assign" -> Some(assignSchema), "pairs" -> Some(pairSchema),
+        "emb" -> None))
 
   private[graft] def runUpdArrive(spark: SparkSession, dir: String, base: String,
                                   checkpoint: String): StreamingQuery = {
@@ -449,16 +483,21 @@ object EmbeddingsStream {
     stageFrameWave(spark, newEmb.filter(col("vec_id") % 3 =!= 0),
       base, s"$base/arrive/in", 3)
     runUpdArrive(spark, dir, base, s"$base/arrive/cp").stop()
-    // serve — s28's fold over the committed ledgers
-    val arriveBatches = committedBatches(spark, s"$base/arrive")
-    val c1 = readOrEmpty(spark,
-      arriveBatches.map(p => new Path(p, "pairs").toString), pairSchema)
+    st23Serve(spark, dir, base)
+  }
+
+  /** st23's serve, callable on an existing ledger base (Round16Spec
+    * re-serves across compactions): s28's fold over the committed
+    * ledger state (latest compacted generation + live tail, r16). */
+  private[graft] def st23Serve(spark: SparkSession, dir: String,
+                               base: String): DataFrame = {
+    val stArr = WaveLedger.ledgerState(spark, s"$base/arrive")
+    val c1 = readOrEmpty(spark, stArr.dirs("pairs"), pairSchema)
     // readOrEmpty (not a bare parquet(paths: _*)) so an all-empty
     // update slice serves the no-op fold instead of throwing on a
     // zero-path read — the same guard the c1 read above uses (r15
     // ADVICE)
-    val ledgerEmb = readOrEmpty(spark,
-      arriveBatches.map(p => new Path(p, "emb").toString),
+    val ledgerEmb = readOrEmpty(spark, stArr.dirs("emb"),
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).schema)
     Similarity.knngUpdateFold(spark, dir,

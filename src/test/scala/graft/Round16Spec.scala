@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Pipeline, Similarity}
+import graft.streaming.{DocumentsStream, EmbeddingsStream, WaveLedger}
+
+/** Round-16 pins — st14's ledger-compaction laws generalized to the
+  * other wave-ledger tiers through the now-shared [[WaveLedger]]
+  * protocol (VERDICT r15 item 1):
+  *
+  *  1. kNN-graph arrive tier (st15): compaction folds the committed
+  *     waves into ONE cumulative generation, the serve (gen + tail)
+  *     is unchanged, a fresh-checkpoint re-delivery of compacted
+  *     waves re-derives nothing (folded-tag vouching), and a
+  *     MID-STREAM compact leaves the final serve identical — the
+  *     next wave bands against the generation's assignments.
+  *  2. Pair-graph update-arrive tier (st21): the same laws, plus the
+  *     marker→delete crash window (a ghost wave with POISON pairs is
+  *     excluded from every read and GC'd without minting a new
+  *     generation) — the CC labeling makes poison visible, so the
+  *     exclusion check is non-vacuous at this tier.
+  *  3. kNN-graph update-arrive tier (st23): compaction folds
+  *     {assign, pairs, emb}; serve and replay laws as above.
+  */
+class Round16Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def fs(p: String): FileSystem =
+    FileSystem.get(new Path(p).toUri, spark.sparkContext.hadoopConfiguration)
+
+  // ---------- 1. st15 tier: kNN-graph arrive ledger ----------
+
+  test("st15 compaction: waves fold into ONE cumulative generation, the " +
+    "serve is unchanged, a fresh-checkpoint replay of compacted waves " +
+    "re-derives nothing, and a mid-stream compact serves identically " +
+    "(the next wave bands against the generation's assignments)") {
+    val served = rows(EmbeddingsStream.st15GraphArrive(spark, dir))
+    val base = ArtifactRoots.tagged("graft_st15", dir)
+    assert(WaveLedger.committedBatches(spark, base).size === 2,
+      "precondition: two live waves before the compact")
+    EmbeddingsStream.compactArriveLedger(spark, base)
+    assert(WaveLedger.committedBatches(spark, base).isEmpty,
+      "compaction must clear the folded wave dirs")
+    assert(WaveLedger.committedGens(spark, base).size === 1,
+      "cumulative compaction keeps exactly one live generation")
+    val st = WaveLedger.ledgerState(spark, base)
+    assert(st.folded.size === 2, s"both wave tags must be folded: ${st.folded}")
+    assert(rows(EmbeddingsStream.st15Serve(spark, dir, base)) === served,
+      "compacted serve != pre-compaction serve")
+
+    // fresh-checkpoint replay: the file source re-delivers BOTH waves;
+    // their dirs are GONE but the folded set vouches — zero dirs
+    // recreated, zero pairs re-derived, serve unchanged
+    EmbeddingsStream.runArrive(spark, dir, base, s"$base/cp_replay").stop()
+    assert(WaveLedger.committedBatches(spark, base).isEmpty,
+      "a compacted wave was re-derived on fresh-checkpoint re-delivery")
+    assert(rows(EmbeddingsStream.st15Serve(spark, dir, base)) === served,
+      "serve drifted after the post-compaction replay")
+
+    // mid-stream compact: wave A → compact → wave B (wave B's prior
+    // assignments come from the GENERATION, not a wave dir) — the
+    // final serve must still equal the uncompacted run's
+    val bp = new Path(base)
+    fs(base).delete(bp, true)
+    fs(base).mkdirs(new Path(s"$base/in"))
+    EmbeddingsStream.stageWave(spark, dir, base, 0)
+    EmbeddingsStream.runArrive(spark, dir, base, s"$base/cp").stop()
+    EmbeddingsStream.compactArriveLedger(spark, base)
+    assert(WaveLedger.ledgerState(spark, base).waves.isEmpty,
+      "mid-stream compact must clear wave A's dir")
+    EmbeddingsStream.stageWave(spark, dir, base, 1)
+    EmbeddingsStream.runArrive(spark, dir, base, s"$base/cp").stop()
+    val stMid = WaveLedger.ledgerState(spark, base)
+    assert(stMid.gen.isDefined && stMid.waves.size === 1,
+      "read plan after mid-stream compact must be ONE generation + tail")
+    assert(rows(EmbeddingsStream.st15Serve(spark, dir, base)) === served,
+      "mid-stream compaction changed the served graph")
+  }
+
+  // ---------- 2. st21 tier: pair-graph update-arrive ledger ----------
+
+  test("st21 compaction: {docs,sigs,pairs} fold into one generation, " +
+    "serve ≡ pre-compaction, replay re-derives nothing, the " +
+    "marker→delete crash window double-serves nothing (poison pair), " +
+    "and a mid-stream compact (wave B verifies against the gen's docs) " +
+    "serves identically") {
+    import spark.implicits._
+    val served = rows(DocumentsStream.st21PairUpdate(spark, dir))
+    val base = ArtifactRoots.tagged("graft_st21", dir)
+    val arr = s"$base/arrive"
+    assert(WaveLedger.committedBatches(spark, arr).size === 2,
+      "precondition: two live content waves before the compact")
+    DocumentsStream.compactUpdateArriveLedger(spark, base)
+    assert(WaveLedger.committedBatches(spark, arr).isEmpty &&
+      WaveLedger.committedGens(spark, arr).size === 1,
+      "compaction must clear the waves into one generation")
+    val st = WaveLedger.ledgerState(spark, arr)
+    assert(st.folded.size === 2, s"both wave tags must be folded: ${st.folded}")
+    assert(rows(DocumentsStream.st21Serve(spark, dir, base)) === served,
+      "compacted serve != pre-compaction serve")
+
+    // fresh-checkpoint replay of the content phase: both waves
+    // re-delivered, folded set vouches, nothing re-derived
+    DocumentsStream.runUpdateArrive(spark, dir, base, s"$arr/cp_replay").stop()
+    assert(WaveLedger.committedBatches(spark, arr).isEmpty,
+      "a compacted content wave was re-derived on re-delivery")
+    assert(rows(DocumentsStream.st21Serve(spark, dir, base)) === served,
+      "serve drifted after the post-compaction replay")
+
+    // crash window: marker present, wave dirs not yet deleted. Restore
+    // a covered wave dir with POISON pairs — a new CC component would
+    // appear if any reader opened it — then assert exclusion and that
+    // the next compact GCs it without minting a new generation.
+    val ghost = new Path(s"$arr/ledger/${st.folded.head}")
+    Seq((999998L, 999999L, 1.0)).toDF("a_id", "b_id", "jaccard")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(ghost, "pairs").toString)
+    fs(arr).create(new Path(ghost, WaveLedger.CommitMarker), true).close()
+    assert(WaveLedger.ledgerState(spark, arr).waves.isEmpty,
+      "a folded wave leaked back into the live tail")
+    assert(rows(DocumentsStream.st21Serve(spark, dir, base)) === served,
+      "the crash-window leftover was double-served (poison pair read)")
+    DocumentsStream.compactUpdateArriveLedger(spark, base)
+    assert(WaveLedger.committedBatches(spark, arr).isEmpty,
+      "the crash-window leftover was not GC'd")
+    assert(WaveLedger.committedGens(spark, arr).size === 1 &&
+      WaveLedger.ledgerState(spark, arr).folded.size === 2,
+      "a GC-only compact must not mint a new generation")
+
+    // mid-stream compact: content wave A → compact → content wave B.
+    // Wave B's blocking state and its verify view read the GEN's
+    // sigs/docs (the wave dirs are gone) — the fold must still equal
+    // the uncompacted run.
+    fs(base).delete(new Path(base), true)
+    val rBase = s"$base/retract"
+    fs(base).mkdirs(new Path(s"$rBase/in"))
+    fs(base).mkdirs(new Path(s"$arr/in"))
+    val editedIds = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === Dedup.D22EditDigit)
+    WaveLedger.stageFrameWave(spark,
+      editedIds.filter(col("doc_id") % 3 === 0), base, s"$rBase/in", 0)
+    WaveLedger.stageFrameWave(spark,
+      editedIds.filter(col("doc_id") % 3 =!= 0), base, s"$rBase/in", 1)
+    DocumentsStream.runDocRetract(spark, rBase, s"$rBase/cp").stop()
+    val newDocs = Dedup.d22EditedBatch(spark, dir)
+    WaveLedger.stageFrameWave(spark,
+      newDocs.filter(col("doc_id") % 3 === 0), base, s"$arr/in", 2)
+    DocumentsStream.runUpdateArrive(spark, dir, base, s"$arr/cp").stop()
+    DocumentsStream.compactUpdateArriveLedger(spark, base)
+    assert(WaveLedger.ledgerState(spark, arr).waves.isEmpty,
+      "mid-stream compact must clear content wave A's dir")
+    WaveLedger.stageFrameWave(spark,
+      newDocs.filter(col("doc_id") % 3 =!= 0), base, s"$arr/in", 3)
+    DocumentsStream.runUpdateArrive(spark, dir, base, s"$arr/cp").stop()
+    assert(rows(DocumentsStream.st21Serve(spark, dir, base)) === served,
+      "mid-stream compaction changed the served labeling")
+  }
+
+  // ---------- 3. st23 tier: kNN-graph update-arrive ledger ----------
+
+  test("st23 compaction: {assign,pairs,emb} fold into one generation " +
+    "(the NEW vectors ride the gen), serve ≡ pre-compaction, and a " +
+    "fresh-checkpoint replay re-derives nothing") {
+    val served = rows(EmbeddingsStream.st23GraphUpdate(spark, dir))
+    val base = ArtifactRoots.tagged("graft_st23", dir)
+    val arr = s"$base/arrive"
+    assert(WaveLedger.committedBatches(spark, arr).size === 2,
+      "precondition: two live content waves before the compact")
+    EmbeddingsStream.compactUpdArriveLedger(spark, base)
+    assert(WaveLedger.committedBatches(spark, arr).isEmpty &&
+      WaveLedger.committedGens(spark, arr).size === 1,
+      "compaction must clear the waves into one generation")
+    val st = WaveLedger.ledgerState(spark, arr)
+    assert(st.folded.size === 2, s"both wave tags must be folded: ${st.folded}")
+    // the gen's emb table carries every committed NEW vector — the
+    // serve's current-view source after the wave dirs are gone
+    val genEmb = spark.read.parquet(st.dirs("emb"): _*)
+    val slice = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === Similarity.S28UpdateDigit)
+    assert(genEmb.count() === slice.count(),
+      "the generation must carry all committed new vectors")
+    assert(rows(EmbeddingsStream.st23Serve(spark, dir, base)) === served,
+      "compacted serve != pre-compaction serve")
+    EmbeddingsStream.runUpdArrive(spark, dir, base, s"$arr/cp_replay").stop()
+    assert(WaveLedger.committedBatches(spark, arr).isEmpty,
+      "a compacted content wave was re-derived on re-delivery")
+    assert(rows(EmbeddingsStream.st23Serve(spark, dir, base)) === served,
+      "serve drifted after the post-compaction replay")
+  }
+}
