@@ -202,4 +202,40 @@ class Round16Spec extends AnyFunSuite {
     assert(rows(EmbeddingsStream.st23Serve(spark, dir, base)) === served,
       "serve drifted after the post-compaction replay")
   }
+
+  // ---------- 4. s31 — the self-tuned probe knob ----------
+
+  test("s31: the graded sweep is monotone in width (candidate supersets), " +
+    "the chosen width is the MINIMAL one meeting the target and is strictly " +
+    "interior on this corpus (non-vacuous), and the serve's decision " +
+    "columns equal the sweep's chosen point") {
+    val sweep = Similarity.s31Sweep(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    assert(sweep.map(_._1).toSeq === (1 to Similarity.S31MaxProbes),
+      "the sweep must cover every width once")
+    assert(sweep.sliding(2).forall(w => w(1)._2 >= w(0)._2),
+      s"hits must be monotone in width: ${sweep.toSeq}")
+    val nTruth = Similarity.knngExactTruth(spark, dir).count()
+    val meets = sweep
+      .filter { case (_, h) => h * 10000L >= Similarity.S31TargetRecallBp * nTruth }
+      .map(_._1)
+    assert(meets.nonEmpty, "some width must meet the target on this corpus " +
+      "(the widest probes most lists) — if not, lower S31TargetRecallBp")
+    val served = Similarity.s31ProbeAutotune(spark, dir).cache()
+    val dec = served.select(col("probes"), col("n_hit")).distinct().collect()
+    assert(dec.length === 1, "one decision must ride every served row")
+    val (chosen, nHit) = (dec(0).getLong(0), dec(0).getLong(1))
+    assert(chosen === meets.min.toLong,
+      s"chosen width $chosen != minimal meeting width ${meets.min}")
+    assert(chosen > 1L && chosen < Similarity.S31MaxProbes.toLong,
+      s"vacuous: chosen $chosen is an endpoint — the sweep decided nothing " +
+        "(re-measure the target against this corpus, don't weaken the pin)")
+    assert(nHit === sweep.find(_._1.toLong == chosen).get._2,
+      "the serve's n_hit must equal the sweep's value at the chosen width")
+    // narrower-by-one genuinely fails the target — the decision is sharp
+    val below = sweep.find(_._1.toLong == chosen - 1).get._2
+    assert(below * 10000L < Similarity.S31TargetRecallBp * nTruth,
+      "width chosen-1 also meets the target — chosen is not minimal")
+    served.unpersist(false)
+  }
 }
