@@ -1288,6 +1288,7 @@ object Pipeline {
     "e18_offboard_cutover" -> (e18OffboardCutover _),
     "e19_model_cutover" -> (e19ModelCutover _),
     "e20_tokenizer_cutover" -> (e20TokenizerCutover _),
+    "e21_maintenance_census" -> (e21MaintenanceCensus _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -2129,6 +2130,65 @@ object Pipeline {
          FROM fert t CROSS JOIN fired fi
          ORDER BY source"""
 
+  /** E21 — the UNIFIED MAINTENANCE CENSUS (r15 verdict item 3): four
+    * drift gates now guard the persisted-artifact DAG — s14/s30 (IVF
+    * index), s27/s29 (kNN graph), t26/t30+e19 (DSIR model), t31+e20
+    * (BPE tokenizer) — and an operator had to read four rows to know
+    * the DAG's health. This entry evaluates all four persisted-
+    * artifact decisions in one pass and emits the per-tier
+    * (measure, threshold, fired) census — the ops dashboard of the
+    * whole DAG. Every measure is the tier's OWN exact integer (s29's
+    * discipline, never floats): the vector tiers' truth-hit gap
+    * ×10000 vs trigger·|Q|·k, the DSIR tier's count of sources above
+    * [[TextAnalysis.DriftRetrainKl]] vs 0 (e19's any-source rule as
+    * a count), the tokenizer tier's max per-source generation gap vs
+    * [[TextAnalysis.T31RetrainTpk]]. Round16Spec pins each tier's
+    * fired bit equal to the standalone verb's decision.
+    *
+    * Scale: no new corpus work — the vector grades are |Q|·k joins
+    * over the persisted grading tiers, the DSIR measure is t26's
+    * K-row-broadcast drift chain, the tokenizer measure joins the
+    * persisted encoded-word tables; driver state is 4 rows of three
+    * longs. At 100 TB this is the after-each-ingest-window health
+    * query — one row per model artifact, one trigger each. */
+  def e21MaintenanceCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ivfApp, ivfReb) = Similarity.s30DriftHits(spark, dir)
+    val (gApp, gReb) = Similarity.s29DriftHits(spark, dir)
+    val dsirFired = TextAnalysis.t30Decisions(spark, dir)
+      .agg(sum(col("retrain")).as("n")).collect()(0).getLong(0)
+    val bpeGap = TextAnalysis.t31TokenizerHealth(spark, dir)
+      .agg(max(col("gen_gap_tpk")).as("g")).collect()(0).getLong(0)
+    val qk = Similarity.QueryCount.toLong * Similarity.TopK
+    Seq(
+      ("bpe_tokenizer", bpeGap, TextAnalysis.T31RetrainTpk),
+      ("dsir_model", dsirFired, 0L),
+      ("ivf_index", (ivfReb - ivfApp) * 10000L, Similarity.S30DriftBp * qk),
+      ("knn_graph", (gReb - gApp) * 10000L, Similarity.S29DriftBp * qk))
+      .toDF("tier", "measure", "threshold")
+      .withColumn("fired",
+        when(col("measure") > col("threshold"), 1L).otherwise(0L))
+      .orderBy(col("tier"))
+  }
+
+  /** e21's oracle: the four tiers' single-row decision subqueries
+    * (each tier's own chain, nested so the CTE vocabularies stay
+    * apart), unioned and fired by the shared integer rule. */
+  private lazy val e21OracleSql: String =
+    s"""WITH bm AS MATERIALIZED (SELECT * FROM ${TextAnalysis.t31DecisionSql} tb),
+         dm AS MATERIALIZED (SELECT * FROM ${TextAnalysis.t30DecisionSql} td),
+         im AS MATERIALIZED (SELECT * FROM ${Similarity.s30DecisionSql} ti),
+         gm AS MATERIALIZED (SELECT * FROM ${Similarity.s29DecisionSql} tg),
+         allr AS (
+           SELECT 'bpe_tokenizer' AS tier, measure, threshold FROM bm
+           UNION ALL SELECT 'dsir_model', measure, threshold FROM dm
+           UNION ALL SELECT 'ivf_index', measure, threshold FROM im
+           UNION ALL SELECT 'knn_graph', measure, threshold FROM gm)
+         SELECT tier, measure, threshold,
+                CAST(CASE WHEN measure > threshold THEN 1 ELSE 0 END AS BIGINT)
+                  AS fired
+         FROM allr ORDER BY tier"""
+
   /** The retention-delete census as SQL, parameterized over the KEEP
     * predicate (e11 retires a source, st22 a streamed takedown id
     * slice — one statement of delete ∘ repack ≡
@@ -2631,6 +2691,7 @@ object Pipeline {
     "e18_offboard_cutover" -> retractedLabelsOracleSql,
     "e19_model_cutover" -> e19OracleSql,
     "e20_tokenizer_cutover" -> e20OracleSql,
+    "e21_maintenance_census" -> e21OracleSql,
     "e15_source_offboard" -> e15OracleSql,
     // e16: the split census a user draws AFTER offboarding — the e6
     // chain over the retracted labeling with the retired rows gone

@@ -2983,12 +2983,12 @@ object Similarity {
     * three parquet tables; the substrate build and the retrain (when
     * it fires) are paid once per corpus version — s14's
     * audit-cadence posture. */
-  def s30IndexCutover(spark: SparkSession, dir: String): DataFrame = {
-    val idxDir = s30IdxDir(dir)
-    // the decision in bounded integers FROM THE PERSISTED GRADING
-    // TIER (|Q|·k truth rows, two hit counts — driver state = two
-    // longs): artifact-derived, so it is stable across re-runs
-    // regardless of the tree's post-verb state
+  /** The s30 decision in bounded integers FROM THE PERSISTED GRADING
+    * TIER (|Q|·k truth rows, two hit counts — driver state = two
+    * longs): artifact-derived, so it is stable across re-runs
+    * regardless of any serving tree's post-verb state. Shared by the
+    * s30 verb and e21's maintenance census. */
+  private[graft] def s30DriftHits(spark: SparkSession, dir: String): (Long, Long) = {
     val ex = exactCosTruth(spark, dir)
       .select(col("query_id"), col("neighbor_id")).cache()
     def hitsOf(ans: DataFrame): Long =
@@ -2997,6 +2997,12 @@ object Similarity {
     val hitApp = hitsOf(appendedAnswers(spark, dir))
     val hitReb = hitsOf(retrainedAnswers(spark, dir))
     ex.unpersist()
+    (hitApp, hitReb)
+  }
+
+  def s30IndexCutover(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = s30IdxDir(dir)
+    val (hitApp, hitReb) = s30DriftHits(spark, dir)
     val gap = hitReb - hitApp
     val fired = gap * 10000L > S30DriftBp * QueryCount * TopK
     // the VERB runs once per corpus version (marker-gated — the
@@ -4044,6 +4050,58 @@ object Similarity {
          SELECT s.query_id, s.neighbor_id, s.d2_fp, s.rank, d.hit_gap, d.fired
          FROM sel s, dec d
          ORDER BY query_id, rank"""
+
+  /** The IVF tier's drift decision as a SINGLE-ROW (measure, trigger)
+    * subquery — s30's two-worlds grade reduced to its integers;
+    * e21's maintenance census composes it (nested WITH keeps its CTE
+    * vocabulary out of the enclosing statement). */
+  private[ext] lazy val s30DecisionSql: String =
+    s"""(SELECT * FROM (
+           WITH ex AS MATERIALIZED (
+                  SELECT query_id, neighbor_id FROM ($s1OracleSql) tex),
+                appw AS MATERIALIZED (
+                  SELECT query_id, neighbor_id FROM ($s13OracleSql) t1),
+                rebw AS MATERIALIZED (
+                  SELECT query_id, neighbor_id FROM ($s12OracleSql) t2),
+                ha AS (SELECT count(*) AS h FROM appw a
+                       JOIN ex e ON e.query_id = a.query_id
+                                AND e.neighbor_id = a.neighbor_id),
+                hr AS (SELECT count(*) AS h FROM rebw r
+                       JOIN ex e ON e.query_id = r.query_id
+                                AND e.neighbor_id = r.neighbor_id)
+           SELECT CAST((hr.h - ha.h) * 10000 AS BIGINT) AS measure,
+                  CAST(${S30DriftBp * QueryCount * TopK} AS BIGINT) AS threshold
+           FROM ha, hr) q)"""
+
+  /** The kNN-graph tier's drift decision as a SINGLE-ROW subquery —
+    * s29's grade reduced to its integers (same nesting discipline). */
+  private[ext] lazy val s29DecisionSql: String = {
+    val exactWorld =
+      s"""WITH ${quantCtes()},
+           xc AS (SELECT q.vec_id, v.vec_id AS nb_id
+                  FROM (SELECT vec_id FROM embeddings WHERE vec_id < $QueryCount) q
+                  JOIN embeddings v ON v.vec_id <> q.vec_id),
+           ${knnRankCtes("x", "xc")}
+           SELECT vec_id, nb_id FROM xrk WHERE rank <= $TopK"""
+    s"""(SELECT * FROM (
+           WITH reb AS MATERIALIZED (
+                  SELECT vec_id, nb_id FROM (
+                    WITH ${s20ChainCtes()}
+                    SELECT vec_id, nb_id FROM rk$s20Fin
+                    WHERE rank <= $TopK AND vec_id < $QueryCount) t),
+                app AS MATERIALIZED (
+                  SELECT vec_id, nb_id FROM (
+                    ${s25AppendedSql(
+                      s"SELECT vec_id, nb_id FROM uni WHERE vec_id < $QueryCount")}) t),
+                ex AS MATERIALIZED ($exactWorld),
+                ha AS (SELECT count(*) AS h FROM app a
+                       JOIN ex e ON e.vec_id = a.vec_id AND e.nb_id = a.nb_id),
+                hr AS (SELECT count(*) AS h FROM reb r
+                       JOIN ex e ON e.vec_id = r.vec_id AND e.nb_id = r.nb_id)
+           SELECT CAST((hr.h - ha.h) * 10000 AS BIGINT) AS measure,
+                  CAST(${S29DriftBp * QueryCount * TopK} AS BIGINT) AS threshold
+           FROM ha, hr) q)"""
+  }
 
   /** s31's mirror: the k-means chain, each query's candidates tagged
     * with the narrowest width reaching them (min cr over shared

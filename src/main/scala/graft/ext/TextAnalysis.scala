@@ -2017,6 +2017,30 @@ object TextAnalysis {
            FROM cd d JOIN cb b USING (source))"""
   }
 
+  /** The DSIR tier's drift decision as a SINGLE-ROW (measure,
+    * threshold) subquery: measure = the number of sources above
+    * [[DriftRetrainKl]] (e19's any-source trigger as an exact count —
+    * the KL itself stays a round-4 double in t26/t30's own rows),
+    * threshold = 0. e21's maintenance census composes it. */
+  private[ext] lazy val t30DecisionSql: String =
+    s"""(SELECT * FROM (
+           WITH ${t26DriftCtes()}
+           SELECT CAST(sum(CASE WHEN kl_nats > $DriftRetrainKl
+                           THEN 1 ELSE 0 END) AS BIGINT) AS measure,
+                  CAST(0 AS BIGINT) AS threshold
+           FROM drift) q)"""
+
+  /** The tokenizer tier's decision as a SINGLE-ROW subquery: measure
+    * = the max per-source generation gap (exact integer tpk),
+    * threshold = [[T31RetrainTpk]] — fired iff any source's gap
+    * crosses, which is exactly max > threshold. */
+  private[ext] lazy val t31DecisionSql: String =
+    s"""(SELECT * FROM (
+           WITH $t31BodyCtes
+           SELECT CAST(max(gen_gap_tpk) AS BIGINT) AS measure,
+                  CAST($T31RetrainTpk AS BIGINT) AS threshold
+           FROM fert) q)"""
+
   /** t31's mirror: the shared fertility body, served in full. */
   private lazy val t31OracleSql: String =
     s"""WITH $t31BodyCtes

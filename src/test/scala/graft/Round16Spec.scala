@@ -238,4 +238,43 @@ class Round16Spec extends AnyFunSuite {
       "width chosen-1 also meets the target — chosen is not minimal")
     served.unpersist(false)
   }
+
+  // ---------- 5. e21 — the unified maintenance census ----------
+
+  test("e21: each tier's fired bit equals the standalone verb's decision " +
+    "(s30 IVF, s29 graph, e19 DSIR, e20 tokenizer), and the census is " +
+    "non-vacuous (both fired states present on this corpus)") {
+    import graft.ext.TextAnalysis
+    val census = Pipeline.e21MaintenanceCensus(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(census.keySet === Set("bpe_tokenizer", "dsir_model", "ivf_index",
+      "knn_graph"), s"one row per tier: ${census.keySet}")
+    // standalone decisions, each from its own verb's plan
+    val s30Fired = Similarity.s30IndexCutover(spark, dir)
+      .select(col("fired")).distinct().collect()(0).getLong(0)
+    assert(census("ivf_index") === s30Fired,
+      "IVF tier's census bit != s30's executed decision")
+    val s29Fired = Similarity.s29GraphRetrain(spark, dir)
+      .select(col("fired")).distinct().collect()(0).getLong(0)
+    assert(census("knn_graph") === s29Fired,
+      "graph tier's census bit != s29's executed decision")
+    val e19Fired = Pipeline.e19ModelCutover(spark, dir)
+      .select(col("fired")).distinct().collect()(0).getLong(0)
+    assert(census("dsir_model") === e19Fired,
+      "DSIR tier's census bit != e19's executed decision")
+    val e20Fired = Pipeline.e20TokenizerCutover(spark, dir)
+      .select(col("fired")).distinct().collect()(0).getLong(0)
+    assert(census("bpe_tokenizer") === e20Fired,
+      "tokenizer tier's census bit != e20's executed decision")
+    assert(census.values.toSet === Set(0L, 1L),
+      "vacuous: every tier decided the same way — the dashboard " +
+        "distinguishes nothing on this corpus (re-measure, don't weaken)")
+    // fertility knob: the tokenizer measure is the max per-source gap
+    val maxGap = TextAnalysis.t31TokenizerHealth(spark, dir)
+      .agg(max(col("gen_gap_tpk"))).collect()(0).getLong(0)
+    val m = Pipeline.e21MaintenanceCensus(spark, dir)
+      .filter(col("tier") === "bpe_tokenizer")
+      .collect()(0).getLong(1)
+    assert(m === maxGap, "tokenizer measure != t31's max generation gap")
+  }
 }
