@@ -1518,12 +1518,58 @@ object TextAnalysis {
   private[graft] def t28EncodedWords(spark: SparkSession, dir: String): DataFrame =
     Pipeline.bpeEncodedWordsArtifact(spark, dir)
 
-  def t28BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** Decision bytes of the encode join's build side: one encoded-word
+    * row ≈ the word string + its token array (~per-char duplication)
+    * + row overhead — a named formula (the k-means auto-gate's
+    * discipline), not a heuristic buried in a call site. */
+  private[graft] def encodeBytesOf(nWords: Long): Long = nWords * 96L
+
+  /** Dedicated knob for the encode-join form (the k-means gate's conf
+    * discipline): read THIS key first, fall back to the session's
+    * `spark.sql.autoBroadcastJoinThreshold` — so suppressing SQL
+    * broadcast joins globally doesn't silently flip every BPE census
+    * onto the shuffle form, and vice versa. */
+  private[graft] val EncodeBroadcastThresholdKey =
+    "spark.graft.encode.broadcastThreshold"
+
+  /** The auto gate of t28's encode join — "broadcast only while it
+    * fits" made CODE (r15 verdict item 4): broadcast the
+    * vocabulary-sized encoded table while [[encodeBytesOf]] its row
+    * count fits the threshold; shuffle-on-word past it (Heaps-law
+    * growth eventually outruns any executor). Forms are pinned
+    * bit-equal in Round16Spec, so the gate can only change a plan,
+    * never an answer. */
+  private[graft] def autoBroadcastEncode(spark: SparkSession,
+                                         nWords: Long): Boolean = {
+    val raw = spark.conf.getOption(EncodeBroadcastThresholdKey)
+      .getOrElse(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+        "10485760"))
+    val thresh =
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.trim)
+          catch { case _: Exception => 10485760L }
+      }
+    thresh > 0 && encodeBytesOf(nWords) <= thresh
+  }
+
+  def t28BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    t28BpeEncode(spark, dir, None)
+
+  /** `broadcastEncode` is the spec seam (Some forces a form); the
+    * gate entry passes None — size-gated auto selection. The count
+    * feeding the gate is a vocabulary-sized artifact scan. */
+  private[graft] def t28BpeEncode(spark: SparkSession, dir: String,
+                                  broadcastEncode: Option[Boolean]): DataFrame = {
     val ws = sourceWordFreq(spark, dir)
     val encoded = t28EncodedWords(spark, dir)
       .select(col("word"), size(col("toks")).cast("long").as("n_tok"),
         length(col("word")).cast("long").as("n_char"))
-    ws.join(encoded, Seq("word"))
+    val bcast = broadcastEncode.getOrElse(
+      autoBroadcastEncode(spark, encoded.count()))
+    val encSide = if (bcast) broadcast(encoded) else encoded.hint("merge")
+    ws.join(encSide, Seq("word"))
       .groupBy(col("source"))
       .agg(sum(col("freq")).as("n_words"),
         count(lit(1)).as("n_distinct_words"),

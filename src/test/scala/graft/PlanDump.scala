@@ -46,7 +46,8 @@ object PlanDump {
     "m8_scene_segmentation" -> "codegen'd SegmentSums scan; lag/cumsum windows partitioned per media (16 rows each)",
     "s18_index_delete" -> "post-compaction serve: s13's partition-pruned query plan over the shrunken survivor lists",
     "p6_modularity" -> "modularity grading: one degree aggregate + two pair-sized label lookups beyond p3's rounds",
-    "t28_bpe_encode" -> "BPE encode: merge fold over the vocab-sized distinct-word table; corpus pays one (source,word) groupBy",
+    "t28_bpe_encode" -> "BPE encode: merge fold over the vocab-sized distinct-word table; corpus pays one (source,word) groupBy; the encode join is SIZE-GATED (r16) — broadcast while encodeBytesOf(vocab) fits the threshold (spark.graft.encode.broadcastThreshold, session fallback), shuffle-on-word past it, forms pinned bit-equal",
+    "s31_probe_autotune" -> "self-tuned probe serve (r16): per-width rank windows over ONE scored candidate frame (|Q| probed lists at the widest width, each pair tagged with its narrowest reaching width) graded against the persisted exact_q truth; the decision is an 8-row integer census driver-side; the serve re-ranks the same frame at the chosen width",
     "e8_token_budget" -> "water-filling: |sources|-row spec windows + 1-row broadcast cut; corpus-sized work stays inside t28's census",
     "s14_index_health" -> "index health: two full index pipelines graded by one |Q|·k membership join keyed on (query_id, neighbor_id)",
     "s20_knn_graph" -> "kNN graph SERVED from the persisted knng artifact (pure scan + order; r13 — the build is knng_build below, paid once per corpus version)",

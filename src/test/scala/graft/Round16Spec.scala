@@ -277,4 +277,31 @@ class Round16Spec extends AnyFunSuite {
       .collect()(0).getLong(1)
     assert(m === maxGap, "tokenizer measure != t31's max generation gap")
   }
+
+  // ---------- 6. t28 — the auto-gated encode join ----------
+
+  test("t28: the broadcast and shuffle encode-join forms are bit-equal, " +
+    "the auto gate picks broadcast at this vocabulary size, and the " +
+    "threshold knob flips the form without moving the answer") {
+    import graft.ext.TextAnalysis
+    val bcast = rows(TextAnalysis.t28BpeEncode(spark, dir, Some(true)))
+    val shuffled = rows(TextAnalysis.t28BpeEncode(spark, dir, Some(false)))
+    assert(bcast.nonEmpty && bcast === shuffled,
+      "encode-join forms diverge — the gate would change an answer")
+    assert(rows(TextAnalysis.t28BpeEncode(spark, dir, None)) === bcast,
+      "auto-selected form diverges from the forced forms")
+    // the gate itself: fits at this corpus's vocabulary, flips when
+    // the dedicated knob shrinks, and the knob overrides the session
+    // threshold rather than riding it
+    val nWords = Pipeline.bpeEncodedWordsArtifact(spark, dir).count()
+    assert(TextAnalysis.autoBroadcastEncode(spark, nWords),
+      "the spec corpus's vocabulary should fit the default threshold")
+    spark.conf.set(TextAnalysis.EncodeBroadcastThresholdKey, "1")
+    try {
+      assert(!TextAnalysis.autoBroadcastEncode(spark, nWords),
+        "a 1-byte dedicated threshold must force the shuffle form")
+      assert(rows(TextAnalysis.t28BpeEncode(spark, dir, None)) === bcast,
+        "the shuffle form under the knob must serve the same census")
+    } finally spark.conf.unset(TextAnalysis.EncodeBroadcastThresholdKey)
+  }
 }
