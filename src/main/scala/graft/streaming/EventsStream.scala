@@ -419,6 +419,44 @@ object EventsStream {
     if (fs.exists(old)) fs.delete(old, true)
   }
 
+  /** The PARTITION-SCOPED merge — st11's documented 100 TB swap made
+    * code behind a flag (r15 verdict item 5): the snapshot is stored
+    * DAY-PARTITIONED (day = the window's date) and each micro-batch
+    * rewrites ONLY the partitions it touches, via Spark's dynamic
+    * partition overwrite — the real mechanism the full-rewrite path's
+    * doc names. The touched-day set is bounded by the batch's window
+    * span (a broadcast semi-join prunes the target read to those
+    * partitions — untouched day directories are neither read nor
+    * written, which PhysicalLayoutSpec pins byte-identical across a
+    * second merge). Atomicity is per partition (Spark's staged
+    * commit); at 100 TB/day an ACID table format tightens that to a
+    * table-level snapshot, with this exact write underneath. */
+  private[graft] def mergeIntoParquetPartitioned(target: String,
+                                                 keyCols: Seq[String])
+                                                (batch: DataFrame,
+                                                 batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = new Path(target)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val withDay = batch.withColumn("day", to_date(col("window_start")))
+    val cols = batch.columns.map(col).toSeq :+ col("day")
+    val merged =
+      if (!fs.exists(dir)) withDay.select(cols: _*)
+      else {
+        val touched = withDay.select(col("day")).distinct()
+        spark.read.parquet(target)
+          .join(broadcast(touched), Seq("day"), "left_semi")
+          .join(withDay.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .select(cols: _*)
+          .union(withDay.select(cols: _*))
+      }
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("day").parquet(target)
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   /** Drive the windowed-counts stream into a parquet snapshot via the
     * foreachBatch merge; update mode so refined windows re-emit.
     * Pass `checkpoint` for the production posture — a durable
@@ -430,10 +468,15 @@ object EventsStream {
     * it Spark uses a temp checkpoint that dies with the query —
     * fine only for one-shot converge-and-read use. */
   def runSnapshotUpsert(events: DataFrame, target: String,
-                        checkpoint: Option[String] = None): StreamingQuery = {
+                        checkpoint: Option[String] = None,
+                        partitioned: Boolean = false): StreamingQuery = {
+    val keys = Seq("window_start", "event_type")
+    val mergeFn =
+      if (partitioned) mergeIntoParquetPartitioned(target, keys) _
+      else mergeIntoParquet(target, keys) _
     val w = windowedCounts(events).writeStream
       .outputMode("update")
-      .foreachBatch(mergeIntoParquet(target, Seq("window_start", "event_type")) _)
+      .foreachBatch(mergeFn)
     val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
     q.processAllAvailable()
     q
@@ -459,8 +502,19 @@ object EventsStream {
     * partitions it touches (see mergeIntoParquet doc). Scratch lives
     * at one FIXED location per scale factor, rebuilt per invocation
     * (s13's no-tmp-accumulation discipline). */
-  def st11SnapshotMerge(spark: SparkSession, dir: String): DataFrame = {
-    val base = new Path(graft.ArtifactRoots.tagged("graft_st11", dir))
+  def st11SnapshotMerge(spark: SparkSession, dir: String): DataFrame =
+    st11SnapshotMergeVia(spark, dir, partitioned = false)
+
+  /** `partitioned` selects the merge form: false = the gate's
+    * whole-snapshot swap (hash-stable since the entry landed); true =
+    * the day-partitioned dynamic-overwrite path (the 100 TB form —
+    * Round16Spec pins census equality across the flag, and
+    * PhysicalLayoutSpec pins that untouched day partitions' files
+    * are byte-identical across a merge). */
+  private[graft] def st11SnapshotMergeVia(spark: SparkSession, dir: String,
+                                          partitioned: Boolean): DataFrame = {
+    val base = new Path(graft.ArtifactRoots.tagged(
+      if (partitioned) "graft_st11p" else "graft_st11", dir))
     val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     val inDir = new Path(base, "in"); fs.mkdirs(inDir)
@@ -511,7 +565,8 @@ object EventsStream {
     stage(s"$base/f2", "b.parquet", 2000000L)
     val target = s"$base/snapshot"
     val q = runSnapshotUpsert(
-      readEventsStream(spark, inDir.toString, maxFilesPerTrigger = 1), target)
+      readEventsStream(spark, inDir.toString, maxFilesPerTrigger = 1), target,
+      partitioned = partitioned)
     q.stop()
     // post-merge census: per-window totals rounded to cents FIRST
     // (st1's proven cross-engine edge), then summed and re-rounded

@@ -174,4 +174,56 @@ class PhysicalLayoutSpec extends AnyFunSuite {
         s"bucketed join must not shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("st11 partition-scoped merge: a second merge rewrites ONLY touched " +
+    "day partitions (untouched files byte-identical), and the flagged path " +
+    "serves the same census as the whole-snapshot swap on the real corpus") {
+    import graft.streaming.EventsStream
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    // constructed: batch 1 populates two day partitions, batch 2
+    // refines only day 2 — day 1's files must not be touched
+    val tgt = s"$tmp/st11_part"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val keys = Seq("window_start", "event_type")
+    EventsStream.mergeIntoParquetPartitioned(tgt, keys)(
+      Seq((ts("2024-01-01 00:00:00"), "view", 1L, 10.0),
+          (ts("2024-01-02 00:00:00"), "view", 2L, 20.0))
+        .toDF("window_start", "event_type", "n_events", "total_value"), 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new Path(tgt).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def partFiles(day: String): Map[String, (Long, Long)] =
+      fs.listStatus(new Path(s"$tgt/day=$day")).filter(_.isFile)
+        .map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    def bytesOf(day: String): Map[String, Seq[Byte]] =
+      fs.listStatus(new Path(s"$tgt/day=$day")).filter(_.isFile).map { st =>
+        val in = fs.open(st.getPath)
+        val buf = new Array[Byte](st.getLen.toInt)
+        in.readFully(0, buf); in.close()
+        st.getPath.getName -> buf.toSeq
+      }.toMap
+    val d1Before = partFiles("2024-01-01")
+    val d1Bytes = bytesOf("2024-01-01")
+    EventsStream.mergeIntoParquetPartitioned(tgt, keys)(
+      Seq((ts("2024-01-02 00:00:00"), "view", 5L, 50.0))
+        .toDF("window_start", "event_type", "n_events", "total_value"), 1L)
+    assert(partFiles("2024-01-01") === d1Before &&
+      bytesOf("2024-01-01") === d1Bytes,
+      "an untouched day partition's files changed across the merge")
+    val served = spark.read.parquet(tgt)
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .collect().map(_.toString).toSet
+    assert(served === Set(
+      s"[2024-01-01 00:00:00.0,view,1]", s"[2024-01-02 00:00:00.0,view,5]"),
+      s"merge semantics wrong under partition scope: $served")
+    // flag equality on the real corpus (both forms run the full
+    // stream + merge; the census must hash-match the gate's form)
+    val full = EventsStream.st11SnapshotMerge(spark, dir)
+      .collect().map(_.toString).toSet
+    val part = EventsStream.st11SnapshotMergeVia(spark, dir, partitioned = true)
+      .collect().map(_.toString).toSet
+    assert(full.nonEmpty && part === full,
+      "partition-scoped merge census != whole-snapshot swap census")
+  }
 }
