@@ -102,6 +102,10 @@ class Round16Spec extends AnyFunSuite {
     import spark.implicits._
     val served = rows(DocumentsStream.st21PairUpdate(spark, dir))
     val base = ArtifactRoots.tagged("graft_st21", dir)
+    // the tombstone manifest is the once-per-corpus-version substrate
+    // (r16) — consumers reference its root, the entry base holds only
+    // the content-phase ledger
+    val rSub = DocumentsStream.st21RetractSubstrate(spark, dir)
     val arr = s"$base/arrive"
     assert(WaveLedger.committedBatches(spark, arr).size === 2,
       "precondition: two live content waves before the compact")
@@ -111,15 +115,15 @@ class Round16Spec extends AnyFunSuite {
       "compaction must clear the waves into one generation")
     val st = WaveLedger.ledgerState(spark, arr)
     assert(st.folded.size === 2, s"both wave tags must be folded: ${st.folded}")
-    assert(rows(DocumentsStream.st21Serve(spark, dir, base)) === served,
+    assert(rows(DocumentsStream.st21Serve(spark, dir, base, rSub)) === served,
       "compacted serve != pre-compaction serve")
 
     // fresh-checkpoint replay of the content phase: both waves
     // re-delivered, folded set vouches, nothing re-derived
-    DocumentsStream.runUpdateArrive(spark, dir, base, s"$arr/cp_replay").stop()
+    DocumentsStream.runUpdateArrive(spark, dir, base, s"$arr/cp_replay", rSub).stop()
     assert(WaveLedger.committedBatches(spark, arr).isEmpty,
       "a compacted content wave was re-derived on re-delivery")
-    assert(rows(DocumentsStream.st21Serve(spark, dir, base)) === served,
+    assert(rows(DocumentsStream.st21Serve(spark, dir, base, rSub)) === served,
       "serve drifted after the post-compaction replay")
 
     // crash window: marker present, wave dirs not yet deleted. Restore
@@ -133,7 +137,7 @@ class Round16Spec extends AnyFunSuite {
     fs(arr).create(new Path(ghost, WaveLedger.CommitMarker), true).close()
     assert(WaveLedger.ledgerState(spark, arr).waves.isEmpty,
       "a folded wave leaked back into the live tail")
-    assert(rows(DocumentsStream.st21Serve(spark, dir, base)) === served,
+    assert(rows(DocumentsStream.st21Serve(spark, dir, base, rSub)) === served,
       "the crash-window leftover was double-served (poison pair read)")
     DocumentsStream.compactUpdateArriveLedger(spark, base)
     assert(WaveLedger.committedBatches(spark, arr).isEmpty,
