@@ -299,11 +299,22 @@ object DocumentsStream {
                                     (batch: DataFrame, batchId: Long): Unit = {
     val ids = batch.select(col("doc_id"))
     WaveLedger.waveCommit(spark, base, ids,
-      xxhash64(col("doc_id")), xxhash64(col("doc_id"), lit(19L))) { bdir =>
+      xxhash64(col("doc_id")), xxhash64(col("doc_id"), lit(19L)),
+      // a compacted id wave's re-delivery is vouched by the folded set
+      // (r16 — the id tiers run the same compaction verb)
+      alsoCommitted = ledgerState(spark, base).folded) { bdir =>
       ids.distinct().write.mode("overwrite")
         .parquet(new Path(bdir, "ids").toString)
     }
   }
+
+  /** The id-ledger compaction verb (r16): fold committed takedown
+    * waves into one cumulative generation — same WaveLedger protocol,
+    * one {ids} table. */
+  private[graft] def compactRetractLedger(spark: SparkSession,
+                                          base: String): Unit =
+    WaveLedger.compactLedger(spark, base,
+      Seq("ids" -> Some(retractIdSchema)))
 
   private[graft] def runDocRetract(spark: SparkSession, base: String,
                                    checkpoint: String): StreamingQuery = {
@@ -327,10 +338,11 @@ object DocumentsStream {
     WaveLedger.stageFrameWave(spark, part, base, s"$base/in", wave)
   }
 
-  /** The union of every committed takedown wave's ids. */
+  /** The union of every committed takedown wave's ids — read through
+    * the ledger STATE (latest compacted generation + live tail, r16). */
   private[graft] def retiredFromLedger(spark: SparkSession,
                                        base: String): DataFrame = {
-    val dirs = committedBatches(spark, base).map(p => new Path(p, "ids").toString)
+    val dirs = ledgerState(spark, base).dirs("ids")
     if (dirs.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), retractIdSchema)
     else spark.read.schema(retractIdSchema).parquet(dirs: _*).distinct()
@@ -388,10 +400,16 @@ object DocumentsStream {
                                (batch: DataFrame, batchId: Long): Unit =
     WaveLedger.waveCommit(spark, base, batch,
       xxhash64(col("doc_id"), col("text")),
-      xxhash64(col("text"), col("doc_id"))) { bdir =>
+      xxhash64(col("text"), col("doc_id")),
+      alsoCommitted = ledgerState(spark, base).folded) { bdir =>
       Pipeline.docFlagsForWave(spark, dir, batch)
         .write.mode("overwrite").parquet(new Path(bdir, "flags").toString)
     }
+
+  /** The flags-ledger compaction verb (r16): one {flags} table. */
+  private[graft] def compactFlagsLedger(spark: SparkSession,
+                                        base: String): Unit =
+    WaveLedger.compactLedger(spark, base, Seq("flags" -> Some(flagsSchema)))
 
   private[graft] def runFlags(spark: SparkSession, dir: String, base: String,
                               checkpoint: String): StreamingQuery = {
@@ -405,10 +423,11 @@ object DocumentsStream {
   }
 
   /** The union of every committed wave's flags — st20's serve input
-    * (the streamed equivalent of `docflags.filter(e4DeltaPred)`). */
+    * (the streamed equivalent of `docflags.filter(e4DeltaPred)`),
+    * read through the ledger STATE (gen + tail, r16). */
   private[graft] def flagsFromLedger(spark: SparkSession,
                                      base: String): DataFrame = {
-    val dirs = committedBatches(spark, base).map(p => new Path(p, "flags").toString)
+    val dirs = ledgerState(spark, base).dirs("flags")
     if (dirs.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), flagsSchema)
     else spark.read.schema(flagsSchema).parquet(dirs: _*)

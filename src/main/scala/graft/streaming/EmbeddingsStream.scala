@@ -199,10 +199,17 @@ object EmbeddingsStream {
   private[graft] def retractBatch(spark: SparkSession, base: String)
                                  (batch: DataFrame, batchId: Long): Unit =
     waveCommit(spark, base, batch.select(col("vec_id")),
-      embWaveKey(col("vec_id")), embWaveKey(col("vec_id"), lit(16L))) { bdir =>
+      embWaveKey(col("vec_id")), embWaveKey(col("vec_id"), lit(16L)),
+      alsoCommitted = WaveLedger.ledgerState(spark, base).folded) { bdir =>
       batch.select(col("vec_id")).distinct()
         .write.mode("overwrite").parquet(new Path(bdir, "ids").toString)
     }
+
+  /** The id-ledger compaction verb at the vector tiers (r16): one
+    * {ids} table, same WaveLedger protocol. */
+  private[graft] def compactRetractLedger(spark: SparkSession,
+                                          base: String): Unit =
+    WaveLedger.compactLedger(spark, base, Seq("ids" -> Some(idSchema)))
 
   private[graft] def runRetract(spark: SparkSession, base: String,
                                 checkpoint: String): StreamingQuery = {
@@ -217,12 +224,12 @@ object EmbeddingsStream {
   }
 
   /** The union of every committed tombstone wave's ids — st16's and
-    * st18's serve input. */
+    * st18's serve input, read through the ledger STATE (latest
+    * compacted generation + live tail, r16). */
   private[graft] def retractIdsFromLedger(spark: SparkSession,
                                           base: String): DataFrame =
     readOrEmpty(spark,
-      committedBatches(spark, base).map(p => new Path(p, "ids").toString),
-      idSchema).distinct()
+      WaveLedger.ledgerState(spark, base).dirs("ids"), idSchema).distinct()
 
   /** The compacted graph served FROM the ledger: one application of
     * the s26 compaction kernel over the persisted graph with the

@@ -207,6 +207,65 @@ class Round16Spec extends AnyFunSuite {
       "serve drifted after the post-compaction replay")
   }
 
+  // ---------- 3b. id/flags ledger tiers: the same fold verb ----------
+
+  test("id- and flags-ledger tiers run the same compaction verb: the " +
+    "served id set / flags frame is invariant across the fold, waves " +
+    "clear into one generation, and re-delivery after the fold commits " +
+    "nothing (st19 pair ids, st16 vector ids, st20 flags)") {
+    // st19 (pair-tier id ledger) — populate via the gate entry's flow
+    val st19Rows = rows(DocumentsStream.st19PairRetract(spark, dir))
+    val b19 = ArtifactRoots.tagged("graft_st19", dir)
+    val ids19 = rows(DocumentsStream.retiredFromLedger(spark, b19))
+    DocumentsStream.compactRetractLedger(spark, b19)
+    assert(WaveLedger.committedBatches(spark, b19).isEmpty &&
+      WaveLedger.committedGens(spark, b19).size === 1,
+      "st19: waves must fold into one generation")
+    assert(rows(DocumentsStream.retiredFromLedger(spark, b19)) === ids19,
+      "st19: the served id set changed across the fold")
+    DocumentsStream.runDocRetract(spark, b19, s"$b19/cp_replay").stop()
+    assert(WaveLedger.committedBatches(spark, b19).isEmpty,
+      "st19: a compacted id wave was re-derived on re-delivery")
+    assert(rows(Pipeline.retractFromGraph(
+        Pipeline.pairsArtifact(spark, dir).select(col("a_id"), col("b_id")),
+        Pipeline.labelsArtifact(spark, dir),
+        DocumentsStream.retiredFromLedger(spark, b19))
+      .orderBy(col("doc_id"))) === st19Rows,
+      "st19: the downstream fold drifted across compaction")
+
+    // st16 (vector-tier id ledger)
+    val st16Rows = rows(EmbeddingsStream.st16GraphRetract(spark, dir))
+    val b16 = ArtifactRoots.tagged("graft_st16", dir)
+    val ids16 = rows(EmbeddingsStream.retractIdsFromLedger(spark, b16))
+    EmbeddingsStream.compactRetractLedger(spark, b16)
+    assert(WaveLedger.committedBatches(spark, b16).isEmpty &&
+      WaveLedger.committedGens(spark, b16).size === 1,
+      "st16: waves must fold into one generation")
+    assert(rows(EmbeddingsStream.retractIdsFromLedger(spark, b16)) === ids16,
+      "st16: the served id set changed across the fold")
+    EmbeddingsStream.runRetract(spark, b16, s"$b16/cp_replay").stop()
+    assert(WaveLedger.committedBatches(spark, b16).isEmpty,
+      "st16: a compacted id wave was re-derived on re-delivery")
+    assert(rows(EmbeddingsStream.retractedFromLedger(spark, dir, b16)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"),
+        col("d2_fp"), col("rank"))) === st16Rows,
+      "st16: the downstream fold drifted across compaction")
+
+    // st20 (bins-tier flags ledger)
+    rows(DocumentsStream.st20BinsArrive(spark, dir))
+    val b20 = ArtifactRoots.tagged("graft_st20", dir)
+    val flags = rows(DocumentsStream.flagsFromLedger(spark, b20))
+    DocumentsStream.compactFlagsLedger(spark, b20)
+    assert(WaveLedger.committedBatches(spark, b20).isEmpty &&
+      WaveLedger.committedGens(spark, b20).size === 1,
+      "st20: waves must fold into one generation")
+    assert(rows(DocumentsStream.flagsFromLedger(spark, b20)) === flags,
+      "st20: the served flags frame changed across the fold")
+    DocumentsStream.runFlags(spark, dir, b20, s"$b20/cp_replay").stop()
+    assert(WaveLedger.committedBatches(spark, b20).isEmpty,
+      "st20: a compacted flags wave was re-derived on re-delivery")
+  }
+
   // ---------- 4. s31 — the self-tuned probe knob ----------
 
   test("s31: the graded sweep is monotone in width (candidate supersets), " +
