@@ -442,46 +442,61 @@ object EmbeddingsStream {
                              base: String, inDir: String, wave: Int): Unit =
     WaveLedger.stageFrameWave(spark, part, base, inDir, wave)
 
+  private val SubstrateMarker = "_GRAFT_SUBSTRATE_OK"
+
+  /** st23's RETRACT-LEDGER SUBSTRATE (r16 — st21's precedent at the
+    * vector tier): the update slice's tombstone manifest is a pure
+    * function of the corpus (the s28 digit slice through the shared
+    * id-wave intake), so its committed ledger stages once per corpus
+    * version behind a completion marker; every st23 invocation reads
+    * it and pays only the content phase + fold. Intake-restart
+    * coverage remains st16/st19's pinned law of the same protocol. */
+  private[graft] def st23RetractSubstrate(spark: SparkSession,
+                                          dir: String): String = {
+    val root = graft.ArtifactRoots.tagged("graft_st23ret", dir)
+    graft.ArtifactRoots.touchServed(root)
+    val marker = new Path(s"$root/$SubstrateMarker")
+    val f = fsOf(spark, marker)
+    if (!f.exists(marker)) {
+      f.delete(new Path(root), true) // crashed partial: rebuild whole
+      f.mkdirs(new Path(s"$root/in"))
+      val ids = Tables.embeddings(spark, dir).select(col("vec_id"))
+        .filter(col("vec_id") % 10 === Similarity.S28UpdateDigit)
+      stageFrameWave(spark, ids.filter(col("vec_id") % 3 === 0),
+        root, s"$root/in", 0)
+      stageFrameWave(spark, ids.filter(col("vec_id") % 3 =!= 0),
+        root, s"$root/in", 1)
+      runRetract(spark, root, s"$root/cp").stop()
+      f.create(marker, true).close()
+    }
+    root
+  }
+
   /** The ST23 gate entry — streaming UPDATE for the kNN graph: s28's
     * verb under the wave ledger with a REAL restart in the content
-    * phase. The re-embedded slice's tombstone manifest drains as two
-    * id waves under one query (intake-restart coverage is the shared
-    * protocol's, st16/st19), then the new vectors (the s28 reversed
-    * slice) stream as two content waves with a restart between them;
-    * the serve folds the committed state through s28's own kernels —
-    * compact without the manifest ids, integrate the committed pair
-    * union under the current view. Oracle = s28's
-    * update ≡ rebuild-with-current-values chain VERBATIM; Round15Spec
-    * pins stream-fold ≡ the batch verb engine-side. Scale: per-wave
-    * work is wave-sized ranking + blocking against broadcast/persisted
-    * model tables; the serve's compact+integrate is |U|-bounded
-    * (s28's bound), paid at update cadence. */
+    * phase. The re-embedded slice's tombstone manifest is the
+    * once-per-corpus-version [[st23RetractSubstrate]] (intake-restart
+    * coverage is the shared protocol's, st16/st19), then the new
+    * vectors (the s28 reversed slice) stream as two content waves
+    * with a restart between them; the serve folds the committed state
+    * through s28's own kernels — compact without the manifest ids,
+    * integrate the committed pair union under the current view.
+    * Oracle = s28's update ≡ rebuild-with-current-values chain
+    * VERBATIM; Round15Spec pins stream-fold ≡ the batch verb
+    * engine-side. Scale: per-wave work is wave-sized ranking +
+    * blocking against broadcast/persisted model tables; the serve's
+    * compact+integrate is |U|-bounded (s28's bound), paid at update
+    * cadence. */
   def st23GraphUpdate(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.ArtifactRoots.tagged("graft_st23", dir)
     val bp = new Path(base)
     val f = fsOf(spark, bp)
     if (f.exists(bp)) f.delete(bp, true)
-    f.mkdirs(new Path(s"$base/retract/in"))
     f.mkdirs(new Path(s"$base/arrive/in"))
     val slice = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 10 === Similarity.S28UpdateDigit)
-    // phase 1 — the tombstone manifest: both id waves, one query
-    stageFrameWave(spark,
-      slice.select(col("vec_id")).filter(col("vec_id") % 3 === 0),
-      base, s"$base/retract/in", 0)
-    stageFrameWave(spark,
-      slice.select(col("vec_id")).filter(col("vec_id") % 3 =!= 0),
-      base, s"$base/retract/in", 1)
-    locally {
-      val q = spark.readStream.schema(idSchema).option("maxFilesPerTrigger", 1)
-        .parquet(s"$base/retract/in")
-        .writeStream
-        .option("checkpointLocation", s"$base/retract/cp")
-        .foreachBatch(retractBatch(spark, s"$base/retract") _)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    }
+    // phase 1 — the tombstone manifest: the staged substrate ledger
+    val rBase = st23RetractSubstrate(spark, dir)
     // phase 2 — the re-embedded content (reversed vectors), restart
     val newEmb = slice.select(col("vec_id"), reverse(col("embedding")).as("embedding"))
     stageFrameWave(spark, newEmb.filter(col("vec_id") % 3 === 0),
@@ -490,14 +505,18 @@ object EmbeddingsStream {
     stageFrameWave(spark, newEmb.filter(col("vec_id") % 3 =!= 0),
       base, s"$base/arrive/in", 3)
     runUpdArrive(spark, dir, base, s"$base/arrive/cp").stop()
-    st23Serve(spark, dir, base)
+    st23Serve(spark, dir, base, rBase)
   }
 
   /** st23's serve, callable on an existing ledger base (Round16Spec
     * re-serves across compactions): s28's fold over the committed
-    * ledger state (latest compacted generation + live tail, r16). */
+    * ledger state (latest compacted generation + live tail, r16).
+    * `rBase` is the retract-ledger root (empty = the in-base
+    * `retract` subtree, the manual-flow convention). */
   private[graft] def st23Serve(spark: SparkSession, dir: String,
-                               base: String): DataFrame = {
+                               base: String,
+                               rBase: String = ""): DataFrame = {
+    val rb = if (rBase.isEmpty) s"$base/retract" else rBase
     val stArr = WaveLedger.ledgerState(spark, s"$base/arrive")
     val c1 = readOrEmpty(spark, stArr.dirs("pairs"), pairSchema)
     // readOrEmpty (not a bare parquet(paths: _*)) so an all-empty
@@ -508,7 +527,7 @@ object EmbeddingsStream {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).schema)
     Similarity.knngUpdateFold(spark, dir,
-        retractIdsFromLedger(spark, s"$base/retract"), c1, ledgerEmb)
+        retractIdsFromLedger(spark, rb), c1, ledgerEmb)
       .select(col("vec_id"), col("nb_id").as("neighbor_id"),
         col("d2_fp"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))

@@ -182,6 +182,9 @@ class Round16Spec extends AnyFunSuite {
     "fresh-checkpoint replay re-derives nothing") {
     val served = rows(EmbeddingsStream.st23GraphUpdate(spark, dir))
     val base = ArtifactRoots.tagged("graft_st23", dir)
+    // the tombstone manifest is the once-per-corpus-version substrate
+    // (r16) — st21's precedent at the vector tier
+    val rSub = EmbeddingsStream.st23RetractSubstrate(spark, dir)
     val arr = s"$base/arrive"
     assert(WaveLedger.committedBatches(spark, arr).size === 2,
       "precondition: two live content waves before the compact")
@@ -198,12 +201,12 @@ class Round16Spec extends AnyFunSuite {
       .filter(col("vec_id") % 10 === Similarity.S28UpdateDigit)
     assert(genEmb.count() === slice.count(),
       "the generation must carry all committed new vectors")
-    assert(rows(EmbeddingsStream.st23Serve(spark, dir, base)) === served,
+    assert(rows(EmbeddingsStream.st23Serve(spark, dir, base, rSub)) === served,
       "compacted serve != pre-compaction serve")
     EmbeddingsStream.runUpdArrive(spark, dir, base, s"$arr/cp_replay").stop()
     assert(WaveLedger.committedBatches(spark, arr).isEmpty,
       "a compacted content wave was re-derived on re-delivery")
-    assert(rows(EmbeddingsStream.st23Serve(spark, dir, base)) === served,
+    assert(rows(EmbeddingsStream.st23Serve(spark, dir, base, rSub)) === served,
       "serve drifted after the post-compaction replay")
   }
 
