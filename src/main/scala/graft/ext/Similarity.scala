@@ -606,19 +606,9 @@ object Similarity {
     "spark.graft.kmeans.broadcastThreshold"
 
   private[graft] def autoBroadcastAssign(spark: SparkSession,
-                                         nCentroids: Long): Boolean = {
-    val raw = spark.conf.getOption(KmeansBroadcastThresholdKey)
-      .getOrElse(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
-        "10485760"))
-    val thresh =
-      try raw.trim.toLong
-      catch {
-        case _: NumberFormatException =>
-          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.trim)
-          catch { case _: Exception => 10485760L }
-      }
-    thresh > 0 && assignBytesOf(nCentroids) <= thresh
-  }
+                                         nCentroids: Long): Boolean =
+    SizeGate.fits(spark, KmeansBroadcastThresholdKey,
+      assignBytesOf(nCentroids))
 
   /** Partition count for the per-round centroid frame in the
     * broadcast-assignment form: small (the frame is |C| rows, and the

@@ -1540,19 +1540,8 @@ object TextAnalysis {
     * bit-equal in Round16Spec, so the gate can only change a plan,
     * never an answer. */
   private[graft] def autoBroadcastEncode(spark: SparkSession,
-                                         nWords: Long): Boolean = {
-    val raw = spark.conf.getOption(EncodeBroadcastThresholdKey)
-      .getOrElse(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
-        "10485760"))
-    val thresh =
-      try raw.trim.toLong
-      catch {
-        case _: NumberFormatException =>
-          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.trim)
-          catch { case _: Exception => 10485760L }
-      }
-    thresh > 0 && encodeBytesOf(nWords) <= thresh
-  }
+                                         nWords: Long): Boolean =
+    SizeGate.fits(spark, EncodeBroadcastThresholdKey, encodeBytesOf(nWords))
 
   def t28BpeEncode(spark: SparkSession, dir: String): DataFrame =
     t28BpeEncode(spark, dir, None)

@@ -598,7 +598,7 @@ object DocumentsStream {
     * rebuilds from scratch. */
   private[graft] def st21RetractSubstrate(spark: SparkSession,
                                           dir: String): String = {
-    val root = graft.ArtifactRoots.tagged("graft_st21ret", dir)
+    val root = graft.ArtifactRoots.tagged("graft_st21ret_v1", dir)
     graft.ArtifactRoots.touchServed(root)
     val marker = new Path(s"$root/$SubstrateMarker")
     val f = fsOf(spark, marker)

@@ -157,14 +157,6 @@ object EmbeddingsStream {
     WaveLedger.stageFrameWave(spark, part, base, s"$base/in", wave)
   }
 
-  /** The ST15 gate entry — restart inside the entry, st13's shape:
-    * wave A is processed by a query that STOPS; wave B arrives; a
-    * second query resumes from the same checkpoint and processes only
-    * the new wave; the serve folds the ledger through the batch
-    * append's integration kernel. Oracle = s25's appended-graph chain
-    * VERBATIM (the stream-fold ≡ batch-append law, hash-checked every
-    * round). Scratch lives at one fixed location per corpus, rebuilt
-    * per invocation (st11's no-accumulation discipline). */
   /** st15's serve, callable on an existing ledger base (Round16Spec
     * re-serves across compactions). */
   private[graft] def st15Serve(spark: SparkSession, dir: String,
@@ -174,6 +166,14 @@ object EmbeddingsStream {
         col("d2_fp"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
 
+  /** The ST15 gate entry — restart inside the entry, st13's shape:
+    * wave A is processed by a query that STOPS; wave B arrives; a
+    * second query resumes from the same checkpoint and processes only
+    * the new wave; the serve folds the ledger through the batch
+    * append's integration kernel. Oracle = s25's appended-graph chain
+    * VERBATIM (the stream-fold ≡ batch-append law, hash-checked every
+    * round). Scratch lives at one fixed location per corpus, rebuilt
+    * per invocation (st11's no-accumulation discipline). */
   def st15GraphArrive(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.ArtifactRoots.tagged("graft_st15", dir)
     val bp = new Path(base)
@@ -453,7 +453,7 @@ object EmbeddingsStream {
     * coverage remains st16/st19's pinned law of the same protocol. */
   private[graft] def st23RetractSubstrate(spark: SparkSession,
                                           dir: String): String = {
-    val root = graft.ArtifactRoots.tagged("graft_st23ret", dir)
+    val root = graft.ArtifactRoots.tagged("graft_st23ret_v1", dir)
     graft.ArtifactRoots.touchServed(root)
     val marker = new Path(s"$root/$SubstrateMarker")
     val f = fsOf(spark, marker)

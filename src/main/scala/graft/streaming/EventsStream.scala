@@ -436,6 +436,13 @@ object EventsStream {
                                                 (batch: DataFrame,
                                                  batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // an empty update batch cannot change the snapshot — and writing
+    // it would POISON a fresh target: a partitionBy write of a
+    // zero-row frame creates the dir with only _SUCCESS (no
+    // schema-bearing part file), so every later merge would fail at
+    // spark.read.parquet with "Unable to infer schema" (review r16; a
+    // watermark-advance batch on a restarted stream is exactly this)
+    if (batch.isEmpty) return
     val dir = new Path(target)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     val withDay = batch.withColumn("day", to_date(col("window_start")))

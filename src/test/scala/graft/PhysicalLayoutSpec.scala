@@ -226,4 +226,35 @@ class PhysicalLayoutSpec extends AnyFunSuite {
     assert(full.nonEmpty && part === full,
       "partition-scoped merge census != whole-snapshot swap census")
   }
+
+  test("st11 partitioned merge: an empty micro-batch is a no-op — it neither " +
+    "poisons a fresh target (schema-less dir) nor perturbs an existing one") {
+    import graft.streaming.EventsStream
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val tgt = s"$tmp/st11_empty"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val keys = Seq("window_start", "event_type")
+    val empty = Seq.empty[(java.sql.Timestamp, String, Long, Double)]
+      .toDF("window_start", "event_type", "n_events", "total_value")
+    // empty FIRST batch (watermark-advance on a restarted stream): the
+    // target dir must not be created at all — a zero-row partitionBy
+    // write leaves only _SUCCESS, wedging every later read
+    EventsStream.mergeIntoParquetPartitioned(tgt, keys)(empty, 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new Path(tgt).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(tgt)),
+      "an empty first batch must not create a schema-less target")
+    EventsStream.mergeIntoParquetPartitioned(tgt, keys)(
+      Seq((ts("2024-01-01 00:00:00"), "view", 1L, 10.0))
+        .toDF("window_start", "event_type", "n_events", "total_value"), 1L)
+    // empty LATER batch: snapshot byte-identical after the no-op
+    def files(): Map[String, Long] =
+      fs.listStatus(new Path(s"$tgt/day=2024-01-01")).filter(_.isFile)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    val before = files()
+    EventsStream.mergeIntoParquetPartitioned(tgt, keys)(empty, 2L)
+    assert(files() === before, "an empty batch changed the snapshot")
+    assert(spark.read.parquet(tgt).count() === 1L)
+  }
 }
