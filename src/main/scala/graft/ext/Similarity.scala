@@ -2366,6 +2366,99 @@ object Similarity {
     served
   }
 
+  // ---------------------------------------------------------------
+  // S32 — FILTERED vector search FROM THE PERSISTED INDEX (r16):
+  // top-k restricted to neighbors satisfying a metadata predicate —
+  // the FAISS IDSelector / Milvus expression-filter / Qdrant
+  // payload-filter query type, the one every production vector store
+  // serves beside plain top-k. s9 demos the exact form of this query
+  // (brute-force, same-label predicate, no index); s32 is the query
+  // SERVED, from the index when that's right and off it when it
+  // isn't. Two plans, SELECTED BY SELECTIVITY (the documented
+  // "filtered-search cliff"): a BROAD filter keeps the probed index
+  // useful — candidates from the probed lists are filtered BEFORE
+  // the rank window (pre-filter, so the filter never erases served
+  // ranks the way post-rank filtering does) — while a NARROW filter
+  // starves the probed lists (most candidates fail the predicate,
+  // recall collapses) at exactly the point where a brute-force scan
+  // of the matching subset becomes cheap: m rows instead of
+  // probes/nlist of the corpus, and EXACT instead of ADC. The
+  // decision is integer cross-multiply (s29's discipline):
+  // exact_scan = 1 iff m·10000 < S32SelBp·n — never a float.
+  //
+  // Scale: n and m are 1-row aggregates (m's scan carries the pushed
+  // predicate); the ADC branch joins probed candidates (|Q|-probe-
+  // bounded) to the matching-id set keyed on vec_id — the id set is
+  // selectivity-sized, NOT broadcast by hand (past the threshold it
+  // can be corpus-scale; AQE picks the strategy); the exact branch
+  // is matching-subset × query-slice with the BOUNDED query side
+  // broadcast — linear in m, and the decision guarantees m is small
+  // whenever this branch runs.
+  // ---------------------------------------------------------------
+
+  /** The selectivity cliff in basis points: below m/n = 5% the
+    * matching subset is scanned exactly; at or above it the probed
+    * index serves with a pre-filter. Both spec filters sit ≥ 3× from
+    * the line at every SF (measured: broad 19–21% of the corpus,
+    * narrow 1.2–1.7%), so the decision cannot flap. */
+  val S32SelBp = 500L
+
+  /** The gate's two filters as SQL predicate strings — ONE source of
+    * truth evaluated by BOTH engines (Spark via `expr`, DuckDB
+    * verbatim), so the membership sets cannot drift. */
+  private[graft] val S32FilterSql: Seq[(String, String)] = Seq(
+    "f_broad"  -> "label IN (0, 1)",
+    "f_narrow" -> "label = 3 AND vec_id % 8 = 0")
+
+  /** S32 — serve each filter's query-slice top-k via its
+    * selectivity-chosen plan, decision columns alongside (s29's
+    * shape): (filt, query_id, neighbor_id, d2_fp, rank, n_match,
+    * exact_scan). The ADC branch reads the shared drifted substrate
+    * (read-only consumer — s19's posture); the exact branch never
+    * touches the index. */
+  def s32FilteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = driftedSubstrate(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count() // 1-row driver aggregate (the decision input)
+    val qv = quantVecs(spark, dir)
+    val per = S32FilterSql.map { case (name, predSql) =>
+      val ids = emb.filter(expr(predSql)).select(col("vec_id"))
+      val m = ids.count() // pushed-predicate scan → one long
+      val exactScan = m * 10000L < S32SelBp * n
+      val served =
+        if (exactScan) {
+          // past the cliff: exact int64 top-k over the matching
+          // subset — query slice broadcast (bounded), m-row side
+          // stays distributed; rank is over the subset by law
+          val cand = ids.select(col("vec_id").as("nb_id"))
+            .crossJoin(broadcast(qv.filter(col("vec_id") < QueryCount)
+              .select(col("vec_id"))))
+            .filter(col("vec_id") =!= col("nb_id"))
+            .select(col("vec_id"), col("nb_id"))
+          knnRankTopK(cand, qv)
+            .select(col("vec_id").as("query_id"), col("nb_id").as("neighbor_id"),
+              col("d2_fp"), col("rank"))
+        } else {
+          // on the index: probed ADC candidates pre-filtered to the
+          // matching set, THEN ranked — a filtered query still gets
+          // its full k from the surviving candidates
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("d2_fp"), col("vec_id"))
+          ivfPqCandidateDistances(spark, dir, idxDir)
+            .join(ids, Seq("vec_id"), "left_semi")
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= TopK)
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("d2_fp"), col("rank"))
+        }
+      served.select(lit(name).as("filt"), col("query_id"), col("neighbor_id"),
+        col("d2_fp"), col("rank"), lit(m).as("n_match"),
+        lit(if (exactScan) 1L else 0L).as("exact_scan"))
+    }
+    per.reduce(_ unionByName _)
+      .orderBy(col("filt"), col("query_id"), col("rank"))
+  }
+
   /** S19 — RADIUS search from the persisted index (FAISS
     * `range_search`, Milvus `search` with `radius`): the other query
     * type a vector store serves — "every neighbor within distance R",
@@ -3395,6 +3488,7 @@ object Similarity {
     "s29_graph_retrain"    -> (s29GraphRetrain _),
     "s30_index_cutover"    -> (s30IndexCutover _),
     "s31_probe_autotune"   -> (s31ProbeAutotune _),
+    "s32_filtered_search"  -> (s32FilteredSearch _),
     "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
@@ -4151,6 +4245,53 @@ object Similarity {
          ORDER BY query_id, rank"""
   }
 
+  /** s32's mirror: BOTH plan worlds from already-shared vocabularies
+    * — `approx` (s13's chain: probed ADC candidate distances over the
+    * base-trained, frozen-append index) and `xsc` (the exact scored
+    * all-pairs frame over the query slice) — each filtered by the
+    * per-filter membership set and ranked AFTER the filter, the
+    * integer selectivity decision per filter, and the CASE-selected
+    * serve; the whole decide-then-serve transition in one statement.
+    * The filter predicates are [[S32FilterSql]] VERBATIM. */
+  private lazy val s32OracleSql: String = {
+    val train = s"vec_id % 10 <> $S13AppendDigit"
+    val mts = S32FilterSql.map { case (f, p) =>
+      s"SELECT '$f' AS filt, vec_id FROM embeddings WHERE $p"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH ${kmeansListsCtes(train)},
+         ${pqCtes(train)},
+         ${ivfPqRankedCtes()},
+         xc AS (SELECT q.vec_id, v.vec_id AS nb_id
+                FROM (SELECT vec_id FROM embeddings WHERE vec_id < $QueryCount) q
+                JOIN embeddings v ON v.vec_id <> q.vec_id),
+         ${knnRankCtes("x", "xc")},
+         mts AS MATERIALIZED ($mts),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         dec AS (SELECT m.filt, CAST(count(*) AS BIGINT) AS n_match,
+                        CAST(CASE WHEN count(*) * 10000 < $S32SelBp * max(nn.n)
+                             THEN 1 ELSE 0 END AS BIGINT) AS exact_scan
+                 FROM mts m, nn GROUP BY 1),
+         adcf AS (SELECT m.filt, a.query_id, a.vec_id AS neighbor_id, a.d2_fp,
+                         CAST(row_number() OVER (PARTITION BY m.filt, a.query_id
+                           ORDER BY a.d2_fp, a.vec_id) AS INTEGER) AS rank
+                  FROM approx a JOIN mts m ON m.vec_id = a.vec_id),
+         exf AS (SELECT m.filt, s.vec_id AS query_id, s.nb_id AS neighbor_id,
+                        s.d2_fp,
+                        CAST(row_number() OVER (PARTITION BY m.filt, s.vec_id
+                          ORDER BY s.d2_fp, s.nb_id) AS INTEGER) AS rank
+                 FROM xsc s JOIN mts m ON m.vec_id = s.nb_id),
+         sel AS (SELECT a.filt, a.query_id, a.neighbor_id, a.d2_fp, a.rank
+                 FROM adcf a JOIN dec d ON d.filt = a.filt AND d.exact_scan = 0
+                 UNION ALL
+                 SELECT e.filt, e.query_id, e.neighbor_id, e.d2_fp, e.rank
+                 FROM exf e JOIN dec d ON d.filt = e.filt AND d.exact_scan = 1)
+         SELECT s.filt, s.query_id, s.neighbor_id, s.d2_fp, s.rank,
+                d.n_match, d.exact_scan
+         FROM sel s JOIN dec d ON d.filt = s.filt
+         WHERE s.rank <= $TopK
+         ORDER BY s.filt, s.query_id, s.rank"""
+  }
+
   /** s19's mirror: s13's chain up to `approx` (all candidate
     * distances), the radius as the same 1-row integer aggregate over
     * the top-k subset, then the per-query census under the exact
@@ -4547,6 +4688,7 @@ object Similarity {
     "s29_graph_retrain" -> s29OracleSql,
     "s30_index_cutover" -> s30OracleSql,
     "s31_probe_autotune" -> s31OracleSql,
+    "s32_filtered_search" -> s32OracleSql,
     // s22's mirror IS s12's chain: a retrain on an undeleted corpus
     // trains on everything and codes everything — the equivalence the
     // gate states (the swap machinery itself is pinned in Round10Spec)

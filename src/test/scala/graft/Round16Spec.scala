@@ -370,4 +370,74 @@ class Round16Spec extends AnyFunSuite {
         "the shuffle form under the knob must serve the same census")
     } finally spark.conf.unset(TextAnalysis.EncodeBroadcastThresholdKey)
   }
+
+  // ---------- 7. s32 — the selectivity-gated filtered search ----------
+
+  test("s32: the selectivity decision fires exact for the narrow filter " +
+    "and index for the broad one with >=3x margins, every served neighbor " +
+    "satisfies its predicate, ranks are contiguous from 1, and the narrow " +
+    "serve equals an independently computed exact filtered top-k") {
+    val served = Similarity.s32FilteredSearch(spark, dir).cache()
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    // decision pattern + margins (integer cross-multiply, 3x off the line)
+    val dec = served.select(col("filt"), col("n_match"), col("exact_scan"))
+      .distinct().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dec.keySet === Set("f_broad", "f_narrow"),
+      s"one decision per filter: ${dec.keySet}")
+    val (mB, fB) = dec("f_broad")
+    val (mN, fN) = dec("f_narrow")
+    assert(fB === 0L && fN === 1L,
+      s"decision pattern wrong (broad should ride the index): $dec")
+    assert(mB * 10000L >= 3L * Similarity.S32SelBp * n,
+      s"broad filter sits < 3x above the cliff (m=$mB, n=$n) — could flap")
+    assert(mN * 10000L * 3L <= Similarity.S32SelBp * n,
+      s"narrow filter sits < 3x below the cliff (m=$mN, n=$n) — could flap")
+    // n_match is the predicate's true count (the shared-SQL law)
+    Similarity.S32FilterSql.foreach { case (f, p) =>
+      assert(dec(f)._1 === emb.filter(expr(p)).count(),
+        s"$f: n_match drifted from its own predicate")
+    }
+    // every served neighbor satisfies its filter's predicate
+    Similarity.S32FilterSql.foreach { case (f, p) =>
+      val ids = emb.filter(expr(p)).select(col("vec_id").as("neighbor_id"))
+      val viol = served.filter(col("filt") === f)
+        .join(ids, Seq("neighbor_id"), "left_anti").count()
+      assert(viol === 0L, s"$f served $viol neighbors outside the predicate")
+    }
+    // ranks contiguous 1..n per (filt, query) — the rank-after-filter law
+    val badRanks = served.groupBy(col("filt"), col("query_id"))
+      .agg(count(lit(1)).as("c"), max(col("rank")).as("mx"),
+        min(col("rank")).as("mn"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("c")).count()
+    assert(badRanks === 0L, "ranks must be 1..n within every (filt, query)")
+    // the narrow serve IS the exact answer — recomputed here from raw
+    // embeddings as a second implementation (quantize, sum-of-squares
+    // distance, scala sort), not the code path under test
+    val raw = emb.collect().map { r =>
+      val e = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      (r.getLong(0), r.getInt(r.fieldIndex("label")),
+        e.map(x => math.floor(x.toDouble * Similarity.QuantScale).toLong))
+    }
+    val matching = raw.filter { case (id, lab, _) => lab == 3 && id % 8 == 0 }
+    assert(matching.nonEmpty, "the narrow predicate matches nothing at spec SF")
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = raw.filter(_._1 < Similarity.QueryCount)
+      .flatMap { case (q, _, qv) =>
+        matching.filter(_._1 != q)
+          .map { case (nb, _, nv) => (q, nb, d2(qv, nv)) }
+          .sortBy { case (_, nb, d) => (d, nb) }
+          .take(Similarity.TopK)
+          .zipWithIndex.map { case ((qq, nb, d), i) => (qq, nb, d, i + 1) }
+      }.toSet
+    val got = served.filter(col("filt") === "f_narrow")
+      .select(col("query_id"), col("neighbor_id"), col("d2_fp"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got === expected,
+      "narrow serve != the independently computed exact filtered top-k")
+    served.unpersist(false)
+  }
 }
