@@ -433,4 +433,81 @@ class PropertySpec extends AnyFunSuite {
     assert(Pipeline.waterFill(spark, small, wide = true).collect().toSeq ===
       Pipeline.waterFill(spark, small).collect().toSeq)
   }
+
+  // ---------- WaveLedger protocol: model-based op sequences ----------
+
+  test("wave-ledger law: under RANDOM interleavings of arrive / redeliver / " +
+    "compact / crashed-gen / restored-folded-wave, the serve (latest gen + " +
+    "live tail) is exactly the set of arrived rows — each exactly once") {
+    import graft.streaming.WaveLedger
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    val trial = new java.util.concurrent.atomic.AtomicInteger(0)
+    // op codes: 0 arrive-new, 1 redeliver-random-arrived, 2 compact,
+    // 3 crashed unmarked gen dir (poison), 4 restore a folded wave's
+    // dir with POISON rows + marker (the post-marker crash window)
+    val opsGen = Gen.listOfN(12, Gen.chooseNum(0, 4))
+    check("wave-ledger", Prop.forAll(opsGen, Gen.chooseNum(1L, 999999L)) {
+      (ops, salt) =>
+      val base = s"/tmp/graft_prop_wl_${trial.incrementAndGet()}"
+      val f = WaveLedger.fsOf(spark, new Path(base))
+      f.delete(new Path(base), true)
+      var nextWave = 0
+      var arrived = List.empty[Int] // wave ids delivered at least once
+      def waveRows(w: Int): Seq[(Long, Long)] =
+        (0 until 3 + w % 3).map(i => (w * 10L + i, salt + i))
+      def deliver(w: Int): Unit = {
+        val df = waveRows(w).toDF("id", "v")
+        WaveLedger.waveCommit(spark, base, df, col("id"),
+          col("id") + col("v"),
+          tag => WaveLedger.ledgerState(spark, base).folded(tag)) { bdir =>
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(new Path(bdir, "rows").toString)
+        }
+      }
+      def poison(dir: Path, mark: Boolean): Unit = {
+        Seq((999999L, -1L)).toDF("id", "v").coalesce(1)
+          .write.mode("overwrite").parquet(new Path(dir, "rows").toString)
+        if (mark) f.create(new Path(dir, WaveLedger.CommitMarker), true).close()
+      }
+      var fail: Option[String] = None
+      ops.zipWithIndex.foreach { case (op, i) =>
+        if (fail.isEmpty) {
+          op match {
+            case 0 => deliver(nextWave); arrived ::= nextWave; nextWave += 1
+            case 1 if arrived.nonEmpty => deliver(arrived(i % arrived.size))
+            case 2 => WaveLedger.compactLedger(spark, base,
+              Seq("rows" -> Some(schema)))
+            case 3 => // mid-gen-write crash: unmarked gen dir with poison
+              poison(new Path(f"$base%s/compact/gen_${90000 + i}%05d"),
+                mark = false)
+            case 4 => // post-marker crash: a folded wave's dir restored
+              val st = WaveLedger.ledgerState(spark, base)
+              st.folded.toSeq.sorted.headOption.foreach(tag =>
+                poison(new Path(s"$base/ledger/$tag"), mark = true))
+            case _ => // redeliver with nothing arrived: no-op
+          }
+          // the serve invariant holds after EVERY op, not just at the end
+          val st = WaveLedger.ledgerState(spark, base)
+          val dirs = st.dirs("rows")
+          val got =
+            if (dirs.isEmpty) Seq.empty[(Long, Long)]
+            else spark.read.schema(schema).parquet(dirs: _*)
+              .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+          val expected = arrived.toSet[Int].flatMap(waveRows)
+          // set equality AND row count: a duplicated row (served from
+          // both a generation and a leftover wave dir) must fail even
+          // though the set would hide it
+          if (got.toSet != expected || got.size != expected.size)
+            fail = Some(s"after op $op (#$i): got ${got.size} rows " +
+              s"(${got.toSet.size} distinct), expected ${expected.size}")
+        }
+      }
+      f.delete(new Path(base), true)
+      fail.fold(Prop.passed)(m => Prop.falsified :| m)
+    }, n = 10)
+  }
 }
