@@ -834,6 +834,44 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** D23 — QUALITY-RANKED keeper selection (r16): d15 materializes
+    * the deduplicated corpus under d7's min-id keep rule; production
+    * pipelines keep the BEST member of each duplicate cluster instead
+    * — a near-dup cluster often mixes a clean original with truncated
+    * or boilerplate-padded variants, and min-id keeps whichever
+    * arrived first. Keeper = argmax of the exact-integer keep score
+    * ([[TextAnalysis.keepScore]], 200× t3's quality heuristic), ties
+    * to the smallest doc_id; one row per cluster with `moved` = 1
+    * where the quality rule picked a different keeper than min-id
+    * (measured live: 3 of 20 clusters at sf0.001, 7 of 22 at sf0.01 —
+    * the rule is not a re-statement of d15's).
+    *
+    * Scale shape: the labels artifact is candidate-pair-bounded
+    * (≪ corpus); scoring joins it against documents keyed on doc_id
+    * with the corpus side pruned to (doc_id, text); ONE rank window
+    * partitioned per cluster (both window functions share the
+    * partition spec — one shuffle). The production materialization
+    * composes this keeper set with d15's join in place of the min-id
+    * rule. */
+  def d23KeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val members = Pipeline.labelsArtifact(spark, dir)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val scored = members.join(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        TextAnalysis.keepScore(col("text")).as("keep_score")), Seq("doc_id"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val ordered = byCluster.orderBy(desc("keep_score"), col("doc_id"))
+    scored
+      .withColumn("r", row_number().over(ordered))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("r") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("keep_score"), col("n_members"),
+        when(col("doc_id") =!= col("cluster_id"), lit(1L)).otherwise(lit(0L))
+          .as("moved"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** D16 — source-overlap matrix: pairwise vocabulary Jaccard between
     * SOURCES (the corpus-level redundancy audit that decides which
     * feeds to deduplicate against each other first — two sources with
@@ -1252,6 +1290,7 @@ object Dedup {
     "d17_cross_source"      -> (d17CrossSourcePairs _),
     "d16_source_overlap"    -> (d16SourceOverlap _),
     "d15_dedup_materialize" -> (d15DedupMaterialize _),
+    "d23_keep_best"         -> (d23KeepBest _),
     "d14_edit_distance"    -> (d14EditDistance _),
     "d8_snm"               -> (d8Snm _),
     "d12_span_dedup"       -> (d12SpanDedup _),
@@ -1672,6 +1711,25 @@ object Dedup {
                               ELSE 0 END) AS BIGINT) AS kept_tokens
          FROM documents d LEFT JOIN drops dr USING (doc_id)
          GROUP BY 1 ORDER BY d.source""",
+    // d23: the same labels closure, keeper re-chosen by the integer
+    // quality score (argmax via the rank window, ties to min doc_id)
+    "d23_keep_best" ->
+      s"""WITH RECURSIVE $d7LabelCtes,
+         d23sc AS (
+           SELECT l.cluster_id, l.doc_id,
+                  CAST(${TextAnalysis.sqlKeepScore} AS BIGINT) AS s
+           FROM labels l JOIN documents d ON d.doc_id = l.doc_id),
+         d23rk AS (
+           SELECT cluster_id, doc_id, s,
+                  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                    AS n_members,
+                  row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY s DESC, doc_id) AS r
+           FROM d23sc)
+         SELECT cluster_id, doc_id AS kept_doc_id, s AS keep_score, n_members,
+                CAST(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END
+                     AS BIGINT) AS moved
+         FROM d23rk WHERE r = 1 ORDER BY cluster_id""",
     // transitive closure over the SAME pair list d4 produces (its full
     // SELECT nests as the `pairs` CTE body); component label = min
     // reachable doc_id, mirroring the label-propagation fixpoint

@@ -58,6 +58,15 @@ object TextAnalysis {
   def qualityScore(c: Column): Column =
     round(least(tokenCount(c) / 50.0, lit(1.0)) * 0.5 + (hits(c, "en") / 4.0) * 0.5, 2)
 
+  /** The same heuristic as an EXACT-INTEGER score (200× the [0,1]
+    * form — the en stopword set caps hits at 4, so the two orderings
+    * agree): min(tokens, 50)·2 + en-hits·25. d23's keeper argmax
+    * compares only integers cross-engine (the float-discipline rule —
+    * an argmax on a rounded double could flip between engines at a
+    * representation boundary; this one cannot). */
+  def keepScore(c: Column): Column =
+    (least(tokenCount(c), lit(50)) * 2 + hits(c, "en") * 25).cast("long")
+
   /** T1 — per-language corpus statistics. */
   def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1692,6 +1701,10 @@ object TextAnalysis {
   }
 
   private val sqlTokens = "len(string_split(trim(text), ' '))"
+
+  /** [[keepScore]]'s DuckDB twin — shared with the d23 oracle. */
+  private[ext] lazy val sqlKeepScore: String =
+    s"least($sqlTokens, 50) * 2 + ${sqlHits("en")} * 25"
 
   private def sqlLangGuess: String = {
     val best = stopwords.map { case (l, _) => sqlHits(l) }

@@ -440,4 +440,40 @@ class Round16Spec extends AnyFunSuite {
       "narrow serve != the independently computed exact filtered top-k")
     served.unpersist(false)
   }
+
+  // ---------- 8. d23 — quality-ranked keeper selection ----------
+
+  test("d23: one keeper per duplicate cluster, the keeper is a member and " +
+    "maximizes the integer keep score (ties to min id), n_members matches " +
+    "the labels artifact, and the rule diverges LIVE from d15's min-id " +
+    "keeper (moved non-vacuous both ways)") {
+    import graft.ext.TextAnalysis
+    val kept = Dedup.d23KeepBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val members = Pipeline.labelsArtifact(spark, dir)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        TextAnalysis.keepScore(col("text")).as("s")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    assert(kept.map(_._1).toSet === members.keySet,
+      "exactly one keeper per labeled cluster")
+    kept.foreach { case (cid, keeper, score, nMembers, moved) =>
+      val ms = members(cid)
+      assert(nMembers === ms.size.toLong, s"cluster $cid: n_members wrong")
+      assert(ms.exists(m => m._2 == keeper && m._3 == score),
+        s"cluster $cid: keeper $keeper/$score is not a member with that score")
+      // maximality with the min-id tie-break — the argmax law itself
+      val best = ms.map(m => (m._3, m._2)).sortBy { case (s, id) => (-s, id) }.head
+      assert((best._2, best._1) === (keeper, score),
+        s"cluster $cid: keeper $keeper is not the score argmax $best")
+      assert(moved === (if (keeper != cid) 1L else 0L),
+        s"cluster $cid: moved flag wrong")
+    }
+    val movedSet = kept.map(_._5).toSet
+    assert(movedSet === Set(0L, 1L),
+      "vacuous: the quality rule never/always diverges from min-id on this " +
+        "corpus — the operator would be a re-statement of d15 (re-measure)")
+  }
 }
