@@ -183,6 +183,49 @@ object ArtifactRoots {
     * sessions serving one tree longer than that must pin their own
     * artifact root. Default 0 keeps the eager single-session
     * behavior. */
+  /** Per-JVM once-guard for [[retireLegacy]] — one sweep per retired
+    * prefix per session is plenty. */
+  private val legacySwept =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Delete the trees a RETIRED prefix left behind. A re-keyed root
+    * (e.g. graft_st21ret → graft_st21ret_v1) orphans every old-prefix
+    * tree: [[tagged]]'s sibling GC matches only the live prefix, so
+    * without this sweep the old generation's disk leaks forever —
+    * once per future re-key (r16 review). `live` guards the prefix
+    * overlap (every `legacy_...` name also starts the live names'
+    * spelling, never the reverse). Honors the same last-use bound as
+    * the sibling GC: with a grace configured, a tree an old-binary
+    * straddling session still heartbeats is spared until 4× grace;
+    * the default grace 0 sweeps eagerly. Best-effort, never fatal;
+    * call it from the re-keyed resolver so one serve of the new root
+    * retires the old generation. */
+  def retireLegacy(legacy: String, live: String): Unit = {
+    if (!legacySwept.add(s"$legacy=>$live")) return
+    try {
+      val grace = gcGraceMs
+      val now = System.currentTimeMillis()
+      val rootPath = new Path(root)
+      val fs = FileSystem.get(rootPath.toUri, hadoopConf)
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"${legacy}_") && !n.startsWith(s"${live}_")) {
+            val lastUse =
+              try {
+                val hb = new Path(st.getPath, "_graft_heartbeat")
+                if (fs.exists(hb))
+                  math.max(st.getModificationTime,
+                    fs.getFileStatus(hb).getModificationTime)
+                else st.getModificationTime
+              } catch { case _: Exception => st.getModificationTime }
+            if (grace <= 0L || now - lastUse > 4L * grace)
+              fs.delete(st.getPath, true)
+          }
+        }
+    } catch { case _: Exception => () }
+  }
+
   def tagged(prefix: String, dir: String): String =
     tagCache.computeIfAbsent((prefix, dir), { _ =>
       val tag = java.lang.Long.toHexString(

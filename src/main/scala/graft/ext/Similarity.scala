@@ -1228,7 +1228,9 @@ object Similarity {
   private[graft] def baseSubstrate(spark: SparkSession, dir: String): String = {
     // _v1-suffixed like graft_ivfq_v1/graft_knng_v3 (r15 ADVICE): a
     // builder-semantics change re-keys by bumping the suffix, the
-    // same named trigger every other versioned root has
+    // same named trigger every other versioned root has; the sweep
+    // retires the pre-suffix generation's disk (r16 review)
+    graft.ArtifactRoots.retireLegacy("graft_ivfsub_base", "graft_ivfsub_base_v1")
     val root = servedIdxDir("graft_ivfsub_base_v1", dir)
     val done = new Path(s"$root/$SubstrateMarker")
     val fs = FileSystem.get(done.toUri, spark.sparkContext.hadoopConfiguration)
@@ -1245,6 +1247,7 @@ object Similarity {
     * and of the s14/s30 drift measurements. Built by cloning base
     * (training paid once across both tiers) and appending. */
   private[graft] def driftedSubstrate(spark: SparkSession, dir: String): String = {
+    graft.ArtifactRoots.retireLegacy("graft_ivfsub_full", "graft_ivfsub_full_v1")
     val root = servedIdxDir("graft_ivfsub_full_v1", dir)
     val done = new Path(s"$root/$SubstrateMarker")
     val fs = FileSystem.get(done.toUri, spark.sparkContext.hadoopConfiguration)
@@ -4267,7 +4270,8 @@ object Similarity {
          ${knnRankCtes("x", "xc")},
          mts AS MATERIALIZED ($mts),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-         dec AS (SELECT m.filt, CAST(count(*) AS BIGINT) AS n_match,
+         dec AS MATERIALIZED (
+                 SELECT m.filt, CAST(count(*) AS BIGINT) AS n_match,
                         CAST(CASE WHEN count(*) * 10000 < $S32SelBp * max(nn.n)
                              THEN 1 ELSE 0 END AS BIGINT) AS exact_scan
                  FROM mts m, nn GROUP BY 1),

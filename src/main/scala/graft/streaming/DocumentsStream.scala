@@ -598,6 +598,7 @@ object DocumentsStream {
     * rebuilds from scratch. */
   private[graft] def st21RetractSubstrate(spark: SparkSession,
                                           dir: String): String = {
+    graft.ArtifactRoots.retireLegacy("graft_st21ret", "graft_st21ret_v1")
     val root = graft.ArtifactRoots.tagged("graft_st21ret_v1", dir)
     graft.ArtifactRoots.touchServed(root)
     val marker = new Path(s"$root/$SubstrateMarker")

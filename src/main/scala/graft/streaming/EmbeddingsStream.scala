@@ -453,6 +453,7 @@ object EmbeddingsStream {
     * coverage remains st16/st19's pinned law of the same protocol. */
   private[graft] def st23RetractSubstrate(spark: SparkSession,
                                           dir: String): String = {
+    graft.ArtifactRoots.retireLegacy("graft_st23ret", "graft_st23ret_v1")
     val root = graft.ArtifactRoots.tagged("graft_st23ret_v1", dir)
     graft.ArtifactRoots.touchServed(root)
     val marker = new Path(s"$root/$SubstrateMarker")

@@ -395,6 +395,14 @@ object EventsStream {
     val old = new Path(target + ".old")
     if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
       throw new java.io.IOException(s"recovery failed: $old -> $target")
+    // an empty batch on an EXISTING snapshot is a no-op — skip the
+    // corpus-sized read + rewrite + swap (and its crash window) a
+    // watermark-advance batch on a restarted stream would otherwise
+    // pay (r16 review). On a FRESH target it still writes: unlike the
+    // partitioned form, an empty non-partitioned write emits a
+    // schema-carrying part file, and an empty events table must
+    // converge to a READABLE empty snapshot (Round10Spec's law).
+    if (batch.isEmpty && fs.exists(dir)) return
     val cols = batch.columns.map(col).toSeq
     val merged =
       if (!fs.exists(dir)) batch.select(cols: _*)
@@ -575,6 +583,15 @@ object EventsStream {
       readEventsStream(spark, inDir.toString, maxFilesPerTrigger = 1), target,
       partitioned = partitioned)
     q.stop()
+    // a never-created target (possible only on the PARTITIONED path
+    // with an empty stream — its empty-batch guard cannot write a
+    // readable empty dir) serves the empty census rather than a read
+    // failure, matching the whole-snapshot path's converged state
+    if (!fs.exists(new Path(target))) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Double)]
+        .toDF("event_type", "n_windows", "n_events", "total_value")
+    }
     // post-merge census: per-window totals rounded to cents FIRST
     // (st1's proven cross-engine edge), then summed and re-rounded
     spark.read.parquet(target)
