@@ -257,4 +257,37 @@ class PhysicalLayoutSpec extends AnyFunSuite {
     assert(files() === before, "an empty batch changed the snapshot")
     assert(spark.read.parquet(tgt).count() === 1L)
   }
+
+  test("st11 whole-snapshot merge: an empty micro-batch on an EXISTING " +
+    "snapshot is a no-op (no rewrite, no swap), while on a fresh target it " +
+    "still writes the readable empty snapshot the empty-input law needs") {
+    import graft.streaming.EventsStream
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val tgt = s"$tmp/st11_whole_empty"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val keys = Seq("window_start", "event_type")
+    val empty = Seq.empty[(java.sql.Timestamp, String, Long, Double)]
+      .toDF("window_start", "event_type", "n_events", "total_value")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new Path(tgt).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    // fresh target: the empty batch writes a schema-carrying snapshot
+    EventsStream.mergeIntoParquet(tgt, keys)(empty, 0L)
+    assert(fs.exists(new Path(tgt)) && spark.read.parquet(tgt).count() === 0L,
+      "an empty first batch must produce a readable empty snapshot")
+    EventsStream.mergeIntoParquet(tgt, keys)(
+      Seq((ts("2024-01-01 00:00:00"), "view", 1L, 10.0))
+        .toDF("window_start", "event_type", "n_events", "total_value"), 1L)
+    // existing target: the no-op skip leaves every file byte-identical
+    // (mtime included — the swap would replace them all)
+    def files(): Map[String, (Long, Long)] =
+      fs.listStatus(new Path(tgt)).filter(_.isFile)
+        .map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    val before = files()
+    EventsStream.mergeIntoParquet(tgt, keys)(empty, 2L)
+    assert(files() === before,
+      "an empty batch on an existing snapshot must not rewrite or swap it")
+    assert(spark.read.parquet(tgt).count() === 1L)
+  }
 }
