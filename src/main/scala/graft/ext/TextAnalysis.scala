@@ -432,6 +432,75 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Bigram model size (top-K bigrams by count, ties on the pair) and
+    * the flag's integer share rule: a doc is flagged when fewer than
+    * [[BiHitNum]]/[[BiHitDen]] of its token pairs hit the bigram
+    * model (hit·Den < tot·Num — exact integers, t15's OOV-flag
+    * discipline; measured at sf0.1 the per-doc modeled share spans
+    * 0–0.33 with mean ~0.06, so the 2% line splits docs live). */
+  val BigramK = 48
+  val BiHitNum = 1
+  val BiHitDen = 50
+
+  /** T32 — interpolated BIGRAM-LM perplexity filter (r16): the
+    * context-sensitive upgrade of the t12/t15 unigram filters and the
+    * honest distributed form of the CCNet/KenLM n-gram scorer. The
+    * model is BOUNDED from the start (t15's discipline at both
+    * tiers): top-[[VocabK]] unigrams with the 1/N OOV floor, plus the
+    * top-[[BigramK]] bigrams with their left-marginal counts; each
+    * token pair scores Jelinek-Mercer style —
+    * p = ½·P_bi(y|x) + ½·P_uni(y), with P_bi = c(x,y)/c(x) (0 when
+    * the pair is outside the model) and P_uni the floored unigram —
+    * so p is always strictly positive and ln p is defined everywhere.
+    * Per-source census: mean per-doc nll (rounded at the edge only,
+    * t12's float discipline), the INTEGER-share flag count (a doc
+    * whose modeled-pair share sits under [[BiHitNum]]/[[BiHitDen]]
+    * reads as out-of-domain for the model), and total modeled pairs.
+    * Docs with fewer than 2 tokens have no pairs and leave the
+    * census (documented, deterministic both engines).
+    *
+    * Scale shape: the bigram count is ONE corpus groupBy (map-side
+    * combined — t6's only scaling shuffle); both model tables are
+    * K-bounded broadcasts (TakeOrderedAndProject top-K, no global
+    * sort); scoring is two broadcast left joins at pair grain + one
+    * doc-keyed agg + one source rollup — no corpus-sized state on
+    * the driver at any size. */
+  def t32BigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("_w"))
+    val uni = docs.select(explode(col("_w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt")).cache()
+    val n = uni.agg(sum(col("cnt")).cast("double").as("n"))
+    val vocab = uni.orderBy(col("cnt").desc, col("t")).limit(VocabK)
+    val bi = docs
+      .select(posexplode(slice(col("_w"), lit(1),
+          greatest(size(col("_w")) - 1, lit(0)))).as(Seq("pos", "x")),
+        col("doc_id"), col("source"), col("_w"))
+      .select(col("doc_id"), col("source"), col("x"),
+        element_at(col("_w"), col("pos") + 2).as("y"))
+    val bigm = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .orderBy(col("nxy").desc, col("x"), col("y")).limit(BigramK)
+      .join(uni.select(col("t").as("x"), col("cnt").as("nx")), Seq("x"))
+    val perDoc = bi
+      .join(broadcast(bigm), Seq("x", "y"), "left")
+      .join(broadcast(vocab.select(col("t").as("y"), col("cnt").as("cy"))),
+        Seq("y"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("p",
+        lit(0.5) * coalesce(col("nxy") / col("nx"), lit(0.0)) +
+          lit(0.5) * (coalesce(col("cy"), lit(1L)).cast("double") / col("n")))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(avg(-log(col("p"))).as("nll"), count(lit(1)).as("tot"),
+        sum(when(col("nxy").isNotNull, 1L).otherwise(0L)).as("hit"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nll")), 3).as("avg_nll"),
+        sum(when(col("hit") * BiHitDen < col("tot") * BiHitNum, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(col("hit")).as("modeled_pairs"))
+      .orderBy(col("source"))
+  }
+
   /** T26 — per-source DISTRIBUTION DRIFT of the arriving slice
     * against its history: add-one-smoothed unigram KL(delta ‖ base)
     * over the FROZEN base top-VocabK vocabulary, per source. This is
@@ -1680,6 +1749,7 @@ object TextAnalysis {
     "t14_bm25"             -> (t14Bm25 _),
     "t12_unigram_ppl"      -> (t12UnigramPerplexity _),
     "t15_vocab_ppl"        -> (t15VocabPerplexity _),
+    "t32_bigram_ppl"       -> (t32BigramPerplexity _),
     "t16_temperature_mix"  -> (t16TemperatureMix _),
     "t9_repetition_filter" -> (t9RepetitionFilter _),
     "t10_decontaminate"    -> (t10Decontaminate _),
@@ -2319,6 +2389,42 @@ object TextAnalysis {
                 CAST(sum(CASE WHEN oov * $OovDen > tot * $OovNum THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_flagged,
                 CAST(sum(oov) AS BIGINT) AS oov_tokens
+         FROM d GROUP BY 1 ORDER BY source""",
+    // t32: the same two model tables (top-K unigram vocab + top-K
+    // bigrams with left marginals) and the identical JM-interpolated
+    // p-expression — float ops written verbatim so IEEE agrees; the
+    // flag and the modeled-pair census are exact integers
+    "t32_bigram_ppl" ->
+      s"""WITH w AS MATERIALIZED (
+           SELECT doc_id, source, string_split(trim(text), ' ') AS w
+           FROM documents),
+         uni AS MATERIALIZED (
+           SELECT t, count(*) AS cnt
+           FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+         vocab AS (SELECT t, cnt FROM uni ORDER BY cnt DESC, t LIMIT $VocabK),
+         bi AS MATERIALIZED (
+           SELECT doc_id, source, w[i] AS x, w[i+1] AS y
+           FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+                 FROM w) t),
+         bigm AS (SELECT b.x, b.y, b.nxy, u.cnt AS nx
+                  FROM (SELECT x, y, count(*) AS nxy FROM bi GROUP BY 1, 2
+                        ORDER BY nxy DESC, x, y LIMIT $BigramK) b
+                  JOIN uni u ON u.t = b.x),
+         sc AS (SELECT b.doc_id, b.source,
+                  0.5 * COALESCE(CAST(g.nxy AS DOUBLE) / g.nx, 0.0) +
+                    0.5 * (COALESCE(v.cnt, 1) / n.n) AS p,
+                  CASE WHEN g.x IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM bi b
+                LEFT JOIN bigm g ON g.x = b.x AND g.y = b.y
+                LEFT JOIN vocab v ON v.t = b.y, n),
+         d AS (SELECT doc_id, source, avg(-ln(p)) AS nll, count(*) AS tot,
+                      CAST(sum(hit) AS BIGINT) AS hit
+               FROM sc GROUP BY 1, 2)
+         SELECT source, count(*) AS n_docs, round(avg(nll), 3) AS avg_nll,
+                CAST(sum(CASE WHEN hit * $BiHitDen < tot * $BiHitNum
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                CAST(sum(hit) AS BIGINT) AS modeled_pairs
          FROM d GROUP BY 1 ORDER BY source""",
     "t12_unigram_ppl" ->
       s"""WITH tf AS (

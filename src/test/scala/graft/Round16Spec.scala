@@ -500,4 +500,33 @@ class Round16Spec extends AnyFunSuite {
       "vacuous: the quality rule never/always diverges from min-id on this " +
         "corpus — the operator would be a re-statement of d15 (re-measure)")
   }
+
+  // ---------- 9. t32 — interpolated bigram-LM perplexity ----------
+
+  test("t32: every source scores (finite positive nll from the JM floor), " +
+    "the integer flag is live (some docs under the 2% modeled share, some " +
+    "over), and the census is conserved (flagged <= docs, modeled pairs " +
+    "present)") {
+    import graft.ext.TextAnalysis
+    val rows = TextAnalysis.t32BigramPerplexity(spark, dir).collect()
+    assert(rows.nonEmpty, "census must cover the corpus's sources")
+    rows.foreach { r =>
+      val (nDocs, nll, nFlag, pairs) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(nDocs > 0 && !nll.isNaN && !nll.isInfinite && nll > 0.0,
+        s"${r.getString(0)}: nll must be finite positive (the unigram " +
+          s"floor keeps p > 0 everywhere), got $nll")
+      assert(nFlag >= 0L && nFlag <= nDocs,
+        s"${r.getString(0)}: flagged count out of range")
+      assert(pairs >= 0L, "modeled pairs cannot be negative")
+    }
+    val totFlag = rows.map(_.getLong(3)).sum
+    val totDocs = rows.map(_.getLong(1)).sum
+    assert(totFlag > 0L && totFlag < totDocs,
+      s"vacuous flag: $totFlag of $totDocs docs under the " +
+        s"${TextAnalysis.BiHitNum}/${TextAnalysis.BiHitDen} modeled-share " +
+        "line — the threshold no longer splits this corpus (re-measure)")
+    assert(rows.map(_.getLong(4)).sum > 0L,
+      "the bigram model matched nothing — the top-K table is dead weight")
+  }
 }
