@@ -201,12 +201,18 @@ object ArtifactRoots {
     * call it from the re-keyed resolver so one serve of the new root
     * retires the old generation. */
   def retireLegacy(legacy: String, live: String): Unit = {
-    if (!legacySwept.add(s"$legacy=>$live")) return
+    val key = s"$legacy=>$live"
+    if (legacySwept.contains(key)) return
+    // mark done only AFTER a fully-clean sweep: a tree spared by the
+    // grace bound (or a transient fs failure) must stay eligible for
+    // a later call in this JVM, or "spared until 4x grace" silently
+    // becomes "never swept this session" (r16 review)
     try {
       val grace = gcGraceMs
       val now = System.currentTimeMillis()
       val rootPath = new Path(root)
       val fs = FileSystem.get(rootPath.toUri, hadoopConf)
+      var spared = false
       if (fs.exists(rootPath))
         fs.listStatus(rootPath).foreach { st =>
           val n = st.getPath.getName
@@ -221,9 +227,12 @@ object ArtifactRoots {
               } catch { case _: Exception => st.getModificationTime }
             if (grace <= 0L || now - lastUse > 4L * grace)
               fs.delete(st.getPath, true)
+            else spared = true
           }
         }
+      if (!spared) legacySwept.add(key)
     } catch { case _: Exception => () }
+    ()
   }
 
   def tagged(prefix: String, dir: String): String =

@@ -447,10 +447,15 @@ object TextAnalysis {
     * honest distributed form of the CCNet/KenLM n-gram scorer. The
     * model is BOUNDED from the start (t15's discipline at both
     * tiers): top-[[VocabK]] unigrams with the 1/N OOV floor, plus the
-    * top-[[BigramK]] bigrams with their left-marginal counts; each
-    * token pair scores Jelinek-Mercer style —
-    * p = ½·P_bi(y|x) + ½·P_uni(y), with P_bi = c(x,y)/c(x) (0 when
-    * the pair is outside the model) and P_uni the floored unigram —
+    * top-[[BigramK]] bigrams each carrying c(x), the UNIGRAM count of
+    * its left word, as denominator — the standard MLE conditional
+    * c(x,y)/c(x) (note: c(x) counts every occurrence of x including
+    * doc-final ones, so Σ_y P_bi(y|x) < 1 where x ever ends a doc —
+    * a deliberate, documented denominator choice BOTH engines use
+    * verbatim; switching either side to the true left marginal would
+    * break the oracle twin); each token pair scores Jelinek-Mercer
+    * style — p = ½·P_bi(y|x) + ½·P_uni(y), with P_bi = 0 when the
+    * pair is outside the model and P_uni the floored unigram —
     * so p is always strictly positive and ln p is defined everywhere.
     * Per-source census: mean per-doc nll (rounded at the edge only,
     * t12's float discipline), the INTEGER-share flag count (a doc

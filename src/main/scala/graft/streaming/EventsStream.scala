@@ -402,7 +402,17 @@ object EventsStream {
     // partitioned form, an empty non-partitioned write emits a
     // schema-carrying part file, and an empty events table must
     // converge to a READABLE empty snapshot (Round10Spec's law).
-    if (batch.isEmpty && fs.exists(dir)) return
+    // Before the no-op returns, still reap crash-stranded copies — a
+    // death mid-swap leaves a full-size .tmp (or a superseded .old
+    // beside the live dir) that the skipped rewrite used to clean;
+    // with only watermark-advance batches following, nothing else
+    // would ever reclaim that extra snapshot copy.
+    val tmpStale = new Path(target + ".tmp")
+    if (batch.isEmpty && fs.exists(dir)) {
+      if (fs.exists(tmpStale)) fs.delete(tmpStale, true)
+      if (fs.exists(old)) fs.delete(old, true)
+      return
+    }
     val cols = batch.columns.map(col).toSeq
     val merged =
       if (!fs.exists(dir)) batch.select(cols: _*)

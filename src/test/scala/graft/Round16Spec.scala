@@ -452,6 +452,11 @@ class Round16Spec extends AnyFunSuite {
     val live = new Path(s"$root/graft_r16spec_ret_v1_aaaa_bbbb")
     val other = new Path(s"$root/graft_r16spec_other_aaaa_bbbb")
     Seq(legacy, live, other).foreach(p => f.mkdirs(p))
+    // pin the grace seam to eager (Round13Spec's discipline): a host
+    // exporting SPARK_GRAFT_ARTIFACT_GC_GRACE_MS would otherwise
+    // spare the just-created legacy dir and fail this test spuriously
+    val prevGrace = sys.props.get("graft.test.gcGraceMs")
+    sys.props("graft.test.gcGraceMs") = "0"
     try {
       graft.ArtifactRoots.retireLegacy("graft_r16spec_ret", "graft_r16spec_ret_v1")
       assert(!f.exists(legacy), "the retired prefix's tree must be swept")
@@ -462,7 +467,13 @@ class Round16Spec extends AnyFunSuite {
       f.mkdirs(legacy)
       graft.ArtifactRoots.retireLegacy("graft_r16spec_ret", "graft_r16spec_ret_v1")
       assert(f.exists(legacy), "the sweep must run once per JVM per prefix")
-    } finally Seq(legacy, live, other).foreach(p => f.delete(p, true))
+    } finally {
+      Seq(legacy, live, other).foreach(p => f.delete(p, true))
+      prevGrace match {
+        case Some(v) => sys.props("graft.test.gcGraceMs") = v
+        case None => sys.props -= "graft.test.gcGraceMs"
+      }
+    }
   }
 
   // ---------- 8. d23 — quality-ranked keeper selection ----------
