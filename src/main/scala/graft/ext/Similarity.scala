@@ -2462,6 +2462,39 @@ object Similarity {
       .orderBy(col("filt"), col("query_id"), col("rank"))
   }
 
+  /** Stage-2 depth of the two-stage serve: the ADC shortlist width
+    * the exact re-rank refines to top-k. Measured lift of
+    * rerank@10 over raw ADC@10 against the cosine truth at R=30:
+    * 18→27 of 50 at sf0.001, 22→29 at sf0.01, 12→16 at sf0.1 —
+    * live at every scale factor. */
+  val S33RerankDepth = 30
+
+  /** S33 — TWO-STAGE serve from the persisted index (r16): the
+    * standard production ANN serving stack (FAISS
+    * IndexRefine/RefineFlat, Milvus/ScaNN reorder): stage 1 takes the
+    * top-[[S33RerankDepth]] shortlist per query by cheap ADC distance
+    * from the probed lists; stage 2 re-ranks ONLY the shortlist with
+    * exact int64 distances on the quantized grid and serves top-k.
+    * ADC distortion reorders near-ties — the re-rank repairs every
+    * inversion the quantizer introduced inside the shortlist, at the
+    * cost of touching R·|Q| raw vectors (bounded by the knob, never
+    * corpus-shaped). s5 re-ranks IVF candidates wholesale; this row
+    * is the PQ-index form where stage 1 is the persisted index and
+    * stage 2's vector reads are shortlist-bounded. */
+  def s33AdcRerank(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = driftedSubstrate(spark, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2_fp"), col("vec_id"))
+    val short = ivfPqCandidateDistances(spark, dir, idxDir)
+      .withColumn("r0", row_number().over(w))
+      .filter(col("r0") <= S33RerankDepth)
+      .select(col("query_id").as("vec_id"), col("vec_id").as("nb_id"))
+    knnRankTopK(short, quantVecs(spark, dir))
+      .select(col("vec_id").as("query_id"), col("nb_id").as("neighbor_id"),
+        col("d2_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** S19 — RADIUS search from the persisted index (FAISS
     * `range_search`, Milvus `search` with `radius`): the other query
     * type a vector store serves — "every neighbor within distance R",
@@ -3492,6 +3525,7 @@ object Similarity {
     "s30_index_cutover"    -> (s30IndexCutover _),
     "s31_probe_autotune"   -> (s31ProbeAutotune _),
     "s32_filtered_search"  -> (s32FilteredSearch _),
+    "s33_adc_rerank"       -> (s33AdcRerank _),
     "s18_index_delete"     -> (s18IndexDelete _),
     "s14_index_health"     -> (s14IndexHealth _),
     "s15_hybrid_rrf"       -> (s15HybridRrf _),
@@ -4296,6 +4330,22 @@ object Similarity {
          ORDER BY s.filt, s.query_id, s.rank"""
   }
 
+  /** s33's mirror: s13's ranked chain cut at the shortlist depth,
+    * then the exact knn-rank tail over the shortlist pairs — the
+    * two-stage serve in one statement. */
+  private lazy val s33OracleSql: String = {
+    val train = s"vec_id % 10 <> $S13AppendDigit"
+    s"""WITH ${kmeansListsCtes(train)},
+         ${pqCtes(train)},
+         ${ivfPqRankedCtes()},
+         short AS (SELECT query_id AS vec_id, neighbor_id AS nb_id
+                   FROM ranked WHERE rank <= $S33RerankDepth),
+         ${knnRankCtes("rr", "short")}
+         SELECT vec_id AS query_id, nb_id AS neighbor_id, d2_fp, rank
+         FROM rrrk WHERE rank <= $TopK
+         ORDER BY query_id, rank"""
+  }
+
   /** s19's mirror: s13's chain up to `approx` (all candidate
     * distances), the radius as the same 1-row integer aggregate over
     * the top-k subset, then the per-query census under the exact
@@ -4693,6 +4743,7 @@ object Similarity {
     "s30_index_cutover" -> s30OracleSql,
     "s31_probe_autotune" -> s31OracleSql,
     "s32_filtered_search" -> s32OracleSql,
+    "s33_adc_rerank" -> s33OracleSql,
     // s22's mirror IS s12's chain: a retrain on an undeleted corpus
     // trains on everything and codes everything — the equivalence the
     // gate states (the swap machinery itself is pinned in Round10Spec)

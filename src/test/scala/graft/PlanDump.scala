@@ -81,7 +81,8 @@ object PlanDump {
     "d22_update_verify" -> "d22's arrival-verify stage (the fold's own plan is checkpoint-rooted CC): edit-batch bands against the post-edit signature state (survivor artifact rows ∪ the batch), exact-Jaccard verify over the current-view shingle table endpoint-bounded by a semi-join — batch-sized, never a corpus rebuild",
     "st20_wave_flags" -> "st20's per-wave docflags kernel: the wave joined broadcast against the persisted global tables (labels drops, dsir model + 1-row cut, |sources| rates, tiny eval-gram set) — every stage per-doc, nothing corpus-sized recomputed per wave",
     "s32_filtered_search" -> "selectivity-gated filtered search (r16): the broad filter's plan rides the index — probed-list ADC candidates semi-joined to the pushed-predicate matching-id set, ranked AFTER the filter; the narrow filter's plan never touches the index — exact int64 scan of the matching subset × the broadcast query slice; the integer cross-multiply decision picked each",
-    "t32_bigram_ppl" -> "interpolated bigram-LM scoring (r16): one corpus bigram groupBy (map-side combined), BOTH model tables K-bounded TakeOrderedAndProject broadcasts, pair-grain broadcast left joins, doc agg + source rollup — t15's bounded-model discipline at the bigram tier")
+    "t32_bigram_ppl" -> "interpolated bigram-LM scoring (r16): one corpus bigram groupBy (map-side combined), BOTH model tables K-bounded TakeOrderedAndProject broadcasts, pair-grain broadcast left joins, doc agg + source rollup — t15's bounded-model discipline at the bigram tier",
+    "s33_adc_rerank" -> "two-stage serve (r16): stage 1 = s13's partition-pruned probed-list ADC plan cut to the R=30 shortlist; stage 2 = exact int64 re-rank joining the corpus vector table ONLY on shortlist ids — R·|Q|-bounded raw-vector reads, one rank window per stage")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
