@@ -91,6 +91,8 @@ object ArtifactRoots {
   private[graft] def resetTagCacheForTest(): Unit = {
     tagCache.clear()
     hbThrottle.clear()
+    legacySwept.clear()
+    legacyRetryAt.clear()
   }
 
   /** Per-JVM throttle for [[touchServed]] — serve hot paths resolve
@@ -183,10 +185,15 @@ object ArtifactRoots {
     * sessions serving one tree longer than that must pin their own
     * artifact root. Default 0 keeps the eager single-session
     * behavior. */
-  /** Per-JVM once-guard for [[retireLegacy]] — one sweep per retired
-    * prefix per session is plenty. */
+  /** Per-JVM completion guard for [[retireLegacy]]: a key lands here
+    * only after a FULLY-CLEAN sweep (nothing spared, every delete
+    * confirmed) — until then the sweep stays eligible to retry, but
+    * throttled by [[legacyRetryAt]] so a grace-spared straddle tree
+    * doesn't cost a root listing on every substrate resolution. */
   private val legacySwept =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val legacyRetryAt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Delete the trees a RETIRED prefix left behind. A re-keyed root
     * (e.g. graft_st21ret → graft_st21ret_v1) orphans every old-prefix
@@ -204,12 +211,18 @@ object ArtifactRoots {
     val key = s"$legacy=>$live"
     if (legacySwept.contains(key)) return
     // mark done only AFTER a fully-clean sweep: a tree spared by the
-    // grace bound (or a transient fs failure) must stay eligible for
-    // a later call in this JVM, or "spared until 4x grace" silently
-    // becomes "never swept this session" (r16 review)
+    // grace bound, a delete that returns false (fullyDelete reports
+    // failure instead of throwing), or a transient fs failure must
+    // stay eligible for a later call in this JVM — or "spared until
+    // 4x grace" silently becomes "never swept this session" (r16
+    // review). Retries are throttled (heartbeat's discipline) so an
+    // unswept key doesn't cost a root listing per serve.
+    val now = System.currentTimeMillis()
+    val at = legacyRetryAt.get(key)
+    if (at != null && now - at < HeartbeatThrottleMs) return
+    legacyRetryAt.put(key, now)
     try {
       val grace = gcGraceMs
-      val now = System.currentTimeMillis()
       val rootPath = new Path(root)
       val fs = FileSystem.get(rootPath.toUri, hadoopConf)
       var spared = false
@@ -225,9 +238,9 @@ object ArtifactRoots {
                     fs.getFileStatus(hb).getModificationTime)
                 else st.getModificationTime
               } catch { case _: Exception => st.getModificationTime }
-            if (grace <= 0L || now - lastUse > 4L * grace)
-              fs.delete(st.getPath, true)
-            else spared = true
+            if (grace <= 0L || now - lastUse > 4L * grace) {
+              if (!fs.delete(st.getPath, true)) spared = true
+            } else spared = true
           }
         }
       if (!spared) legacySwept.add(key)

@@ -2483,13 +2483,20 @@ object Similarity {
     * stage 2's vector reads are shortlist-bounded. */
   def s33AdcRerank(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = driftedSubstrate(spark, dir)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2_fp"), col("vec_id"))
-    val short = ivfPqCandidateDistances(spark, dir, idxDir)
-      .withColumn("r0", row_number().over(w))
-      .filter(col("r0") <= S33RerankDepth)
-      .select(col("query_id").as("vec_id"), col("vec_id").as("nb_id"))
-    knnRankTopK(short, quantVecs(spark, dir))
+    // stage 1 IS the serve path's rank spec at depth R (one place to
+    // keep shortlist semantics in sync); the shortlist is ≤ |Q|·R
+    // rows — BOUNDED driver state (d18's pattern), collected so stage
+    // 2's vector scans statically prune to the shortlist ids (the
+    // probedLists-isin precedent): the documented R·|Q| bound is a
+    // property of the PLAN, not just of the join output.
+    val short = queryIvfPqIndex(spark, dir, idxDir, S33RerankDepth)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = short.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    import spark.implicits._
+    val cand = short.toSeq.toDF("vec_id", "nb_id")
+    val qv = quantVecs(spark, dir).filter(col("vec_id").isin(ids: _*))
+    knnRankTopK(cand, qv)
       .select(col("vec_id").as("query_id"), col("nb_id").as("neighbor_id"),
         col("d2_fp"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
