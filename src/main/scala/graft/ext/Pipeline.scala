@@ -1901,7 +1901,7 @@ object Pipeline {
     val tag =
       if (layers == BpeModelLayers) "bpe"
       else if (layers == ModelLayers) "model"
-      else f"ls_${layers.mkString(" ").hashCode & 0xffffffffL}%08x"
+      else f"ls_${layers.mkString("\u0000").hashCode & 0xffffffffL}%08x"
     val done = new Path(s"$root/${tag}_cutover_done")
     val aside = new Path(s"$root/${tag}_cutover_old")
     // same resume discipline as cutoverSubtree: the refreshed tables
