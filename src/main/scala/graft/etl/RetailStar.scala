@@ -96,12 +96,46 @@ object RetailStar {
   def buildFact(spark: SparkSession, dir: String): DataFrame =
     buildStar(spark, dir).fact
 
+  /** The star schema PERSISTED as a corpus-fingerprint artifact
+    * (r16 verdict item 1): the defining property of a warehouse is
+    * that the ETL is paid ONCE and queries read persisted tables
+    * (reference README.md:171-178) — the pairs/ivfq artifact
+    * discipline applied to the star tier. Fact + both re-joined dims
+    * live under a `graft_star_v1` root keyed by the corpus
+    * fingerprint (ArtifactRoots staleness defense), each behind the
+    * shared _SUCCESS+schema-sidecar ensure; the first consumer after
+    * a corpus change pays one cleaning pass (shared across all three
+    * tables via the localCheckpoint), every later serve is a pruned
+    * parquet scan. `star_build` stays the bench's honest ETL row —
+    * it IS this artifact's builder, timed end to end.
+    *
+    * Scale: at 100 TB the root rides SPARK_GRAFT_ARTIFACT_ROOT onto
+    * the warehouse filesystem; the fact table is the corpus-sized
+    * write (one narrow projection — inline hash keys, no dim joins),
+    * the dims are catalog-sized. Serves then prune columns at the
+    * scan instead of re-deriving the 31-column cleaning pipeline per
+    * query. */
+  def servedStar(spark: SparkSession, dir: String): Star = {
+    val root = graft.ArtifactRoots.tagged("graft_star_v1", dir)
+    graft.ArtifactRoots.touchServed(root)
+    // lazily shared single cleaning pass: evaluated only if some
+    // table is missing, materialized once across the three builders
+    lazy val cleaned =
+      RetailClean.clean(stagingFromTpch(spark, dir)).localCheckpoint()
+    def ensure(table: String)(build: => DataFrame): DataFrame =
+      graft.ext.Pipeline.ensureArtifactAtRoot(spark, root, table)(build)
+    Star(
+      ensure("fact")(Warehouse.factSalesInline(cleaned)),
+      ensure("dim_product")(Warehouse.dimProduct(cleaned)),
+      ensure("dim_shipping")(Warehouse.dimShipping(cleaned)))
+  }
+
   /** q27 — reference query 5.1 (README.md:208-214): total sales by
     * hour of day through DimTimeOfDay, joined on the seconds-first
     * time_key. The generated dim broadcasts (86,400 rows at any fact
-    * scale). */
+    * scale). Serves from the persisted star artifact. */
   def q27SalesByHour(spark: SparkSession, dir: String): DataFrame = {
-    val fact = buildFact(spark, dir)
+    val fact = servedStar(spark, dir).fact
     val t = Warehouse.dimTimeOfDay(spark)
     fact.join(broadcast(t), Seq("time_key"))
       .groupBy(col("hour_24"), col("time_bucket_period"))
@@ -110,9 +144,10 @@ object RetailStar {
   }
 
   /** q28 — reference query 5.3 (README.md:229-237): sales rolled up
-    * the DimShipping speed-tier hierarchy. */
+    * the DimShipping speed-tier hierarchy. Serves from the persisted
+    * star artifact. */
   def q28SalesByShippingTier(spark: SparkSession, dir: String): DataFrame = {
-    val star = buildStar(spark, dir)
+    val star = servedStar(spark, dir)
     star.fact.join(broadcast(star.shipping), Seq("shipping_key"))
       .groupBy(col("speed_tier").as("shipping_speed_tier"))
       .agg(round(sum(col("line_total_amount")), 2).as("total_sales"))
@@ -123,9 +158,9 @@ object RetailStar {
     * by revenue through DimProduct on the surrogate product_key.
     * The reference's ORDER BY revenue DESC LIMIT 10 is made
     * deterministic with the (name, brand) tiebreak both engines
-    * apply identically. */
+    * apply identically. Serves from the persisted star artifact. */
   def q29TopProducts(spark: SparkSession, dir: String): DataFrame = {
-    val star = buildStar(spark, dir)
+    val star = servedStar(spark, dir)
     // Bounded-catalog assumption (same as q2): DimProduct is a retail
     // product dim — broadcastable at any realistic catalog size; drop
     // the hint (AQE shuffle join) if it ever outgrows the threshold.
