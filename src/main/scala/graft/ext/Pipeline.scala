@@ -1289,6 +1289,7 @@ object Pipeline {
     "e19_model_cutover" -> (e19ModelCutover _),
     "e20_tokenizer_cutover" -> (e20TokenizerCutover _),
     "e21_maintenance_census" -> (e21MaintenanceCensus _),
+    "e22_maintenance_apply" -> (e22MaintenanceApply _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -1939,13 +1940,14 @@ object Pipeline {
     * per invocation — the gate must not mutate the shared tree the
     * other entries serve from; production runs [[modelCutover]] on
     * the serving root itself). */
-  private[graft] def stageModelClone(spark: SparkSession, dir: String): String = {
+  private[graft] def stageModelClone(spark: SparkSession, dir: String,
+                                     prefix: String = "graft_e19_model"): String = {
     dsirPerDocArtifact(spark, dir)
     dsirCutArtifact(spark, dir)
     frozenDsirPerDocArtifact(spark, dir)
     frozenDsirCutArtifact(spark, dir)
     val src = eArtifactRoot(dir)
-    val scratch = graft.ArtifactRoots.tagged("graft_e19_model", dir)
+    val scratch = graft.ArtifactRoots.tagged(prefix, dir)
     val sp = new Path(scratch)
     val fs = FileSystem.get(sp.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(sp)) fs.delete(sp, true)
@@ -2034,13 +2036,14 @@ object Pipeline {
     * (e19's gate discipline at the tokenizer layer — rebuilt per
     * invocation; production runs [[modelCutover]] with
     * [[BpeModelLayers]] on the serving root itself). */
-  private[graft] def stageBpeModelClone(spark: SparkSession, dir: String): String = {
+  private[graft] def stageBpeModelClone(spark: SparkSession, dir: String,
+                                        prefix: String = "graft_e20_model"): String = {
     bpeMergesArtifact(spark, dir)
     bpeEncodedWordsArtifact(spark, dir)
     frozenBpeMergesArtifact(spark, dir)
     frozenBpeEncodedWordsArtifact(spark, dir)
     val src = eArtifactRoot(dir)
-    val scratch = graft.ArtifactRoots.tagged("graft_e20_model", dir)
+    val scratch = graft.ArtifactRoots.tagged(prefix, dir)
     val sp = new Path(scratch)
     val fs = FileSystem.get(sp.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(sp)) fs.delete(sp, true)
@@ -2187,6 +2190,136 @@ object Pipeline {
          SELECT tier, measure, threshold,
                 CAST(CASE WHEN measure > threshold THEN 1 ELSE 0 END AS BIGINT)
                   AS fired
+         FROM allr ORDER BY tier"""
+
+  /** E22 — MAINTENANCE APPLY (r16 verdict item 2): e21 reads the four
+    * drift decisions but executes nothing; the four cutover verbs
+    * exist separately (s30 IVF, s29 graph, e19 DSIR, e20 tokenizer).
+    * This verb closes the census→action gap: evaluate all four
+    * decisions in one pass (e21's exact-integer chains over the
+    * persisted grading artifacts), EXECUTE every fired trigger
+    * against the maintenance roots (each tier's own staged
+    * clone+promote — graft_e22_* prefixes so the gate never mutates
+    * the trees the standalone entries serve), and emit the POST-APPLY
+    * census: per tier (measure, threshold, fired, served), where
+    * `served` is witnessed from the post-apply artifacts — the fired
+    * branches re-grade the tree the swap actually produced (e20's
+    * witness discipline), the quiet branches report the serving
+    * generation's already-persisted grade without cloning anything
+    * (the r15-ADVICE quiet rule). On this corpus the DSIR tier fires
+    * at the spec SFs and the other three stay quiet, so both branches
+    * are live under the gate; Round17Spec force-fires the quiet tiers
+    * and pins each post-apply state equal to the standalone
+    * cutover's. This is the scheduled "maintenance run" a production
+    * 100 TB pipeline owns: one verb after each ingest window, every
+    * model artifact checked and refreshed exactly when its own
+    * trigger says so.
+    *
+    * Scale: decisions are |Q|·k membership joins / K-row broadcasts
+    * over persisted tiers (e21's posture); each fired apply costs
+    * what its standalone verb costs (renames + one retrain where
+    * fired); driver state is 4 rows of four longs. */
+  def e22MaintenanceApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ivfApp, ivfReb) = Similarity.s30DriftHits(spark, dir)
+    val (gApp, gReb) = Similarity.s29DriftHits(spark, dir)
+    val dsirMeasure = TextAnalysis.t30Decisions(spark, dir)
+      .agg(sum(col("retrain")).as("n")).collect()(0).getLong(0)
+    // collect the tokenizer decision ONCE (|sources| rows — bounded
+    // driver state; e19/e20's discipline): the quiet branch serves
+    // straight from these rows, no second delta census
+    val bpeRows = TextAnalysis.t31TokenizerHealth(spark, dir)
+      .select(col("source"), col("gen_gap_tpk"), col("n_delta_chars"),
+        col("tpk_frozen"))
+      .collect()
+    val bpeMeasure = bpeRows.map(_.getAs[Long]("gen_gap_tpk")).max
+    val qk = Similarity.QueryCount.toLong * Similarity.TopK
+    val ivfFired = (ivfReb - ivfApp) * 10000L > Similarity.S30DriftBp * qk
+    val gFired = (gReb - gApp) * 10000L > Similarity.S29DriftBp * qk
+    val dFired = dsirMeasure > 0L
+    val bFired = bpeMeasure > TextAnalysis.T31RetrainTpk
+    val ivfServed =
+      if (ivfFired) Similarity.e22IvfFiredApply(spark, dir) else ivfApp
+    val gServed =
+      if (gFired) Similarity.e22GraphFiredApply(spark, dir) else gApp
+    val dServed = e22DsirServed(spark, dir, dFired)
+    val bServed =
+      if (bFired) e22BpeFiredServed(spark, dir,
+        bpeRows.map(r => r.getAs[String]("source") ->
+          r.getAs[Long]("n_delta_chars")).toMap)
+      else bpeRows.map(_.getAs[Long]("tpk_frozen")).sum
+    def b(x: Boolean): Long = if (x) 1L else 0L
+    Seq(
+      ("bpe_tokenizer", bpeMeasure, TextAnalysis.T31RetrainTpk, b(bFired), bServed),
+      ("dsir_model", dsirMeasure, 0L, b(dFired), dServed),
+      ("ivf_index", (ivfReb - ivfApp) * 10000L, Similarity.S30DriftBp * qk,
+        b(ivfFired), ivfServed),
+      ("knn_graph", (gReb - gApp) * 10000L, Similarity.S29DriftBp * qk,
+        b(gFired), gServed))
+      .toDF("tier", "measure", "threshold", "fired", "served")
+      .orderBy(col("tier"))
+  }
+
+  /** e22's DSIR tier: total selected-document count under the served
+    * model generation. Quiet = one aggregate over the already-
+    * persisted frozen artifacts (nothing cloned, nothing touched);
+    * fired = stage the clone under the e22 root, execute
+    * [[modelCutover]], and count from the POST-SWAP frozen layer. */
+  private[graft] def e22DsirServed(spark: SparkSession, dir: String,
+                            fired: Boolean): Long = {
+    val (perdoc, cut) =
+      if (fired) {
+        val scratch = stageModelClone(spark, dir, "graft_e22_model")
+        modelCutover(spark, scratch)
+        (spark.read.parquet(s"$scratch/model_frozen/dsir_perdoc"),
+          spark.read.parquet(s"$scratch/model_frozen/dsir_cut"))
+      } else
+        (frozenDsirPerDocArtifact(spark, dir), frozenDsirCutArtifact(spark, dir))
+    perdoc.crossJoin(broadcast(cut))
+      .agg(sum(when(col("logw") > col("cut"), 1L).otherwise(0L)).as("n"))
+      .collect()(0).getLong(0)
+  }
+
+  /** e22's tokenizer tier, FIRED branch: stage the clone under the
+    * e22 root, promote via [[modelCutover]] ([[BpeModelLayers]]), and
+    * re-census the delta fertility from the POST-SWAP frozen encoded
+    * table (e20's fired census, summed across sources — per-source
+    * n_delta_chars rides in from the already-collected decision
+    * rows). */
+  private[graft] def e22BpeFiredServed(spark: SparkSession, dir: String,
+                                deltaChars: Map[String, Long]): Long = {
+    val scratch = stageBpeModelClone(spark, dir, "graft_e22_bpe")
+    modelCutover(spark, scratch, BpeModelLayers)
+    val encPost = spark.read.parquet(s"$scratch/model_frozen/bpe_encoded_words")
+      .select(col("word"), size(col("toks")).cast("long").as("ptok1"))
+    val ptok = TextAnalysis.sourceWordFreqOn(spark, dir, e4DeltaPred)
+      .join(encPost, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq") * col("ptok1")).as("ptok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    deltaChars.map { case (s, ch) => (1000L * ptok(s)) / ch }.sum
+  }
+
+  /** e22's oracle: the four tiers' single-row (measure, threshold,
+    * served) subqueries — the vector tiers' decision fragments now
+    * carry their fired-CASE served hit counts, the DSIR tier's apply
+    * fragment scores both model generations, the tokenizer tier's
+    * sums the served generation's fertility — unioned under the one
+    * shared fired rule. */
+  private lazy val e22OracleSql: String =
+    s"""WITH bm AS MATERIALIZED (SELECT * FROM ${TextAnalysis.t31DecisionSql} tb),
+         dm AS MATERIALIZED (SELECT * FROM ${TextAnalysis.t30ApplySql} td),
+         im AS MATERIALIZED (SELECT * FROM ${Similarity.s30DecisionSql} ti),
+         gm AS MATERIALIZED (SELECT * FROM ${Similarity.s29DecisionSql} tg),
+         allr AS (
+           SELECT 'bpe_tokenizer' AS tier, measure, threshold, served FROM bm
+           UNION ALL SELECT 'dsir_model', measure, threshold, served FROM dm
+           UNION ALL SELECT 'ivf_index', measure, threshold, served FROM im
+           UNION ALL SELECT 'knn_graph', measure, threshold, served FROM gm)
+         SELECT tier, measure, threshold,
+                CAST(CASE WHEN measure > threshold THEN 1 ELSE 0 END AS BIGINT)
+                  AS fired,
+                served
          FROM allr ORDER BY tier"""
 
   /** The retention-delete census as SQL, parameterized over the KEEP
@@ -2692,6 +2825,7 @@ object Pipeline {
     "e19_model_cutover" -> e19OracleSql,
     "e20_tokenizer_cutover" -> e20OracleSql,
     "e21_maintenance_census" -> e21OracleSql,
+    "e22_maintenance_apply" -> e22OracleSql,
     "e15_source_offboard" -> e15OracleSql,
     // e16: the split census a user draws AFTER offboarding — the e6
     // chain over the retracted labeling with the retired rows gone

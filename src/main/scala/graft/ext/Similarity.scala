@@ -2132,12 +2132,15 @@ object Similarity {
     * [[graphGenerationCutover]] on its serving root, exclusively).
     * The `serve` slot starts as the APPENDED generation (the live
     * state), `refreshed` as the full rebuild; both normalized to one
-    * schema so the slot's readers are generation-agnostic. */
-  private[graft] def stageS29Clone(spark: SparkSession, dir: String): String = {
+    * schema so the slot's readers are generation-agnostic. The
+    * prefix axis lets e22's unified maintenance apply stage the same
+    * two-generation layout under its own root. */
+  private[graft] def stageS29Clone(spark: SparkSession, dir: String,
+                                   prefix: String = "graft_s29_graph"): String = {
     val app = knngAppendedGraph(spark, dir)
     val full = knngGraphArtifact(spark, dir)
     knngExactTruth(spark, dir) // the drift grade's truth, ensured up front
-    val scratch = graft.ArtifactRoots.tagged("graft_s29_graph", dir)
+    val scratch = graft.ArtifactRoots.tagged(prefix, dir)
     val sp = new Path(scratch)
     val fs = FileSystem.get(sp.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(sp)) fs.delete(sp, true)
@@ -3154,6 +3157,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("d2_fp"), col("rank"),
         lit(gap).as("hit_gap"), lit(if (fired) 1L else 0L).as("fired"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Truth-hit count of `ans` against the persisted exact cosine
+    * truth — the IVF maintenance tiers' shared grading integer
+    * (|Q|·k membership join, driver state = one long). */
+  private def ivfTruthHits(spark: SparkSession, dir: String,
+                           ans: DataFrame): Long =
+    exactCosTruth(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .join(ans.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+
+  /** e22's IVF tier, FIRED branch: execute s30's retrain on the
+    * maintenance root (clone the drifted substrate, full retrain) and
+    * grade the POST-VERB tree against the persisted exact truth — the
+    * served hit count the unified apply census reports is read from
+    * the tree the swap actually produced, never inferred from the
+    * decision (e20's witness discipline). Round17Spec pins it equal
+    * to the standalone retrained world's hits. */
+  private[graft] def e22IvfFiredApply(spark: SparkSession, dir: String): Long = {
+    val root = servedIdxDir("graft_e22_idx", dir)
+    cloneIndexTree(spark, driftedSubstrate(spark, dir), root)
+    retrainIvfPqIndex(spark, dir, root)
+    ivfTruthHits(spark, dir, queryIvfPqIndex(spark, dir, root))
+  }
+
+  /** e22's kNN-graph tier, FIRED branch: stage both generations under
+    * the maintenance root, promote the refreshed one over the serve
+    * slot ([[graphGenerationCutover]]), and grade the post-verb slot
+    * against the persisted exact graph truth. */
+  private[graft] def e22GraphFiredApply(spark: SparkSession, dir: String): Long = {
+    val scratch = stageS29Clone(spark, dir, "graft_e22_graph")
+    graphGenerationCutover(spark, scratch)
+    val served = spark.read.parquet(s"$scratch/serve")
+      .filter(col("vec_id") < QueryCount)
+      .select(col("vec_id"), col("neighbor_id").as("nb_id"))
+    knngExactTruth(spark, dir).select(col("vec_id"), col("nb_id"))
+      .join(served, Seq("vec_id", "nb_id"), "left_semi").count()
   }
 
   /** The twice-updated sub-slice digit for s23: ids ≡ 19 (mod 20) are
@@ -4179,10 +4219,13 @@ object Similarity {
          FROM sel s, dec d
          ORDER BY query_id, rank"""
 
-  /** The IVF tier's drift decision as a SINGLE-ROW (measure, trigger)
-    * subquery — s30's two-worlds grade reduced to its integers;
-    * e21's maintenance census composes it (nested WITH keeps its CTE
-    * vocabulary out of the enclosing statement). */
+  /** The IVF tier's drift decision as a SINGLE-ROW (measure, trigger,
+    * served) subquery — s30's two-worlds grade reduced to its
+    * integers, plus the POST-APPLY served truth-hit count (the fired
+    * CASE selecting between the two worlds' hits); e21's maintenance
+    * census composes the decision columns, e22's apply also reads
+    * `served` (nested WITH keeps its CTE vocabulary out of the
+    * enclosing statement). */
   private[ext] lazy val s30DecisionSql: String =
     s"""(SELECT * FROM (
            WITH ex AS MATERIALIZED (
@@ -4198,11 +4241,15 @@ object Similarity {
                        JOIN ex e ON e.query_id = r.query_id
                                 AND e.neighbor_id = r.neighbor_id)
            SELECT CAST((hr.h - ha.h) * 10000 AS BIGINT) AS measure,
-                  CAST(${S30DriftBp * QueryCount * TopK} AS BIGINT) AS threshold
+                  CAST(${S30DriftBp * QueryCount * TopK} AS BIGINT) AS threshold,
+                  CAST(CASE WHEN (hr.h - ha.h) * 10000 >
+                         ${S30DriftBp * QueryCount * TopK}
+                       THEN hr.h ELSE ha.h END AS BIGINT) AS served
            FROM ha, hr) q)"""
 
   /** The kNN-graph tier's drift decision as a SINGLE-ROW subquery —
-    * s29's grade reduced to its integers (same nesting discipline). */
+    * s29's grade reduced to its integers (same nesting discipline),
+    * plus the post-apply `served` hit count for e22. */
   private[ext] lazy val s29DecisionSql: String = {
     val exactWorld =
       s"""WITH ${quantCtes()},
@@ -4227,7 +4274,10 @@ object Similarity {
                 hr AS (SELECT count(*) AS h FROM reb r
                        JOIN ex e ON e.vec_id = r.vec_id AND e.nb_id = r.nb_id)
            SELECT CAST((hr.h - ha.h) * 10000 AS BIGINT) AS measure,
-                  CAST(${S29DriftBp * QueryCount * TopK} AS BIGINT) AS threshold
+                  CAST(${S29DriftBp * QueryCount * TopK} AS BIGINT) AS threshold,
+                  CAST(CASE WHEN (hr.h - ha.h) * 10000 >
+                         ${S29DriftBp * QueryCount * TopK}
+                       THEN hr.h ELSE ha.h END AS BIGINT) AS served
            FROM ha, hr) q)"""
   }
 

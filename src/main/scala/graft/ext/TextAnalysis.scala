@@ -2156,13 +2156,43 @@ object TextAnalysis {
   /** The tokenizer tier's decision as a SINGLE-ROW subquery: measure
     * = the max per-source generation gap (exact integer tpk),
     * threshold = [[T31RetrainTpk]] — fired iff any source's gap
-    * crosses, which is exactly max > threshold. */
+    * crosses, which is exactly max > threshold. `served` is the
+    * post-apply witness for e22: the cross-source sum of the served
+    * generation's delta fertility (frozen when quiet, the current
+    * retrain after a fired swap). */
   private[ext] lazy val t31DecisionSql: String =
     s"""(SELECT * FROM (
            WITH $t31BodyCtes
            SELECT CAST(max(gen_gap_tpk) AS BIGINT) AS measure,
-                  CAST($T31RetrainTpk AS BIGINT) AS threshold
+                  CAST($T31RetrainTpk AS BIGINT) AS threshold,
+                  CAST(CASE WHEN max(gen_gap_tpk) > $T31RetrainTpk
+                       THEN sum(tpk_current) ELSE sum(tpk_frozen)
+                       END AS BIGINT) AS served
            FROM fert) q)"""
+
+  /** The DSIR tier's decision EXTENDED with the post-apply witness
+    * (e22's `served` column): the total selected-document count under
+    * the served model generation — frozen when quiet, the full
+    * retrain after a fired swap. Heavier than [[t30DecisionSql]]
+    * (it scores both model generations), so it lives beside it
+    * rather than widening e21's census oracle. */
+  private[ext] lazy val t30ApplySql: String =
+    s"""(SELECT * FROM (
+           WITH ${t26DriftCtes()},
+             $dsirTwoGenCtes,
+             m AS (SELECT CAST(sum(CASE WHEN kl_nats > $DriftRetrainKl
+                               THEN 1 ELSE 0 END) AS BIGINT) AS measure
+                   FROM drift),
+             fsel AS (SELECT CAST(sum(CASE WHEN p.logw > c.cut THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n
+                      FROM fperdoc p CROSS JOIN fcut c),
+             rsel AS (SELECT CAST(sum(CASE WHEN p.logw > c.cut THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n
+                      FROM rperdoc p CROSS JOIN rcut c)
+           SELECT m.measure, CAST(0 AS BIGINT) AS threshold,
+                  CAST(CASE WHEN m.measure > 0 THEN rsel.n ELSE fsel.n
+                       END AS BIGINT) AS served
+           FROM m, fsel, rsel) q)"""
 
   /** t31's mirror: the shared fertility body, served in full. */
   private lazy val t31OracleSql: String =

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.RetailStar
+import graft.ext.{Pipeline, Similarity, TextAnalysis}
+
+/** Round-17 pins (VERDICT r16's consolidation list):
+  *
+  *  1. The persisted star artifact serves EXACTLY what the inline ETL
+  *     build derives — fact and both re-joined dims, multiset-equal
+  *     (item 1: q27/q28/q29 now read graft_star_v1 parquet instead of
+  *     re-running the cleaning pipeline per invocation).
+  *  2. e22 maintenance APPLY (item 2): fired bits agree with e21's
+  *     census, quiet tiers stage NOTHING (the no-op law — no scratch
+  *     root appears), the naturally-fired DSIR tier's served count
+  *     equals the standalone e19 cutover's post-swap census, and each
+  *     quiet tier's witness equals the serving generation's persisted
+  *     grade.
+  *  3. e22 force-fire: each quiet tier's fired apply, run directly,
+  *     serves the standalone cutover's post-swap state (s30's
+  *     retrained world, s29's rebuilt generation, e20's current
+  *     tokenizer fertility).
+  */
+class Round17Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def fs(p: String): FileSystem =
+    FileSystem.get(new Path(p).toUri, spark.sparkContext.hadoopConfiguration)
+
+  private def dropRoot(prefix: String): Unit = {
+    val root = ArtifactRoots.tagged(prefix, dir)
+    val f = fs(root)
+    if (f.exists(new Path(root))) f.delete(new Path(root), true)
+    ()
+  }
+
+  // ---------- 1. persisted star artifact ----------
+
+  test("star artifact: the persisted fact and dims serve exactly what the " +
+    "inline ETL build derives (multiset-equal per table), and a re-serve " +
+    "is marker-idempotent") {
+    val built = RetailStar.buildStar(spark, dir)
+    val served = RetailStar.servedStar(spark, dir)
+    assert(sortedRows(served.fact) === sortedRows(built.fact),
+      "persisted fact != inline ETL fact")
+    assert(sortedRows(served.product) === sortedRows(built.product),
+      "persisted dim_product != inline derivation")
+    assert(sortedRows(served.shipping) === sortedRows(built.shipping),
+      "persisted dim_shipping != inline derivation")
+    // marker-gated: a second serve reads the same artifact rows
+    val again = RetailStar.servedStar(spark, dir)
+    assert(sortedRows(again.fact) === sortedRows(served.fact),
+      "re-serve must be idempotent")
+    // schemas survive the parquet round-trip column-for-column
+    // (names + types; parquet widens non-null columns to nullable)
+    assert(served.fact.schema.map(f => (f.name, f.dataType)) ===
+      built.fact.schema.map(f => (f.name, f.dataType)),
+      "artifact fact schema != build schema")
+  }
+
+  // ---------- 2. e22 maintenance apply ----------
+
+  test("e22: fired bits equal e21's census, quiet tiers stage nothing " +
+    "(no-op law), the fired DSIR tier's served count equals the " +
+    "standalone e19 post-swap census, and quiet witnesses equal the " +
+    "serving generations' persisted grades") {
+    // clear the e22 scratch roots so the no-op check observes THIS run
+    Seq("graft_e22_idx", "graft_e22_graph", "graft_e22_bpe",
+      "graft_e22_model").foreach(dropRoot)
+    val out = Pipeline.e22MaintenanceApply(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set("bpe_tokenizer", "dsir_model", "ivf_index",
+      "knn_graph"), s"one row per tier: ${out.keySet}")
+    val census = Pipeline.e21MaintenanceCensus(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    out.foreach { case (tier, (_, _, fired, _)) =>
+      assert(fired === census(tier), s"$tier: apply's fired bit != census")
+    }
+    // corpus facts at sf0.001: DSIR fires, the other three stay quiet
+    assert(out("dsir_model")._3 === 1L, "precondition: DSIR fires here")
+    assert(out("ivf_index")._3 === 0L && out("knn_graph")._3 === 0L &&
+      out("bpe_tokenizer")._3 === 0L, "precondition: the rest stay quiet")
+    // no-op law: a quiet tier must not have staged a clone
+    Seq("graft_e22_idx", "graft_e22_graph", "graft_e22_bpe").foreach { p =>
+      val root = ArtifactRoots.tagged(p, dir)
+      assert(!fs(root).exists(new Path(root)),
+        s"quiet tier staged a clone under $p")
+    }
+    // fired tier: served == the standalone e19 verb's post-swap total
+    val e19Total = Pipeline.e19ModelCutover(spark, dir)
+      .agg(sum(col("n_selected")).as("n")).collect()(0).getLong(0)
+    assert(out("dsir_model")._4 === e19Total,
+      "DSIR served count != e19's post-swap selection census")
+    // quiet witnesses: the serving generations' persisted grades
+    val appHits = Similarity.exactCosTruth(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(Similarity.appendedAnswers(spark, dir)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(out("ivf_index")._4 === appHits,
+      "quiet IVF witness != appended generation's truth hits")
+    val gAppHits = Similarity.s27GraphHealth(spark, dir)
+      .filter(col("state") === "appended")
+      .agg(sum(col("n_hit")).as("h")).collect()(0).getLong(0)
+    assert(out("knn_graph")._4 === gAppHits,
+      "quiet graph witness != appended generation's truth hits")
+    val tpkFrozen = TextAnalysis.t31TokenizerHealth(spark, dir)
+      .agg(sum(col("tpk_frozen")).as("t")).collect()(0).getLong(0)
+    assert(out("bpe_tokenizer")._4 === tpkFrozen,
+      "quiet tokenizer witness != frozen generation's fertility sum")
+  }
+
+  // ---------- 3. e22 force-fire ----------
+
+  test("e22 force-fire: each quiet tier's fired apply serves the standalone " +
+    "cutover's post-swap state (retrained IVF world, rebuilt graph " +
+    "generation, current tokenizer fertility)") {
+    // IVF: the fired apply's post-verb hits == the retrained world's
+    val rebHits = Similarity.exactCosTruth(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(Similarity.retrainedAnswers(spark, dir)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(Similarity.e22IvfFiredApply(spark, dir) === rebHits,
+      "forced IVF apply must serve the retrained world's hits")
+    // graph: == the rebuilt generation's hits
+    val gRebHits = Similarity.s27GraphHealth(spark, dir)
+      .filter(col("state") === "rebuilt")
+      .agg(sum(col("n_hit")).as("h")).collect()(0).getLong(0)
+    assert(Similarity.e22GraphFiredApply(spark, dir) === gRebHits,
+      "forced graph apply must serve the rebuilt generation's hits")
+    // tokenizer: == the current generation's fertility sum
+    val t31 = TextAnalysis.t31TokenizerHealth(spark, dir)
+      .select(col("source"), col("n_delta_chars"), col("tpk_current"))
+      .collect()
+    val dc = t31.map(r =>
+      r.getString(0) -> r.getAs[Long]("n_delta_chars")).toMap
+    val curSum = t31.map(_.getAs[Long]("tpk_current")).sum
+    assert(Pipeline.e22BpeFiredServed(spark, dir, dc) === curSum,
+      "forced tokenizer apply must serve the current generation's fertility")
+    // restore: drop the force-fired scratch so later e22 invocations'
+    // quiet no-op law observes a clean slate
+    Seq("graft_e22_idx", "graft_e22_graph", "graft_e22_bpe").foreach(dropRoot)
+  }
+}
