@@ -459,6 +459,18 @@ object Multimodal {
     m7PairsOf(media.unionByName(twins))
   }
 
+  /** The m7 gate row SERVED from the persisted `media_pairs` artifact
+    * (r16 verdict item 4 — [[Pipeline.mediaPairsArtifact]] holds the
+    * posture note): derivation runs once per corpus version, serves
+    * are a parquet scan. The total order is re-applied after the
+    * round-trip (parquet readers return rows in file order). m4's
+    * exact signature dedup stays derive-per-query by design — it is
+    * one hash-groupBy over a codegen'd scan (d1's posture), with no
+    * pair set to persist. */
+  def m7PerceptualLshServed(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.mediaPairsArtifact(spark, dir)
+      .orderBy(col("kind"), col("a_id"), col("b_id"))
+
   /** Scene-boundary threshold in permille units on adjacent segment
     * means. Measured on this corpus (sf0.01 videos): adjacent-segment
     * |Δmean| spans 0–148‰ with median ≈ 13‰ and p90 ≈ 45‰, so 40‰
@@ -510,7 +522,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_scene_segmentation"  -> (m8SceneSegmentation _),
-    "m7_perceptual_lsh"      -> (m7PerceptualLsh _),
+    "m7_perceptual_lsh"      -> (m7PerceptualLshServed _),
     "m6_crossmodal_knn"      -> (m6CrossModalKnn _),
     "m5_cdc_chunks"          -> (m5CdcChunks _),
     "m4_signature_dedup"     -> (m4SignatureDedup _),

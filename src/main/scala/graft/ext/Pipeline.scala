@@ -180,6 +180,19 @@ object Pipeline {
     ensureArtifact(spark, dir, "family_pairs")(
       Dedup.d20FamilyPairsDerived(spark, dir))
 
+  /** m7's verified perceptual near-dup pairs PERSISTED (r16 verdict
+    * item 4) — the media tier joins the pair-artifact discipline it
+    * was the last family outside of: built once per corpus version by
+    * the m7 chain (planted twins included — the artifact IS the gate
+    * row's world), served by the m7 gate entry and available to any
+    * e-family media consumer. Kept a SIBLING of `family_pairs`, not a
+    * member: d20's grading compares text families against the d3
+    * text-Jaccard truth, and media_id pairs have no row in that truth
+    * — folding them in would grade apples against orange truth. */
+  private[graft] def mediaPairsArtifact(spark: SparkSession, dir: String): DataFrame =
+    ensureArtifact(spark, dir, "media_pairs")(
+      Multimodal.m7PerceptualLsh(spark, dir))
+
   /** t21's DSIR model PERSISTED — the scored pool (doc_id, source,
     * logw) with its 1-row selection cut beside it: the standalone t21
     * row and the docflags builder both read ONE tokenize+bucket pass

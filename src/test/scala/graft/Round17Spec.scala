@@ -73,6 +73,15 @@ class Round17Spec extends AnyFunSuite {
       "artifact fact schema != build schema")
   }
 
+  // ---------- 1b. media pairs artifact ----------
+
+  test("media_pairs artifact: the persisted m7 pair table serves exactly " +
+    "what a fresh perceptual-LSH derivation produces") {
+    assert(sortedRows(Pipeline.mediaPairsArtifact(spark, dir)) ===
+      sortedRows(ext.Multimodal.m7PerceptualLsh(spark, dir)),
+      "persisted media pairs != fresh m7 derivation")
+  }
+
   // ---------- 2. e22 maintenance apply ----------
 
   test("e22: fired bits equal e21's census, quiet tiers stage nothing " +
