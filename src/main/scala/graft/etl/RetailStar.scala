@@ -106,8 +106,10 @@ object RetailStar {
     * shared _SUCCESS+schema-sidecar ensure; the first consumer after
     * a corpus change pays one cleaning pass (shared across all three
     * tables via the localCheckpoint), every later serve is a pruned
-    * parquet scan. `star_build` stays the bench's honest ETL row —
-    * it IS this artifact's builder, timed end to end.
+    * parquet scan. `star_build` stays the bench's honest ETL row: it
+    * times the same staging→clean→dims→fact derivation these builders
+    * run (the artifact itself is written by the first serve after a
+    * corpus change, not by the bench row).
     *
     * Scale: at 100 TB the root rides SPARK_GRAFT_ARTIFACT_ROOT onto
     * the warehouse filesystem; the fact table is the corpus-sized

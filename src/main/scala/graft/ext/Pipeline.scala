@@ -2169,22 +2169,49 @@ object Pipeline {
     * query — one row per model artifact, one trigger each. */
   def e21MaintenanceCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (ivfApp, ivfReb) = Similarity.s30DriftHits(spark, dir)
-    val (gApp, gReb) = Similarity.s29DriftHits(spark, dir)
-    val dsirFired = TextAnalysis.t30Decisions(spark, dir)
-      .agg(sum(col("retrain")).as("n")).collect()(0).getLong(0)
-    val bpeGap = TextAnalysis.t31TokenizerHealth(spark, dir)
-      .agg(max(col("gen_gap_tpk")).as("g")).collect()(0).getLong(0)
-    val qk = Similarity.QueryCount.toLong * Similarity.TopK
-    Seq(
-      ("bpe_tokenizer", bpeGap, TextAnalysis.T31RetrainTpk),
-      ("dsir_model", dsirFired, 0L),
-      ("ivf_index", (ivfReb - ivfApp) * 10000L, Similarity.S30DriftBp * qk),
-      ("knn_graph", (gReb - gApp) * 10000L, Similarity.S29DriftBp * qk))
+    maintenanceDecisions(spark, dir).rows
       .toDF("tier", "measure", "threshold")
       .withColumn("fired",
         when(col("measure") > col("threshold"), 1L).otherwise(0L))
       .orderBy(col("tier"))
+  }
+
+  /** The four tiers' drift decisions gathered ONCE — the single
+    * definition e21's census and e22's apply both read, so the two
+    * verbs cannot desynchronize on a measure or a trigger. Holds the
+    * raw per-tier integers the apply's quiet witnesses also need
+    * (appended-generation hits; the collected tokenizer rows). */
+  private final case class MaintenanceDecisions(
+      ivfApp: Long, ivfReb: Long, gApp: Long, gReb: Long,
+      dsirMeasure: Long, bpeRows: Array[org.apache.spark.sql.Row]) {
+    val qk: Long = Similarity.QueryCount.toLong * Similarity.TopK
+    def bpeMeasure: Long = bpeRows.map(_.getAs[Long]("gen_gap_tpk")).max
+    def tpkFrozenSum: Long = bpeRows.map(_.getAs[Long]("tpk_frozen")).sum
+    def deltaChars: Map[String, Long] = bpeRows.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_delta_chars")).toMap
+    /** (tier, measure, threshold) in the census's tier order. */
+    def rows: Seq[(String, Long, Long)] = Seq(
+      ("bpe_tokenizer", bpeMeasure, TextAnalysis.T31RetrainTpk),
+      ("dsir_model", dsirMeasure, 0L),
+      ("ivf_index", (ivfReb - ivfApp) * 10000L, Similarity.S30DriftBp * qk),
+      ("knn_graph", (gReb - gApp) * 10000L, Similarity.S29DriftBp * qk))
+    def fired: Map[String, Boolean] =
+      rows.map { case (t, m, th) => t -> (m > th) }.toMap
+  }
+
+  private def maintenanceDecisions(spark: SparkSession,
+                                   dir: String): MaintenanceDecisions = {
+    val (ivfApp, ivfReb) = Similarity.s30DriftHits(spark, dir)
+    val (gApp, gReb) = Similarity.s29DriftHits(spark, dir)
+    val dsirMeasure = TextAnalysis.t30Decisions(spark, dir)
+      .agg(sum(col("retrain")).as("n")).collect()(0).getLong(0)
+    // |sources| rows — bounded driver state (e19/e20's discipline);
+    // the apply's quiet tokenizer branch serves straight from these
+    val bpeRows = TextAnalysis.t31TokenizerHealth(spark, dir)
+      .select(col("source"), col("gen_gap_tpk"), col("n_delta_chars"),
+        col("tpk_frozen"))
+      .collect()
+    MaintenanceDecisions(ivfApp, ivfReb, gApp, gReb, dsirMeasure, bpeRows)
   }
 
   /** e21's oracle: the four tiers' single-row decision subqueries
@@ -2234,41 +2261,19 @@ object Pipeline {
     * fired); driver state is 4 rows of four longs. */
   def e22MaintenanceApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (ivfApp, ivfReb) = Similarity.s30DriftHits(spark, dir)
-    val (gApp, gReb) = Similarity.s29DriftHits(spark, dir)
-    val dsirMeasure = TextAnalysis.t30Decisions(spark, dir)
-      .agg(sum(col("retrain")).as("n")).collect()(0).getLong(0)
-    // collect the tokenizer decision ONCE (|sources| rows — bounded
-    // driver state; e19/e20's discipline): the quiet branch serves
-    // straight from these rows, no second delta census
-    val bpeRows = TextAnalysis.t31TokenizerHealth(spark, dir)
-      .select(col("source"), col("gen_gap_tpk"), col("n_delta_chars"),
-        col("tpk_frozen"))
-      .collect()
-    val bpeMeasure = bpeRows.map(_.getAs[Long]("gen_gap_tpk")).max
-    val qk = Similarity.QueryCount.toLong * Similarity.TopK
-    val ivfFired = (ivfReb - ivfApp) * 10000L > Similarity.S30DriftBp * qk
-    val gFired = (gReb - gApp) * 10000L > Similarity.S29DriftBp * qk
-    val dFired = dsirMeasure > 0L
-    val bFired = bpeMeasure > TextAnalysis.T31RetrainTpk
-    val ivfServed =
-      if (ivfFired) Similarity.e22IvfFiredApply(spark, dir) else ivfApp
-    val gServed =
-      if (gFired) Similarity.e22GraphFiredApply(spark, dir) else gApp
-    val dServed = e22DsirServed(spark, dir, dFired)
-    val bServed =
-      if (bFired) e22BpeFiredServed(spark, dir,
-        bpeRows.map(r => r.getAs[String]("source") ->
-          r.getAs[Long]("n_delta_chars")).toMap)
-      else bpeRows.map(_.getAs[Long]("tpk_frozen")).sum
-    def b(x: Boolean): Long = if (x) 1L else 0L
-    Seq(
-      ("bpe_tokenizer", bpeMeasure, TextAnalysis.T31RetrainTpk, b(bFired), bServed),
-      ("dsir_model", dsirMeasure, 0L, b(dFired), dServed),
-      ("ivf_index", (ivfReb - ivfApp) * 10000L, Similarity.S30DriftBp * qk,
-        b(ivfFired), ivfServed),
-      ("knn_graph", (gReb - gApp) * 10000L, Similarity.S29DriftBp * qk,
-        b(gFired), gServed))
+    val d = maintenanceDecisions(spark, dir) // ONE computation with e21
+    val fired = d.fired
+    val served = Map[String, Long](
+      "ivf_index" -> (if (fired("ivf_index"))
+        Similarity.e22IvfFiredApply(spark, dir) else d.ivfApp),
+      "knn_graph" -> (if (fired("knn_graph"))
+        Similarity.e22GraphFiredApply(spark, dir) else d.gApp),
+      "dsir_model" -> e22DsirServed(spark, dir, fired("dsir_model")),
+      "bpe_tokenizer" -> (if (fired("bpe_tokenizer"))
+        e22BpeFiredServed(spark, dir, d.deltaChars) else d.tpkFrozenSum))
+    d.rows.map { case (tier, m, th) =>
+      (tier, m, th, if (fired(tier)) 1L else 0L, served(tier))
+    }
       .toDF("tier", "measure", "threshold", "fired", "served")
       .orderBy(col("tier"))
   }

@@ -3117,17 +3117,9 @@ object Similarity {
     * longs): artifact-derived, so it is stable across re-runs
     * regardless of any serving tree's post-verb state. Shared by the
     * s30 verb and e21's maintenance census. */
-  private[graft] def s30DriftHits(spark: SparkSession, dir: String): (Long, Long) = {
-    val ex = exactCosTruth(spark, dir)
-      .select(col("query_id"), col("neighbor_id")).cache()
-    def hitsOf(ans: DataFrame): Long =
-      ex.join(ans.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi").count()
-    val hitApp = hitsOf(appendedAnswers(spark, dir))
-    val hitReb = hitsOf(retrainedAnswers(spark, dir))
-    ex.unpersist()
-    (hitApp, hitReb)
-  }
+  private[graft] def s30DriftHits(spark: SparkSession, dir: String): (Long, Long) =
+    (ivfTruthHits(spark, dir, appendedAnswers(spark, dir)),
+      ivfTruthHits(spark, dir, retrainedAnswers(spark, dir)))
 
   def s30IndexCutover(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = s30IdxDir(dir)
@@ -3160,10 +3152,12 @@ object Similarity {
   }
 
   /** Truth-hit count of `ans` against the persisted exact cosine
-    * truth — the IVF maintenance tiers' shared grading integer
-    * (|Q|·k membership join, driver state = one long). */
-  private def ivfTruthHits(spark: SparkSession, dir: String,
-                           ans: DataFrame): Long =
+    * truth — the ONE definition of the IVF tiers' grading integer
+    * (|Q|·k membership join, driver state = one long), shared by
+    * s30's drift decision, e22's post-apply witness, and the spec
+    * pins. */
+  private[graft] def ivfTruthHits(spark: SparkSession, dir: String,
+                                  ans: DataFrame): Long =
     exactCosTruth(spark, dir).select(col("query_id"), col("neighbor_id"))
       .join(ans.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi").count()

@@ -12,7 +12,7 @@ object PlanDump {
     "q5_monthly_snapshot" -> "one hash shuffle shared by aggregation and lifetime window",
     "q18_scan_filter" -> "predicate pushdown + column pruning at the parquet scan",
     "q26_spend_deciles" -> "window-free decile assignment via broadcast percentile bounds",
-    "q29_top_products_star" -> "join-free inline-key star fact; pruned cleaning pipeline",
+    "q29_top_products_star" -> "served from the persisted star artifact; one broadcast dim join",
     "d4_minhash_lsh" -> "SERVED from the persisted pairs artifact (pure parquet scan + order) — the candidate graph is a table, not a per-query derivation",
     "pairs_build" -> "the pairs ARTIFACT BUILD (paid once per corpus version): banded LSH over the signatures artifact — candidates only inside band buckets, exact-Jaccard verify on candidates only",
     "s5_ivf_kmeans" -> "k-means IVF: broadcast centroid assignment, probe-2 rerank",

@@ -168,18 +168,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"agg+window must share the customer_id partitioning:\n$p")
   }
 
-  test("q29: inline-key star fact prunes staging columns and joins only its one dim") {
+  test("q29: serves from the persisted star artifact (no staging re-derivation " +
+    "in the plan, one broadcast dim join); the BUILD path still prunes " +
+    "staging columns") {
+    import org.apache.spark.sql.functions._
     val df = graft.etl.RetailStar.q29TopProducts(spark, dir)
     val p = plan(df)
-    // the product dim broadcasts; the fact side carries NO dim-lookup
-    // joins (inline hash keys), so the only remaining joins are the
-    // staging synthesis (lineitem⋈orders⋈part), the cleaning
-    // pipeline's dedup anti-join, and the one rollup dim join
+    // the product dim broadcasts; the serve reads the artifact's
+    // parquet — the staging synthesis (lineitem⋈orders⋈part) and the
+    // cleaning pipeline must be absent from the serve plan (r17: the
+    // warehouse model — ETL once, queries read persisted tables)
     assert(p.contains("BroadcastHashJoin"), p)
-    // column pruning must reach the orders scan: q29 never reads
-    // o_totalprice / o_orderstatus — only the join key + o_custkey
-    // + o_orderdate survive the cleaning pipeline's needs
-    val ordersScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("orders"))
+    assert(p.contains("graft_star_v1"), s"q29 must scan the star artifact:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("FileScan") && l.contains("orders")),
+      s"the serve must not re-run the staging synthesis:\n$p")
+    // the BUILDER keeps the pruning property: the same rollup over the
+    // inline build reads only what the cleaning pipeline needs from
+    // orders — never o_totalprice / o_orderstatus
+    val star = graft.etl.RetailStar.buildStar(spark, dir)
+    val bp = plan(star.fact.join(broadcast(star.product), Seq("product_key"))
+      .groupBy(col("product_name"), col("product_brand"))
+      .agg(sum(col("line_total_amount")).as("revenue")))
+    val ordersScan = bp.linesIterator.find(l => l.contains("FileScan") && l.contains("orders"))
       .getOrElse("")
     assert(ordersScan.nonEmpty && !ordersScan.contains("o_totalprice"),
       s"orders scan reads unprojected columns: $ordersScan")

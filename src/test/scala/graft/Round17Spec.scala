@@ -117,11 +117,8 @@ class Round17Spec extends AnyFunSuite {
     assert(out("dsir_model")._4 === e19Total,
       "DSIR served count != e19's post-swap selection census")
     // quiet witnesses: the serving generations' persisted grades
-    val appHits = Similarity.exactCosTruth(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
-      .join(Similarity.appendedAnswers(spark, dir)
-          .select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val appHits =
+      Similarity.ivfTruthHits(spark, dir, Similarity.appendedAnswers(spark, dir))
     assert(out("ivf_index")._4 === appHits,
       "quiet IVF witness != appended generation's truth hits")
     val gAppHits = Similarity.s27GraphHealth(spark, dir)
@@ -141,11 +138,8 @@ class Round17Spec extends AnyFunSuite {
     "cutover's post-swap state (retrained IVF world, rebuilt graph " +
     "generation, current tokenizer fertility)") {
     // IVF: the fired apply's post-verb hits == the retrained world's
-    val rebHits = Similarity.exactCosTruth(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
-      .join(Similarity.retrainedAnswers(spark, dir)
-          .select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val rebHits =
+      Similarity.ivfTruthHits(spark, dir, Similarity.retrainedAnswers(spark, dir))
     assert(Similarity.e22IvfFiredApply(spark, dir) === rebHits,
       "forced IVF apply must serve the retrained world's hits")
     // graph: == the rebuilt generation's hits
