@@ -222,11 +222,67 @@ object RetailStar {
       .orderBy(col("customer_id"))
   }
 
+  /** Q56 — the star fact's PARTITION-REFRESH maintenance verb (the
+    * warehouse-load posture the star artifact implies, run for real
+    * and hash-checked): the fact is stored MONTH-PARTITIONED
+    * (Warehouse.writeFactPartitioned — SURVEY §4's layout), the
+    * arriving month lands via Spark's dynamic partition overwrite (the
+    * st11 mechanism at the star tier: only the touched partition is
+    * rewritten, untouched months are neither read nor written), and
+    * the load is RE-DELIVERED — the second write replaces the same
+    * partition instead of appending, so the census the gate hashes
+    * carries the idempotence proof every round (a blind append would
+    * double the arriving month's counts). Serve = the per-month
+    * census of the post-refresh fact, which must equal the
+    * full-rebuild census (refresh ≡ rebuild, e10's law at the star
+    * tier).
+    *
+    * Scale: a monthly load rewrites ONE partition regardless of
+    * history depth; re-deliveries (a retried orchestrator job, a
+    * replayed upstream batch) are absorbed by partition replacement —
+    * the exact failure mode append-only fact loads corrupt on. The
+    * read back is schema-pinned so the zero-padded "MMyyyy" partition
+    * values stay strings (inference would parse "092023" as an
+    * integer and drop the pad). */
+  def q56StarRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val root = graft.ArtifactRoots.tagged("graft_starref_v1", dir)
+    val target = s"$root/fact_by_month"
+    val rp = new Path(root)
+    val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp)) fs.delete(rp, true) // fresh scratch per invocation
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir)).localCheckpoint()
+    val fact = Warehouse.factSalesInline(cleaned)
+    // the arriving month = the corpus's max month (the partition every
+    // production load rewrites); ONE value of driver state
+    val monthOf = date_trunc("month", to_date(col("Date"), "M/d/yyyy"))
+    val lastKey = cleaned.select(date_format(max(monthOf), "MMyyyy"))
+      .collect()(0).getString(0)
+    Warehouse.writeFactPartitioned(
+      fact.filter(col("month_key") =!= lastKey), target)
+    val arriving = fact.filter(col("month_key") === lastKey)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      arriving.write.mode("overwrite").partitionBy("month_key").parquet(target)
+      // RE-DELIVERY: the same load lands again — partition replaced,
+      // never appended (the census hash would double otherwise)
+      arriving.write.mode("overwrite").partitionBy("month_key").parquet(target)
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    spark.read.schema(fact.schema).parquet(target)
+      .groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("line_total_amount")), 2).as("total_amount"))
+      .orderBy(col("month_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_sales_by_hour"          -> (q27SalesByHour _),
     "q28_sales_by_shipping_tier" -> (q28SalesByShippingTier _),
     "q29_top_products_star"      -> (q29TopProducts _),
-    "q55_snapshot_increment"     -> (q55SnapshotIncrement _))
+    "q55_snapshot_increment"     -> (q55SnapshotIncrement _),
+    "q56_star_refresh"           -> (q56StarRefresh _))
 
   /** Oracles re-derive the same results from first principles: the
     * staging synthesis drops nothing (inner joins on guaranteed FKs,
@@ -286,5 +342,14 @@ object RetailStar {
                 CAST(mo AS BIGINT) AS month_total_orders,
                 round(life, 2) AS customer_lifetime_spent
          FROM w, lm WHERE w.month_start = lm.v
-         ORDER BY customer_id""")
+         ORDER BY customer_id""",
+    // the full-rebuild per-month census the refreshed partitioned
+    // fact must equal (fact rows = lineitem lines, month from the
+    // order date — the staging synthesis drops nothing)
+    "q56_star_refresh" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%m%Y') AS month_key,
+                count(*) AS n_rows,
+                round(sum(l_extendedprice), 2) AS total_amount
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY month_key""")
 }

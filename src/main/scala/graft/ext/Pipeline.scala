@@ -1303,6 +1303,7 @@ object Pipeline {
     "e20_tokenizer_cutover" -> (e20TokenizerCutover _),
     "e21_maintenance_census" -> (e21MaintenanceCensus _),
     "e22_maintenance_apply" -> (e22MaintenanceApply _),
+    "e23_split_guard" -> (e23SplitGuard _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -2340,6 +2341,108 @@ object Pipeline {
                 served
          FROM allr ORDER BY tier"""
 
+  /** E23 — LEAKAGE-SAFE train/validation split (the split step a
+    * training-data pipeline runs after dedup, with the guard the
+    * naive form silently lacks): a document-level hash split strands
+    * near-duplicate pairs across the train/val boundary — the
+    * validation set then "contains" training documents up to a
+    * near-dup rewrite, the classic eval-contamination channel
+    * (deduplication work, e.g. Lee et al. 2022, measures exactly this
+    * leak). The guard: assign every DEDUP CLUSTER wholesale — the
+    * split unit is the labels artifact's cluster_id (singletons are
+    * their own cluster), hashed with the portable [[StableHash]], so
+    * both endpoints of every verified pair land on the same side BY
+    * CONSTRUCTION. The entry runs BOTH schemes and emits the per-
+    * (scheme, split) census with each scheme's measured leak count —
+    * doc_hash leaks live on this corpus (3 pairs at sf0.001, 2 at
+    * sf0.01), cluster leaks exactly 0; the gate hashes the contrast
+    * every round. 90/10 by hash mod 10 — deterministic, portable,
+    * stable under corpus growth (a doc's side never changes when
+    * other docs arrive, unlike quantile-based splits).
+    *
+    * Scale: the split column is a row-local hash over a LEFT join
+    * against the candidate-pair-bounded labels artifact (≪ corpus);
+    * the leak grade joins the persisted pairs table (bounded by LSH
+    * candidates) against the split table on doc_id — no corpus-sized
+    * shuffle beyond the one labels join; driver state is 2 leak
+    * longs. */
+  def e23SplitGuard(spark: SparkSession, dir: String): DataFrame = {
+    val labels = labelsArtifact(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    def splitOf(c: Column): Column =
+      when(StableHash.hash64(concat(lit("e23:"), c.cast("string"))) % 10 < 9,
+        "train").otherwise("val")
+    val sp = docs
+      .join(labels.select(col("node").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        splitOf(col("doc_id")).as("doc_split"),
+        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("cl_split"))
+      .cache() // consumed by the census union and the leak grade
+    val pa = sp.select(col("doc_id").as("a_id"),
+      col("doc_split").as("a_d"), col("cl_split").as("a_c"))
+    val pb = sp.select(col("doc_id").as("b_id"),
+      col("doc_split").as("b_d"), col("cl_split").as("b_c"))
+    val lk = pairsArtifact(spark, dir).select(col("a_id"), col("b_id"))
+      .join(pa, Seq("a_id")).join(pb, Seq("b_id"))
+      .agg(
+        coalesce(sum(when(col("a_d") =!= col("b_d"), 1L).otherwise(0L)), lit(0L))
+          .as("doc_leak"),
+        coalesce(sum(when(col("a_c") =!= col("b_c"), 1L).otherwise(0L)), lit(0L))
+          .as("cl_leak"))
+      .collect()(0)
+    val (docLeak, clLeak) = (lk.getLong(0), lk.getLong(1))
+    sp.select(lit("doc_hash").as("scheme"), col("doc_split").as("split"),
+        col("n_tok"))
+      .unionByName(sp.select(lit("cluster").as("scheme"),
+        col("cl_split").as("split"), col("n_tok")))
+      .groupBy(col("scheme"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("leaked_pairs",
+        when(col("scheme") === "doc_hash", lit(docLeak)).otherwise(lit(clLeak)))
+      .orderBy(col("scheme"), col("split"))
+  }
+
+  /** e23's oracle: the d7 closure (labels + pairs CTEs), the same
+    * portable-hash split columns, the leak grade over the pair table,
+    * and the per-(scheme, split) census in one statement. */
+  private lazy val e23OracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.d7LabelCtes},
+         e23ck AS (
+           SELECT d.doc_id, len(string_split(trim(d.text), ' ')) AS n_tok,
+                  COALESCE(l.cluster_id, d.doc_id) AS ckey
+           FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         e23sp AS MATERIALIZED (
+           SELECT doc_id, n_tok,
+                  CASE WHEN ${StableHash.duckdbHash64(
+                    "'e23:' || CAST(doc_id AS VARCHAR)")} % 10 < 9
+                       THEN 'train' ELSE 'val' END AS doc_split,
+                  CASE WHEN ${StableHash.duckdbHash64(
+                    "'e23:' || CAST(ckey AS VARCHAR)")} % 10 < 9
+                       THEN 'train' ELSE 'val' END AS cl_split
+           FROM e23ck),
+         e23lk AS (
+           SELECT CAST(sum(CASE WHEN a.doc_split <> b.doc_split
+                           THEN 1 ELSE 0 END) AS BIGINT) AS doc_leak,
+                  CAST(sum(CASE WHEN a.cl_split <> b.cl_split
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cl_leak
+           FROM pairs p JOIN e23sp a ON a.doc_id = p.a_id
+           JOIN e23sp b ON b.doc_id = p.b_id),
+         e23cen AS (
+           SELECT 'doc_hash' AS scheme, doc_split AS split,
+                  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM e23sp GROUP BY 2
+           UNION ALL
+           SELECT 'cluster', cl_split, count(*), CAST(sum(n_tok) AS BIGINT)
+           FROM e23sp GROUP BY 2)
+         SELECT c.scheme, c.split, c.n_docs, c.n_tokens,
+                CASE WHEN c.scheme = 'doc_hash' THEN k.doc_leak
+                     ELSE k.cl_leak END AS leaked_pairs
+         FROM e23cen c CROSS JOIN e23lk k
+         ORDER BY scheme, split"""
+
   /** The retention-delete census as SQL, parameterized over the KEEP
     * predicate (e11 retires a source, st22 a streamed takedown id
     * slice — one statement of delete ∘ repack ≡
@@ -2844,6 +2947,7 @@ object Pipeline {
     "e20_tokenizer_cutover" -> e20OracleSql,
     "e21_maintenance_census" -> e21OracleSql,
     "e22_maintenance_apply" -> e22OracleSql,
+    "e23_split_guard" -> e23OracleSql,
     "e15_source_offboard" -> e15OracleSql,
     // e16: the split census a user draws AFTER offboarding — the e6
     // chain over the retracted labeling with the retired rows gone

@@ -132,6 +132,98 @@ class Round17Spec extends AnyFunSuite {
       "quiet tokenizer witness != frozen generation's fertility sum")
   }
 
+  // ---------- 2b. q56 star partition refresh ----------
+
+  test("q56: the refreshed month-partitioned fact's census equals the full " +
+    "rebuild, the layout is one partition dir per month, and a further " +
+    "re-delivery of the arriving month leaves untouched partitions' files " +
+    "and the census byte-identical") {
+    val out = RetailStar.q56StarRefresh(spark, dir)
+    val census = sortedRows(out)
+    // refresh ≡ rebuild: the same census straight off the inline fact
+    val fact = RetailStar.buildStar(spark, dir).fact
+    val direct = sortedRows(fact.groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("line_total_amount")), 2).as("total_amount")))
+    assert(census === direct, "post-refresh census != full-rebuild census")
+    // layout: one partition dir per month
+    val root = ArtifactRoots.tagged("graft_starref_v1", dir)
+    val target = s"$root/fact_by_month"
+    val f = fs(target)
+    val parts = f.listStatus(new Path(target))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    val months = fact.select(col("month_key")).distinct()
+      .collect().map(r => s"month_key=${r.getString(0)}").toSet
+    assert(parts === months, s"partition dirs != months: $parts vs $months")
+    // idempotence at the FILE level: re-deliver the arriving month once
+    // more; untouched partitions' files must be byte-identical (same
+    // name, length, mtime) and the census unchanged
+    val lastKey = months.map(_.stripPrefix("month_key=")).toSeq.sorted
+      .map(k => (k.substring(2) + k.substring(0, 2), k)).max._2 // MMyyyy → sort by yyyyMM
+    val untouchedBefore = f.listStatus(new Path(target))
+      .filter(st => st.isDirectory && st.getPath.getName != s"month_key=$lastKey")
+      .flatMap(st => f.listStatus(st.getPath))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    try fact.filter(col("month_key") === lastKey)
+      .write.mode("overwrite").partitionBy("month_key").parquet(target)
+    finally spark.conf.unset(key)
+    val untouchedAfter = f.listStatus(new Path(target))
+      .filter(st => st.isDirectory && st.getPath.getName != s"month_key=$lastKey")
+      .flatMap(st => f.listStatus(st.getPath))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSet
+    assert(untouchedAfter === untouchedBefore,
+      "a partition-scoped re-delivery touched other months' files")
+    val again = sortedRows(spark.read.schema(fact.schema).parquet(target)
+      .groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("line_total_amount")), 2).as("total_amount")))
+    assert(again === census, "re-delivery changed the census")
+  }
+
+  // ---------- 2c. e23 leakage-safe split ----------
+
+  test("e23: the cluster-wholesale split leaks zero verified pairs (checked " +
+    "independently against the artifacts), the naive doc-hash split leaks " +
+    "live pairs, and both schemes' censuses conserve the corpus") {
+    import graft.functions.StableHash
+    val out = Pipeline.e23SplitGuard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(("cluster", "train"), ("cluster", "val"),
+      ("doc_hash", "train"), ("doc_hash", "val")), s"4 cells: ${out.keySet}")
+    // contrast: the guard closes a leak the naive split really has
+    assert(out(("cluster", "train"))._3 === 0L &&
+      out(("cluster", "val"))._3 === 0L, "cluster scheme must leak 0 pairs")
+    assert(out(("doc_hash", "train"))._3 > 0L,
+      "vacuous: the naive split leaks nothing on this corpus")
+    // conservation: each scheme partitions the whole corpus
+    val nDocs = Tables.documents(spark, dir).count()
+    Seq("cluster", "doc_hash").foreach { s =>
+      assert(out((s, "train"))._1 + out((s, "val"))._1 === nDocs,
+        s"$s split does not conserve the corpus")
+    }
+    // independent zero-leak check: recompute the cluster-side split
+    // from the labels artifact and grade the pairs artifact directly
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(StableHash.hash64(concat(lit("e23:"), c.cast("string"))) % 10 < 9,
+        lit("train")).otherwise(lit("val"))
+    val sp = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(Pipeline.labelsArtifact(spark, dir)
+          .select(col("node").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("s"))
+    val straddle = Pipeline.pairsArtifact(spark, dir)
+      .select(col("a_id"), col("b_id"))
+      .join(sp.select(col("doc_id").as("a_id"), col("s").as("sa")), Seq("a_id"))
+      .join(sp.select(col("doc_id").as("b_id"), col("s").as("sb")), Seq("b_id"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle === 0L,
+      "independent grade found a straddling pair under the cluster scheme")
+  }
+
   // ---------- 3. e22 force-fire ----------
 
   test("e22 force-fire: each quiet tier's fired apply serves the standalone " +
