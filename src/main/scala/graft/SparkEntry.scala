@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.RetailStar
 import graft.ext.{Dedup, Graph, Multimodal, Pipeline, Similarity, TextAnalysis}
 import graft.queries.{AdvancedQueries, CoreQueries, InventoryQueries}
-import graft.streaming.{DocumentsStream, EmbeddingsStream, EventsStream}
+import graft.streaming.{DocumentsStream, EmbeddingsStream, EventsStream, StarStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,7 @@ object SparkEntry {
     CoreQueries.queries ++ InventoryQueries.queries ++ AdvancedQueries.queries ++
       Dedup.queries ++ Graph.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ EventsStream.queries ++ DocumentsStream.queries ++
-      EmbeddingsStream.queries ++ RetailStar.queries ++ Pipeline.queries
+      EmbeddingsStream.queries ++ StarStream.queries ++ RetailStar.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
     CoreQueries.oracles ++ InventoryQueries.oracles ++ AdvancedQueries.oracles ++
       Dedup.oracles ++ Graph.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ EventsStream.oracles ++ DocumentsStream.oracles ++
-      EmbeddingsStream.oracles ++ RetailStar.oracles ++ Pipeline.oracles
+      EmbeddingsStream.oracles ++ StarStream.oracles ++ RetailStar.oracles ++ Pipeline.oracles
 }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.RetailStar
+
+/** The STAR tier joins the streaming verb matrix (r17): the persisted
+  * warehouse fact's load path driven by a real Structured Streaming
+  * file source instead of a batch job. Month loads arrive as files;
+  * each micro-batch lands its touched months via Spark's dynamic
+  * partition overwrite (q56's mechanism under foreachBatch — st11's
+  * partitioned merge at the star tier); an AT-LEAST-ONCE redelivery of
+  * the arriving month (the upstream failure mode every file-based
+  * loader owns) is staged deliberately and absorbed by partition
+  * replacement. The stream's converged census must equal the batch
+  * rebuild — hash-checked by the driver every round.
+  */
+object StarStream {
+
+  /** ST24 — streamed star-fact month loads AS a gate entry: the fact
+    * (from the inline ETL build) is staged as TWO load files split at
+    * the arriving month (history; the arriving month), plus a THIRD
+    * file that is a byte-level copy of the arriving month — the
+    * duplicate delivery. A file-source stream consumes them one
+    * micro-batch each (mtime-ordered); foreachBatch rewrites only the
+    * partitions a batch touches (dynamic partition overwrite), so the
+    * duplicate batch replaces the same partition instead of appending
+    * — the census the gate hashes proves the absorption every round
+    * (an append path would double the arriving month). Serve = the
+    * per-month census of the converged fact ≡ the full-rebuild census
+    * (stream ≡ refresh ≡ rebuild; Round17Spec pins the q56 equality).
+    *
+    * Scale: each micro-batch rewrites only its touched partitions —
+    * a daily/monthly load stream rewrites one partition per window
+    * regardless of history depth; redeliveries (retried upstream
+    * jobs, reprocessed buckets) are idempotent by partition
+    * replacement, the property that lets the loader run at-least-once
+    * end to end without a dedup ledger. Scratch lives at one FIXED
+    * location per scale factor, rebuilt per invocation (s13's
+    * no-tmp-accumulation discipline). */
+  def st24FactLoads(spark: SparkSession, dir: String): DataFrame = {
+    val base = new Path(graft.ArtifactRoots.tagged("graft_st24", dir))
+    val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val inDir = new Path(base, "in"); fs.mkdirs(inDir)
+    val fact = RetailStar.buildStar(spark, dir).fact
+    // the arriving month (q56's pick, from the same order dates the
+    // staging synthesis carries): ONE value of driver state
+    val lastKey = Tables.orders(spark, dir)
+      .select(date_format(max(date_trunc("month", col("o_orderdate"))), "MMyyyy"))
+      .collect()(0).getString(0)
+    fact.filter(col("month_key") =!= lastKey)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/f1")
+    fact.filter(col("month_key") === lastKey)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/f2")
+    // stage with increasing mtimes so the file source orders the
+    // micro-batches deterministically; c = the DUPLICATE delivery of
+    // the arriving month (same bytes, later arrival)
+    def stage(src: String, dst: String, mtime: Long): Unit = {
+      val part = fs.listStatus(new Path(src)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val to = new Path(inDir, dst)
+      FileUtil.copy(fs, part, fs, to, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(to, mtime, -1); ()
+    }
+    stage(s"$base/f1", "a.parquet", 1000000L)
+    stage(s"$base/f2", "b.parquet", 2000000L)
+    stage(s"$base/f2", "c.parquet", 3000000L)
+    val target = s"$base/fact_by_month"
+    val stream = spark.readStream
+      .schema(fact.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // empty-batch guard (st11's): a zero-row partitionBy write
+        // would poison a fresh target with a schema-less dir
+        if (!batch.isEmpty) {
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val sp = batch.sparkSession
+          val prev = sp.conf.getOption(key)
+          sp.conf.set(key, "dynamic")
+          try batch.write.mode("overwrite")
+            .partitionBy("month_key").parquet(target)
+          finally prev.fold(sp.conf.unset(key))(v => sp.conf.set(key, v))
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // converged census, schema-pinned read (q56's discipline: the
+    // zero-padded MMyyyy partition values must stay strings)
+    spark.read.schema(fact.schema).parquet(target)
+      .groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("line_total_amount")), 2).as("total_amount"))
+      .orderBy(col("month_key"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st24_fact_loads" -> (st24FactLoads _))
+
+  /** st24's oracle IS q56's: the converged stream must serve the same
+    * full-rebuild per-month census the batch refresh serves. */
+  val oracles: Map[String, String] = Map(
+    "st24_fact_loads" -> RetailStar.oracles("q56_star_refresh"))
+}

@@ -182,6 +182,24 @@ class Round17Spec extends AnyFunSuite {
     assert(again === census, "re-delivery changed the census")
   }
 
+  // ---------- 2b'. st24 streamed star loads ----------
+
+  test("st24: the streamed fact loads converge to q56's batch-refresh " +
+    "census (stream ≡ refresh ≡ rebuild), with the duplicate delivery " +
+    "absorbed by partition replacement") {
+    val streamed = sortedRows(
+      graft.streaming.StarStream.st24FactLoads(spark, dir))
+    val batch = sortedRows(RetailStar.q56StarRefresh(spark, dir))
+    assert(streamed.nonEmpty && streamed === batch,
+      "streamed census != batch refresh census")
+    // the duplicate month file really staged (3 input files) and the
+    // arriving partition holds exactly one copy of the month's rows
+    val base = ArtifactRoots.tagged("graft_st24", dir)
+    val f = fs(base)
+    assert(f.listStatus(new Path(s"$base/in")).length === 3,
+      "precondition: history + arriving + duplicate must be staged")
+  }
+
   // ---------- 2c. e23 leakage-safe split ----------
 
   test("e23: the cluster-wholesale split leaks zero verified pairs (checked " +
