@@ -277,12 +277,92 @@ object RetailStar {
       .orderBy(col("month_key"))
   }
 
+  /** The deterministic erasure slice (natural customer ids ending in
+    * 007): 1 customer at sf0.001, 2 at sf0.01, 15 at sf0.1 — live but
+    * sparse at every SF, touching 10/15/65 of 80 months, so the
+    * partition-scoped repack has real untouched partitions to leave
+    * alone. */
+  val Q57ErasureMod = 1000L
+  val Q57ErasureDigit = 7L
+
+  /** Q57 — star-fact RETENTION DELETE (the warehouse tier's
+    * right-to-erasure verb — e11/st22's retention discipline on the
+    * month-partitioned fact): erase a customer set from the standing
+    * fact by rewriting ONLY the partitions their rows live in. The
+    * victim months come from a broadcast semi-join of the victim keys
+    * (natural ids → the same inline xxhash64 surrogate the fact
+    * carries — the mapping never leaves the engine, so the oracle
+    * stays on natural keys); each touched month is repacked without
+    * the victims' rows via dynamic partition overwrite; untouched
+    * months are neither read nor written. A month whose EVERY row is
+    * a victim's would vanish from the repack output — and dynamic
+    * overwrite only replaces partitions it writes, so the stale
+    * partition would survive as a ghost; the verb deletes emptied
+    * partitions explicitly (the dynamic-overwrite deletion gap,
+    * handled — not live on this corpus, where every month keeps other
+    * customers, but the discipline is the point). Serve = the
+    * post-erasure per-month census ≡ rebuild-without-victims
+    * (delete ∘ repack ≡ rebuild, e11's law at the star tier).
+    *
+    * Scale: erasure cost ∝ the months the subject actually touched,
+    * never history depth; a re-issued erasure request is idempotent
+    * (repack of already-clean partitions — Round17Spec pins untouched
+    * months byte-identical across the re-run). */
+  def q57FactRetention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val root = graft.ArtifactRoots.tagged("graft_starret_v1", dir)
+    val target = s"$root/fact_by_month"
+    val rp = new Path(root)
+    val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp)) fs.delete(rp, true) // fresh scratch per invocation
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir)).localCheckpoint()
+    val fact = Warehouse.factSalesInline(cleaned)
+    Warehouse.writeFactPartitioned(fact, target) // the standing warehouse
+    // victim surrogate keys (bounded: the erasure request's subjects)
+    val victims = cleaned
+      .filter(pmod(col("Customer_ID"), lit(Q57ErasureMod)) === Q57ErasureDigit)
+      .select(xxhash64(col("Customer_ID")).as("customer_key")).distinct()
+    val standing = spark.read.schema(fact.schema).parquet(target)
+    // months the victims touch — the partitions erasure must rewrite
+    val touched = standing.join(broadcast(victims), Seq("customer_key"))
+      .select(col("month_key")).distinct()
+    val touchedKeys = touched.collect().map(_.getString(0)) // ≤ |months|
+    val repacked = standing
+      .join(broadcast(touched), Seq("month_key"), "left_semi")
+      .join(broadcast(victims), Seq("customer_key"), "left_anti")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try repacked.write.mode("overwrite").partitionBy("month_key").parquet(target)
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    // the dynamic-overwrite deletion gap: a touched month emptied by
+    // the erasure writes no partition, leaving the stale dir — delete
+    // emptied partitions explicitly. Post-write reads must NOT reuse
+    // the pre-overwrite `touched`/`standing` plans (their captured
+    // file listings name the replaced part files); the collected keys
+    // drive a fresh partition-pruned read instead.
+    if (touchedKeys.nonEmpty) {
+      val remaining = spark.read.schema(fact.schema).parquet(target)
+        .filter(col("month_key").isin(touchedKeys.toSeq: _*))
+        .select(col("month_key")).distinct().collect().map(_.getString(0)).toSet
+      touchedKeys.filterNot(remaining).foreach { k =>
+        fs.delete(new Path(s"$target/month_key=$k"), true)
+      }
+    }
+    spark.read.schema(fact.schema).parquet(target)
+      .groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("line_total_amount")), 2).as("total_amount"))
+      .orderBy(col("month_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_sales_by_hour"          -> (q27SalesByHour _),
     "q28_sales_by_shipping_tier" -> (q28SalesByShippingTier _),
     "q29_top_products_star"      -> (q29TopProducts _),
     "q55_snapshot_increment"     -> (q55SnapshotIncrement _),
-    "q56_star_refresh"           -> (q56StarRefresh _))
+    "q56_star_refresh"           -> (q56StarRefresh _),
+    "q57_fact_retention"         -> (q57FactRetention _))
 
   /** Oracles re-derive the same results from first principles: the
     * staging synthesis drops nothing (inner joins on guaranteed FKs,
@@ -351,5 +431,15 @@ object RetailStar {
                 count(*) AS n_rows,
                 round(sum(l_extendedprice), 2) AS total_amount
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY month_key""",
+    // rebuild-without-victims: the same census with the erasure
+    // subjects' rows gone (natural-key filter — the surrogate-key
+    // mapping never leaves the engine)
+    "q57_fact_retention" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%m%Y') AS month_key,
+                count(*) AS n_rows,
+                round(sum(l_extendedprice), 2) AS total_amount
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_custkey % 1000 <> 7
          GROUP BY 1 ORDER BY month_key""")
 }

@@ -182,6 +182,61 @@ class Round17Spec extends AnyFunSuite {
     assert(again === census, "re-delivery changed the census")
   }
 
+  // ---------- 2b''. q57 fact retention ----------
+
+  test("q57: the post-erasure fact holds zero victim rows, the census " +
+    "equals an engine-side rebuild-without-victims, and a RE-ISSUED " +
+    "erasure leaves untouched months' files byte-identical") {
+    val out = sortedRows(RetailStar.q57FactRetention(spark, dir))
+    val fact = RetailStar.buildStar(spark, dir).fact
+    val victims = RetailStar.stagingFromTpch(spark, dir)
+      .filter(pmod(col("Customer_ID"), lit(RetailStar.Q57ErasureMod)) ===
+        RetailStar.Q57ErasureDigit)
+      .select(xxhash64(col("Customer_ID")).as("customer_key")).distinct()
+    assert(victims.count() > 0, "precondition: the erasure slice is live")
+    val rebuilt = fact.join(broadcast(victims), Seq("customer_key"), "left_anti")
+    assert(out === sortedRows(rebuilt.groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("line_total_amount")), 2).as("total_amount"))),
+      "post-erasure census != rebuild-without-victims")
+    val root = ArtifactRoots.tagged("graft_starret_v1", dir)
+    val target = s"$root/fact_by_month"
+    val standing = spark.read.schema(fact.schema).parquet(target)
+    assert(standing.join(broadcast(victims), Seq("customer_key"), "left_semi")
+      .count() === 0L, "victim rows survive in the standing fact")
+    // re-issued erasure: repack the touched months again; untouched
+    // months' files must be byte-identical (the request is idempotent
+    // and partition-scoped)
+    val f = fs(target)
+    // the verb's own touched set (pre-erasure) from the inline fact
+    val touchedPre = fact.join(broadcast(victims), Seq("customer_key"))
+      .select(col("month_key")).distinct().collect().map(_.getString(0)).toSet
+    val untouchedBefore = f.listStatus(new Path(target))
+      .filter(st => st.isDirectory &&
+        !touchedPre.contains(st.getPath.getName.stripPrefix("month_key=")))
+      .flatMap(st => f.listStatus(st.getPath))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSet
+    val repack = standing
+      .filter(col("month_key").isin(touchedPre.toSeq: _*))
+      .join(broadcast(victims), Seq("customer_key"), "left_anti")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    try repack.write.mode("overwrite").partitionBy("month_key").parquet(target)
+    finally spark.conf.unset(key)
+    val untouchedAfter = f.listStatus(new Path(target))
+      .filter(st => st.isDirectory &&
+        !touchedPre.contains(st.getPath.getName.stripPrefix("month_key=")))
+      .flatMap(st => f.listStatus(st.getPath))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSet
+    assert(untouchedAfter === untouchedBefore,
+      "a re-issued erasure touched other months' files")
+    val again = sortedRows(spark.read.schema(fact.schema).parquet(target)
+      .groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("line_total_amount")), 2).as("total_amount")))
+    assert(again === out, "re-issued erasure changed the census")
+  }
+
   // ---------- 2b'. st24 streamed star loads ----------
 
   test("st24: the streamed fact loads converge to q56's batch-refresh " +
