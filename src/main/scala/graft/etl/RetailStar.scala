@@ -251,12 +251,15 @@ object RetailStar {
     val rp = new Path(root)
     val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rp)) fs.delete(rp, true) // fresh scratch per invocation
-    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir)).localCheckpoint()
-    val fact = Warehouse.factSalesInline(cleaned)
+    // the maintenance verb operates on the WAREHOUSE (the persisted
+    // star artifact), not on a fresh ETL derivation — star_build
+    // benchmarks the ETL; this row benchmarks the load mechanics
+    val fact = servedStar(spark, dir).fact
     // the arriving month = the corpus's max month (the partition every
-    // production load rewrites); ONE value of driver state
-    val monthOf = date_trunc("month", to_date(col("Date"), "M/d/yyyy"))
-    val lastKey = cleaned.select(date_format(max(monthOf), "MMyyyy"))
+    // production load rewrites); ONE value of driver state, from the
+    // same order dates the staging synthesis carries
+    val lastKey = Tables.orders(spark, dir)
+      .select(date_format(max(date_trunc("month", col("o_orderdate"))), "MMyyyy"))
       .collect()(0).getString(0)
     Warehouse.writeFactPartitioned(
       fact.filter(col("month_key") =!= lastKey), target)
@@ -315,13 +318,15 @@ object RetailStar {
     val rp = new Path(root)
     val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rp)) fs.delete(rp, true) // fresh scratch per invocation
-    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir)).localCheckpoint()
-    val fact = Warehouse.factSalesInline(cleaned)
+    // operate on the persisted warehouse fact (q56's discipline)
+    val fact = servedStar(spark, dir).fact
     Warehouse.writeFactPartitioned(fact, target) // the standing warehouse
-    // victim surrogate keys (bounded: the erasure request's subjects)
-    val victims = cleaned
-      .filter(pmod(col("Customer_ID"), lit(Q57ErasureMod)) === Q57ErasureDigit)
-      .select(xxhash64(col("Customer_ID")).as("customer_key")).distinct()
+    // victim surrogate keys (bounded: the erasure request's subjects);
+    // Customer_ID IS o_custkey in the staging synthesis, so the
+    // natural→surrogate mapping derives from orders directly
+    val victims = Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(Q57ErasureMod)) === Q57ErasureDigit)
+      .select(xxhash64(col("o_custkey")).as("customer_key")).distinct()
     val standing = spark.read.schema(fact.schema).parquet(target)
     // months the victims touch — the partitions erasure must rewrite
     val touched = standing.join(broadcast(victims), Seq("customer_key"))

@@ -315,9 +315,18 @@ object Warehouse {
     * partition directory, so snapshot builds and date-range queries
     * read only the months they touch (PartitionFilters in the scan,
     * verified in WarehouseSpec). At 100 TB this is the difference
-    * between scanning one month and scanning three years. */
+    * between scanning one month and scanning three years.
+    *
+    * The write repartitions BY the partition column first: without
+    * it, every upstream task writes a sliver into every month — up to
+    * tasks×months small files (measured 2,560 at sf0.1, and the r17
+    * maintenance verbs paid 6-8s per invocation just opening them).
+    * One shuffle buys one writer per month; at 100 TB widen to
+    * repartition(n, col) so a hot month gets n files rather than one
+    * task. */
   def writeFactPartitioned(fact: DataFrame, path: String): Unit =
-    fact.write.partitionBy("month_key").mode("overwrite").parquet(path)
+    fact.repartition(col("month_key"))
+      .write.partitionBy("month_key").mode("overwrite").parquet(path)
 
   /** Bucketed layout for fact⋈fact joins (SURVEY §3.3: lineitem⋈orders
     * is the one join where both sides are fact-sized). Both tables

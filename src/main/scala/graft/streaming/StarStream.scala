@@ -46,7 +46,9 @@ object StarStream {
     val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     val inDir = new Path(base, "in"); fs.mkdirs(inDir)
-    val fact = RetailStar.buildStar(spark, dir).fact
+    // the load stream draws from the persisted warehouse fact (q56's
+    // discipline) — star_build benchmarks the ETL, this row the loader
+    val fact = RetailStar.servedStar(spark, dir).fact
     // the arriving month (q56's pick, from the same order dates the
     // staging synthesis carries): ONE value of driver state
     val lastKey = Tables.orders(spark, dir)
