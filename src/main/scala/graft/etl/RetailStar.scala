@@ -255,30 +255,27 @@ object RetailStar {
     // star artifact), not on a fresh ETL derivation — star_build
     // benchmarks the ETL; this row benchmarks the load mechanics
     val fact = servedStar(spark, dir).fact
-    // the arriving month = the corpus's max month (the partition every
-    // production load rewrites); ONE value of driver state, from the
-    // same order dates the staging synthesis carries
-    val lastKey = Tables.orders(spark, dir)
-      .select(date_format(max(date_trunc("month", col("o_orderdate"))), "MMyyyy"))
-      .collect()(0).getString(0)
+    val lastKey = arrivingMonthKey(spark, dir)
     Warehouse.writeFactPartitioned(
       fact.filter(col("month_key") =!= lastKey), target)
     val arriving = fact.filter(col("month_key") === lastKey)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
+    Warehouse.withDynamicOverwrite(spark) {
       arriving.write.mode("overwrite").partitionBy("month_key").parquet(target)
       // RE-DELIVERY: the same load lands again — partition replaced,
       // never appended (the census hash would double otherwise)
       arriving.write.mode("overwrite").partitionBy("month_key").parquet(target)
-    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
-    spark.read.schema(fact.schema).parquet(target)
-      .groupBy(col("month_key"))
-      .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("line_total_amount")), 2).as("total_amount"))
-      .orderBy(col("month_key"))
+    }
+    Warehouse.monthCensus(spark.read.schema(fact.schema).parquet(target))
   }
+
+  /** The arriving month — the corpus's max month as a "MMyyyy" key
+    * (the partition every production load rewrites); ONE value of
+    * driver state, from the same order dates the staging synthesis
+    * carries. Shared by q56 and st24. */
+  private[graft] def arrivingMonthKey(spark: SparkSession, dir: String): String =
+    Tables.orders(spark, dir)
+      .select(date_format(max(date_trunc("month", col("o_orderdate"))), "MMyyyy"))
+      .collect()(0).getString(0)
 
   /** The deterministic erasure slice (natural customer ids ending in
     * 007): 1 customer at sf0.001, 2 at sf0.01, 15 at sf0.1 — live but
@@ -327,38 +324,12 @@ object RetailStar {
     val victims = Tables.orders(spark, dir)
       .filter(pmod(col("o_custkey"), lit(Q57ErasureMod)) === Q57ErasureDigit)
       .select(xxhash64(col("o_custkey")).as("customer_key")).distinct()
-    val standing = spark.read.schema(fact.schema).parquet(target)
-    // months the victims touch — the partitions erasure must rewrite
-    val touched = standing.join(broadcast(victims), Seq("customer_key"))
-      .select(col("month_key")).distinct()
-    val touchedKeys = touched.collect().map(_.getString(0)) // ≤ |months|
-    val repacked = standing
-      .join(broadcast(touched), Seq("month_key"), "left_semi")
-      .join(broadcast(victims), Seq("customer_key"), "left_anti")
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try repacked.write.mode("overwrite").partitionBy("month_key").parquet(target)
-    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
-    // the dynamic-overwrite deletion gap: a touched month emptied by
-    // the erasure writes no partition, leaving the stale dir — delete
-    // emptied partitions explicitly. Post-write reads must NOT reuse
-    // the pre-overwrite `touched`/`standing` plans (their captured
-    // file listings name the replaced part files); the collected keys
-    // drive a fresh partition-pruned read instead.
-    if (touchedKeys.nonEmpty) {
-      val remaining = spark.read.schema(fact.schema).parquet(target)
-        .filter(col("month_key").isin(touchedKeys.toSeq: _*))
-        .select(col("month_key")).distinct().collect().map(_.getString(0)).toSet
-      touchedKeys.filterNot(remaining).foreach { k =>
-        fs.delete(new Path(s"$target/month_key=$k"), true)
-      }
-    }
-    spark.read.schema(fact.schema).parquet(target)
-      .groupBy(col("month_key"))
-      .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("line_total_amount")), 2).as("total_amount"))
-      .orderBy(col("month_key"))
+    // partition-scoped repack + the emptied-month cleanup live in
+    // [[Warehouse.eraseFromPartitionedFact]] (the dynamic-overwrite
+    // deletion gap is handled there, and pinned on a synthetic
+    // all-victim month in Round17Spec — this corpus never empties one)
+    Warehouse.eraseFromPartitionedFact(spark, target, fact.schema, victims)
+    Warehouse.monthCensus(spark.read.schema(fact.schema).parquet(target))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

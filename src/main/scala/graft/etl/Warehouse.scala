@@ -328,6 +328,65 @@ object Warehouse {
     fact.repartition(col("month_key"))
       .write.partitionBy("month_key").mode("overwrite").parquet(path)
 
+  /** The per-month fact census — ONE definition of the (month_key,
+    * n_rows, total_amount) rollup the star maintenance verbs serve
+    * (q56 refresh, q57 retention, st24 stream loads share an oracle
+    * census; a drifted copy would silently break that contract). */
+  def monthCensus(fact: DataFrame): DataFrame =
+    fact.groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("line_total_amount")), 2).as("total_amount"))
+      .orderBy(col("month_key"))
+
+  /** Run `body` with dynamic partition overwrite enabled, restoring
+    * the session's previous setting after — the save/set/restore
+    * discipline st11's merge established, factored for the star
+    * verbs. */
+  def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
+  /** Partition-scoped ERASURE from a month-partitioned fact (q57's
+    * mechanism, factored so the emptied-month law is testable on a
+    * synthetic fact — the corpus never empties a month): repack only
+    * the months holding victim rows (broadcast semi-join; untouched
+    * months neither read nor written), then delete the months the
+    * erasure EMPTIED. The emptied set is computed from the repack
+    * plan BEFORE the write — dynamic overwrite never touches a
+    * partition the repack wrote no rows for, so a post-write read
+    * would see the ghost's old rows and report the month as still
+    * populated, making the cleanup unreachable (r17 review). Victims
+    * join on `customer_key`. Returns the touched month keys. */
+  def eraseFromPartitionedFact(spark: SparkSession, target: String,
+                               schema: org.apache.spark.sql.types.StructType,
+                               victims: DataFrame): Array[String] = {
+    val standing = spark.read.schema(schema).parquet(target)
+    val touched = standing.join(broadcast(victims), Seq("customer_key"))
+      .select(col("month_key")).distinct()
+    val touchedKeys = touched.collect().map(_.getString(0))
+    if (touchedKeys.isEmpty) return touchedKeys
+    val repacked = standing
+      .join(broadcast(touched), Seq("month_key"), "left_semi")
+      .join(broadcast(victims), Seq("customer_key"), "left_anti")
+    val survivors = repacked.select(col("month_key")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val emptied = touchedKeys.filterNot(survivors)
+    withDynamicOverwrite(spark) {
+      repacked.write.mode("overwrite").partitionBy("month_key").parquet(target)
+    }
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val fs = org.apache.hadoop.fs.FileSystem.get(tp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { k =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$target/month_key=$k"), true)
+    }
+    touchedKeys
+  }
+
   /** Bucketed layout for fact⋈fact joins (SURVEY §3.3: lineitem⋈orders
     * is the one join where both sides are fact-sized). Both tables
     * bucketed+sorted on the join key into the same bucket count join

@@ -2394,7 +2394,8 @@ object Pipeline {
           .as("cl_leak"))
       .collect()(0)
     val (docLeak, clLeak) = (lk.getLong(0), lk.getLong(1))
-    sp.select(lit("doc_hash").as("scheme"), col("doc_split").as("split"),
+    val censusPlan = sp
+      .select(lit("doc_hash").as("scheme"), col("doc_split").as("split"),
         col("n_tok"))
       .unionByName(sp.select(lit("cluster").as("scheme"),
         col("cl_split").as("split"), col("n_tok")))
@@ -2402,6 +2403,14 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("leaked_pairs",
         when(col("scheme") === "doc_hash", lit(docLeak)).otherwise(lit(clLeak)))
+      .orderBy(col("scheme"), col("split"))
+    // 4 rows — collect eagerly so the cached split frame can be freed
+    // before returning (the cache's only consumers are this census and
+    // the leak grade above)
+    val censusRows = censusPlan.collect()
+    sp.unpersist(false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(censusRows: _*), censusPlan.schema)
       .orderBy(col("scheme"), col("split"))
   }
 

@@ -49,11 +49,7 @@ object StarStream {
     // the load stream draws from the persisted warehouse fact (q56's
     // discipline) — star_build benchmarks the ETL, this row the loader
     val fact = RetailStar.servedStar(spark, dir).fact
-    // the arriving month (q56's pick, from the same order dates the
-    // staging synthesis carries): ONE value of driver state
-    val lastKey = Tables.orders(spark, dir)
-      .select(date_format(max(date_trunc("month", col("o_orderdate"))), "MMyyyy"))
-      .collect()(0).getString(0)
+    val lastKey = RetailStar.arrivingMonthKey(spark, dir) // q56's pick
     fact.filter(col("month_key") =!= lastKey)
       .coalesce(1).write.mode("overwrite").parquet(s"$base/f1")
     fact.filter(col("month_key") === lastKey)
@@ -82,26 +78,19 @@ object StarStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // empty-batch guard (st11's): a zero-row partitionBy write
         // would poison a fresh target with a schema-less dir
-        if (!batch.isEmpty) {
-          val key = "spark.sql.sources.partitionOverwriteMode"
-          val sp = batch.sparkSession
-          val prev = sp.conf.getOption(key)
-          sp.conf.set(key, "dynamic")
-          try batch.write.mode("overwrite")
-            .partitionBy("month_key").parquet(target)
-          finally prev.fold(sp.conf.unset(key))(v => sp.conf.set(key, v))
-        }
+        if (!batch.isEmpty)
+          graft.etl.Warehouse.withDynamicOverwrite(batch.sparkSession) {
+            batch.write.mode("overwrite")
+              .partitionBy("month_key").parquet(target)
+          }
       }
       .start()
     q.processAllAvailable()
     q.stop()
     // converged census, schema-pinned read (q56's discipline: the
     // zero-padded MMyyyy partition values must stay strings)
-    spark.read.schema(fact.schema).parquet(target)
-      .groupBy(col("month_key"))
-      .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("line_total_amount")), 2).as("total_amount"))
-      .orderBy(col("month_key"))
+    graft.etl.Warehouse.monthCensus(
+      spark.read.schema(fact.schema).parquet(target))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -237,6 +237,34 @@ class Round17Spec extends AnyFunSuite {
     assert(again === out, "re-issued erasure changed the census")
   }
 
+  // ---------- 2b'''. the erasure mechanism's emptied-month law ----------
+
+  test("fact erasure mechanism: a month whose EVERY row is a victim's does " +
+    "not survive as a ghost partition (the dynamic-overwrite deletion gap)") {
+    import spark.implicits._
+    import graft.etl.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("erase_gap").toString
+    val target = s"$tmp/fact"
+    val df = Seq(
+      (1L, "012020", 10.0), // month 012020: ONLY victim rows
+      (1L, "022020", 5.0), (2L, "022020", 7.0), // month 022020: mixed
+      (2L, "032020", 3.0)) // month 032020: untouched
+      .toDF("customer_key", "month_key", "line_total_amount")
+    Warehouse.writeFactPartitioned(df, target)
+    val touched = Warehouse.eraseFromPartitionedFact(
+      spark, target, df.schema, Seq(1L).toDF("customer_key"))
+    assert(touched.toSet === Set("012020", "022020"),
+      "erasure must touch exactly the victim's months")
+    val f = fs(target)
+    assert(!f.exists(new Path(s"$target/month_key=012020")),
+      "the emptied month survived as a ghost partition")
+    val after = spark.read.schema(df.schema).parquet(target)
+      .select(col("customer_key"), col("month_key"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === Set((2L, "022020"), (2L, "032020")),
+      "post-erasure fact must hold exactly the non-victim rows")
+  }
+
   // ---------- 2b'. st24 streamed star loads ----------
 
   test("st24: the streamed fact loads converge to q56's batch-refresh " +
