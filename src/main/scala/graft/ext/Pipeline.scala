@@ -2374,17 +2374,22 @@ object Pipeline {
     def splitOf(c: Column): Column =
       when(StableHash.hash64(concat(lit("e23:"), c.cast("string"))) % 10 < 9,
         "train").otherwise("val")
+    // no cache: the split frame is a row-local projection over one
+    // labels left-join — its three consumers (census union ×2, leak
+    // grade ×1) re-derive it more cheaply than a corpus-sized cache
+    // would hold it at scale
     val sp = docs
       .join(labels.select(col("node").as("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
         splitOf(col("doc_id")).as("doc_split"),
         splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("cl_split"))
-      .cache() // consumed by the census union and the leak grade
     val pa = sp.select(col("doc_id").as("a_id"),
       col("doc_split").as("a_d"), col("cl_split").as("a_c"))
     val pb = sp.select(col("doc_id").as("b_id"),
       col("doc_split").as("b_d"), col("cl_split").as("b_c"))
+    // 1-row leak frame, broadcast under the census — the whole entry
+    // stays one lazy distributed plan (no driver-side collect)
     val lk = pairsArtifact(spark, dir).select(col("a_id"), col("b_id"))
       .join(pa, Seq("a_id")).join(pb, Seq("b_id"))
       .agg(
@@ -2392,25 +2397,17 @@ object Pipeline {
           .as("doc_leak"),
         coalesce(sum(when(col("a_c") =!= col("b_c"), 1L).otherwise(0L)), lit(0L))
           .as("cl_leak"))
-      .collect()(0)
-    val (docLeak, clLeak) = (lk.getLong(0), lk.getLong(1))
-    val censusPlan = sp
-      .select(lit("doc_hash").as("scheme"), col("doc_split").as("split"),
+    sp.select(lit("doc_hash").as("scheme"), col("doc_split").as("split"),
         col("n_tok"))
       .unionByName(sp.select(lit("cluster").as("scheme"),
         col("cl_split").as("split"), col("n_tok")))
       .groupBy(col("scheme"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .crossJoin(broadcast(lk))
       .withColumn("leaked_pairs",
-        when(col("scheme") === "doc_hash", lit(docLeak)).otherwise(lit(clLeak)))
-      .orderBy(col("scheme"), col("split"))
-    // 4 rows — collect eagerly so the cached split frame can be freed
-    // before returning (the cache's only consumers are this census and
-    // the leak grade above)
-    val censusRows = censusPlan.collect()
-    sp.unpersist(false)
-    spark.createDataFrame(
-      java.util.Arrays.asList(censusRows: _*), censusPlan.schema)
+        when(col("scheme") === "doc_hash", col("doc_leak"))
+          .otherwise(col("cl_leak")))
+      .drop("doc_leak", "cl_leak")
       .orderBy(col("scheme"), col("split"))
   }
 

@@ -82,7 +82,12 @@ object PlanDump {
     "st20_wave_flags" -> "st20's per-wave docflags kernel: the wave joined broadcast against the persisted global tables (labels drops, dsir model + 1-row cut, |sources| rates, tiny eval-gram set) — every stage per-doc, nothing corpus-sized recomputed per wave",
     "s32_filtered_search" -> "selectivity-gated filtered search (r16): the broad filter's plan rides the index — probed-list ADC candidates semi-joined to the pushed-predicate matching-id set, ranked AFTER the filter; the narrow filter's plan never touches the index — exact int64 scan of the matching subset × the broadcast query slice; the integer cross-multiply decision picked each",
     "t32_bigram_ppl" -> "interpolated bigram-LM scoring (r16): one corpus bigram groupBy (map-side combined), BOTH model tables K-bounded TakeOrderedAndProject broadcasts, pair-grain broadcast left joins, doc agg + source rollup — t15's bounded-model discipline at the bigram tier",
-    "s33_adc_rerank" -> "two-stage serve (r16): stage 1 = s13's partition-pruned probed-list ADC plan cut to the R=30 shortlist; stage 2 = exact int64 re-rank joining the corpus vector table ONLY on shortlist ids — R·|Q|-bounded raw-vector reads, one rank window per stage")
+    "s33_adc_rerank" -> "two-stage serve (r16): stage 1 = s13's partition-pruned probed-list ADC plan cut to the R=30 shortlist; stage 2 = exact int64 re-rank joining the corpus vector table ONLY on shortlist ids — R·|Q|-bounded raw-vector reads, one rank window per stage",
+    "q56_star_refresh" -> "star partition refresh (r17): the served census is a pure scan of the month-partitioned post-refresh fact; the refresh itself writes one partition per arriving month via dynamic partition overwrite (re-delivered in-verb — replacement, never append)",
+    "q57_fact_retention" -> "star retention delete (r17): touched months from a broadcast victim semi-join; the repack is touched-partitions-only (left_semi on months, left_anti on victims) under dynamic overwrite; the served census is a pure post-erasure scan",
+    "st24_fact_loads" -> "streamed star loads (r17): each micro-batch's foreachBatch write rewrites only its touched month partitions; the duplicate delivery replaces the same partition; the served census is a pure scan of the converged fact",
+    "e23_split_guard" -> "leakage-safe split (r17): row-local portable-hash split columns over ONE left join against the candidate-pair-bounded labels artifact; the leak grade joins the persisted pairs table on doc_id; census = one union + one hash agg",
+    "e22_maintenance_apply" -> "unified maintenance apply (r17): all four drift decisions are |Q|·k membership grades / K-row broadcasts over persisted grading artifacts (ONE shared computation with e21); fired tiers re-grade the post-apply tree, quiet tiers serve already-persisted grades — the output is a 4-row local relation")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
