@@ -510,4 +510,44 @@ class PropertySpec extends AnyFunSuite {
       fail.fold(Prop.passed)(m => Prop.falsified :| m)
     }, n = 10)
   }
+
+  test("partitioned-fact erasure law: erase ≡ rebuild-without-victims on " +
+    "random facts, ghost-free (emptied months leave no partition dir)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    // small domains force shared months, all-victim months, and
+    // victim-free months across cases
+    val rowGen = for {
+      cust  <- Gen.chooseNum(1L, 6L)
+      month <- Gen.oneOf("012020", "022020", "032020", "042020")
+      amt   <- Gen.chooseNum(1, 500)
+    } yield (cust, month, amt / 100.0)
+    val caseGen = for {
+      rows    <- Gen.nonEmptyListOf(rowGen)
+      victims <- Gen.someOf(1L to 6L)
+    } yield (rows, victims.toSet)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("erase_prop").toString
+    var n = 0
+    check("erasure", Prop.forAll(caseGen) { case (rows, victims) =>
+      n += 1
+      val target = s"$tmpRoot/fact_$n"
+      val df = rows.toDF("customer_key", "month_key", "line_total_amount")
+      Warehouse.writeFactPartitioned(df, target)
+      Warehouse.eraseFromPartitionedFact(spark, target, df.schema,
+        victims.toSeq.toDF("customer_key"))
+      val got = spark.read.schema(df.schema).parquet(target)
+        .select(col("customer_key"), col("month_key"), col("line_total_amount"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sorted.toSeq
+      val expected = rows.filterNot(r => victims.contains(r._1)).sorted
+      val fs = FileSystem.get(new Path(target).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(new Path(target)).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("month_key=")).toSet
+      val expectedDirs = expected.map(_._2).toSet
+      (Prop(got == expected) :| s"rows: got $got expected $expected") &&
+        (Prop(dirs == expectedDirs) :|
+          s"ghost partitions: dirs $dirs expected $expectedDirs")
+    }, n = 15)
+  }
 }
