@@ -309,6 +309,11 @@ object Pipeline {
     ensureArtifact(spark, dir, "docflags")(
       docFlagsDerived(spark, dir, labelsArtifact(spark, dir)))
 
+  /** Spec seam: the served docflags artifact (Round17Spec's e24
+    * split-consistency grade recomputes the release split from it). */
+  private[graft] def docFlagsForSpec(spark: SparkSession, dir: String): DataFrame =
+    docFlagsArtifact(spark, dir)
+
   /** PARTITIONED by shard — the bins table IS the shard directory a
     * training worker opens, so the layout lets a per-shard reader
     * prune to its own partition (s13's inverted-list lesson). The
@@ -1304,6 +1309,7 @@ object Pipeline {
     "e21_maintenance_census" -> (e21MaintenanceCensus _),
     "e22_maintenance_apply" -> (e22MaintenanceApply _),
     "e23_split_guard" -> (e23SplitGuard _),
+    "e24_release_pack" -> (e24ReleasePack _),
     "e11_retention_delete" -> (e11RetentionDelete _),
     "e10_artifact_refresh" -> (e10ArtifactRefresh _),
     "e9_order_manifest" -> (e9OrderManifest _),
@@ -2366,14 +2372,20 @@ object Pipeline {
     * candidates) against the split table on doc_id — no corpus-sized
     * shuffle beyond the one labels join; driver state is 2 leak
     * longs. */
+  /** The 90/10 split lottery — ONE definition of the hash rule e23
+    * grades and e24 packs by (a drifted copy would let the release
+    * pack a different split than the guard certified). `c` is the
+    * split unit: the doc id for the naive scheme, the cluster key for
+    * the guarded one. */
+  private def splitOf(c: Column): Column =
+    when(StableHash.hash64(concat(lit("e23:"), c.cast("string"))) % 10 < 9,
+      "train").otherwise("val")
+
   def e23SplitGuard(spark: SparkSession, dir: String): DataFrame = {
     val labels = labelsArtifact(spark, dir)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-    def splitOf(c: Column): Column =
-      when(StableHash.hash64(concat(lit("e23:"), c.cast("string"))) % 10 < 9,
-        "train").otherwise("val")
     // no cache: the split frame is a row-local projection over one
     // labels left-join — its three consumers (census union ×2, leak
     // grade ×1) re-derive it more cheaply than a corpus-sized cache
@@ -2448,6 +2460,74 @@ object Pipeline {
                      ELSE k.cl_leak END AS leaked_pairs
          FROM e23cen c CROSS JOIN e23lk k
          ORDER BY scheme, split"""
+
+  /** E24 — split-aware RELEASE PACKING (the step after e23: the
+    * certified split, delivered as trainable shards): the funnel's
+    * final survivors (docflags s5 — dedup'd, quality-filtered,
+    * decontaminated, DSIR-selected, mix-sampled) are assigned their
+    * CLUSTER-WHOLESALE split (e23's exact hash rule — [[splitOf]] is
+    * one shared definition, so the release can never pack a different
+    * split than the guard certified) and each split is packed
+    * independently into e7's fixed-capacity token bins (same shard
+    * arithmetic, same in-order offset law — [[binsFrom]] verbatim per
+    * split). Serve = the per-(split, shard) bin/doc/token census —
+    * what a training job's data loader reads to open its train and
+    * held-out streams. Oracle composes the full selectedCtes funnel,
+    * the labels closure it already embeds, the shared hash split, and
+    * the packing window in one statement.
+    *
+    * Scale: the split column rides the docflags scan (row-local hash
+    * + the candidate-pair-bounded labels left-join); packing is e7's
+    * shard-local window — the census is |splits|·|shards| rows. */
+  def e24ReleasePack(spark: SparkSession, dir: String): DataFrame = {
+    val labels = labelsArtifact(spark, dir)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val sp = docFlagsArtifact(spark, dir).filter(col("s5"))
+      .select(col("doc_id"), col("n_tok"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"))
+    val packed = Seq("train", "val").map { s =>
+      binsFrom(sp.filter(col("split") === s)
+        .select(col("doc_id"), col("n_tok"), lit(true).as("s5")))
+        .withColumn("split", lit(s))
+    }.reduce(_ unionByName _)
+    packed.groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  /** e24's oracle: the funnel chain (labels CTE included), the shared
+    * split hash, and the per-split packing window in one statement. */
+  private lazy val e24OracleSql: String =
+    s"""WITH RECURSIVE $selectedCtes,
+         e24sp AS (
+           SELECT m.doc_id, m.n_tok,
+                  CASE WHEN ${StableHash.duckdbHash64(
+                    "'e23:' || CAST(COALESCE(l.cluster_id, m.doc_id) AS VARCHAR)")}
+                         % 10 < 9
+                       THEN 'train' ELSE 'val' END AS split
+           FROM mx m LEFT JOIN labels l ON l.doc_id = m.doc_id
+           WHERE m.s5 = 1),
+         e24off AS (
+           SELECT split, doc_id % ${TextAnalysis.PackShards} AS shard, n_tok,
+                  sum(n_tok) OVER (
+                    PARTITION BY split, doc_id % ${TextAnalysis.PackShards}
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tok AS start_off
+           FROM e24sp),
+         e24b AS (
+           SELECT split, shard,
+                  CAST(floor(start_off / ${TextAnalysis.PackCapacity}) AS BIGINT)
+                    AS bin,
+                  count(*) AS nd, CAST(sum(n_tok) AS BIGINT) AS nt
+           FROM e24off GROUP BY 1, 2, 3)
+         SELECT split, shard, count(*) AS n_bins,
+                CAST(sum(nd) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens
+         FROM e24b GROUP BY 1, 2 ORDER BY split, shard"""
 
   /** The retention-delete census as SQL, parameterized over the KEEP
     * predicate (e11 retires a source, st22 a streamed takedown id
@@ -2954,6 +3034,7 @@ object Pipeline {
     "e21_maintenance_census" -> e21OracleSql,
     "e22_maintenance_apply" -> e22OracleSql,
     "e23_split_guard" -> e23OracleSql,
+    "e24_release_pack" -> e24OracleSql,
     "e15_source_offboard" -> e15OracleSql,
     // e16: the split census a user draws AFTER offboarding — the e6
     // chain over the retracted labeling with the retired rows gone

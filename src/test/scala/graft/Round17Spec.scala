@@ -325,6 +325,38 @@ class Round17Spec extends AnyFunSuite {
       "independent grade found a straddling pair under the cluster scheme")
   }
 
+  // ---------- 2d. e24 release packing ----------
+
+  test("e24: the packed release conserves the bins artifact's mass exactly " +
+    "(train + val docs/tokens = e3's totals), and every surviving doc's " +
+    "split matches e23's cluster scheme") {
+    val out = Pipeline.e24ReleasePack(spark, dir).collect()
+    val (relDocs, relToks) = (out.map(_.getLong(3)).sum, out.map(_.getLong(4)).sum)
+    val bins = Pipeline.e3FinalPacking(spark, dir)
+      .agg(sum(col("n_docs")).as("d"), sum(col("n_tokens")).as("t"))
+      .collect()(0)
+    assert(relDocs === bins.getLong(0) && relToks === bins.getLong(1),
+      "release mass != the bins artifact's totals")
+    assert(out.map(_.getString(0)).toSet === Set("train", "val"),
+      "both splits must be live in the release")
+    // split consistency: per-split doc totals equal an independent
+    // count under e23's cluster rule over the s5 survivors
+    import graft.functions.StableHash
+    val labels = Pipeline.labelsArtifact(spark, dir)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val independent = Pipeline.docFlagsForSpec(spark, dir).filter(col("s5"))
+      .join(labels, Seq("doc_id"), "left")
+      .groupBy(when(StableHash.hash64(concat(lit("e23:"),
+          coalesce(col("cluster_id"), col("doc_id")).cast("string"))) % 10 < 9,
+        "train").otherwise("val").as("split"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSplit = out.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(3)).sum }
+    assert(perSplit === independent,
+      "release split counts != independent e23-rule counts")
+  }
+
   // ---------- 3. e22 force-fire ----------
 
   test("e22 force-fire: each quiet tier's fired apply serves the standalone " +
