@@ -480,15 +480,21 @@ object Pipeline {
     * bins-artifact builder: same shard hash, same capacity, same
     * straddle rule as the standalone t13; one window per shard at any
     * corpus size, no global sort. */
-  private[graft] def binsFrom(flags: DataFrame): DataFrame = {
+  /** Token-bin packing of the s5 survivors. `extraPart` prepends
+    * partition columns to the shard axis (e24 packs per split in ONE
+    * scan — each (extraPart, shard) stream offsets independently). */
+  private[graft] def binsFrom(flags: DataFrame,
+                              extraPart: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val part = extraPart.map(col) :+ col("shard")
+    val w = Window.partitionBy(part: _*).orderBy(col("doc_id"))
     flags.filter(col("s5"))
-      .select(col("doc_id"),
-        pmod(col("doc_id"), lit(TextAnalysis.PackShards)).as("shard"), col("n_tok"))
+      .select(extraPart.map(col) ++ Seq(col("doc_id"),
+        pmod(col("doc_id"), lit(TextAnalysis.PackShards)).as("shard"),
+        col("n_tok")): _*)
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("bin", floor(col("start_off") / TextAnalysis.PackCapacity))
-      .groupBy(col("shard"), col("bin"))
+      .groupBy(part :+ col("bin"): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
@@ -2347,6 +2353,15 @@ object Pipeline {
                 served
          FROM allr ORDER BY tier"""
 
+  /** The 90/10 split lottery — ONE definition of the hash rule e23
+    * grades and e24 packs by (a drifted copy would let the release
+    * pack a different split than the guard certified). `c` is the
+    * split unit: the doc id for the naive scheme, the cluster key for
+    * the guarded one. */
+  private def splitOf(c: Column): Column =
+    when(StableHash.hash64(concat(lit("e23:"), c.cast("string"))) % 10 < 9,
+      "train").otherwise("val")
+
   /** E23 — LEAKAGE-SAFE train/validation split (the split step a
     * training-data pipeline runs after dedup, with the guard the
     * naive form silently lacks): a document-level hash split strands
@@ -2372,15 +2387,6 @@ object Pipeline {
     * candidates) against the split table on doc_id — no corpus-sized
     * shuffle beyond the one labels join; driver state is 2 leak
     * longs. */
-  /** The 90/10 split lottery — ONE definition of the hash rule e23
-    * grades and e24 packs by (a drifted copy would let the release
-    * pack a different split than the guard certified). `c` is the
-    * split unit: the doc id for the naive scheme, the cluster key for
-    * the guarded one. */
-  private def splitOf(c: Column): Column =
-    when(StableHash.hash64(concat(lit("e23:"), c.cast("string"))) % 10 < 9,
-      "train").otherwise("val")
-
   def e23SplitGuard(spark: SparkSession, dir: String): DataFrame = {
     val labels = labelsArtifact(spark, dir)
     val docs = Tables.documents(spark, dir)
@@ -2482,16 +2488,14 @@ object Pipeline {
   def e24ReleasePack(spark: SparkSession, dir: String): DataFrame = {
     val labels = labelsArtifact(spark, dir)
       .select(col("node").as("doc_id"), col("cluster_id"))
-    val sp = docFlagsArtifact(spark, dir).filter(col("s5"))
-      .select(col("doc_id"), col("n_tok"))
+    val sp = docFlagsArtifact(spark, dir)
+      .select(col("doc_id"), col("n_tok"), col("s5"))
       .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tok"),
+      .select(col("doc_id"), col("n_tok"), col("s5"),
         splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"))
-    val packed = Seq("train", "val").map { s =>
-      binsFrom(sp.filter(col("split") === s)
-        .select(col("doc_id"), col("n_tok"), lit(true).as("s5")))
-        .withColumn("split", lit(s))
-    }.reduce(_ unionByName _)
+    // ONE docflags scan: both splits pack in the same window pass,
+    // each (split, shard) stream offsetting independently
+    val packed = binsFrom(sp, Seq("split"))
     packed.groupBy(col("split"), col("shard"))
       .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))

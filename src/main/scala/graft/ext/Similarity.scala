@@ -3176,6 +3176,17 @@ object Similarity {
     ivfTruthHits(spark, dir, queryIvfPqIndex(spark, dir, root))
   }
 
+  /** PlanDump seam: the distributed decision-grade stage under
+    * e21/e22 (their outputs are bounded local relations — this is the
+    * |Q|·k membership join over the persisted grading tier that every
+    * tier decision reduces to). */
+  private[graft] def maintenanceGradeFrame(spark: SparkSession,
+                                           dir: String): DataFrame =
+    exactCosTruth(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .join(appendedAnswers(spark, dir)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+
   /** e22's kNN-graph tier, FIRED branch: stage both generations under
     * the maintenance root, promote the refreshed one over the serve
     * slot ([[graphGenerationCutover]]), and grade the post-verb slot

@@ -112,6 +112,7 @@ object PlanDump {
       "p6_modularity" -> (graft.ext.Graph.p6PlanFrame _),
       "e12_two_level" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.ext.Pipeline.e12Enforced(s, d, twoLevel = true)),
+      "e22_maintenance_apply" -> (graft.ext.Similarity.maintenanceGradeFrame _),
       "pairs_build" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.ext.Dedup.d4PairsFromSignatures(s, d,
           graft.ext.Pipeline.signaturesArtifact(s, d))),

@@ -549,5 +549,8 @@ class PropertySpec extends AnyFunSuite {
         (Prop(dirs == expectedDirs) :|
           s"ghost partitions: dirs $dirs expected $expectedDirs")
     }, n = 15)
+    // the per-evaluation fact trees are scratch — don't leak them
+    FileSystem.get(new Path(tmpRoot).toUri,
+      spark.sparkContext.hadoopConfiguration).delete(new Path(tmpRoot), true)
   }
 }
