@@ -273,9 +273,19 @@ object RetailStar {
     * driver state, from the same order dates the staging synthesis
     * carries. Shared by q56 and st24. */
   private[graft] def arrivingMonthKey(spark: SparkSession, dir: String): String =
+    arrivingMonthKeys(spark, dir, 1).head
+
+  /** The N most recent months as "MMyyyy" keys (newest first) — the
+    * window late-arriving data lands in. The MMyyyy key itself is not
+    * order-preserving, so the ordering happens on the real month;
+    * N values of driver state. */
+  private[graft] def arrivingMonthKeys(spark: SparkSession, dir: String,
+                                       n: Int): Seq[String] =
     Tables.orders(spark, dir)
-      .select(date_format(max(date_trunc("month", col("o_orderdate"))), "MMyyyy"))
-      .collect()(0).getString(0)
+      .select(date_trunc("month", col("o_orderdate")).as("m")).distinct()
+      .orderBy(desc("m")).limit(n)
+      .select(date_format(col("m"), "MMyyyy"))
+      .collect().toIndexedSeq.map(_.getString(0))
 
   /** The deterministic erasure slice (natural customer ids ending in
     * 007): 1 customer at sf0.001, 2 at sf0.01, 15 at sf0.1 — live but
@@ -332,13 +342,91 @@ object RetailStar {
     Warehouse.monthCensus(spark.read.schema(fact.schema).parquet(target))
   }
 
+  /** The deterministic late-arriving slice q58 measures: ~10% of the
+    * lines (transaction_id ending in 7) in the three most recent
+    * months — dense enough that every spec SF fires at least one
+    * month, recent-skewed the way late upstream batches actually
+    * land. */
+  val Q58LateMod = 10L
+  val Q58LateDigit = 7L
+  val Q58LateMonths = 3
+
+  /** Q58 — star-fact FRESHNESS gate (the drift-health verb every
+    * other persisted tier already owns — s14 for the IVF index, s27
+    * for the kNN graph, t26 for the DSIR model, t31 for the tokenizer
+    * — closed at the warehouse tier): the standing month-partitioned
+    * fact is STALE against the source (a late-arriving slice of
+    * recent months never landed — staged deterministically so the
+    * gate is non-vacuous every round), the gate MEASURES per-month
+    * drift as exact integers (source census vs warehouse census, the
+    * same monthCensus both sides of every star verb hash), FIRES
+    * exactly the drifted months, and EXECUTES the refresh for fired
+    * months only (q56's dynamic-partition-overwrite load, gated);
+    * quiet months are neither read nor written. Serve = the decision
+    * dashboard (stale/source/late counts, the fired bit) joined to
+    * the post-apply census WITNESSED from the refreshed parquet —
+    * rows_after must equal rows_source on every row or the hash
+    * breaks (freshness-gate ∘ refresh ≡ rebuild).
+    *
+    * Scale: the measure is two month-grain censuses (one aggregate
+    * over the warehouse, one over the source delta feed — at 100 TB
+    * the source side comes from load-manifest counts rather than a
+    * full source re-scan); the apply cost ∝ fired months only, never
+    * history depth; the fired set is month-bounded driver state. */
+  def q58StarFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val root = graft.ArtifactRoots.tagged("graft_starfr_v1", dir)
+    val target = s"$root/fact_by_month"
+    val rp = new Path(root)
+    val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp)) fs.delete(rp, true) // fresh scratch per invocation
+    val fact = servedStar(spark, dir).fact
+    val lateKeys = arrivingMonthKeys(spark, dir, Q58LateMonths)
+    val isLate = col("month_key").isin(lateKeys: _*) &&
+      pmod(col("transaction_id"), lit(Q58LateMod)) === Q58LateDigit
+    // the standing warehouse: everything EXCEPT the late slice
+    Warehouse.writeFactPartitioned(fact.filter(!isLate), target)
+    // measured drift: per-month source census vs warehouse census.
+    // The left join + fill(0) keeps a wholly-late month visible (its
+    // partition is absent from the stale warehouse) — not live on
+    // this corpus, but the gate must fire it rather than skip it.
+    val src = Warehouse.monthCensus(fact)
+      .select(col("month_key"), col("n_rows").as("rows_source"))
+    val wh = Warehouse.monthCensus(spark.read.schema(fact.schema).parquet(target))
+      .select(col("month_key"), col("n_rows").as("rows_stale"))
+    // month-grain frame, MATERIALIZED before the gated overwrite: its
+    // lineage reads the stale warehouse files the refresh replaces
+    val decision = src.join(wh, Seq("month_key"), "left")
+      .na.fill(0L, Seq("rows_stale"))
+      .withColumn("late_rows", col("rows_source") - col("rows_stale"))
+      .withColumn("fired", when(col("late_rows") > 0, 1L).otherwise(0L))
+      .localCheckpoint()
+    // month-bounded driver state: the fired partition keys
+    val fired = decision.filter(col("fired") === 1L)
+      .select(col("month_key")).collect().map(_.getString(0))
+    if (fired.nonEmpty) Warehouse.withDynamicOverwrite(spark) {
+      fact.filter(col("month_key").isin(fired.toIndexedSeq: _*))
+        .repartition(col("month_key"))
+        .write.mode("overwrite").partitionBy("month_key").parquet(target)
+    }
+    // post-apply census witnessed from the refreshed warehouse itself
+    val post = Warehouse.monthCensus(spark.read.schema(fact.schema).parquet(target))
+      .select(col("month_key"), col("n_rows").as("rows_after"),
+        col("total_amount").as("amount_after"))
+    decision.join(post, Seq("month_key"))
+      .select(col("month_key"), col("rows_stale"), col("rows_source"),
+        col("late_rows"), col("fired"), col("rows_after"), col("amount_after"))
+      .orderBy(col("month_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_sales_by_hour"          -> (q27SalesByHour _),
     "q28_sales_by_shipping_tier" -> (q28SalesByShippingTier _),
     "q29_top_products_star"      -> (q29TopProducts _),
     "q55_snapshot_increment"     -> (q55SnapshotIncrement _),
     "q56_star_refresh"           -> (q56StarRefresh _),
-    "q57_fact_retention"         -> (q57FactRetention _))
+    "q57_fact_retention"         -> (q57FactRetention _),
+    "q58_star_freshness"         -> (q58StarFreshness _))
 
   /** Oracles re-derive the same results from first principles: the
     * staging synthesis drops nothing (inner joins on guaranteed FKs,
@@ -417,5 +505,37 @@ object RetailStar {
                 round(sum(l_extendedprice), 2) AS total_amount
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_custkey % 1000 <> 7
-         GROUP BY 1 ORDER BY month_key""")
+         GROUP BY 1 ORDER BY month_key""",
+    // the freshness dashboard from first principles: the late slice
+    // is line-ending-in-7 in the 3 most recent months (LEFT JOIN
+    // month membership, not IN — the DuckDB binder quirk), the stale
+    // census excludes it, fired = any drift, rows_after = the full
+    // source census (gate ∘ refresh ≡ rebuild)
+    "q58_star_freshness" ->
+      """WITH f AS (
+           SELECT strftime(date_trunc('month', o_orderdate), '%m%Y') AS month_key,
+                  date_trunc('month', o_orderdate) AS m,
+                  l_orderkey AS tid, l_extendedprice AS amt
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         lm AS (SELECT m, 1 AS late_month FROM
+                  (SELECT DISTINCT m FROM f ORDER BY m DESC LIMIT 3)),
+         g AS (SELECT f.month_key, f.tid, f.amt,
+                      coalesce(lm.late_month, 0) AS ilm
+               FROM f LEFT JOIN lm ON f.m = lm.m),
+         c AS (
+           SELECT month_key,
+                  count(*) AS rows_source,
+                  count(*) FILTER (WHERE NOT (ilm = 1 AND tid % 10 = 7))
+                    AS rows_stale,
+                  round(sum(amt), 2) AS amount_after
+           FROM g GROUP BY month_key)
+         SELECT month_key,
+                CAST(rows_stale AS BIGINT) AS rows_stale,
+                CAST(rows_source AS BIGINT) AS rows_source,
+                CAST(rows_source - rows_stale AS BIGINT) AS late_rows,
+                CAST(CASE WHEN rows_source > rows_stale THEN 1 ELSE 0 END
+                  AS BIGINT) AS fired,
+                CAST(rows_source AS BIGINT) AS rows_after,
+                amount_after
+         FROM c ORDER BY month_key""")
 }

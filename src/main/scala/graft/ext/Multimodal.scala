@@ -471,6 +471,99 @@ object Multimodal {
     Pipeline.mediaPairsArtifact(spark, dir)
       .orderBy(col("kind"), col("a_id"), col("b_id"))
 
+  /** M9 — the media pair graph RESOLVED into near-dup clusters: d7's
+    * posture at the media tier. Pairs come from the persisted
+    * `media_pairs` artifact (one parquet scan), components from the
+    * shared big-star labeling (log-round, topology-independent — the
+    * same loop every text-tier CC verb runs), and the serve is the
+    * per-cluster census a curation pipeline acts on: size, redundant
+    * copies (members minus the keeper), and the worst verified L1
+    * inside the cluster (the merge-quality signal — a cluster whose
+    * max_l1 nears the verify threshold is chained, not tight).
+    *
+    * Scale: the pair graph is bounded by m7's banded candidates (hot
+    * buckets capped), big-star is O(log²) edge-sized rounds, and the
+    * census is one hash aggregate over cluster-labeled members —
+    * nothing corpus² anywhere. */
+  def m9MediaClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Pipeline.mediaPairsArtifact(spark, dir)
+    val labels = Dedup.bigStarComponents(pairs, "a_id", "b_id")
+    // a cluster is same-kind by construction (m7 candidates never
+    // cross kinds); recover the kind from either pair endpoint
+    val nodeKind = pairs.select(col("a_id").as("node"), col("kind"))
+      .unionByName(pairs.select(col("b_id").as("node"), col("kind")))
+      .distinct()
+    val sizes = labels.join(nodeKind, Seq("node"))
+      .groupBy(col("kind"), col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val worst = pairs
+      .join(labels.withColumnRenamed("node", "a_id"), Seq("a_id"))
+      .groupBy(col("kind"), col("cluster_id"))
+      .agg(max(col("l1_permille")).as("max_l1"))
+    sizes.join(worst, Seq("kind", "cluster_id"))
+      .select(col("kind"), col("cluster_id"), col("n_members"),
+        (col("n_members") - 1).as("n_redundant"), col("max_l1"))
+      .orderBy(col("kind"), col("cluster_id"))
+  }
+
+  /** m7's signature→band→candidate→L1 chain as oracle CTE text ending
+    * in `l1`, shared by the m7 and m9 oracles (the d4ChainCtes
+    * CTE-builder discipline: two verbatim copies would drift). */
+  private[graft] lazy val m7PairChainCtes: String =
+    s"""base AS (
+           SELECT doc_id AS media_id,
+                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  text, octet_length(encode(text)) AS n
+           FROM documents),
+         d AS (
+           SELECT media_id, kind, text, n FROM base
+           UNION ALL
+           SELECT media_id + $M7TwinOffset, kind, 'Z' || substr(text, 2), n
+           FROM base WHERE media_id % $M7PlantStride = 0 AND n >= 2),
+         ch AS (
+           SELECT media_id, (CAST(i AS BIGINT) * $M7Segments) // n AS seg,
+                  unicode(substr(text, CAST(i AS INTEGER) + 1, 1)) AS v
+           FROM (SELECT media_id, text, n, unnest(range(n)) AS i FROM d)),
+         segs AS (
+           SELECT media_id, seg, CAST(sum(v) AS BIGINT) AS s,
+                  count(*) AS c
+           FROM ch GROUP BY 1, 2),
+         pv AS (
+           SELECT d.media_id, d.kind, CAST(r.range AS INTEGER) AS seg,
+                  COALESCE((g.s * 1000) // (256 * g.c), 0) AS p
+           FROM d CROSS JOIN range($M7Segments) r
+           LEFT JOIN segs g ON g.media_id = d.media_id AND g.seg = r.range),
+         pvb AS (
+           SELECT media_id, kind, seg, p,
+                  CAST(seg // $M7BandWidth AS INTEGER) AS band
+           FROM pv),
+         bands AS (
+           SELECT media_id, kind, band,
+                  md5(CAST(band AS VARCHAR) || ',' ||
+                      array_to_string(list(CAST(p AS VARCHAR) ORDER BY seg), ',')) AS bsig
+           FROM pvb GROUP BY 1, 2, 3),
+         small AS (
+           SELECT kind, band, bsig FROM bands
+           GROUP BY 1, 2, 3 HAVING count(*) <= $M7BucketCap),
+         cand AS (
+           SELECT DISTINCT a.kind, a.media_id AS a_id, b.media_id AS b_id
+           FROM bands a
+           JOIN bands b ON a.kind = b.kind AND a.band = b.band
+                       AND a.bsig = b.bsig AND a.media_id < b.media_id
+           JOIN small s ON s.kind = a.kind AND s.band = a.band AND s.bsig = a.bsig),
+         l1 AS (
+           SELECT c.kind, c.a_id, c.b_id,
+                  CAST(sum(abs(pa.p - pb.p)) AS BIGINT) AS l1_permille
+           FROM cand c
+           JOIN pv pa ON pa.media_id = c.a_id
+           JOIN pv pb ON pb.media_id = c.b_id AND pb.seg = pa.seg
+           GROUP BY 1, 2, 3)"""
+
+  private[graft] lazy val m7PairsSelect: String =
+    s"""SELECT kind, a_id, b_id, l1_permille FROM l1
+         WHERE l1_permille <= $M7MaxL1"""
+
   /** Scene-boundary threshold in permille units on adjacent segment
     * means. Measured on this corpus (sf0.01 videos): adjacent-segment
     * |Δmean| spans 0–148‰ with median ≈ 13‰ and p90 ≈ 45‰, so 40‰
@@ -521,6 +614,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_media_clusters"      -> (m9MediaClusters _),
     "m8_scene_segmentation"  -> (m8SceneSegmentation _),
     "m7_perceptual_lsh"      -> (m7PerceptualLshServed _),
     "m6_crossmodal_knn"      -> (m6CrossModalKnn _),
@@ -681,58 +775,45 @@ object Multimodal {
     // equals the payload byte (ASCII corpus), and the ceil-div
     // segment mapping (i*16)//n matches SegmentSums bit-for-bit
     "m7_perceptual_lsh" ->
-      s"""WITH base AS (
-           SELECT doc_id AS media_id,
-                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                  text, octet_length(encode(text)) AS n
-           FROM documents),
-         d AS (
-           SELECT media_id, kind, text, n FROM base
-           UNION ALL
-           SELECT media_id + $M7TwinOffset, kind, 'Z' || substr(text, 2), n
-           FROM base WHERE media_id % $M7PlantStride = 0 AND n >= 2),
-         ch AS (
-           SELECT media_id, (CAST(i AS BIGINT) * $M7Segments) // n AS seg,
-                  unicode(substr(text, CAST(i AS INTEGER) + 1, 1)) AS v
-           FROM (SELECT media_id, text, n, unnest(range(n)) AS i FROM d)),
-         segs AS (
-           SELECT media_id, seg, CAST(sum(v) AS BIGINT) AS s,
-                  count(*) AS c
-           FROM ch GROUP BY 1, 2),
-         pv AS (
-           SELECT d.media_id, d.kind, CAST(r.range AS INTEGER) AS seg,
-                  COALESCE((g.s * 1000) // (256 * g.c), 0) AS p
-           FROM d CROSS JOIN range($M7Segments) r
-           LEFT JOIN segs g ON g.media_id = d.media_id AND g.seg = r.range),
-         pvb AS (
-           SELECT media_id, kind, seg, p,
-                  CAST(seg // $M7BandWidth AS INTEGER) AS band
-           FROM pv),
-         bands AS (
-           SELECT media_id, kind, band,
-                  md5(CAST(band AS VARCHAR) || ',' ||
-                      array_to_string(list(CAST(p AS VARCHAR) ORDER BY seg), ',')) AS bsig
-           FROM pvb GROUP BY 1, 2, 3),
-         small AS (
-           SELECT kind, band, bsig FROM bands
-           GROUP BY 1, 2, 3 HAVING count(*) <= $M7BucketCap),
-         cand AS (
-           SELECT DISTINCT a.kind, a.media_id AS a_id, b.media_id AS b_id
-           FROM bands a
-           JOIN bands b ON a.kind = b.kind AND a.band = b.band
-                       AND a.bsig = b.bsig AND a.media_id < b.media_id
-           JOIN small s ON s.kind = a.kind AND s.band = a.band AND s.bsig = a.bsig),
-         l1 AS (
-           SELECT c.kind, c.a_id, c.b_id,
-                  CAST(sum(abs(pa.p - pb.p)) AS BIGINT) AS l1_permille
-           FROM cand c
-           JOIN pv pa ON pa.media_id = c.a_id
-           JOIN pv pb ON pb.media_id = c.b_id AND pb.seg = pa.seg
-           GROUP BY 1, 2, 3)
-         SELECT kind, a_id, b_id, l1_permille FROM l1
-         WHERE l1_permille <= $M7MaxL1
+      s"""WITH $m7PairChainCtes
+         $m7PairsSelect
          ORDER BY kind, a_id, b_id""",
+    // m9: m7's pair chain resolved into clusters — d7's recursive
+    // transitive-closure labeling over the media pair graph, then the
+    // per-cluster census (size, redundancy, worst verified distance)
+    "m9_media_clusters" ->
+      s"""WITH RECURSIVE $m7PairChainCtes,
+         mp AS ($m7PairsSelect),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM mp
+           UNION SELECT b_id, a_id FROM mp),
+         reach AS (
+           SELECT s AS node, d AS other FROM edges
+           UNION
+           SELECT r.node, e.d FROM reach r JOIN edges e ON r.other = e.s),
+         mem AS (SELECT DISTINCT s AS node FROM edges),
+         labels AS (
+           SELECT m.node, least(m.node, min(r.other)) AS cluster_id
+           FROM mem m JOIN reach r ON r.node = m.node
+           GROUP BY m.node),
+         nk AS (
+           SELECT DISTINCT node, kind FROM (
+             SELECT a_id AS node, kind FROM mp
+             UNION ALL SELECT b_id, kind FROM mp)),
+         sz AS (
+           SELECT nk.kind, l.cluster_id, count(*) AS n_members
+           FROM labels l JOIN nk ON nk.node = l.node
+           GROUP BY 1, 2),
+         ml AS (
+           SELECT p.kind, la.cluster_id, max(p.l1_permille) AS max_l1
+           FROM mp p JOIN labels la ON la.node = p.a_id
+           GROUP BY 1, 2)
+         SELECT sz.kind, sz.cluster_id,
+                CAST(sz.n_members AS BIGINT) AS n_members,
+                CAST(sz.n_members - 1 AS BIGINT) AS n_redundant,
+                ml.max_l1
+         FROM sz JOIN ml ON sz.kind = ml.kind AND sz.cluster_id = ml.cluster_id
+         ORDER BY sz.kind, sz.cluster_id""",
     // m3's oracle re-derives the header fields from the same doc_id
     // arithmetic the header was built from — the Spark side genuinely
     // round-trips them through payload bytes, so the hash-match

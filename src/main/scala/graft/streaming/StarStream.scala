@@ -93,11 +93,98 @@ object StarStream {
       spark.read.schema(fact.schema).parquet(target))
   }
 
+  /** st25's second erasure wave (the first is q57's digit-7 slice):
+    * natural ids ending in 013 — disjoint from wave 1, live at every
+    * spec SF. */
+  val St25Wave2Digit = 13L
+
+  /** ST25 — STREAMED star-fact erasure: the retract half of the star
+    * tier's stream verb pair (st24 is the arrive half; every other
+    * persisted tier already owns both — st13/st19, st15/st16,
+    * st17/st18, st20/st22). Erasure REQUESTS (victim customer keys)
+    * arrive as files; each micro-batch applies q57's partition-scoped
+    * repack (`Warehouse.eraseFromPartitionedFact`) — only the months
+    * holding victim rows are rewritten, the emptied-month deletion
+    * gap is handled inside the shared helper. A DUPLICATE delivery of
+    * the first request file is staged deliberately and absorbed with
+    * NO dedup ledger: erasure is naturally idempotent (the re-issued
+    * request finds zero victim rows standing and touches zero
+    * partitions) — the same at-least-once doctrine st24 established
+    * for loads, proved on the retract path. Serve = the post-stream
+    * per-month census ≡ rebuild-without-all-victims (stream-fold ≡
+    * batch retention, q57's law).
+    *
+    * Scale: per-request cost ∝ the months the subject touched, never
+    * history depth; request batches are bounded (erasure subjects,
+    * not corpus rows); redelivered/replayed requests are free
+    * (semi-join finds nothing, no write happens). */
+  def st25FactErasure(spark: SparkSession, dir: String): DataFrame = {
+    val base = new Path(graft.ArtifactRoots.tagged("graft_st25", dir))
+    val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val inDir = new Path(base, "in"); fs.mkdirs(inDir)
+    val fact = RetailStar.servedStar(spark, dir).fact
+    val target = s"$base/fact_by_month"
+    graft.etl.Warehouse.writeFactPartitioned(fact, target) // the standing warehouse
+    // two disjoint erasure requests as surrogate-key files (the
+    // natural→surrogate mapping derives from orders, q57's discipline)
+    def victims(digit: Long): DataFrame = Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(RetailStar.Q57ErasureMod)) === digit)
+      .select(xxhash64(col("o_custkey")).as("customer_key")).distinct()
+    victims(RetailStar.Q57ErasureDigit)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/w1")
+    victims(St25Wave2Digit)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/w2")
+    // stage mtime-ordered: wave 1, its DUPLICATE redelivery, wave 2
+    def stage(src: String, dst: String, mtime: Long): Unit = {
+      val part = fs.listStatus(new Path(src)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val to = new Path(inDir, dst)
+      FileUtil.copy(fs, part, fs, to, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(to, mtime, -1); ()
+    }
+    stage(s"$base/w1", "a.parquet", 1000000L)
+    stage(s"$base/w1", "b.parquet", 2000000L)
+    stage(s"$base/w2", "c.parquet", 3000000L)
+    val factSchema = fact.schema
+    val requestSchema = new org.apache.spark.sql.types.StructType()
+      .add("customer_key", org.apache.spark.sql.types.LongType)
+    val stream = spark.readStream
+      .schema(requestSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.etl.Warehouse.eraseFromPartitionedFact(
+            batch.sparkSession, target, factSchema, batch)
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.etl.Warehouse.monthCensus(
+      spark.read.schema(factSchema).parquet(target))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st24_fact_loads" -> (st24FactLoads _))
+    "st24_fact_loads"   -> (st24FactLoads _),
+    "st25_fact_erasure" -> (st25FactErasure _))
 
   /** st24's oracle IS q56's: the converged stream must serve the same
-    * full-rebuild per-month census the batch refresh serves. */
+    * full-rebuild per-month census the batch refresh serves. st25's
+    * is q57's law over BOTH erasure waves: rebuild-without-victims on
+    * natural keys. */
   val oracles: Map[String, String] = Map(
-    "st24_fact_loads" -> RetailStar.oracles("q56_star_refresh"))
+    "st24_fact_loads" -> RetailStar.oracles("q56_star_refresh"),
+    "st25_fact_erasure" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%m%Y') AS month_key,
+                count(*) AS n_rows,
+                round(sum(l_extendedprice), 2) AS total_amount
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_custkey % 1000 <> 7 AND o_custkey % 1000 <> 13
+         GROUP BY 1 ORDER BY month_key""")
 }

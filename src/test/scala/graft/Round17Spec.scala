@@ -283,6 +283,115 @@ class Round17Spec extends AnyFunSuite {
       "precondition: history + arriving + duplicate must be staged")
   }
 
+  // ---------- 2b''''. q58 star freshness gate ----------
+
+  test("q58: the freshness gate fires exactly the months whose late slice " +
+    "is non-empty (at least one, never all), the post-apply census equals " +
+    "the source on every row, and the verb is deterministic across runs") {
+    val out = RetailStar.q58StarFreshness(spark, dir)
+    val rows = out.collect()
+    val fired = rows.filter(_.getAs[Long]("fired") == 1L)
+    assert(fired.nonEmpty, "the gate must be non-vacuous: no month fired")
+    assert(fired.length < rows.length,
+      "the gate must be selective: every month fired")
+    // fired set == exactly the months holding late rows, engine-side
+    val fact = RetailStar.buildStar(spark, dir).fact
+    val lateKeys = RetailStar.arrivingMonthKeys(spark, dir,
+      RetailStar.Q58LateMonths)
+    val expected = fact
+      .filter(col("month_key").isin(lateKeys: _*) &&
+        pmod(col("transaction_id"), lit(RetailStar.Q58LateMod)) ===
+          RetailStar.Q58LateDigit)
+      .select(col("month_key")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(fired.map(_.getAs[String]("month_key")).toSet === expected,
+      "fired months != months with a non-empty late slice")
+    // gate ∘ refresh ≡ rebuild, witnessed per row
+    assert(rows.forall(r =>
+      r.getAs[Long]("rows_after") == r.getAs[Long]("rows_source")),
+      "a post-apply month census diverged from the source")
+    // quiet months report zero drift
+    assert(rows.filter(_.getAs[Long]("fired") == 0L)
+      .forall(_.getAs[Long]("late_rows") == 0L),
+      "a quiet month carried drift the gate ignored")
+    assert(sortedRows(RetailStar.q58StarFreshness(spark, dir)) ===
+      rows.map(_.toString).sorted.toSeq, "the verb is not deterministic")
+  }
+
+  // ---------- 2b'''''. st25 streamed erasure ----------
+
+  test("st25: the streamed erasure converges to rebuild-without-both-waves " +
+    "with zero victim rows standing, and the duplicate request is absorbed " +
+    "ledger-free (its re-application touches zero partitions)") {
+    import graft.etl.Warehouse
+    val streamed = sortedRows(
+      graft.streaming.StarStream.st25FactErasure(spark, dir))
+    val fact = RetailStar.buildStar(spark, dir).fact
+    def victims(digit: Long) = RetailStar.stagingFromTpch(spark, dir)
+      .filter(pmod(col("Customer_ID"), lit(RetailStar.Q57ErasureMod)) === digit)
+      .select(xxhash64(col("Customer_ID")).as("customer_key")).distinct()
+    val both = victims(RetailStar.Q57ErasureDigit)
+      .union(victims(graft.streaming.StarStream.St25Wave2Digit)).distinct()
+    assert(both.count() >= 2, "precondition: both erasure waves are live")
+    val rebuilt = fact.join(broadcast(both), Seq("customer_key"), "left_anti")
+    assert(streamed === sortedRows(rebuilt.groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("line_total_amount")), 2).as("total_amount"))),
+      "streamed erasure census != rebuild-without-victims")
+    // zero victim rows standing + the idempotence mechanism itself:
+    // re-issuing wave 1 against the converged fact touches NOTHING
+    val base = ArtifactRoots.tagged("graft_st25", dir)
+    val target = s"$base/fact_by_month"
+    val standing = spark.read.schema(fact.schema).parquet(target)
+    assert(standing.join(broadcast(both), Seq("customer_key")).isEmpty,
+      "a victim row survived the streamed erasure")
+    val touched = Warehouse.eraseFromPartitionedFact(
+      spark, target, fact.schema, victims(RetailStar.Q57ErasureDigit))
+    assert(touched.isEmpty,
+      "a re-issued erasure request touched partitions (not idempotent)")
+    // the duplicate request file really staged (3 inputs for 2 waves)
+    assert(fs(base).listStatus(new Path(s"$base/in")).length === 3,
+      "precondition: wave1 + its duplicate + wave2 must be staged")
+  }
+
+  // ---------- 2b''''''. m9 media clusters ----------
+
+  test("m9: the cluster census equals the one derived from a fresh m7 pair " +
+    "derivation (serve ≡ derive), conserves the pair graph's node mass, " +
+    "and every cluster is a real near-dup group (≥2 members, max_l1 under " +
+    "the verify threshold)") {
+    import graft.ext.{Dedup, Multimodal}
+    val served = Multimodal.m9MediaClusters(spark, dir).collect()
+    assert(served.nonEmpty, "precondition: the planted twins cluster")
+    assert(served.forall(r => r.getAs[Long]("n_members") >= 2L &&
+      r.getAs[Long]("n_redundant") == r.getAs[Long]("n_members") - 1L &&
+      r.getAs[Long]("max_l1") <= Multimodal.M7MaxL1),
+      "a cluster violates the membership/threshold invariants")
+    // mass: members across clusters == distinct pair-graph endpoints
+    val pairs = Multimodal.m7PerceptualLsh(spark, dir)
+    val nodes = pairs.select(col("a_id").as("n"))
+      .unionByName(pairs.select(col("b_id").as("n"))).distinct().count()
+    assert(served.map(_.getAs[Long]("n_members")).sum === nodes,
+      "cluster census does not conserve the pair graph's nodes")
+    // serve ≡ derive: the same census from a fresh pair derivation
+    val labels = Dedup.bigStarComponents(pairs, "a_id", "b_id")
+    val fresh = labels
+      .join(pairs.select(col("a_id").as("node"), col("kind"))
+        .unionByName(pairs.select(col("b_id").as("node"), col("kind")))
+        .distinct(), Seq("node"))
+      .groupBy(col("kind"), col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val freshPairsWorst = pairs
+      .join(labels.withColumnRenamed("node", "a_id"), Seq("a_id"))
+      .groupBy(col("kind"), col("cluster_id"))
+      .agg(max(col("l1_permille")).as("max_l1"))
+    val derived = sortedRows(fresh.join(freshPairsWorst, Seq("kind", "cluster_id"))
+      .select(col("kind"), col("cluster_id"), col("n_members"),
+        (col("n_members") - 1).as("n_redundant"), col("max_l1")))
+    assert(served.map(_.toString).sorted.toSeq === derived,
+      "served cluster census != freshly derived census")
+  }
+
   // ---------- 2c. e23 leakage-safe split ----------
 
   test("e23: the cluster-wholesale split leaks zero verified pairs (checked " +
