@@ -386,29 +386,12 @@ object RetailStar {
       pmod(col("transaction_id"), lit(Q58LateMod)) === Q58LateDigit
     // the standing warehouse: everything EXCEPT the late slice
     Warehouse.writeFactPartitioned(fact.filter(!isLate), target)
-    // measured drift: per-month source census vs warehouse census.
-    // The left join + fill(0) keeps a wholly-late month visible (its
-    // partition is absent from the stale warehouse) — not live on
-    // this corpus, but the gate must fire it rather than skip it.
-    val src = Warehouse.monthCensus(fact)
-      .select(col("month_key"), col("n_rows").as("rows_source"))
-    val wh = Warehouse.monthCensus(spark.read.schema(fact.schema).parquet(target))
-      .select(col("month_key"), col("n_rows").as("rows_stale"))
-    // month-grain frame, MATERIALIZED before the gated overwrite: its
-    // lineage reads the stale warehouse files the refresh replaces
-    val decision = src.join(wh, Seq("month_key"), "left")
-      .na.fill(0L, Seq("rows_stale"))
-      .withColumn("late_rows", col("rows_source") - col("rows_stale"))
-      .withColumn("fired", when(col("late_rows") > 0, 1L).otherwise(0L))
-      .localCheckpoint()
-    // month-bounded driver state: the fired partition keys
-    val fired = decision.filter(col("fired") === 1L)
-      .select(col("month_key")).collect().map(_.getString(0))
-    if (fired.nonEmpty) Warehouse.withDynamicOverwrite(spark) {
-      fact.filter(col("month_key").isin(fired.toIndexedSeq: _*))
-        .repartition(col("month_key"))
-        .write.mode("overwrite").partitionBy("month_key").parquet(target)
-    }
+    // measure → fire → gated refresh live in
+    // [[Warehouse.refreshDriftedMonths]] (the erasure-helper
+    // precedent: the gate law is property-tested on synthetic facts
+    // with drift in BOTH directions; this corpus stages missing rows)
+    val decision = Warehouse.refreshDriftedMonths(spark, target,
+      fact.schema, fact)
     // post-apply census witnessed from the refreshed warehouse itself
     val post = Warehouse.monthCensus(spark.read.schema(fact.schema).parquet(target))
       .select(col("month_key"), col("n_rows").as("rows_after"),
@@ -533,7 +516,7 @@ object RetailStar {
                 CAST(rows_stale AS BIGINT) AS rows_stale,
                 CAST(rows_source AS BIGINT) AS rows_source,
                 CAST(rows_source - rows_stale AS BIGINT) AS late_rows,
-                CAST(CASE WHEN rows_source > rows_stale THEN 1 ELSE 0 END
+                CAST(CASE WHEN rows_source <> rows_stale THEN 1 ELSE 0 END
                   AS BIGINT) AS fired,
                 CAST(rows_source AS BIGINT) AS rows_after,
                 amount_after

@@ -387,6 +387,47 @@ object Warehouse {
     touchedKeys
   }
 
+  /** Freshness-gated REFRESH of a month-partitioned fact (q58's
+    * mechanism, factored so the gate law is property-testable on
+    * synthetic facts — [[eraseFromPartitionedFact]]'s precedent):
+    * measure per-month drift between the standing warehouse at
+    * `target` and `source`, FIRE every month whose row count differs
+    * (missing rows AND surplus rows both fire — a double-applied load
+    * is drift too), rewrite exactly the fired months from the source
+    * via dynamic partition overwrite, and return the decision frame
+    * (month_key, rows_stale, rows_source, late_rows, fired) —
+    * MATERIALIZED, because its lineage reads the files the refresh
+    * replaces. A month standing but absent from the source is a
+    * RETRACTION, not staleness — q57/st25 own deletion; this gate
+    * fires only months the source carries (the left join keeps a
+    * wholly-missing month visible: rows_stale = 0, fired). Row counts
+    * are the drift measure; a content-sensitive upgrade (same-count
+    * row swaps) is the flagged mod-(2^61-1) census checksum — swap it
+    * into the census when loads can do that. */
+  def refreshDriftedMonths(spark: SparkSession, target: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           source: DataFrame): DataFrame = {
+    val src = monthCensus(source)
+      .select(col("month_key"), col("n_rows").as("rows_source"))
+    val wh = monthCensus(spark.read.schema(schema).parquet(target))
+      .select(col("month_key"), col("n_rows").as("rows_stale"))
+    val decision = src.join(wh, Seq("month_key"), "left")
+      .na.fill(0L, Seq("rows_stale"))
+      .withColumn("late_rows", col("rows_source") - col("rows_stale"))
+      .withColumn("fired",
+        when(col("rows_stale") =!= col("rows_source"), 1L).otherwise(0L))
+      .localCheckpoint()
+    // month-bounded driver state: the fired partition keys
+    val fired = decision.filter(col("fired") === 1L)
+      .select(col("month_key")).collect().map(_.getString(0))
+    if (fired.nonEmpty) withDynamicOverwrite(spark) {
+      source.filter(col("month_key").isin(fired.toIndexedSeq: _*))
+        .repartition(col("month_key"))
+        .write.mode("overwrite").partitionBy("month_key").parquet(target)
+    }
+    decision
+  }
+
   /** Bucketed layout for fact⋈fact joins (SURVEY §3.3: lineitem⋈orders
     * is the one join where both sides are fact-sized). Both tables
     * bucketed+sorted on the join key into the same bucket count join

@@ -553,4 +553,76 @@ class PropertySpec extends AnyFunSuite {
     FileSystem.get(new Path(tmpRoot).toUri,
       spark.sparkContext.hadoopConfiguration).delete(new Path(tmpRoot), true)
   }
+
+  test("freshness-gate law: refreshDriftedMonths repairs drift in BOTH " +
+    "directions (missing and surplus rows), fires exactly the drifted " +
+    "months, and leaves quiet months' files untouched") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    // source rows over a small month domain; the stale warehouse is a
+    // random corruption of it: each row independently dropped (late
+    // arrival) or duplicated (double-applied load) — months the
+    // source carries can even vanish wholly from the stale side
+    val rowGen = for {
+      cust  <- Gen.chooseNum(1L, 6L)
+      month <- Gen.oneOf("012020", "022020", "032020", "042020")
+      amt   <- Gen.chooseNum(1, 500)
+    } yield (cust, month, amt / 100.0)
+    val caseGen = for {
+      rows  <- Gen.nonEmptyListOf(rowGen)
+      fates <- Gen.listOfN(rows.length, Gen.frequency(
+        (6, 1), (2, 0), (2, 2))) // keep / drop / duplicate
+    } yield (rows, fates)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("fresh_prop").toString
+    var n = 0
+    // no shrinking: shrunk strings leave the month domain (an empty
+    // month key round-trips as a null hive-default partition)
+    check("freshness", Prop.forAllNoShrink(caseGen) { case (rows, fates) =>
+      n += 1
+      val target = s"$tmpRoot/fact_$n"
+      val source = rows.toDF("customer_key", "month_key", "line_total_amount")
+      val staleRows = rows.zip(fates).flatMap { case (r, f) => List.fill(f)(r) }
+      // a wholly-empty stale warehouse has no parquet dir to read —
+      // seed at least the schema by writing the (possibly empty)
+      // frame through the same partitioned writer the verbs use
+      val stale = staleRows.toDF("customer_key", "month_key", "line_total_amount")
+      Warehouse.writeFactPartitioned(
+        if (staleRows.nonEmpty) stale else source.limit(0), target)
+      val f = FileSystem.get(new Path(target).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      def fileState(except: Set[String]): Set[(String, Long, Long)] =
+        f.listStatus(new Path(target))
+          .filter(st => st.isDirectory &&
+            !except.contains(st.getPath.getName.stripPrefix("month_key=")))
+          .flatMap(st => f.listStatus(st.getPath))
+          .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+          .toSet
+      val srcCounts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val staleCounts = staleRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val expectedFired = srcCounts.keySet
+        .filter(m => staleCounts.getOrElse(m, 0L) != srcCounts(m))
+      val quietBefore = fileState(expectedFired)
+      val decision = Warehouse.refreshDriftedMonths(
+        spark, target, source.schema, source)
+      val firedGot = decision.filter(col("fired") === 1L)
+        .select(col("month_key")).collect().map(_.getString(0)).toSet
+      val got = spark.read.schema(source.schema).parquet(target)
+        .select(col("customer_key"), col("month_key"), col("line_total_amount"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sorted.toSeq
+      // the gate's contract is COUNT-level (the doc's checksum caveat:
+      // an equal-count content swap is invisible by design): fired
+      // months are rewritten wholesale from the source, quiet months
+      // keep their standing content verbatim
+      val expected = (rows.filter(r => expectedFired.contains(r._2)) ++
+        staleRows.filterNot(r => expectedFired.contains(r._2))).sorted
+      val quietAfter = fileState(expectedFired)
+      (Prop(firedGot == expectedFired) :|
+        s"fired: got $firedGot expected $expectedFired") &&
+        (Prop(got == expected) :| s"rows: got $got expected $expected") &&
+        (Prop(quietAfter == quietBefore) :| "quiet months' files changed")
+    }, n = 15)
+    FileSystem.get(new Path(tmpRoot).toUri,
+      spark.sparkContext.hadoopConfiguration).delete(new Path(tmpRoot), true)
+  }
 }
