@@ -88,7 +88,10 @@ object PlanDump {
     "st24_fact_loads" -> "streamed star loads (r17): each micro-batch's foreachBatch write rewrites only its touched month partitions; the duplicate delivery replaces the same partition; the served census is a pure scan of the converged fact",
     "e23_split_guard" -> "leakage-safe split (r17): row-local portable-hash split columns over ONE left join against the candidate-pair-bounded labels artifact; the leak grade joins the persisted pairs table on doc_id; census = one union + one hash agg",
     "e22_maintenance_apply" -> "unified maintenance apply (r17): all four drift decisions are |Q|·k membership grades / K-row broadcasts over persisted grading artifacts (ONE shared computation with e21); fired tiers re-grade the post-apply tree, quiet tiers serve already-persisted grades — the output is a 4-row local relation",
-    "e24_release_pack" -> "split-aware release packing (r17): the split column rides the docflags scan (row-local hash + candidate-pair-bounded labels broadcast); per-split packing is e7's shard-local offset window; census = |splits|·|shards| rows")
+    "e24_release_pack" -> "split-aware release packing (r17): the split column rides the docflags scan (row-local hash + candidate-pair-bounded labels broadcast); per-split packing is e7's shard-local offset window; census = |splits|·|shards| rows",
+    "q58_star_freshness" -> "star freshness gate (r17): two month-grain censuses (source agg + a pure scan of the standing fact) joined at month grain; the gated refresh rewrites fired partitions only; the served dashboard joins the materialized decision to a post-apply census scan",
+    "st25_fact_erasure" -> "streamed star erasure (r17): each request micro-batch runs q57's repack kernel — broadcast victim semi-join picks touched months, left_anti repack under dynamic overwrite; the duplicate request's semi-join finds nothing and writes nothing; served census is a pure post-stream scan",
+    "m9_media_clusters" -> "media near-dup clusters (r17): persisted media_pairs scan → big-star CC (edge-sized checkpointed rounds) → one hash agg per census leg; the worst-L1 leg joins pairs to labels on the smaller endpoint only")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)
