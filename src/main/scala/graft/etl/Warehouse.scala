@@ -365,16 +365,27 @@ object Warehouse {
                                schema: org.apache.spark.sql.types.StructType,
                                victims: DataFrame): Array[String] = {
     val standing = spark.read.schema(schema).parquet(target)
-    val touched = standing.join(broadcast(victims), Seq("customer_key"))
-      .select(col("month_key")).distinct()
-    val touchedKeys = touched.collect().map(_.getString(0))
+    // ONE pass decides everything (touched months AND the emptied
+    // subset): per month, total rows vs victim rows from a broadcast
+    // left join — the earlier two-collect form paid a separate
+    // fact-wide join per answer, and its left_semi month filter
+    // defeated static partition pruning on the repack
+    val marked = victims.select(col("customer_key")).distinct()
+      .withColumn("_victim", lit(1))
+    val stats = standing
+      .join(broadcast(marked), Seq("customer_key"), "left")
+      .groupBy(col("month_key"))
+      .agg(count(lit(1)).as("_n"), count(col("_victim")).as("_nv"))
+      .filter(col("_nv") > 0)
+      .select(col("month_key"), (col("_n") === col("_nv")).as("_emptied"))
+      .collect()
+    val touchedKeys = stats.map(_.getString(0))
     if (touchedKeys.isEmpty) return touchedKeys
+    val emptied = stats.filter(_.getBoolean(1)).map(_.getString(0))
+    // static month list → the repack read prunes to touched partitions
     val repacked = standing
-      .join(broadcast(touched), Seq("month_key"), "left_semi")
-      .join(broadcast(victims), Seq("customer_key"), "left_anti")
-    val survivors = repacked.select(col("month_key")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val emptied = touchedKeys.filterNot(survivors)
+      .filter(col("month_key").isin(touchedKeys.toIndexedSeq: _*))
+      .join(broadcast(marked.drop("_victim")), Seq("customer_key"), "left_anti")
     withDynamicOverwrite(spark) {
       repacked.write.mode("overwrite").partitionBy("month_key").parquet(target)
     }
