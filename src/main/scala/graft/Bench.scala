@@ -143,7 +143,13 @@ object Bench {
       "s23_deferred_update" -> 2,
       "s30_index_cutover" -> 2,
       "st17_index_ingest" -> 2,
-      "st18_index_retract" -> 2)
+      "st18_index_retract" -> 2,
+      // r17 second half: the maintenance census/apply gained the
+      // warehouse tier (a fifth decision row — two month-grain
+      // censuses + the served-fact witness); pre-star floors measured
+      // the four-tier contract
+      "e21_maintenance_census" -> 2,
+      "e22_maintenance_apply" -> 2)
     def floorKey(name: String): String =
       workVersion.get(name).map(v => s"$name@v$v").getOrElse(name)
     val dirName = new java.io.File(sfDir).getName

@@ -2163,8 +2163,10 @@ object Pipeline {
     * drift gates now guard the persisted-artifact DAG — s14/s30 (IVF
     * index), s27/s29 (kNN graph), t26/t30+e19 (DSIR model), t31+e20
     * (BPE tokenizer) — and an operator had to read four rows to know
-    * the DAG's health. This entry evaluates all four persisted-
-    * artifact decisions in one pass and emits the per-tier
+    * the DAG's health. This entry evaluates all five persisted-
+    * artifact decisions in one pass (the warehouse tier joined in
+    * r17: q58's freshness rule as a census row — drifted-month count
+    * vs 0 against the source manifest census) and emits the per-tier
     * (measure, threshold, fired) census — the ops dashboard of the
     * whole DAG. Every measure is the tier's OWN exact integer (s29's
     * discipline, never floats): the vector tiers' truth-hit gap
@@ -2177,9 +2179,9 @@ object Pipeline {
     * Scale: no new corpus work — the vector grades are |Q|·k joins
     * over the persisted grading tiers, the DSIR measure is t26's
     * K-row-broadcast drift chain, the tokenizer measure joins the
-    * persisted encoded-word tables; driver state is 4 rows of three
-    * longs. At 100 TB this is the after-each-ingest-window health
-    * query — one row per model artifact, one trigger each. */
+    * persisted encoded-word tables, the warehouse measure is two
+    * month-grain censuses; driver state is 5 rows of three longs. At 100 TB this is the after-each-ingest-window health
+    * query — one row per persisted artifact, one trigger each. */
   def e21MaintenanceCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     maintenanceDecisions(spark, dir).rows
@@ -2189,14 +2191,15 @@ object Pipeline {
       .orderBy(col("tier"))
   }
 
-  /** The four tiers' drift decisions gathered ONCE — the single
+  /** The five tiers' drift decisions gathered ONCE — the single
     * definition e21's census and e22's apply both read, so the two
     * verbs cannot desynchronize on a measure or a trigger. Holds the
     * raw per-tier integers the apply's quiet witnesses also need
     * (appended-generation hits; the collected tokenizer rows). */
   private final case class MaintenanceDecisions(
       ivfApp: Long, ivfReb: Long, gApp: Long, gReb: Long,
-      dsirMeasure: Long, bpeRows: Array[org.apache.spark.sql.Row]) {
+      dsirMeasure: Long, starDrift: Long,
+      bpeRows: Array[org.apache.spark.sql.Row]) {
     val qk: Long = Similarity.QueryCount.toLong * Similarity.TopK
     def bpeMeasure: Long = bpeRows.map(_.getAs[Long]("gen_gap_tpk")).max
     def tpkFrozenSum: Long = bpeRows.map(_.getAs[Long]("tpk_frozen")).sum
@@ -2207,7 +2210,8 @@ object Pipeline {
       ("bpe_tokenizer", bpeMeasure, TextAnalysis.T31RetrainTpk),
       ("dsir_model", dsirMeasure, 0L),
       ("ivf_index", (ivfReb - ivfApp) * 10000L, Similarity.S30DriftBp * qk),
-      ("knn_graph", (gReb - gApp) * 10000L, Similarity.S29DriftBp * qk))
+      ("knn_graph", (gReb - gApp) * 10000L, Similarity.S29DriftBp * qk),
+      ("star_fact", starDrift, 0L))
     def fired: Map[String, Boolean] =
       rows.map { case (t, m, th) => t -> (m > th) }.toMap
   }
@@ -2224,10 +2228,37 @@ object Pipeline {
       .select(col("source"), col("gen_gap_tpk"), col("n_delta_chars"),
         col("tpk_frozen"))
       .collect()
-    MaintenanceDecisions(ivfApp, ivfReb, gApp, gReb, dsirMeasure, bpeRows)
+    MaintenanceDecisions(ivfApp, ivfReb, gApp, gReb, dsirMeasure,
+      starFactDrift(spark, dir), bpeRows)
   }
 
-  /** e21's oracle: the four tiers' single-row decision subqueries
+  /** The warehouse tier's drift measure (q58's freshness rule at the
+    * census grain): the number of months whose served-fact row count
+    * disagrees with the source manifest census — the per-month
+    * lineitem-line counts, which IS what a 100 TB load pipeline keeps
+    * as its load manifest (q58's doc). The full-outer join catches a
+    * month missing from either side. 0 on a fingerprint-fresh
+    * artifact; any standing corruption or partial write fires — and
+    * the gate hash breaks with it, because the oracle states 0 from
+    * first principles. */
+  private[graft] def starFactDrift(spark: SparkSession, dir: String): Long = {
+    val art = graft.etl.Warehouse.monthCensus(
+        graft.etl.RetailStar.servedStar(spark, dir).fact)
+      .select(col("month_key"), col("n_rows").as("_a"))
+    val manifest = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "MMyyyy")
+        .as("month_key"))
+      .agg(count(lit(1)).as("_m"))
+    art.join(manifest, Seq("month_key"), "full")
+      .filter(coalesce(col("_a"), lit(0L)) =!= coalesce(col("_m"), lit(0L)))
+      .count()
+  }
+
+  /** e21's oracle: the five tiers' single-row decision subqueries
     * (each tier's own chain, nested so the CTE vocabularies stay
     * apart), unioned and fired by the shared integer rule. */
   private lazy val e21OracleSql: String =
@@ -2239,7 +2270,13 @@ object Pipeline {
            SELECT 'bpe_tokenizer' AS tier, measure, threshold FROM bm
            UNION ALL SELECT 'dsir_model', measure, threshold FROM dm
            UNION ALL SELECT 'ivf_index', measure, threshold FROM im
-           UNION ALL SELECT 'knn_graph', measure, threshold FROM gm)
+           UNION ALL SELECT 'knn_graph', measure, threshold FROM gm
+           -- star tier: the warehouse census vs the source manifest
+           -- census is identically 0 drifted months from first
+           -- principles (fact rows = lineitem lines, month = order
+           -- month); the ENGINE measures the served artifact for
+           -- real, so any standing corruption breaks this hash
+           UNION ALL SELECT 'star_fact', CAST(0 AS BIGINT), CAST(0 AS BIGINT))
          SELECT tier, measure, threshold,
                 CAST(CASE WHEN measure > threshold THEN 1 ELSE 0 END AS BIGINT)
                   AS fired
@@ -2248,7 +2285,7 @@ object Pipeline {
   /** E22 — MAINTENANCE APPLY (r16 verdict item 2): e21 reads the four
     * drift decisions but executes nothing; the four cutover verbs
     * exist separately (s30 IVF, s29 graph, e19 DSIR, e20 tokenizer).
-    * This verb closes the census→action gap: evaluate all four
+    * This verb closes the census→action gap: evaluate all five
     * decisions in one pass (e21's exact-integer chains over the
     * persisted grading artifacts), EXECUTE every fired trigger
     * against the maintenance roots (each tier's own staged
@@ -2265,13 +2302,14 @@ object Pipeline {
     * and pins each post-apply state equal to the standalone
     * cutover's. This is the scheduled "maintenance run" a production
     * 100 TB pipeline owns: one verb after each ingest window, every
-    * model artifact checked and refreshed exactly when its own
+    * persisted artifact — the four model tiers and the warehouse
+    * fact — checked and refreshed exactly when its own
     * trigger says so.
     *
     * Scale: decisions are |Q|·k membership joins / K-row broadcasts
     * over persisted tiers (e21's posture); each fired apply costs
     * what its standalone verb costs (renames + one retrain where
-    * fired); driver state is 4 rows of four longs. */
+    * fired); driver state is 5 rows of four longs. */
   def e22MaintenanceApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = maintenanceDecisions(spark, dir) // ONE computation with e21
@@ -2283,7 +2321,12 @@ object Pipeline {
         Similarity.e22GraphFiredApply(spark, dir) else d.gApp),
       "dsir_model" -> e22DsirServed(spark, dir, fired("dsir_model")),
       "bpe_tokenizer" -> (if (fired("bpe_tokenizer"))
-        e22BpeFiredServed(spark, dir, d.deltaChars) else d.tpkFrozenSum))
+        e22BpeFiredServed(spark, dir, d.deltaChars) else d.tpkFrozenSum),
+      // quiet = total rows of the served fact (nothing staged); fired
+      // = q58's gated refresh run against an e22-root clone
+      "star_fact" -> (if (fired("star_fact"))
+        e22StarFiredApply(spark, dir)
+      else graft.etl.RetailStar.servedStar(spark, dir).fact.count()))
     d.rows.map { case (tier, m, th) =>
       (tier, m, th, if (fired(tier)) 1L else 0L, served(tier))
     }
@@ -2331,7 +2374,33 @@ object Pipeline {
     deltaChars.map { case (s, ch) => (1000L * ptok(s)) / ch }.sum
   }
 
-  /** e22's oracle: the four tiers' single-row (measure, threshold,
+  /** e22's warehouse tier, FIRED branch (never live on a fingerprint-
+    * fresh artifact — Round17Spec force-fires it): stage a STALE
+    * partitioned clone of the served fact under the e22 root (q58's
+    * late slice withheld), run [[graft.etl.Warehouse
+    * .refreshDriftedMonths]] against the served fact as source, and
+    * return the post-apply total row count — which must equal the
+    * source's (gate ∘ refresh ≡ rebuild, pinned). */
+  private[graft] def e22StarFiredApply(spark: SparkSession, dir: String): Long = {
+    import graft.etl.{RetailStar, Warehouse}
+    val root = graft.ArtifactRoots.tagged("graft_e22_star", dir)
+    val target = s"$root/fact_by_month"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(rp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp)) fs.delete(rp, true)
+    val fact = RetailStar.servedStar(spark, dir).fact
+    val lateKeys = RetailStar.arrivingMonthKeys(spark, dir,
+      RetailStar.Q58LateMonths)
+    Warehouse.writeFactPartitioned(
+      fact.filter(!(col("month_key").isin(lateKeys: _*) &&
+        pmod(col("transaction_id"), lit(RetailStar.Q58LateMod)) ===
+          RetailStar.Q58LateDigit)), target)
+    Warehouse.refreshDriftedMonths(spark, target, fact.schema, fact)
+    spark.read.schema(fact.schema).parquet(target).count()
+  }
+
+  /** e22's oracle: the five tiers' single-row (measure, threshold,
     * served) subqueries — the vector tiers' decision fragments now
     * carry their fired-CASE served hit counts, the DSIR tier's apply
     * fragment scores both model generations, the tokenizer tier's
@@ -2346,7 +2415,12 @@ object Pipeline {
            SELECT 'bpe_tokenizer' AS tier, measure, threshold, served FROM bm
            UNION ALL SELECT 'dsir_model', measure, threshold, served FROM dm
            UNION ALL SELECT 'ivf_index', measure, threshold, served FROM im
-           UNION ALL SELECT 'knn_graph', measure, threshold, served FROM gm)
+           UNION ALL SELECT 'knn_graph', measure, threshold, served FROM gm
+           -- star tier: 0 drifted months from first principles (the
+           -- e21 rationale); served = the quiet branch's witnessed
+           -- fact total, which must equal the source line count
+           UNION ALL SELECT 'star_fact', CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), (SELECT count(*) FROM lineitem))
          SELECT tier, measure, threshold,
                 CAST(CASE WHEN measure > threshold THEN 1 ELSE 0 END AS BIGINT)
                   AS fired,

@@ -87,7 +87,7 @@ object PlanDump {
     "q57_fact_retention" -> "star retention delete (r17): touched months from a broadcast victim semi-join; the repack is touched-partitions-only (left_semi on months, left_anti on victims) under dynamic overwrite; the served census is a pure post-erasure scan",
     "st24_fact_loads" -> "streamed star loads (r17): each micro-batch's foreachBatch write rewrites only its touched month partitions; the duplicate delivery replaces the same partition; the served census is a pure scan of the converged fact",
     "e23_split_guard" -> "leakage-safe split (r17): row-local portable-hash split columns over ONE left join against the candidate-pair-bounded labels artifact; the leak grade joins the persisted pairs table on doc_id; census = one union + one hash agg",
-    "e22_maintenance_apply" -> "unified maintenance apply (r17): all four drift decisions are |Q|·k membership grades / K-row broadcasts over persisted grading artifacts (ONE shared computation with e21); fired tiers re-grade the post-apply tree, quiet tiers serve already-persisted grades — the output is a 4-row local relation",
+    "e22_maintenance_apply" -> "unified maintenance apply (r17): the four model tiers' drift decisions are |Q|·k membership grades / K-row broadcasts over persisted grading artifacts (ONE shared computation with e21), the star tier's is two month-grain censuses; fired tiers re-grade the post-apply tree, quiet tiers serve already-persisted grades — the output is a 5-row local relation",
     "e24_release_pack" -> "split-aware release packing (r17): the split column rides the docflags scan (row-local hash + candidate-pair-bounded labels broadcast); per-split packing is e7's shard-local offset window; census = |splits|·|shards| rows",
     "q58_star_freshness" -> "star freshness gate (r17): two month-grain censuses (source agg + a pure scan of the standing fact) joined at month grain; the gated refresh rewrites fired partitions only; the served dashboard joins the materialized decision to a post-apply census scan",
     "st25_fact_erasure" -> "streamed star erasure (r17): each request micro-batch runs q57's repack kernel — broadcast victim semi-join picks touched months, left_anti repack under dynamic overwrite; the duplicate request's semi-join finds nothing and writes nothing; served census is a pure post-stream scan",

@@ -314,7 +314,11 @@ class Round16Spec extends AnyFunSuite {
     val census = Pipeline.e21MaintenanceCensus(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(census.keySet === Set("bpe_tokenizer", "dsir_model", "ivf_index",
-      "knn_graph"), s"one row per tier: ${census.keySet}")
+      "knn_graph", "star_fact"), s"one row per tier: ${census.keySet}")
+    // the warehouse tier (r17): a fingerprint-fresh star artifact has
+    // zero drifted months against the source manifest census
+    assert(census("star_fact") === 0L,
+      "star tier's census bit fired on a fresh artifact")
     // standalone decisions, each from its own verb's plan
     val s30Fired = Similarity.s30IndexCutover(spark, dir)
       .select(col("fired")).distinct().collect()(0).getLong(0)

@@ -90,12 +90,12 @@ class Round17Spec extends AnyFunSuite {
     "serving generations' persisted grades") {
     // clear the e22 scratch roots so the no-op check observes THIS run
     Seq("graft_e22_idx", "graft_e22_graph", "graft_e22_bpe",
-      "graft_e22_model").foreach(dropRoot)
+      "graft_e22_model", "graft_e22_star").foreach(dropRoot)
     val out = Pipeline.e22MaintenanceApply(spark, dir).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(out.keySet === Set("bpe_tokenizer", "dsir_model", "ivf_index",
-      "knn_graph"), s"one row per tier: ${out.keySet}")
+      "knn_graph", "star_fact"), s"one row per tier: ${out.keySet}")
     val census = Pipeline.e21MaintenanceCensus(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     out.foreach { case (tier, (_, _, fired, _)) =>
@@ -104,9 +104,11 @@ class Round17Spec extends AnyFunSuite {
     // corpus facts at sf0.001: DSIR fires, the other three stay quiet
     assert(out("dsir_model")._3 === 1L, "precondition: DSIR fires here")
     assert(out("ivf_index")._3 === 0L && out("knn_graph")._3 === 0L &&
-      out("bpe_tokenizer")._3 === 0L, "precondition: the rest stay quiet")
+      out("bpe_tokenizer")._3 === 0L && out("star_fact")._3 === 0L,
+      "precondition: the rest stay quiet")
     // no-op law: a quiet tier must not have staged a clone
-    Seq("graft_e22_idx", "graft_e22_graph", "graft_e22_bpe").foreach { p =>
+    Seq("graft_e22_idx", "graft_e22_graph", "graft_e22_bpe",
+      "graft_e22_star").foreach { p =>
       val root = ArtifactRoots.tagged(p, dir)
       assert(!fs(root).exists(new Path(root)),
         s"quiet tier staged a clone under $p")
@@ -130,6 +132,9 @@ class Round17Spec extends AnyFunSuite {
       .agg(sum(col("tpk_frozen")).as("t")).collect()(0).getLong(0)
     assert(out("bpe_tokenizer")._4 === tpkFrozen,
       "quiet tokenizer witness != frozen generation's fertility sum")
+    val factTotal = RetailStar.servedStar(spark, dir).fact.count()
+    assert(out("star_fact")._4 === factTotal,
+      "quiet star witness != the served fact's row count")
   }
 
   // ---------- 2b. q56 star partition refresh ----------
@@ -491,8 +496,14 @@ class Round17Spec extends AnyFunSuite {
     val curSum = t31.map(_.getAs[Long]("tpk_current")).sum
     assert(Pipeline.e22BpeFiredServed(spark, dir, dc) === curSum,
       "forced tokenizer apply must serve the current generation's fertility")
+    // star (r17): the forced apply repairs a staged-stale clone back
+    // to the source's row total (gate ∘ refresh ≡ rebuild)
+    val factTotal = RetailStar.servedStar(spark, dir).fact.count()
+    assert(Pipeline.e22StarFiredApply(spark, dir) === factTotal,
+      "forced star apply must restore the source's fact total")
     // restore: drop the force-fired scratch so later e22 invocations'
     // quiet no-op law observes a clean slate
-    Seq("graft_e22_idx", "graft_e22_graph", "graft_e22_bpe").foreach(dropRoot)
+    Seq("graft_e22_idx", "graft_e22_graph", "graft_e22_bpe",
+      "graft_e22_star").foreach(dropRoot)
   }
 }
