@@ -351,6 +351,22 @@ object RetailStar {
   val Q58LateDigit = 7L
   val Q58LateMonths = 3
 
+  /** Stage the deterministically-STALE standing warehouse q58
+    * measures — the served fact minus the late slice, month-
+    * partitioned at `target` — and return the served fact. ONE
+    * definition shared by q58 and e22's forced star apply (two
+    * verbatim copies of the withholding rule would let the forced-
+    * apply law drift from the scenario q58 actually gates). */
+  private[graft] def stageStaleWarehouse(spark: SparkSession, dir: String,
+                                         target: String): DataFrame = {
+    val fact = servedStar(spark, dir).fact
+    val lateKeys = arrivingMonthKeys(spark, dir, Q58LateMonths)
+    val isLate = col("month_key").isin(lateKeys: _*) &&
+      pmod(col("transaction_id"), lit(Q58LateMod)) === Q58LateDigit
+    Warehouse.writeFactPartitioned(fact.filter(!isLate), target)
+    fact
+  }
+
   /** Q58 — star-fact FRESHNESS gate (the drift-health verb every
     * other persisted tier already owns — s14 for the IVF index, s27
     * for the kNN graph, t26 for the DSIR model, t31 for the tokenizer
@@ -380,12 +396,7 @@ object RetailStar {
     val rp = new Path(root)
     val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rp)) fs.delete(rp, true) // fresh scratch per invocation
-    val fact = servedStar(spark, dir).fact
-    val lateKeys = arrivingMonthKeys(spark, dir, Q58LateMonths)
-    val isLate = col("month_key").isin(lateKeys: _*) &&
-      pmod(col("transaction_id"), lit(Q58LateMod)) === Q58LateDigit
-    // the standing warehouse: everything EXCEPT the late slice
-    Warehouse.writeFactPartitioned(fact.filter(!isLate), target)
+    val fact = stageStaleWarehouse(spark, dir, target)
     // measure → fire → gated refresh live in
     // [[Warehouse.refreshDriftedMonths]] (the erasure-helper
     // precedent: the gate law is property-tested on synthetic facts

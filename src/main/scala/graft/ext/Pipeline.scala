@@ -2198,7 +2198,7 @@ object Pipeline {
     * (appended-generation hits; the collected tokenizer rows). */
   private final case class MaintenanceDecisions(
       ivfApp: Long, ivfReb: Long, gApp: Long, gReb: Long,
-      dsirMeasure: Long, starDrift: Long,
+      dsirMeasure: Long, starDrift: Long, starTotal: Long,
       bpeRows: Array[org.apache.spark.sql.Row]) {
     val qk: Long = Similarity.QueryCount.toLong * Similarity.TopK
     def bpeMeasure: Long = bpeRows.map(_.getAs[Long]("gen_gap_tpk")).max
@@ -2228,8 +2228,9 @@ object Pipeline {
       .select(col("source"), col("gen_gap_tpk"), col("n_delta_chars"),
         col("tpk_frozen"))
       .collect()
+    val (starDrift, starTotal) = starFactState(spark, dir)
     MaintenanceDecisions(ivfApp, ivfReb, gApp, gReb, dsirMeasure,
-      starFactDrift(spark, dir), bpeRows)
+      starDrift, starTotal, bpeRows)
   }
 
   /** The warehouse tier's drift measure (q58's freshness rule at the
@@ -2240,8 +2241,10 @@ object Pipeline {
     * month missing from either side. 0 on a fingerprint-fresh
     * artifact; any standing corruption or partial write fires — and
     * the gate hash breaks with it, because the oracle states 0 from
-    * first principles. */
-  private[graft] def starFactDrift(spark: SparkSession, dir: String): Long = {
+    * first principles. Returns (drifted months, served-fact row
+    * total) from the SAME month-grain frame — the quiet apply's
+    * witness rides along instead of paying a second fact scan. */
+  private[graft] def starFactState(spark: SparkSession, dir: String): (Long, Long) = {
     val art = graft.etl.Warehouse.monthCensus(
         graft.etl.RetailStar.servedStar(spark, dir).fact)
       .select(col("month_key"), col("n_rows").as("_a"))
@@ -2253,9 +2256,13 @@ object Pipeline {
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "MMyyyy")
         .as("month_key"))
       .agg(count(lit(1)).as("_m"))
-    art.join(manifest, Seq("month_key"), "full")
-      .filter(coalesce(col("_a"), lit(0L)) =!= coalesce(col("_m"), lit(0L)))
-      .count()
+    // month-grain collect — bounded driver state (80 rows here)
+    val months = art.join(manifest, Seq("month_key"), "full")
+      .select(coalesce(col("_a"), lit(0L)).as("_a"),
+        coalesce(col("_m"), lit(0L)).as("_m"))
+      .collect()
+    (months.count(r => r.getLong(0) != r.getLong(1)).toLong,
+      months.map(_.getLong(0)).sum)
   }
 
   /** e21's oracle: the five tiers' single-row decision subqueries
@@ -2322,11 +2329,12 @@ object Pipeline {
       "dsir_model" -> e22DsirServed(spark, dir, fired("dsir_model")),
       "bpe_tokenizer" -> (if (fired("bpe_tokenizer"))
         e22BpeFiredServed(spark, dir, d.deltaChars) else d.tpkFrozenSum),
-      // quiet = total rows of the served fact (nothing staged); fired
-      // = q58's gated refresh run against an e22-root clone
+      // quiet = the served fact's row total, witnessed from the
+      // census pass the decision already paid (nothing staged, no
+      // second fact scan); fired = q58's gated refresh run against an
+      // e22-root clone
       "star_fact" -> (if (fired("star_fact"))
-        e22StarFiredApply(spark, dir)
-      else graft.etl.RetailStar.servedStar(spark, dir).fact.count()))
+        e22StarFiredApply(spark, dir) else d.starTotal))
     d.rows.map { case (tier, m, th) =>
       (tier, m, th, if (fired(tier)) 1L else 0L, served(tier))
     }
@@ -2389,13 +2397,9 @@ object Pipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(rp.toUri,
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rp)) fs.delete(rp, true)
-    val fact = RetailStar.servedStar(spark, dir).fact
-    val lateKeys = RetailStar.arrivingMonthKeys(spark, dir,
-      RetailStar.Q58LateMonths)
-    Warehouse.writeFactPartitioned(
-      fact.filter(!(col("month_key").isin(lateKeys: _*) &&
-        pmod(col("transaction_id"), lit(RetailStar.Q58LateMod)) ===
-          RetailStar.Q58LateDigit)), target)
+    // q58's exact staging (one shared definition — the forced-apply
+    // law must exercise the scenario q58 actually gates)
+    val fact = RetailStar.stageStaleWarehouse(spark, dir, target)
     Warehouse.refreshDriftedMonths(spark, target, fact.schema, fact)
     spark.read.schema(fact.schema).parquet(target).count()
   }

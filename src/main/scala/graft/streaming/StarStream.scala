@@ -20,6 +20,22 @@ import graft.etl.RetailStar
   */
 object StarStream {
 
+  /** Copy the single parquet part file of `src` into the stream's
+    * input dir as `dst` with a pinned mtime (the file source orders
+    * micro-batches by it). Fails with a message naming the missing
+    * file rather than a bare NoSuchElementException if a write ever
+    * stops producing a part (e.g. an empty-partition-skipping
+    * committer). */
+  private def stageFile(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                        inDir: Path)(src: String, dst: String, mtime: Long): Unit = {
+    val part = fs.listStatus(new Path(src)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part file under $src to stage as $dst"))
+    val to = new Path(inDir, dst)
+    FileUtil.copy(fs, part, fs, to, false, conf)
+    fs.setTimes(to, mtime, -1); ()
+  }
+
   /** ST24 — streamed star-fact month loads AS a gate entry: the fact
     * (from the inline ETL build) is staged as TWO load files split at
     * the arriving month (history; the arriving month), plus a THIRD
@@ -57,14 +73,7 @@ object StarStream {
     // stage with increasing mtimes so the file source orders the
     // micro-batches deterministically; c = the DUPLICATE delivery of
     // the arriving month (same bytes, later arrival)
-    def stage(src: String, dst: String, mtime: Long): Unit = {
-      val part = fs.listStatus(new Path(src)).map(_.getPath)
-        .find(_.getName.endsWith(".parquet")).get
-      val to = new Path(inDir, dst)
-      FileUtil.copy(fs, part, fs, to, false,
-        spark.sparkContext.hadoopConfiguration)
-      fs.setTimes(to, mtime, -1); ()
-    }
+    val stage = stageFile(fs, spark.sparkContext.hadoopConfiguration, inDir) _
     stage(s"$base/f1", "a.parquet", 1000000L)
     stage(s"$base/f2", "b.parquet", 2000000L)
     stage(s"$base/f2", "c.parquet", 3000000L)
@@ -136,14 +145,7 @@ object StarStream {
     victims(St25Wave2Digit)
       .coalesce(1).write.mode("overwrite").parquet(s"$base/w2")
     // stage mtime-ordered: wave 1, its DUPLICATE redelivery, wave 2
-    def stage(src: String, dst: String, mtime: Long): Unit = {
-      val part = fs.listStatus(new Path(src)).map(_.getPath)
-        .find(_.getName.endsWith(".parquet")).get
-      val to = new Path(inDir, dst)
-      FileUtil.copy(fs, part, fs, to, false,
-        spark.sparkContext.hadoopConfiguration)
-      fs.setTimes(to, mtime, -1); ()
-    }
+    val stage = stageFile(fs, spark.sparkContext.hadoopConfiguration, inDir) _
     stage(s"$base/w1", "a.parquet", 1000000L)
     stage(s"$base/w1", "b.parquet", 2000000L)
     stage(s"$base/w2", "c.parquet", 3000000L)

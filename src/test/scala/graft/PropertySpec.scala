@@ -556,7 +556,8 @@ class PropertySpec extends AnyFunSuite {
 
   test("freshness-gate law: refreshDriftedMonths repairs drift in BOTH " +
     "directions (missing and surplus rows), fires exactly the drifted " +
-    "months, and leaves quiet months' files untouched") {
+    "months, leaves quiet months' files untouched, and never touches a " +
+    "warehouse-only month (retraction is the retention verbs' job)") {
     import spark.implicits._
     import org.apache.hadoop.fs.{FileSystem, Path}
     // source rows over a small month domain; the stale warehouse is a
@@ -569,19 +570,25 @@ class PropertySpec extends AnyFunSuite {
       amt   <- Gen.chooseNum(1, 500)
     } yield (cust, month, amt / 100.0)
     val caseGen = for {
-      rows  <- Gen.nonEmptyListOf(rowGen)
-      fates <- Gen.listOfN(rows.length, Gen.frequency(
+      rows   <- Gen.nonEmptyListOf(rowGen)
+      fates  <- Gen.listOfN(rows.length, Gen.frequency(
         (6, 1), (2, 0), (2, 2))) // keep / drop / duplicate
-    } yield (rows, fates)
+      // warehouse-ONLY rows in a month the source never carries: the
+      // RETRACTION case, which the gate must leave alone (deletion is
+      // q57/st25's verb, not the freshness gate's)
+      ghosts <- Gen.listOf(Gen.zip(Gen.chooseNum(1L, 6L),
+        Gen.chooseNum(1, 500)).map { case (c, a) => (c, "122019", a / 100.0) })
+    } yield (rows, fates, ghosts)
     val tmpRoot = java.nio.file.Files.createTempDirectory("fresh_prop").toString
     var n = 0
     // no shrinking: shrunk strings leave the month domain (an empty
     // month key round-trips as a null hive-default partition)
-    check("freshness", Prop.forAllNoShrink(caseGen) { case (rows, fates) =>
+    check("freshness", Prop.forAllNoShrink(caseGen) { case (rows, fates, ghosts) =>
       n += 1
       val target = s"$tmpRoot/fact_$n"
       val source = rows.toDF("customer_key", "month_key", "line_total_amount")
-      val staleRows = rows.zip(fates).flatMap { case (r, f) => List.fill(f)(r) }
+      val staleRows =
+        rows.zip(fates).flatMap { case (r, f) => List.fill(f)(r) } ++ ghosts
       // a wholly-empty stale warehouse has no parquet dir to read —
       // seed at least the schema by writing the (possibly empty)
       // frame through the same partitioned writer the verbs use
