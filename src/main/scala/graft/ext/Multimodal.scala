@@ -412,6 +412,22 @@ object Multimodal {
     * No pairwise compare outside buckets at any corpus size. */
   def m7PairsOf(media: DataFrame): DataFrame = {
     val sig = m7Signatures(media)
+    val member = m7BandMembers(sig)
+    val cand = member.as("a")
+      .join(member.as("b"), col("a.kind") === col("b.kind") &&
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.kind").as("kind"), col("a.media_id").as("a_id"),
+        col("b.media_id").as("b_id"))
+      .distinct()
+    m7VerifyCandidates(sig, cand)
+  }
+
+  /** Capped band membership over a signature frame: (kind, band,
+    * bsig, media_id) rows for every member of a small-enough LSH
+    * bucket. Factored from [[m7PairsOf]] so m10's arrival-restricted
+    * candidate join reuses the exact banding. */
+  private def m7BandMembers(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("media_id"), col("kind"),
         explode(sequence(lit(0), lit(M7Bands - 1))).as("band"), col("pvec"))
       .withColumn("bsig", md5(concat_ws(",", col("band"),
@@ -420,14 +436,13 @@ object Multimodal {
     val small = bands.groupBy(col("kind"), col("band"), col("bsig"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") <= M7BucketCap)
       .select(col("kind"), col("band"), col("bsig"))
-    val member = bands.join(small, Seq("kind", "band", "bsig"))
-    val cand = member.as("a")
-      .join(member.as("b"), col("a.kind") === col("b.kind") &&
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.kind").as("kind"), col("a.media_id").as("a_id"),
-        col("b.media_id").as("b_id"))
-      .distinct()
+    bands.join(small, Seq("kind", "band", "bsig"))
+  }
+
+  /** The exact integer L1 verify over a candidate-pair frame
+    * ((kind, a_id, b_id), already deduplicated) — candidates only,
+    * never all-pairs. Factored from [[m7PairsOf]]. */
+  private def m7VerifyCandidates(sig: DataFrame, cand: DataFrame): DataFrame = {
     val pa = sig.select(col("media_id").as("a_id"), col("pvec").as("pa"))
     val pb = sig.select(col("media_id").as("b_id"), col("pvec").as("pb"))
     cand.join(pa, Seq("a_id")).join(pb, Seq("b_id"))
@@ -447,7 +462,10 @@ object Multimodal {
   val M7PlantStride = 50
   val M7TwinOffset = 9000000L
 
-  def m7PerceptualLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** The media corpus plus its planted near-dup twins — the frame
+    * every m7-family pair derivation runs over (one definition; m10's
+    * append must see the same population m7's rebuild does). */
+  private[graft] def mediaWithTwins(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaFromDocs(spark, dir)
     val twins = media
       .filter(col("media_id") % M7PlantStride === 0 && col("n_bytes") >= 2)
@@ -456,8 +474,11 @@ object Multimodal {
         concat(encode(lit("Z"), "UTF-8"),
           expr("substring(payload, 2, cast(n_bytes as int))")).as("payload"),
         col("n_bytes"))
-    m7PairsOf(media.unionByName(twins))
+    media.unionByName(twins)
   }
+
+  def m7PerceptualLsh(spark: SparkSession, dir: String): DataFrame =
+    m7PairsOf(mediaWithTwins(spark, dir))
 
   /** The m7 gate row SERVED from the persisted `media_pairs` artifact
     * (r16 verdict item 4 — [[Pipeline.mediaPairsArtifact]] holds the
@@ -485,8 +506,14 @@ object Multimodal {
     * buckets capped), big-star is O(log²) edge-sized rounds, and the
     * census is one hash aggregate over cluster-labeled members —
     * nothing corpus² anywhere. */
-  def m9MediaClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Pipeline.mediaPairsArtifact(spark, dir)
+  def m9MediaClusters(spark: SparkSession, dir: String): DataFrame =
+    m9CensusOf(Pipeline.mediaPairsArtifact(spark, dir))
+
+  /** The cluster census over an arbitrary media pair frame — ONE
+    * definition shared by m9 (the standing artifact) and m11 (the
+    * artifact minus retired endpoints): big-star CC, then size /
+    * redundancy / worst-L1 per cluster. */
+  private def m9CensusOf(pairs: DataFrame): DataFrame = {
     val labels = Dedup.bigStarComponents(pairs, "a_id", "b_id")
     // a cluster is same-kind by construction (m7 candidates never
     // cross kinds); recover the kind from either pair endpoint
@@ -505,6 +532,73 @@ object Multimodal {
         (col("n_members") - 1).as("n_redundant"), col("max_l1"))
       .orderBy(col("kind"), col("cluster_id"))
   }
+
+  /** The m10 arrival slice: every 7th media id (and, via the +2 twin
+    * offset residue, some planted twins whose ORIGINALS stay in the
+    * base — the cross pairs the append must find). */
+  val M10ArrivalMod = 7L
+  val M10ArrivalDigit = 3L
+
+  /** M10 — media-tier DELTA INGEST (e4/s25's posture at the media
+    * tier): a slice of the corpus "arrives" against a standing base;
+    * the base's pairs are inherited, and NEW candidates band the
+    * arrival members against the full signature state — candidate
+    * work is arrival-sized (only buckets holding an arrival produce
+    * joins), never a corpus re-derivation. Serve = base pairs ∪ new
+    * pairs, which must equal the full rebuild (append ≡ rebuild) —
+    * the oracle IS m7's full-chain statement, so the gate hashes the
+    * law itself every round. Exactness caveat (documented, the
+    * d-family's frozen-model nuance): a bucket crossing the
+    * hot-bucket cap BETWEEN versions belongs to rebuild, not append —
+    * no bucket approaches the cap on this corpus, and the spec pins
+    * the live equality.
+    *
+    * Scale: the standing pair set is inherited (at production scale,
+    * read from the pairs artifact); new work = arrival bands × their
+    * bucket co-members + an arrival-sized L1 verify. */
+  def m10MediaAppend(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaWithTwins(spark, dir)
+    val isArr = pmod(col("media_id"), lit(M10ArrivalMod)) === M10ArrivalDigit
+    val basePairs = m7PairsOf(media.filter(!isArr))
+    val sig = m7Signatures(media)
+    val member = m7BandMembers(sig)
+    val newCand = member.filter(isArr).as("a")
+      .join(member.as("b"), col("a.kind") === col("b.kind") &&
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.media_id") =!= col("b.media_id"))
+      .select(col("a.kind").as("kind"),
+        least(col("a.media_id"), col("b.media_id")).as("a_id"),
+        greatest(col("a.media_id"), col("b.media_id")).as("b_id"))
+      .distinct()
+    basePairs.unionByName(m7VerifyCandidates(sig, newCand))
+      .orderBy(col("kind"), col("a_id"), col("b_id"))
+  }
+
+  /** The m11 retirement slice: media ids ending in 50 (mod 100) —
+    * live on the planted-twin clusters (originals are multiples of
+    * the 50-stride, and the twin offset preserves the residue, so a
+    * retired original's twin retires with it). */
+  val M11RetireMod = 100L
+  val M11RetireDigit = 50L
+
+  /** M11 — media-tier RETRACTION (e14/st19's right-to-erasure posture
+    * at the media tier): retire a media slice; every pair with a
+    * retired endpoint leaves the graph, and the cluster census
+    * re-resolves over the survivors — dissolved twin clusters vanish,
+    * and a bridge retirement would SPLIT a cluster (pairs are
+    * pairwise-independent, so retraction is a filter at the pair
+    * level but real CC work at the cluster level; the split case is
+    * spec-constructed — this corpus's clusters are twin pairs that
+    * dissolve wholesale). Serve = m9's census over the surviving
+    * pairs ≡ rebuild-without-retired.
+    *
+    * Scale: the filter is a row-local predicate on the persisted pair
+    * artifact; re-resolution is big-star over the surviving pair set
+    * — cost ∝ surviving pairs, not corpus size. */
+  def m11MediaRetract(spark: SparkSession, dir: String): DataFrame =
+    m9CensusOf(Pipeline.mediaPairsArtifact(spark, dir)
+      .filter(pmod(col("a_id"), lit(M11RetireMod)) =!= M11RetireDigit &&
+        pmod(col("b_id"), lit(M11RetireMod)) =!= M11RetireDigit))
 
   /** m7's signature→band→candidate→L1 chain as oracle CTE text ending
     * in `l1`, shared by the m7 and m9 oracles (the d4ChainCtes
@@ -564,6 +658,45 @@ object Multimodal {
     s"""SELECT kind, a_id, b_id, l1_permille FROM l1
          WHERE l1_permille <= $M7MaxL1"""
 
+  /** The m9 cluster-census oracle over a caller-supplied pair SELECT
+    * (d7LabelCtesFrom's builder discipline): recursive transitive
+    * closure → labels → the (size, redundancy, worst-L1) census.
+    * Callers: m9 (the full pair set) and m11 (retired endpoints
+    * removed). */
+  private def m9CensusOracleSql(mpSql: String): String =
+    s"""WITH RECURSIVE $m7PairChainCtes,
+         mp AS ($mpSql),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM mp
+           UNION SELECT b_id, a_id FROM mp),
+         reach AS (
+           SELECT s AS node, d AS other FROM edges
+           UNION
+           SELECT r.node, e.d FROM reach r JOIN edges e ON r.other = e.s),
+         mem AS (SELECT DISTINCT s AS node FROM edges),
+         labels AS (
+           SELECT m.node, least(m.node, min(r.other)) AS cluster_id
+           FROM mem m JOIN reach r ON r.node = m.node
+           GROUP BY m.node),
+         nk AS (
+           SELECT DISTINCT node, kind FROM (
+             SELECT a_id AS node, kind FROM mp
+             UNION ALL SELECT b_id, kind FROM mp)),
+         sz AS (
+           SELECT nk.kind, l.cluster_id, count(*) AS n_members
+           FROM labels l JOIN nk ON nk.node = l.node
+           GROUP BY 1, 2),
+         ml AS (
+           SELECT p.kind, la.cluster_id, max(p.l1_permille) AS max_l1
+           FROM mp p JOIN labels la ON la.node = p.a_id
+           GROUP BY 1, 2)
+         SELECT sz.kind, sz.cluster_id,
+                CAST(sz.n_members AS BIGINT) AS n_members,
+                CAST(sz.n_members - 1 AS BIGINT) AS n_redundant,
+                ml.max_l1
+         FROM sz JOIN ml ON sz.kind = ml.kind AND sz.cluster_id = ml.cluster_id
+         ORDER BY sz.kind, sz.cluster_id"""
+
   /** Scene-boundary threshold in permille units on adjacent segment
     * means. Measured on this corpus (sf0.01 videos): adjacent-segment
     * |Δmean| spans 0–148‰ with median ≈ 13‰ and p90 ≈ 45‰, so 40‰
@@ -614,6 +747,8 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_media_retract"      -> (m11MediaRetract _),
+    "m10_media_append"       -> (m10MediaAppend _),
     "m9_media_clusters"      -> (m9MediaClusters _),
     "m8_scene_segmentation"  -> (m8SceneSegmentation _),
     "m7_perceptual_lsh"      -> (m7PerceptualLshServed _),
@@ -781,39 +916,19 @@ object Multimodal {
     // m9: m7's pair chain resolved into clusters — d7's recursive
     // transitive-closure labeling over the media pair graph, then the
     // per-cluster census (size, redundancy, worst verified distance)
-    "m9_media_clusters" ->
-      s"""WITH RECURSIVE $m7PairChainCtes,
-         mp AS ($m7PairsSelect),
-         edges AS (
-           SELECT a_id AS s, b_id AS d FROM mp
-           UNION SELECT b_id, a_id FROM mp),
-         reach AS (
-           SELECT s AS node, d AS other FROM edges
-           UNION
-           SELECT r.node, e.d FROM reach r JOIN edges e ON r.other = e.s),
-         mem AS (SELECT DISTINCT s AS node FROM edges),
-         labels AS (
-           SELECT m.node, least(m.node, min(r.other)) AS cluster_id
-           FROM mem m JOIN reach r ON r.node = m.node
-           GROUP BY m.node),
-         nk AS (
-           SELECT DISTINCT node, kind FROM (
-             SELECT a_id AS node, kind FROM mp
-             UNION ALL SELECT b_id, kind FROM mp)),
-         sz AS (
-           SELECT nk.kind, l.cluster_id, count(*) AS n_members
-           FROM labels l JOIN nk ON nk.node = l.node
-           GROUP BY 1, 2),
-         ml AS (
-           SELECT p.kind, la.cluster_id, max(p.l1_permille) AS max_l1
-           FROM mp p JOIN labels la ON la.node = p.a_id
-           GROUP BY 1, 2)
-         SELECT sz.kind, sz.cluster_id,
-                CAST(sz.n_members AS BIGINT) AS n_members,
-                CAST(sz.n_members - 1 AS BIGINT) AS n_redundant,
-                ml.max_l1
-         FROM sz JOIN ml ON sz.kind = ml.kind AND sz.cluster_id = ml.cluster_id
-         ORDER BY sz.kind, sz.cluster_id""",
+    "m9_media_clusters" -> m9CensusOracleSql(m7PairsSelect),
+    // m10: append ≡ rebuild IS the oracle statement — the full m7
+    // chain, verbatim (the engine side derives base ∪ new instead)
+    "m10_media_append" ->
+      s"""WITH $m7PairChainCtes
+         $m7PairsSelect
+         ORDER BY kind, a_id, b_id""",
+    // m11: rebuild-without-retired — m9's census over the pair set
+    // with retired-endpoint rows removed
+    "m11_media_retract" -> m9CensusOracleSql(
+      s"""SELECT * FROM ($m7PairsSelect) p
+         WHERE p.a_id % $M11RetireMod <> $M11RetireDigit
+           AND p.b_id % $M11RetireMod <> $M11RetireDigit"""),
     // m3's oracle re-derives the header fields from the same doc_id
     // arithmetic the header was built from — the Spark side genuinely
     // round-trips them through payload bytes, so the hash-match

@@ -91,7 +91,9 @@ object PlanDump {
     "e24_release_pack" -> "split-aware release packing (r17): the split column rides the docflags scan (row-local hash + candidate-pair-bounded labels broadcast); per-split packing is e7's shard-local offset window; census = |splits|·|shards| rows",
     "q58_star_freshness" -> "star freshness gate (r17): two month-grain censuses (source agg + a pure scan of the standing fact) joined at month grain; the gated refresh rewrites fired partitions only; the served dashboard joins the materialized decision to a post-apply census scan",
     "st25_fact_erasure" -> "streamed star erasure (r17): each request micro-batch runs q57's repack kernel — broadcast victim semi-join picks touched months, left_anti repack under dynamic overwrite; the duplicate request's semi-join finds nothing and writes nothing; served census is a pure post-stream scan",
-    "m9_media_clusters" -> "media near-dup clusters (r17): persisted media_pairs scan → big-star CC (edge-sized checkpointed rounds) → one hash agg per census leg; the worst-L1 leg joins pairs to labels on the smaller endpoint only")
+    "m9_media_clusters" -> "media near-dup clusters (r17): persisted media_pairs scan → big-star CC (edge-sized checkpointed rounds) → one hash agg per census leg; the worst-L1 leg joins pairs to labels on the smaller endpoint only",
+    "m10_media_append" -> "media delta ingest (r17): the base's banded pipeline + an ARRIVAL-member bucket join (arrival rows × their bucket co-members, never member×member) + an arrival-sized L1 verify — append ≡ rebuild hashed by m7's own oracle",
+    "m11_media_retract" -> "media retraction (r17): row-local retired-endpoint filter on the persisted pair scan, then the shared big-star census over survivors — takedown cost ∝ surviving pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(8)

@@ -397,6 +397,51 @@ class Round17Spec extends AnyFunSuite {
       "served cluster census != freshly derived census")
   }
 
+  // ---------- 2b'''''''. m10 media append / m11 media retract ----------
+
+  test("m10: append ≡ rebuild row-for-row, and the law is non-vacuous — " +
+    "cross pairs (exactly one arrival endpoint) exist, so the arrival " +
+    "banding genuinely finds pairs the base build cannot") {
+    import graft.ext.Multimodal
+    val appended = sortedRows(Multimodal.m10MediaAppend(spark, dir))
+    val rebuilt = sortedRows(
+      Multimodal.m7PairsOf(Multimodal.mediaWithTwins(spark, dir)))
+    assert(appended.nonEmpty && appended === rebuilt,
+      "append path != full rebuild")
+    def isArr(id: Long): Boolean =
+      id % Multimodal.M10ArrivalMod == Multimodal.M10ArrivalDigit
+    val pairs = Multimodal.m7PerceptualLsh(spark, dir)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.exists { case (a, b) => isArr(a) ^ isArr(b) },
+      "vacuous: no pair crosses the base/arrival boundary")
+    assert(pairs.exists { case (a, b) => !isArr(a) && !isArr(b) },
+      "vacuous: every pair involves an arrival (the base build is empty)")
+  }
+
+  test("m11: the retraction census equals rebuild-without-retired, the " +
+    "retirement is live (clusters dissolve), and survivors are untouched") {
+    import graft.ext.Multimodal
+    val before = Multimodal.m9MediaClusters(spark, dir).collect()
+    val after = Multimodal.m11MediaRetract(spark, dir).collect()
+    assert(after.length < before.length,
+      "vacuous: retirement dissolved no cluster")
+    assert(after.nonEmpty, "retirement emptied the whole census")
+    def retired(id: Long): Boolean =
+      id % Multimodal.M11RetireMod == Multimodal.M11RetireDigit
+    // no surviving cluster is keyed by (or sized for) a retired member
+    assert(after.forall(r => !retired(r.getAs[Long]("cluster_id"))),
+      "a retired member survived as a cluster key")
+    // survivors byte-identical to their pre-retraction rows (this
+    // corpus's clusters are twin pairs — retirement is wholesale, so
+    // surviving clusters must pass through untouched)
+    val beforeByKey = before.map(r =>
+      (r.getAs[String]("kind"), r.getAs[Long]("cluster_id")) -> r.toString).toMap
+    assert(after.forall(r => beforeByKey(
+      (r.getAs[String]("kind"), r.getAs[Long]("cluster_id"))) == r.toString),
+      "a surviving cluster's census row changed under retraction")
+  }
+
   // ---------- 2c. e23 leakage-safe split ----------
 
   test("e23: the cluster-wholesale split leaks zero verified pairs (checked " +
