@@ -32,13 +32,17 @@ object Bench {
     // build (all three outputs materialized), so ETL regressions are
     // ratcheted round-over-round like queries. No oracle row — the
     // star's correctness is covered by q27-q29 + the ETL specs; this
-    // row exists for its timing.
+    // row exists for its timing. r17: materializeStar — the cleaning
+    // pipeline is materialized once and shared across the three
+    // outputs (the shape servedStar's artifact builder runs; the lazy
+    // per-output form paid the staging join + dedup aggregate 6× per
+    // build — measured 6.2s → 3.7s, outputs identical).
     val qs: IndexedSeq[(String, (org.apache.spark.sql.SparkSession, String) =>
         Seq[org.apache.spark.sql.DataFrame])] =
       (SparkEntry.queries.view.mapValues { fn =>
         (s: org.apache.spark.sql.SparkSession, d: String) => Seq(fn(s, d))
       }.toSeq :+ ("star_build" -> { (s: org.apache.spark.sql.SparkSession, d: String) =>
-        val st = graft.etl.RetailStar.buildStar(s, d)
+        val st = graft.etl.RetailStar.materializeStar(s, d)
         Seq(st.fact, st.product, st.shipping)
       })).sortBy(_._1).toIndexedSeq
     val passes: IndexedSeq[IndexedSeq[(String, Double, String)]] = (1 to runs).map { _ =>
@@ -144,6 +148,11 @@ object Bench {
       "s30_index_cutover" -> 2,
       "st17_index_ingest" -> 2,
       "st18_index_retract" -> 2,
+      // r17 optimization round: s22's drifted starting state now
+      // clones the shared substrate (s21/s30's pattern) instead of
+      // re-running build+append per invocation; the pre-clone floor
+      // measured the old contract (the retrain verb itself unchanged)
+      "s22_index_retrain" -> 2,
       // r17 second half: the maintenance census/apply gained the
       // warehouse tier (a fifth decision row — two month-grain
       // censuses + the served-fact witness); pre-star floors measured

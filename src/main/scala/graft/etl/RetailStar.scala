@@ -96,6 +96,23 @@ object RetailStar {
   def buildFact(spark: SparkSession, dir: String): DataFrame =
     buildStar(spark, dir).fact
 
+  /** The full star build with the cleaning pipeline materialized ONCE
+    * and shared across the three outputs — the shape [[servedStar]]'s
+    * artifact builder already runs (its lazy localCheckpoint), exposed
+    * for callers that materialize ALL THREE tables in one invocation
+    * (the bench's star_build row). [[buildStar]]'s per-output lazy
+    * form stays the right call when a consumer touches one pruned
+    * output (each re-derivation reads 4-6 columns); materializing all
+    * three through it pays the staging join + collision-dedup
+    * aggregate once per output AND once more per output's dedup
+    * branch — six derivations of the same join for one build. Outputs
+    * are identical frame-for-frame (same builders, same input). */
+  def materializeStar(spark: SparkSession, dir: String): Star = {
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir)).localCheckpoint()
+    Star(Warehouse.factSalesInline(cleaned),
+      Warehouse.dimProduct(cleaned), Warehouse.dimShipping(cleaned))
+  }
+
   /** The star schema PERSISTED as a corpus-fingerprint artifact
     * (r16 verdict item 1): the defining property of a warehouse is
     * that the ETL is paid ONCE and queries read persisted tables
@@ -198,8 +215,16 @@ object RetailStar {
     // key-map) — materialize the cleaning pipeline ONCE instead of
     // re-running the staging joins per consumer (bench: 9.8s → 7.3s);
     // the checkpoint block is freed by the ContextCleaner once the
-    // frame is unreferenced (same lifecycle as the CC label loops)
-    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir)).localCheckpoint()
+    // frame is unreferenced (same lifecycle as the CC label loops).
+    // r17: checkpoint only the 8 columns the four consumers read
+    // (guide §2.3 "project before the exchange" applied at the
+    // materialization boundary — the full 31-column frame checkpointed
+    // ~4× the bytes this query ever touches; measured 4.8s → 3.3s)
+    val cleaned = RetailClean.clean(stagingFromTpch(spark, dir))
+      .select(col("Date"), col("Customer_ID"), col("transaction_id"),
+        col("line_total_amount"), col("Country"), col("State"),
+        col("City"), col("Zipcode"))
+      .localCheckpoint()
     val monthOf = date_trunc("month", to_date(col("Date"), "M/d/yyyy"))
     // append the most recent COMPLETE month: the max month is still
     // receiving data (the corpus ends mid-month — a 2-customer stub

@@ -981,22 +981,46 @@ object AdvancedQueries {
     val linear = s"$base/linear"
     val zed = s"$base/zorder"
     try {
-      li.repartitionByRange(ZProfileFiles, col("l_orderkey"))
-        .sortWithinPartitions(col("l_orderkey"))
-        .write.mode("overwrite").parquet(linear)
-      // 4 bits = 16 rank buckets per column: granularity only needs to
-      // resolve the 16-file budget; the default 8 bits costs a
-      // 255-quantile sketch per column for no extra skipping here
-      graft.operators.ZOrder.writeZOrdered(li, zed,
-        Seq("l_orderkey", "l_partkey"), numFiles = ZProfileFiles, bits = 4)
+      // the two layout rewrites are INDEPENDENT jobs over the same
+      // source — submit them from two driver threads so the second
+      // job's tasks back-fill executors freed by the first job's tail
+      // (guide §2.6), instead of paying two sequential task tails
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future {
+          li.repartitionByRange(ZProfileFiles, col("l_orderkey"))
+            .sortWithinPartitions(col("l_orderkey"))
+            .write.mode("overwrite").parquet(linear)
+        },
+        // 4 bits = 16 rank buckets per column: granularity only needs
+        // to resolve the 16-file budget; the default 8 bits costs a
+        // 255-quantile sketch per column for no extra skipping here
+        Future {
+          graft.operators.ZOrder.writeZOrdered(li, zed,
+            Seq("l_orderkey", "l_partkey"), numFiles = ZProfileFiles, bits = 4)
+        })
+      writes.foreach(Await.result(_, Duration.Inf))
       val pred = col("l_partkey").between(100, 120)
       def touched(p: String): Long =
         spark.read.parquet(p).filter(pred).select(input_file_name()).distinct().count()
-      val zeroed = spark.read.parquet(zed)
-      // all scalars are materialized HERE (count() is eager), so the
-      // finally-delete below never races the returned DataFrame
-      Seq((zeroed.count(), zeroed.filter(pred).count(), ZProfileFiles.toLong,
-        touched(zed) * 2 <= touched(linear)))
+      // the three probe jobs are independent too; the integrity counts
+      // fuse into ONE scan of the z-ordered copy (count(when) ≡
+      // filter.count: both count exactly the pred-true rows)
+      val probes = (
+        Future {
+          spark.read.parquet(zed)
+            .agg(count(lit(1)), count(when(pred, lit(1)))).collect()(0)
+        },
+        Future { touched(zed) },
+        Future { touched(linear) })
+      val zAgg = Await.result(probes._1, Duration.Inf)
+      val (tz, tl) =
+        (Await.result(probes._2, Duration.Inf), Await.result(probes._3, Duration.Inf))
+      // all scalars are materialized HERE, so the finally-delete below
+      // never races the returned DataFrame
+      Seq((zAgg.getLong(0), zAgg.getLong(1), ZProfileFiles.toLong, tz * 2 <= tl))
         .toDF("n_rows", "n_pred_rows", "n_files", "zorder_localizes")
     } finally {
       val p = new org.apache.hadoop.fs.Path(base)
