@@ -66,10 +66,24 @@ object StarStream {
     // discipline) — star_build benchmarks the ETL, this row the loader
     val fact = RetailStar.servedStar(spark, dir).fact
     val lastKey = RetailStar.arrivingMonthKey(spark, dir) // q56's pick
-    fact.filter(col("month_key") =!= lastKey)
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/f1")
-    fact.filter(col("month_key") === lastKey)
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/f2")
+    // the two load-file stagings are independent jobs; submit them from
+    // two driver threads (guide §2.6 tail back-fill). repartition(1),
+    // not coalesce(1), for the history file: coalesce collapses the
+    // upstream scan+filter into the same single task as the write —
+    // repartition keeps the read parallel and pays only a ~25MB/0.1-sf
+    // shuffle (measured 1.8s → 1.4s for the full-fact single file).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Seq(
+      Future {
+        fact.filter(col("month_key") =!= lastKey)
+          .repartition(1).write.mode("overwrite").parquet(s"$base/f1")
+      },
+      Future {
+        fact.filter(col("month_key") === lastKey)
+          .repartition(1).write.mode("overwrite").parquet(s"$base/f2")
+      }).foreach(Await.result(_, Duration.Inf))
     // stage with increasing mtimes so the file source orders the
     // micro-batches deterministically; c = the DUPLICATE delivery of
     // the arriving month (same bytes, later arrival)
@@ -89,7 +103,12 @@ object StarStream {
         // would poison a fresh target with a schema-less dir
         if (!batch.isEmpty)
           graft.etl.Warehouse.withDynamicOverwrite(batch.sparkSession) {
-            batch.write.mode("overwrite")
+            // one writer per month (writeFactPartitioned's rationale
+            // inside the micro-batch): the load file arrives as ONE
+            // input split, so without the repartition a single task
+            // writes every touched month sequentially — measured
+            // 2.8s → 1.1s for the 79-month history batch
+            batch.repartition(col("month_key")).write.mode("overwrite")
               .partitionBy("month_key").parquet(target)
           }
       }

@@ -11,6 +11,8 @@ object Scratch {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("GRAFT_FOC_V", "1"))
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,6 +25,60 @@ object Scratch {
       }
     }
     val names = if (args.isEmpty) Seq("q24_approx_distinct") else args.toSeq
+    // one-off decomposition probe for the star-tier maintenance rows
+    if (names == Seq("probe_star_io")) {
+      import org.apache.spark.sql.functions._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_probe_star"
+      def timed[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f")
+        r
+      }
+      val fact = timed("servedStar.fact resolve")(
+        graft.etl.RetailStar.servedStar(spark, sfDir).fact)
+      timed("fact.count")(fact.count())
+      for (i <- 1 to 2) {
+        timed(s"writeFactPartitioned $i")(
+          graft.etl.Warehouse.writeFactPartitioned(fact, s"$tmp/part"))
+        timed(s"monthCensus over partitioned $i")(
+          graft.etl.Warehouse.monthCensus(
+            spark.read.schema(fact.schema).parquet(s"$tmp/part")).collect())
+        timed(s"coalesce(1) full-fact write $i")(
+          fact.coalesce(1).write.mode("overwrite").parquet(s"$tmp/one"))
+        timed(s"arrivingMonthKey $i")(
+          graft.etl.RetailStar.arrivingMonthKeys(spark, sfDir, 1))
+        timed(s"empty stream start/stop $i") {
+          val q = spark.readStream.schema(fact.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/one")
+            .writeStream.option("checkpointLocation", s"$tmp/cp$i")
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => ())
+            .start()
+          q.processAllAvailable(); q.stop()
+        }
+        timed(s"dynamic-overwrite single-month rewrite $i") {
+          graft.etl.Warehouse.withDynamicOverwrite(spark) {
+            fact.filter(col("month_key") === "121998")
+              .write.mode("overwrite").partitionBy("month_key").parquet(s"$tmp/part")
+          }
+        }
+        timed(s"repartition(1) full-fact write $i")(
+          fact.repartition(1).write.mode("overwrite").parquet(s"$tmp/one_r"))
+        val oneFile = spark.read.schema(fact.schema).parquet(s"$tmp/one")
+        timed(s"dyn-overwrite 79 months from 1-file input, as-is $i") {
+          graft.etl.Warehouse.withDynamicOverwrite(spark) {
+            oneFile.write.mode("overwrite").partitionBy("month_key").parquet(s"$tmp/part")
+          }
+        }
+        timed(s"dyn-overwrite 79 months from 1-file input, repartitioned $i") {
+          graft.etl.Warehouse.withDynamicOverwrite(spark) {
+            oneFile.repartition(org.apache.spark.sql.functions.col("month_key"))
+              .write.mode("overwrite").partitionBy("month_key").parquet(s"$tmp/part")
+          }
+        }
+      }
+      spark.stop(); return
+    }
     names.foreach { name =>
       // multi-frame rows (the bench's star_build shapes) time ALL
       // their outputs; single-frame rows go through the usual path
