@@ -560,8 +560,8 @@ object Dedup {
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     verifyCandidates(
-      shingleRows(d22CurrentDocs(spark, dir))
-        .join(candIds, Seq("doc_id"), "left_semi"), cand)
+      shingleRows(d22CurrentDocs(spark, dir)
+        .join(candIds, Seq("doc_id"), "left_semi")), cand)
       .select(col("a_id"), col("b_id"))
   }
 
@@ -598,8 +598,12 @@ object Dedup {
       .cache() // consumed 3×: endpoint ids ×2, verify join
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val sh = shingleRows(d22CurrentDocs(spark, dir))
-      .join(candIds, Seq("doc_id"), "left_semi")
+    // candidate-doc filter BEFORE the shingle explode (r17, §2.3 —
+    // the optimizer cannot push a join below the generator), and the
+    // endpoint-bounded shingle view cached: verifyCandidates reads it
+    // three times (sizes, both sides of the intersection join)
+    val sh = shingleRows(d22CurrentDocs(spark, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")).cache()
     val newPairs = verifyCandidates(sh, cand).select(col("a_id"), col("b_id"))
     // FOLD: one labeling pass over untouched star edges ∪ surviving
     // pairs ∪ new pairs — d11's fold ≡ rebuild law
@@ -610,6 +614,7 @@ object Dedup {
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
     cand.unpersist() // CC is eager (checkpointed rounds): cand is consumed
+    sh.unpersist()
     out
   }
 

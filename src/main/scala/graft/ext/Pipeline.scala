@@ -1401,7 +1401,13 @@ object Pipeline {
       cand: DataFrame): DataFrame = {
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    Dedup.shingleSet(spark, dir).join(candIds, Seq("doc_id"), "left_semi")
+    // semi-join at the DOCUMENT level, before the shingle explode
+    // (r17, guide §2.3): a join cannot be pushed below a generator by
+    // the optimizer, so the post-explode form shingled the whole
+    // corpus and then dropped non-candidate rows — this shingles only
+    // candidate docs. Same rows out (the filter key exists per doc).
+    Dedup.shingleRows(
+      graft.Tables.documents(spark, dir).join(candIds, Seq("doc_id"), "left_semi"))
   }
 
   /** The refresh's delta-verify stage as ONE uncached frame — the

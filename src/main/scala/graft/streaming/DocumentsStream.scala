@@ -535,8 +535,9 @@ object DocumentsStream {
           .select(col("doc_id"), col("text"))
           .join(retired, Seq("doc_id"), "left_anti")
           .unionByName(arrivedDocs)
-        val sh = Dedup.shingleRows(curDocs)
-          .join(candIds, Seq("doc_id"), "left_semi")
+        // candidate-doc filter BEFORE the shingle explode (r17, §2.3)
+        val sh = Dedup.shingleRows(
+          curDocs.join(candIds, Seq("doc_id"), "left_semi"))
         batch.select(col("doc_id"), col("text"))
           .write.mode("overwrite").parquet(new Path(bdir, "docs").toString)
         sigsB.write.mode("overwrite").parquet(new Path(bdir, "sigs").toString)
