@@ -263,13 +263,23 @@ object Multimodal {
             lit(CdcMask)) === 0).cast("int"))
           .otherwise(0))
     // chunk id = boundaries strictly BEFORE this position (a boundary
-    // byte ends its chunk); cumulative sum per media
+    // byte ends its chunk); cumulative sum per media.
+    // The per-position rows are projected down to (media_id, p, b)
+    // BEFORE the window's exchange (r17, guide §2.3/§8): the earlier
+    // form carried the FULL text string on every position row through
+    // the window shuffle and the chunk groupBy — an O(|text|²)-bytes
+    // blowup per document; the text re-attaches per CHUNK via one
+    // media-keyed join below (the groupBy's partitioning is reused on
+    // the chunk side, so the join adds no chunk-side exchange).
     val w = Window.partitionBy(col("media_id")).orderBy(col("p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pos
+    val extents = pos
+      .select(col("media_id"), col("p"), col("b"))
       .withColumn("cid", sum(col("b")).over(w) - col("b"))
-      .groupBy(col("media_id"), col("text"), col("cid"))
+      .groupBy(col("media_id"), col("cid"))
       .agg(min(col("p")).as("p0"), max(col("p")).as("p1"))
+    extents
+      .join(docs.select(col("media_id"), col("text")), Seq("media_id"))
       .select(col("media_id"),
         (col("p1") - col("p0") + 1).as("bytes"),
         md5(expr("substring(text, p0 + 1, p1 - p0 + 1)")).as("h"))

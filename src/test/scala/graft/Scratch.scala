@@ -26,6 +26,40 @@ object Scratch {
       }
     }
     val names = if (args.isEmpty) Seq("q24_approx_distinct") else args.toSeq
+    // one-off decomposition probe for st21's phases
+    if (names == Seq("probe_st21")) {
+      import org.apache.spark.sql.functions._
+      def timed[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f")
+        r
+      }
+      for (i <- 1 to 2) {
+        val base = ArtifactRoots.tagged("graft_st21", sfDir)
+        val bp = new org.apache.hadoop.fs.Path(base)
+        val f = org.apache.hadoop.fs.FileSystem.get(bp.toUri,
+          spark.sparkContext.hadoopConfiguration)
+        if (f.exists(bp)) f.delete(bp, true)
+        f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/arrive/in"))
+        val rBase = timed(s"substrate $i")(
+          graft.streaming.DocumentsStream.st21RetractSubstrate(spark, sfDir))
+        val newDocs = graft.ext.Dedup.d22EditedBatch(spark, sfDir)
+        timed(s"stage w2 $i")(graft.streaming.WaveLedger.stageFrameWave(
+          spark, newDocs.filter(col("doc_id") % 3 === 0), base, s"$base/arrive/in", 2))
+        timed(s"run arrive 1 $i")(graft.streaming.DocumentsStream
+          .runUpdateArrive(spark, sfDir, base, s"$base/arrive/cp", rBase).stop())
+        timed(s"stage w3 $i")(graft.streaming.WaveLedger.stageFrameWave(
+          spark, newDocs.filter(col("doc_id") % 3 =!= 0), base, s"$base/arrive/in", 3))
+        timed(s"run arrive 2 $i")(graft.streaming.DocumentsStream
+          .runUpdateArrive(spark, sfDir, base, s"$base/arrive/cp", rBase).stop())
+        timed(s"serve $i")(graft.streaming.DocumentsStream
+          .st21Serve(spark, sfDir, base, rBase)
+          .write.mode("overwrite").format("noop").save())
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     // one-off decomposition probe for the star-tier maintenance rows
     if (names == Seq("probe_star_io")) {
       import org.apache.spark.sql.functions._
