@@ -496,7 +496,8 @@ object DocumentsStream {
     * new text for verification), and its verified new pairs commit
     * together. */
   private[graft] def updateArriveBatch(spark: SparkSession, dir: String,
-                                       base: String, rBase: String)
+                                       base: String, rBase: String,
+                                       retired0: () => DataFrame = null)
                                       (batch: DataFrame, batchId: Long): Unit = {
     // ledger state read ONCE per micro-batch: prior sig/doc dirs are
     // the latest compacted generation + live tail (r16 — before this
@@ -508,9 +509,16 @@ object DocumentsStream {
       xxhash64(col("doc_id"), col("text")),
       xxhash64(col("text"), col("doc_id")),
       alsoCommitted = st.folded) { bdir =>
-      val retired = retiredFromLedger(spark, rBase)
+      // r17: callers that run a whole content query pass the retract
+      // ledger read in as a once-per-query thunk (the tombstone
+      // manifest commits BEFORE the content phase by the verb's own
+      // protocol, so it is immutable across this query's batches);
+      // the per-batch read remains the default for direct callers
+      val retired =
+        if (retired0 != null) retired0() else retiredFromLedger(spark, rBase)
       val sigsB = Dedup.minhashSignatures(Dedup.shingleRows(batch)).cache()
       var cand: DataFrame = null
+      var sh0: DataFrame = null
       try {
         val survivorSigs = Pipeline.signaturesArtifact(spark, dir)
           .join(retired, Seq("doc_id"), "left_anti")
@@ -535,18 +543,33 @@ object DocumentsStream {
           .select(col("doc_id"), col("text"))
           .join(retired, Seq("doc_id"), "left_anti")
           .unionByName(arrivedDocs)
-        // candidate-doc filter BEFORE the shingle explode (r17, §2.3)
+        // candidate-doc filter BEFORE the shingle explode (r17, §2.3);
+        // cached — verifyCandidates reads it three times
         val sh = Dedup.shingleRows(
-          curDocs.join(candIds, Seq("doc_id"), "left_semi"))
-        batch.select(col("doc_id"), col("text"))
-          .write.mode("overwrite").parquet(new Path(bdir, "docs").toString)
+          curDocs.join(candIds, Seq("doc_id"), "left_semi")).cache()
+        sh0 = sh
+        // sigs first (fills the sigsB cache the verify plan reuses),
+        // then the independent docs and pairs writes overlap from two
+        // driver threads (guide §2.6 — the batch's many small jobs
+        // leave idle capacity between stages)
         sigsB.write.mode("overwrite").parquet(new Path(bdir, "sigs").toString)
-        Dedup.verifyCandidates(sh, cand)
-          .select(col("a_id"), col("b_id"), col("jaccard"))
-          .write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Seq(
+          Future {
+            batch.select(col("doc_id"), col("text"))
+              .write.mode("overwrite").parquet(new Path(bdir, "docs").toString)
+          },
+          Future {
+            Dedup.verifyCandidates(sh, cand)
+              .select(col("a_id"), col("b_id"), col("jaccard"))
+              .write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
+          }).foreach(Await.result(_, Duration.Inf))
       } finally {
         sigsB.unpersist(false)
         if (cand != null) cand.unpersist(false)
+        if (sh0 != null) sh0.unpersist(false)
       }
     }
   }
@@ -565,11 +588,18 @@ object DocumentsStream {
                                      base: String, checkpoint: String,
                                      rBase: String = ""): StreamingQuery = {
     val rb = if (rBase.isEmpty) s"$base/retract" else rBase
+    // the tombstone manifest is fully committed before a content query
+    // starts (the verb's declared-tombstones-first protocol), so the
+    // retract-ledger union is read and materialized ONCE per query
+    // rather than listed + re-unioned + re-broadcast in every
+    // micro-batch; the checkpoint block is freed when the query's
+    // closure is unreferenced
+    lazy val retired = retiredFromLedger(spark, rb).localCheckpoint()
     val q = spark.readStream.schema(updateDocSchema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/arrive/in")
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(updateArriveBatch(spark, dir, base, rb) _)
+      .foreachBatch(updateArriveBatch(spark, dir, base, rb, () => retired) _)
       .start()
     q.processAllAvailable()
     q

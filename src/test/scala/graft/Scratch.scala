@@ -28,6 +28,17 @@ object Scratch {
     val names = if (args.isEmpty) Seq("q24_approx_distinct") else args.toSeq
     // one-off decomposition probe for st21's phases
     if (names == Seq("probe_st21")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(je.jobId)
+          if (s != null)
+            println(f"JOB ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3f ${s._2}")
+        }
+      })
       import org.apache.spark.sql.functions._
       def timed[A](label: String)(body: => A): A = {
         val t0 = System.nanoTime()
