@@ -108,8 +108,17 @@ object EmbeddingsStream {
       val priorAssign = readOrEmpty(spark, st.dirs("assign"), assignSchema)
       val (assign, pairs) =
         Similarity.knngArriveWaveTables(spark, dir, batch, priorAssign)
-      assign.write.mode("overwrite").parquet(new Path(bdir, "assign").toString)
-      pairs.write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
+      // assign is checkpointed by the kernel, so the two writes are
+      // independent jobs — overlap them (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(
+        Future(assign.write.mode("overwrite")
+          .parquet(new Path(bdir, "assign").toString)),
+        Future(pairs.write.mode("overwrite")
+          .parquet(new Path(bdir, "pairs").toString)))
+        .foreach(Await.result(_, Duration.Inf))
     }
   }
 
@@ -407,10 +416,19 @@ object EmbeddingsStream {
         Similarity.knngUpdCentroids(spark, dir),
         Similarity.knngUpdAssignArtifact(spark, dir),
         batch, priorAssign)
-      assign.write.mode("overwrite").parquet(new Path(bdir, "assign").toString)
-      pairs.write.mode("overwrite").parquet(new Path(bdir, "pairs").toString)
-      batch.select(col("vec_id"), col("embedding"))
-        .write.mode("overwrite").parquet(new Path(bdir, "emb").toString)
+      // assign is checkpointed by the kernel; the three writes are
+      // independent jobs — overlap them (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(
+        Future(assign.write.mode("overwrite")
+          .parquet(new Path(bdir, "assign").toString)),
+        Future(pairs.write.mode("overwrite")
+          .parquet(new Path(bdir, "pairs").toString)),
+        Future(batch.select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(new Path(bdir, "emb").toString)))
+        .foreach(Await.result(_, Duration.Inf))
     }
   }
 

@@ -183,10 +183,20 @@ private[graft] object WaveLedger {
     val nextIdx = st.gen.map(_.getName.stripPrefix("gen_").toInt + 1).getOrElse(0)
     val next = new Path(f"$base/compact/gen_$nextIdx%05d")
     f.delete(next, true) // unmarked scratch from a crashed compact
-    subs.foreach { case (sub, schema) =>
-      val rd = schema.fold(spark.read)(s => spark.read.schema(s))
-      rd.parquet(st.dirs(sub): _*)
-        .write.mode("overwrite").parquet(new Path(next, sub).toString)
+    // the per-sub-table folds are independent jobs; overlap them from
+    // driver threads (guide §2.6) — completeness is still the marker's,
+    // written LAST after every fold has finished
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      subs.map { case (sub, schema) =>
+        Future {
+          val rd = schema.fold(spark.read)(s => spark.read.schema(s))
+          rd.parquet(st.dirs(sub): _*)
+            .write.mode("overwrite").parquet(new Path(next, sub).toString)
+        }
+      }.foreach(Await.result(_, Duration.Inf))
     }
     val folded = (st.folded ++ st.waves.map(_.getName)).toSeq.sorted
     import spark.implicits._
