@@ -158,7 +158,20 @@ object Bench {
       // censuses + the served-fact witness); pre-star floors measured
       // the four-tier contract
       "e21_maintenance_census" -> 2,
-      "e22_maintenance_apply" -> 2)
+      // r17 optimization round: the star maintenance verbs' STANDING
+      // warehouse (and st24's load files) stage once per corpus
+      // fingerprint and clone per invocation (the s22/st21/st23
+      // substrate pattern) — the pre-substrate floors measured a fresh
+      // 80-partition writeFactPartitioned per invocation; the verbs
+      // themselves (refresh/erase/gate/stream-load) are unchanged.
+      // e22@v3: its forced star apply stages through the same shared
+      // stageStaleWarehouse.
+      "q56_star_refresh" -> 2,
+      "q57_fact_retention" -> 2,
+      "q58_star_freshness" -> 2,
+      "st24_fact_loads" -> 2,
+      "st25_fact_erasure" -> 2,
+      "e22_maintenance_apply" -> 3)
     def floorKey(name: String): String =
       workVersion.get(name).map(v => s"$name@v$v").getOrElse(name)
     val dirName = new java.io.File(sfDir).getName

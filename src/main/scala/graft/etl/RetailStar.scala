@@ -149,6 +149,51 @@ object RetailStar {
       ensure("dim_shipping")(Warehouse.dimShipping(cleaned)))
   }
 
+  private val WarehouseSubstrateMarker = "_GRAFT_SUBSTRATE_OK"
+
+  /** The STANDING month-partitioned warehouse every star maintenance
+    * verb starts from (q56/q57/q58/st25's shared scenario) — staged
+    * ONCE per corpus fingerprint and CLONED to each verb's scratch
+    * root (r17 optimization; the st21/st23 retract-substrate and
+    * s21/s22/s30 index-clone precedent at the star tier: the standing
+    * state is a pure function of the corpus, so re-running the
+    * 80-partition writeFactPartitioned per invocation re-derived the
+    * identical tree every time). The verbs mutate the CLONE; the
+    * substrate itself is never touched. Staleness is ArtifactRoots'
+    * corpus fingerprint; a crash before the marker rebuilds whole. */
+  private[graft] def warehouseSubstrate(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val root = graft.ArtifactRoots.tagged("graft_starwh_v1", dir)
+    graft.ArtifactRoots.touchServed(root)
+    val marker = new Path(s"$root/$WarehouseSubstrateMarker")
+    val fs = FileSystem.get(marker.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true) // crashed partial: rebuild whole
+      Warehouse.writeFactPartitioned(servedStar(spark, dir).fact,
+        s"$root/fact_by_month")
+      fs.create(marker, true).close()
+    }
+    s"$root/fact_by_month"
+  }
+
+  /** Clone the standing warehouse into `target`, clearing any previous
+    * occupant — driver-routed FileUtil bytes (the tree is MB-sized at
+    * spec SFs; Similarity.cloneIndexTree's documented posture: at
+    * 100 TB the clone is a distcp-style parallel copy, or the verb
+    * runs directly on the serving root under operator exclusivity —
+    * the production posture q56/q57 document). */
+  private[graft] def cloneWarehouse(spark: SparkSession, dir: String,
+                                    target: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(warehouseSubstrate(spark, dir))
+    val dst = new Path(target)
+    val fs = FileSystem.get(dst.toUri, conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!FileUtil.copy(fs, src, fs, dst, false, conf))
+      throw new java.io.IOException(s"warehouse clone failed: $src -> $dst")
+  }
+
   /** q27 — reference query 5.1 (README.md:208-214): total sales by
     * hour of day through DimTimeOfDay, joined on the seconds-first
     * time_key. The generated dim broadcasts (86,400 rows at any fact
@@ -281,8 +326,12 @@ object RetailStar {
     // benchmarks the ETL; this row benchmarks the load mechanics
     val fact = servedStar(spark, dir).fact
     val lastKey = arrivingMonthKey(spark, dir)
-    Warehouse.writeFactPartitioned(
-      fact.filter(col("month_key") =!= lastKey), target)
+    // the pre-load standing state (every month but the arriving one) =
+    // the cloned substrate minus the arriving month's partition dir —
+    // partition dirs hold exactly their month's rows, so the delete is
+    // the filter (r17 optimization; was a fresh 80-partition write)
+    cloneWarehouse(spark, dir, target)
+    fs.delete(new Path(s"$target/month_key=$lastKey"), true)
     val arriving = fact.filter(col("month_key") === lastKey)
     Warehouse.withDynamicOverwrite(spark) {
       arriving.write.mode("overwrite").partitionBy("month_key").parquet(target)
@@ -350,9 +399,10 @@ object RetailStar {
     val rp = new Path(root)
     val fs = FileSystem.get(rp.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rp)) fs.delete(rp, true) // fresh scratch per invocation
-    // operate on the persisted warehouse fact (q56's discipline)
+    // operate on the persisted warehouse fact (q56's discipline); the
+    // standing warehouse is the cloned once-per-corpus substrate (r17)
     val fact = servedStar(spark, dir).fact
-    Warehouse.writeFactPartitioned(fact, target) // the standing warehouse
+    cloneWarehouse(spark, dir, target)
     // victim surrogate keys (bounded: the erasure request's subjects);
     // Customer_ID IS o_custkey in the staging synthesis, so the
     // natural→surrogate mapping derives from orders directly
@@ -384,11 +434,26 @@ object RetailStar {
     * apply law drift from the scenario q58 actually gates). */
   private[graft] def stageStaleWarehouse(spark: SparkSession, dir: String,
                                          target: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
     val fact = servedStar(spark, dir).fact
     val lateKeys = arrivingMonthKeys(spark, dir, Q58LateMonths)
-    val isLate = col("month_key").isin(lateKeys: _*) &&
-      pmod(col("transaction_id"), lit(Q58LateMod)) === Q58LateDigit
-    Warehouse.writeFactPartitioned(fact.filter(!isLate), target)
+    // clone the standing substrate and repack ONLY the late-window
+    // months without their late slice (r17 optimization — the late
+    // slice lives exclusively in lateKeys months, so every other
+    // month's partition is already the stale content verbatim; was a
+    // fresh 80-partition write of fact.filter(!isLate)). The dirs are
+    // deleted first so a month whose every row were late would stay
+    // absent rather than surviving as a ghost partition.
+    cloneWarehouse(spark, dir, target)
+    val fs = FileSystem.get(new Path(target).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    lateKeys.foreach(k => fs.delete(new Path(s"$target/month_key=$k"), true))
+    Warehouse.withDynamicOverwrite(spark) {
+      fact.filter(col("month_key").isin(lateKeys: _*) &&
+          pmod(col("transaction_id"), lit(Q58LateMod)) =!= Q58LateDigit)
+        .repartition(col("month_key"))
+        .write.mode("overwrite").partitionBy("month_key").parquet(target)
+    }
     fact
   }
 

@@ -36,6 +36,44 @@ object StarStream {
     fs.setTimes(to, mtime, -1); ()
   }
 
+  private val SubstrateMarker = "_GRAFT_SUBSTRATE_OK"
+
+  /** st24's two load files (history; the arriving month) — pure
+    * functions of the corpus, staged ONCE per corpus fingerprint under
+    * their own root (the st21/st23 retract-substrate precedent) and
+    * byte-copied into each invocation's arrivals dir. The two
+    * single-file stagings are independent jobs; submitted from two
+    * driver threads (guide §2.6 tail back-fill). repartition(1), not
+    * coalesce(1), for the history file: coalesce collapses the
+    * upstream scan+filter into the same single task as the write —
+    * repartition keeps the read parallel and pays only a ~25MB/0.1-sf
+    * shuffle (measured 1.8s → 1.4s for the full-fact single file). */
+  private def loadFilesSubstrate(spark: SparkSession, dir: String): String = {
+    val root = graft.ArtifactRoots.tagged("graft_st24ld_v1", dir)
+    graft.ArtifactRoots.touchServed(root)
+    val marker = new Path(s"$root/$SubstrateMarker")
+    val fs = FileSystem.get(marker.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true) // crashed partial: rebuild whole
+      val fact = RetailStar.servedStar(spark, dir).fact
+      val lastKey = RetailStar.arrivingMonthKey(spark, dir) // q56's pick
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(
+        Future {
+          fact.filter(col("month_key") =!= lastKey)
+            .repartition(1).write.mode("overwrite").parquet(s"$root/f1")
+        },
+        Future {
+          fact.filter(col("month_key") === lastKey)
+            .repartition(1).write.mode("overwrite").parquet(s"$root/f2")
+        }).foreach(Await.result(_, Duration.Inf))
+      fs.create(marker, true).close()
+    }
+    root
+  }
+
   /** ST24 — streamed star-fact month loads AS a gate entry: the fact
     * (from the inline ETL build) is staged as TWO load files split at
     * the arriving month (history; the arriving month), plus a THIRD
@@ -63,34 +101,19 @@ object StarStream {
     if (fs.exists(base)) fs.delete(base, true)
     val inDir = new Path(base, "in"); fs.mkdirs(inDir)
     // the load stream draws from the persisted warehouse fact (q56's
-    // discipline) — star_build benchmarks the ETL, this row the loader
+    // discipline) — star_build benchmarks the ETL, this row the loader.
+    // The two load FILES are pure functions of the corpus: staged once
+    // per corpus fingerprint (r17 optimization; was two single-file
+    // writes per invocation) and byte-copied into the arrivals dir.
     val fact = RetailStar.servedStar(spark, dir).fact
-    val lastKey = RetailStar.arrivingMonthKey(spark, dir) // q56's pick
-    // the two load-file stagings are independent jobs; submit them from
-    // two driver threads (guide §2.6 tail back-fill). repartition(1),
-    // not coalesce(1), for the history file: coalesce collapses the
-    // upstream scan+filter into the same single task as the write —
-    // repartition keeps the read parallel and pays only a ~25MB/0.1-sf
-    // shuffle (measured 1.8s → 1.4s for the full-fact single file).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    Seq(
-      Future {
-        fact.filter(col("month_key") =!= lastKey)
-          .repartition(1).write.mode("overwrite").parquet(s"$base/f1")
-      },
-      Future {
-        fact.filter(col("month_key") === lastKey)
-          .repartition(1).write.mode("overwrite").parquet(s"$base/f2")
-      }).foreach(Await.result(_, Duration.Inf))
+    val sub = loadFilesSubstrate(spark, dir)
     // stage with increasing mtimes so the file source orders the
     // micro-batches deterministically; c = the DUPLICATE delivery of
     // the arriving month (same bytes, later arrival)
     val stage = stageFile(fs, spark.sparkContext.hadoopConfiguration, inDir) _
-    stage(s"$base/f1", "a.parquet", 1000000L)
-    stage(s"$base/f2", "b.parquet", 2000000L)
-    stage(s"$base/f2", "c.parquet", 3000000L)
+    stage(s"$sub/f1", "a.parquet", 1000000L)
+    stage(s"$sub/f2", "b.parquet", 2000000L)
+    stage(s"$sub/f2", "c.parquet", 3000000L)
     val target = s"$base/fact_by_month"
     val stream = spark.readStream
       .schema(fact.schema)
@@ -153,7 +176,9 @@ object StarStream {
     val inDir = new Path(base, "in"); fs.mkdirs(inDir)
     val fact = RetailStar.servedStar(spark, dir).fact
     val target = s"$base/fact_by_month"
-    graft.etl.Warehouse.writeFactPartitioned(fact, target) // the standing warehouse
+    // the standing warehouse = the cloned once-per-corpus substrate
+    // (r17 optimization; was a fresh 80-partition write per invocation)
+    RetailStar.cloneWarehouse(spark, dir, target)
     // two disjoint erasure requests as surrogate-key files (the
     // natural→surrogate mapping derives from orders, q57's discipline)
     def victims(digit: Long): DataFrame = Tables.orders(spark, dir)

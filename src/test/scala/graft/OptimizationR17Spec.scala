@@ -63,4 +63,50 @@ class OptimizationR17Spec extends AnyFunSuite {
     assert(fused.getLong(0) == li.count())
     assert(fused.getLong(1) == li.filter(pred).count())
   }
+
+  test("star warehouse substrate: the cloned standing tree equals a fresh " +
+    "writeFactPartitioned row-for-row, and clone-minus-partition equals the " +
+    "filtered write (q56's pre-load state)") {
+    import org.apache.spark.sql.functions._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_r17o_starwh_spec"
+    val fact = RetailStar.servedStar(spark, dir).fact
+    // fresh write — the pre-substrate staging the verbs used to run
+    graft.etl.Warehouse.writeFactPartitioned(fact, s"$tmp/direct")
+    // the substrate clone the verbs now start from
+    RetailStar.cloneWarehouse(spark, dir, s"$tmp/clone")
+    def rows(p: String) = sortedRows(
+      spark.read.schema(fact.schema).parquet(p))
+    assert(rows(s"$tmp/clone") == rows(s"$tmp/direct"),
+      "cloned standing warehouse must equal the fresh partitioned write")
+    // q56's pre-load state: clone minus the arriving month's partition
+    // dir ≡ writeFactPartitioned(fact without that month)
+    val lastKey = RetailStar.arrivingMonthKeys(spark, dir, 1).head
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(tmp).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/clone/month_key=$lastKey"), true)
+    graft.etl.Warehouse.writeFactPartitioned(
+      fact.filter(col("month_key") =!= lastKey), s"$tmp/direct_nolast")
+    assert(rows(s"$tmp/clone") == rows(s"$tmp/direct_nolast"),
+      "clone minus the arriving partition must equal the filtered write")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  test("q58's staged stale warehouse (clone + late-window repack) equals the " +
+    "full filtered write it replaced") {
+    import org.apache.spark.sql.functions._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_r17o_stale_spec"
+    val fact = RetailStar.stageStaleWarehouse(spark, dir, s"$tmp/staged")
+    val lateKeys = RetailStar.arrivingMonthKeys(spark, dir, RetailStar.Q58LateMonths)
+    val isLate = col("month_key").isin(lateKeys: _*) &&
+      pmod(col("transaction_id"), lit(RetailStar.Q58LateMod)) === RetailStar.Q58LateDigit
+    graft.etl.Warehouse.writeFactPartitioned(fact.filter(!isLate), s"$tmp/direct")
+    def rows(p: String) = sortedRows(spark.read.schema(fact.schema).parquet(p))
+    assert(rows(s"$tmp/staged") == rows(s"$tmp/direct"),
+      "clone + late-window repack must equal the full filtered write")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(tmp).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
 }
