@@ -26,6 +26,31 @@ object Scratch {
       }
     }
     val names = if (args.isEmpty) Seq("q24_approx_distinct") else args.toSeq
+    // generic job-level decomposition: run any query twice with a
+    // listener printing every Spark job's duration + call site
+    if (names.headOption.contains("probe_jobs")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(je.jobId)
+          if (s != null)
+            println(f"JOB ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3f ${s._2}")
+        }
+      })
+      names.drop(1).foreach { name =>
+        for (i <- 1 to 2) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          println(f"PROBE $name $i ${(System.nanoTime() - t0) / 1e9}%.3f")
+          spark.catalog.clearCache()
+        }
+      }
+      spark.stop(); return
+    }
     // one-off decomposition probe for st21's phases
     if (names == Seq("probe_st21")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
