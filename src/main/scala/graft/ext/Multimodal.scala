@@ -569,7 +569,19 @@ object Multimodal {
   def m10MediaAppend(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaWithTwins(spark, dir)
     val isArr = pmod(col("media_id"), lit(M10ArrivalMod)) === M10ArrivalDigit
-    val basePairs = m7PairsOf(media.filter(!isArr))
+    // r17 optimization (guide §1.2, the substrate rule the other tiers
+    // already follow): the standing base's pairs ARE the persisted
+    // media_pairs artifact minus pairs touching an arrival endpoint —
+    // banding is per-document, so a base-base pair shares its bucket
+    // with or without the arrivals present (modulo the cap-crossing
+    // caveat documented above, which belongs to rebuild-vs-append
+    // semantics and never triggers on this corpus; filtered-artifact ≡
+    // derived-base is spec-pinned live). Re-deriving the base chain
+    // per invocation re-paid the signature→band→verify work the
+    // artifact already holds.
+    val basePairs = Pipeline.mediaPairsArtifact(spark, dir)
+      .filter(pmod(col("a_id"), lit(M10ArrivalMod)) =!= M10ArrivalDigit &&
+        pmod(col("b_id"), lit(M10ArrivalMod)) =!= M10ArrivalDigit)
     val sig = m7Signatures(media)
     val member = m7BandMembers(sig)
     val newCand = member.filter(isArr).as("a")

@@ -92,6 +92,24 @@ class OptimizationR17Spec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  test("m10's substrate base: the persisted media_pairs artifact filtered to " +
+    "non-arrival endpoints equals the derived base-only pair chain") {
+    import org.apache.spark.sql.functions._
+    val media = graft.ext.Multimodal.mediaWithTwins(spark, dir)
+    val isArr = pmod(col("media_id"), lit(graft.ext.Multimodal.M10ArrivalMod)) ===
+      graft.ext.Multimodal.M10ArrivalDigit
+    val derived = graft.ext.Multimodal.m7PairsOf(media.filter(!isArr))
+    val filtered = graft.ext.Pipeline.mediaPairsArtifact(spark, dir)
+      .filter(pmod(col("a_id"), lit(graft.ext.Multimodal.M10ArrivalMod)) =!=
+          graft.ext.Multimodal.M10ArrivalDigit &&
+        pmod(col("b_id"), lit(graft.ext.Multimodal.M10ArrivalMod)) =!=
+          graft.ext.Multimodal.M10ArrivalDigit)
+      .select(derived.columns.map(col): _*)
+    assert(sortedRows(filtered) == sortedRows(derived),
+      "filtered artifact must equal the derived base pair chain " +
+        "(no cap-crossing bucket on this corpus)")
+  }
+
   test("q58's staged stale warehouse (clone + late-window repack) equals the " +
     "full filtered write it replaced") {
     import org.apache.spark.sql.functions._

@@ -51,6 +51,37 @@ object Scratch {
       }
       spark.stop(); return
     }
+    // one-off decomposition probe for m10's phases
+    if (names == Seq("probe_m10")) {
+      import org.apache.spark.sql.functions._
+      def time[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PHASE $label ${(System.nanoTime() - t0) / 1e9}%.3f"); r
+      }
+      for (i <- 1 to 3) {
+        println(s"--- rep $i")
+        val art = time("artifact_call") {
+          graft.ext.Pipeline.mediaPairsArtifact(spark, sfDir)
+        }
+        time("artifact_noop") {
+          art.write.mode("overwrite").format("noop").save()
+        }
+        val base = art.filter(
+          pmod(col("a_id"), lit(graft.ext.Multimodal.M10ArrivalMod)) =!=
+            graft.ext.Multimodal.M10ArrivalDigit &&
+          pmod(col("b_id"), lit(graft.ext.Multimodal.M10ArrivalMod)) =!=
+            graft.ext.Multimodal.M10ArrivalDigit)
+        time("base_noop") {
+          base.write.mode("overwrite").format("noop").save()
+        }
+        time("full_m10") {
+          SparkEntry.queries("m10_media_append")(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+        }
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     // one-off decomposition probe for st21's phases
     if (names == Seq("probe_st21")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
